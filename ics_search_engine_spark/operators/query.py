@@ -1,0 +1,126 @@
+"""Top-k BM25 query path over a postings DataFrame.
+
+Replaces the reference's term-at-a-time scoring loop
+(/root/reference/search.py:132-202) with one declarative plan:
+
+    query terms (driver) -> broadcast join on term [J2]
+        -> BM25 column expression [A3-analog]
+        -> per-doc fold over a SORTED (term, contrib) list [A6]
+        -> orderBy desc limit k  (TakeOrderedAndProject) [T1]
+
+Determinism (SURVEY.md §7 "rank-identical floating-point scores"):
+* per-(term,doc) contribution is a pure double expression whose
+  operation order matches oracle.bm25.bm25_contribution token for
+  token, so each contribution is bit-identical to the oracle;
+* idf and qtf*idf weights are computed DRIVER-SIDE in Python (query
+  term count is tiny) — JVM ln() never runs, sidestepping libm
+  last-ulp differences;
+* the per-doc sum folds a sort_array'd (term, contrib) list in
+  ascending term order — the same order the oracle accumulates —
+  so the final score is bit-identical, not just approximately equal;
+* tie-break (score desc, conv_id asc, turn_idx asc) matches the
+  oracle and replaces the reference's unstable plain sort
+  (/root/reference/search.py:200-202).
+
+Scale notes: the broadcast side is the (≤ tens of rows) query-term
+weight table, never the postings; scoring shuffles only MATCHED
+postings, grouped by doc; top-k runs as TakeOrderedAndProject (per-
+partition heaps + driver merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from oracle.bm25 import K1, B, idf as py_idf
+from ics_search_engine_spark.operators.index_build import DOC_KEY
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+# Constants pre-combined in Python so Spark literals carry the exact
+# same double bits the oracle uses.
+_K1P1 = K1 + 1.0
+_ONE_MINUS_B = 1.0 - B
+
+
+def query_weights(query: str, term_df: dict[str, int], n_docs: int
+                  ) -> dict[str, float]:
+    """term -> qtf * idf, computed in Python (bit-matches oracle)."""
+    q_tokens = tokenize(query, for_query=True)
+    qtf: dict[str, int] = {}
+    for t in q_tokens:
+        qtf[t] = qtf.get(t, 0) + 1
+    return {
+        t: qtf[t] * py_idf(n_docs, term_df[t])
+        for t in qtf
+        if term_df.get(t, 0) > 0
+    }
+
+
+def bm25_contrib_col(avgdl: float) -> F.Column:
+    """w * tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avgdl)) with the exact
+    oracle operation order (oracle/bm25.py bm25_contribution)."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    tfn = (tf * F.lit(_K1P1)) / (
+        tf + F.lit(K1) * (F.lit(_ONE_MINUS_B) + (F.lit(B) * dl) / F.lit(avgdl))
+    )
+    return F.col("w") * tfn
+
+
+def bm25_topk(
+    spark: SparkSession,
+    postings_df: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    term_df: dict[str, int] | None = None,
+) -> DataFrame:
+    """Top-k BM25 → DataFrame(conv_id, turn_idx, score) ordered by
+    (score desc, conv_id, turn_idx).
+
+    ``term_df``: pre-looked-up document frequencies for the query terms
+    (from the index's term_stats table).  If None, computed from
+    ``postings_df`` (one narrow agg over the matched terms only —
+    filter pushes to the scan).
+    """
+    q_terms = sorted(set(tokenize(query, for_query=True)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+
+    matched = postings_df.filter(F.col("term").isin(q_terms))
+
+    if term_df is None:
+        term_df = {
+            r["term"]: r["df"]
+            for r in matched.groupBy("term").agg(F.count("*").alias("df")).collect()
+        }
+
+    weights = query_weights(query, term_df, n_docs)
+    if not weights:
+        return empty
+
+    w_df = spark.createDataFrame(
+        [(t, w) for t, w in weights.items()], "term string, w double"
+    )
+
+    scored = (
+        matched.join(F.broadcast(w_df), "term")
+        .withColumn("contrib", bm25_contrib_col(avgdl))
+        .groupBy(*DOC_KEY)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("tc")
+        )
+        .withColumn(
+            "score",
+            F.aggregate(
+                "tc", F.lit(0.0), lambda acc, x: acc + x["contrib"]
+            ),
+        )
+        .select(*DOC_KEY, "score")
+    )
+    return scored.orderBy(F.desc("score"), *DOC_KEY).limit(k)
