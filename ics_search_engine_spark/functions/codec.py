@@ -1,0 +1,147 @@
+"""Delta + varint posting-list codec (north_rule: "delta-encode +
+varint-compress posting lists").
+
+No reference analog — the reference serializes postings as JSON tuples
+and pickle (/root/reference/components/index_manager.py:82-89,
+/root/reference/utils/index_generator.py:24-27; its dev log measured
+pickle 1.3-2x faster than JSON, todo.md:42-50).  We go further: a
+binary payload per (term, shard):
+
+    varint n
+    varint[n]  delta-encoded doc ordinals (ascending, first absolute)
+    varint[n]  tf
+    varint[n]  dl   (denormalized doc length — query path never joins
+                     the doc table)
+    if with_positions:
+        per posting: varint len, varint[len] delta-encoded positions
+
+Encode/decode are numpy-vectorized (no per-int Python loops) so the
+pack/unpack pandas UDFs stay Arrow-batch fast; the same functions are
+the oracle-side implementation for round-trip property tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10  # 64-bit
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varint encoding of a uint64 array, vectorized."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    # byte length per value: ceil(bitlen/7), min 1
+    nbytes = np.ones(a.shape, dtype=np.int64)
+    for b in range(1, _MAX_VARINT_BYTES):
+        nbytes += (a >= (np.uint64(1) << np.uint64(7 * b))).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for b in range(_MAX_VARINT_BYTES):
+        mask = nbytes > b
+        if not mask.any():
+            break
+        byte = (a[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > b).astype(np.uint8) << 7
+        out[starts[mask] + b] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview, count: int, offset: int = 0
+                  ) -> tuple[np.ndarray, int]:
+    """Decode ``count`` varints starting at ``offset``.
+    Returns (uint64 array, next offset).  Vectorized: one pass to find
+    terminator bytes, then per-byte-position accumulation."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64), offset
+    raw = np.frombuffer(buf, dtype=np.uint8, count=len(buf) - offset,
+                        offset=offset)
+    is_term = raw < 0x80
+    term_idx = np.flatnonzero(is_term)
+    if term_idx.size < count:
+        raise ValueError("truncated varint stream")
+    last = int(term_idx[count - 1])
+    used = raw[: last + 1]
+    # value id per byte: number of terminators before this byte
+    seg = np.zeros(last + 1, dtype=np.int64)
+    if count > 1:
+        seg[term_idx[: count - 1] + 1] = 1
+        seg = np.cumsum(seg)
+    starts = np.zeros(count, dtype=np.int64)
+    if count > 1:
+        starts[1:] = term_idx[: count - 1] + 1
+    byte_pos = np.arange(last + 1, dtype=np.int64) - starts[seg]
+    vals = np.zeros(count, dtype=np.uint64)
+    np.add.at(
+        vals,
+        seg,
+        (used.astype(np.uint64) & np.uint64(0x7F)) << (np.uint64(7) * byte_pos.astype(np.uint64)),
+    )
+    return vals, offset + last + 1
+
+
+def pack_postings(
+    doc_ords: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: list[np.ndarray] | None = None,
+) -> bytes:
+    """Pack one (term, shard)'s postings.  ``doc_ords`` must be sorted
+    ascending and unique (build sorts within shard first — analog of the
+    reference's doc_id-ordered appends, /root/reference/indexer.py:75-76)."""
+    doc_ords = np.asarray(doc_ords, dtype=np.uint64)
+    n = doc_ords.size
+    parts = [varint_encode(np.array([n], dtype=np.uint64))]
+    if n:
+        deltas = np.empty(n, dtype=np.uint64)
+        deltas[0] = doc_ords[0]
+        if n > 1:
+            deltas[1:] = doc_ords[1:] - doc_ords[:-1]
+        parts.append(varint_encode(deltas))
+        parts.append(varint_encode(np.asarray(tfs, dtype=np.uint64)))
+        parts.append(varint_encode(np.asarray(dls, dtype=np.uint64)))
+        if positions is not None:
+            lens = np.array([len(p) for p in positions], dtype=np.uint64)
+            parts.append(varint_encode(lens))
+            allpos = []
+            for p in positions:
+                p = np.asarray(p, dtype=np.uint64)
+                d = np.empty(p.size, dtype=np.uint64)
+                if p.size:
+                    d[0] = p[0]
+                    d[1:] = p[1:] - p[:-1]
+                allpos.append(d)
+            if allpos:
+                parts.append(varint_encode(np.concatenate(allpos)))
+    return b"".join(parts)
+
+
+def unpack_postings(
+    buf: bytes, with_positions: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray] | None]:
+    """Inverse of pack_postings → (doc_ords, tfs, dls, positions|None).
+    When the payload has positions but the caller doesn't need them,
+    decoding stops early (positions trail the fixed sections)."""
+    hdr, off = varint_decode(buf, 1)
+    n = int(hdr[0])
+    if n == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.copy(), e.copy(), ([] if with_positions else None)
+    deltas, off = varint_decode(buf, n, off)
+    doc_ords = np.cumsum(deltas, dtype=np.uint64)
+    tfs, off = varint_decode(buf, n, off)
+    dls, off = varint_decode(buf, n, off)
+    if not with_positions:
+        return doc_ords, tfs, dls, None
+    lens, off = varint_decode(buf, n, off)
+    total = int(lens.sum())
+    flat, off = varint_decode(buf, total, off) if total else (np.empty(0, np.uint64), off)
+    positions: list[np.ndarray] = []
+    start = 0
+    for ln in lens:
+        ln = int(ln)
+        positions.append(np.cumsum(flat[start : start + ln], dtype=np.uint64))
+        start += ln
+    return doc_ords, tfs, dls, positions

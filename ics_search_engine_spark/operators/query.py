@@ -104,14 +104,27 @@ def bm25_topk(
     if not weights:
         return empty
 
+    return score_topk(spark, matched, weights, avgdl, DOC_KEY, k)
+
+
+def score_topk(
+    spark: SparkSession,
+    matched: DataFrame,
+    weights: dict[str, float],
+    avgdl: float,
+    key_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Shared scoring core: matched postings (term, *key_cols, tf, dl)
+    → top-k (key_cols..., score).  Deterministic sorted-term fold; see
+    module docstring."""
     w_df = spark.createDataFrame(
         [(t, w) for t, w in weights.items()], "term string, w double"
     )
-
     scored = (
         matched.join(F.broadcast(w_df), "term")
         .withColumn("contrib", bm25_contrib_col(avgdl))
-        .groupBy(*DOC_KEY)
+        .groupBy(*key_cols)
         .agg(
             F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("tc")
         )
@@ -121,6 +134,41 @@ def bm25_topk(
                 "tc", F.lit(0.0), lambda acc, x: acc + x["contrib"]
             ),
         )
-        .select(*DOC_KEY, "score")
+        .select(*key_cols, "score")
     )
-    return scored.orderBy(F.desc("score"), *DOC_KEY).limit(k)
+    return scored.orderBy(F.desc("score"), *[F.asc(c) for c in key_cols]).limit(k)
+
+
+def bm25_topk_packed(spark: SparkSession, pidx, query: str, k: int = 10
+                     ) -> DataFrame:
+    """Top-k BM25 over a persisted PackedIndex → (conv_id, turn_idx,
+    score), rank- and score-identical to the direct path and the oracle.
+
+    Plan: term-IN filter (parquet min/max pushdown — the seek-map analog,
+    /root/reference/search.py:53-61) → Arrow decode UDF → broadcast
+    weight join → deterministic fold → TakeOrderedAndProject → recover
+    (conv_id, turn_idx) for just the k winners from docmap.
+    """
+    from ics_search_engine_spark.operators.packed_index import decode_matched
+    from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
+
+    q_terms = sorted(set(_tok(query, for_query=True)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs)
+    if not weights:
+        return empty
+
+    matched = pidx.index.filter(F.col("term").isin(q_terms))
+    posts = decode_matched(matched)
+    # doc_ord is the global rank of (conv_id, turn_idx) ascending, so the
+    # doc_ord tie-break is EXACTLY the oracle's docID tie-break.
+    topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
+    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
+        "conv_id", "turn_idx", "score"
+    )
+    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")

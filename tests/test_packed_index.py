@@ -1,0 +1,128 @@
+"""Packed-index build + index-backed query parity (SURVEY.md §7 step 5:
+"parity test: index path ≡ slice path ≡ oracle")."""
+
+import numpy as np
+import pytest
+
+from oracle import bm25 as oracle
+from ics_search_engine_spark.functions.codec import unpack_postings
+from ics_search_engine_spark.operators import index_build as ib
+from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+from ics_search_engine_spark.operators.query import bm25_topk_packed
+from ics_search_engine_spark.sources.transcripts import REFERENCE_QUERIES
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, small_df, corpus_dir):
+    out = f"{corpus_dir}/packed_index"
+    # small range_bits so multiple shards exist even at test scale
+    build_packed_index(spark, small_df, out, range_bits=9)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, index_dir):
+    return PackedIndex(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def oracle_idx(small_rows):
+    return oracle.build_index(small_rows)
+
+
+class TestDocMap:
+    def test_ordinals_dense_and_ordered(self, spark, small_df):
+        toks = ib.tokenized(small_df).select("conv_id", "turn_idx", "dl")
+        dm = assign_doc_ordinals(toks, num_partitions=7)
+        rows = dm.orderBy("doc_ord").collect()
+        n = len(rows)
+        assert [r["doc_ord"] for r in rows] == list(range(n))
+        keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+        assert keys == sorted(keys)
+
+    def test_deterministic_across_partitionings(self, spark, small_df):
+        toks = ib.tokenized(small_df).select("conv_id", "turn_idx", "dl")
+        a = {
+            (r["conv_id"], r["turn_idx"]): r["doc_ord"]
+            for r in assign_doc_ordinals(toks, num_partitions=3).collect()
+        }
+        b = {
+            (r["conv_id"], r["turn_idx"]): r["doc_ord"]
+            for r in assign_doc_ordinals(toks, num_partitions=13).collect()
+        }
+        assert a == b
+
+
+class TestIndexStructure:
+    def test_stats(self, pidx, oracle_idx):
+        assert pidx.n_docs == oracle_idx.n_docs
+        assert pidx.avgdl == oracle_idx.avgdl
+
+    def test_df_matches_oracle(self, pidx, oracle_idx):
+        got = {r["term"]: r["df"] for r in pidx.term_stats.collect()}
+        want = {t: len(p) for t, p in oracle_idx.postings.items()}
+        assert got == want
+
+    def test_shards_bounded_and_sorted(self, pidx):
+        range_size = 1 << pidx.stats["range_bits"]
+        rows = pidx.index.collect()
+        assert len(rows) > 0
+        multi_shard_terms = set()
+        seen_terms = {}
+        for r in rows:
+            assert r["n_postings"] <= range_size
+            d, t, l, pos = unpack_postings(bytes(r["payload"]), with_positions=True)
+            assert len(d) == r["n_postings"]
+            # postings sorted by doc ordinal, within the shard's doc range
+            assert np.all(np.diff(d.astype(np.int64)) > 0)
+            assert np.all((d >> pidx.stats["range_bits"]) == r["shard_id"])
+            # positions strictly increasing per posting
+            for p in pos:
+                if len(p) > 1:
+                    assert np.all(np.diff(p.astype(np.int64)) > 0)
+            seen_terms.setdefault(r["term"], 0)
+            seen_terms[r["term"]] += 1
+            if seen_terms[r["term"]] > 1:
+                multi_shard_terms.add(r["term"])
+        # head terms actually split across shards at this range_bits
+        assert multi_shard_terms, "expected head terms split into multiple shards"
+
+    def test_postings_content_matches_oracle(self, pidx, oracle_idx):
+        docmap = {
+            r["doc_ord"]: (r["conv_id"], r["turn_idx"])
+            for r in pidx.docmap.collect()
+        }
+        # spot-check a head term, a mid term and a planted rare term
+        import pyspark.sql.functions as F
+        for term in ["the", "spark", "xyzzyqux"]:
+            rows = pidx.index.filter(F.col("term") == term).collect()
+            got = {}
+            for r in sorted(rows, key=lambda r: r["shard_id"]):
+                d, t, l, pos = unpack_postings(bytes(r["payload"]), with_positions=True)
+                for i in range(len(d)):
+                    got[docmap[int(d[i])]] = (int(t[i]), [int(x) for x in pos[i]])
+            want = {
+                docid: (tf, oracle_idx.positions[term][docid])
+                for docid, tf in oracle_idx.postings.get(term, {}).items()
+            }
+            assert got == want, term
+
+
+class TestPackedQueryParity:
+    @pytest.mark.parametrize("qid", sorted(REFERENCE_QUERIES))
+    def test_packed_topk_identical_to_oracle(self, qid, spark, pidx, oracle_idx):
+        query = REFERENCE_QUERIES[qid]
+        expected = oracle.search(oracle_idx, query, k=K)
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_packed(spark, pidx, query, k=K).collect()
+        ]
+        assert [g[:2] for g in got] == [e[:2] for e in expected], qid
+        for (_, _, es), (_, _, gs) in zip(expected, got):
+            assert es == gs, (qid, es.hex(), gs.hex())
