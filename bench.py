@@ -1,0 +1,111 @@
+"""Round benchmark: index-build throughput + top-k BM25 query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+    {"metric": ..., "value": seconds, "unit": "sec",
+     "queries": {...}, "sf": ..., "extra": {...}}
+
+The corpus is the sf documents table adapted to the transcript docID
+model (one turn per doc).  Build = full packed-index pipeline
+(tokenize+Porter UDF, doc ordinals, doc-range sharding, delta+varint
+pack).  Queries = reference-style set over the persisted index.
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+BENCH_QUERIES = {
+    "q1_single": "spark",
+    "q2_two": "stream window",
+    "q3_three": "merged sorting joins",
+    "q4_five": "sparks streams windows joined batches",
+    "q5_rare": "vector hash scan",
+    "q6_long": "the spark streaming window join batch merge sort",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from ics_search_engine_spark.session import get_spark
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.query import bm25_topk_packed
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    n_turns = transcripts.count()
+
+    out = tempfile.mkdtemp(prefix="bench_idx_")
+    timings: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        build_packed_index(
+            spark, transcripts, out, range_bits=12, with_positions=True
+        )
+        build_s = time.time() - t0
+        timings["index_build"] = round(build_s, 3)
+
+        pidx = PackedIndex(spark, out)
+        # warm the JVM/plan cache once so per-query numbers measure the
+        # query path, not first-job startup
+        bm25_topk_packed(spark, pidx, "warm up query", k=10).collect()
+
+        qtimes = []
+        for name, q in BENCH_QUERIES.items():
+            t0 = time.time()
+            bm25_topk_packed(spark, pidx, q, k=10).collect()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            qtimes.append(dt)
+
+        qtimes.sort()
+        p50 = qtimes[len(qtimes) // 2]
+        total = build_s + sum(qtimes)
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_plus_query_total",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "extra": {
+                        "n_turns": n_turns,
+                        "build_turns_per_sec": round(n_turns / build_s, 1),
+                        "query_p50_sec": round(p50, 3),
+                        "cpus": int(cpus),
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

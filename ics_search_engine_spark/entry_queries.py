@@ -1,0 +1,523 @@
+"""Driver-facing query registry: each entry is a Spark implementation
+plus an equivalent ANSI/DuckDB oracle SQL over the sf-dir parquet
+tables (driver gate, see __spark_entry__.py).
+
+These re-express the reference's operator inventory (SURVEY.md §2) and
+the training-pipeline extensions over the driver's `documents` /
+`embeddings` / `events` tables.  The full stemmed BM25 engine is
+exercised separately against the single-node oracle in tests/ (DuckDB
+cannot Porter-stem in this sandbox), so the gated variants here use the
+stem-free tokenizer path — same regex, same length-1 rule, same scoring
+math.
+
+Cross-engine determinism rules used throughout:
+* tokenization: split on '[^a-z0-9]+' + length>1 filter — identical in
+  Spark `split`+`filter` and DuckDB `regexp_split_to_array`+`list_filter`;
+* hashes: 32-bit ints from the first 8 hex chars of md5 — md5 hex is
+  identical everywhere (Spark `conv(substr(md5(x),1,8),16,10)`,
+  DuckDB `('0x'||substr(md5(x),1,8))::BIGINT`);
+* no cross-row float sums without rounding: money-like sums go through
+  integer cents; scores are rounded and ORDER BY uses the ROUNDED value
+  so top-k selection boundaries agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ics_search_engine_spark.textproc.tokenizer import STOP_WORDS
+
+# ---------------------------------------------------------------- helpers
+
+_TOK_RE = "[^a-z0-9]+"
+
+
+def toks_col(c: str = "text") -> Column:
+    """Stem-free reference tokenization as a pure Catalyst expression
+    (regex + lowercase + len>1; /root/reference/utils/tokenizer.py:24-34)."""
+    return F.filter(
+        F.split(F.lower(F.col(c)), _TOK_RE), lambda x: F.length(x) > 1
+    )
+
+
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> length(x) > 1)"
+)
+
+
+def md5_32(col: Column) -> Column:
+    """First 32 bits of md5 as a bigint — cross-engine-exact hash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _sql_md5_32(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# A fixed query in the documents-table vocabulary (TESTDATA corpus).
+DOCS_QUERY_TERMS = ["spark", "stream", "window", "join"]
+
+# ---------------------------------------------------------------- queries
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (A4 / training-pipeline 'token counting'):
+    per-doc length + distinct terms."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks_col().alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.size(F.array_distinct("toks")).alias("n_terms"),
+        )
+    )
+
+
+_SQL_DOC_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::INT AS dl,
+       len(list_distinct(toks))::INT AS n_terms
+FROM t
+"""
+
+
+def q_postings_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: row-per-posting (term, doc_id, tf)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks_col()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+_SQL_POSTINGS_TF = f"""
+WITH t AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+SELECT term, doc_id, count(*) AS tf FROM t GROUP BY term, doc_id
+"""
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: document frequency + collection frequency per term."""
+    return (
+        q_postings_tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+_SQL_TERM_DF = f"""
+WITH t AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS c FROM t GROUP BY term, doc_id)
+SELECT term, count(*) AS df, sum(c)::BIGINT AS cf FROM tf GROUP BY term
+"""
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the reference's exact tf-idf formula
+    (/root/reference/components/index_manager.py:36-50, importance=0):
+    score = (tf / dl) * log10(N / df), for a fixed 4-term query."""
+    docs = _docs(spark, sf_dir).select("doc_id", toks_col().alias("toks"))
+    n = docs.count()
+    posts = (
+        docs.select("doc_id", F.size("toks").alias("dl"),
+                    F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(DOCS_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        posts.join(F.broadcast(dfs), "term")
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                (F.col("tf") / F.col("dl"))
+                * F.log10(F.lit(float(n)) / F.col("df")),
+                9,
+            ).alias("tfidf_r9"),
+        )
+    )
+
+
+_SQL_TFIDF = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term)
+SELECT p.term, p.doc_id,
+       round((p.tf / p.dl) * log10(n.n / d.df), 9) AS tfidf_r9
+FROM posts p JOIN dfs d USING (term) CROSS JOIN n
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/J2/A6: stem-free BM25 top-20 for the fixed query, ordered by
+    the ROUNDED score so the selection boundary is cross-engine-exact."""
+    docs = _docs(spark, sf_dir).select("doc_id", toks_col().alias("toks"))
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("sdl")
+    ).collect()[0]
+    n, avgdl = stats["n"], stats["sdl"] / stats["n"]
+    posts = (
+        docs.select("doc_id", F.size("toks").alias("dl"),
+                    F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(DOCS_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / F.lit(avgdl)))
+    return (
+        posts.join(F.broadcast(dfs), "term")
+        .withColumn("contrib", idf * tfn)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25_r6"))
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_BM25_TOPK = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/A7/A8: 32-bit SimHash — md5 bit votes weighted by tf, exactly
+    the reference's vote scheme (/root/reference/utils/simhash.py:32-47)
+    at reduced width, as pure relational algebra (cross-engine-exact
+    integers)."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks_col()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", md5_32(F.col("term")))
+    )
+    bits = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    votes = (
+        tf.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "vote",
+            # SQL-form shiftright accepts a column shift amount
+            F.when(
+                F.expr("(h >> b) & 1") == 1, F.col("tf")
+            ).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << b"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash32")
+        )
+    )
+
+
+_SQL_SIMHASH32 = f"""
+WITH t AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf, {_sql_md5_32('term')} AS h
+       FROM t GROUP BY doc_id, term),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM tf CROSS JOIN (SELECT unnest(range(32)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash32
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline exact dedup: hash-groupBy on full text."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+_SQL_EXACT_DUP = """
+SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline MinHash: 8 hash functions h_i(t) =
+    md5_32(i || ':' || t), signature = min per function over the doc's
+    distinct terms."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(toks_col())).alias("term")
+    )
+    aggs = [
+        F.min(md5_32(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"mh{i}")
+        for i in range(8)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+_SQL_MINHASH_SIG = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS term FROM documents
+)
+SELECT doc_id,
+  {', '.join(f"min({_sql_md5_32(repr(str(i)+':') + ' || term')}) AS mh{i}" for i in range(8))}
+FROM t GROUP BY doc_id
+"""
+
+
+def q_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline document fingerprint: min 32-bit hash over
+    3-token shingles (n-gram rolling fingerprint)."""
+    docs = _docs(spark, sf_dir).select("doc_id", toks_col().alias("toks"))
+    fp = F.when(
+        F.size("toks") >= 3,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.element_at(F.col("toks"), i + 1),
+                                F.element_at(F.col("toks"), i + 2),
+                                F.element_at(F.col("toks"), i + 3),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    ).otherwise(F.lit(None).cast("long"))
+    return docs.select("doc_id", fp.alias("shingle_fp"))
+
+
+_SQL_SHINGLE_FP = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CASE WHEN len(toks) >= 3 THEN
+    list_min(list_transform(range(1, len(toks) - 1),
+      i -> {_sql_md5_32("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))
+  ELSE NULL END AS shingle_fp
+FROM t
+"""
+
+
+_STOP_SQL_LIST = "[" + ", ".join(
+    f"'{w}'" for w in sorted(STOP_WORDS) if "'" not in w
+) + "]"
+_STOP_PY_LIST = [w for w in sorted(STOP_WORDS) if "'" not in w]
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline quality scoring: doc length, stop-word ratio,
+    mean token length, non-alnum character ratio."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", toks_col().alias("toks")
+    )
+    dl = F.size("toks")
+    stop_hits = F.size(
+        F.filter("toks", lambda x: x.isin(_STOP_PY_LIST))
+    )
+    tok_chars = F.aggregate(
+        "toks", F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    non_alnum = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    )
+    return docs.select(
+        "doc_id",
+        dl.alias("dl"),
+        F.round(
+            F.when(dl > 0, stop_hits.cast("double") / dl).otherwise(0.0), 9
+        ).alias("stop_ratio_r9"),
+        F.round(
+            F.when(dl > 0, tok_chars.cast("double") / dl).otherwise(0.0), 9
+        ).alias("mean_tok_len_r9"),
+        F.round(non_alnum.cast("double") / F.length("text"), 9).alias(
+            "punct_ratio_r9"
+        ),
+    )
+
+
+_SQL_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  len(toks)::INT AS dl,
+  round(CASE WHEN len(toks) > 0 THEN
+    len(list_filter(toks, x -> list_contains({_STOP_SQL_LIST}, x)))::DOUBLE
+      / len(toks) ELSE 0.0 END, 9) AS stop_ratio_r9,
+  round(CASE WHEN len(toks) > 0 THEN
+    list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+    ELSE 0.0 END, 9) AS mean_tok_len_r9,
+  round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+    / length(text), 9) AS punct_ratio_r9
+FROM t
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: brute-force cosine top-20 against the
+    vec_id=0 embedding (double-precision fold, same op order both
+    engines; ORDER BY rounded score)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (nrm(e) * nrm(q))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos, 6).alias("cosine_r6"))
+        .orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+_SQL_KNN_COSINE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(
+    list_dot_product(embedding::DOUBLE[], q.qv)
+    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_r6
+FROM embeddings CROSS JOIN q
+WHERE vec_id != 0
+ORDER BY cosine_r6 DESC, vec_id ASC LIMIT 20
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table (batch
+    form; streaming variant in streaming/).  Integer-cents sum keeps the
+    float-order hazard out of the cross-engine compare."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per (lang, source) doc counts + total tokens."""
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "source", F.size(toks_col()).alias("dl"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens"))
+    )
+
+
+_SQL_LANG_SOURCE = f"""
+WITH t AS (SELECT lang, source, len({_SQL_TOKS}) AS dl FROM documents)
+SELECT lang, source, count(*) AS n_docs, sum(dl)::BIGINT AS total_tokens
+FROM t GROUP BY lang, source
+"""
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_token_stats": q_doc_token_stats,
+    "postings_tf": q_postings_tf,
+    "term_df": q_term_df,
+    "tfidf_reference_formula": q_tfidf,
+    "bm25_topk_docs": q_bm25_topk,
+    "simhash32": q_simhash32,
+    "exact_dup_groups": q_exact_dup_groups,
+    "minhash_sig": q_minhash_sig,
+    "shingle_fingerprint": q_shingle_fingerprint,
+    "quality_scores": q_quality_scores,
+    "knn_cosine": q_knn_cosine,
+    "events_hourly": q_events_hourly,
+    "lang_source_profile": q_lang_source_profile,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_token_stats": _SQL_DOC_TOKEN_STATS,
+    "postings_tf": _SQL_POSTINGS_TF,
+    "term_df": _SQL_TERM_DF,
+    "tfidf_reference_formula": _SQL_TFIDF,
+    "bm25_topk_docs": _SQL_BM25_TOPK,
+    "simhash32": _SQL_SIMHASH32,
+    "exact_dup_groups": _SQL_EXACT_DUP,
+    "minhash_sig": _SQL_MINHASH_SIG,
+    "shingle_fingerprint": _SQL_SHINGLE_FP,
+    "quality_scores": _SQL_QUALITY,
+    "knn_cosine": _SQL_KNN_COSINE,
+    "events_hourly": _SQL_EVENTS_HOURLY,
+    "lang_source_profile": _SQL_LANG_SOURCE,
+}
