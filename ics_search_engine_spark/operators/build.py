@@ -1,0 +1,215 @@
+"""Resumable index build: per-bucket checkpoints + lineage + metrics.
+
+North_rule: "resumable from per-partition checkpoints with lineage and
+metrics (docs/sec, postings/sec, bytes compressed per partition)".
+
+The reference's only incremental behavior is partial-index spill
+(/root/reference/components/index_manager.py:61-93) — if the build
+dies it restarts from zero, and its doc_id counter would renumber
+everything (indexer.py:32,76).  Here every stage is idempotent and
+keyed by deterministic data properties, so a restart skips completed
+work and produces BYTE-IDENTICAL results:
+
+  stage docmap    doc_ord = rank(conv_id, turn_idx)  (pure function)
+  stage bucket=b  postings for docs with pmod(hash(conv_id), B) == b
+  stage pack      (term, shard) payloads + term_stats from all buckets
+
+Buckets partition CONVERSATIONS (hash of conv_id), so a restart
+re-scans only incomplete buckets.  On a real deployment the input is
+an Iceberg table bucketed/partitioned by the same hash, making each
+bucket scan a partition-pruned read instead of a filtered full scan;
+in-sandbox the filter pushes to the parquet scan.  The manifest is
+JSON, written atomically (tmp + rename); every completed stage records
+wall time, row counts, and derived rates — the lineage block records
+input, config, and engine versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ics_search_engine_spark.operators import index_build as ib
+from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
+from ics_search_engine_spark.operators.index_build import DOC_KEY
+from ics_search_engine_spark.operators.packed_index import (
+    DEFAULT_RANGE_BITS,
+    _PACKED_SCHEMA,
+    _tfn,
+)
+
+
+def _load_manifest(path: str) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"stages": {}, "lineage": {}}
+
+
+def _save_manifest(path: str, manifest: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, path)
+
+
+def resumable_build(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int = 8,
+    range_bits: int = DEFAULT_RANGE_BITS,
+    with_positions: bool = True,
+    input_desc: str = "",
+) -> dict:
+    """Build the packed index under ``out_dir`` with per-bucket resume.
+    Returns the manifest.  Safe to call again after a crash: completed
+    stages are skipped, results are identical."""
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(out_dir, "manifest.json")
+    manifest = _load_manifest(mpath)
+    import pyspark
+
+    manifest["lineage"] = {
+        "input": input_desc,
+        "n_buckets": n_buckets,
+        "range_bits": range_bits,
+        "with_positions": with_positions,
+        "spark_version": pyspark.__version__,
+    }
+    stages = manifest["stages"]
+
+    # ---- stage 1: docmap + stats --------------------------------------
+    if stages.get("docmap", {}).get("done") is not True:
+        t0 = time.time()
+        toks = ib.tokenized(transcripts)
+        dm = assign_doc_ordinals(toks.select(*DOC_KEY, "dl"))
+        dm.write.mode("overwrite").parquet(f"{out_dir}/docmap")
+        dm = spark.read.parquet(f"{out_dir}/docmap")
+        row = dm.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+        n_docs = row["n"]
+        avgdl = row["s"] / n_docs if n_docs else 0.0
+        with open(f"{out_dir}/stats.json", "w") as f:
+            json.dump(
+                {"n_docs": n_docs, "avgdl": avgdl, "range_bits": range_bits,
+                 "with_positions": with_positions}, f,
+            )
+        dt = time.time() - t0
+        stages["docmap"] = {
+            "done": True, "seconds": round(dt, 3), "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / dt, 1) if dt else None,
+        }
+        _save_manifest(mpath, manifest)
+
+    with open(f"{out_dir}/stats.json") as f:
+        stats = json.load(f)
+    avgdl = stats["avgdl"]
+
+    # ---- stage 2: per-bucket postings ---------------------------------
+    docmap = spark.read.parquet(f"{out_dir}/docmap")
+    for b in range(n_buckets):
+        key = f"bucket_{b}"
+        if stages.get(key, {}).get("done") is True:
+            continue
+        t0 = time.time()
+        part = transcripts.filter(
+            F.pmod(F.hash(F.col("conv_id")), F.lit(n_buckets)) == b
+        )
+        toks = ib.tokenized(part)
+        posts = ib.postings(toks, with_positions=with_positions).join(
+            docmap.select(*DOC_KEY, "doc_ord"), DOC_KEY
+        )
+        bucket_path = f"{out_dir}/postings/bucket={b}"
+        posts.write.mode("overwrite").parquet(bucket_path)
+        written = spark.read.parquet(bucket_path)
+        n_docs_b = part.count()
+        n_posts = written.count()
+        byts = sum(
+            os.path.getsize(os.path.join(bucket_path, fn))
+            for fn in os.listdir(bucket_path)
+            if fn.endswith(".parquet")
+        )
+        dt = time.time() - t0
+        stages[key] = {
+            "done": True, "seconds": round(dt, 3), "docs": n_docs_b,
+            "postings": n_posts, "bytes": byts,
+            "docs_per_sec": round(n_docs_b / dt, 1) if dt else None,
+            "postings_per_sec": round(n_posts / dt, 1) if dt else None,
+        }
+        _save_manifest(mpath, manifest)
+
+    # ---- stage 3: pack ------------------------------------------------
+    if stages.get("pack", {}).get("done") is not True:
+        import numpy as np
+        import pandas as pd
+
+        from ics_search_engine_spark.functions.codec import pack_postings
+
+        t0 = time.time()
+        posts = spark.read.parquet(f"{out_dir}/postings")
+        posts = posts.withColumn(
+            "shard_id", F.shiftright(F.col("doc_ord"), range_bits)
+        )
+
+        wp = with_positions
+
+        def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            order = np.argsort(pdf["doc_ord"].to_numpy(), kind="stable")
+            doc_ords = pdf["doc_ord"].to_numpy()[order].astype(np.uint64)
+            tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
+            dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
+            positions = (
+                [np.asarray(p, dtype=np.uint64) for p in pdf["positions"].to_numpy()[order]]
+                if wp else None
+            )
+            return pd.DataFrame(
+                {
+                    "term": [pdf["term"].iloc[0]],
+                    "shard_id": [int(pdf["shard_id"].iloc[0])],
+                    "n_postings": [len(doc_ords)],
+                    "max_tfn": [float(_tfn(tfs, dls, avgdl).max()) if len(tfs) else 0.0],
+                    "payload": [pack_postings(doc_ords, tfs, dls, positions)],
+                }
+            )
+
+        packed = posts.groupBy("term", "shard_id").applyInPandas(
+            pack_group, schema=_PACKED_SCHEMA
+        )
+        n_parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
+        )
+        (
+            packed.repartition(n_parts, "term")
+            .sortWithinPartitions("term", "shard_id")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/index")
+        )
+        index_df = spark.read.parquet(f"{out_dir}/index")
+        (
+            index_df.groupBy("term")
+            .agg(F.sum("n_postings").alias("df"))
+            .repartition(4, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/term_stats")
+        )
+        row = index_df.agg(
+            F.count("*").alias("shards"),
+            F.sum("n_postings").alias("postings"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+        ).collect()[0]
+        dt = time.time() - t0
+        stages["pack"] = {
+            "done": True, "seconds": round(dt, 3),
+            "shards": row["shards"], "postings": row["postings"],
+            "payload_bytes": row["payload_bytes"],
+            "bytes_per_posting": round(row["payload_bytes"] / row["postings"], 2)
+            if row["postings"] else None,
+        }
+        _save_manifest(mpath, manifest)
+
+    return manifest

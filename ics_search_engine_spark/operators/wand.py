@@ -1,0 +1,118 @@
+"""Block-max WAND pruning over the packed index (SURVEY.md §7 step 7).
+
+The reference scores EVERY posting of every query term
+(/root/reference/search.py:148-162).  The north_star requires block-max
+pruning: per-block score-upper-bound metadata, skip blocks that cannot
+reach the current k-th score.
+
+Our shard geometry makes this exact and embarrassingly parallel:
+shards are doc-range-aligned across terms (shard_id = doc_ord >>
+range_bits), so ALL postings of a document — for every term — live in
+the same doc range.  Hence for range r:
+
+    ub(r) = Σ_t w_t · max_tfn(t, r)   ≥  score(d)  for every d in r
+
+and pruning ranges by ub(r) can never lose a true top-k doc.  Two
+phases:
+
+  1. score the most promising ranges (highest ub) exhaustively →
+     threshold θ = k-th best score found;
+  2. score the remaining ranges with ub(r) ≥ θ (metadata-only check —
+     pruned ranges never decode a payload byte);
+  3. top-k of the union.
+
+Phase selection runs on shard METADATA (term, shard_id, max_tfn) —
+tiny (n_query_terms × n_ranges rows) — and the payload column never
+leaves the parquet reader for pruned shards (column pruning +
+predicate pushdown on the shard_id join).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ics_search_engine_spark.operators.packed_index import PackedIndex, decode_matched
+from ics_search_engine_spark.operators.query import query_weights, score_topk
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+
+def bm25_topk_wand(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    k: int = 10,
+    phase1_ranges: int = 4,
+    collect_stats: dict | None = None,
+) -> DataFrame:
+    """Top-k BM25 with block-max range pruning — result identical to the
+    exhaustive packed path (invariant-tested).  ``collect_stats`` (if a
+    dict) receives pruning counters for tests/bench."""
+    q_terms = sorted(set(tokenize(query, for_query=True)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs)
+    if not weights:
+        return empty
+
+    matched_meta = pidx.index.filter(F.col("term").isin(q_terms)).select(
+        "term", "shard_id", "max_tfn"
+    )
+    w_df = spark.createDataFrame(
+        [(t, w) for t, w in weights.items()], "term string, w double"
+    )
+    ub_rows = (
+        matched_meta.join(F.broadcast(w_df), "term")
+        .groupBy("shard_id")
+        .agg(F.sum(F.col("w") * F.col("max_tfn")).alias("ub"))
+        .collect()
+    )
+    ranges = sorted(ub_rows, key=lambda r: -r["ub"])
+    if not ranges:
+        return empty
+
+    phase1 = [r["shard_id"] for r in ranges[:phase1_ranges]]
+    matched = pidx.index.filter(F.col("term").isin(q_terms))
+
+    def score_ranges(shard_ids: list[int]) -> DataFrame:
+        m = matched.filter(F.col("shard_id").isin([int(s) for s in shard_ids]))
+        return score_topk(
+            spark, decode_matched(m), weights, pidx.avgdl, ["doc_ord"], k
+        )
+
+    top1 = score_ranges(phase1).collect()
+    if len(top1) >= k:
+        theta = top1[-1]["score"]
+        survivors = [
+            r["shard_id"] for r in ranges[phase1_ranges:] if r["ub"] >= theta
+        ]
+    else:
+        survivors = [r["shard_id"] for r in ranges[phase1_ranges:]]
+
+    if collect_stats is not None:
+        collect_stats.update(
+            n_ranges=len(ranges),
+            scored=len(phase1) + len(survivors),
+            pruned=len(ranges) - len(phase1) - len(survivors),
+        )
+
+    rows = top1
+    if survivors:
+        rows = rows + score_ranges(survivors).collect()
+    rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
+    rows = rows[:k]
+    if not rows:
+        return empty
+
+    topk = spark.createDataFrame(
+        [(int(r["doc_ord"]), float(r["score"])) for r in rows],
+        "doc_ord long, score double",
+    )
+    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
+        "conv_id", "turn_idx", "score"
+    )
+    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
