@@ -1,0 +1,316 @@
+"""Deduplication operators over the transcripts/documents model.
+
+Replaces the reference's O(n²) first-seen nested-loop near-dup check
+(/root/reference/components/document_processor.py:72-79, threshold 0.85
+from utils/constants.py:28) with LSH-banded dataflow joins, plus the
+training-pipeline dedup family (exact, MinHash, n-gram Jaccard).
+
+Determinism: the reference keeps the FIRST-SEEN document — an
+order-dependent rule that is meaningless under parallelism.  Every
+operator here keeps the MINIMUM docID (conv_id, turn_idx) of each
+duplicate group (SURVEY.md §2.2 P3), which is a pure data property.
+
+Scale notes:
+* banding joins group by (band_id, band_value) — worst-case skew is a
+  band bucket holding many docs (quadratic pair blow-up); run
+  ``exact_dedup`` FIRST so LSH only sees distinct texts, which removes
+  the degenerate identical-text bucket case; AQE skew-join handles
+  residual bucket imbalance;
+* exact hamming / Jaccard verification runs only on candidate pairs;
+* connected components for transitive groups would need an iterative
+  join loop; like the reference (pairwise vs kept set), we use
+  keeper = min docID over DIRECT neighbors, applied in one pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ics_search_engine_spark.functions.udfs import simhash128
+from ics_search_engine_spark.operators.index_build import DOC_KEY
+
+_HAMMING_THRESHOLD_DEFAULT = 19  # floor(128 * (1 - 0.85)) = 19 bits
+
+
+def _docid_col() -> Column:
+    # single sortable string docID for pair ordering: conv_id + zero-
+    # padded turn_idx (turn_idx < 10^6)
+    return F.concat_ws("#", F.col("conv_id"), F.format_string("%06d", F.col("turn_idx")))
+
+
+def with_simhash(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, sim_hi, sim_lo) — fingerprints bit-identical
+    to /root/reference/utils/simhash.py:32-47 (see textproc.simhash)."""
+    return transcripts.select(
+        *DOC_KEY, simhash128(F.col("text")).alias("sh")
+    ).select(*DOC_KEY, F.col("sh.sim_hi").alias("sim_hi"), F.col("sh.sim_lo").alias("sim_lo"))
+
+
+def simhash_near_dup_pairs(
+    fp: DataFrame,
+    hamming_threshold: int = _HAMMING_THRESHOLD_DEFAULT,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Candidate generation by LSH banding over the 128-bit fingerprint
+    (8 bands × 16 bits: any pair within 19 bits differs in ≤19 bands,
+    pigeonhole guarantees ≥1 identical 16-bit band when 19 < 8? No —
+    pigeonhole guarantees a clean band only when hamming < n_bands; at
+    19 bits vs 8 bands this is a RECALL-BOUNDED approximation, exactly
+    like production SimHash dedup; the reference's exact-but-quadratic
+    scan cannot run at 10^12 docs).  Exact hamming verifies candidates.
+
+    Returns (a_conv_id, a_turn_idx, b_conv_id, b_turn_idx, hamming)
+    with docID(a) < docID(b).
+    """
+    band_width = 128 // n_bands
+    bands = []
+    for i in range(n_bands):
+        # bands 0..(n/2-1) from hi, rest from lo
+        src = "sim_hi" if i < n_bands // 2 else "sim_lo"
+        shift = 64 - band_width * ((i % (n_bands // 2)) + 1)
+        bands.append(
+            F.expr(f"({src} >> {shift}) & {(1 << band_width) - 1}").alias(f"b{i}")
+        )
+    banded = fp.select(
+        _docid_col().alias("docid"), "conv_id", "turn_idx",
+        "sim_hi", "sim_lo", *bands,
+    )
+    stacked = banded.select(
+        "docid", "conv_id", "turn_idx", "sim_hi", "sim_lo",
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(n_bands)])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.docid") < F.col("b.docid"),
+            ],
+        )
+        .select(
+            F.col("a.conv_id").alias("a_conv_id"),
+            F.col("a.turn_idx").alias("a_turn_idx"),
+            F.col("b.conv_id").alias("b_conv_id"),
+            F.col("b.turn_idx").alias("b_turn_idx"),
+            (
+                F.bit_count(F.expr("a.sim_hi ^ b.sim_hi"))
+                + F.bit_count(F.expr("a.sim_lo ^ b.sim_lo"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= hamming_threshold)
+
+
+def simhash_dedup(
+    transcripts: DataFrame,
+    hamming_threshold: int = _HAMMING_THRESHOLD_DEFAULT,
+) -> DataFrame:
+    """Drop near-duplicate turns, keeping the min-docID member of each
+    direct-neighbor group — the deterministic analog of the reference's
+    keep-first-seen rule (P3).  Returns the surviving transcripts."""
+    fp = with_simhash(transcripts)
+    pairs = simhash_near_dup_pairs(fp, hamming_threshold)
+    # a < b always, so b is a duplicate of some earlier (smaller) doc
+    losers = pairs.select(
+        F.col("b_conv_id").alias("conv_id"),
+        F.col("b_turn_idx").alias("turn_idx"),
+    ).distinct()
+    return transcripts.join(losers, DOC_KEY, "left_anti")
+
+
+def exact_dedup(transcripts: DataFrame) -> DataFrame:
+    """Exact text dedup: keep min docID per identical text (hash-groupBy
+    — one shuffle on md5(text))."""
+    keepers = (
+        transcripts.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min(F.struct(*DOC_KEY)).alias("keep"))
+        .select(F.col("keep.conv_id").alias("conv_id"),
+                F.col("keep.turn_idx").alias("turn_idx"))
+    )
+    return transcripts.join(keepers, DOC_KEY, "left_semi")
+
+
+def minhash_lsh_pairs(
+    transcripts: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates with exact n-gram-free Jaccard
+    verification on the ESTIMATED signature (matches/n_hashes ≥ thr).
+    Hashes are md5-derived 32-bit ints (cross-engine-exact family).
+    """
+    rows_per_band = n_hashes // n_bands
+    toks = transcripts.select(
+        *DOC_KEY,
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: F.length(x) > 1,
+            )
+        ).alias("terms"),
+    ).filter(F.size("terms") > 0)
+    t = toks.select(*DOC_KEY, F.explode("terms").alias("term"))
+    sigs = t.groupBy(*DOC_KEY).agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("term"))), 1, 8),
+                    16, 10,
+                ).cast("long")
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        _docid_col().alias("docid"), *DOC_KEY,
+        *[F.col(f"mh{i}") for i in range(n_hashes)], *band_cols,
+    )
+    stacked = banded.select(
+        "docid", *DOC_KEY,
+        F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.docid") < F.col("b.docid"),
+            ],
+        )
+        .select(
+            F.col("a.conv_id").alias("a_conv_id"),
+            F.col("a.turn_idx").alias("a_turn_idx"),
+            F.col("b.conv_id").alias("b_conv_id"),
+            F.col("b.turn_idx").alias("b_turn_idx"),
+            (
+                F.aggregate(
+                    F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / n_hashes
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard_pairs(
+    transcripts: DataFrame,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    band_hashes: int = 8,
+) -> DataFrame:
+    """Exact n-gram (shingle) Jaccard on MinHash-LSH candidates: shingle
+    sets are compared exactly via an intersection groupBy — the
+    verification step the estimated-Jaccard variant skips."""
+    shingled = transcripts.select(
+        *DOC_KEY,
+        F.array_distinct(
+            F.when(
+                F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                                lambda x: F.length(x) > 1)) >= n,
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                                        lambda x: F.length(x) > 1)) - n,
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(
+                                F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                                         lambda x: F.length(x) > 1),
+                                i + j + 1,
+                            )
+                            for j in range(n)
+                        ],
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    # candidates via min-hash banding on shingles (1 hash per band)
+    ex = shingled.select(
+        _docid_col().alias("docid"), *DOC_KEY, F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+    )
+    ex = ex.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long"),
+    )
+    sigs = ex.groupBy("docid", *DOC_KEY, "n_sh").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"g{i}:"), F.col("sh"))), 1, 8),
+                    16, 10,
+                ).cast("long")
+            ).alias(f"g{i}")
+            for i in range(band_hashes)
+        ]
+    )
+    stacked = sigs.select(
+        "docid", *DOC_KEY, "n_sh",
+        F.posexplode(F.array(*[F.col(f"g{i}") for i in range(band_hashes)])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.docid") < F.col("b.docid"),
+            ],
+        )
+        .select("a.docid", "b.docid", "a.conv_id", "a.turn_idx",
+                "b.conv_id", "b.turn_idx", "a.n_sh", "b.n_sh")
+        .toDF("a_docid", "b_docid", "a_conv_id", "a_turn_idx",
+              "b_conv_id", "b_turn_idx", "a_n", "b_n")
+        .distinct()
+    )
+    # exact intersection: explode shingles of each side, join on shingle
+    sh_a = ex.select(F.col("docid").alias("a_docid"), F.col("sh"))
+    sh_b = ex.select(F.col("docid").alias("b_docid"), F.col("sh"))
+    inter = (
+        cand.join(sh_a, "a_docid")
+        .join(sh_b, ["b_docid", "sh"])
+        .groupBy(
+            "a_docid", "b_docid", "a_conv_id", "a_turn_idx",
+            "b_conv_id", "b_turn_idx", "a_n", "b_n",
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
+    return inter.select(
+        "a_conv_id", "a_turn_idx", "b_conv_id", "b_turn_idx",
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= jaccard_threshold)

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-pipeline requirement: brute-force cosine top-k as the exact
+baseline; LSH-bucketed and IVF variants as the scale path.
+
+Scale analysis:
+* brute force is a full scan per query — O(N·d); fine as a correctness
+  oracle and for small N, linear-unscalable for ANN serving;
+* random-hyperplane LSH: bucket = sign bits of ``R·v`` for P seeded
+  hyperplanes → candidates share a bucket (optionally multi-probe by
+  hamming-adjacent buckets); the probe set is a broadcast filter, so
+  the scan prunes to matching buckets (partition by bucket at write
+  time to turn this into partition pruning);
+* IVF: k centroids learned via seeded k-means-lite (a few Lloyd
+  iterations as DataFrame joins), cell = argmin centroid; queries probe
+  ``n_probe`` nearest cells.
+
+Hyperplanes/centroid init are seeded from numpy RandomState — no
+wall-clock, deterministic across runs (resume/rank-identity ethos).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def _dot_lit(vec_col: Column, q: list[float]) -> Column:
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return F.aggregate(
+        F.zip_with(vec_col, qcol, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, qvec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: one scan, TakeOrderedAndProject."""
+    qnorm = float(np.sqrt(np.dot(qvec, qvec)))
+    cos = _dot_lit(F.col(vec_col), qvec) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return (
+        emb.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Bucket id = sign-bit integer of the hyperplane projections —
+    pure column expression (no UDF): bit p set iff dot(v, plane_p) > 0."""
+    bits = []
+    for p, plane in enumerate(planes):
+        bits.append(
+            F.when(_dot_lit(vec_col, list(plane)) > 0,
+                   F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def with_lsh_buckets(
+    emb: DataFrame, n_planes: int = 6, seed: int = 42,
+    vec_col: str = "embedding", dim: int | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    return emb.withColumn("lsh_bucket", lsh_bucket_col(F.col(vec_col), planes)), planes
+
+
+def cosine_topk_lsh(
+    emb_bucketed: DataFrame, planes: np.ndarray, qvec: list[float],
+    k: int = 10, n_probe_bits: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket plus all buckets within
+    ``n_probe_bits`` hamming distance (multi-probe LSH), exact cosine
+    within the probed candidates.  The bucket filter prunes the scan."""
+    q = np.asarray(qvec, dtype=np.float64)
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        if float(np.dot(plane, q)) > 0:
+            qbucket |= 1 << p
+    probes = {qbucket}
+    if n_probe_bits >= 1:
+        for p in range(len(planes)):
+            probes.add(qbucket ^ (1 << p))
+    if n_probe_bits >= 2:
+        for p1 in range(len(planes)):
+            for p2 in range(p1 + 1, len(planes)):
+                probes.add(qbucket ^ (1 << p1) ^ (1 << p2))
+    cand = emb_bucketed.filter(F.col("lsh_bucket").isin([int(x) for x in probes]))
+    return cosine_topk_bruteforce(cand, qvec, k, id_col, vec_col)
+
+
+def ivf_centroids(
+    emb: DataFrame, n_cells: int = 16, iters: int = 3, seed: int = 42,
+    vec_col: str = "embedding", sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Seeded Lloyd iterations on a (optionally sampled) driver-side
+    batch.  Centroid learning is a bounded-size model fit — sampling is
+    the scale path (10^12 rows → fit on ~1M sample), assignment stays
+    distributed."""
+    df = emb.select(vec_col)
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    X = np.array([r[0] for r in df.collect()], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def with_ivf_cells(
+    emb: DataFrame, cents: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid — pure column
+    expression argmin over squared distance (d small; centroids are
+    literals, broadcast-free constant folding)."""
+    dists = []
+    for c, cent in enumerate(cents):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d2.alias("d2"), F.lit(c).alias("cell")))
+    best = F.aggregate(
+        F.array(*dists),
+        F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cell")),
+        lambda acc, x: F.when(x["d2"] < acc["d2"], x).otherwise(acc),
+    )
+    return emb.withColumn("ivf_cell", best["cell"])
+
+
+def cosine_topk_ivf(
+    emb_celled: DataFrame, cents: np.ndarray, qvec: list[float],
+    k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    q = np.asarray(qvec, dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+    cand = emb_celled.filter(F.col("ivf_cell").isin(probe))
+    return cosine_topk_bruteforce(cand, qvec, k, id_col, vec_col)

@@ -1,0 +1,131 @@
+"""Text-analysis operators for the training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen) except nothing —
+no UDFs needed here.  The per-document variants over the driver's
+``documents`` table live in entry_queries (DuckDB-gated); these are the
+transcript-schema forms plus the language-ID heuristic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ics_search_engine_spark.operators.index_build import DOC_KEY
+from ics_search_engine_spark.textproc.tokenizer import STOP_WORDS
+
+# Marker-word profiles for the n-gram/stop-word language heuristic.
+# Classic closed-class giveaway words per language (public linguistic
+# knowledge; the same approach as stopword-based langid baselines).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "it",
+           "was", "this", "are", "be", "have", "not", "you", "they"],
+    "es": ["el", "la", "los", "las", "de", "que", "en", "un", "una", "por",
+           "con", "para", "es", "se", "su", "al", "lo", "como", "del"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+           "den", "von", "mit", "auf", "im", "des", "sich", "dem", "werden"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "en", "un", "une",
+           "du", "que", "qui", "dans", "pour", "pas", "sur", "avec", "ce"],
+}
+
+
+def _toks(c: str = "text") -> Column:
+    return F.filter(F.split(F.lower(F.col(c)), "[^a-z0-9]+"),
+                    lambda x: F.length(x) > 0)
+
+
+def detect_language(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, pick
+    the max (ties + zero-hit → 'und').  Deterministic tie-break by
+    language code ascending.  Pure column expressions — one projection,
+    no shuffle, no UDF."""
+    toks = _toks(text_col)
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x: x.isin(markers))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct: compares by hits then lang — we want max hits,
+    # tie → SMALLEST lang, so invert lang ordering via sort+reverse trick:
+    # instead pick via aggregate fold with explicit comparison.
+    best = F.aggregate(
+        F.array(*hit_cols),
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["hits"] > acc["hits"], x).otherwise(acc),
+    )
+    return transcripts.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def quality_features(transcripts: DataFrame) -> DataFrame:
+    """Per-turn quality features: token count, stop-word ratio, mean
+    token length, non-alnum ratio, digit ratio, uppercase ratio."""
+    toks = _toks()
+    dl = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(sorted(STOP_WORDS))))
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    text_len = F.length("text")
+    non_alnum = text_len - F.length(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+    )
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(F.col("text"), "[^A-Z]", ""))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(0.0)  # noqa: E731
+    return transcripts.select(
+        *DOC_KEY,
+        dl.alias("n_tokens"),
+        safe(stop_hits, dl).alias("stop_ratio"),
+        safe(tok_chars, dl).alias("mean_token_len"),
+        safe(non_alnum, text_len).alias("punct_ratio"),
+        safe(digits, text_len).alias("digit_ratio"),
+        safe(uppers, text_len).alias("upper_ratio"),
+    )
+
+
+def quality_filter(
+    transcripts: DataFrame,
+    min_tokens: int = 3,
+    max_stop_ratio: float = 0.9,
+    max_punct_ratio: float = 0.5,
+) -> DataFrame:
+    """Drop low-quality turns (too short / stopword-degenerate / mostly
+    punctuation) — the batch analog of a pretraining quality gate."""
+    feats = quality_features(transcripts)
+    keep = feats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stop_ratio") <= max_stop_ratio)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    ).select(*DOC_KEY)
+    return transcripts.join(keep, DOC_KEY, "left_semi")
+
+
+def rolling_fingerprint(transcripts: DataFrame, n: int = 3) -> DataFrame:
+    """Min 32-bit hash over n-token shingles per turn (rolling-hash
+    document fingerprint; shared family with entry_queries
+    q_shingle_fingerprint)."""
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda x: F.length(x) > 1)
+    fp = F.when(
+        F.size(toks) >= n,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(
+                            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                        )),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long"),
+            )
+        ),
+    ).otherwise(F.lit(None).cast("long"))
+    return transcripts.select(*DOC_KEY, fp.alias("fingerprint"))

@@ -1,0 +1,154 @@
+"""Dedup operator tests: LSH precision/recall vs brute force, keeper
+determinism, exact dedup."""
+
+import numpy as np
+import pytest
+
+from ics_search_engine_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    simhash_near_dup_pairs,
+    with_simhash,
+)
+from ics_search_engine_spark.textproc.simhash import simhash_text
+
+
+@pytest.fixture(scope="module")
+def fingerprints(spark, small_df):
+    return with_simhash(small_df).collect()
+
+
+def _brute_force_pairs(rows, threshold):
+    ids = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    his = np.array([r["sim_hi"] for r in rows], dtype=np.int64).astype(np.uint64)
+    los = np.array([r["sim_lo"] for r in rows], dtype=np.int64).astype(np.uint64)
+    out = set()
+    for i in range(len(rows)):
+        xh = his[i] ^ his[i + 1:]
+        xl = los[i] ^ los[i + 1:]
+        ham = np.array(
+            [bin(int(a)).count("1") + bin(int(b)).count("1") for a, b in zip(xh, xl)]
+        )
+        for j in np.flatnonzero(ham <= threshold):
+            a, b = sorted([ids[i], ids[i + 1 + int(j)]])
+            out.add((a, b, int(ham[j])))
+    return out
+
+
+class TestSimhashLSH:
+    def test_udf_matches_scalar_core(self, spark, small_df, fingerprints):
+        texts = {
+            (r["conv_id"], r["turn_idx"]): r["text"]
+            for r in small_df.limit(50).collect()
+        }
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["sim_hi"], r["sim_lo"])
+            for r in fingerprints
+        }
+        for k, text in texts.items():
+            assert got[k] == simhash_text(text), k
+
+    def test_precision_is_exact(self, spark, small_df, fingerprints):
+        fp = with_simhash(small_df)
+        pairs = simhash_near_dup_pairs(fp, hamming_threshold=19).collect()
+        brute = _brute_force_pairs(fingerprints, 19)
+        brute_keys = {(a, b) for a, b, _ in brute}
+        assert len(pairs) > 0, "synthetic corpus should contain near-dups"
+        for p in pairs:
+            key = (
+                (p["a_conv_id"], p["a_turn_idx"]),
+                (p["b_conv_id"], p["b_turn_idx"]),
+            )
+            assert key in brute_keys, key
+            assert p["hamming"] <= 19
+
+    def test_recall_guaranteed_below_band_count(self, spark, small_df, fingerprints):
+        # pigeonhole: hamming < n_bands(=8) → at least one clean band
+        fp = with_simhash(small_df)
+        got = {
+            (
+                (p["a_conv_id"], p["a_turn_idx"]),
+                (p["b_conv_id"], p["b_turn_idx"]),
+            )
+            for p in simhash_near_dup_pairs(fp, hamming_threshold=19).collect()
+        }
+        brute_tight = {(a, b) for a, b, h in _brute_force_pairs(fingerprints, 7)}
+        assert brute_tight, "expected some tight near-dups in corpus"
+        missing = brute_tight - got
+        assert not missing, missing
+
+    def test_dedup_keeps_min_docid(self, spark, small_df):
+        fp = with_simhash(small_df)
+        pairs = simhash_near_dup_pairs(fp, hamming_threshold=19).collect()
+        survivors = {
+            (r["conv_id"], r["turn_idx"])
+            for r in simhash_dedup(small_df).select("conv_id", "turn_idx").collect()
+        }
+        n_before = small_df.count()
+        losers = {
+            (p["b_conv_id"], p["b_turn_idx"]) for p in pairs
+        }
+        assert len(survivors) == n_before - len(losers)
+        for a, b in (
+            (
+                (p["a_conv_id"], p["a_turn_idx"]),
+                (p["b_conv_id"], p["b_turn_idx"]),
+            )
+            for p in pairs
+        ):
+            assert b not in survivors
+            # 'a' survives unless itself a 'b' of some other pair
+            if a not in losers:
+                assert a in survivors
+
+
+class TestExactDedup:
+    def test_removes_identical_texts_keeps_min(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("c1", 0, "hello world code"),
+                ("c1", 1, "hello world code"),
+                ("c0", 5, "hello world code"),
+                ("c2", 0, "unique text here"),
+            ],
+            "conv_id string, turn_idx int, text string",
+        )
+        out = {(r["conv_id"], r["turn_idx"]) for r in exact_dedup(df).collect()}
+        assert out == {("c0", 5), ("c2", 0)}
+
+    def test_idempotent(self, spark, small_df):
+        once = exact_dedup(small_df)
+        twice = exact_dedup(once)
+        assert once.count() == twice.count()
+
+
+class TestMinhashAndNgram:
+    def test_minhash_finds_near_dups(self, spark, small_df):
+        pairs = minhash_lsh_pairs(
+            small_df, n_hashes=16, n_bands=8, jaccard_threshold=0.6
+        )
+        rows = pairs.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 0.6 <= r["est_jaccard"] <= 1.0
+
+    def test_ngram_jaccard_exact_on_known_pair(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", 0, "the quick brown fox jumps over the lazy dog today"),
+                ("b", 0, "the quick brown fox jumps over the lazy dog tonight"),
+                ("c", 0, "completely different words appear in this sentence here"),
+            ],
+            "conv_id string, turn_idx int, text string",
+        )
+        rows = ngram_jaccard_pairs(df, n=3, jaccard_threshold=0.3).collect()
+        keys = {
+            ((r["a_conv_id"]), (r["b_conv_id"])): r["jaccard"] for r in rows
+        }
+        # 10-token texts differ in last token: shingles 8 vs 8, 7 shared
+        # jaccard = 7 / (8 + 8 - 7) = 7/9
+        assert ("a", "b") in keys
+        assert abs(keys[("a", "b")] - 7 / 9) < 1e-12
+        assert all(k == ("a", "b") for k in keys)
