@@ -8,11 +8,17 @@ The reference's only incremental behavior is partial-index spill
 dies it restarts from zero, and its doc_id counter would renumber
 everything (indexer.py:32,76).  Here every stage is idempotent and
 keyed by deterministic data properties, so a restart skips completed
-work and produces BYTE-IDENTICAL results:
+work and produces BYTE-IDENTICAL results.
 
-  stage docmap    doc_ord = rank(conv_id, turn_idx)  (pure function)
-  stage bucket=b  postings for docs with pmod(hash(conv_id), B) == b
-  stage pack      (term, shard) payloads + term_stats from all buckets
+Stage layout (tokenize runs EXACTLY ONCE per row — the expensive UDF
+never repeats across stages):
+
+  bucket_b   postings (term, doc, tf[, positions], dl) + per-doc dl
+             for docs with pmod(hash(conv_id), B) == b
+  docmap     doc_ord = rank(conv_id, turn_idx) over the SMALL doc-key
+             table collected from all buckets (no text touched)
+  pack       join ordinals, shard by doc range, delta+varint pack,
+             term_stats
 
 Buckets partition CONVERSATIONS (hash of conv_id), so a restart
 re-scans only incomplete buckets.  On a real deployment the input is
@@ -36,11 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ics_search_engine_spark.operators import index_build as ib
 from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
 from ics_search_engine_spark.operators.index_build import DOC_KEY
-from ics_search_engine_spark.operators.packed_index import (
-    DEFAULT_RANGE_BITS,
-    _PACKED_SCHEMA,
-    _tfn,
-)
+from ics_search_engine_spark.operators.packed_index import DEFAULT_RANGE_BITS
 
 
 def _load_manifest(path: str) -> dict:
@@ -55,6 +57,14 @@ def _save_manifest(path: str, manifest: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
     os.replace(tmp, path)
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, fn))
+        for fn in os.listdir(path)
+        if fn.endswith(".parquet")
+    )
 
 
 def resumable_build(
@@ -83,11 +93,47 @@ def resumable_build(
     }
     stages = manifest["stages"]
 
-    # ---- stage 1: docmap + stats --------------------------------------
+    # ---- stage 1: per-bucket postings + doc lengths --------------------
+    # ONE tokenize per row: postings and dl come out of the same
+    # tokenized lineage, written in the same job via two actions on a
+    # persisted per-bucket slice (bucket slices are small relative to
+    # the cluster; at petabyte scale this persist is a short-lived
+    # staging table).
+    for b in range(n_buckets):
+        key = f"bucket_{b}"
+        if stages.get(key, {}).get("done") is True:
+            continue
+        t0 = time.time()
+        part = transcripts.filter(
+            F.pmod(F.hash(F.col("conv_id")), F.lit(n_buckets)) == b
+        )
+        toks = ib.tokenized(part).persist()
+        try:
+            posts = ib.postings(toks, with_positions=with_positions)
+            posts_path = f"{out_dir}/postings/bucket={b}"
+            posts.write.mode("overwrite").parquet(posts_path)
+            dl_path = f"{out_dir}/doclens/bucket={b}"
+            toks.select(*DOC_KEY, "dl").write.mode("overwrite").parquet(dl_path)
+            n_docs_b = toks.count()
+        finally:
+            toks.unpersist()
+        written = spark.read.parquet(posts_path)
+        n_posts = written.count()
+        byts = _dir_bytes(posts_path)
+        dt = time.time() - t0
+        stages[key] = {
+            "done": True, "seconds": round(dt, 3), "docs": n_docs_b,
+            "postings": n_posts, "bytes": byts,
+            "docs_per_sec": round(n_docs_b / dt, 1) if dt else None,
+            "postings_per_sec": round(n_posts / dt, 1) if dt else None,
+        }
+        _save_manifest(mpath, manifest)
+
+    # ---- stage 2: docmap + stats (doc keys only — no text) -------------
     if stages.get("docmap", {}).get("done") is not True:
         t0 = time.time()
-        toks = ib.tokenized(transcripts)
-        dm = assign_doc_ordinals(toks.select(*DOC_KEY, "dl"))
+        doclens = spark.read.parquet(f"{out_dir}/doclens")
+        dm = assign_doc_ordinals(doclens.select(*DOC_KEY, "dl"))
         dm.write.mode("overwrite").parquet(f"{out_dir}/docmap")
         dm = spark.read.parquet(f"{out_dir}/docmap")
         row = dm.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
@@ -109,85 +155,21 @@ def resumable_build(
         stats = json.load(f)
     avgdl = stats["avgdl"]
 
-    # ---- stage 2: per-bucket postings ---------------------------------
-    docmap = spark.read.parquet(f"{out_dir}/docmap")
-    for b in range(n_buckets):
-        key = f"bucket_{b}"
-        if stages.get(key, {}).get("done") is True:
-            continue
-        t0 = time.time()
-        part = transcripts.filter(
-            F.pmod(F.hash(F.col("conv_id")), F.lit(n_buckets)) == b
-        )
-        toks = ib.tokenized(part)
-        posts = ib.postings(toks, with_positions=with_positions).join(
-            docmap.select(*DOC_KEY, "doc_ord"), DOC_KEY
-        )
-        bucket_path = f"{out_dir}/postings/bucket={b}"
-        posts.write.mode("overwrite").parquet(bucket_path)
-        written = spark.read.parquet(bucket_path)
-        n_docs_b = part.count()
-        n_posts = written.count()
-        byts = sum(
-            os.path.getsize(os.path.join(bucket_path, fn))
-            for fn in os.listdir(bucket_path)
-            if fn.endswith(".parquet")
-        )
-        dt = time.time() - t0
-        stages[key] = {
-            "done": True, "seconds": round(dt, 3), "docs": n_docs_b,
-            "postings": n_posts, "bytes": byts,
-            "docs_per_sec": round(n_docs_b / dt, 1) if dt else None,
-            "postings_per_sec": round(n_posts / dt, 1) if dt else None,
-        }
-        _save_manifest(mpath, manifest)
-
     # ---- stage 3: pack ------------------------------------------------
     if stages.get("pack", {}).get("done") is not True:
-        import numpy as np
-        import pandas as pd
-
-        from ics_search_engine_spark.functions.codec import pack_postings
+        from ics_search_engine_spark.operators.packed_index import pack_shards
 
         t0 = time.time()
+        docmap = spark.read.parquet(f"{out_dir}/docmap")
         posts = spark.read.parquet(f"{out_dir}/postings")
-        posts = posts.withColumn(
-            "shard_id", F.shiftright(F.col("doc_ord"), range_bits)
-        )
-
-        wp = with_positions
-
-        def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            order = np.argsort(pdf["doc_ord"].to_numpy(), kind="stable")
-            doc_ords = pdf["doc_ord"].to_numpy()[order].astype(np.uint64)
-            tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-            dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
-            positions = (
-                [np.asarray(p, dtype=np.uint64) for p in pdf["positions"].to_numpy()[order]]
-                if wp else None
-            )
-            return pd.DataFrame(
-                {
-                    "term": [pdf["term"].iloc[0]],
-                    "shard_id": [int(pdf["shard_id"].iloc[0])],
-                    "n_postings": [len(doc_ords)],
-                    "max_tfn": [float(_tfn(tfs, dls, avgdl).max()) if len(tfs) else 0.0],
-                    "payload": [pack_postings(doc_ords, tfs, dls, positions)],
-                }
-            )
-
-        packed = posts.groupBy("term", "shard_id").applyInPandas(
-            pack_group, schema=_PACKED_SCHEMA
-        )
+        # docmap is 1 row/doc vs ~dl rows/doc of postings; broadcast if
+        # small, else Spark picks SMJ — both fine, key is (conv, turn)
+        posts = posts.join(docmap.select(*DOC_KEY, "doc_ord"), DOC_KEY)
         n_parts = max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
         )
-        (
-            packed.repartition(n_parts, "term")
-            .sortWithinPartitions("term", "shard_id")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/index")
-        )
+        packed = pack_shards(posts, avgdl, range_bits, with_positions, n_parts)
+        packed.write.mode("overwrite").parquet(f"{out_dir}/index")
         index_df = spark.read.parquet(f"{out_dir}/index")
         (
             index_df.groupBy("term")

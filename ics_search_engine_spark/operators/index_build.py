@@ -80,6 +80,76 @@ def postings(tokens_df: DataFrame, with_positions: bool = True) -> DataFrame:
     return exploded.groupBy("term", *DOC_KEY).agg(*aggs)
 
 
+def postings_weighted(docs_with_important: DataFrame, stem: bool = True
+                      ) -> DataFrame:
+    """A3 weighting semantics, preserved exactly (SURVEY.md §2.1 note;
+    /root/reference/components/token_processor.py:14-33):
+
+    * body tokens contribute freq+1 AND a position;
+    * important-text tokens are tokenized AGAIN and contribute freq+1
+      and importance+=weight but NO position;
+    * dl (token_count) counts BODY tokens only
+      (/root/reference/components/document_processor.py:69).
+
+    Input: (conv_id, turn_idx, text, important array<struct<text,weight>>).
+    Output: (term, conv_id, turn_idx, tf, importance, dl, positions).
+    """
+    tok = tokenize_index if stem else tokenize_nostem
+    body = docs_with_important.select(
+        *DOC_KEY, tok(F.col("text")).alias("tokens")
+    ).withColumn("dl", F.size("tokens"))
+    body_posts = body.select(
+        *DOC_KEY, "dl", F.posexplode("tokens").alias("pos", "term")
+    ).withColumn("weight", F.lit(0.0))
+
+    imp = docs_with_important.select(
+        *DOC_KEY, F.explode("important").alias("iw")
+    ).select(
+        *DOC_KEY,
+        tok(F.col("iw.text")).alias("itokens"),
+        F.col("iw.weight").alias("weight"),
+    )
+    imp_posts = imp.select(
+        *DOC_KEY, F.explode("itokens").alias("term"), "weight"
+    ).withColumn("pos", F.lit(None).cast("int"))
+
+    unioned = body_posts.select(*DOC_KEY, "pos", "term", "weight").unionByName(
+        imp_posts.select(*DOC_KEY, "pos", "term", "weight")
+    )
+    agg = unioned.groupBy("term", *DOC_KEY).agg(
+        F.count("*").cast("int").alias("tf"),
+        F.sum("weight").alias("importance"),
+        F.sort_array(
+            F.collect_list("pos")  # nulls dropped by collect_list
+        ).alias("positions"),
+    )
+    # dl is a DOC property (body token count), even for terms appearing
+    # only in important text — join it per doc, don't aggregate it
+    return agg.join(body.select(*DOC_KEY, "dl"), DOC_KEY)
+
+
+def reference_tfidf(postings_w: DataFrame, n_docs: int) -> DataFrame:
+    """The reference's exact scoring formula
+    (/root/reference/components/index_manager.py:36-50):
+        idf = log10(N / df);  tf = freq / token_count
+        score = tf * (1 + importance) * idf
+    ZeroDivisionError guard (token_count 0 → tf 0) included.  dl can be
+    NULL for a doc whose term appears ONLY in important text and whose
+    body is empty — treated as 0 like the reference's except-branch."""
+    dfs = postings_w.groupBy("term").agg(F.count("*").alias("df"))
+    tf = F.when(
+        F.col("dl").isNull() | (F.col("dl") == 0), F.lit(0.0)
+    ).otherwise(F.col("tf") / F.col("dl"))
+    return (
+        postings_w.join(dfs, "term")
+        .withColumn(
+            "tf_idf",
+            tf * (1.0 + F.col("importance"))
+            * F.log10(F.lit(float(n_docs)) / F.col("df")),
+        )
+    )
+
+
 def term_stats(postings_df: DataFrame) -> DataFrame:
     """(term, df) — document frequency per term (A2,
     /root/reference/components/index_manager.py:39: df == posting-list

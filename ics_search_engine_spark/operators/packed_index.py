@@ -60,6 +60,120 @@ def _tfn(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return tf * (K1 + 1.0) / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl))
 
 
+def pack_shards(
+    posts: DataFrame,
+    avgdl: float,
+    range_bits: int,
+    with_positions: bool,
+    n_parts: int,
+) -> DataFrame:
+    """(term, doc_ord, tf, dl[, positions]) → packed shard rows.
+
+    Physical strategy: repartition by (term, shard_id) so each group
+    lives in one partition, sortWithinPartitions so groups arrive as
+    contiguous sorted runs, then ONE mapInPandas whose group boundaries
+    are found with numpy change-point detection.  This avoids
+    applyInPandas' per-group pandas-frame overhead (hundreds of
+    thousands of tiny frames); groups spanning Arrow batch boundaries
+    are carried across iterations (bounded by 2^range_bits postings).
+    """
+    posts = posts.withColumn(
+        "shard_id", F.shiftright(F.col("doc_ord"), range_bits)
+    )
+    cols = ["term", "shard_id", "doc_ord", "tf", "dl"]
+    if with_positions:
+        cols.append("positions")
+    posts = (
+        posts.select(*cols)
+        .repartition(n_parts, "term", "shard_id")
+        .sortWithinPartitions("term", "shard_id", "doc_ord")
+    )
+    wp = with_positions
+
+    def stream_pack(batches) -> "Iterator[pd.DataFrame]":
+        carry: dict | None = None
+
+        def pack_run(term, shard_id, doc_ords, tfs, dls, positions):
+            doc_ords = np.asarray(doc_ords, dtype=np.uint64)
+            tfs = np.asarray(tfs, dtype=np.uint64)
+            dls = np.asarray(dls, dtype=np.uint64)
+            pos = (
+                [np.asarray(p, dtype=np.uint64) for p in positions]
+                if wp else None
+            )
+            payload = pack_postings(doc_ords, tfs, dls, pos)
+            mt = float(_tfn(tfs, dls, avgdl).max()) if len(tfs) else 0.0
+            return (term, int(shard_id), len(doc_ords), mt, payload)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard_id"].to_numpy()
+            # change points: new group where term or shard differs
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+
+            ords = pdf["doc_ord"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["dl"].to_numpy()
+            poss = pdf["positions"].to_numpy() if wp else None
+
+            out = []
+            for gi in range(len(starts)):
+                s, e = int(starts[gi]), int(ends[gi])
+                g = {
+                    "term": terms[s],
+                    "shard_id": shards[s],
+                    "doc_ords": ords[s:e],
+                    "tfs": tfs[s:e],
+                    "dls": dls[s:e],
+                    "positions": list(poss[s:e]) if wp else None,
+                }
+                first = gi == 0
+                last = gi == len(starts) - 1
+                if first and carry is not None:
+                    if (carry["term"] == g["term"]
+                            and carry["shard_id"] == g["shard_id"]):
+                        g["doc_ords"] = np.concatenate([carry["doc_ords"], g["doc_ords"]])
+                        g["tfs"] = np.concatenate([carry["tfs"], g["tfs"]])
+                        g["dls"] = np.concatenate([carry["dls"], g["dls"]])
+                        if wp:
+                            g["positions"] = carry["positions"] + g["positions"]
+                        carry = None
+                    else:
+                        out.append(pack_run(
+                            carry["term"], carry["shard_id"], carry["doc_ords"],
+                            carry["tfs"], carry["dls"], carry["positions"],
+                        ))
+                        carry = None
+                if last:
+                    carry = g  # may continue in next batch
+                else:
+                    out.append(pack_run(
+                        g["term"], g["shard_id"], g["doc_ords"],
+                        g["tfs"], g["dls"], g["positions"],
+                    ))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["term", "shard_id", "n_postings", "max_tfn", "payload"],
+                )
+        if carry is not None:
+            yield pd.DataFrame(
+                [pack_run(
+                    carry["term"], carry["shard_id"], carry["doc_ords"],
+                    carry["tfs"], carry["dls"], carry["positions"],
+                )],
+                columns=["term", "shard_id", "n_postings", "max_tfn", "payload"],
+            )
+
+    return posts.mapInPandas(stream_pack, schema=_PACKED_SCHEMA)
+
+
 def build_packed_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -91,44 +205,16 @@ def build_packed_index(
     posts = ib.postings(toks, with_positions=with_positions).join(
         docmap.select(*DOC_KEY, "doc_ord"), DOC_KEY
     )
-    posts = posts.withColumn(
-        "shard_id", F.shiftright(F.col("doc_ord"), range_bits)
-    )
-
-    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["doc_ord"].to_numpy(), kind="stable")
-        doc_ords = pdf["doc_ord"].to_numpy()[order].astype(np.uint64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.uint64)
-        positions = None
-        if with_positions:
-            pos_col = pdf["positions"].to_numpy()[order]
-            positions = [np.asarray(p, dtype=np.uint64) for p in pos_col]
-        payload = pack_postings(doc_ords, tfs, dls, positions)
-        avgdl_local = stats["avgdl"]
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "shard_id": [int(pdf["shard_id"].iloc[0])],
-                "n_postings": [len(doc_ords)],
-                "max_tfn": [float(_tfn(tfs, dls, avgdl_local).max()) if len(tfs) else 0.0],
-                "payload": [payload],
-            }
-        )
-
-    packed = posts.groupBy("term", "shard_id").applyInPandas(
-        pack_group, schema=_PACKED_SCHEMA
-    )
-
     n_idx_parts = index_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
     )
-    (
-        packed.repartition(n_idx_parts, "term")
-        .sortWithinPartitions("term", "shard_id")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/index")
+    packed = pack_shards(
+        posts, stats["avgdl"], range_bits, with_positions, n_idx_parts
     )
+    # already partitioned by (term, shard) and sorted — write directly;
+    # term-hash distribution + within-file term ordering give parquet
+    # min/max point lookup on term
+    packed.write.mode("overwrite").parquet(f"{out_dir}/index")
 
     index_df = spark.read.parquet(f"{out_dir}/index")
     (

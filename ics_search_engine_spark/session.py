@@ -53,12 +53,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64MB advisory coalesces mid-size shuffles down to a
+        # handful of reduce tasks — starves high core counts
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # smaller splits: single-file corpora still scan in parallel
+        .config("spark.sql.files.maxPartitionBytes", "16777216")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM shared by all task slots: size the heap
+        # for 32 concurrent hash-aggs or they spill and scaling flatlines
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():

@@ -181,32 +181,33 @@ def generate_turns(
 
 
 def write_parquet(path: str, n_convs: int = 2000, seed: int = 42,
-                  chunk_convs: int = 20_000) -> int:
-    """Write the corpus to a parquet file, streaming by conversation
-    chunks so bench-scale corpora never materialize fully in memory.
-    Returns the number of turns written.
+                  chunk_convs: int = 1_000) -> int:
+    """Write the corpus as a DIRECTORY of parquet files (one per
+    conversation chunk) — the realistic many-files input shape, which
+    also gives Spark parallel scan splits for free.  Streaming by chunk
+    keeps generator memory bounded at bench scales.  Returns the number
+    of turns written.
 
     Chunks derive their seed as ``seed + chunk_index`` — deterministic
-    and independent of chunk size boundaries only when the same
-    (n_convs, seed, chunk_convs) triple is used, which all callers fix.
+    for a fixed (n_convs, seed, chunk_convs) triple, which all callers
+    fix.
     """
-    writer = None
+    import os
+
+    os.makedirs(path, exist_ok=True)
     total = 0
-    try:
-        for chunk_i, start in enumerate(range(0, n_convs, chunk_convs)):
-            n = min(chunk_convs, n_convs - start)
-            tbl = generate_turns(n_convs=n, seed=seed + chunk_i)
-            # re-key conv ids so chunks don't collide
-            if start:
-                conv = [f"conv{start + int(c[4:]):08d}" for c in tbl.column("conv_id").to_pylist()]
-                tbl = tbl.set_column(0, "conv_id", pa.array(conv, pa.string()))
-            if writer is None:
-                writer = pq.ParquetWriter(path, tbl.schema)
-            writer.write_table(tbl)
-            total += tbl.num_rows
-    finally:
-        if writer is not None:
-            writer.close()
+    for chunk_i, start in enumerate(range(0, n_convs, chunk_convs)):
+        n = min(chunk_convs, n_convs - start)
+        tbl = generate_turns(n_convs=n, seed=seed + chunk_i)
+        # re-key conv ids so chunks don't collide
+        if start:
+            conv = [f"conv{start + int(c[4:]):08d}" for c in tbl.column("conv_id").to_pylist()]
+            tbl = tbl.set_column(0, "conv_id", pa.array(conv, pa.string()))
+        pq.write_table(
+            tbl, os.path.join(path, f"part-{chunk_i:05d}.parquet"),
+            row_group_size=10_000,
+        )
+        total += tbl.num_rows
     return total
 
 

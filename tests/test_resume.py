@@ -56,13 +56,14 @@ def test_interrupted_build_resumes_identically(spark, small_df, dirs, small_rows
     finally:
         DataFrameWriter.parquet = orig
 
-    # manifest shows partial progress: docmap + buckets 0,1 done, 2+ not
+    # manifest shows partial progress: buckets 0,1 done; 2+, docmap,
+    # pack not reached (buckets run first — they carry the tokenize)
     with open(f"{dir_b}/manifest.json") as f:
         m = json.load(f)
-    assert m["stages"]["docmap"]["done"]
     assert m["stages"]["bucket_0"]["done"]
     assert m["stages"]["bucket_1"]["done"]
     assert "bucket_2" not in m["stages"]
+    assert "docmap" not in m["stages"]
     assert "pack" not in m["stages"]
 
     # restart completes the remaining work only
