@@ -1,0 +1,125 @@
+"""Structured Streaming tests: windowed aggregation with watermark,
+session windows, and incremental index build — driven with file
+sources + availableNow trigger, verified against the batch plan on the
+same data."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from ics_search_engine_spark.streaming.stream_ops import (
+    incremental_postings,
+    sessionize,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(corpus_dir):
+    base = f"{corpus_dir}/streaming"
+    os.makedirs(base, exist_ok=True)
+    yield base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+class TestWindowedCounts:
+    def test_stream_equals_batch(self, spark, stream_dirs):
+        # file stream source requires a directory
+        src = f"{stream_dirs}/events_src"
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(
+            "/root/testdata/sf0.001/events.parquet", f"{src}/events.parquet"
+        )
+        events_batch = spark.read.parquet(src)
+        schema = events_batch.schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        got = _run_stream_to_memory(
+            spark, windowed_event_counts(stream), "win_counts"
+        ).collect()
+        want = windowed_event_counts(events_batch).collect()
+        key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+        got_m = {key(r): (r["n_events"], r["sum_value_cents"]) for r in got}
+        want_m = {key(r): (r["n_events"], r["sum_value_cents"]) for r in want}
+        assert got_m == want_m
+        assert len(got_m) > 10
+
+
+class TestSessionize:
+    def test_sessions_close_after_gap(self, spark):
+        rows = [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 12:00:00"),  # > 30min gap -> new session
+            (2, "2024-01-01 10:05:00"),
+        ]
+        df = (
+            spark.createDataFrame(rows, "user_id int, ts_s string")
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        out = sessionize(df).collect()
+        per_user = {}
+        for r in out:
+            per_user.setdefault(r["user_id"], []).append(r["n_events"])
+        assert sorted(per_user[1]) == [1, 2]
+        assert per_user[2] == [1]
+
+
+class TestIncrementalIndex:
+    def test_incremental_postings_match_batch(self, spark, stream_dirs, small_table):
+        import pyarrow.parquet as pq
+
+        from ics_search_engine_spark.operators import index_build as ib
+
+        src_dir = f"{stream_dirs}/turns_src"
+        os.makedirs(src_dir, exist_ok=True)
+        # two "arriving" files
+        n = small_table.num_rows
+        pq.write_table(small_table.slice(0, n // 2), f"{src_dir}/f0.parquet")
+        pq.write_table(small_table.slice(n // 2), f"{src_dir}/f1.parquet")
+
+        batch_df = spark.read.parquet(src_dir)
+        schema = batch_df.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out_dir = f"{stream_dirs}/inc_index"
+        q = (
+            incremental_postings(
+                stream, out_dir, f"{stream_dirs}/ckpt"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r["term"], r["conv_id"], r["turn_idx"]): r["tf"]
+            for r in spark.read.parquet(f"{out_dir}/postings").collect()
+        }
+        want = {
+            (r["term"], r["conv_id"], r["turn_idx"]): r["tf"]
+            for r in ib.postings(
+                ib.tokenized(batch_df), with_positions=False
+            ).collect()
+        }
+        assert got == want
+        # micro-batches materialized as separate bucket dirs
+        buckets = os.listdir(f"{out_dir}/postings")
+        assert len([b for b in buckets if b.startswith("stream_batch=")]) >= 2
