@@ -254,38 +254,66 @@ class PackedIndex:
     def df_for_terms(self, terms: list[str]) -> dict[str, int]:
         if not terms:
             return {}
+        if self._term_df_map is not None:
+            return {t: self._term_df_map[t] for t in terms if t in self._term_df_map}
         return {
             r["term"]: r["df"]
             for r in self.term_stats.filter(F.col("term").isin(terms)).collect()
         }
 
+    _term_df_map: dict[str, int] | None = None
 
-def decode_matched(matched: DataFrame) -> DataFrame:
+    def cache(self) -> "PackedIndex":
+        """Pin the hot query-path state: term stats on the driver (the
+        vocabulary is small — ~unique terms, not postings), index and
+        docmap blocks on executors.  The serving-mode analog of the
+        reference's lru_cache + persistently-open FileHandler
+        (/root/reference/search.py:43-61, main.py:40-45)."""
+        self._term_df_map = {
+            r["term"]: r["df"] for r in self.term_stats.collect()
+        }
+        self.index = self.index.cache()
+        self.docmap = self.docmap.cache()
+        self.index.count()
+        self.docmap.count()
+        return self
+
+
+def decode_matched(matched: DataFrame, with_positions: bool = False
+                   ) -> DataFrame:
     """(term, shard_id, payload, ...) → row-per-posting
-    (term, doc_ord, tf, dl) via an Arrow-batched decoder."""
+    (term, doc_ord, tf, dl[, positions]) via an Arrow-batched decoder.
+    Decoding skips the positions section unless requested (they trail
+    the fixed sections in the payload — zero cost to ignore)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            terms, ords, tfs, dls = [], [], [], []
+            terms, ords, tfs, dls, poss = [], [], [], [], []
             for term, payload in zip(pdf["term"], pdf["payload"]):
-                d, t, l, _ = unpack_postings(bytes(payload), with_positions=False)
+                d, t, l, p = unpack_postings(
+                    bytes(payload), with_positions=with_positions
+                )
                 terms.append(np.repeat(term, len(d)))
                 ords.append(d.astype(np.int64))
                 tfs.append(t.astype(np.int32))
                 dls.append(l.astype(np.int32))
+                if with_positions:
+                    poss.extend([x.astype(np.int64).tolist() for x in p])
             if not terms:
                 continue
-            yield pd.DataFrame(
-                {
-                    "term": np.concatenate(terms),
-                    "doc_ord": np.concatenate(ords),
-                    "tf": np.concatenate(tfs),
-                    "dl": np.concatenate(dls),
-                }
-            )
+            out = {
+                "term": np.concatenate(terms),
+                "doc_ord": np.concatenate(ords),
+                "tf": np.concatenate(tfs),
+                "dl": np.concatenate(dls),
+            }
+            if with_positions:
+                out["positions"] = poss
+            yield pd.DataFrame(out)
 
-    return matched.select("term", "payload").mapInPandas(
-        decode, schema="term string, doc_ord long, tf int, dl int"
-    )
+    schema = "term string, doc_ord long, tf int, dl int"
+    if with_positions:
+        schema += ", positions array<int>"
+    return matched.select("term", "payload").mapInPandas(decode, schema=schema)

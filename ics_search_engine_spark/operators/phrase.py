@@ -1,0 +1,112 @@
+"""Exact phrase search via positional intersection.
+
+The reference STORES positions in every posting
+(/root/reference/components/token_processor.py:21-24, Posting.positions
+at index_manager.py:17-23) but never uses them at query time — phrase
+search is listed as unimplemented future work (todo.md:70-72).  This
+operator makes the positional payload functional.
+
+Semantics: positions are INDEX-mode body-token positions (stop words
+occupy positions; they are indexed), so "master of science" matches
+documents where 'master' sits at some position p and 'scienc' at p+2 —
+the stop word 'of' fills p+1 without being searched.  Offsets come from
+the index-mode tokenization of the phrase itself (``phrase_offsets``).
+
+match_count(d) = number of starting positions p where every query term
+lands at its offset; docs ranked by (match_count desc, docID asc).
+
+Implementation: decode positions only for the phrase's terms, pivot
+each term's position array into a column (conditional agg — at most
+|phrase| arrays per doc), then one pure-Catalyst array expression:
+    size(filter(pos_0, p -> array_contains(pos_1, p+g1) AND ...))
+No shuffle beyond the per-doc pivot; no Python in the match logic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    decode_matched,
+)
+from ics_search_engine_spark.textproc.tokenizer import STOP_WORDS
+
+
+def phrase_offsets(phrase: str) -> list[tuple[str, int]]:
+    """Searchable query terms with their offsets in the INDEX-mode
+    token sequence of the phrase.  Index positions count every indexed
+    body token (stop words included), so 'master of science' →
+    [('master', 0), ('scienc', 2)]: 'of' occupies position 1 in a
+    matching document but is not itself searchable (query-mode drops
+    it, /root/reference/utils/tokenizer.py:28-29)."""
+    import re
+
+    from ics_search_engine_spark.textproc.porter import stem
+
+    out = []
+    pos = 0
+    for raw in re.findall(r"[a-z0-9]+", (phrase or "").lower()):
+        stemmed = stem(raw)
+        if len(stemmed) == 1:
+            continue  # not indexed → occupies no position
+        if raw not in STOP_WORDS:
+            out.append((stemmed, pos))
+        pos += 1
+    return out
+
+
+def phrase_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    phrase: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k exact-phrase matches → (conv_id, turn_idx, match_count)."""
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, match_count int"
+    )
+    terms_offsets = phrase_offsets(phrase)
+    if not terms_offsets:
+        return empty
+    base_off = terms_offsets[0][1]
+    rel = [(t, off - base_off) for t, off in terms_offsets]
+    uniq_terms = sorted({t for t, _ in rel})
+
+    matched = pidx.index.filter(F.col("term").isin(uniq_terms))
+    posts = decode_matched(matched, with_positions=True)
+
+    # pivot: one positions array per distinct term
+    aggs = [
+        F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True)
+        .alias(f"pos_{i}")
+        for i, t in enumerate(uniq_terms)
+    ]
+    pivoted = posts.groupBy("doc_ord").agg(*aggs)
+    for i in range(len(uniq_terms)):
+        pivoted = pivoted.filter(F.col(f"pos_{i}").isNotNull())
+
+    col_of = {t: f"pos_{i}" for i, t in enumerate(uniq_terms)}
+    first_term = rel[0][0]
+    start_positions = F.col(col_of[first_term])
+
+    def match_at(p):
+        conds = None
+        for t, off in rel[1:]:
+            c = F.array_contains(F.col(col_of[t]), p + off)
+            conds = c if conds is None else (conds & c)
+        return conds if conds is not None else F.lit(True)
+
+    count_col = F.size(F.filter(start_positions, match_at)).alias("match_count")
+    result = (
+        pivoted.select("doc_ord", count_col)
+        .filter(F.col("match_count") > 0)
+        .orderBy(F.desc("match_count"), F.asc("doc_ord"))
+        .limit(k)
+    )
+    return (
+        pidx.docmap.join(F.broadcast(result), "doc_ord")
+        .select("conv_id", "turn_idx", "match_count")
+        .orderBy(F.desc("match_count"), "conv_id", "turn_idx")
+    )

@@ -139,6 +139,87 @@ def score_topk(
     return scored.orderBy(F.desc("score"), *[F.asc(c) for c in key_cols]).limit(k)
 
 
+def bm25_topk_multi(
+    spark: SparkSession,
+    pidx,
+    queries: dict[str, str],
+    k: int = 10,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Batched multi-query top-k: ALL queries scored in one plan →
+    (query_id, conv_id, turn_idx, score, rank).  Amortizes job overhead
+    across a query set (the reference replays its REPL loop per query,
+    /root/reference/search.py:205-227).
+
+    Per-query results are identical to bm25_topk_packed (tested).
+
+    Scale note: naive `row_number() OVER (PARTITION BY query_id)` puts
+    every matched doc of a query on ONE reducer.  We take top-k in two
+    levels: (query, salt=pmod(doc_ord, S)) local top-k, then the final
+    top-k over the S·k survivors per query.
+    """
+    from pyspark.sql import Window
+
+    from ics_search_engine_spark.operators.packed_index import decode_matched
+    from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
+
+    empty = spark.createDataFrame(
+        [],
+        "query_id string, conv_id string, turn_idx int, score double, rank int",
+    )
+    weight_rows: list[tuple[str, str, float]] = []
+    all_terms: set[str] = set()
+    for qid, qtext in queries.items():
+        q_terms = sorted(set(_tok(qtext, for_query=True)))
+        if not q_terms:
+            continue
+        term_df = pidx.df_for_terms(q_terms)
+        for t, w in query_weights(qtext, term_df, pidx.n_docs).items():
+            weight_rows.append((qid, t, w))
+            all_terms.add(t)
+    if not weight_rows:
+        return empty
+
+    w_df = spark.createDataFrame(
+        weight_rows, "query_id string, term string, w double"
+    )
+    matched = pidx.index.filter(F.col("term").isin(sorted(all_terms)))
+    posts = decode_matched(matched)
+
+    scored = (
+        posts.join(F.broadcast(w_df), "term")
+        .withColumn("contrib", bm25_contrib_col(pidx.avgdl))
+        .groupBy("query_id", "doc_ord")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("tc")
+        )
+        .withColumn(
+            "score",
+            F.aggregate("tc", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
+        )
+        .select("query_id", "doc_ord", "score")
+    )
+    local_w = Window.partitionBy(
+        "query_id", F.pmod(F.col("doc_ord"), F.lit(n_salts))
+    ).orderBy(F.desc("score"), F.asc("doc_ord"))
+    survivors = scored.withColumn(
+        "lr", F.row_number().over(local_w)
+    ).filter(F.col("lr") <= k)
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_ord")
+    )
+    topk = (
+        survivors.withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_ord", "score", "rank")
+    )
+    return (
+        pidx.docmap.join(F.broadcast(topk), "doc_ord")
+        .select("query_id", "conv_id", "turn_idx", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def bm25_topk_packed(spark: SparkSession, pidx, query: str, k: int = 10
                      ) -> DataFrame:
     """Top-k BM25 over a persisted PackedIndex → (conv_id, turn_idx,

@@ -126,3 +126,29 @@ class TestPackedQueryParity:
         assert [g[:2] for g in got] == [e[:2] for e in expected], qid
         for (_, _, es), (_, _, gs) in zip(expected, got):
             assert es == gs, (qid, es.hex(), gs.hex())
+
+
+class TestMultiQuery:
+    def test_multi_equals_per_query(self, spark, pidx, oracle_idx):
+        from ics_search_engine_spark.operators.query import bm25_topk_multi
+
+        rows = bm25_topk_multi(spark, pidx, REFERENCE_QUERIES, k=K).collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["conv_id"], r["turn_idx"], r["score"])
+            )
+        for qid, qtext in REFERENCE_QUERIES.items():
+            expected = oracle.search(oracle_idx, qtext, k=K)
+            got = sorted(by_q.get(qid, []))
+            assert [(c, t, s) for _, c, t, s in got] == expected, qid
+
+    def test_cache_does_not_change_results(self, spark, index_dir, oracle_idx):
+        pidx2 = PackedIndex(spark, index_dir).cache()
+        from ics_search_engine_spark.operators.query import bm25_topk_packed
+
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_packed(spark, pidx2, "machine learning", k=K).collect()
+        ]
+        assert got == oracle.search(oracle_idx, "machine learning", k=K)
