@@ -488,6 +488,90 @@ SELECT lang, source, count(*) AS n_docs, sum(dl)::BIGINT AS total_tokens
 FROM t GROUP BY lang, source
 """
 
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase matching (batch form of operators/phrase.py):
+    count adjacent occurrences of the 2-gram 'batch batch' per doc."""
+    docs = _docs(spark, sf_dir).select("doc_id", toks_col().alias("toks"))
+    count = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: (F.element_at(F.col("toks"), i) == "batch")
+            & (F.element_at(F.col("toks"), i + 1) == "batch"),
+        )
+    )
+    return (
+        docs.filter(F.size("toks") >= 2)
+        .select("doc_id", count.alias("match_count"))
+        .filter(F.col("match_count") > 0)
+    )
+
+
+_SQL_PHRASE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks)),
+             i -> toks[i] = 'batch' AND toks[i+1] = 'batch'))::INT AS match_count
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id, match_count FROM m WHERE match_count > 0
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as gaps-and-islands window functions (batch form
+    of streaming/stream_ops.sessionize): sessions split on >30min gaps;
+    per user: session count, max session length."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("ev_sessions_src")
+    return spark.sql("""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTES
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM ev_sessions_src
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM flagged
+        ),
+        per_session AS (
+          SELECT user_id, sid, COUNT(*) AS n_events
+          FROM sessions GROUP BY user_id, sid
+        )
+        SELECT user_id, COUNT(*) AS n_sessions,
+               MAX(n_events) AS max_session_events,
+               SUM(n_events) AS total_events
+        FROM per_session GROUP BY user_id
+    """)
+
+
+_SQL_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sid, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       MAX(n_events) AS max_session_events,
+       SUM(n_events)::BIGINT AS total_events
+FROM per_session GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -504,6 +588,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine": q_knn_cosine,
     "events_hourly": q_events_hourly,
     "lang_source_profile": q_lang_source_profile,
+    "phrase_match": q_phrase_match,
+    "user_sessions": q_user_sessions,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -520,4 +606,6 @@ ORACLE_SQL: dict[str, str] = {
     "knn_cosine": _SQL_KNN_COSINE,
     "events_hourly": _SQL_EVENTS_HOURLY,
     "lang_source_profile": _SQL_LANG_SOURCE,
+    "phrase_match": _SQL_PHRASE,
+    "user_sessions": _SQL_SESSIONS,
 }
