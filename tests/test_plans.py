@@ -1,0 +1,80 @@
+"""Physical-plan audits: the optimizations we rely on at 100 TB must
+actually appear in the plan — pushdown, pruning, broadcast, partial
+aggregation (SURVEY.md §4)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ics_search_engine_spark.operators import index_build as ib
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, small_df, corpus_dir):
+    out = f"{corpus_dir}/plans_idx"
+    build_packed_index(spark, small_df, out, range_bits=10)
+    return PackedIndex(spark, out)
+
+
+def _plan(df, mode: str = "simple") -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+class TestPushdownAndPruning:
+    def test_term_filter_pushes_to_parquet_scan(self, pidx):
+        df = pidx.index.filter(F.col("term").isin(["spark", "machin"]))
+        plan = _plan(df, "formatted")
+        assert "PushedFilters" in plan
+        assert "In(term" in plan, plan[:2000]
+
+    def test_wand_metadata_never_reads_payload(self, pidx):
+        meta = pidx.index.filter(F.col("term").isin(["spark"])).select(
+            "term", "shard_id", "max_tfn"
+        )
+        plan = _plan(meta, "formatted")
+        # column pruning: ReadSchema must exclude the (large) payload col
+        read_schema = [
+            line for line in plan.splitlines() if "ReadSchema" in line
+        ]
+        assert read_schema, plan[:2000]
+        assert "payload" not in read_schema[0]
+
+    def test_docmap_resolve_is_broadcast(self, spark, pidx):
+        from ics_search_engine_spark.operators.query import bm25_topk_packed
+
+        df = bm25_topk_packed(spark, pidx, "machine learning", k=5)
+        assert "BroadcastHashJoin" in _plan(df)
+
+
+class TestAggregationShape:
+    def test_postings_partial_aggregation(self, spark, small_df):
+        posts = ib.postings(ib.tokenized(small_df), with_positions=False)
+        plan = _plan(posts)
+        # partial (map-side) + final hash aggregation around one shuffle
+        assert plan.count("HashAggregate") >= 2
+        assert plan.count("Exchange") >= 1
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark, small_df):
+        toks = ib.tokenized(small_df)
+        posts = ib.postings(toks, with_positions=False)
+        n, avgdl = ib.corpus_stats(toks)
+        from ics_search_engine_spark.operators.query import bm25_topk
+
+        df = bm25_topk(spark, posts, "machine learning", n, avgdl, k=10)
+        assert "TakeOrderedAndProject" in _plan(df)
+
+    def test_tokenizer_is_arrow_eval(self, spark, small_df):
+        plan = _plan(ib.tokenized(small_df))
+        # pandas UDFs run as ArrowEvalPython, never row-at-a-time
+        # BatchEvalPython (input_hint: "no per-row Python")
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
