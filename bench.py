@@ -47,7 +47,7 @@ def main() -> None:
         PackedIndex,
         build_packed_index,
     )
-    from ics_search_engine_spark.operators.query import bm25_topk_packed
+    from ics_search_engine_spark.operators.wand import bm25_topk_wand
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
@@ -69,15 +69,18 @@ def main() -> None:
         build_s = time.time() - t0
         timings["index_build"] = round(build_s, 3)
 
-        pidx = PackedIndex(spark, out)
+        # serving mode: block-max metadata + term stats driver-side,
+        # index/docmap blocks pinned on executors (reference analog:
+        # lru_cache + persistently-open FileHandler)
+        pidx = PackedIndex(spark, out).cache()
         # warm the JVM/plan cache once so per-query numbers measure the
         # query path, not first-job startup
-        bm25_topk_packed(spark, pidx, "warm up query", k=10).collect()
+        bm25_topk_wand(spark, pidx, "warm up query", k=10).collect()
 
         qtimes = []
         for name, q in BENCH_QUERIES.items():
             t0 = time.time()
-            bm25_topk_packed(spark, pidx, q, k=10).collect()
+            bm25_topk_wand(spark, pidx, q, k=10).collect()
             dt = time.time() - t0
             timings[name] = round(dt, 3)
             qtimes.append(dt)

@@ -572,6 +572,207 @@ FROM per_session GROUP BY user_id
 """
 
 
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline MinHash+LSH near-dup pairs (gated form of
+    operators/dedup.minhash_lsh_pairs): 8 md5-derived min-hashes, 4
+    bands x 2 rows, candidate pairs from band-equality self-join, kept
+    when >= 4 of 8 signature slots agree (est. Jaccard >= 0.5).
+    Integer n_match keeps the compare float-free."""
+    n_hashes, n_bands, rpb = 8, 4, 2
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(toks_col())).alias("term")
+    )
+    sigs = base.groupBy("doc_id").agg(
+        *[
+            F.min(md5_32(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh{b * rpb + r}").cast("string") for r in range(rpb)],
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("a_doc_id"),
+            F.col("b.doc_id").alias("b_doc_id"),
+            F.aggregate(
+                F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("n_match"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("n_match") >= 4)
+
+
+def _sql_minhash_bands() -> str:
+    mh = ", ".join(
+        f"min({_sql_md5_32(repr(str(i) + ':') + ' || term')}) AS mh{i}"
+        for i in range(8)
+    )
+    band_selects = []
+    for band in range(4):
+        lo, hi = band * 2, band * 2 + 1
+        band_selects.append(
+            f"SELECT doc_id, [mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7] AS sig, "
+            f"{band} AS band_id, "
+            f"md5(mh{lo}::VARCHAR || '_' || mh{hi}::VARCHAR) AS band_val FROM sigs"
+        )
+    nm = " + ".join(f"(a.sig[{i+1}] = b.sig[{i+1}])::INT" for i in range(8))
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS term FROM documents
+),
+sigs AS (SELECT doc_id, {mh} FROM t GROUP BY doc_id),
+banded AS ({' UNION ALL '.join(band_selects)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+         {nm} AS n_match
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT a_doc_id, b_doc_id, n_match FROM cand WHERE n_match >= 4
+"""
+
+
+_SQL_MINHASH_BAND_PAIRS = _sql_minhash_bands()
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline n-gram Jaccard near-dup (gated form of
+    operators/dedup.ngram_jaccard_pairs): distinct 3-token shingles,
+    MinHash-banded candidates (4 one-hash bands), EXACT shingle-set
+    intersection on candidates, kept when jaccard >= 0.5 via the
+    all-integer predicate 3*n_inter >= a_n + b_n."""
+    n_bands = 4
+    docs = _docs(spark, sf_dir).select("doc_id", toks_col().alias("toks"))
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            ),
+        )
+    )
+    shingled = (
+        docs.filter(F.size("toks") >= 3)
+        .select("doc_id", sh_arr.alias("shingles"))
+    )
+    ex = shingled.select(
+        "doc_id", F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+    )
+    sigs = ex.groupBy("doc_id", "n_sh").agg(
+        *[
+            F.min(md5_32(F.concat(F.lit(f"g{i}:"), F.col("sh")))).alias(f"g{i}")
+            for i in range(n_bands)
+        ]
+    )
+    stacked = sigs.select(
+        "doc_id", "n_sh",
+        F.posexplode(F.array(*[F.col(f"g{i}") for i in range(n_bands)])).alias(
+            "band_id", "band_val"
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("a_doc_id"),
+            F.col("b.doc_id").alias("b_doc_id"),
+            F.col("a.n_sh").alias("a_n"),
+            F.col("b.n_sh").alias("b_n"),
+        )
+        .distinct()
+    )
+    sh_a = ex.select(F.col("doc_id").alias("a_doc_id"), "sh")
+    sh_b = ex.select(F.col("doc_id").alias("b_doc_id"), "sh")
+    inter = (
+        cand.join(sh_a, "a_doc_id")
+        .join(sh_b, ["b_doc_id", "sh"])
+        .groupBy("a_doc_id", "b_doc_id", "a_n", "b_n")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return inter.filter(3 * F.col("n_inter") >= F.col("a_n") + F.col("b_n")).select(
+        "a_doc_id", "b_doc_id", "a_n", "b_n", "n_inter"
+    )
+
+
+def _sql_ngram_pairs() -> str:
+    g = ", ".join(
+        f"min({_sql_md5_32(repr(f'g{i}:') + ' || sh')}) AS g{i}" for i in range(4)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, n_sh, {i} AS band_id, g{i} AS band_val FROM sigs"
+        for i in range(4)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+),
+ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM shingled
+),
+sigs AS (SELECT doc_id, any_value(n_sh) AS n_sh, {g} FROM ex GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+         a.n_sh AS a_n, b.n_sh AS b_n
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a_doc_id, c.b_doc_id, c.a_n, c.b_n, count(*)::BIGINT AS n_inter
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.a_doc_id
+  JOIN ex eb ON eb.doc_id = c.b_doc_id AND eb.sh = ea.sh
+  GROUP BY c.a_doc_id, c.b_doc_id, c.a_n, c.b_n
+)
+SELECT a_doc_id, b_doc_id, a_n, b_n, n_inter
+FROM inter WHERE 3 * n_inter >= a_n + b_n
+"""
+
+
+_SQL_NGRAM_JACCARD_PAIRS = _sql_ngram_pairs()
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -590,6 +791,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_source_profile": q_lang_source_profile,
     "phrase_match": q_phrase_match,
     "user_sessions": q_user_sessions,
+    "minhash_band_pairs": q_minhash_band_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -608,4 +811,6 @@ ORACLE_SQL: dict[str, str] = {
     "lang_source_profile": _SQL_LANG_SOURCE,
     "phrase_match": _SQL_PHRASE,
     "user_sessions": _SQL_SESSIONS,
+    "minhash_band_pairs": _SQL_MINHASH_BAND_PAIRS,
+    "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD_PAIRS,
 }

@@ -27,11 +27,14 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64-bit
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varint encoding of a uint64 array, vectorized."""
+def varint_encode_with_ends(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-style varint encoding of a uint64 array, vectorized.
+    Returns (buffer, ends) where ends[i] is the byte offset just past
+    value i — lets callers slice out contiguous value ranges without
+    re-encoding (the batched group packer's fast path)."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # byte length per value: ceil(bitlen/7), min 1
     nbytes = np.ones(a.shape, dtype=np.int64)
     for b in range(1, _MAX_VARINT_BYTES):
@@ -46,7 +49,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = (a[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > b).astype(np.uint8) << 7
         out[starts[mask] + b] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_ends(values)[0]
 
 
 def varint_decode(buf: bytes | memoryview, count: int, offset: int = 0
@@ -116,6 +123,86 @@ def pack_postings(
             if allpos:
                 parts.append(varint_encode(np.concatenate(allpos)))
     return b"".join(parts)
+
+
+def pack_postings_batched(
+    doc_ords: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: list | None,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> list[bytes]:
+    """Pack MANY (term, shard) groups in one vectorized pass.
+
+    The inputs are the concatenated, group-contiguous columns of an
+    Arrow batch; ``starts``/``ends`` delimit each group.  Produces
+    payloads byte-identical to calling :func:`pack_postings` per group
+    (property-tested), but the varint/delta work is O(batch) numpy, not
+    O(groups) Python — essential when the vocabulary has a fat tail of
+    rare terms (millions of tiny posting lists).
+    """
+    n_g = len(starts)
+    if n_g == 0:
+        return []
+    doc_ords = np.ascontiguousarray(doc_ords, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    counts = (ends - starts).astype(np.uint64)
+
+    hdr_buf, hdr_ends = varint_encode_with_ends(counts)
+
+    deltas = doc_ords.copy()
+    deltas[1:] = doc_ords[1:] - doc_ords[:-1]
+    deltas[starts] = doc_ords[starts]
+    d_buf, d_ends = varint_encode_with_ends(deltas)
+    off_d = np.concatenate([[0], d_ends])
+    t_buf, t_ends = varint_encode_with_ends(tfs)
+    off_t = np.concatenate([[0], t_ends])
+    l_buf, l_ends = varint_encode_with_ends(dls)
+    off_l = np.concatenate([[0], l_ends])
+
+    wp = positions is not None
+    if wp:
+        plens = np.fromiter(
+            (len(p) for p in positions), dtype=np.uint64, count=len(positions)
+        )
+        pl_buf, pl_ends = varint_encode_with_ends(plens)
+        off_pl = np.concatenate([[0], pl_ends])
+        flat = (
+            np.concatenate(
+                [np.asarray(p, dtype=np.uint64) for p in positions]
+            )
+            if len(positions) and plens.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
+        # delta within each posting's position list: reset (absolute
+        # value) at every posting's first position
+        post_off = np.concatenate([[0], np.cumsum(plens)]).astype(np.int64)
+        fd = flat.copy()
+        if flat.size:
+            fd[1:] = flat[1:] - flat[:-1]
+            first_idx = post_off[:-1][plens > 0]
+            fd[first_idx] = flat[first_idx]
+        f_buf, f_ends = varint_encode_with_ends(fd)
+        off_f = np.concatenate([[0], f_ends])
+
+    payloads: list[bytes] = []
+    hdr_prev = 0
+    for g in range(n_g):
+        s, e = int(starts[g]), int(ends[g])
+        parts = [
+            hdr_buf[hdr_prev:hdr_ends[g]],
+            d_buf[off_d[s]:off_d[e]],
+            t_buf[off_t[s]:off_t[e]],
+            l_buf[off_l[s]:off_l[e]],
+        ]
+        hdr_prev = int(hdr_ends[g])
+        if wp:
+            parts.append(pl_buf[off_pl[s]:off_pl[e]])
+            parts.append(f_buf[off_f[post_off[s]]:off_f[post_off[e]]])
+        payloads.append(b"".join(parts))
+    return payloads
 
 
 def unpack_postings(

@@ -37,7 +37,7 @@ import os
 import time
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from ics_search_engine_spark.operators import index_build as ib
 from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
@@ -75,6 +75,7 @@ def resumable_build(
     range_bits: int = DEFAULT_RANGE_BITS,
     with_positions: bool = True,
     input_desc: str = "",
+    broadcast_docmap: bool | None = None,
 ) -> dict:
     """Build the packed index under ``out_dir`` with per-bucket resume.
     Returns the manifest.  Safe to call again after a crash: completed
@@ -95,10 +96,11 @@ def resumable_build(
 
     # ---- stage 1: per-bucket postings + doc lengths --------------------
     # ONE tokenize per row: postings and dl come out of the same
-    # tokenized lineage, written in the same job via two actions on a
-    # persisted per-bucket slice (bucket slices are small relative to
-    # the cluster; at petabyte scale this persist is a short-lived
-    # staging table).
+    # tokenized lineage, written via two actions on a persisted
+    # per-bucket slice (bucket slices are small relative to the
+    # cluster; at petabyte scale this persist is a short-lived staging
+    # table).  Row-count metrics ride the write actions as Observation
+    # metrics — no separate count jobs re-scan anything.
     for b in range(n_buckets):
         key = f"bucket_{b}"
         if stages.get(key, {}).get("done") is True:
@@ -111,19 +113,26 @@ def resumable_build(
         try:
             posts = ib.postings(toks, with_positions=with_positions)
             posts_path = f"{out_dir}/postings/bucket={b}"
-            posts.write.mode("overwrite").parquet(posts_path)
+            obs_p = Observation(f"posts_{b}")
+            posts.observe(obs_p, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(posts_path)
+            t_posts = time.time() - t0
             dl_path = f"{out_dir}/doclens/bucket={b}"
-            toks.select(*DOC_KEY, "dl").write.mode("overwrite").parquet(dl_path)
-            n_docs_b = toks.count()
+            obs_d = Observation(f"docs_{b}")
+            toks.select(*DOC_KEY, "dl").observe(
+                obs_d, F.count(F.lit(1)).alias("n")
+            ).write.mode("overwrite").parquet(dl_path)
+            n_docs_b = obs_d.get["n"]
+            n_posts = obs_p.get["n"]
         finally:
             toks.unpersist()
-        written = spark.read.parquet(posts_path)
-        n_posts = written.count()
         byts = _dir_bytes(posts_path)
         dt = time.time() - t0
         stages[key] = {
             "done": True, "seconds": round(dt, 3), "docs": n_docs_b,
             "postings": n_posts, "bytes": byts,
+            "posts_write_seconds": round(t_posts, 3),
             "docs_per_sec": round(n_docs_b / dt, 1) if dt else None,
             "postings_per_sec": round(n_posts / dt, 1) if dt else None,
         }
@@ -134,11 +143,12 @@ def resumable_build(
         t0 = time.time()
         doclens = spark.read.parquet(f"{out_dir}/doclens")
         dm = assign_doc_ordinals(doclens.select(*DOC_KEY, "dl"))
-        dm.write.mode("overwrite").parquet(f"{out_dir}/docmap")
-        dm = spark.read.parquet(f"{out_dir}/docmap")
-        row = dm.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
-        n_docs = row["n"]
-        avgdl = row["s"] / n_docs if n_docs else 0.0
+        obs = Observation("docmap")
+        dm.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).write.mode("overwrite").parquet(f"{out_dir}/docmap")
+        n_docs = obs.get["n"]
+        avgdl = (obs.get["s"] or 0) / n_docs if n_docs else 0.0
         with open(f"{out_dir}/stats.json", "w") as f:
             json.dump(
                 {"n_docs": n_docs, "avgdl": avgdl, "range_bits": range_bits,
@@ -162,31 +172,50 @@ def resumable_build(
         t0 = time.time()
         docmap = spark.read.parquet(f"{out_dir}/docmap")
         posts = spark.read.parquet(f"{out_dir}/postings")
-        # docmap is 1 row/doc vs ~dl rows/doc of postings; broadcast if
-        # small, else Spark picks SMJ — both fine, key is (conv, turn)
-        posts = posts.join(docmap.select(*DOC_KEY, "doc_ord"), DOC_KEY)
+        # docmap is 1 row/doc vs ~dl rows/doc of postings.  Below ~4M
+        # docs the (DOC_KEY, doc_ord) side fits a broadcast comfortably
+        # and skips a full shuffle of the postings; beyond that Spark
+        # picks SMJ (at 10^12 docs you'd bucket both sides instead).
+        dm_side = docmap.select(*DOC_KEY, "doc_ord")
+        n_docs_known = stats.get("n_docs", 0)
+        do_bcast = (
+            broadcast_docmap
+            if broadcast_docmap is not None
+            else bool(n_docs_known and n_docs_known < 4_000_000)
+        )
+        if do_bcast:
+            dm_side = F.broadcast(dm_side)
+        posts = posts.join(dm_side, DOC_KEY)
         n_parts = max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
         )
         packed = pack_shards(posts, avgdl, range_bits, with_positions, n_parts)
-        packed.write.mode("overwrite").parquet(f"{out_dir}/index")
+        obs = Observation("pack")
+        packed.observe(
+            obs,
+            F.count(F.lit(1)).alias("shards"),
+            F.sum("n_postings").alias("postings"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/index")
+        t_pack_write = time.time() - t0
+        # term_stats scans only (term, n_postings) — payload is pruned
         index_df = spark.read.parquet(f"{out_dir}/index")
+        ts_parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8, 4
+        )
         (
             index_df.groupBy("term")
             .agg(F.sum("n_postings").alias("df"))
-            .repartition(4, "term")
+            .repartition(ts_parts, "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(f"{out_dir}/term_stats")
         )
-        row = index_df.agg(
-            F.count("*").alias("shards"),
-            F.sum("n_postings").alias("postings"),
-            F.sum(F.length("payload")).alias("payload_bytes"),
-        ).collect()[0]
+        row = obs.get
         dt = time.time() - t0
         stages["pack"] = {
             "done": True, "seconds": round(dt, 3),
+            "pack_write_seconds": round(t_pack_write, 3),
             "shards": row["shards"], "postings": row["postings"],
             "payload_bytes": row["payload_bytes"],
             "bytes_per_posting": round(row["payload_bytes"] / row["postings"], 2)

@@ -40,7 +40,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from oracle.bm25 import B, K1
-from ics_search_engine_spark.functions.codec import pack_postings, unpack_postings
+from ics_search_engine_spark.functions.codec import (
+    pack_postings_batched,
+    unpack_postings,
+)
 from ics_search_engine_spark.operators import index_build as ib
 from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
 from ics_search_engine_spark.operators.index_build import DOC_KEY
@@ -91,84 +94,76 @@ def pack_shards(
     wp = with_positions
 
     def stream_pack(batches) -> "Iterator[pd.DataFrame]":
+        # Groups are contiguous (repartition on the group key + local
+        # sort), so the whole batch encodes in one vectorized
+        # pack_postings_batched pass — O(batch) numpy, not O(groups)
+        # Python, which matters when a fat-tailed vocabulary makes
+        # millions of tiny posting lists.  The LAST group of every
+        # batch is carried: it may continue in the next batch (bounded
+        # by 2^range_bits postings).
         carry: dict | None = None
 
-        def pack_run(term, shard_id, doc_ords, tfs, dls, positions):
-            doc_ords = np.asarray(doc_ords, dtype=np.uint64)
-            tfs = np.asarray(tfs, dtype=np.uint64)
-            dls = np.asarray(dls, dtype=np.uint64)
-            pos = (
-                [np.asarray(p, dtype=np.uint64) for p in positions]
-                if wp else None
+        def encode(terms, shards, ords, tfs, dls, poss, starts, ends):
+            payloads = pack_postings_batched(
+                ords, tfs, dls, list(poss) if wp else None, starts, ends
             )
-            payload = pack_postings(doc_ords, tfs, dls, pos)
-            mt = float(_tfn(tfs, dls, avgdl).max()) if len(tfs) else 0.0
-            return (term, int(shard_id), len(doc_ords), mt, payload)
+            tfn = _tfn(tfs, dls, avgdl)
+            gmax = np.maximum.reduceat(tfn, starts)
+            return pd.DataFrame(
+                {
+                    "term": terms[starts],
+                    "shard_id": shards[starts].astype(np.int64),
+                    "n_postings": (ends - starts).astype(np.int64),
+                    "max_tfn": gmax.astype(np.float64),
+                    "payload": payloads,
+                }
+            )
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             terms = pdf["term"].to_numpy()
             shards = pdf["shard_id"].to_numpy()
-            # change points: new group where term or shard differs
-            change = np.empty(len(pdf), dtype=bool)
+            ords = pdf["doc_ord"].to_numpy().astype(np.uint64)
+            tfs = pdf["tf"].to_numpy().astype(np.uint64)
+            dls = pdf["dl"].to_numpy().astype(np.uint64)
+            poss = pdf["positions"].to_numpy() if wp else None
+
+            if carry is not None:
+                terms = np.concatenate([carry["terms"], terms])
+                shards = np.concatenate([carry["shards"], shards])
+                ords = np.concatenate([carry["ords"], ords])
+                tfs = np.concatenate([carry["tfs"], tfs])
+                dls = np.concatenate([carry["dls"], dls])
+                if wp:
+                    poss = np.concatenate([carry["poss"], poss])
+                carry = None
+
+            n = len(terms)
+            change = np.empty(n, dtype=bool)
             change[0] = True
             change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
             starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(pdf))
+            ends = np.append(starts[1:], n)
 
-            ords = pdf["doc_ord"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
-            dls = pdf["dl"].to_numpy()
-            poss = pdf["positions"].to_numpy() if wp else None
-
-            out = []
-            for gi in range(len(starts)):
-                s, e = int(starts[gi]), int(ends[gi])
-                g = {
-                    "term": terms[s],
-                    "shard_id": shards[s],
-                    "doc_ords": ords[s:e],
-                    "tfs": tfs[s:e],
-                    "dls": dls[s:e],
-                    "positions": list(poss[s:e]) if wp else None,
-                }
-                first = gi == 0
-                last = gi == len(starts) - 1
-                if first and carry is not None:
-                    if (carry["term"] == g["term"]
-                            and carry["shard_id"] == g["shard_id"]):
-                        g["doc_ords"] = np.concatenate([carry["doc_ords"], g["doc_ords"]])
-                        g["tfs"] = np.concatenate([carry["tfs"], g["tfs"]])
-                        g["dls"] = np.concatenate([carry["dls"], g["dls"]])
-                        if wp:
-                            g["positions"] = carry["positions"] + g["positions"]
-                        carry = None
-                    else:
-                        out.append(pack_run(
-                            carry["term"], carry["shard_id"], carry["doc_ords"],
-                            carry["tfs"], carry["dls"], carry["positions"],
-                        ))
-                        carry = None
-                if last:
-                    carry = g  # may continue in next batch
-                else:
-                    out.append(pack_run(
-                        g["term"], g["shard_id"], g["doc_ords"],
-                        g["tfs"], g["dls"], g["positions"],
-                    ))
-            if out:
-                yield pd.DataFrame(
-                    out,
-                    columns=["term", "shard_id", "n_postings", "max_tfn", "payload"],
+            # hold back the last group — it may continue next batch
+            ls = int(starts[-1])
+            carry = {
+                "terms": terms[ls:], "shards": shards[ls:], "ords": ords[ls:],
+                "tfs": tfs[ls:], "dls": dls[ls:],
+                "poss": poss[ls:] if wp else None,
+            }
+            if len(starts) > 1:
+                yield encode(
+                    terms, shards, ords, tfs, dls, poss,
+                    starts[:-1], ends[:-1],
                 )
-        if carry is not None:
-            yield pd.DataFrame(
-                [pack_run(
-                    carry["term"], carry["shard_id"], carry["doc_ords"],
-                    carry["tfs"], carry["dls"], carry["positions"],
-                )],
-                columns=["term", "shard_id", "n_postings", "max_tfn", "payload"],
+        if carry is not None and len(carry["terms"]):
+            n = len(carry["terms"])
+            yield encode(
+                carry["terms"], carry["shards"], carry["ords"], carry["tfs"],
+                carry["dls"], carry["poss"],
+                np.array([0], dtype=np.int64), np.array([n], dtype=np.int64),
             )
 
     return posts.mapInPandas(stream_pack, schema=_PACKED_SCHEMA)
@@ -187,23 +182,30 @@ def build_packed_index(
       range-shuffle for doc ordinals; hash-shuffle for (doc,term) agg;
       hash-shuffle for (term, shard) packing.
     """
+    from pyspark.sql import Observation
+
     toks = ib.tokenized(transcripts)
     docmap = assign_doc_ordinals(toks.select(*DOC_KEY, "dl"))
-    docmap.write.mode("overwrite").parquet(f"{out_dir}/docmap")
+    obs = Observation("docmap")
+    docmap.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(f"{out_dir}/docmap")
     docmap = spark.read.parquet(f"{out_dir}/docmap")
 
-    row = docmap.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    n_docs = row["n"]
-    avgdl = row["sum_dl"] / n_docs if n_docs else 0.0
+    n_docs = obs.get["n"]
+    avgdl = (obs.get["sum_dl"] or 0) / n_docs if n_docs else 0.0
     stats = {"n_docs": n_docs, "avgdl": avgdl, "range_bits": range_bits,
              "with_positions": with_positions}
     with open(f"{out_dir}/stats.json", "w") as f:
         json.dump(stats, f)
 
+    # below ~4M docs the ordinal map broadcasts and the join skips a
+    # full shuffle of the postings (at 10^12 docs: bucket both sides)
+    dm_side = docmap.select(*DOC_KEY, "doc_ord")
+    if n_docs < 4_000_000:
+        dm_side = F.broadcast(dm_side)
     posts = ib.postings(toks, with_positions=with_positions).join(
-        docmap.select(*DOC_KEY, "doc_ord"), DOC_KEY
+        dm_side, DOC_KEY
     )
     n_idx_parts = index_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
@@ -217,10 +219,13 @@ def build_packed_index(
     packed.write.mode("overwrite").parquet(f"{out_dir}/index")
 
     index_df = spark.read.parquet(f"{out_dir}/index")
+    ts_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8, 4
+    )
     (
         index_df.groupBy("term")
         .agg(F.sum("n_postings").alias("df"))
-        .repartition(4, "term")
+        .repartition(ts_parts, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/term_stats")
@@ -262,21 +267,54 @@ class PackedIndex:
         }
 
     _term_df_map: dict[str, int] | None = None
+    # term -> [(shard_id, max_tfn), ...] — block-max metadata, driver-side
+    _shard_meta: dict[str, list[tuple[int, float]]] | None = None
 
-    def cache(self) -> "PackedIndex":
-        """Pin the hot query-path state: term stats on the driver (the
-        vocabulary is small — ~unique terms, not postings), index and
-        docmap blocks on executors.  The serving-mode analog of the
-        reference's lru_cache + persistently-open FileHandler
-        (/root/reference/search.py:43-61, main.py:40-45)."""
-        self._term_df_map = {
-            r["term"]: r["df"] for r in self.term_stats.collect()
-        }
+    # above this many index shard rows the metadata stays distributed
+    # and queries fetch their terms' metadata with one pushed-down job
+    DRIVER_META_MAX_ROWS = 400_000
+
+    def cache(self, driver_meta: bool | None = None) -> "PackedIndex":
+        """Pin the hot query-path state: index and docmap blocks on
+        executors; when the vocabulary is small enough, term stats AND
+        block-max shard metadata on the driver too (they scale with
+        vocabulary × ranges, not postings — payload bytes never leave
+        executors).  The serving-mode analog of the reference's
+        lru_cache + persistently-open FileHandler
+        (/root/reference/search.py:43-61, main.py:40-45).  With metadata
+        driver-resident, WAND phase selection costs zero Spark jobs; a
+        fat-tailed vocabulary (millions of rare terms) keeps metadata
+        distributed and each query runs ONE pushed-down metadata job
+        for just its terms (operators/wand.py)."""
         self.index = self.index.cache()
         self.docmap = self.docmap.cache()
-        self.index.count()
+        n_meta_rows = self.index.count()
         self.docmap.count()
+        if driver_meta is None:
+            driver_meta = n_meta_rows <= self.DRIVER_META_MAX_ROWS
+        if driver_meta:
+            meta: dict[str, list[tuple[int, float]]] = {}
+            dfs: dict[str, int] = {}
+            for r in self.index.select(
+                "term", "shard_id", "max_tfn", "n_postings"
+            ).collect():
+                meta.setdefault(r["term"], []).append(
+                    (r["shard_id"], r["max_tfn"])
+                )
+                dfs[r["term"]] = dfs.get(r["term"], 0) + r["n_postings"]
+            self._shard_meta = meta
+            self._term_df_map = dfs
         return self
+
+    def query_meta(self, terms: list[str]) -> list:
+        """One pushed-down job: (term, shard_id, max_tfn, n_postings)
+        rows for just the query terms — the distributed-metadata analog
+        of the reference's seek-map lookup."""
+        return (
+            self.index.filter(F.col("term").isin(terms))
+            .select("term", "shard_id", "max_tfn", "n_postings")
+            .collect()
+        )
 
 
 def decode_matched(matched: DataFrame, with_positions: bool = False

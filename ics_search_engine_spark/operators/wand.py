@@ -54,24 +54,38 @@ def bm25_topk_wand(
     )
     if not q_terms:
         return empty
-    term_df = pidx.df_for_terms(q_terms)
-    weights = query_weights(query, term_df, pidx.n_docs)
-    if not weights:
-        return empty
 
-    matched_meta = pidx.index.filter(F.col("term").isin(q_terms)).select(
-        "term", "shard_id", "max_tfn"
-    )
-    w_df = spark.createDataFrame(
-        [(t, w) for t, w in weights.items()], "term string, w double"
-    )
-    ub_rows = (
-        matched_meta.join(F.broadcast(w_df), "term")
-        .groupBy("shard_id")
-        .agg(F.sum(F.col("w") * F.col("max_tfn")).alias("ub"))
-        .collect()
-    )
-    ranges = sorted(ub_rows, key=lambda r: -r["ub"])
+    if pidx._shard_meta is not None:
+        # serving mode, small vocabulary: metadata is driver-resident —
+        # term stats and phase selection cost zero Spark jobs
+        term_df = pidx.df_for_terms(q_terms)
+        weights = query_weights(query, term_df, pidx.n_docs)
+        if not weights:
+            return empty
+        ubs: dict[int, float] = {}
+        for t, w in weights.items():
+            for shard_id, max_tfn in pidx._shard_meta.get(t, ()):
+                ubs[shard_id] = ubs.get(shard_id, 0.0) + w * max_tfn
+    else:
+        # ONE pushed-down metadata job fetches df AND block maxes for
+        # just the query terms (seek-map analog; term IN (...) prunes
+        # at the parquet/cache level)
+        meta_rows = pidx.query_meta(q_terms)
+        term_df: dict[str, int] = {}
+        for r in meta_rows:
+            term_df[r["term"]] = term_df.get(r["term"], 0) + r["n_postings"]
+        weights = query_weights(query, term_df, pidx.n_docs)
+        if not weights:
+            return empty
+        ubs = {}
+        for r in meta_rows:
+            w = weights.get(r["term"])
+            if w is not None:
+                ubs[r["shard_id"]] = (
+                    ubs.get(r["shard_id"], 0.0) + w * r["max_tfn"]
+                )
+    ub_rows = [{"shard_id": s, "ub": u} for s, u in ubs.items()]
+    ranges = sorted(ub_rows, key=lambda r: (-r["ub"], r["shard_id"]))
     if not ranges:
         return empty
 

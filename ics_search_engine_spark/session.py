@@ -58,10 +58,16 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8388608")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # larger Arrow batches amortize per-batch UDF overhead on the
+        # 36M-row pack path (10k-row batches cost ~5x the crossings)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # smaller splits: single-file corpora still scan in parallel
-        .config("spark.sql.files.maxPartitionBytes", "16777216")
+        # smaller splits: small-file corpora still scan in parallel —
+        # the expensive tokenize UDF runs in the scan stage, so split
+        # count caps its parallelism (8 MB max + 1 MB open cost ≈ one
+        # split per bench corpus file instead of 2-4 files packed/split)
+        .config("spark.sql.files.maxPartitionBytes", "8388608")
+        .config("spark.sql.files.openCostInBytes", "1048576")
         .config("spark.ui.enabled", "false")
         # local mode = one JVM shared by all task slots: size the heap
         # for 32 concurrent hash-aggs or they spill and scaling flatlines

@@ -180,35 +180,51 @@ def generate_turns(
     )
 
 
+def _write_chunk(args: tuple) -> int:
+    path, chunk_i, start, n, seed = args
+    import os
+
+    tbl = generate_turns(n_convs=n, seed=seed + chunk_i)
+    # re-key conv ids so chunks don't collide
+    if start:
+        conv = [f"conv{start + int(c[4:]):08d}"
+                for c in tbl.column("conv_id").to_pylist()]
+        tbl = tbl.set_column(0, "conv_id", pa.array(conv, pa.string()))
+    pq.write_table(
+        tbl, os.path.join(path, f"part-{chunk_i:05d}.parquet"),
+        row_group_size=10_000,
+    )
+    return tbl.num_rows
+
+
 def write_parquet(path: str, n_convs: int = 2000, seed: int = 42,
-                  chunk_convs: int = 1_000) -> int:
+                  chunk_convs: int = 1_000, n_jobs: int | None = None) -> int:
     """Write the corpus as a DIRECTORY of parquet files (one per
     conversation chunk) — the realistic many-files input shape, which
-    also gives Spark parallel scan splits for free.  Streaming by chunk
-    keeps generator memory bounded at bench scales.  Returns the number
-    of turns written.
+    also gives Spark parallel scan splits for free.  Chunking keeps
+    generator memory bounded at bench scales and lets chunks generate
+    in parallel (they are independent by construction).  Returns the
+    number of turns written.
 
     Chunks derive their seed as ``seed + chunk_index`` — deterministic
     for a fixed (n_convs, seed, chunk_convs) triple, which all callers
-    fix.
+    fix; ``n_jobs`` only affects wall time, never content.
     """
     import os
 
     os.makedirs(path, exist_ok=True)
-    total = 0
-    for chunk_i, start in enumerate(range(0, n_convs, chunk_convs)):
-        n = min(chunk_convs, n_convs - start)
-        tbl = generate_turns(n_convs=n, seed=seed + chunk_i)
-        # re-key conv ids so chunks don't collide
-        if start:
-            conv = [f"conv{start + int(c[4:]):08d}" for c in tbl.column("conv_id").to_pylist()]
-            tbl = tbl.set_column(0, "conv_id", pa.array(conv, pa.string()))
-        pq.write_table(
-            tbl, os.path.join(path, f"part-{chunk_i:05d}.parquet"),
-            row_group_size=10_000,
-        )
-        total += tbl.num_rows
-    return total
+    jobs = [
+        (path, chunk_i, start, min(chunk_convs, n_convs - start), seed)
+        for chunk_i, start in enumerate(range(0, n_convs, chunk_convs))
+    ]
+    if n_jobs is None:
+        n_jobs = min(len(jobs), os.cpu_count() or 1, 16)
+    if n_jobs <= 1 or len(jobs) <= 1:
+        return sum(_write_chunk(j) for j in jobs)
+    from multiprocessing import Pool
+
+    with Pool(n_jobs) as pool:
+        return sum(pool.map(_write_chunk, jobs))
 
 
 # --- reference query set (FIXTURES.md §2) --------------------------------

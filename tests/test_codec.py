@@ -3,7 +3,7 @@
 random posting lists)")."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from ics_search_engine_spark.functions.codec import (
     pack_postings,
@@ -105,3 +105,32 @@ def test_compression_is_real():
     dls = np.full(n, 100, dtype=np.uint64)
     buf = pack_postings(doc_ords, tfs, dls)
     assert len(buf) < n * 4  # ≪ 24 bytes/posting raw
+
+
+@given(st.lists(posting_lists(), min_size=1, max_size=4))
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.data_too_large],
+)
+def test_batched_pack_matches_per_group(groups):
+    """pack_postings_batched over concatenated groups is byte-identical
+    to pack_postings called per group (the packer's vectorized fast
+    path vs the reference single-group codec)."""
+    from ics_search_engine_spark.functions.codec import pack_postings_batched
+
+    groups = [g for g in groups if len(g[0])]
+    if not groups:
+        return
+    ords = np.concatenate([g[0] for g in groups])
+    tfs = np.concatenate([g[1] for g in groups])
+    dls = np.concatenate([g[2] for g in groups])
+    pos = [p for g in groups for p in g[3]]
+    sizes = np.array([len(g[0]) for g in groups])
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+
+    batched_wp = pack_postings_batched(ords, tfs, dls, pos, starts, ends)
+    batched_np = pack_postings_batched(ords, tfs, dls, None, starts, ends)
+    for i, g in enumerate(groups):
+        assert batched_wp[i] == pack_postings(g[0], g[1], g[2], g[3])
+        assert batched_np[i] == pack_postings(g[0], g[1], g[2], None)
