@@ -269,10 +269,16 @@ class PackedIndex:
     _term_df_map: dict[str, int] | None = None
     # term -> [(shard_id, max_tfn), ...] — block-max metadata, driver-side
     _shard_meta: dict[str, list[tuple[int, float]]] | None = None
+    # serving mode: doc_ord -> (conv_id, turn_idx), driver-side
+    _docmap_local: dict[int, tuple[str, int]] | None = None
 
     # above this many index shard rows the metadata stays distributed
     # and queries fetch their terms' metadata with one pushed-down job
     DRIVER_META_MAX_ROWS = 400_000
+    # above this many docs the winners' docIDs resolve via a pushed-down
+    # doc_ord IN (...) point lookup instead of a driver-side map — the
+    # analog of a doc-store point read at 10^12 scale
+    DRIVER_DOCMAP_MAX_ROWS = 2_000_000
 
     def cache(self, driver_meta: bool | None = None) -> "PackedIndex":
         """Pin the hot query-path state: index and docmap blocks on
@@ -290,6 +296,13 @@ class PackedIndex:
         self.docmap = self.docmap.cache()
         n_meta_rows = self.index.count()
         self.docmap.count()
+        if self.n_docs <= self.DRIVER_DOCMAP_MAX_ROWS:
+            self._docmap_local = {
+                r["doc_ord"]: (r["conv_id"], r["turn_idx"])
+                for r in self.docmap.select(
+                    "doc_ord", "conv_id", "turn_idx"
+                ).collect()
+            }
         if driver_meta is None:
             driver_meta = n_meta_rows <= self.DRIVER_META_MAX_ROWS
         if driver_meta:
@@ -315,6 +328,76 @@ class PackedIndex:
             .select("term", "shard_id", "max_tfn", "n_postings")
             .collect()
         )
+
+
+def score_shards_topk(
+    matched: DataFrame,
+    weights: dict[str, float],
+    avgdl: float,
+    k: int,
+    range_bits: int,
+) -> DataFrame:
+    """Per-shard BM25 scoring with a local top-k — NO per-posting
+    shuffle.
+
+    The shard geometry makes this possible: shards are doc-range-
+    aligned across terms (shard_id = doc_ord >> range_bits), so EVERY
+    posting of a document — for every query term — lives in the same
+    shard_id.  A document's full score is therefore computable inside
+    its shard, and the global top-k is the top-k of the per-shard
+    top-ks.  The only shuffle moves the matched (term, shard) payload
+    rows to their shard group: ~|query terms| x |ranges| rows, never
+    row-per-posting.  Contrast the reference's term-at-a-time
+    accumulation over a global dict (/root/reference/search.py:148-162)
+    and our own exhaustive path (operators/query.score_topk), which
+    shuffles every decoded posting by doc.
+
+    Determinism: contributions accumulate per doc in ASCENDING term
+    order into a dense per-shard score array — the same addition order
+    as the oracle — so scores are bit-identical to oracle/search.  Ties
+    break (score desc, doc_ord asc) via lexsort.
+
+    Scale note: the dense array is 2^range_bits doubles (0.5 MB at 16
+    bits).  At 10^12 docs with range_bits ~22 it is 32 MB per in-flight
+    group — still executor-friendly; beyond that switch the accumulator
+    to a sorted-merge over the (already doc_ord-sorted) term arrays.
+    """
+    wts = sorted(weights.items())
+    size = 1 << range_bits
+    out_schema = "doc_ord long, score double"
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = int(pdf["shard_id"].iloc[0]) << range_bits
+        scores = np.zeros(size, dtype=np.float64)
+        touched = np.zeros(size, dtype=bool)
+        by_term: dict = {}
+        for t, p in zip(pdf["term"], pdf["payload"]):
+            by_term[t] = p
+        for t, w in wts:
+            pl = by_term.get(t)
+            if pl is None:
+                continue
+            d, tf, dl, _ = unpack_postings(bytes(pl), with_positions=False)
+            idx = (d.astype(np.int64)) - base
+            tfn = _tfn(tf, dl, avgdl)
+            scores[idx] += w * tfn
+            touched[idx] = True
+        ti = np.flatnonzero(touched)
+        if ti.size == 0:
+            return pd.DataFrame({"doc_ord": [], "score": []}).astype(
+                {"doc_ord": np.int64, "score": np.float64}
+            )
+        order = np.lexsort((ti, -scores[ti]))[:k]
+        sel = ti[order]
+        return pd.DataFrame(
+            {"doc_ord": sel + base, "score": scores[sel]}
+        )
+
+    return (
+        matched.select("term", "shard_id", "payload")
+        .groupBy("shard_id")
+        .applyInPandas(score_group, out_schema)
+    )
 
 
 def decode_matched(matched: DataFrame, with_positions: bool = False

@@ -32,8 +32,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ics_search_engine_spark.operators.packed_index import PackedIndex, decode_matched
-from ics_search_engine_spark.operators.query import query_weights, score_topk
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    score_shards_topk,
+)
+from ics_search_engine_spark.operators.query import query_weights
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
 
@@ -91,14 +94,39 @@ def bm25_topk_wand(
 
     phase1 = [r["shard_id"] for r in ranges[:phase1_ranges]]
     matched = pidx.index.filter(F.col("term").isin(q_terms))
+    range_bits = pidx.stats["range_bits"]
 
     def score_ranges(shard_ids: list[int]) -> DataFrame:
+        # shard-local scoring: each shard computes its own top-k with
+        # no per-posting shuffle (see score_shards_topk); the union of
+        # per-shard top-ks is merged driver-side below
         m = matched.filter(F.col("shard_id").isin([int(s) for s in shard_ids]))
-        return score_topk(
-            spark, decode_matched(m), weights, pidx.avgdl, ["doc_ord"], k
-        )
+        return score_shards_topk(m, weights, pidx.avgdl, k, range_bits)
 
-    top1 = score_ranges(phase1).collect()
+    def merge_topk(rows: list) -> list:
+        rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
+        return rows[:k]
+
+    # Single-pass fast path: when the upper bounds are near-uniform
+    # across ranges (common terms spread evenly), phase-1's theta can
+    # prune nothing — paying a second Spark job buys no skipped work.
+    # Score everything in ONE job instead.  Result is identical either
+    # way; only the job count differs.
+    uniform_ub = (
+        len(ranges) > phase1_ranges
+        and ranges[phase1_ranges]["ub"] >= 0.8 * ranges[0]["ub"]
+    )
+    if len(ranges) <= phase1_ranges or uniform_ub:
+        rows = merge_topk(score_ranges([r["shard_id"] for r in ranges]).collect())
+        if collect_stats is not None:
+            collect_stats.update(
+                n_ranges=len(ranges), scored=len(ranges), pruned=0
+            )
+        if not rows:
+            return empty
+        return _resolve(spark, pidx, rows)
+
+    top1 = merge_topk(score_ranges(phase1).collect())
     if len(top1) >= k:
         theta = top1[-1]["score"]
         survivors = [
@@ -116,17 +144,40 @@ def bm25_topk_wand(
 
     rows = top1
     if survivors:
-        rows = rows + score_ranges(survivors).collect()
-    rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
-    rows = rows[:k]
+        rows = merge_topk(rows + score_ranges(survivors).collect())
     if not rows:
         return empty
+    return _resolve(spark, pidx, rows)
 
-    topk = spark.createDataFrame(
-        [(int(r["doc_ord"]), float(r["score"])) for r in rows],
-        "doc_ord long, score double",
+
+def _resolve(spark: SparkSession, pidx: PackedIndex, rows: list) -> DataFrame:
+    """doc_ord winners → (conv_id, turn_idx, score).
+
+    Serving mode resolves the k winners from the driver-resident docmap
+    (zero Spark jobs).  Otherwise: a pushed-down ``doc_ord IN (...)``
+    point lookup — docmap is written SORTED by doc_ord, so parquet
+    row-group min/max skip everything else (the doc-store point-read
+    pattern; at 10^12 docs the driver map is impossible, the pushdown
+    is not).
+    """
+    if pidx._docmap_local is not None:
+        resolved = [
+            (*pidx._docmap_local[int(r["doc_ord"])], float(r["score"]))
+            for r in rows
+        ]
+        resolved.sort(key=lambda t: (-t[2], t[0], t[1]))
+        return spark.createDataFrame(
+            resolved, "conv_id string, turn_idx int, score double"
+        )
+    ords = [int(r["doc_ord"]) for r in rows]
+    scores = {int(r["doc_ord"]): float(r["score"]) for r in rows}
+    hits = pidx.docmap.filter(F.col("doc_ord").isin(ords)).select(
+        "doc_ord", "conv_id", "turn_idx"
+    ).collect()
+    resolved = [
+        (h["conv_id"], h["turn_idx"], scores[h["doc_ord"]]) for h in hits
+    ]
+    resolved.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return spark.createDataFrame(
+        resolved, "conv_id string, turn_idx int, score double"
     )
-    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
-        "conv_id", "turn_idx", "score"
-    )
-    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")

@@ -66,3 +66,53 @@ def test_wand_small_k_prunes_common_query(spark, pidx):
     ]
     assert wand == exhaustive
     assert stats["scored"] + stats["pruned"] == stats["n_ranges"]
+
+
+def test_wand_cached_serving_equals_uncached(spark, pidx, oracle_idx):
+    """Serving mode (driver-resident block-max metadata + executor
+    cache) must return exactly what the cold path returns."""
+    cached = PackedIndex(spark, pidx.path).cache()
+    assert cached._shard_meta is not None  # small vocab -> driver meta
+    for query in ["machine learning", "research", "xyzzyqux",
+                  "the spark", "zzznotinthecorpus"]:
+        hot = [tuple(r) for r in
+               bm25_topk_wand(spark, cached, query, k=10).collect()]
+        cold = [tuple(r) for r in
+                bm25_topk_wand(spark, pidx, query, k=10).collect()]
+        assert hot == cold, query
+
+
+def test_sharded_scorer_equals_global_fold(spark, pidx, oracle_idx):
+    """score_shards_topk (per-shard dense accumulation, no per-posting
+    shuffle) is bit-identical to the global sorted-fold path."""
+    import pyspark.sql.functions as F
+
+    from ics_search_engine_spark.operators.packed_index import (
+        decode_matched,
+        score_shards_topk,
+    )
+    from ics_search_engine_spark.operators.query import (
+        query_weights,
+        score_topk,
+    )
+    from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+    for query in ["machine learning", "research", "master of computer science"]:
+        q_terms = sorted(set(tokenize(query, for_query=True)))
+        weights = query_weights(query, pidx.df_for_terms(q_terms), pidx.n_docs)
+        matched = pidx.index.filter(F.col("term").isin(q_terms))
+        sharded = score_shards_topk(
+            matched, weights, pidx.avgdl, 10, pidx.stats["range_bits"]
+        ).collect()
+        sharded = sorted(
+            ((r["doc_ord"], r["score"]) for r in sharded),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        global_fold = [
+            (r["doc_ord"], r["score"])
+            for r in score_topk(
+                spark, decode_matched(matched), weights, pidx.avgdl,
+                ["doc_ord"], 10,
+            ).collect()
+        ]
+        assert sharded == global_fold, query
