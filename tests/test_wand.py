@@ -116,3 +116,20 @@ def test_sharded_scorer_equals_global_fold(spark, pidx, oracle_idx):
             ).collect()
         ]
         assert sharded == global_fold, query
+
+
+def test_local_serving_equals_oracle_and_spark(spark, pidx, oracle_idx):
+    """In-process serving tier (no Spark at query time) is bit-identical
+    to the oracle and the distributed WAND path on every reference
+    query."""
+    from ics_search_engine_spark.serving import LocalIndexServer
+
+    srv = LocalIndexServer(pidx.path)
+    for qid, query in sorted(REFERENCE_QUERIES.items()):
+        local = srv.search(query, k=10)
+        via_oracle = oracle.search(oracle_idx, query, k=10)
+        assert local == via_oracle, qid
+        via_wand = [
+            tuple(r) for r in bm25_topk_wand(spark, pidx, query, k=10).collect()
+        ]
+        assert local == via_wand, qid
