@@ -144,79 +144,119 @@ def bm25_topk_multi(
     pidx,
     queries: dict[str, str],
     k: int = 10,
-    n_salts: int = 32,
 ) -> DataFrame:
-    """Batched multi-query top-k: ALL queries scored in one plan →
+    """Batched multi-query top-k: ALL queries scored in one Spark job →
     (query_id, conv_id, turn_idx, score, rank).  Amortizes job overhead
     across a query set (the reference replays its REPL loop per query,
     /root/reference/search.py:205-227).
 
     Per-query results are identical to bm25_topk_packed (tested).
 
-    Scale note: naive `row_number() OVER (PARTITION BY query_id)` puts
-    every matched doc of a query on ONE reducer.  We take top-k in two
-    levels: (query, salt=pmod(doc_ord, S)) local top-k, then the final
-    top-k over the S·k survivors per query.
+    Physical plan: the union of all queries' terms is fetched once
+    (term IN pushdown), grouped by shard_id, and ONE applyInPandas
+    scores every query against the shard's decoded postings — shards
+    are doc-range-aligned, so each shard independently produces its
+    per-query local top-k (see score_shards_topk for the geometry
+    argument).  The per-(query, shard) winners — |queries| x k rows per
+    shard — merge per query in a tiny final aggregation.  No
+    per-posting shuffle, no row_number over a query's whole match set.
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
-    from ics_search_engine_spark.operators.packed_index import decode_matched
+    from ics_search_engine_spark.functions.codec import unpack_postings
+    from ics_search_engine_spark.operators.packed_index import _tfn
     from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
 
     empty = spark.createDataFrame(
         [],
         "query_id string, conv_id string, turn_idx int, score double, rank int",
     )
-    weight_rows: list[tuple[str, str, float]] = []
+    q_weights: dict[str, list[tuple[str, float]]] = {}
     all_terms: set[str] = set()
     for qid, qtext in queries.items():
         q_terms = sorted(set(_tok(qtext, for_query=True)))
         if not q_terms:
             continue
         term_df = pidx.df_for_terms(q_terms)
-        for t, w in query_weights(qtext, term_df, pidx.n_docs).items():
-            weight_rows.append((qid, t, w))
-            all_terms.add(t)
-    if not weight_rows:
+        w = query_weights(qtext, term_df, pidx.n_docs)
+        if w:
+            q_weights[qid] = sorted(w.items())
+            all_terms.update(w)
+    if not q_weights:
         return empty
 
-    w_df = spark.createDataFrame(
-        weight_rows, "query_id string, term string, w double"
-    )
-    matched = pidx.index.filter(F.col("term").isin(sorted(all_terms)))
-    posts = decode_matched(matched)
+    avgdl = pidx.avgdl
+    range_bits = pidx.stats["range_bits"]
+    size = 1 << range_bits
+    qw_items = sorted(q_weights.items())
 
-    scored = (
-        posts.join(F.broadcast(w_df), "term")
-        .withColumn("contrib", bm25_contrib_col(pidx.avgdl))
-        .groupBy("query_id", "doc_ord")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("tc")
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = int(pdf["shard_id"].iloc[0]) << range_bits
+        decoded: dict = {}
+        for t, p in zip(pdf["term"], pdf["payload"]):
+            d, tf, dl, _ = unpack_postings(bytes(p), with_positions=False)
+            decoded[t] = (d.astype(np.int64) - base, _tfn(tf, dl, avgdl))
+        out_q, out_o, out_s = [], [], []
+        scores = np.zeros(size, dtype=np.float64)
+        for qid, wts in qw_items:
+            scores[:] = 0.0
+            touched = np.zeros(size, dtype=bool)
+            for t, w in wts:  # ascending term order -> oracle bit-parity
+                hit = decoded.get(t)
+                if hit is None:
+                    continue
+                idx, tfn = hit
+                scores[idx] += w * tfn
+                touched[idx] = True
+            ti = np.flatnonzero(touched)
+            if ti.size == 0:
+                continue
+            order = np.lexsort((ti, -scores[ti]))[:k]
+            sel = ti[order]
+            out_q.extend([qid] * len(sel))
+            out_o.extend((sel + base).tolist())
+            out_s.extend(scores[sel].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "doc_ord": out_o, "score": out_s}
         )
-        .withColumn(
-            "score",
-            F.aggregate("tc", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
-        )
-        .select("query_id", "doc_ord", "score")
+
+    matched = pidx.index.filter(F.col("term").isin(sorted(all_terms)))
+    shard_rows = (
+        matched.select("term", "shard_id", "payload")
+        .groupBy("shard_id")
+        .applyInPandas(score_group, "query_id string, doc_ord long, score double")
+        .collect()
     )
-    local_w = Window.partitionBy(
-        "query_id", F.pmod(F.col("doc_ord"), F.lit(n_salts))
-    ).orderBy(F.desc("score"), F.asc("doc_ord"))
-    survivors = scored.withColumn(
-        "lr", F.row_number().over(local_w)
-    ).filter(F.col("lr") <= k)
-    final_w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_ord")
-    )
-    topk = (
-        survivors.withColumn("rank", F.row_number().over(final_w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_ord", "score", "rank")
-    )
-    return (
-        pidx.docmap.join(F.broadcast(topk), "doc_ord")
-        .select("query_id", "conv_id", "turn_idx", "score", "rank")
-        .orderBy("query_id", "rank")
+    per_q: dict[str, list] = {}
+    for r in shard_rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    out_rows = []
+    resolve = pidx._docmap_local
+    need_lookup: list[int] = []
+    for qid, rows in sorted(per_q.items()):
+        rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
+        for rank, r in enumerate(rows[:k], start=1):
+            out_rows.append(
+                [qid, int(r["doc_ord"]), float(r["score"]), rank]
+            )
+            if resolve is None:
+                need_lookup.append(int(r["doc_ord"]))
+    if resolve is None:
+        resolve = {
+            r["doc_ord"]: (r["conv_id"], r["turn_idx"])
+            for r in pidx.docmap.filter(
+                F.col("doc_ord").isin(sorted(set(need_lookup)))
+            ).select("doc_ord", "conv_id", "turn_idx").collect()
+        }
+    final = [
+        (qid, *resolve[o], s, rank) for qid, o, s, rank in out_rows
+    ]
+    if not final:
+        return empty
+    return spark.createDataFrame(
+        final,
+        "query_id string, conv_id string, turn_idx int, score double, rank int",
     )
 
 

@@ -83,6 +83,110 @@ def sessionize(
     )
 
 
+def assemble_conversations(
+    transcripts_stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): assemble
+    per-conversation summaries from a stream of turns, emitting a
+    conversation when it has been quiet for ``gap_seconds`` of EVENT
+    time (watermark-driven timeout) — the transcript-pipeline analog of
+    "conversation is over, ship it downstream".
+
+    State per conv_id: (n_turns, first/last event time, total chars,
+    max turn_idx).  Each micro-batch folds its turns into the state and
+    re-arms an event-time timeout at last_ts + gap; when the watermark
+    passes that point the conversation emits exactly once and its state
+    is dropped — bounded state, no growth with stream length.
+
+    Scale note: state is partitioned by conv_id across the cluster by
+    the streaming state store; a 10^12-turn stream holds state only for
+    conversations inside the gap horizon, not history.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_type = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("n_turns", IntegerType()),
+            StructField("first_ts", LongType()),   # epoch micros
+            StructField("last_ts", LongType()),
+            StructField("total_chars", LongType()),
+            StructField("max_turn_idx", IntegerType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("n_turns", IntegerType()),
+            StructField("first_ts", LongType()),
+            StructField("last_ts", LongType()),
+            StructField("total_chars", LongType()),
+            StructField("max_turn_idx", IntegerType()),
+        ]
+    )
+
+    def assemble(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, first_ts, last_ts, chars, max_ti = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "first_ts": [first_ts],
+                    "last_ts": [last_ts],
+                    "total_chars": [chars],
+                    "max_turn_idx": [max_ti],
+                }
+            )
+            return
+        n, first_ts, last_ts, chars, max_ti = (
+            state.get if state.exists else (0, None, None, 0, -1)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # normalize to ns regardless of pandas' arrow unit, then micros
+            ts = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            n += len(pdf)
+            first_ts = int(ts.min()) if first_ts is None else min(
+                first_ts, int(ts.min())
+            )
+            last_ts = int(ts.max()) if last_ts is None else max(
+                last_ts, int(ts.max())
+            )
+            chars += int(pdf["text"].str.len().sum())
+            max_ti = max(max_ti, int(pdf["turn_idx"].max()))
+        if last_ts is not None:
+            state.update((n, first_ts, last_ts, chars, max_ti))
+            # re-arm: emit when event time passes last activity + gap
+            # (setTimeoutTimestamp takes epoch millis)
+            state.setTimeoutTimestamp(last_ts // 1000 + gap_seconds * 1000)
+        return
+        yield  # pragma: no cover — make this a generator
+
+    stream = transcripts_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark)
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        assemble,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def incremental_postings(
     transcripts_stream: DataFrame,
     out_dir: str,

@@ -123,3 +123,71 @@ class TestIncrementalIndex:
         # micro-batches materialized as separate bucket dirs
         buckets = os.listdir(f"{out_dir}/postings")
         assert len([b for b in buckets if b.startswith("stream_batch=")]) >= 2
+
+
+class TestAssembleConversations:
+    def test_quiet_conversations_emit_once(self, spark, stream_dirs):
+        """applyInPandasWithState custom stateful operator: an OLD
+        conversation (quiet for > gap before the final watermark) emits
+        exactly one assembled row; a conversation still inside the gap
+        horizon stays in state and emits nothing."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ics_search_engine_spark.streaming.stream_ops import (
+            assemble_conversations,
+        )
+
+        base = 1_700_000_000_000_000  # epoch micros
+        hour = 3_600_000_000
+        rows = {
+            "conv_id": ["old", "old", "old", "fresh", "fresh"],
+            "turn_idx": [0, 1, 2, 0, 1],
+            "role": ["user", "assistant", "user", "user", "assistant"],
+            "text": ["aa", "bbbb", "c", "dd", "ee"],
+            "tool": ["", "", "", "", ""],
+            # old conv: ends 10h before the stream max; fresh: at max
+            "ts": [base, base + hour, base + 2 * hour,
+                   base + 11 * hour, base + 12 * hour],
+        }
+        tbl = pa.table(
+            {
+                **{k: rows[k] for k in ("conv_id", "role", "text", "tool")},
+                "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            }
+        )
+        src = f"{stream_dirs}/asm_src"
+        os.makedirs(src, exist_ok=True)
+        # two files -> two micro-batches: batch 1 ingests the old conv,
+        # batch 2 advances the watermark past its timeout so it emits
+        # (event-time timeouts fire on a LATER batch than the data)
+        pq.write_table(tbl.slice(0, 3), f"{src}/f0.parquet")
+        pq.write_table(tbl.slice(3), f"{src}/f1.parquet")
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = assemble_conversations(
+            stream, gap_seconds=1800, watermark="2 hours"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("assembled")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from assembled").collect()
+        # final watermark = max_ts - 2h = base+10h; old's timeout fires
+        # at base+2h+30min < watermark; fresh's at base+12h30 > watermark
+        assert [r["conv_id"] for r in got] == ["old"]
+        r = got[0]
+        assert r["n_turns"] == 3
+        assert r["max_turn_idx"] == 2
+        assert r["total_chars"] == len("aa") + len("bbbb") + len("c")
+        assert r["first_ts"] == base and r["last_ts"] == base + 2 * hour
