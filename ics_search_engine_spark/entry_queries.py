@@ -773,6 +773,49 @@ FROM inter WHERE 3 * n_inter >= a_n + b_n
 _SQL_NGRAM_JACCARD_PAIRS = _sql_ngram_pairs()
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family, embedding modality: all pairs with cosine >= 0.4
+    (brute-force exact — the oracle-able form; the LSH-blocked scale
+    path is operators/similarity.embedding_near_dup_pairs, pytest-gated
+    against this).  Threshold compares on the ROUNDED value so both
+    engines make the same boundary call."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.e", "b.e", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos_r6 = F.round(dot / (nrm(F.col("a.e")) * nrm(F.col("b.e"))), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_vec_id"),
+            F.col("b.vec_id").alias("b_vec_id"),
+            cos_r6.alias("cosine_r6"),
+        )
+        .filter(F.col("cosine_r6") >= 0.4)
+    )
+
+
+_SQL_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r6
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -793,6 +836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "minhash_band_pairs": q_minhash_band_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -813,4 +857,5 @@ ORACLE_SQL: dict[str, str] = {
     "user_sessions": _SQL_SESSIONS,
     "minhash_band_pairs": _SQL_MINHASH_BAND_PAIRS,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD_PAIRS,
+    "embedding_near_dup": _SQL_EMB_NEAR_DUP,
 }

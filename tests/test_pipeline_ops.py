@@ -163,3 +163,64 @@ class TestMultimodal:
         for r in frames:
             assert r["frame_no"] % 2 == 0
             assert isinstance(bytes(r["frame_payload"]), bytes)
+
+
+class TestEmbeddingNearDup:
+    @pytest.fixture(scope="class")
+    def emb_with_dups(self, spark):
+        """sf0.001 embeddings + planted near-duplicates: for 30 base
+        vectors, a copy with small noise (cosine >= ~0.95) under a new
+        vec_id — the regime the dedup operator targets."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        ids = np.array(t.column("vec_id").to_pylist())
+        rng = np.random.RandomState(7)
+        rows = [
+            (int(i), [float(x) for x in v]) for i, v in zip(ids, E)
+        ]
+        base_max = int(ids.max())
+        planted = []
+        for j in range(30):
+            v = E[j]
+            noise = rng.randn(len(v)) * 0.05 * np.linalg.norm(v) / np.sqrt(len(v))
+            dup = v + noise
+            rows.append((base_max + 1 + j, [float(x) for x in dup]))
+            planted.append((int(ids[j]), base_max + 1 + j))
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+        return df, planted
+
+    def test_lsh_blocked_pairs_recall_vs_bruteforce(self, emb_with_dups):
+        """Multi-table sign-LSH blocking finds the true near-dup pairs
+        the brute-force all-pairs scan finds, with exact cosines, at
+        >= 0.9 recall in the near-dup regime (cosine >= 0.9)."""
+        from ics_search_engine_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        emb, planted = emb_with_dups
+        thr = 0.9
+        brute = {
+            (r["a_vec_id"], r["b_vec_id"]): r["cosine"]
+            for r in embedding_near_dup_pairs(
+                emb, threshold=thr, n_planes=0
+            ).collect()
+        }
+        # the planted duplicates are found by the exact scan
+        found_planted = [p for p in planted if p in brute]
+        assert len(found_planted) >= 25, len(found_planted)
+
+        lsh = {
+            (r["a_vec_id"], r["b_vec_id"]): r["cosine"]
+            for r in embedding_near_dup_pairs(
+                emb, threshold=thr, n_planes=8, n_tables=4
+            ).collect()
+        }
+        # every LSH pair is a true pair with the exact same cosine
+        for pair, c in lsh.items():
+            assert pair in brute
+            assert abs(c - brute[pair]) < 1e-12
+        assert len(lsh) >= 0.9 * len(brute), (len(lsh), len(brute))
