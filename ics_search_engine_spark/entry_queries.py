@@ -816,6 +816,76 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
+def q_bm25_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ENGINE ITSELF under the DuckDB gate: build a stem-free packed
+    index from the documents table (tokenize → postings → doc ordinals
+    → doc-range shards → delta+varint pack), then answer the fixed
+    query through block-max WAND — the same build+query code path the
+    stemmed engine runs (operators/build + packed_index + wand), minus
+    Porter because DuckDB cannot stem.  The oracle recomputes BM25
+    relationally.  Scores compare rounded to 6 decimals; ordering is by
+    the ROUNDED score in both engines so the top-20 boundary agrees."""
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.wand import bm25_topk_wand
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_engine_idx_")
+    build_packed_index(
+        spark, transcripts, out, range_bits=8, with_positions=False,
+        stem=False,
+    )
+    pidx = PackedIndex(spark, out)
+    # 60 exact-score winners >> the 20 reported: the rounded-order
+    # cutoff at rank 20 cannot reach past rank 60 unless >40 docs share
+    # one rounded score (no exact-duplicate docs in the sf tables)
+    top = bm25_topk_wand(
+        spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60
+    )
+    return (
+        top.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# identical semantics to _SQL_BM25_TOPK — the engine must reproduce the
+# relational computation through its packed artifacts
+_SQL_BM25_ENGINE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -837,6 +907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_band_pairs": q_minhash_band_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "bm25_engine_packed": q_bm25_engine_packed,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -858,4 +929,5 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_band_pairs": _SQL_MINHASH_BAND_PAIRS,
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD_PAIRS,
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+    "bm25_engine_packed": _SQL_BM25_ENGINE,
 }

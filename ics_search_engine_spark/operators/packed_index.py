@@ -176,15 +176,21 @@ def build_packed_index(
     range_bits: int = DEFAULT_RANGE_BITS,
     with_positions: bool = True,
     index_partitions: int | None = None,
+    stem: bool = True,
 ) -> dict:
     """Build the packed index tables under ``out_dir``.  Returns the
     stats dict.  One lineage, three shuffles:
       range-shuffle for doc ordinals; hash-shuffle for (doc,term) agg;
       hash-shuffle for (term, shard) packing.
+
+    ``stem=False`` builds a stem-free index (same tokenizer minus
+    Porter) — used by the DuckDB-gated engine query, since DuckDB
+    cannot stem; recorded in stats so the query path tokenizes to
+    match.
     """
     from pyspark.sql import Observation
 
-    toks = ib.tokenized(transcripts)
+    toks = ib.tokenized(transcripts, stem=stem)
     docmap = assign_doc_ordinals(toks.select(*DOC_KEY, "dl"))
     obs = Observation("docmap")
     docmap.observe(
@@ -195,7 +201,7 @@ def build_packed_index(
     n_docs = obs.get["n"]
     avgdl = (obs.get["sum_dl"] or 0) / n_docs if n_docs else 0.0
     stats = {"n_docs": n_docs, "avgdl": avgdl, "range_bits": range_bits,
-             "with_positions": with_positions}
+             "with_positions": with_positions, "stem": stem}
     with open(f"{out_dir}/stats.json", "w") as f:
         json.dump(stats, f)
 

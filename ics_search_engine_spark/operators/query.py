@@ -43,10 +43,10 @@ _K1P1 = K1 + 1.0
 _ONE_MINUS_B = 1.0 - B
 
 
-def query_weights(query: str, term_df: dict[str, int], n_docs: int
-                  ) -> dict[str, float]:
+def query_weights(query: str, term_df: dict[str, int], n_docs: int,
+                  do_stem: bool = True) -> dict[str, float]:
     """term -> qtf * idf, computed in Python (bit-matches oracle)."""
-    q_tokens = tokenize(query, for_query=True)
+    q_tokens = tokenize(query, for_query=True, do_stem=do_stem)
     qtf: dict[str, int] = {}
     for t in q_tokens:
         qtf[t] = qtf.get(t, 0) + 1

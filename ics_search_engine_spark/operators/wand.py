@@ -51,7 +51,8 @@ def bm25_topk_wand(
     """Top-k BM25 with block-max range pruning — result identical to the
     exhaustive packed path (invariant-tested).  ``collect_stats`` (if a
     dict) receives pruning counters for tests/bench."""
-    q_terms = sorted(set(tokenize(query, for_query=True)))
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
     )
@@ -62,7 +63,7 @@ def bm25_topk_wand(
         # serving mode, small vocabulary: metadata is driver-resident —
         # term stats and phase selection cost zero Spark jobs
         term_df = pidx.df_for_terms(q_terms)
-        weights = query_weights(query, term_df, pidx.n_docs)
+        weights = query_weights(query, term_df, pidx.n_docs, do_stem)
         if not weights:
             return empty
         ubs: dict[int, float] = {}
@@ -77,7 +78,7 @@ def bm25_topk_wand(
         term_df: dict[str, int] = {}
         for r in meta_rows:
             term_df[r["term"]] = term_df.get(r["term"], 0) + r["n_postings"]
-        weights = query_weights(query, term_df, pidx.n_docs)
+        weights = query_weights(query, term_df, pidx.n_docs, do_stem)
         if not weights:
             return empty
         ubs = {}
