@@ -78,3 +78,39 @@ class TestAggregationShape:
         # BatchEvalPython (input_hint: "no per-row Python")
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestPackAndShardedQueryPlans:
+    def test_pack_join_broadcasts_docmap(self, spark, pidx, small_df):
+        """The pack stage's postings⋈doc_ord join must broadcast the
+        (small) ordinal map rather than shuffle the postings."""
+        from ics_search_engine_spark.operators.docmap import (
+            assign_doc_ordinals,
+        )
+        from ics_search_engine_spark.operators import index_build as ib
+
+        toks = ib.tokenized(small_df)
+        dm = assign_doc_ordinals(toks.select(*ib.DOC_KEY, "dl"))
+        posts = ib.postings(toks, with_positions=False).join(
+            F.broadcast(dm.select(*ib.DOC_KEY, "doc_ord")), ib.DOC_KEY
+        )
+        assert "BroadcastHashJoin" in _plan(posts)
+
+    def test_sharded_scorer_shuffles_payload_rows_not_postings(self, pidx):
+        """score_shards_topk's only exchange is on shard_id over the
+        matched PAYLOAD rows — the plan must not decode-then-shuffle
+        (no per-posting exchange, no sort)."""
+        from ics_search_engine_spark.operators.packed_index import (
+            score_shards_topk,
+        )
+
+        matched = pidx.index.filter(F.col("term").isin(["spark", "machin"]))
+        df = score_shards_topk(
+            matched, {"spark": 1.0, "machin": 0.5}, pidx.avgdl, 10,
+            pidx.stats["range_bits"],
+        )
+        plan = _plan(df)
+        # exactly one exchange: hashpartitioning(shard_id...)
+        assert plan.count("Exchange") == 1, plan
+        assert "hashpartitioning(shard_id" in plan
+        assert "FlatMapGroupsInPandas" in plan
