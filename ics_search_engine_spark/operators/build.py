@@ -148,11 +148,13 @@ def resumable_build(
             obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
         ).write.mode("overwrite").parquet(f"{out_dir}/docmap")
         n_docs = obs.get["n"]
-        avgdl = (obs.get["s"] or 0) / n_docs if n_docs else 0.0
+        sum_dl = int(obs.get["s"] or 0)
+        avgdl = sum_dl / n_docs if n_docs else 0.0
         with open(f"{out_dir}/stats.json", "w") as f:
             json.dump(
-                {"n_docs": n_docs, "avgdl": avgdl, "range_bits": range_bits,
-                 "with_positions": with_positions}, f,
+                {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+                 "range_bits": range_bits,
+                 "with_positions": with_positions, "stem": True}, f,
             )
         dt = time.time() - t0
         stages["docmap"] = {

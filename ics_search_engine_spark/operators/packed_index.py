@@ -199,8 +199,10 @@ def build_packed_index(
     docmap = spark.read.parquet(f"{out_dir}/docmap")
 
     n_docs = obs.get["n"]
-    avgdl = (obs.get["sum_dl"] or 0) / n_docs if n_docs else 0.0
-    stats = {"n_docs": n_docs, "avgdl": avgdl, "range_bits": range_bits,
+    sum_dl = int(obs.get["sum_dl"] or 0)
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+             "range_bits": range_bits,
              "with_positions": with_positions, "stem": stem}
     with open(f"{out_dir}/stats.json", "w") as f:
         json.dump(stats, f)

@@ -1,0 +1,56 @@
+"""Segmented incremental indexing: querying N independently-built
+segments is bit-identical to querying one index built over the union
+(operators/segments.py — exact recombination of N, avgdl, df)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from oracle import bm25 as oracle
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+from ics_search_engine_spark.operators.query import bm25_topk_packed
+from ics_search_engine_spark.operators.segments import (
+    SegmentedIndex,
+    bm25_topk_segmented,
+)
+from ics_search_engine_spark.sources.transcripts import REFERENCE_QUERIES
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_df, corpus_dir):
+    full_dir = f"{corpus_dir}/seg_full"
+    seg_dirs = [f"{corpus_dir}/seg_a", f"{corpus_dir}/seg_b", f"{corpus_dir}/seg_c"]
+    build_packed_index(spark, small_df, full_dir, range_bits=9)
+    # whole conversations per segment (hash split), like arrival batches
+    for i, d in enumerate(seg_dirs):
+        part = small_df.filter(F.pmod(F.hash("conv_id"), F.lit(3)) == i)
+        build_packed_index(spark, part, d, range_bits=9)
+    return full_dir, seg_dirs
+
+
+def test_segment_stats_recombine_exactly(spark, setup):
+    full_dir, seg_dirs = setup
+    full = PackedIndex(spark, full_dir)
+    sidx = SegmentedIndex(spark, seg_dirs)
+    assert sidx.n_docs == full.n_docs
+    assert sidx.sum_dl == full.stats["sum_dl"]
+    assert sidx.avgdl == full.avgdl  # bit-equal, not approx
+
+
+@pytest.mark.parametrize("qid", sorted(REFERENCE_QUERIES))
+def test_segmented_query_equals_full_build(qid, spark, setup, small_rows):
+    full_dir, seg_dirs = setup
+    query = REFERENCE_QUERIES[qid]
+    full = PackedIndex(spark, full_dir)
+    sidx = SegmentedIndex(spark, seg_dirs)
+    seg = [
+        tuple(r) for r in bm25_topk_segmented(spark, sidx, query, k=10).collect()
+    ]
+    whole = [
+        tuple(r) for r in bm25_topk_packed(spark, full, query, k=10).collect()
+    ]
+    assert seg == whole, qid
+    oidx = oracle.build_index(small_rows)
+    assert seg == [tuple(x) for x in oracle.search(oidx, query, k=10)], qid
