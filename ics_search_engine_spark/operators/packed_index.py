@@ -91,6 +91,14 @@ def pack_shards(
         .repartition(n_parts, "term", "shard_id")
         .sortWithinPartitions("term", "shard_id", "doc_ord")
     )
+    return _pack_sorted(posts, avgdl, with_positions)
+
+
+def _pack_sorted(
+    posts: DataFrame, avgdl: float, with_positions: bool
+) -> DataFrame:
+    """Pack an input that is ALREADY hash-partitioned by
+    (term, shard_id) and locally sorted by (term, shard_id, doc_ord)."""
     wp = with_positions
 
     def stream_pack(batches) -> "Iterator[pd.DataFrame]":
@@ -179,9 +187,19 @@ def build_packed_index(
     stem: bool = True,
 ) -> dict:
     """Build the packed index tables under ``out_dir``.  Returns the
-    stats dict.  One lineage, three shuffles:
-      range-shuffle for doc ordinals; hash-shuffle for (doc,term) agg;
-      hash-shuffle for (term, shard) packing.
+    stats dict.
+
+    FUSED physical plan — ONE shuffle touches posting-grain data:
+      1. range-shuffle of the (small) doc-key table for ordinals;
+      2. broadcast the ordinal map back onto the tokenized rows, then
+         posexplode → repartition(term, shard_id) [the only posting-
+         grain exchange] → groupBy(term, shard_id, doc_ord) — Catalyst
+         reuses the explicit hash partitioning because it covers a
+         subset of the grouping keys, so the aggregation inserts NO
+         second exchange (plan-audited) → local sort → pack → write.
+    The resumable builder (operators/build.py) keeps its staged
+    two-shuffle layout instead: the postings staging table IS its
+    per-bucket checkpoint.
 
     ``stem=False`` builds a stem-free index (same tokenizer minus
     Porter) — used by the DuckDB-gated engine query, since DuckDB
@@ -190,41 +208,67 @@ def build_packed_index(
     """
     from pyspark.sql import Observation
 
-    toks = ib.tokenized(transcripts, stem=stem)
-    docmap = assign_doc_ordinals(toks.select(*DOC_KEY, "dl"))
-    obs = Observation("docmap")
-    docmap.observe(
-        obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-    ).write.mode("overwrite").parquet(f"{out_dir}/docmap")
-    docmap = spark.read.parquet(f"{out_dir}/docmap")
+    toks = ib.tokenized(transcripts, stem=stem).persist()
+    try:
+        docmap = assign_doc_ordinals(toks.select(*DOC_KEY, "dl"))
+        obs = Observation("docmap")
+        docmap.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        ).write.mode("overwrite").parquet(f"{out_dir}/docmap")
+        docmap = spark.read.parquet(f"{out_dir}/docmap")
 
-    n_docs = obs.get["n"]
-    sum_dl = int(obs.get["sum_dl"] or 0)
-    avgdl = sum_dl / n_docs if n_docs else 0.0
-    stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
-             "range_bits": range_bits,
-             "with_positions": with_positions, "stem": stem}
-    with open(f"{out_dir}/stats.json", "w") as f:
-        json.dump(stats, f)
+        n_docs = obs.get["n"]
+        sum_dl = int(obs.get["sum_dl"] or 0)
+        avgdl = sum_dl / n_docs if n_docs else 0.0
+        stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+                 "range_bits": range_bits,
+                 "with_positions": with_positions, "stem": stem}
+        with open(f"{out_dir}/stats.json", "w") as f:
+            json.dump(stats, f)
 
-    # below ~4M docs the ordinal map broadcasts and the join skips a
-    # full shuffle of the postings (at 10^12 docs: bucket both sides)
-    dm_side = docmap.select(*DOC_KEY, "doc_ord")
-    if n_docs < 4_000_000:
-        dm_side = F.broadcast(dm_side)
-    posts = ib.postings(toks, with_positions=with_positions).join(
-        dm_side, DOC_KEY
-    )
-    n_idx_parts = index_partitions or max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
-    )
-    packed = pack_shards(
-        posts, stats["avgdl"], range_bits, with_positions, n_idx_parts
-    )
-    # already partitioned by (term, shard) and sorted — write directly;
-    # term-hash distribution + within-file term ordering give parquet
-    # min/max point lookup on term
-    packed.write.mode("overwrite").parquet(f"{out_dir}/index")
+        # below ~4M docs the ordinal map broadcasts and the join adds
+        # no shuffle (at 10^12 docs: bucket both sides instead)
+        dm_side = docmap.select(*DOC_KEY, "doc_ord")
+        if n_docs < 4_000_000:
+            dm_side = F.broadcast(dm_side)
+        exploded = (
+            toks.join(dm_side, DOC_KEY)
+            .select(
+                "doc_ord", "dl",
+                F.posexplode("tokens").alias("pos", "term"),
+            )
+            .withColumn(
+                "shard_id", F.shiftright(F.col("doc_ord"), range_bits)
+            )
+        )
+        n_idx_parts = index_partitions or max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
+        )
+        aggs = [
+            F.count("*").cast("int").alias("tf"),
+            F.first("dl").alias("dl"),
+        ]
+        if with_positions:
+            aggs.append(
+                F.sort_array(F.collect_list("pos")).alias("positions")
+            )
+        cols = ["term", "shard_id", "doc_ord", "tf", "dl"]
+        if with_positions:
+            cols.append("positions")
+        posts_sorted = (
+            exploded.repartition(n_idx_parts, "term", "shard_id")
+            .groupBy("term", "shard_id", "doc_ord")
+            .agg(*aggs)
+            .select(*cols)
+            .sortWithinPartitions("term", "shard_id", "doc_ord")
+        )
+        packed = _pack_sorted(posts_sorted, avgdl, with_positions)
+        # already partitioned by (term, shard) and sorted — write
+        # directly; term-hash distribution + within-file term ordering
+        # give parquet min/max point lookup on term
+        packed.write.mode("overwrite").parquet(f"{out_dir}/index")
+    finally:
+        toks.unpersist()
 
     index_df = spark.read.parquet(f"{out_dir}/index")
     ts_parts = max(

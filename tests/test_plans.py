@@ -114,3 +114,31 @@ class TestPackAndShardedQueryPlans:
         assert plan.count("Exchange") == 1, plan
         assert "hashpartitioning(shard_id" in plan
         assert "FlatMapGroupsInPandas" in plan
+
+
+def test_fused_build_single_posting_exchange(spark, small_df):
+    """build_packed_index's fused plan: groupBy(term, shard_id, doc_ord)
+    must REUSE the explicit repartition(term, shard_id) — partitioning
+    on a subset of the grouping keys satisfies the aggregation's
+    distribution, so posting-grain data crosses exactly one hash
+    exchange (the other exchange is the broadcast of the tiny ordinal
+    map)."""
+    from ics_search_engine_spark.operators import index_build as ib
+    from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
+
+    toks = ib.tokenized(small_df)
+    dm = assign_doc_ordinals(toks.select(*ib.DOC_KEY, "dl"))
+    exploded = (
+        toks.join(F.broadcast(dm.select(*ib.DOC_KEY, "doc_ord")), ib.DOC_KEY)
+        .select("doc_ord", "dl", F.posexplode("tokens").alias("pos", "term"))
+        .withColumn("shard_id", F.shiftright("doc_ord", 9))
+    )
+    agged = (
+        exploded.repartition(8, "term", "shard_id")
+        .groupBy("term", "shard_id", "doc_ord")
+        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+        .sortWithinPartitions("term", "shard_id", "doc_ord")
+    )
+    plan = _plan(agged)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
