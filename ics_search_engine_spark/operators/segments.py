@@ -19,10 +19,11 @@ over the union**, because every BM25 input recombines exactly:
 Per-segment scoring reuses the shard-local scorer with the GLOBAL
 weights/avgdl; each segment returns its top-k and the driver merges,
 resolving docIDs per segment and breaking exact-score ties on
-(conv_id, turn_idx) like the oracle.  A background compaction can
-rewrite many small segments into one (it is literally
-``build_packed_index`` over the union's transcripts, or a
-postings-level merge) — queries do not require it.
+(conv_id, turn_idx) like the oracle.  ``compact_segments`` rewrites
+many small segments into one at the POSTINGS level (decode → re-rank
+ordinals → repack; no re-tokenize), byte-identical to a fresh full
+build — queries do not require compaction, it just bounds per-query
+segment fan-out.
 
 Scale note: segments multiply per-query metadata lookups and payload
 fetches by the segment count, the classic LSM/Lucene trade; the
@@ -36,8 +37,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
+from ics_search_engine_spark.operators.index_build import DOC_KEY
 from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
+    decode_matched,
+    pack_shards,
     score_shards_topk,
 )
 from ics_search_engine_spark.operators.query import query_weights
@@ -128,3 +133,91 @@ def bm25_topk_segmented(
     return spark.createDataFrame(
         resolved[:k], "conv_id string, turn_idx int, score double"
     )
+
+
+def compact_segments(
+    spark: SparkSession,
+    seg_paths: list[str],
+    out_dir: str,
+    index_partitions: int | None = None,
+) -> dict:
+    """LSM-style compaction: merge many segments into ONE packed index
+    WITHOUT re-tokenizing — decode each segment's payloads, re-rank doc
+    ordinals over the union, repack.  The result is byte-identical to a
+    fresh full build over the union's transcripts (tested), because
+    every packed input recombines exactly: the new ordinal of a doc is
+    its rank among all (conv_id, turn_idx) — independent of which
+    segment held it — and tf/dl/positions are per-document payload
+    facts that decode losslessly.
+
+    Tokenize is the dominant build cost; compaction touches only the
+    (much smaller) packed bytes, which is what makes a frequent
+    small-segment ingest cadence affordable — the standard LSM trade.
+    """
+    import json as _json
+    import os as _os
+
+    segs = [PackedIndex(spark, p) for p in seg_paths]
+    s0 = segs[0].stats
+    for s in segs[1:]:
+        for key in ("with_positions", "stem", "range_bits"):
+            if s.stats.get(key) != s0.get(key):
+                raise ValueError(f"segments disagree on {key}")
+    wp = bool(s0.get("with_positions", True))
+    range_bits = int(s0["range_bits"])
+
+    _os.makedirs(out_dir, exist_ok=True)
+    union_docs = segs[0].docmap.select(*DOC_KEY, "dl")
+    for s in segs[1:]:
+        union_docs = union_docs.unionByName(s.docmap.select(*DOC_KEY, "dl"))
+    new_dm = assign_doc_ordinals(union_docs)
+    new_dm.write.mode("overwrite").parquet(f"{out_dir}/docmap")
+    new_dm = spark.read.parquet(f"{out_dir}/docmap")
+
+    n_docs = sum(s.n_docs for s in segs)
+    sum_dl = sum(
+        int(s.stats.get("sum_dl", round(s.avgdl * s.n_docs))) for s in segs
+    )
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+    stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+             "range_bits": range_bits, "with_positions": wp,
+             "stem": s0.get("stem", True)}
+    with open(f"{out_dir}/stats.json", "w") as f:
+        _json.dump(stats, f)
+
+    n_parts = index_partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
+    )
+    posts = None
+    for s in segs:
+        # decode -> (term, doc_ord[old], tf, dl[, positions]); remap the
+        # segment-local ordinal to the new global one via the segment's
+        # docmap joined with the union docmap on the doc KEY
+        remap = (
+            s.docmap.select(*DOC_KEY, F.col("doc_ord").alias("old_ord"))
+            .join(new_dm.select(*DOC_KEY, "doc_ord"), DOC_KEY)
+            .select("old_ord", "doc_ord")
+        )
+        if s.n_docs < 4_000_000:
+            remap = F.broadcast(remap)
+        dec = decode_matched(s.index, with_positions=wp).withColumnRenamed(
+            "doc_ord", "old_ord"
+        )
+        seg_posts = dec.join(remap, "old_ord").drop("old_ord")
+        posts = seg_posts if posts is None else posts.unionByName(seg_posts)
+
+    packed = pack_shards(posts, avgdl, range_bits, wp, n_parts)
+    packed.write.mode("overwrite").parquet(f"{out_dir}/index")
+    index_df = spark.read.parquet(f"{out_dir}/index")
+    ts_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8, 4
+    )
+    (
+        index_df.groupBy("term")
+        .agg(F.sum("n_postings").alias("df"))
+        .repartition(ts_parts, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/term_stats")
+    )
+    return stats

@@ -54,3 +54,39 @@ def test_segmented_query_equals_full_build(qid, spark, setup, small_rows):
     assert seg == whole, qid
     oidx = oracle.build_index(small_rows)
     assert seg == [tuple(x) for x in oracle.search(oidx, query, k=10)], qid
+
+
+def test_compaction_is_byte_identical_to_full_build(spark, setup, small_df):
+    """compact_segments (decode → re-ordinal → repack, no re-tokenize)
+    must reproduce the fresh full build EXACTLY: same stats, same index
+    payload bytes, same query results."""
+    import json
+
+    from ics_search_engine_spark.operators.segments import compact_segments
+
+    full_dir, seg_dirs = setup
+    out = f"{full_dir}_compacted"
+    stats = compact_segments(spark, seg_dirs, out)
+
+    with open(f"{full_dir}/stats.json") as f:
+        full_stats = json.load(f)
+    assert stats["n_docs"] == full_stats["n_docs"]
+    assert stats["sum_dl"] == full_stats["sum_dl"]
+    assert stats["avgdl"] == full_stats["avgdl"]  # bit-equal
+
+    def content(path):
+        rows = spark.read.parquet(f"{path}/index").collect()
+        return sorted(
+            (r["term"], r["shard_id"], r["n_postings"],
+             bytes(r["payload"]).hex())
+            for r in rows
+        )
+
+    assert content(out) == content(full_dir)
+
+    compacted = PackedIndex(spark, out)
+    full = PackedIndex(spark, full_dir)
+    for q in ["machine learning", "research", "xyzzyqux"]:
+        got = [tuple(r) for r in bm25_topk_packed(spark, compacted, q, k=10).collect()]
+        want = [tuple(r) for r in bm25_topk_packed(spark, full, q, k=10).collect()]
+        assert got == want, q
