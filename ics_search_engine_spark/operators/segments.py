@@ -87,9 +87,18 @@ def bm25_topk_segmented(
     sidx: SegmentedIndex,
     query: str,
     k: int = 10,
+    deletes: set[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Top-k BM25 across all segments → (conv_id, turn_idx, score),
     bit-identical to querying one index built over the union (tested).
+
+    ``deletes``: tombstoned docIDs, filtered out of the results
+    EXACTLY — each segment over-fetches k + |deletes| candidates, so
+    even if every tombstone outranked the true top-k the final k
+    survivors are correct.  Like Lucene, BM25 stats (N, avgdl, df)
+    stay pre-delete until a compaction applies tombstones physically
+    (``compact_segments(deletes=...)``), after which the index is
+    byte-identical to one never containing the deleted docs (tested).
     """
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
@@ -102,14 +111,15 @@ def bm25_topk_segmented(
     if not weights:
         return empty
 
+    fetch = k + (len(deletes) if deletes else 0)
     resolved: list[tuple[str, int, float]] = []
     for seg in sidx.segments:
         matched = seg.index.filter(F.col("term").isin(q_terms))
         rows = score_shards_topk(
-            matched, weights, sidx.avgdl, k, seg.stats["range_bits"]
+            matched, weights, sidx.avgdl, fetch, seg.stats["range_bits"]
         ).collect()
         rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
-        rows = rows[:k]
+        rows = rows[:fetch]
         if not rows:
             continue
         if seg._docmap_local is not None:
@@ -124,6 +134,8 @@ def bm25_topk_segmented(
             }
         for r in rows:
             cid, tix = dm[int(r["doc_ord"])]
+            if deletes and (cid, tix) in deletes:
+                continue
             resolved.append((cid, tix, float(r["score"])))
 
     if not resolved:
@@ -140,6 +152,7 @@ def compact_segments(
     seg_paths: list[str],
     out_dir: str,
     index_partitions: int | None = None,
+    deletes: DataFrame | None = None,
 ) -> dict:
     """LSM-style compaction: merge many segments into ONE packed index
     WITHOUT re-tokenizing — decode each segment's payloads, re-rank doc
@@ -153,9 +166,17 @@ def compact_segments(
     Tokenize is the dominant build cost; compaction touches only the
     (much smaller) packed bytes, which is what makes a frequent
     small-segment ingest cadence affordable — the standard LSM trade.
+
+    ``deletes`` (a DataFrame of docIDs): tombstones applied PHYSICALLY —
+    the deleted docs vanish from the docmap (survivor ordinals re-rank),
+    their postings are dropped, and stats (N, Σdl, df, max_tfn)
+    recompute over survivors, so the output is byte-identical to a
+    fresh build over a corpus that never contained them (tested).
     """
     import json as _json
     import os as _os
+
+    from pyspark.sql import Observation
 
     segs = [PackedIndex(spark, p) for p in seg_paths]
     s0 = segs[0].stats
@@ -170,14 +191,19 @@ def compact_segments(
     union_docs = segs[0].docmap.select(*DOC_KEY, "dl")
     for s in segs[1:]:
         union_docs = union_docs.unionByName(s.docmap.select(*DOC_KEY, "dl"))
+    if deletes is not None:
+        union_docs = union_docs.join(
+            deletes.select(*DOC_KEY), DOC_KEY, "left_anti"
+        )
+    obs = Observation("compact_docmap")
     new_dm = assign_doc_ordinals(union_docs)
-    new_dm.write.mode("overwrite").parquet(f"{out_dir}/docmap")
+    new_dm.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).write.mode("overwrite").parquet(f"{out_dir}/docmap")
     new_dm = spark.read.parquet(f"{out_dir}/docmap")
 
-    n_docs = sum(s.n_docs for s in segs)
-    sum_dl = sum(
-        int(s.stats.get("sum_dl", round(s.avgdl * s.n_docs))) for s in segs
-    )
+    n_docs = int(obs.get["n"])
+    sum_dl = int(obs.get["s"] or 0)
     avgdl = sum_dl / n_docs if n_docs else 0.0
     stats = {"n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
              "range_bits": range_bits, "with_positions": wp,

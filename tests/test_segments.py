@@ -90,3 +90,65 @@ def test_compaction_is_byte_identical_to_full_build(spark, setup, small_df):
         got = [tuple(r) for r in bm25_topk_packed(spark, compacted, q, k=10).collect()]
         want = [tuple(r) for r in bm25_topk_packed(spark, full, q, k=10).collect()]
         assert got == want, q
+
+
+def test_query_tombstones_filter_exactly(spark, setup):
+    """Tombstoned docs vanish from results; the survivors are exactly
+    the unfiltered ranking with tombstones removed (over-fetch makes
+    the filter lossless)."""
+    full_dir, seg_dirs = setup
+    sidx = SegmentedIndex(spark, seg_dirs)
+    q = "machine learning"
+    base = [
+        tuple(r) for r in bm25_topk_segmented(spark, sidx, q, k=20).collect()
+    ]
+    deletes = {(r[0], r[1]) for r in base[:3]}  # kill the top 3
+    got = [
+        tuple(r)
+        for r in bm25_topk_segmented(
+            spark, sidx, q, k=10, deletes=deletes
+        ).collect()
+    ]
+    want = [r for r in base if (r[0], r[1]) not in deletes][:10]
+    assert got == want
+    assert not any((c, t) in deletes for c, t, _ in got)
+
+
+def test_compaction_with_deletes_equals_build_without_docs(
+    spark, setup, small_df
+):
+    """Physically applying tombstones at compaction yields an index
+    byte-identical to building fresh over a corpus that never had the
+    deleted conversations."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from ics_search_engine_spark.operators.segments import compact_segments
+
+    full_dir, seg_dirs = setup
+    # delete 5 whole conversations' turns
+    victims = small_df.select("conv_id").distinct().orderBy("conv_id").limit(5)
+    deletes = small_df.join(victims, "conv_id").select("conv_id", "turn_idx")
+
+    out = f"{full_dir}_compact_del"
+    stats = compact_segments(spark, seg_dirs, out, deletes=deletes)
+
+    fresh_dir = f"{full_dir}_fresh_minus"
+    survivors = small_df.join(victims, "conv_id", "left_anti")
+    build_packed_index(spark, survivors, fresh_dir, range_bits=9)
+    with open(f"{fresh_dir}/stats.json") as f:
+        fresh_stats = json.load(f)
+    assert stats["n_docs"] == fresh_stats["n_docs"]
+    assert stats["sum_dl"] == fresh_stats["sum_dl"]
+    assert stats["avgdl"] == fresh_stats["avgdl"]
+
+    def content(path):
+        rows = spark.read.parquet(f"{path}/index").collect()
+        return sorted(
+            (r["term"], r["shard_id"], r["n_postings"],
+             bytes(r["payload"]).hex())
+            for r in rows
+        )
+
+    assert content(out) == content(fresh_dir)
