@@ -157,34 +157,59 @@ class TestAssembleConversations:
                 "ts": pa.array(rows["ts"], pa.timestamp("us")),
             }
         )
+        import time as _time
+
         src = f"{stream_dirs}/asm_src"
         os.makedirs(src, exist_ok=True)
-        # two files -> two micro-batches: batch 1 ingests the old conv,
-        # batch 2 advances the watermark past its timeout so it emits
-        # (event-time timeouts fire on a LATER batch than the data)
+        # two files, mtime-ordered -> two micro-batches: batch 1 ingests
+        # the old conv, batch 2 advances the watermark past its timeout
+        # (event-time timeouts fire on a LATER batch than the data; the
+        # file source orders by modification time, so the sleep makes
+        # the batch order deterministic)
         pq.write_table(tbl.slice(0, 3), f"{src}/f0.parquet")
+        _time.sleep(1.1)
         pq.write_table(tbl.slice(3), f"{src}/f1.parquet")
 
+        ckpt = f"{stream_dirs}/asm_ckpt"
         schema = spark.read.parquet(src).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        out = assemble_conversations(
-            stream, gap_seconds=1800, watermark="2 hours"
-        )
-        q = (
-            out.writeStream.format("memory")
-            .queryName("assembled")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        got = spark.sql("select * from assembled").collect()
-        # final watermark = max_ts - 2h = base+10h; old's timeout fires
-        # at base+2h+30min < watermark; fresh's at base+12h30 > watermark
+
+        def run_stream(name):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = assemble_conversations(
+                stream, gap_seconds=1800, watermark="2 hours"
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.sql(f"select * from {name}").collect()
+
+        got = run_stream("assembled_1")
+        if not got:
+            # whether availableNow runs a final no-data micro-batch to
+            # fire eligible timeouts varies; feed one ticker file and
+            # resume from the checkpoint — the extra data batch fires
+            # them deterministically (ticker itself stays in state:
+            # its own timeout is beyond the final watermark)
+            _time.sleep(1.1)
+            ticker = tbl.slice(3, 1).set_column(
+                0, "conv_id", pa.array(["ticker"], pa.string())
+            ).set_column(
+                5, "ts", pa.array([base + 13 * hour], pa.timestamp("us"))
+            )
+            pq.write_table(ticker, f"{src}/f2.parquet")
+            got = run_stream("assembled_2")
+        # final watermark >= base+10h; old's timeout fires at
+        # base+2h+30min < watermark; fresh's at base+12h30 does not
         assert [r["conv_id"] for r in got] == ["old"]
         r = got[0]
         assert r["n_turns"] == 3
