@@ -839,18 +839,26 @@ def q_bm25_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("turn_idx"),
         F.col("text"),
     )
+    import shutil
+
     out = tempfile.mkdtemp(prefix="gate_engine_idx_")
-    build_packed_index(
-        spark, transcripts, out, range_bits=8, with_positions=False,
-        stem=False,
-    )
-    pidx = PackedIndex(spark, out)
-    # 60 exact-score winners >> the 20 reported: the rounded-order
-    # cutoff at rank 20 cannot reach past rank 60 unless >40 docs share
-    # one rounded score (no exact-duplicate docs in the sf tables)
-    top = bm25_topk_wand(
-        spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60
-    )
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        # 60 exact-score winners >> the 20 reported: the rounded-order
+        # cutoff at rank 20 cannot reach past rank 60 unless >40 docs
+        # share one rounded score (no exact-duplicate docs in the sf
+        # tables)
+        top = bm25_topk_wand(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60
+        )
+    finally:
+        # safe to remove before the caller materializes: bm25_topk_wand
+        # collects during the call and returns a driver-local DataFrame
+        shutil.rmtree(out, ignore_errors=True)
     return (
         top.select(
             F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),

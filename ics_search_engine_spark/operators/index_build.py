@@ -23,7 +23,8 @@ Scale notes (100 TB / 10^12 turns):
 * head terms (stop words are indexed!) produce posting lists ≫ executor
   memory if collected naively — the packed-index writer shards a term's
   postings into bounded sub-shards BEFORE collect_list (see
-  ``build_packed_index`` below and operators/skew.py).
+  ``build_packed_index`` and the shard geometry in
+  operators/packed_index.py).
 """
 
 from __future__ import annotations

@@ -115,7 +115,13 @@ def _pack_sorted(
             payloads = pack_postings_batched(
                 ords, tfs, dls, list(poss) if wp else None, starts, ends
             )
-            tfn = _tfn(tfs, dls, avgdl)
+            # reduce over the EMITTED range only: the batch arrays still
+            # contain the held-back carry rows past ends[-1], and
+            # reduceat's last segment otherwise runs to the end of the
+            # array, inflating the final group's max_tfn with the next
+            # group's values
+            lim = int(ends[-1])
+            tfn = _tfn(tfs[:lim], dls[:lim], avgdl)
             gmax = np.maximum.reduceat(tfn, starts)
             return pd.DataFrame(
                 {
@@ -332,7 +338,11 @@ class PackedIndex:
     # analog of a doc-store point read at 10^12 scale
     DRIVER_DOCMAP_MAX_ROWS = 2_000_000
 
-    def cache(self, driver_meta: bool | None = None) -> "PackedIndex":
+    def cache(
+        self,
+        driver_meta: bool | None = None,
+        driver_docmap: bool | None = None,
+    ) -> "PackedIndex":
         """Pin the hot query-path state: index and docmap blocks on
         executors; when the vocabulary is small enough, term stats AND
         block-max shard metadata on the driver too (they scale with
@@ -348,7 +358,9 @@ class PackedIndex:
         self.docmap = self.docmap.cache()
         n_meta_rows = self.index.count()
         self.docmap.count()
-        if self.n_docs <= self.DRIVER_DOCMAP_MAX_ROWS:
+        if driver_docmap is None:
+            driver_docmap = self.n_docs <= self.DRIVER_DOCMAP_MAX_ROWS
+        if driver_docmap:
             self._docmap_local = {
                 r["doc_ord"]: (r["conv_id"], r["turn_idx"])
                 for r in self.docmap.select(

@@ -157,17 +157,25 @@ def bm25_topk_multi(
     scores every query against the shard's decoded postings — shards
     are doc-range-aligned, so each shard independently produces its
     per-query local top-k (see score_shards_topk for the geometry
-    argument).  The per-(query, shard) winners — |queries| x k rows per
-    shard — merge per query in a tiny final aggregation.  No
+    argument).  The per-(query, shard) winners — at most |queries| x k
+    rows per shard — then merge DISTRIBUTED: row_number() partitioned
+    by query_id over the winner union (one small shuffle of
+    ≤ |queries| x k x touched-shards rows), and docIDs resolve via a
+    broadcast join against the docmap.  The driver never holds more
+    than the final |queries| x k rows — at 10^12 docs (~240k ranges) a
+    driver-side merge of per-shard winners would be tens of millions of
+    rows per 100-query batch; this path keeps that in the cluster.  No
     per-posting shuffle, no row_number over a query's whole match set.
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import Window
 
     from ics_search_engine_spark.functions.codec import unpack_postings
     from ics_search_engine_spark.operators.packed_index import _tfn
     from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
 
+    do_stem = pidx.stats.get("stem", True)
     empty = spark.createDataFrame(
         [],
         "query_id string, conv_id string, turn_idx int, score double, rank int",
@@ -175,11 +183,11 @@ def bm25_topk_multi(
     q_weights: dict[str, list[tuple[str, float]]] = {}
     all_terms: set[str] = set()
     for qid, qtext in queries.items():
-        q_terms = sorted(set(_tok(qtext, for_query=True)))
+        q_terms = sorted(set(_tok(qtext, for_query=True, do_stem=do_stem)))
         if not q_terms:
             continue
         term_df = pidx.df_for_terms(q_terms)
-        w = query_weights(qtext, term_df, pidx.n_docs)
+        w = query_weights(qtext, term_df, pidx.n_docs, do_stem=do_stem)
         if w:
             q_weights[qid] = sorted(w.items())
             all_terms.update(w)
@@ -222,41 +230,26 @@ def bm25_topk_multi(
         )
 
     matched = pidx.index.filter(F.col("term").isin(sorted(all_terms)))
-    shard_rows = (
+    winners = (
         matched.select("term", "shard_id", "payload")
         .groupBy("shard_id")
         .applyInPandas(score_group, "query_id string, doc_ord long, score double")
-        .collect()
     )
-    per_q: dict[str, list] = {}
-    for r in shard_rows:
-        per_q.setdefault(r["query_id"], []).append(r)
-    out_rows = []
-    resolve = pidx._docmap_local
-    need_lookup: list[int] = []
-    for qid, rows in sorted(per_q.items()):
-        rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
-        for rank, r in enumerate(rows[:k], start=1):
-            out_rows.append(
-                [qid, int(r["doc_ord"]), float(r["score"]), rank]
-            )
-            if resolve is None:
-                need_lookup.append(int(r["doc_ord"]))
-    if resolve is None:
-        resolve = {
-            r["doc_ord"]: (r["conv_id"], r["turn_idx"])
-            for r in pidx.docmap.filter(
-                F.col("doc_ord").isin(sorted(set(need_lookup)))
-            ).select("doc_ord", "conv_id", "turn_idx").collect()
-        }
-    final = [
-        (qid, *resolve[o], s, rank) for qid, o, s, rank in out_rows
-    ]
-    if not final:
-        return empty
-    return spark.createDataFrame(
-        final,
-        "query_id string, conv_id string, turn_idx int, score double, rank int",
+    # distributed per-query merge: each shard contributed ≤ k rows per
+    # query, so this window shuffles ≤ |queries| x k x shards rows —
+    # never a query's whole match set
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_ord")
+    )
+    topk = winners.withColumn(
+        "rank", F.row_number().over(rank_w)
+    ).filter(F.col("rank") <= k)
+    # resolve the ≤ |queries| x k winners against the docmap with a
+    # broadcast join (the doc-store point-read pattern, distributed)
+    return (
+        pidx.docmap.join(F.broadcast(topk), "doc_ord")
+        .select("query_id", "conv_id", "turn_idx", "score", "rank")
+        .orderBy("query_id", "rank")
     )
 
 
@@ -273,14 +266,15 @@ def bm25_topk_packed(spark: SparkSession, pidx, query: str, k: int = 10
     from ics_search_engine_spark.operators.packed_index import decode_matched
     from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
 
-    q_terms = sorted(set(_tok(query, for_query=True)))
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(_tok(query, for_query=True, do_stem=do_stem)))
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
     )
     if not q_terms:
         return empty
     term_df = pidx.df_for_terms(q_terms)
-    weights = query_weights(query, term_df, pidx.n_docs)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
     if not weights:
         return empty
 

@@ -43,7 +43,6 @@ from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
     decode_matched,
     pack_shards,
-    score_shards_topk,
 )
 from ics_search_engine_spark.operators.query import query_weights
 from ics_search_engine_spark.textproc.tokenizer import tokenize
@@ -75,11 +74,25 @@ class SegmentedIndex:
         return self
 
     def df_for_terms(self, terms: list[str]) -> dict[str, int]:
-        out: dict[str, int] = {}
+        if not terms:
+            return {}
+        # cached segments answer from driver-resident maps — zero jobs
+        if all(s._term_df_map is not None for s in self.segments):
+            out: dict[str, int] = {}
+            for s in self.segments:
+                for t, df in s.df_for_terms(terms).items():
+                    out[t] = out.get(t, 0) + df
+            return out
+        # otherwise ONE pushed-down job over the term_stats union —
+        # never a collect per segment
+        u = None
         for s in self.segments:
-            for t, df in s.df_for_terms(terms).items():
-                out[t] = out.get(t, 0) + df
-        return out
+            t = s.term_stats.filter(F.col("term").isin(terms))
+            u = t if u is None else u.unionByName(t)
+        return {
+            r["term"]: int(r["df"])
+            for r in u.groupBy("term").agg(F.sum("df").alias("df")).collect()
+        }
 
 
 def bm25_topk_segmented(
@@ -92,14 +105,31 @@ def bm25_topk_segmented(
     """Top-k BM25 across all segments → (conv_id, turn_idx, score),
     bit-identical to querying one index built over the union (tested).
 
+    ONE Spark job regardless of segment count (tested): matched index
+    rows from every segment union into a single plan tagged with the
+    segment ordinal; scoring is segment-local by construction (doc_ord
+    spaces are per-segment), so ONE applyInPandas grouped by
+    (seg, shard_id) produces every shard's local top candidates, docIDs
+    resolve through a broadcast join against the tagged docmap union,
+    and the global merge is Spark's TakeOrderedAndProject.  The driver
+    never loops over segments at query time and never holds candidate
+    rows — per-query latency does not grow a Spark-job per segment (the
+    pre-compaction LSM tax is now just extra matched rows in one scan).
+
     ``deletes``: tombstoned docIDs, filtered out of the results
-    EXACTLY — each segment over-fetches k + |deletes| candidates, so
+    EXACTLY — each shard over-fetches k + |deletes| candidates, so
     even if every tombstone outranked the true top-k the final k
     survivors are correct.  Like Lucene, BM25 stats (N, avgdl, df)
     stay pre-delete until a compaction applies tombstones physically
     (``compact_segments(deletes=...)``), after which the index is
     byte-identical to one never containing the deleted docs (tested).
     """
+    import numpy as np
+    import pandas as pd
+
+    from ics_search_engine_spark.functions.codec import unpack_postings
+    from ics_search_engine_spark.operators.packed_index import _tfn
+
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
     )
@@ -112,39 +142,67 @@ def bm25_topk_segmented(
         return empty
 
     fetch = k + (len(deletes) if deletes else 0)
-    resolved: list[tuple[str, int, float]] = []
-    for seg in sidx.segments:
-        matched = seg.index.filter(F.col("term").isin(q_terms))
-        rows = score_shards_topk(
-            matched, weights, sidx.avgdl, fetch, seg.stats["range_bits"]
-        ).collect()
-        rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
-        rows = rows[:fetch]
-        if not rows:
-            continue
-        if seg._docmap_local is not None:
-            dm = seg._docmap_local
-        else:
-            ords = [int(r["doc_ord"]) for r in rows]
-            dm = {
-                r["doc_ord"]: (r["conv_id"], r["turn_idx"])
-                for r in seg.docmap.filter(
-                    F.col("doc_ord").isin(ords)
-                ).select("doc_ord", "conv_id", "turn_idx").collect()
-            }
-        for r in rows:
-            cid, tix = dm[int(r["doc_ord"])]
-            if deletes and (cid, tix) in deletes:
-                continue
-            resolved.append((cid, tix, float(r["score"])))
+    avgdl = sidx.avgdl
+    wts = sorted(weights.items())
+    # range_bits may differ per segment (pre-compaction mixtures)
+    rbs = {i: int(s.stats["range_bits"]) for i, s in enumerate(sidx.segments)}
 
-    if not resolved:
-        return empty
-    # exact-score ties across segments break on docID, like the oracle
-    resolved.sort(key=lambda t: (-t[2], t[0], t[1]))
-    return spark.createDataFrame(
-        resolved[:k], "conv_id string, turn_idx int, score double"
+    matched = None
+    for i, seg in enumerate(sidx.segments):
+        m = seg.index.filter(F.col("term").isin(q_terms)).select(
+            F.lit(i).alias("seg"), "term", "shard_id", "payload"
+        )
+        matched = m if matched is None else matched.unionByName(m)
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        rb = rbs[seg]
+        size = 1 << rb
+        base = int(pdf["shard_id"].iloc[0]) << rb
+        by_term = dict(zip(pdf["term"], pdf["payload"]))
+        scores = np.zeros(size, dtype=np.float64)
+        touched = np.zeros(size, dtype=bool)
+        for t, w in wts:  # ascending term order -> oracle bit-parity
+            pl = by_term.get(t)
+            if pl is None:
+                continue
+            d, tf, dl, _ = unpack_postings(bytes(pl), with_positions=False)
+            idx = d.astype(np.int64) - base
+            scores[idx] += w * _tfn(tf, dl, avgdl)
+            touched[idx] = True
+        ti = np.flatnonzero(touched)
+        if ti.size == 0:
+            return pd.DataFrame({"seg": [], "doc_ord": [], "score": []}).astype(
+                {"seg": np.int32, "doc_ord": np.int64, "score": np.float64}
+            )
+        order = np.lexsort((ti, -scores[ti]))[:fetch]
+        sel = ti[order]
+        return pd.DataFrame(
+            {"seg": np.int32(seg), "doc_ord": sel + base, "score": scores[sel]}
+        )
+
+    winners = matched.groupBy("seg", "shard_id").applyInPandas(
+        score_group, "seg int, doc_ord long, score double"
     )
+
+    dm_union = None
+    for i, seg in enumerate(sidx.segments):
+        d = seg.docmap.select(
+            F.lit(i).alias("seg"), "doc_ord", "conv_id", "turn_idx"
+        )
+        dm_union = d if dm_union is None else dm_union.unionByName(d)
+    resolved = dm_union.join(F.broadcast(winners), ["seg", "doc_ord"]).select(
+        "conv_id", "turn_idx", "score"
+    )
+    if deletes:
+        del_df = spark.createDataFrame(
+            sorted(deletes), "conv_id string, turn_idx int"
+        )
+        resolved = resolved.join(F.broadcast(del_df), DOC_KEY, "left_anti")
+    # exact-score ties across segments break on docID, like the oracle
+    return resolved.orderBy(
+        F.desc("score"), "conv_id", "turn_idx"
+    ).limit(k)
 
 
 def compact_segments(

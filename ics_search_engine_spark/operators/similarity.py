@@ -115,14 +115,24 @@ def cosine_topk_lsh(
 def ivf_centroids(
     emb: DataFrame, n_cells: int = 16, iters: int = 3, seed: int = 42,
     vec_col: str = "embedding", sample_fraction: float | None = None,
+    max_fit_rows: int = 1_000_000,
 ) -> np.ndarray:
-    """Seeded Lloyd iterations on a (optionally sampled) driver-side
-    batch.  Centroid learning is a bounded-size model fit — sampling is
-    the scale path (10^12 rows → fit on ~1M sample), assignment stays
-    distributed."""
+    """Seeded Lloyd iterations on a bounded driver-side sample.
+
+    Centroid learning is a bounded-size model fit; assignment stays
+    distributed.  The driver-side collect is capped UNCONDITIONALLY at
+    ``max_fit_rows`` (a 10^12-row table fits on ~1M sampled vectors) —
+    callers no longer have to remember to pass ``sample_fraction`` for
+    the fit to be scale-safe; passing it still pre-thins the sample."""
     df = emb.select(vec_col)
     if sample_fraction:
         df = df.sample(fraction=sample_fraction, seed=seed)
+    n = df.count()
+    if n > max_fit_rows:
+        # slight over-sample, then hard-cap: sample() is Bernoulli and
+        # only approximately hits the fraction
+        df = df.sample(fraction=min(1.0, 1.05 * max_fit_rows / n), seed=seed)
+        df = df.limit(max_fit_rows)
     X = np.array([r[0] for r in df.collect()], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]

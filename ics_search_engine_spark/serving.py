@@ -76,11 +76,12 @@ class LocalIndexServer:
         """Top-k → [(conv_id, turn_idx, score)], bit-identical to the
         Spark paths and oracle.search (same weights, same tfn order,
         same ascending-term accumulation, same tie-break)."""
-        q_terms = sorted(set(tokenize(query, for_query=True)))
+        do_stem = self.stats.get("stem", True)
+        q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
         if not q_terms:
             return []
         term_df = {t: int(self.df[t]) for t in q_terms if t in self.df}
-        weights = query_weights(query, term_df, self.n_docs)
+        weights = query_weights(query, term_df, self.n_docs, do_stem=do_stem)
         if not weights:
             return []
         avgdl = self.stats["avgdl"]

@@ -114,6 +114,34 @@ class TestIndexStructure:
             assert got == want, term
 
 
+class TestBatchBoundaryInvariance:
+    def test_max_tfn_independent_of_arrow_batching(
+        self, spark, small_df, corpus_dir, pidx
+    ):
+        """Regression: the block-max metadata of the last group in each
+        Arrow batch must not absorb the carried next group's values —
+        packing with tiny batches must produce IDENTICAL index rows
+        (payload bytes AND max_tfn) to the default batching."""
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        out = f"{corpus_dir}/packed_index_tinybatch"
+        try:
+            spark.conf.set(key, "64")
+            build_packed_index(spark, small_df, out, range_bits=9)
+        finally:
+            spark.conf.set(key, old)
+
+        def content(df):
+            return sorted(
+                (r["term"], r["shard_id"], r["n_postings"], r["max_tfn"],
+                 bytes(r["payload"]).hex())
+                for r in df.collect()
+            )
+
+        tiny = content(PackedIndex(spark, out).index)
+        assert tiny == content(pidx.index)
+
+
 class TestPackedQueryParity:
     @pytest.mark.parametrize("qid", sorted(REFERENCE_QUERIES))
     def test_packed_topk_identical_to_oracle(self, qid, spark, pidx, oracle_idx):
@@ -142,6 +170,26 @@ class TestMultiQuery:
             expected = oracle.search(oracle_idx, qtext, k=K)
             got = sorted(by_q.get(qid, []))
             assert [(c, t, s) for _, c, t, s in got] == expected, qid
+
+    def test_multi_merge_is_distributed(self, spark, pidx):
+        """The batched path must NOT merge winners on the driver: the
+        returned DataFrame is the live distributed plan (shard scoring
+        via FlatMapGroupsInPandas + per-query window merge + docmap
+        join), and it carries at most |queries| x k rows."""
+        from ics_search_engine_spark.operators.query import bm25_topk_multi
+
+        df = bm25_topk_multi(spark, pidx, REFERENCE_QUERIES, k=K)
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        # a driver-side merge would re-create the result as a local
+        # relation — neither operator below would appear
+        assert "FlatMapGroupsInPandas" in plan
+        assert "Window" in plan
+        assert "LocalTableScan" not in plan
+        assert df.count() <= len(REFERENCE_QUERIES) * K
 
     def test_cache_does_not_change_results(self, spark, index_dir, oracle_idx):
         pidx2 = PackedIndex(spark, index_dir).cache()

@@ -56,6 +56,45 @@ def test_segmented_query_equals_full_build(qid, spark, setup, small_rows):
     assert seg == [tuple(x) for x in oracle.search(oidx, query, k=10)], qid
 
 
+def test_segmented_query_is_one_job_regardless_of_segment_count(
+    spark, setup
+):
+    """The query must not run a Spark job per segment: all segments
+    score inside ONE FlatMapGroupsInPandas over the tagged union, and
+    the Spark-job count of a 3-segment query equals that of a 1-segment
+    query (job structure independent of segment fan-out)."""
+    import uuid
+
+    full_dir, seg_dirs = setup
+
+    def plan_of(sidx):
+        df = bm25_topk_segmented(spark, sidx, "machine learning", k=5)
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    plan3 = plan_of(SegmentedIndex(spark, seg_dirs))
+    # formatted mode shows each node once in the tree and once in the
+    # detail section — one scoring operator prints as two mentions
+    assert plan3.count("FlatMapGroupsInPandas") == 2, plan3
+    assert "LocalTableScan" not in plan3
+
+    def jobs_for(paths):
+        sidx = SegmentedIndex(spark, paths)
+        sc = spark.sparkContext
+        group = f"segjob-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, "seg job count")
+        try:
+            bm25_topk_segmented(spark, sidx, "machine learning", k=5).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    assert jobs_for(seg_dirs) == jobs_for(seg_dirs[:1])
+
+
 def test_compaction_is_byte_identical_to_full_build(spark, setup, small_df):
     """compact_segments (decode → re-ordinal → repack, no re-tokenize)
     must reproduce the fresh full build EXACTLY: same stats, same index
@@ -77,7 +116,7 @@ def test_compaction_is_byte_identical_to_full_build(spark, setup, small_df):
     def content(path):
         rows = spark.read.parquet(f"{path}/index").collect()
         return sorted(
-            (r["term"], r["shard_id"], r["n_postings"],
+            (r["term"], r["shard_id"], r["n_postings"], r["max_tfn"],
              bytes(r["payload"]).hex())
             for r in rows
         )
@@ -146,7 +185,7 @@ def test_compaction_with_deletes_equals_build_without_docs(
     def content(path):
         rows = spark.read.parquet(f"{path}/index").collect()
         return sorted(
-            (r["term"], r["shard_id"], r["n_postings"],
+            (r["term"], r["shard_id"], r["n_postings"], r["max_tfn"],
              bytes(r["payload"]).hex())
             for r in rows
         )
