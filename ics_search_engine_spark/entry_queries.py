@@ -894,6 +894,132 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_phrase_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search THROUGH the packed index: build a
+    stem-free positional index (tokenize → positions → doc-range shards
+    → delta+varint pack including the positions section), then run the
+    packed phrase operator (operators/phrase.phrase_topk: decode
+    positions for the phrase's terms only, pure-array intersection).
+    The oracle recomputes adjacency relationally — the engine must
+    reproduce it from its packed positional payloads."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.phrase import phrase_topk
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_phrase_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        # match_count is an exact integer — no rounded-boundary overfetch
+        # needed; ties at the k-th count break on doc_id in both engines
+        rows = phrase_topk(spark, pidx, "batch batch", k=20).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), int(m)) for c, _, m in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, match_count int"
+    )
+
+
+_SQL_PHRASE_ENGINE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks)),
+             i -> toks[i] = 'batch' AND toks[i+1] = 'batch'))::INT AS match_count
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id, match_count FROM m WHERE match_count > 0
+ORDER BY match_count DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_blend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ASSEMBLED ranking blend (F9,
+    /root/reference/search.py:183-190) under the DuckDB gate: stem-free
+    tf-idf accumulation + the degenerate cosine + term-match boost,
+    with the missing-link_scores fallback (auth/hub/pagerank = 0,
+    search.py:73-81) since the documents table has no link graph.
+    Scores compare rounded to 6 decimals; ordering is by the ROUNDED
+    score in both engines so the top-20 boundary agrees."""
+    from ics_search_engine_spark.operators.blend import (
+        build_blend_index,
+        search_blend,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("url"),
+        "text",
+        F.expr(
+            "cast(array() as array<struct<text:string,weight:double>>)"
+        ).alias("important"),
+        F.expr("cast(array() as array<string>)").alias("outgoing_links"),
+    )
+    bidx = build_blend_index(spark, pages, with_links=False, stem=False)
+    top = search_blend(
+        spark, bidx, " ".join(DOCS_QUERY_TERMS), max_results=60
+    )
+    return (
+        top.select(
+            F.substring("url", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("blend_r6"),
+        )
+        .orderBy(F.desc("blend_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# the blend transcribed relationally: per-term weight qtf^2/len = 1/4
+# (each of the 4 query terms appears once), sum_qtf_matched = m,
+# ||q|| = 2; cosine collapses to (s*m)/(2*s*sqrt(m)) for s>0
+_SQL_BLEND = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+perdoc AS (
+  SELECT p.doc_id,
+         sum((CASE WHEN p.dl = 0 THEN 0.0 ELSE p.tf / p.dl::DOUBLE END)
+             * log10(n.n / d.df) * 0.25) AS s,
+         count(*) AS m
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN n
+  GROUP BY p.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         0.2 * s
+         + 0.2 * (CASE WHEN s > 0
+                       THEN (s * m) / (2.0 * (s * sqrt(m::DOUBLE)))
+                       ELSE 0.0 END)
+         + 0.6 * (m / 4.0) AS blend
+  FROM perdoc
+)
+SELECT doc_id, round(blend, 6) AS blend_r6
+FROM scored ORDER BY blend_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -916,6 +1042,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "bm25_engine_packed": q_bm25_engine_packed,
+    "phrase_engine_packed": q_phrase_engine_packed,
+    "blend_rank": q_blend_rank,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -938,4 +1066,6 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD_PAIRS,
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
     "bm25_engine_packed": _SQL_BM25_ENGINE,
+    "phrase_engine_packed": _SQL_PHRASE_ENGINE,
+    "blend_rank": _SQL_BLEND,
 }

@@ -34,13 +34,15 @@ from ics_search_engine_spark.operators.packed_index import (
 from ics_search_engine_spark.textproc.tokenizer import STOP_WORDS
 
 
-def phrase_offsets(phrase: str) -> list[tuple[str, int]]:
+def phrase_offsets(phrase: str, do_stem: bool = True) -> list[tuple[str, int]]:
     """Searchable query terms with their offsets in the INDEX-mode
     token sequence of the phrase.  Index positions count every indexed
     body token (stop words included), so 'master of science' →
     [('master', 0), ('scienc', 2)]: 'of' occupies position 1 in a
     matching document but is not itself searchable (query-mode drops
-    it, /root/reference/utils/tokenizer.py:28-29)."""
+    it, /root/reference/utils/tokenizer.py:28-29).  ``do_stem=False``
+    matches a stem-free index (same rule order: the length-1 drop
+    applies to the (non-)stemmed form)."""
     import re
 
     from ics_search_engine_spark.textproc.porter import stem
@@ -48,7 +50,7 @@ def phrase_offsets(phrase: str) -> list[tuple[str, int]]:
     out = []
     pos = 0
     for raw in re.findall(r"[a-z0-9]+", (phrase or "").lower()):
-        stemmed = stem(raw)
+        stemmed = stem(raw) if do_stem else raw
         if len(stemmed) == 1:
             continue  # not indexed → occupies no position
         if raw not in STOP_WORDS:
@@ -67,7 +69,8 @@ def phrase_topk(
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, match_count int"
     )
-    terms_offsets = phrase_offsets(phrase)
+    do_stem = pidx.stats.get("stem", True)
+    terms_offsets = phrase_offsets(phrase, do_stem=do_stem)
     if not terms_offsets:
         return empty
     base_off = terms_offsets[0][1]
