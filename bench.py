@@ -113,6 +113,23 @@ def main() -> None:
         ltimes.sort()
         serve_p50 = ltimes[len(ltimes) // 2]
 
+        # block-max WAND serve path: identical results (invariant-
+        # tested), skips decoding doc ranges that cannot reach the
+        # k-th score — report latency + measured prune fraction
+        wtimes, scored, pruned = [], 0, 0
+        srv.search("warm up query", k=10, use_wand=True)
+        for name, q in BENCH_QUERIES.items():
+            st: dict = {}
+            t0 = time.time()
+            srv.search(q, k=10, use_wand=True, stats=st)
+            dt = time.time() - t0
+            timings[f"wand_{name}"] = round(dt, 4)
+            wtimes.append(dt)
+            scored += st.get("scored", 0)
+            pruned += st.get("pruned", 0)
+        wtimes.sort()
+        wand_p50 = wtimes[len(wtimes) // 2]
+
         total = build_s + sum(qtimes)
         print(
             json.dumps(
@@ -127,6 +144,9 @@ def main() -> None:
                         "build_turns_per_sec": round(n_turns / build_s, 1),
                         "query_p50_sec": round(p50, 3),
                         "serve_p50_sec": round(serve_p50, 4),
+                        "serve_wand_p50_sec": round(wand_p50, 4),
+                        "wand_pruned_ranges": pruned,
+                        "wand_scored_ranges": scored,
                         "cpus": int(cpus),
                     },
                 }

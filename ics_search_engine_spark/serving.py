@@ -17,12 +17,20 @@ above (each node loads `index` files whose term-hash range it owns).
 In-sandbox it doubles as the low-latency path the bench reports
 alongside the distributed-query numbers.
 
-Scoring here is exhaustive over the matched terms' shards (decode is
-numpy-vectorized; single-digit-ms at serving-shard sizes).  The
-per-shard max_tfn metadata is loaded and available for a MaxScore-
-style skip if a deployment needs it; it is left off by default so the
-accumulation order — and therefore every float bit — matches the
-oracle and the Spark paths unconditionally.
+Scoring is exhaustive over the matched terms' shards by default
+(decode is numpy-vectorized; single-digit-ms at serving-shard sizes).
+``search(..., use_wand=True)`` switches on BLOCK-MAX WAND pruning over
+the per-shard max_tfn metadata: shards are doc-range-aligned across
+terms (operators/packed_index.py), so every document's full score
+lives in one shard — the server scores shards in descending
+upper-bound order and SKIPS (never decodes) any shard whose
+ub = Σ_t w_t·max_tfn(t, shard) falls strictly below the running k-th
+score.  Results are bit-identical to the exhaustive path (tested):
+per-doc accumulation still folds terms in ascending order inside the
+shard, and a skipped shard provably contains no top-k document
+(score(d) ≤ ub < θ).  This is the same pruning geometry the
+distributed path uses (operators/wand.py); serving is where it shows
+as wall-clock, because no Spark job overhead hides the decode cost.
 """
 
 from __future__ import annotations
@@ -71,11 +79,20 @@ class LocalIndexServer:
     def n_docs(self) -> int:
         return self.stats["n_docs"]
 
-    def search(self, query: str, k: int = 10
-               ) -> list[tuple[str, int, float]]:
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        use_wand: bool = False,
+        stats: dict | None = None,
+    ) -> list[tuple[str, int, float]]:
         """Top-k → [(conv_id, turn_idx, score)], bit-identical to the
         Spark paths and oracle.search (same weights, same tfn order,
-        same ascending-term accumulation, same tie-break)."""
+        same ascending-term accumulation, same tie-break).
+
+        ``use_wand=True`` enables block-max shard pruning (see module
+        docstring) — identical results, fewer decoded payload bytes;
+        ``stats`` (if a dict) receives pruning counters."""
         do_stem = self.stats.get("stem", True)
         q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
         if not q_terms:
@@ -84,13 +101,13 @@ class LocalIndexServer:
         weights = query_weights(query, term_df, self.n_docs, do_stem=do_stem)
         if not weights:
             return []
-        avgdl = self.stats["avgdl"]
+        if use_wand:
+            return self._search_wand(weights, k, stats)
 
+        avgdl = self.stats["avgdl"]
         scores = np.zeros(self.n_docs, dtype=np.float64)
         touched = np.zeros(self.n_docs, dtype=bool)
         # CRITICAL for bit-identity: accumulate in ascending term order
-        # (the skip decision below never changes addition order, only
-        # skips shards that cannot affect the top-k)
         for t in sorted(weights):
             w = weights[t]
             for _shard, _maxtfn, payload in self.postings.get(t, ()):
@@ -98,12 +115,7 @@ class LocalIndexServer:
                     bytes(payload), with_positions=False
                 )
                 idx = d.astype(np.int64)
-                tfd = tf.astype(np.float64)
-                dld = dl.astype(np.float64)
-                tfn = tfd * (K1 + 1.0) / (
-                    tfd + K1 * ((1.0 - B) + (B * dld) / avgdl)
-                )
-                scores[idx] += w * tfn
+                scores[idx] += w * self._tfn(tf, dl, avgdl)
                 touched[idx] = True
         ti = np.flatnonzero(touched)
         if ti.size == 0:
@@ -113,4 +125,81 @@ class LocalIndexServer:
         return [
             (str(self._conv[i]), int(self._turn[i]), float(scores[i]))
             for i in sel
+        ]
+
+    @staticmethod
+    def _tfn(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+        tfd = tf.astype(np.float64)
+        dld = dl.astype(np.float64)
+        return tfd * (K1 + 1.0) / (
+            tfd + K1 * ((1.0 - B) + (B * dld) / avgdl)
+        )
+
+    def _search_wand(
+        self, weights: dict[str, float], k: int, stats: dict | None
+    ) -> list[tuple[str, int, float]]:
+        """Block-max WAND over doc-range shards: score shards in
+        descending ub order, skip every shard whose ub < current k-th
+        score.  Pruning on strict < only — a shard with ub == θ could
+        still tie the k-th score and win the doc_ord tie-break.  Per-doc
+        sums fold terms ascending INSIDE the shard, so each document's
+        float score is bit-identical to the exhaustive path."""
+        import heapq
+
+        avgdl = self.stats["avgdl"]
+        range_bits = int(self.stats["range_bits"])
+        # shard -> [(term, w, max_tfn, payload)] in ascending term order
+        by_shard: dict[int, list] = {}
+        for t in sorted(weights):
+            w = weights[t]
+            for shard, max_tfn, payload in self.postings.get(t, ()):
+                by_shard.setdefault(int(shard), []).append(
+                    (t, w, max_tfn, payload)
+                )
+        ubs = {
+            s: sum(w * m for _, w, m, _ in rows)
+            for s, rows in by_shard.items()
+        }
+        order = sorted(ubs, key=lambda s: (-ubs[s], s))
+
+        # min-heap of (score, -doc_ord): heap[0] is the CURRENT k-th
+        # result (worst kept); θ = heap[0][0]
+        heap: list[tuple[float, int]] = []
+        size = 1 << range_bits
+        local = np.zeros(size, dtype=np.float64)
+        n_scored = n_pruned = 0
+        for s in order:
+            if len(heap) >= k and ubs[s] < heap[0][0]:
+                n_pruned += 1
+                continue  # no doc here can beat (or tie) the k-th
+            n_scored += 1
+            base = s << range_bits
+            local[:] = 0.0
+            touched = np.zeros(size, dtype=bool)
+            for _t, w, _m, payload in by_shard[s]:  # ascending term order
+                d, tf, dl, _ = unpack_postings(
+                    bytes(payload), with_positions=False
+                )
+                idx = d.astype(np.int64) - base
+                local[idx] += w * self._tfn(tf, dl, avgdl)
+                touched[idx] = True
+            ti = np.flatnonzero(touched)
+            if len(heap) >= k:
+                # vectorized pre-filter: a candidate below θ can never
+                # enter; == θ stays (doc_ord tie-break)
+                ti = ti[local[ti] >= heap[0][0]]
+            for i in ti:
+                cand = (float(local[i]), -(base + int(i)))
+                if len(heap) < k:
+                    heapq.heappush(heap, cand)
+                elif cand > heap[0]:
+                    heapq.heapreplace(heap, cand)
+        if stats is not None:
+            stats.update(
+                n_ranges=len(order), scored=n_scored, pruned=n_pruned
+            )
+        winners = sorted(heap, key=lambda c: (-c[0], -c[1]))
+        return [
+            (str(self._conv[-nd]), int(self._turn[-nd]), sc)
+            for sc, nd in winners
         ]

@@ -133,3 +133,27 @@ def test_local_serving_equals_oracle_and_spark(spark, pidx, oracle_idx):
             tuple(r) for r in bm25_topk_wand(spark, pidx, query, k=10).collect()
         ]
         assert local == via_wand, qid
+
+
+def test_serving_wand_identical_and_prunes(spark, pidx, oracle_idx):
+    """Serving-tier block-max WAND: bit-identical results to the
+    exhaustive serve path on every reference query, and on a rare+head
+    query it must actually SKIP shards (the rare term pins θ high;
+    head-term-only doc ranges fall below it)."""
+    from ics_search_engine_spark.serving import LocalIndexServer
+
+    srv = LocalIndexServer(pidx.path)
+    any_pruned = 0
+    for qid, query in sorted(REFERENCE_QUERIES.items()):
+        stats: dict = {}
+        wand = srv.search(query, k=3, use_wand=True, stats=stats)
+        exhaustive = srv.search(query, k=3)
+        assert wand == exhaustive, qid
+        if stats:  # empty for absent/all-stop-word queries (no weights)
+            assert stats["scored"] + stats["pruned"] == stats["n_ranges"], qid
+        any_pruned += stats.get("pruned", 0)
+        # k=10 as well (boundary behavior)
+        assert srv.search(query, k=10, use_wand=True) == srv.search(query, k=10), qid
+    # q5_rare pairs a planted rare term with common ones — the small-k
+    # pass must have pruned something across the query set
+    assert any_pruned > 0
