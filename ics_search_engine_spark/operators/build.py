@@ -40,6 +40,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
 
 from ics_search_engine_spark.operators import index_build as ib
+from ics_search_engine_spark.sources import catalog
 from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
 from ics_search_engine_spark.operators.index_build import DOC_KEY
 from ics_search_engine_spark.operators.packed_index import DEFAULT_RANGE_BITS
@@ -114,15 +115,19 @@ def resumable_build(
             posts = ib.postings(toks, with_positions=with_positions)
             posts_path = f"{out_dir}/postings/bucket={b}"
             obs_p = Observation(f"posts_{b}")
-            posts.observe(obs_p, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(posts_path)
+            catalog.write_table(
+                posts.observe(obs_p, F.count(F.lit(1)).alias("n")),
+                posts_path,
+            )
             t_posts = time.time() - t0
             dl_path = f"{out_dir}/doclens/bucket={b}"
             obs_d = Observation(f"docs_{b}")
-            toks.select(*DOC_KEY, "dl").observe(
-                obs_d, F.count(F.lit(1)).alias("n")
-            ).write.mode("overwrite").parquet(dl_path)
+            catalog.write_table(
+                toks.select(*DOC_KEY, "dl").observe(
+                    obs_d, F.count(F.lit(1)).alias("n")
+                ),
+                dl_path,
+            )
             n_docs_b = obs_d.get["n"]
             n_posts = obs_p.get["n"]
         finally:
@@ -141,12 +146,15 @@ def resumable_build(
     # ---- stage 2: docmap + stats (doc keys only — no text) -------------
     if stages.get("docmap", {}).get("done") is not True:
         t0 = time.time()
-        doclens = spark.read.parquet(f"{out_dir}/doclens")
+        doclens = catalog.read_table(spark, f"{out_dir}/doclens")
         dm = assign_doc_ordinals(doclens.select(*DOC_KEY, "dl"))
         obs = Observation("docmap")
-        dm.observe(
-            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).write.mode("overwrite").parquet(f"{out_dir}/docmap")
+        catalog.write_table(
+            dm.observe(
+                obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ),
+            f"{out_dir}/docmap",
+        )
         n_docs = obs.get["n"]
         sum_dl = int(obs.get["s"] or 0)
         avgdl = sum_dl / n_docs if n_docs else 0.0
@@ -172,8 +180,8 @@ def resumable_build(
         from ics_search_engine_spark.operators.packed_index import pack_shards
 
         t0 = time.time()
-        docmap = spark.read.parquet(f"{out_dir}/docmap")
-        posts = spark.read.parquet(f"{out_dir}/postings")
+        docmap = catalog.read_table(spark, f"{out_dir}/docmap")
+        posts = catalog.read_table(spark, f"{out_dir}/postings")
         # docmap is 1 row/doc vs ~dl rows/doc of postings.  Below ~4M
         # docs the (DOC_KEY, doc_ord) side fits a broadcast comfortably
         # and skips a full shuffle of the postings; beyond that Spark
@@ -193,25 +201,27 @@ def resumable_build(
         )
         packed = pack_shards(posts, avgdl, range_bits, with_positions, n_parts)
         obs = Observation("pack")
-        packed.observe(
-            obs,
-            F.count(F.lit(1)).alias("shards"),
-            F.sum("n_postings").alias("postings"),
-            F.sum(F.length("payload")).alias("payload_bytes"),
-        ).write.mode("overwrite").parquet(f"{out_dir}/index")
+        catalog.write_table(
+            packed.observe(
+                obs,
+                F.count(F.lit(1)).alias("shards"),
+                F.sum("n_postings").alias("postings"),
+                F.sum(F.length("payload")).alias("payload_bytes"),
+            ),
+            f"{out_dir}/index",
+        )
         t_pack_write = time.time() - t0
         # term_stats scans only (term, n_postings) — payload is pruned
-        index_df = spark.read.parquet(f"{out_dir}/index")
+        index_df = catalog.read_table(spark, f"{out_dir}/index")
         ts_parts = max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8, 4
         )
-        (
-            index_df.groupBy("term")
-            .agg(F.sum("n_postings").alias("df"))
-            .repartition(ts_parts, "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/term_stats")
+        catalog.write_table(
+            index_df.groupBy("term").agg(F.sum("n_postings").alias("df")),
+            f"{out_dir}/term_stats",
+            sort_cols=["term"],
+            hash_col="term",
+            n_partitions=ts_parts,
         )
         row = obs.get
         dt = time.time() - t0

@@ -44,6 +44,7 @@ from ics_search_engine_spark.functions.codec import (
     pack_postings_batched,
     unpack_postings,
 )
+from ics_search_engine_spark.sources import catalog
 from ics_search_engine_spark.operators import index_build as ib
 from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
 from ics_search_engine_spark.operators.index_build import DOC_KEY
@@ -218,10 +219,13 @@ def build_packed_index(
     try:
         docmap = assign_doc_ordinals(toks.select(*DOC_KEY, "dl"))
         obs = Observation("docmap")
-        docmap.observe(
-            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-        ).write.mode("overwrite").parquet(f"{out_dir}/docmap")
-        docmap = spark.read.parquet(f"{out_dir}/docmap")
+        catalog.write_table(
+            docmap.observe(
+                obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+            ),
+            f"{out_dir}/docmap",
+        )
+        docmap = catalog.read_table(spark, f"{out_dir}/docmap")
 
         n_docs = obs.get["n"]
         sum_dl = int(obs.get["sum_dl"] or 0)
@@ -271,22 +275,22 @@ def build_packed_index(
         packed = _pack_sorted(posts_sorted, avgdl, with_positions)
         # already partitioned by (term, shard) and sorted — write
         # directly; term-hash distribution + within-file term ordering
-        # give parquet min/max point lookup on term
-        packed.write.mode("overwrite").parquet(f"{out_dir}/index")
+        # give format-level min/max point lookup on term (on Iceberg
+        # the same layout comes from WRITE ORDERED BY, sources/catalog)
+        catalog.write_table(packed, f"{out_dir}/index")
     finally:
         toks.unpersist()
 
-    index_df = spark.read.parquet(f"{out_dir}/index")
+    index_df = catalog.read_table(spark, f"{out_dir}/index")
     ts_parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8, 4
     )
-    (
-        index_df.groupBy("term")
-        .agg(F.sum("n_postings").alias("df"))
-        .repartition(ts_parts, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/term_stats")
+    catalog.write_table(
+        index_df.groupBy("term").agg(F.sum("n_postings").alias("df")),
+        f"{out_dir}/term_stats",
+        sort_cols=["term"],
+        hash_col="term",
+        n_partitions=ts_parts,
     )
     return stats
 
@@ -302,9 +306,9 @@ class PackedIndex:
         self.path = path
         with open(os.path.join(path, "stats.json")) as f:
             self.stats = json.load(f)
-        self.index = spark.read.parquet(f"{path}/index")
-        self.term_stats = spark.read.parquet(f"{path}/term_stats")
-        self.docmap = spark.read.parquet(f"{path}/docmap")
+        self.index = catalog.read_table(spark, f"{path}/index")
+        self.term_stats = catalog.read_table(spark, f"{path}/term_stats")
+        self.docmap = catalog.read_table(spark, f"{path}/docmap")
 
     @property
     def n_docs(self) -> int:

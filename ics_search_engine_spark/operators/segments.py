@@ -38,6 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ics_search_engine_spark.operators.docmap import assign_doc_ordinals
+from ics_search_engine_spark.sources import catalog
 from ics_search_engine_spark.operators.index_build import DOC_KEY
 from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
@@ -255,10 +256,13 @@ def compact_segments(
         )
     obs = Observation("compact_docmap")
     new_dm = assign_doc_ordinals(union_docs)
-    new_dm.observe(
-        obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).write.mode("overwrite").parquet(f"{out_dir}/docmap")
-    new_dm = spark.read.parquet(f"{out_dir}/docmap")
+    catalog.write_table(
+        new_dm.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ),
+        f"{out_dir}/docmap",
+    )
+    new_dm = catalog.read_table(spark, f"{out_dir}/docmap")
 
     n_docs = int(obs.get["n"])
     sum_dl = int(obs.get["s"] or 0)
@@ -291,17 +295,16 @@ def compact_segments(
         posts = seg_posts if posts is None else posts.unionByName(seg_posts)
 
     packed = pack_shards(posts, avgdl, range_bits, wp, n_parts)
-    packed.write.mode("overwrite").parquet(f"{out_dir}/index")
-    index_df = spark.read.parquet(f"{out_dir}/index")
+    catalog.write_table(packed, f"{out_dir}/index")
+    index_df = catalog.read_table(spark, f"{out_dir}/index")
     ts_parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8, 4
     )
-    (
-        index_df.groupBy("term")
-        .agg(F.sum("n_postings").alias("df"))
-        .repartition(ts_parts, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/term_stats")
+    catalog.write_table(
+        index_df.groupBy("term").agg(F.sum("n_postings").alias("df")),
+        f"{out_dir}/term_stats",
+        sort_cols=["term"],
+        hash_col="term",
+        n_partitions=ts_parts,
     )
     return stats
