@@ -124,6 +124,18 @@ class TestSimilarity:
         assert overlap >= 6, (exact, ann)
         assert ann[0] == exact[0]
 
+    def test_ivf_fit_is_driver_capped(self, emb):
+        """The centroid fit must never collect more than max_fit_rows
+        vectors to the driver, regardless of table size — the scale
+        guard is unconditional, not opt-in."""
+        cents = ivf_centroids(emb, n_cells=4, iters=1, seed=7,
+                              max_fit_rows=50)
+        assert cents.shape[0] == 4  # fit succeeded on the capped sample
+        # fitting on a capped sample differs from the full fit —
+        # evidence the cap actually bit (500-row table, 50-row cap)
+        full = ivf_centroids(emb, n_cells=4, iters=1, seed=7)
+        assert not np.array_equal(cents, full)
+
     def test_lsh_deterministic(self, emb):
         b1, p1 = with_lsh_buckets(emb, n_planes=5, seed=42)
         b2, p2 = with_lsh_buckets(emb, n_planes=5, seed=42)
