@@ -894,6 +894,65 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list INTERSECTION (AND semantics, SURVEY.md §2.3): BM25
+    top-20 over documents containing ALL four query terms — the n-way
+    join the reference replaces with a union + match-fraction boost."""
+    docs = _docs(spark, sf_dir).select("doc_id", toks_col().alias("toks"))
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("sdl")
+    ).collect()[0]
+    n, avgdl = stats["n"], stats["sdl"] / stats["n"]
+    posts = (
+        docs.select("doc_id", F.size("toks").alias("dl"),
+                    F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(DOCS_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / F.lit(avgdl)))
+    return (
+        posts.join(F.broadcast(dfs), "term")
+        .withColumn("contrib", idf * tfn)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("bm25_r6"),
+            F.count("*").alias("m"),
+        )
+        .filter(F.col("m") == len(DOCS_QUERY_TERMS))
+        .select("doc_id", "bm25_r6")
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_BM25_CONJ = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+HAVING count(*) = 4
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_phrase_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search THROUGH the packed index: build a
     stem-free positional index (tokenize → positions → doc-range shards
@@ -1044,6 +1103,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_engine_packed": q_bm25_engine_packed,
     "phrase_engine_packed": q_phrase_engine_packed,
     "blend_rank": q_blend_rank,
+    "bm25_conjunctive": q_bm25_conjunctive,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1068,4 +1128,5 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_engine_packed": _SQL_BM25_ENGINE,
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
     "blend_rank": _SQL_BLEND,
+    "bm25_conjunctive": _SQL_BM25_CONJ,
 }

@@ -114,10 +114,17 @@ def score_topk(
     avgdl: float,
     key_cols: list[str],
     k: int,
+    require_all: int | None = None,
 ) -> DataFrame:
     """Shared scoring core: matched postings (term, *key_cols, tf, dl)
     → top-k (key_cols..., score).  Deterministic sorted-term fold; see
-    module docstring."""
+    module docstring.
+
+    ``require_all=n``: posting-list INTERSECTION semantics — keep only
+    docs matched by exactly n distinct terms (postings are unique per
+    (term, doc), so the fold list's size IS the matched-term count).
+    The reference instead unions postings and boosts by match fraction
+    (SURVEY.md §2.3 note; /root/reference/search.py:148-162)."""
     w_df = spark.createDataFrame(
         [(t, w) for t, w in weights.items()], "term string, w double"
     )
@@ -128,15 +135,51 @@ def score_topk(
         .agg(
             F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("tc")
         )
-        .withColumn(
-            "score",
-            F.aggregate(
-                "tc", F.lit(0.0), lambda acc, x: acc + x["contrib"]
-            ),
-        )
-        .select(*key_cols, "score")
     )
+    if require_all is not None:
+        scored = scored.filter(F.size("tc") == require_all)
+    scored = scored.withColumn(
+        "score",
+        F.aggregate("tc", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
+    ).select(*key_cols, "score")
     return scored.orderBy(F.desc("score"), *[F.asc(c) for c in key_cols]).limit(k)
+
+
+def bm25_topk_conjunctive(
+    spark: SparkSession, pidx, query: str, k: int = 10
+) -> DataFrame:
+    """Top-k BM25 with AND semantics: only documents containing EVERY
+    query term rank (posting-list intersection as a groupBy-count
+    filter — the n-way join the reference lacks, SURVEY.md §2.3).  A
+    query term absent from the index empties the result (AND of an
+    empty posting list).  Scores are bit-identical to the OR path for
+    the surviving docs (same sorted-term fold over the same matched
+    contributions)."""
+    from ics_search_engine_spark.operators.packed_index import decode_matched
+    from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
+
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(_tok(query, for_query=True, do_stem=do_stem)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if len(weights) < len(q_terms):  # some term matches nothing → AND fails
+        return empty
+
+    matched = pidx.index.filter(F.col("term").isin(q_terms))
+    posts = decode_matched(matched)
+    topk = score_topk(
+        spark, posts, weights, pidx.avgdl, ["doc_ord"], k,
+        require_all=len(weights),
+    )
+    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
+        "conv_id", "turn_idx", "score"
+    )
+    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
 
 
 def bm25_topk_multi(

@@ -200,3 +200,46 @@ class TestMultiQuery:
             for r in bm25_topk_packed(spark, pidx2, "machine learning", k=K).collect()
         ]
         assert got == oracle.search(oracle_idx, "machine learning", k=K)
+
+
+class TestConjunctive:
+    def test_conjunctive_equals_filtered_or_ranking(
+        self, spark, pidx, oracle_idx
+    ):
+        """AND semantics = the OR ranking restricted to docs matching
+        every term, scores bit-identical (same fold over the same
+        contributions)."""
+        from ics_search_engine_spark.operators.query import (
+            bm25_topk_conjunctive,
+        )
+
+        from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+        query = "machine learning"
+        terms = sorted(set(tokenize(query, for_query=True)))
+        all_docs = None
+        for t in terms:
+            docs = set(oracle_idx.postings.get(t, {}))
+            all_docs = docs if all_docs is None else (all_docs & docs)
+        expected = [
+            r for r in oracle.search(oracle_idx, query, k=10_000)
+            if r[:2] in all_docs
+        ][:10]
+        got = [
+            tuple(r)
+            for r in bm25_topk_conjunctive(spark, pidx, query, k=10).collect()
+        ]
+        assert got == expected
+        assert len(got) > 0  # fixture corpus has docs with both terms
+
+    def test_conjunctive_absent_term_empties(self, spark, pidx):
+        from ics_search_engine_spark.operators.query import (
+            bm25_topk_conjunctive,
+        )
+
+        assert (
+            bm25_topk_conjunctive(
+                spark, pidx, "machine zzznotaterm", k=10
+            ).count()
+            == 0
+        )

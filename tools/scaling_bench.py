@@ -180,7 +180,17 @@ def main() -> None:
         mem32 = probe["membw_scaling_vs_1proc"].get(32, 0)
 
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        # Preserve hand-appended sections (## ... headers after the
+        # generated block) across regeneration — the generated template
+        # itself contains no H2s, so the first "\n## " marks them.
+        appendix = ""
+        bpath = os.path.join(REPO, "BENCH", "BASELINE.md")
+        if os.path.exists(bpath):
+            old = open(bpath).read()
+            cut = old.find("\n## ")
+            if cut != -1:
+                appendix = old[cut:]
+        with open(bpath, "w") as f:
             f.write(f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
 North_rule criterion: throughput scaling efficiency >= 0.8 between N
@@ -243,6 +253,7 @@ bytes ({r4['payload_bytes']/max(r4['postings'],1):.2f} B/posting packed).
 Reference single-node numbers for context are in /root/repo/BASELINE.md.
 Reproduce: `python tools/scaling_bench.py {n_convs}`.
 """)
+            f.write(appendix)
         print("wrote BENCH/BASELINE.md", file=sys.stderr)
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
