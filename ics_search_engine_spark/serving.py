@@ -99,12 +99,26 @@ class LocalIndexServer:
             return []
         term_df = {t: int(self.df[t]) for t in q_terms if t in self.df}
         weights = query_weights(query, term_df, self.n_docs, do_stem=do_stem)
+        return self.score_with(weights, k, use_wand=use_wand, stats=stats)
+
+    def score_with(
+        self,
+        weights: dict[str, float],
+        k: int,
+        avgdl: float | None = None,
+        use_wand: bool = False,
+        stats: dict | None = None,
+    ) -> list[tuple[str, int, float]]:
+        """Score with EXTERNALLY supplied weights/avgdl — the segmented
+        server passes global-corpus values so per-segment scoring is
+        bit-identical to the compacted index's."""
         if not weights:
             return []
+        if avgdl is None:
+            avgdl = self.stats["avgdl"]
         if use_wand:
-            return self._search_wand(weights, k, stats)
+            return self._search_wand(weights, k, stats, avgdl)
 
-        avgdl = self.stats["avgdl"]
         scores = np.zeros(self.n_docs, dtype=np.float64)
         touched = np.zeros(self.n_docs, dtype=bool)
         # CRITICAL for bit-identity: accumulate in ascending term order
@@ -136,7 +150,11 @@ class LocalIndexServer:
         )
 
     def _search_wand(
-        self, weights: dict[str, float], k: int, stats: dict | None
+        self,
+        weights: dict[str, float],
+        k: int,
+        stats: dict | None,
+        avgdl: float | None = None,
     ) -> list[tuple[str, int, float]]:
         """Block-max WAND over doc-range shards: score shards in
         descending ub order, skip every shard whose ub < current k-th
@@ -146,7 +164,8 @@ class LocalIndexServer:
         float score is bit-identical to the exhaustive path."""
         import heapq
 
-        avgdl = self.stats["avgdl"]
+        if avgdl is None:
+            avgdl = self.stats["avgdl"]
         range_bits = int(self.stats["range_bits"])
         # shard -> [(term, w, max_tfn, payload)] in ascending term order
         by_shard: dict[int, list] = {}
@@ -203,3 +222,64 @@ class LocalIndexServer:
             (str(self._conv[-nd]), int(self._turn[-nd]), sc)
             for sc, nd in winners
         ]
+
+
+class LocalSegmentedServer:
+    """In-process serving over N independently built segments — the
+    LSM lifecycle (operators/segments.py) carried into the serving
+    tier: Spark ingests deltas as new segments at cluster scale, a
+    serving node reloads just the NEW segment's artifacts, and results
+    stay bit-identical to serving a fully compacted index (tested),
+    because every BM25 input recombines exactly (N and Σdl as integer
+    sums → the same avgdl double, df as integer sums) and each
+    document's whole score lives in its one segment.
+
+    ``deletes`` gives query-time tombstones with the same exact
+    over-fetch guarantee as the Spark path (k + |deletes| per segment).
+    """
+
+    def __init__(self, paths: list[str]):
+        if not paths:
+            raise ValueError("need at least one segment")
+        self.servers = [LocalIndexServer(p) for p in paths]
+        s0 = self.servers[0].stats
+        for s in self.servers[1:]:
+            if s.stats.get("stem", True) != s0.get("stem", True):
+                raise ValueError("segments disagree on stemming")
+        self.n_docs = sum(s.n_docs for s in self.servers)
+        self.sum_dl = sum(int(s.stats["sum_dl"]) for s in self.servers)
+        self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 0.0
+        self.stem = s0.get("stem", True)
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        use_wand: bool = False,
+        deletes: set[tuple[str, int]] | None = None,
+    ) -> list[tuple[str, int, float]]:
+        q_terms = sorted(set(tokenize(query, for_query=True, do_stem=self.stem)))
+        if not q_terms:
+            return []
+        term_df: dict[str, int] = {}
+        for s in self.servers:
+            for t in q_terms:
+                if t in s.df:
+                    term_df[t] = term_df.get(t, 0) + int(s.df[t])
+        weights = query_weights(query, term_df, self.n_docs,
+                                do_stem=self.stem)
+        if not weights:
+            return []
+        fetch = k + (len(deletes) if deletes else 0)
+        merged: list[tuple[str, int, float]] = []
+        for s in self.servers:
+            merged.extend(
+                s.score_with(weights, fetch, avgdl=self.avgdl,
+                             use_wand=use_wand)
+            )
+        if deletes:
+            merged = [r for r in merged if (r[0], r[1]) not in deletes]
+        # exact-score ties across segments break on docID, like the
+        # oracle and the Spark segmented path
+        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return merged[:k]

@@ -191,3 +191,38 @@ def test_compaction_with_deletes_equals_build_without_docs(
         )
 
     assert content(out) == content(fresh_dir)
+
+
+def test_local_segmented_server_equals_full_and_oracle(
+    spark, setup, small_rows
+):
+    """The serving-tier LSM story: LocalSegmentedServer over the three
+    segments is bit-identical to LocalIndexServer over the full build
+    AND the oracle, exhaustive and WAND, on every reference query."""
+    from ics_search_engine_spark.serving import (
+        LocalIndexServer,
+        LocalSegmentedServer,
+    )
+
+    full_dir, seg_dirs = setup
+    seg_srv = LocalSegmentedServer(seg_dirs)
+    full_srv = LocalIndexServer(full_dir)
+    oidx = oracle.build_index(small_rows)
+    assert seg_srv.n_docs == full_srv.n_docs
+    assert seg_srv.avgdl == full_srv.stats["avgdl"]  # bit-equal
+    for qid, query in sorted(REFERENCE_QUERIES.items()):
+        want = oracle.search(oidx, query, k=10)
+        assert seg_srv.search(query, k=10) == want, qid
+        assert seg_srv.search(query, k=10, use_wand=True) == want, qid
+
+
+def test_local_segmented_server_tombstones(spark, setup):
+    from ics_search_engine_spark.serving import LocalSegmentedServer
+
+    full_dir, seg_dirs = setup
+    srv = LocalSegmentedServer(seg_dirs)
+    base = srv.search("machine learning", k=20)
+    deletes = {(r[0], r[1]) for r in base[:3]}
+    got = srv.search("machine learning", k=10, deletes=deletes)
+    want = [r for r in base if (r[0], r[1]) not in deletes][:10]
+    assert got == want
