@@ -157,3 +157,84 @@ def test_serving_wand_identical_and_prunes(spark, pidx, oracle_idx):
     # q5_rare pairs a planted rare term with common ones — the small-k
     # pass must have pruned something across the query set
     assert any_pruned > 0
+
+
+class TestServingWandProperty:
+    """Randomized-property WAND ≡ exhaustive over 60 synthesized
+    corpora (server state built directly, no Spark) — varying doc
+    counts, range_bits, df skew, and a deliberately biased avgdl to
+    exercise the external-avgdl path the segmented server uses."""
+
+    @staticmethod
+    def _fake_server(rng, n_docs, n_terms, range_bits, avgdl_bias):
+        import numpy as np
+
+        from ics_search_engine_spark.functions.codec import pack_postings
+        from ics_search_engine_spark.operators.packed_index import _tfn
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        dls = rng.integers(1, 40, size=n_docs).astype(np.uint64)
+        srv = LocalIndexServer.__new__(LocalIndexServer)
+        sum_dl = int(dls.sum())
+        srv.stats = {
+            "n_docs": n_docs,
+            "avgdl": (sum_dl / n_docs) * avgdl_bias,
+            "sum_dl": sum_dl,
+            "range_bits": range_bits,
+            "with_positions": False,
+            "stem": True,
+        }
+        srv.postings = {}
+        srv.df = {}
+        terms = [f"t{i:02d}" for i in range(n_terms)]
+        for t in terms:
+            df = int(rng.integers(1, n_docs + 1))
+            docs = np.sort(
+                rng.choice(n_docs, size=df, replace=False)
+            ).astype(np.uint64)
+            tfs = rng.integers(1, 9, size=df).astype(np.uint64)
+            dl_t = dls[docs.astype(np.int64)]
+            srv.df[t] = df
+            shard_ids = (docs >> np.uint64(range_bits)).astype(np.int64)
+            rows = []
+            for s in np.unique(shard_ids):
+                m = shard_ids == s
+                payload = pack_postings(docs[m], tfs[m], dl_t[m])
+                mx = float(
+                    _tfn(tfs[m], dl_t[m], srv.stats["avgdl"]).max()
+                )
+                rows.append((int(s), mx, payload))
+            srv.postings[t] = rows
+        srv._conv = np.array([f"c{i:05d}" for i in range(n_docs)], dtype=object)
+        srv._turn = np.arange(n_docs)
+        return srv, terms
+
+    def test_wand_equals_exhaustive_random(self):
+        import numpy as np
+
+        for trial in range(60):
+            rng = np.random.default_rng(1000 + trial)
+            n_docs = int(rng.integers(5, 400))
+            range_bits = int(rng.integers(2, 7))
+            n_terms = int(rng.integers(1, 8))
+            # avgdl_bias != 1 exercises external/global avgdl too
+            bias = float(rng.choice([1.0, 0.7, 1.4]))
+            srv, terms = self._fake_server(
+                rng, n_docs, n_terms, range_bits, bias
+            )
+            q_n = int(rng.integers(1, min(4, n_terms) + 1))
+            q_terms = list(rng.choice(terms, size=q_n, replace=False))
+            from ics_search_engine_spark.operators.query import query_weights
+
+            weights = query_weights(
+                " ".join(q_terms),
+                {t: srv.df[t] for t in q_terms},
+                n_docs,
+            )
+            for k in (1, 3, 10):
+                ex = srv.score_with(dict(weights), k)
+                st: dict = {}
+                wd = srv.score_with(
+                    dict(weights), k, use_wand=True, stats=st
+                )
+                assert wd == ex, (trial, k)
