@@ -223,13 +223,23 @@ def bm25_topk_multi(
         [],
         "query_id string, conv_id string, turn_idx int, score double, rank int",
     )
+    # ONE df lookup for the union of all queries' terms (zero jobs on
+    # a cached index, one pushed-down job otherwise) — never a
+    # per-query metadata job
+    q_tokens = {
+        qid: sorted(set(_tok(qtext, for_query=True, do_stem=do_stem)))
+        for qid, qtext in queries.items()
+    }
+    union_terms = sorted({t for ts in q_tokens.values() for t in ts})
+    if not union_terms:
+        return empty
+    term_df = pidx.df_for_terms(union_terms)
+
     q_weights: dict[str, list[tuple[str, float]]] = {}
     all_terms: set[str] = set()
     for qid, qtext in queries.items():
-        q_terms = sorted(set(_tok(qtext, for_query=True, do_stem=do_stem)))
-        if not q_terms:
+        if not q_tokens[qid]:
             continue
-        term_df = pidx.df_for_terms(q_terms)
         w = query_weights(qtext, term_df, pidx.n_docs, do_stem=do_stem)
         if w:
             q_weights[qid] = sorted(w.items())
