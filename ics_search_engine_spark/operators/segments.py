@@ -206,6 +206,123 @@ def bm25_topk_segmented(
     ).limit(k)
 
 
+def bm25_topk_multi_segmented(
+    spark: SparkSession,
+    sidx: SegmentedIndex,
+    queries: dict[str, str],
+    k: int = 10,
+) -> DataFrame:
+    """Batched multi-query top-k over the segment set →
+    (query_id, conv_id, turn_idx, score, rank) — ONE Spark job for the
+    whole query batch regardless of segment count, per-query results
+    identical to bm25_topk_segmented (tested).
+
+    Plan shape: union of every segment's matched rows for the UNION of
+    all queries' terms (one term-IN pushdown per segment branch, no
+    job), one grouped-pandas scorer per (seg, shard) producing every
+    query's shard-local top-k, a row_number window per query_id for the
+    distributed global merge, and a broadcast join against the tagged
+    docmap union to resolve docIDs.  Driver holds nothing but the
+    final ≤ |queries| x k rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ics_search_engine_spark.functions.codec import unpack_postings
+    from ics_search_engine_spark.operators.packed_index import _tfn
+
+    empty = spark.createDataFrame(
+        [],
+        "query_id string, conv_id string, turn_idx int, score double, rank int",
+    )
+    q_tokens = {
+        qid: sorted(set(tokenize(q, for_query=True, do_stem=sidx.stem)))
+        for qid, q in queries.items()
+    }
+    union_terms = sorted({t for ts in q_tokens.values() for t in ts})
+    if not union_terms:
+        return empty
+    term_df = sidx.df_for_terms(union_terms)  # one job (or zero, cached)
+    q_weights: dict[str, list[tuple[str, float]]] = {}
+    all_terms: set[str] = set()
+    for qid, qtext in queries.items():
+        if not q_tokens[qid]:
+            continue
+        w = query_weights(qtext, term_df, sidx.n_docs, sidx.stem)
+        if w:
+            q_weights[qid] = sorted(w.items())
+            all_terms.update(w)
+    if not q_weights:
+        return empty
+
+    avgdl = sidx.avgdl
+    qw_items = sorted(q_weights.items())
+    rbs = {i: int(s.stats["range_bits"]) for i, s in enumerate(sidx.segments)}
+
+    matched = None
+    for i, seg in enumerate(sidx.segments):
+        m = seg.index.filter(F.col("term").isin(sorted(all_terms))).select(
+            F.lit(i).alias("seg"), "term", "shard_id", "payload"
+        )
+        matched = m if matched is None else matched.unionByName(m)
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        rb = rbs[seg]
+        size = 1 << rb
+        base = int(pdf["shard_id"].iloc[0]) << rb
+        decoded: dict = {}
+        for t, p in zip(pdf["term"], pdf["payload"]):
+            d, tf, dl, _ = unpack_postings(bytes(p), with_positions=False)
+            decoded[t] = (d.astype(np.int64) - base, _tfn(tf, dl, avgdl))
+        out_q, out_seg, out_o, out_s = [], [], [], []
+        scores = np.zeros(size, dtype=np.float64)
+        for qid, wts in qw_items:
+            scores[:] = 0.0
+            touched = np.zeros(size, dtype=bool)
+            for t, w in wts:  # ascending term order -> oracle bit-parity
+                hit = decoded.get(t)
+                if hit is None:
+                    continue
+                idx, tfn = hit
+                scores[idx] += w * tfn
+                touched[idx] = True
+            ti = np.flatnonzero(touched)
+            if ti.size == 0:
+                continue
+            order = np.lexsort((ti, -scores[ti]))[:k]
+            sel = ti[order]
+            out_q.extend([qid] * len(sel))
+            out_seg.extend([seg] * len(sel))
+            out_o.extend((sel + base).tolist())
+            out_s.extend(scores[sel].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "seg": np.array(out_seg, dtype=np.int32),
+             "doc_ord": out_o, "score": out_s}
+        )
+
+    winners = matched.groupBy("seg", "shard_id").applyInPandas(
+        score_group, "query_id string, seg int, doc_ord long, score double"
+    )
+    dm_union = None
+    for i, seg in enumerate(sidx.segments):
+        d = seg.docmap.select(
+            F.lit(i).alias("seg"), "doc_ord", "conv_id", "turn_idx"
+        )
+        dm_union = d if dm_union is None else dm_union.unionByName(d)
+    resolved = dm_union.join(
+        F.broadcast(winners), ["seg", "doc_ord"]
+    ).select("query_id", "conv_id", "turn_idx", "score")
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+    )
+    return (
+        resolved.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def compact_segments(
     spark: SparkSession,
     seg_paths: list[str],

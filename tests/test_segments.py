@@ -226,3 +226,30 @@ def test_local_segmented_server_tombstones(spark, setup):
     got = srv.search("machine learning", k=10, deletes=deletes)
     want = [r for r in base if (r[0], r[1]) not in deletes][:10]
     assert got == want
+
+
+def test_multi_segmented_equals_per_query(spark, setup):
+    """Batched multi-query over segments: each query's rows identical
+    to its bm25_topk_segmented result, one plan for the whole batch."""
+    from ics_search_engine_spark.operators.segments import (
+        bm25_topk_multi_segmented,
+    )
+
+    full_dir, seg_dirs = setup
+    sidx = SegmentedIndex(spark, seg_dirs)
+    rows = bm25_topk_multi_segmented(
+        spark, sidx, REFERENCE_QUERIES, k=10
+    ).collect()
+    assert len(rows) <= len(REFERENCE_QUERIES) * 10
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["conv_id"], r["turn_idx"], r["score"])
+        )
+    for qid, qtext in REFERENCE_QUERIES.items():
+        want = [
+            tuple(r)
+            for r in bm25_topk_segmented(spark, sidx, qtext, k=10).collect()
+        ]
+        got = [(c, t, s) for _, c, t, s in sorted(by_q.get(qid, []))]
+        assert got == want, qid
