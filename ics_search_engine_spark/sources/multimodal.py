@@ -80,6 +80,63 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+def resize_stub(
+    media: DataFrame, width: int = 32, height: int = 24, fake: bool = True
+) -> DataFrame:
+    """Image payload → "resized" payload with updated meta — the 1→1
+    payload-transform shape (batch in, same-length batch out, bytes
+    stay in Arrow).  The fake resize deterministically downsamples the
+    byte stream to width*height bytes (repeating if short); a real
+    implementation swaps the inner function for PIL's
+    ``Image.resize``.  Non-image rows pass through untouched."""
+
+    target = width * height
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if not payload:
+            return bytes(target)
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        idx = (np.arange(target) * len(arr)) // target
+        return bytes(arr[idx % len(arr)].tobytes())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, metas = [], []
+            for kind, payload, meta in zip(
+                pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "image":
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                if not fake:
+                    raise DecodeUnavailable(
+                        "real image resize requires PIL — use fake=True"
+                    )
+                payloads.append(_fake_resize(bytes(payload)))
+                m = dict(meta) if meta is not None else {}
+                m["w"], m["h"] = str(width), str(height)
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id string, kind string, payload binary, "
+            "meta map<string,string>"
+        ),
+    )
+
+
 def frame_sample(media: DataFrame, every_n: int = 2, fake: bool = True
                  ) -> DataFrame:
     """Video → one row per sampled frame (frame payloads faked as

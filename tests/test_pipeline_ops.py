@@ -167,6 +167,20 @@ class TestMultimodal:
         with pytest.raises(DecodeUnavailable):
             _decode_real(b"xx", "image")
 
+    def test_resize_stub_transforms_images_only(self, spark):
+        from ics_search_engine_spark.sources.multimodal import resize_stub
+
+        media = synthetic_media(spark, n=30)
+        out = {r["media_id"]: r for r in resize_stub(media, 8, 4).collect()}
+        for r in media.collect():
+            o = out[r["media_id"]]
+            if r["kind"] == "image":
+                assert len(bytes(o["payload"])) == 8 * 4
+                assert o["meta"]["w"] == "8" and o["meta"]["h"] == "4"
+            else:  # non-image rows pass through untouched
+                assert bytes(o["payload"]) == bytes(r["payload"])
+                assert dict(o["meta"]) == dict(r["meta"])
+
     def test_frame_sample_expansion(self, spark):
         media = synthetic_media(spark, n=30)
         frames = frame_sample(media, every_n=2).collect()
