@@ -206,6 +206,39 @@ def bm25_topk_segmented(
     ).limit(k)
 
 
+def pick_compaction(
+    seg_paths: list[str], ratio: float = 4.0, min_run: int = 2
+) -> list[list[str]]:
+    """Size-tiered compaction policy (the cadence knob the LSM trade
+    needs): group segments into tiers of similar size (each tier spans
+    at most ``ratio``× between smallest and largest member) and return
+    the tiers with ≥ ``min_run`` members, smallest tier first — those
+    are the cheapest merges that reduce per-query fan-out the most.
+    Pure driver-side metadata (reads each segment's stats.json); the
+    caller runs ``compact_segments`` per returned group."""
+    import json as _json
+    import os as _os
+
+    sized = []
+    for p in seg_paths:
+        with open(_os.path.join(p, "stats.json")) as f:
+            sized.append((int(_json.load(f)["n_docs"]), p))
+    sized.sort()
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_min = None
+    for n, p in sized:
+        if cur and cur_min is not None and n > cur_min * ratio:
+            groups.append(cur)
+            cur, cur_min = [], None
+        if not cur:
+            cur_min = max(n, 1)
+        cur.append(p)
+    if cur:
+        groups.append(cur)
+    return [g for g in groups if len(g) >= min_run]
+
+
 def bm25_topk_multi_segmented(
     spark: SparkSession,
     sidx: SegmentedIndex,

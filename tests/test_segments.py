@@ -253,3 +253,29 @@ def test_multi_segmented_equals_per_query(spark, setup):
         ]
         got = [(c, t, s) for _, c, t, s in sorted(by_q.get(qid, []))]
         assert got == want, qid
+
+
+def test_pick_compaction_size_tiers(tmp_path):
+    """Size-tiered policy: similar-size segments group; a 100x bigger
+    segment stays out; singleton tiers are not compaction candidates."""
+    import json
+    import os
+
+    from ics_search_engine_spark.operators.segments import pick_compaction
+
+    def seg(name, n_docs):
+        d = tmp_path / name
+        os.makedirs(d, exist_ok=True)
+        with open(d / "stats.json", "w") as f:
+            json.dump({"n_docs": n_docs}, f)
+        return str(d)
+
+    a, b, c = seg("a", 100), seg("b", 150), seg("c", 220)
+    big = seg("big", 50_000)
+    groups = pick_compaction([big, a, c, b])
+    assert groups == [[a, b, c]]  # smallest tier, size-sorted; big excluded
+    # two tiers both eligible → smallest first
+    d, e = seg("d", 40_000), seg("e", 60_000)
+    groups = pick_compaction([big, d, a, c, b, e])
+    assert groups[0] == [a, b, c]
+    assert sorted(groups[1]) == sorted([d, big, e])
