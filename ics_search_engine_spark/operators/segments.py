@@ -362,6 +362,7 @@ def compact_segments(
     out_dir: str,
     index_partitions: int | None = None,
     deletes: DataFrame | None = None,
+    range_bits: int | None = None,
 ) -> dict:
     """LSM-style compaction: merge many segments into ONE packed index
     WITHOUT re-tokenizing — decode each segment's payloads, re-rank doc
@@ -389,12 +390,17 @@ def compact_segments(
 
     segs = [PackedIndex(spark, p) for p in seg_paths]
     s0 = segs[0].stats
+    # with_positions/stem must agree (they change payload CONTENT);
+    # range_bits need not — decode yields absolute ordinals and the
+    # repack re-shards at the output's range_bits, so mixed-geometry
+    # segments (e.g. finer shards for fresh small deltas) compact fine
     for s in segs[1:]:
-        for key in ("with_positions", "stem", "range_bits"):
+        for key in ("with_positions", "stem"):
             if s.stats.get(key) != s0.get(key):
                 raise ValueError(f"segments disagree on {key}")
     wp = bool(s0.get("with_positions", True))
-    range_bits = int(s0["range_bits"])
+    if range_bits is None:
+        range_bits = int(s0["range_bits"])
 
     _os.makedirs(out_dir, exist_ok=True)
     union_docs = segs[0].docmap.select(*DOC_KEY, "dl")

@@ -279,3 +279,38 @@ def test_pick_compaction_size_tiers(tmp_path):
     groups = pick_compaction([big, d, a, c, b, e])
     assert groups[0] == [a, b, c]
     assert sorted(groups[1]) == sorted([d, big, e])
+
+
+def test_compaction_handles_mixed_range_bits(spark, setup, small_df):
+    """Segments built at different shard granularities (a realistic
+    mix: finer shards for small fresh deltas) compact to an index
+    byte-identical to the uniform full build at the target
+    range_bits."""
+    import json
+
+    from ics_search_engine_spark.operators.segments import compact_segments
+
+    full_dir, _ = setup
+    mixed = [f"{full_dir}_mix_a", f"{full_dir}_mix_b"]
+    for i, (d, rb) in enumerate(zip(mixed, (9, 6))):
+        part = small_df.filter(F.pmod(F.hash("conv_id"), F.lit(2)) == i)
+        build_packed_index(spark, part, d, range_bits=rb)
+
+    out = f"{full_dir}_mix_compacted"
+    compact_segments(spark, mixed, out, range_bits=9)
+    with open(f"{full_dir}/stats.json") as f:
+        full_stats = json.load(f)
+    with open(f"{out}/stats.json") as f:
+        got_stats = json.load(f)
+    assert got_stats["n_docs"] == full_stats["n_docs"]
+    assert got_stats["avgdl"] == full_stats["avgdl"]
+
+    def content(path):
+        rows = spark.read.parquet(f"{path}/index").collect()
+        return sorted(
+            (r["term"], r["shard_id"], r["n_postings"], r["max_tfn"],
+             bytes(r["payload"]).hex())
+            for r in rows
+        )
+
+    assert content(out) == content(full_dir)
