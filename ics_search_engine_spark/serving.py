@@ -161,11 +161,26 @@ class LocalIndexServer:
         score.  Pruning on strict < only — a shard with ub == θ could
         still tie the k-th score and win the doc_ord tie-break.  Per-doc
         sums fold terms ascending INSIDE the shard, so each document's
-        float score is bit-identical to the exhaustive path."""
+        float score is bit-identical to the exhaustive path.
+
+        avgdl-mismatch safety: the stored max_tfn metadata was computed
+        at pack time with THIS index's own avgdl, but a caller (the
+        segmented server) may score with a LARGER global avgdl — and
+        tfn is strictly increasing in avgdl, so the stored bound would
+        understate and pruning could drop a true top-k doc.  Provable
+        correction: tfn(a_g)/tfn(a_s) = D_s/D_g ≤ a_g/a_s for
+        a_g ≥ a_s (D = tf + k1((1-b) + b·dl/a); the ratio is maximal
+        as tf, (1-b) → 0), so scaling every ub by a_g/a_s (plus a
+        1e-9 float-margin) restores a valid upper bound; a_g ≤ a_s
+        needs no correction (true tfn only shrinks)."""
         import heapq
 
+        own_avgdl = self.stats["avgdl"]
         if avgdl is None:
-            avgdl = self.stats["avgdl"]
+            avgdl = own_avgdl
+        ub_scale = 1.0
+        if avgdl > own_avgdl and own_avgdl > 0:
+            ub_scale = (avgdl / own_avgdl) * (1.0 + 1e-9)
         range_bits = int(self.stats["range_bits"])
         # shard -> [(term, w, max_tfn, payload)] in ascending term order
         by_shard: dict[int, list] = {}
@@ -176,7 +191,7 @@ class LocalIndexServer:
                     (t, w, max_tfn, payload)
                 )
         ubs = {
-            s: sum(w * m for _, w, m, _ in rows)
+            s: sum(w * m for _, w, m, _ in rows) * ub_scale
             for s, rows in by_shard.items()
         }
         order = sorted(ubs, key=lambda s: (-ubs[s], s))

@@ -314,3 +314,42 @@ def test_compaction_handles_mixed_range_bits(spark, setup, small_df):
         )
 
     assert content(out) == content(full_dir)
+
+
+def test_segmented_server_wand_avgdl_mismatch(spark, corpus_dir):
+    """A segment whose own avgdl is far below the global one stores
+    UNDERSTATED max_tfn bounds (tfn grows with avgdl); without the
+    a_g/a_s ub correction, segmented WAND pruned a shard holding the
+    true top-k.  Geometry crafted so the θ-setters (tf2/dl3, shard 0)
+    score inside the victims' (tf2/dl2, shard 1) stored-vs-true bound
+    window: the short tf2/dl2 θ-setters carry the HIGHER stored ub
+    (1.60w vs 1.56w at segment avgdl 4) so their shard scores first and
+    sets θ ≈1.894w at the global avgdl ≈76.7, pruning the victims'
+    shard (stored ub 1.56w) even though the victims truly score
+    ≈2.013w — the pre-fix code returns the wrong top-3."""
+    from ics_search_engine_spark.serving import LocalSegmentedServer
+
+    rows_a = [
+        (f"a1_{i:03d}", 0, "target target") for i in range(16)
+    ] + [
+        (f"a2_{i:03d}", 0, "target target target target pad pads")
+        for i in range(16)
+    ]
+    rows_b = [
+        (f"b_{i:03d}", 0, " ".join(["filler"] * 100)) for i in range(100)
+    ]
+    schema = "conv_id string, turn_idx int, text string"
+    seg_a, seg_b = f"{corpus_dir}/avgdl_a", f"{corpus_dir}/avgdl_b"
+    build_packed_index(
+        spark, spark.createDataFrame(rows_a, schema), seg_a, range_bits=4
+    )
+    build_packed_index(
+        spark, spark.createDataFrame(rows_b, schema), seg_b, range_bits=4
+    )
+    srv = LocalSegmentedServer([seg_a, seg_b])
+    assert srv.avgdl > 70  # global avgdl lifted far above segment A's 4
+    exhaustive = srv.search("target", k=3)
+    wand = srv.search("target", k=3, use_wand=True)
+    assert wand == exhaustive
+    # the true winners are the short tf2/dl2 docs in shard 1
+    assert [c[:3] for c, _, _ in wand] == ["a2_"] * 3
