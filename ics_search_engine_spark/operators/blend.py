@@ -205,20 +205,21 @@ def search_blend(
 def page_titles(pages: DataFrame) -> DataFrame:
     """(url, title) — the doc-title surface
     (/root/reference/main.py:28-31,53: doc_titles.json, looked up by
-    the DEFRAGGED result url with the url itself as fallback).  The
-    title is the first <title> entry of the page's weighted important
-    text (TAG_WEIGHTS['title'] = 2.0 marks it; we re-extract from the
-    crawl processor's output rather than re-parsing HTML)."""
-    # important entries carry (text, weight); weight ≥ 2.0 implies the
-    # text appeared in <title> (title is the only 2.0-weight tag; a
-    # text in title+h2 accumulates 3.0, etc. — filter keeps those too)
+    the DEFRAGGED result url with the url itself as fallback).
+
+    The title is the page's actual first-<title> text, which the crawl
+    processor emits as a ``title`` column (sources/crawl.process_crawl)
+    — NOT inferred from important-text weights, which cannot
+    distinguish <title> from e.g. h1+b text that also sums to 2.0."""
+    if "title" not in pages.columns:
+        raise ValueError(
+            "pages must carry the crawl processor's `title` column "
+            "(sources/crawl.process_crawl) — weighted important text "
+            "cannot identify the real <title>"
+        )
     t = pages.select(
         F.regexp_replace("url", "#.*$", "").alias("url"),
-        F.filter("important", lambda iw: iw["weight"] >= 2.0).alias("cand"),
-    ).select(
-        "url",
-        F.when(F.size("cand") > 0, F.element_at("cand", 1)["text"])
-        .otherwise(F.col("url"))
+        F.coalesce(F.col("title"), F.regexp_replace("url", "#.*$", ""))
         .alias("title"),
     )
     # doc_titles is a DICT in the reference (one title per url,

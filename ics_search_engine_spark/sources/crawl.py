@@ -24,7 +24,7 @@ extractions.  Cleaning regexes are verbatim from
 Output schema (the transcript-model adapter keys a crawl page as
 conv_id=url, turn_idx=0):
     (url, text, important array<struct<text,weight>>,
-     outgoing_links array<string>)
+     outgoing_links array<string>, title string)
 """
 
 from __future__ import annotations
@@ -202,14 +202,25 @@ def read_crawl_json(spark: SparkSession, data_dir: str) -> DataFrame:
     return df.filter(~F.lower(F.col("url")).endswith(".txt"))
 
 
+def _page_title(parsed: _PageParser) -> str | None:
+    """The page's FIRST <title> element text (the surface doc_titles.json
+    stores, /root/reference/main.py:28-31) — None when absent/empty."""
+    for tag, text in parsed.important:
+        if tag == "title":
+            text = text.strip()
+            return text or None
+    return None
+
+
 def process_crawl(crawl: DataFrame) -> DataFrame:
-    """S3-S6 in one Arrow pass → (url, text, important, outgoing_links)."""
+    """S3-S6 in one Arrow pass →
+    (url, text, important, outgoing_links, title)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            texts, imps, links = [], [], []
+            texts, imps, links, titles = [], [], [], []
             for url, content, encoding in zip(
                 pdf["url"], pdf["content"], pdf["encoding"]
             ):
@@ -217,12 +228,14 @@ def process_crawl(crawl: DataFrame) -> DataFrame:
                 texts.append(_page_text(content, encoding, parsed))
                 imps.append(_important_text(content, parsed))
                 links.append(_links(content, url, parsed))
+                titles.append(_page_title(parsed))
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
                     "text": texts,
                     "important": imps,
                     "outgoing_links": links,
+                    "title": titles,
                 }
             )
 
@@ -231,7 +244,7 @@ def process_crawl(crawl: DataFrame) -> DataFrame:
         schema=(
             "url string, text string, "
             "important array<struct<text:string,weight:double>>, "
-            "outgoing_links array<string>"
+            "outgoing_links array<string>, title string"
         ),
     )
 

@@ -136,16 +136,26 @@ def _transcribe(pages, query, k=10):
     return [(urldefrag(u)[0], s, ts) for u, s, ts in out[:k]]
 
 
+TITLES = {
+    "https://ics.example.edu/a": "Machine Learning Lab",
+    "https://ics.example.edu/b": "Software Research",
+    "https://ics.example.edu/c#top": None,
+    "https://ics.example.edu/d": "Campus Info",
+    "https://ics.example.edu/e": "Machine",
+}
+
+
 @pytest.fixture(scope="module")
 def pages_df(spark):
     rows = [
-        (u, t, list(imp.items()), links) for u, t, imp, links in PAGES
+        (u, t, list(imp.items()), links, TITLES[u])
+        for u, t, imp, links in PAGES
     ]
     return spark.createDataFrame(
         rows,
         "url string, text string, "
         "important array<struct<text:string,weight:double>>, "
-        "outgoing_links array<string>",
+        "outgoing_links array<string>, title string",
     ).cache()
 
 
@@ -237,14 +247,14 @@ def test_titles_unique_per_defragged_url(spark):
     wins over the url fallback, so the presentation join can't fan
     out."""
     rows = [
-        ("https://e.edu/a", "x", [("Real Title", 2.0)], []),
-        ("https://e.edu/a#frag", "y", [], []),
+        ("https://e.edu/a", "x", [("Real Title", 2.0)], [], "Real Title"),
+        ("https://e.edu/a#frag", "y", [], [], None),
     ]
     pages = spark.createDataFrame(
         rows,
         "url string, text string, "
         "important array<struct<text:string,weight:double>>, "
-        "outgoing_links array<string>",
+        "outgoing_links array<string>, title string",
     )
     got = page_titles(pages).collect()
     assert len(got) == 1

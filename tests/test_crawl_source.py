@@ -210,3 +210,43 @@ class TestMalformedHtmlTolerance:
         w = dict(_important_text(html))
         assert w["bold very"] == 0.5
         assert w["very"] == 0.5
+
+
+def test_title_column_is_real_title_not_weight_heuristic(spark, corpus_dir):
+    """The title surface must be the actual <title> text: a page where
+    h1+b text accumulates weight 2.0 BEFORE the real title must still
+    surface the <title>; a page with no <title> gets null (url fallback
+    happens at presentation)."""
+    import json
+    import os
+
+    d = f"{corpus_dir}/crawl_titles"
+    os.makedirs(d, exist_ok=True)
+    pages = [
+        {"url": "https://t.example/a",
+         "content": "<h1>Nav</h1><b>Nav</b><title>Real Title</title>",
+         "encoding": "utf-8"},
+        {"url": "https://t.example/b",
+         "content": "<h1>Heading only</h1><b>Heading only</b>",
+         "encoding": "utf-8"},
+    ]
+    for i, p in enumerate(pages):
+        with open(f"{d}/p{i}.json", "w") as f:
+            json.dump(p, f)
+    got = {
+        r["url"]: r["title"]
+        for r in process_crawl(read_crawl_json(spark, d)).collect()
+    }
+    assert got["https://t.example/a"] == "Real Title"
+    assert got["https://t.example/b"] is None
+
+    from ics_search_engine_spark.operators.blend import page_titles
+
+    titles = {
+        r["url"]: r["title"]
+        for r in page_titles(
+            process_crawl(read_crawl_json(spark, d))
+        ).collect()
+    }
+    assert titles["https://t.example/a"] == "Real Title"
+    assert titles["https://t.example/b"] == "https://t.example/b"  # fallback
