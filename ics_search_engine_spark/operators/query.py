@@ -187,6 +187,7 @@ def bm25_topk_multi(
     pidx,
     queries: dict[str, str],
     k: int = 10,
+    resolve: str = "join",
 ) -> DataFrame:
     """Batched multi-query top-k: ALL queries scored in one Spark job →
     (query_id, conv_id, turn_idx, score, rank).  Amortizes job overhead
@@ -209,6 +210,16 @@ def bm25_topk_multi(
     driver-side merge of per-shard winners would be tens of millions of
     rows per 100-query batch; this path keeps that in the cluster.  No
     per-posting shuffle, no row_number over a query's whole match set.
+
+    ``resolve``: how winner doc_ords become (conv_id, turn_idx).
+    "join" (default) broadcast-joins against the docmap — fully
+    distributed, but the probe side scans the docmap's 3 columns once
+    per batch (amortized across the queries).  "pushdown" collects the
+    ≤ |queries| x k winners (the caller was about to collect them
+    anyway) and point-reads the docmap with a ``doc_ord IN (...)``
+    predicate — parquet row-group min/max skip everything else, the
+    right trade when the docmap itself is 10^12 rows.  Results are
+    identical (tested).
     """
     import numpy as np
     import pandas as pd
@@ -297,8 +308,32 @@ def bm25_topk_multi(
     topk = winners.withColumn(
         "rank", F.row_number().over(rank_w)
     ).filter(F.col("rank") <= k)
+    if resolve == "pushdown":
+        rows = topk.collect()  # bounded: ≤ |queries| x k
+        if not rows:
+            return empty
+        ords = sorted({int(r["doc_ord"]) for r in rows})
+        dm = {
+            r["doc_ord"]: (r["conv_id"], r["turn_idx"])
+            for r in pidx.docmap.filter(F.col("doc_ord").isin(ords))
+            .select("doc_ord", "conv_id", "turn_idx").collect()
+        }
+        final = sorted(
+            (
+                (r["query_id"], *dm[int(r["doc_ord"])],
+                 float(r["score"]), int(r["rank"]))
+                for r in rows
+            ),
+            key=lambda t: (t[0], t[4]),
+        )
+        return spark.createDataFrame(
+            final,
+            "query_id string, conv_id string, turn_idx int, "
+            "score double, rank int",
+        )
     # resolve the ≤ |queries| x k winners against the docmap with a
-    # broadcast join (the doc-store point-read pattern, distributed)
+    # broadcast join (fully distributed; scans the docmap's 3 columns
+    # once per batch)
     return (
         pidx.docmap.join(F.broadcast(topk), "doc_ord")
         .select("query_id", "conv_id", "turn_idx", "score", "rank")

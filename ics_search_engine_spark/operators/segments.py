@@ -96,6 +96,19 @@ class SegmentedIndex:
         }
 
 
+def _dm_union(sidx: SegmentedIndex) -> DataFrame:
+    """Tagged union of every segment's docmap: (seg, doc_ord, conv_id,
+    turn_idx) — the shared resolution side for segment-local winner
+    ordinals."""
+    out = None
+    for i, seg in enumerate(sidx.segments):
+        d = seg.docmap.select(
+            F.lit(i).alias("seg"), "doc_ord", "conv_id", "turn_idx"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def bm25_topk_segmented(
     spark: SparkSession,
     sidx: SegmentedIndex,
@@ -186,15 +199,15 @@ def bm25_topk_segmented(
         score_group, "seg int, doc_ord long, score double"
     )
 
-    dm_union = None
-    for i, seg in enumerate(sidx.segments):
-        d = seg.docmap.select(
-            F.lit(i).alias("seg"), "doc_ord", "conv_id", "turn_idx"
-        )
-        dm_union = d if dm_union is None else dm_union.unionByName(d)
-    resolved = dm_union.join(F.broadcast(winners), ["seg", "doc_ord"]).select(
-        "conv_id", "turn_idx", "score"
-    )
+    # Resolution is a broadcast join against the tagged docmap union
+    # (column-pruned scan, one per query).  At docmap scales where even
+    # that scan hurts, compact segments and use bm25_topk_multi's
+    # resolve="pushdown" point-lookup — the segmented path cannot
+    # pushdown before the global merge because exact-score ties break
+    # on (conv_id, turn_idx), which only resolution provides.
+    resolved = _dm_union(sidx).join(
+        F.broadcast(winners), ["seg", "doc_ord"]
+    ).select("conv_id", "turn_idx", "score")
     if deletes:
         del_df = spark.createDataFrame(
             sorted(deletes), "conv_id string, turn_idx int"
@@ -337,13 +350,7 @@ def bm25_topk_multi_segmented(
     winners = matched.groupBy("seg", "shard_id").applyInPandas(
         score_group, "query_id string, seg int, doc_ord long, score double"
     )
-    dm_union = None
-    for i, seg in enumerate(sidx.segments):
-        d = seg.docmap.select(
-            F.lit(i).alias("seg"), "doc_ord", "conv_id", "turn_idx"
-        )
-        dm_union = d if dm_union is None else dm_union.unionByName(d)
-    resolved = dm_union.join(
+    resolved = _dm_union(sidx).join(
         F.broadcast(winners), ["seg", "doc_ord"]
     ).select("query_id", "conv_id", "turn_idx", "score")
     rank_w = Window.partitionBy("query_id").orderBy(

@@ -243,3 +243,23 @@ class TestConjunctive:
             ).count()
             == 0
         )
+
+    def test_multi_pushdown_resolution_equals_join(self, spark, pidx):
+        """resolve='pushdown' (bounded collect + doc_ord IN point
+        lookup) returns exactly what the broadcast-join mode
+        returns."""
+        from ics_search_engine_spark.operators.query import bm25_topk_multi
+
+        join_rows = sorted(
+            tuple(r)
+            for r in bm25_topk_multi(
+                spark, pidx, REFERENCE_QUERIES, k=K
+            ).collect()
+        )
+        push_rows = sorted(
+            tuple(r)
+            for r in bm25_topk_multi(
+                spark, pidx, REFERENCE_QUERIES, k=K, resolve="pushdown"
+            ).collect()
+        )
+        assert push_rows == join_rows
