@@ -127,13 +127,20 @@ def ivf_centroids(
     df = emb.select(vec_col)
     if sample_fraction:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    n = df.count()
-    if n > max_fit_rows:
+    # probe with limit(cap+1) instead of count(): the common small case
+    # collects the data it needs in ONE pass over the pipeline; only an
+    # over-cap table pays the extra count (where sampling is mandatory
+    # anyway)
+    probe = df.limit(max_fit_rows + 1).collect()
+    if len(probe) > max_fit_rows:
+        n = df.count()
         # slight over-sample, then hard-cap: sample() is Bernoulli and
         # only approximately hits the fraction
-        df = df.sample(fraction=min(1.0, 1.05 * max_fit_rows / n), seed=seed)
-        df = df.limit(max_fit_rows)
-    X = np.array([r[0] for r in df.collect()], dtype=np.float64)
+        sampled = df.sample(
+            fraction=min(1.0, 1.05 * max_fit_rows / n), seed=seed
+        ).limit(max_fit_rows)
+        probe = sampled.collect()
+    X = np.array([r[0] for r in probe], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):

@@ -41,8 +41,8 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-from oracle.bm25 import K1, B
 from ics_search_engine_spark.functions.codec import unpack_postings
+from ics_search_engine_spark.operators.packed_index import _tfn as _tfn_kernel
 from ics_search_engine_spark.operators.query import query_weights
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
@@ -141,13 +141,10 @@ class LocalIndexServer:
             for i in sel
         ]
 
-    @staticmethod
-    def _tfn(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
-        tfd = tf.astype(np.float64)
-        dld = dl.astype(np.float64)
-        return tfd * (K1 + 1.0) / (
-            tfd + K1 * ((1.0 - B) + (B * dld) / avgdl)
-        )
+    # ONE bit-sensitive scoring kernel for the whole engine: serving
+    # reuses operators/packed_index._tfn so score parity can never
+    # drift between the tiers
+    _tfn = staticmethod(_tfn_kernel)
 
     def _search_wand(
         self,

@@ -44,7 +44,16 @@ def write_table(
 ) -> None:
     """Write with hash distribution + in-file sort order.  On Iceberg
     this maps to ``ALTER TABLE ... WRITE ORDERED BY`` semantics; on
-    parquet we realize the identical layout explicitly."""
+    parquet we realize the identical layout explicitly.
+
+    With the Iceberg runtime present, BOTH target shapes engage the
+    Iceberg branch: a catalog table name (no '/') goes through the V2
+    ``writeTo(...).using('iceberg')`` chain; a filesystem path — what
+    every engine call site passes — goes through Iceberg's path-based
+    (HadoopTables) surface ``format('iceberg').save(path)``, with the
+    same explicit distribution+sort so the physical layout matches the
+    parquet branch.  Without the runtime, the parquet branch produces
+    the identical layout (tested)."""
     spark = df.sparkSession
     if iceberg_available(spark) and path.count("/") == 0:
         writer = df.writeTo(path).using("iceberg")
@@ -54,6 +63,20 @@ def write_table(
             writer.append()
         return
     out = df
+    if iceberg_available(spark):
+        # path-based Iceberg table (HadoopTables): keep the explicit
+        # layout, swap the format
+        if hash_col:
+            n = n_partitions or max(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+                // 2,
+                4,
+            )
+            out = out.repartition(n, hash_col)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.format("iceberg").mode(mode).save(path)
+        return
     if hash_col:
         n = n_partitions or max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
@@ -65,6 +88,8 @@ def write_table(
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    if iceberg_available(spark) and path.count("/") == 0:
-        return spark.read.table(path)
+    if iceberg_available(spark):
+        if path.count("/") == 0:
+            return spark.read.table(path)
+        return spark.read.format("iceberg").load(path)
     return spark.read.parquet(path)

@@ -107,6 +107,7 @@ def test_iceberg_branch_fails_in_catalog_resolution_not_python(
     config flip is wired correctly and blocked ONLY by the absent
     jar."""
     monkeypatch.setattr(catalog, "iceberg_available", lambda s: True)
+    # table-name shape → V2 writeTo chain
     with pytest.raises(Exception) as ei:
         catalog.write_table(tdf, "iceberg_probe_tbl")
     assert not isinstance(ei.value, (AttributeError, TypeError))
@@ -117,3 +118,32 @@ def test_iceberg_branch_fails_in_catalog_resolution_not_python(
                     "Failed to find", "TABLE_OR_VIEW_NOT_FOUND",
                     "CatalogPlugin", "Cannot use")
     ), msg
+
+
+def test_iceberg_path_branch_engages_for_engine_paths(
+    spark, tdf, monkeypatch, tmp_path
+):
+    """Engine call sites pass slash paths — with the runtime 'present'
+    the write/read must take the path-based Iceberg (HadoopTables)
+    surface and fail in DataSource resolution for 'iceberg', not fall
+    silently back to parquet and not break in our Python."""
+    monkeypatch.setattr(catalog, "iceberg_available", lambda s: True)
+    for op in (
+        lambda: catalog.write_table(
+            tdf, str(tmp_path / "ice"), sort_cols=["term"], hash_col="term"
+        ),
+        lambda: catalog.read_table(spark, str(tmp_path / "ice")),
+    ):
+        with pytest.raises(Exception) as ei:
+            op()
+        assert not isinstance(ei.value, (AttributeError, TypeError))
+        msg = str(ei.value)
+        assert any(
+            key in msg
+            for key in ("iceberg", "Iceberg", "DATA_SOURCE_NOT_FOUND",
+                        "Failed to find")
+        ), msg
+    # and nothing was written by a parquet fallback
+    import os
+
+    assert not os.path.exists(tmp_path / "ice")
