@@ -109,6 +109,78 @@ def _dm_union(sidx: SegmentedIndex) -> DataFrame:
     return out
 
 
+def _matched_union(sidx: SegmentedIndex, terms: list[str]) -> DataFrame:
+    """Tagged union of every segment's matched index rows for the term
+    set: (seg, term, shard_id, payload) — one term-IN pushdown per
+    branch, one plan."""
+    out = None
+    for i, seg in enumerate(sidx.segments):
+        m = seg.index.filter(F.col("term").isin(terms)).select(
+            F.lit(i).alias("seg"), "term", "shard_id", "payload"
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
+def _segment_shard_scorer(
+    qw_items: list[tuple[str, list[tuple[str, float]]]],
+    rbs: dict[int, int],
+    avgdl: float,
+    fetch: int,
+):
+    """THE segment shard-scoring kernel, shared by the single- and
+    multi-query paths: decode each (term, payload) once, accumulate
+    every query's scores in ascending term order (oracle bit-parity)
+    into a dense per-shard array, emit each query's local top-``fetch``
+    as (query_id, seg, doc_ord, score)."""
+    import numpy as np
+    import pandas as pd
+
+    from ics_search_engine_spark.functions.codec import unpack_postings
+    from ics_search_engine_spark.operators.packed_index import _tfn
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["seg"].iloc[0])
+        rb = rbs[seg]
+        size = 1 << rb
+        base = int(pdf["shard_id"].iloc[0]) << rb
+        decoded: dict = {}
+        for t, p in zip(pdf["term"], pdf["payload"]):
+            d, tf, dl, _ = unpack_postings(bytes(p), with_positions=False)
+            decoded[t] = (d.astype(np.int64) - base, _tfn(tf, dl, avgdl))
+        out_q, out_seg, out_o, out_s = [], [], [], []
+        scores = np.zeros(size, dtype=np.float64)
+        for qid, wts in qw_items:
+            scores[:] = 0.0
+            touched = np.zeros(size, dtype=bool)
+            for t, w in wts:  # ascending term order -> oracle bit-parity
+                hit = decoded.get(t)
+                if hit is None:
+                    continue
+                idx, tfn = hit
+                scores[idx] += w * tfn
+                touched[idx] = True
+            ti = np.flatnonzero(touched)
+            if ti.size == 0:
+                continue
+            order = np.lexsort((ti, -scores[ti]))[:fetch]
+            sel = ti[order]
+            out_q.extend([qid] * len(sel))
+            out_seg.extend([seg] * len(sel))
+            out_o.extend((sel + base).tolist())
+            out_s.extend(scores[sel].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "seg": np.array(out_seg, dtype=np.int32),
+             "doc_ord": np.array(out_o, dtype=np.int64),
+             "score": np.array(out_s, dtype=np.float64)}
+        )
+
+    return score_group
+
+
+_WINNER_SCHEMA = "query_id string, seg int, doc_ord long, score double"
+
+
 def bm25_topk_segmented(
     spark: SparkSession,
     sidx: SegmentedIndex,
@@ -138,12 +210,6 @@ def bm25_topk_segmented(
     (``compact_segments(deletes=...)``), after which the index is
     byte-identical to one never containing the deleted docs (tested).
     """
-    import numpy as np
-    import pandas as pd
-
-    from ics_search_engine_spark.functions.codec import unpack_postings
-    from ics_search_engine_spark.operators.packed_index import _tfn
-
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
     )
@@ -156,47 +222,16 @@ def bm25_topk_segmented(
         return empty
 
     fetch = k + (len(deletes) if deletes else 0)
-    avgdl = sidx.avgdl
-    wts = sorted(weights.items())
     # range_bits may differ per segment (pre-compaction mixtures)
     rbs = {i: int(s.stats["range_bits"]) for i, s in enumerate(sidx.segments)}
-
-    matched = None
-    for i, seg in enumerate(sidx.segments):
-        m = seg.index.filter(F.col("term").isin(q_terms)).select(
-            F.lit(i).alias("seg"), "term", "shard_id", "payload"
-        )
-        matched = m if matched is None else matched.unionByName(m)
-
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["seg"].iloc[0])
-        rb = rbs[seg]
-        size = 1 << rb
-        base = int(pdf["shard_id"].iloc[0]) << rb
-        by_term = dict(zip(pdf["term"], pdf["payload"]))
-        scores = np.zeros(size, dtype=np.float64)
-        touched = np.zeros(size, dtype=bool)
-        for t, w in wts:  # ascending term order -> oracle bit-parity
-            pl = by_term.get(t)
-            if pl is None:
-                continue
-            d, tf, dl, _ = unpack_postings(bytes(pl), with_positions=False)
-            idx = d.astype(np.int64) - base
-            scores[idx] += w * _tfn(tf, dl, avgdl)
-            touched[idx] = True
-        ti = np.flatnonzero(touched)
-        if ti.size == 0:
-            return pd.DataFrame({"seg": [], "doc_ord": [], "score": []}).astype(
-                {"seg": np.int32, "doc_ord": np.int64, "score": np.float64}
-            )
-        order = np.lexsort((ti, -scores[ti]))[:fetch]
-        sel = ti[order]
-        return pd.DataFrame(
-            {"seg": np.int32(seg), "doc_ord": sel + base, "score": scores[sel]}
-        )
-
-    winners = matched.groupBy("seg", "shard_id").applyInPandas(
-        score_group, "seg int, doc_ord long, score double"
+    scorer = _segment_shard_scorer(
+        [("q", sorted(weights.items()))], rbs, sidx.avgdl, fetch
+    )
+    winners = (
+        _matched_union(sidx, q_terms)
+        .groupBy("seg", "shard_id")
+        .applyInPandas(scorer, _WINNER_SCHEMA)
+        .drop("query_id")
     )
 
     # Resolution is a broadcast join against the tagged docmap union
@@ -270,12 +305,7 @@ def bm25_topk_multi_segmented(
     distributed global merge, and a broadcast join against the tagged
     docmap union to resolve docIDs.  Driver holds nothing but the
     final ≤ |queries| x k rows."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
-
-    from ics_search_engine_spark.functions.codec import unpack_postings
-    from ics_search_engine_spark.operators.packed_index import _tfn
 
     empty = spark.createDataFrame(
         [],
@@ -301,54 +331,13 @@ def bm25_topk_multi_segmented(
     if not q_weights:
         return empty
 
-    avgdl = sidx.avgdl
     qw_items = sorted(q_weights.items())
     rbs = {i: int(s.stats["range_bits"]) for i, s in enumerate(sidx.segments)}
-
-    matched = None
-    for i, seg in enumerate(sidx.segments):
-        m = seg.index.filter(F.col("term").isin(sorted(all_terms))).select(
-            F.lit(i).alias("seg"), "term", "shard_id", "payload"
-        )
-        matched = m if matched is None else matched.unionByName(m)
-
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["seg"].iloc[0])
-        rb = rbs[seg]
-        size = 1 << rb
-        base = int(pdf["shard_id"].iloc[0]) << rb
-        decoded: dict = {}
-        for t, p in zip(pdf["term"], pdf["payload"]):
-            d, tf, dl, _ = unpack_postings(bytes(p), with_positions=False)
-            decoded[t] = (d.astype(np.int64) - base, _tfn(tf, dl, avgdl))
-        out_q, out_seg, out_o, out_s = [], [], [], []
-        scores = np.zeros(size, dtype=np.float64)
-        for qid, wts in qw_items:
-            scores[:] = 0.0
-            touched = np.zeros(size, dtype=bool)
-            for t, w in wts:  # ascending term order -> oracle bit-parity
-                hit = decoded.get(t)
-                if hit is None:
-                    continue
-                idx, tfn = hit
-                scores[idx] += w * tfn
-                touched[idx] = True
-            ti = np.flatnonzero(touched)
-            if ti.size == 0:
-                continue
-            order = np.lexsort((ti, -scores[ti]))[:k]
-            sel = ti[order]
-            out_q.extend([qid] * len(sel))
-            out_seg.extend([seg] * len(sel))
-            out_o.extend((sel + base).tolist())
-            out_s.extend(scores[sel].tolist())
-        return pd.DataFrame(
-            {"query_id": out_q, "seg": np.array(out_seg, dtype=np.int32),
-             "doc_ord": out_o, "score": out_s}
-        )
-
-    winners = matched.groupBy("seg", "shard_id").applyInPandas(
-        score_group, "query_id string, seg int, doc_ord long, score double"
+    scorer = _segment_shard_scorer(qw_items, rbs, sidx.avgdl, k)
+    winners = (
+        _matched_union(sidx, sorted(all_terms))
+        .groupBy("seg", "shard_id")
+        .applyInPandas(scorer, _WINNER_SCHEMA)
     )
     resolved = _dm_union(sidx).join(
         F.broadcast(winners), ["seg", "doc_ord"]
