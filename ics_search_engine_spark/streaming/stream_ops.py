@@ -220,3 +220,70 @@ def incremental_postings(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def incremental_segments(
+    transcripts_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    range_bits: int = 12,
+    with_positions: bool = False,
+    stem: bool = True,
+) -> DataStreamWriter:
+    """Streaming ingest → queryable LSM index: every non-empty
+    micro-batch becomes a complete packed-index SEGMENT (the full
+    build pipeline over just the batch), registered atomically via a
+    ``_SEGMENT_READY`` marker written AFTER the build finishes.
+    ``list_ready_segments`` + operators/segments.SegmentedIndex (or
+    serving.LocalSegmentedServer) then query the stream's accumulated
+    state bit-identically to a batch rebuild over everything ingested
+    (tested) — compaction cadence is the reader's choice
+    (pick_compaction + compact_segments).
+
+    Idempotence: the segment path embeds the batchId; a re-delivered
+    batch after a restart rebuilds the same directory (deterministic
+    build) and re-marks it — exactly-once per batch, the same
+    guarantee as operators/build.py's bucket manifest.
+
+    Invariant inherited from segments.py: conversations must not
+    straddle micro-batches if per-conv docIDs are to stay unique
+    (one conversation = one arrival batch, the natural ingest shape).
+    """
+    import os
+
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seg_dir = f"{out_dir}/segment={batch_id}"
+        build_packed_index(
+            batch_df.sparkSession, batch_df, seg_dir,
+            range_bits=range_bits, with_positions=with_positions,
+            stem=stem,
+        )
+        with open(f"{seg_dir}/_SEGMENT_READY", "w") as f:
+            f.write(str(batch_id))
+
+    return (
+        transcripts_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def list_ready_segments(out_dir: str) -> list[str]:
+    """Completed segment directories (marker present), batch order."""
+    import os
+    import re
+
+    out = []
+    if not os.path.isdir(out_dir):
+        return out
+    for name in os.listdir(out_dir):
+        m = re.fullmatch(r"segment=(\d+)", name)
+        if m and os.path.exists(f"{out_dir}/{name}/_SEGMENT_READY"):
+            out.append((int(m.group(1)), f"{out_dir}/{name}"))
+    return [p for _, p in sorted(out)]

@@ -216,3 +216,71 @@ class TestAssembleConversations:
         assert r["max_turn_idx"] == 2
         assert r["total_chars"] == len("aa") + len("bbbb") + len("c")
         assert r["first_ts"] == base and r["last_ts"] == base + 2 * hour
+
+
+class TestIncrementalSegments:
+    def test_streamed_segments_equal_batch_rebuild(
+        self, spark, stream_dirs, small_df
+    ):
+        """Streaming ingest (one parquet file per micro-batch) →
+        segments → SegmentedIndex / LocalSegmentedServer results are
+        bit-identical to one batch build over everything ingested."""
+        from ics_search_engine_spark.operators.packed_index import (
+            build_packed_index,
+        )
+        from ics_search_engine_spark.operators.segments import (
+            SegmentedIndex,
+            bm25_topk_segmented,
+        )
+        from ics_search_engine_spark.operators.query import bm25_topk_packed
+        from ics_search_engine_spark.operators.packed_index import PackedIndex
+        from ics_search_engine_spark.serving import LocalSegmentedServer
+        from ics_search_engine_spark.streaming.stream_ops import (
+            incremental_segments,
+            list_ready_segments,
+        )
+
+        src = f"{stream_dirs}/seg_src"
+        os.makedirs(src, exist_ok=True)
+        # whole conversations per arrival file (the segment invariant)
+        for i in range(3):
+            part = small_df.filter(F.pmod(F.hash("conv_id"), F.lit(3)) == i)
+            part.coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/arrival_{i}"
+            )
+        schema = small_df.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/arrival_*")
+        )
+        out = f"{stream_dirs}/seg_out"
+        q = (
+            incremental_segments(
+                stream, out, f"{stream_dirs}/seg_ckpt", range_bits=9
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        segs = list_ready_segments(out)
+        assert len(segs) >= 2  # micro-batched, not one mega-batch
+
+        full_dir = f"{stream_dirs}/seg_full_rebuild"
+        build_packed_index(spark, small_df, full_dir, range_bits=9)
+        full = PackedIndex(spark, full_dir)
+        sidx = SegmentedIndex(spark, segs)
+        assert sidx.n_docs == full.n_docs
+        assert sidx.avgdl == full.avgdl  # bit-equal
+
+        for query in ["machine learning", "research", "xyzzyqux"]:
+            seg_rows = [
+                tuple(r)
+                for r in bm25_topk_segmented(spark, sidx, query, k=10).collect()
+            ]
+            full_rows = [
+                tuple(r)
+                for r in bm25_topk_packed(spark, full, query, k=10).collect()
+            ]
+            assert seg_rows == full_rows, query
+            assert LocalSegmentedServer(segs).search(query, k=10) == full_rows
