@@ -108,44 +108,68 @@ def bm25_topk_wand(
         rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
         return rows[:k]
 
-    # Single-pass fast path: when the upper bounds are near-uniform
-    # across ranges (common terms spread evenly), phase-1's theta can
-    # prune nothing — paying a second Spark job buys no skipped work.
-    # Score everything in ONE job instead.  Result is identical either
-    # way; only the job count differs.
-    uniform_ub = (
-        len(ranges) > phase1_ranges
-        and ranges[phase1_ranges]["ub"] >= 0.8 * ranges[0]["ub"]
-    )
-    if len(ranges) <= phase1_ranges or uniform_ub:
+    if len(ranges) <= phase1_ranges:
         rows = merge_topk(score_ranges([r["shard_id"] for r in ranges]).collect())
         if collect_stats is not None:
             collect_stats.update(
-                n_ranges=len(ranges), scored=len(ranges), pruned=0
+                n_ranges=len(ranges), scored=len(ranges), pruned=0, rounds=1
             )
         if not rows:
             return empty
         return _resolve(spark, pidx, rows)
 
-    top1 = merge_topk(score_ranges(phase1).collect())
-    if len(top1) >= k:
-        theta = top1[-1]["score"]
-        survivors = [
-            r["shard_id"] for r in ranges[phase1_ranges:] if r["ub"] >= theta
-        ]
-    else:
-        survivors = [r["shard_id"] for r in ranges[phase1_ranges:]]
+    # Iterative-doubling phases: score the highest-ub ranges in chunks
+    # (phase1_ranges, 2x, 4x, ...), after each chunk re-derive
+    # θ = current k-th best COMPLETE score (shards are doc-range-
+    # aligned, so every scored doc's score is final) and drop all
+    # remaining ranges with ub < θ.  A θ set once after a fixed small
+    # phase is too shallow when the k-th result needs many ranges (a
+    # rare term spread over dozens of ranges): measured on the
+    # 690k-turn corpus, two-phase pruned 0 of 169 ranges where this
+    # loop prunes like the serve tier's continuously-updated θ.
+    # Each chunk is one Spark job over few shards; rounds are
+    # O(log n_ranges) worst case, and the loop exits the moment
+    # pruning clears the tail.  Results identical to exhaustive
+    # (invariant-tested): pruning drops only ranges provably below θ.
+    rows: list = []
+    remaining = list(ranges)
+    chunk = phase1_ranges
+    n_scored = 0
+    rounds = 0
+    while remaining:
+        if len(rows) >= k:
+            theta = rows[k - 1]["score"]
+            kept = [r for r in remaining if r["ub"] >= theta]
+            if not kept:
+                break
+            if (
+                len(kept) > 0.75 * len(remaining)
+                and kept[0]["ub"] < 1.5 * theta
+            ):
+                # θ is clearing almost nothing AND cannot rise much
+                # (best remaining ub is within 1.5x of it — near-
+                # uniform band): stop paying per-round job overhead
+                # and finish the survivors in ONE job.  When the best
+                # remaining ub still towers over θ (rare-term ranges
+                # not yet scored), keep doubling — θ will climb and
+                # clear the tail.
+                chunk = len(kept)
+            remaining = kept
+        batch, remaining = remaining[:chunk], remaining[chunk:]
+        rows = merge_topk(
+            rows + score_ranges([r["shard_id"] for r in batch]).collect()
+        )
+        n_scored += len(batch)
+        rounds += 1
+        chunk *= 2
 
     if collect_stats is not None:
         collect_stats.update(
             n_ranges=len(ranges),
-            scored=len(phase1) + len(survivors),
-            pruned=len(ranges) - len(phase1) - len(survivors),
+            scored=n_scored,
+            pruned=len(ranges) - n_scored,
+            rounds=rounds,
         )
-
-    rows = top1
-    if survivors:
-        rows = merge_topk(rows + score_ranges(survivors).collect())
     if not rows:
         return empty
     return _resolve(spark, pidx, rows)
