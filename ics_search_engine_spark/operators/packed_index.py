@@ -404,6 +404,7 @@ def score_shards_topk(
     avgdl: float,
     k: int,
     range_bits: int,
+    require_all: int | None = None,
 ) -> DataFrame:
     """Per-shard BM25 scoring with a local top-k — NO per-posting
     shuffle.
@@ -429,6 +430,12 @@ def score_shards_topk(
     bits).  At 10^12 docs with range_bits ~22 it is 32 MB per in-flight
     group — still executor-friendly; beyond that switch the accumulator
     to a sorted-merge over the (already doc_ord-sorted) term arrays.
+
+    ``require_all=n``: posting-list INTERSECTION semantics — only docs
+    matched by n distinct terms survive (a dense matched-term counter
+    rides the same pass; no extra shuffle).  Scores of survivors are
+    unchanged (same fold), so this is the shard-local, shuffle-free
+    form of query.bm25_topk_conjunctive.
     """
     wts = sorted(weights.items())
     size = 1 << range_bits
@@ -438,6 +445,9 @@ def score_shards_topk(
         base = int(pdf["shard_id"].iloc[0]) << range_bits
         scores = np.zeros(size, dtype=np.float64)
         touched = np.zeros(size, dtype=bool)
+        counts = (
+            np.zeros(size, dtype=np.int32) if require_all is not None else None
+        )
         by_term: dict = {}
         for t, p in zip(pdf["term"], pdf["payload"]):
             by_term[t] = p
@@ -450,6 +460,10 @@ def score_shards_topk(
             tfn = _tfn(tf, dl, avgdl)
             scores[idx] += w * tfn
             touched[idx] = True
+            if counts is not None:
+                counts[idx] += 1
+        if counts is not None:
+            touched &= counts == require_all
         ti = np.flatnonzero(touched)
         if ti.size == 0:
             return pd.DataFrame({"doc_ord": [], "score": []}).astype(

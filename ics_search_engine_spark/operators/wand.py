@@ -47,10 +47,20 @@ def bm25_topk_wand(
     k: int = 10,
     phase1_ranges: int = 4,
     collect_stats: dict | None = None,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Top-k BM25 with block-max range pruning — result identical to the
     exhaustive packed path (invariant-tested).  ``collect_stats`` (if a
-    dict) receives pruning counters for tests/bench."""
+    dict) receives pruning counters for tests/bench.
+
+    ``conjunctive=True``: AND semantics with the same shard-local,
+    shuffle-free machinery — docs must match EVERY query term (any
+    absent term empties the result).  Two conjunctive-only prunes come
+    for free: a doc range whose metadata lacks ANY required term can
+    never match and is dropped before scoring, and the OR upper bound
+    remains a valid bound for the (smaller) conjunctive scores, so the
+    θ pruning loop is unchanged.  Identical to the exhaustive
+    bm25_topk_conjunctive (tested)."""
     do_stem = pidx.stats.get("stem", True)
     q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
     empty = spark.createDataFrame(
@@ -67,9 +77,11 @@ def bm25_topk_wand(
         if not weights:
             return empty
         ubs: dict[int, float] = {}
+        shard_terms: dict[int, int] = {}
         for t, w in weights.items():
             for shard_id, max_tfn in pidx._shard_meta.get(t, ()):
                 ubs[shard_id] = ubs.get(shard_id, 0.0) + w * max_tfn
+                shard_terms[shard_id] = shard_terms.get(shard_id, 0) + 1
     else:
         # ONE pushed-down metadata job fetches df AND block maxes for
         # just the query terms (seek-map analog; term IN (...) prunes
@@ -82,12 +94,29 @@ def bm25_topk_wand(
         if not weights:
             return empty
         ubs = {}
+        shard_terms = {}
+        seen_term_shard = set()
         for r in meta_rows:
             w = weights.get(r["term"])
             if w is not None:
                 ubs[r["shard_id"]] = (
                     ubs.get(r["shard_id"], 0.0) + w * r["max_tfn"]
                 )
+                key = (r["term"], r["shard_id"])
+                if key not in seen_term_shard:
+                    seen_term_shard.add(key)
+                    shard_terms[r["shard_id"]] = (
+                        shard_terms.get(r["shard_id"], 0) + 1
+                    )
+    require_all = None
+    if conjunctive:
+        # AND of an absent term is empty; a range missing any required
+        # term cannot match — metadata-level conjunctive pruning
+        if len(weights) < len(q_terms):
+            return empty
+        require_all = len(weights)
+        ubs = {s: u for s, u in ubs.items()
+               if shard_terms.get(s, 0) == require_all}
     ub_rows = [{"shard_id": s, "ub": u} for s, u in ubs.items()]
     ranges = sorted(ub_rows, key=lambda r: (-r["ub"], r["shard_id"]))
     if not ranges:
@@ -102,7 +131,9 @@ def bm25_topk_wand(
         # no per-posting shuffle (see score_shards_topk); the union of
         # per-shard top-ks is merged driver-side below
         m = matched.filter(F.col("shard_id").isin([int(s) for s in shard_ids]))
-        return score_shards_topk(m, weights, pidx.avgdl, k, range_bits)
+        return score_shards_topk(
+            m, weights, pidx.avgdl, k, range_bits, require_all=require_all
+        )
 
     def merge_topk(rows: list) -> list:
         rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))

@@ -192,6 +192,13 @@ class LocalIndexServer:
             for s, rows in by_shard.items()
         }
         order = sorted(ubs, key=lambda s: (-ubs[s], s))
+        if len(order) <= 2:
+            # nothing meaningful to skip — the per-shard array resets
+            # cost more than pruning can save; take the exhaustive
+            # path's single pass (identical results by construction)
+            if stats is not None:
+                stats.update(n_ranges=len(order), scored=len(order), pruned=0)
+            return self.score_with(dict(weights), k, avgdl=avgdl)
 
         # min-heap of (score, -doc_ord): heap[0] is the CURRENT k-th
         # result (worst kept); θ = heap[0][0]

@@ -238,3 +238,31 @@ class TestServingWandProperty:
                     dict(weights), k, use_wand=True, stats=st
                 )
                 assert wd == ex, (trial, k)
+
+
+def test_wand_conjunctive_equals_exhaustive_conjunctive(spark, pidx, oracle_idx):
+    """The shard-local conjunctive WAND path (no per-posting shuffle,
+    metadata-level range pruning for incomplete ranges) returns exactly
+    what the exhaustive intersection path returns."""
+    from ics_search_engine_spark.operators.query import bm25_topk_conjunctive
+
+    for query in ["machine learning", "research", "master of computer science",
+                  "machine zzznotaterm"]:
+        wand = [
+            tuple(r)
+            for r in bm25_topk_wand(
+                spark, pidx, query, k=10, conjunctive=True
+            ).collect()
+        ]
+        exhaustive = [
+            tuple(r)
+            for r in bm25_topk_conjunctive(spark, pidx, query, k=10).collect()
+        ]
+        assert wand == exhaustive, query
+    # conjunctive results are the OR ranking filtered to all-term docs
+    st: dict = {}
+    wand_ml = bm25_topk_wand(
+        spark, pidx, "machine learning", k=10, conjunctive=True,
+        collect_stats=st,
+    ).collect()
+    assert len(wand_ml) > 0
