@@ -85,6 +85,7 @@ class LocalIndexServer:
         k: int = 10,
         use_wand: bool = False,
         stats: dict | None = None,
+        conjunctive: bool = False,
     ) -> list[tuple[str, int, float]]:
         """Top-k → [(conv_id, turn_idx, score)], bit-identical to the
         Spark paths and oracle.search (same weights, same tfn order,
@@ -92,14 +93,26 @@ class LocalIndexServer:
 
         ``use_wand=True`` enables block-max shard pruning (see module
         docstring) — identical results, fewer decoded payload bytes;
-        ``stats`` (if a dict) receives pruning counters."""
+        ``stats`` (if a dict) receives pruning counters.
+        ``conjunctive=True``: AND semantics (every query term must
+        match; an absent term empties the result) — mirrors the
+        distributed bm25_topk_conjunctive / bm25_topk_wand(conjunctive)
+        paths (tested identical)."""
         do_stem = self.stats.get("stem", True)
         q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
         if not q_terms:
             return []
         term_df = {t: int(self.df[t]) for t in q_terms if t in self.df}
         weights = query_weights(query, term_df, self.n_docs, do_stem=do_stem)
-        return self.score_with(weights, k, use_wand=use_wand, stats=stats)
+        require_all = None
+        if conjunctive:
+            if len(weights) < len(q_terms):
+                return []
+            require_all = len(weights)
+        return self.score_with(
+            weights, k, use_wand=use_wand, stats=stats,
+            require_all=require_all,
+        )
 
     def score_with(
         self,
@@ -108,19 +121,25 @@ class LocalIndexServer:
         avgdl: float | None = None,
         use_wand: bool = False,
         stats: dict | None = None,
+        require_all: int | None = None,
     ) -> list[tuple[str, int, float]]:
         """Score with EXTERNALLY supplied weights/avgdl — the segmented
         server passes global-corpus values so per-segment scoring is
-        bit-identical to the compacted index's."""
+        bit-identical to the compacted index's.  ``require_all=n``
+        keeps only docs matched by n distinct terms (AND)."""
         if not weights:
             return []
         if avgdl is None:
             avgdl = self.stats["avgdl"]
-        if use_wand:
+        if use_wand and require_all is None:
             return self._search_wand(weights, k, stats, avgdl)
 
         scores = np.zeros(self.n_docs, dtype=np.float64)
         touched = np.zeros(self.n_docs, dtype=bool)
+        counts = (
+            np.zeros(self.n_docs, dtype=np.int32)
+            if require_all is not None else None
+        )
         # CRITICAL for bit-identity: accumulate in ascending term order
         for t in sorted(weights):
             w = weights[t]
@@ -131,6 +150,10 @@ class LocalIndexServer:
                 idx = d.astype(np.int64)
                 scores[idx] += w * self._tfn(tf, dl, avgdl)
                 touched[idx] = True
+                if counts is not None:
+                    counts[idx] += 1
+        if counts is not None:
+            touched &= counts == require_all
         ti = np.flatnonzero(touched)
         if ti.size == 0:
             return []

@@ -266,3 +266,18 @@ def test_wand_conjunctive_equals_exhaustive_conjunctive(spark, pidx, oracle_idx)
         collect_stats=st,
     ).collect()
     assert len(wand_ml) > 0
+
+
+def test_serving_conjunctive_equals_distributed(spark, pidx, oracle_idx):
+    from ics_search_engine_spark.operators.query import bm25_topk_conjunctive
+    from ics_search_engine_spark.serving import LocalIndexServer
+
+    srv = LocalIndexServer(pidx.path)
+    for query in ["machine learning", "master of computer science",
+                  "machine zzznotaterm"]:
+        local = srv.search(query, k=10, conjunctive=True)
+        dist = [
+            tuple(r)
+            for r in bm25_topk_conjunctive(spark, pidx, query, k=10).collect()
+        ]
+        assert local == dist, query
