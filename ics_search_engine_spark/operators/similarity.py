@@ -262,3 +262,20 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def write_ivf_partitioned(
+    emb_celled: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist the embedding table PHYSICALLY partitioned by IVF cell
+    (``partitionBy('ivf_cell')``): a query's ``ivf_cell IN (probes)``
+    filter then becomes directory-level PARTITION PRUNING — at 10^12
+    rows the scan touches only the probed cells' files instead of
+    filtering after reading everything.  This is the ANN analog of the
+    packed index's term-hash layout (format-level skipping instead of
+    a hand-rolled secondary index)."""
+    emb_celled.write.mode(mode).partitionBy("ivf_cell").parquet(path)
+
+
+def read_ivf_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -250,3 +250,56 @@ class TestEmbeddingNearDup:
             assert pair in brute
             assert abs(c - brute[pair]) < 1e-12
         assert len(lsh) >= 0.9 * len(brute), (len(lsh), len(brute))
+
+
+class TestIvfPartitionPruning:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_partitioned_probe_prunes_and_matches(self, spark, emb, tmp_path):
+        """Cell-partitioned layout: the probe filter must appear as
+        PartitionFilters in the scan (directory pruning, not post-read
+        filtering) and results must equal the unpartitioned path."""
+        import contextlib
+        import io
+
+        from ics_search_engine_spark.operators.similarity import (
+            cosine_topk_ivf,
+            ivf_centroids,
+            read_ivf_partitioned,
+            with_ivf_cells,
+            write_ivf_partitioned,
+        )
+
+        cents = ivf_centroids(emb, n_cells=8, iters=2, seed=42)
+        celled = with_ivf_cells(emb, cents)
+        out = str(tmp_path / "emb_ivf")
+        write_ivf_partitioned(celled, out)
+        back = read_ivf_partitioned(spark, out)
+
+        qvec = [float(x) for x in emb.first()["embedding"]]
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in cosine_topk_ivf(back, cents, qvec, k=10).collect()
+        ]
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in cosine_topk_ivf(celled, cents, qvec, k=10).collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want]
+
+        import numpy as np
+
+        d2 = ((cents - np.asarray(qvec)[None, :]) ** 2).sum(axis=1)
+        probe = [int(c) for c in np.argsort(d2)[:4]]
+        import pyspark.sql.functions as F
+
+        plan_df = back.filter(F.col("ivf_cell").isin(probe))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan
+        pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert any("ivf_cell" in l for l in pf_lines), plan[:2000]
