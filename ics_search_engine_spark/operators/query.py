@@ -312,12 +312,16 @@ def bm25_topk_multi(
         rows = topk.collect()  # bounded: ≤ |queries| x k
         if not rows:
             return empty
-        ords = sorted({int(r["doc_ord"]) for r in rows})
-        dm = {
-            r["doc_ord"]: (r["conv_id"], r["turn_idx"])
-            for r in pidx.docmap.filter(F.col("doc_ord").isin(ords))
-            .select("doc_ord", "conv_id", "turn_idx").collect()
-        }
+        if pidx._docmap_local is not None:
+            # serving mode: zero-job resolution from the driver map
+            dm = pidx._docmap_local
+        else:
+            ords = sorted({int(r["doc_ord"]) for r in rows})
+            dm = {
+                r["doc_ord"]: (r["conv_id"], r["turn_idx"])
+                for r in pidx.docmap.filter(F.col("doc_ord").isin(ords))
+                .select("doc_ord", "conv_id", "turn_idx").collect()
+            }
         final = sorted(
             (
                 (r["query_id"], *dm[int(r["doc_ord"])],

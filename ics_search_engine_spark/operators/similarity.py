@@ -127,20 +127,24 @@ def ivf_centroids(
     df = emb.select(vec_col)
     if sample_fraction:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    # probe with limit(cap+1) instead of count(): the common small case
-    # collects the data it needs in ONE pass over the pipeline; only an
-    # over-cap table pays the extra count (where sampling is mandatory
-    # anyway)
-    probe = df.limit(max_fit_rows + 1).collect()
-    if len(probe) > max_fit_rows:
+    # cheap cap probe: count a LIMITed plan (short-circuits after
+    # cap+1 rows, ships no vectors) to learn which side of the cap the
+    # table is on, then collect exactly once — never shipping vectors
+    # that get discarded
+    over_cap = (
+        df.limit(max_fit_rows + 1).selectExpr("1 as one").count()
+        > max_fit_rows
+    )
+    if over_cap:
         n = df.count()
         # slight over-sample, then hard-cap: sample() is Bernoulli and
         # only approximately hits the fraction
-        sampled = df.sample(
+        rows = df.sample(
             fraction=min(1.0, 1.05 * max_fit_rows / n), seed=seed
-        ).limit(max_fit_rows)
-        probe = sampled.collect()
-    X = np.array([r[0] for r in probe], dtype=np.float64)
+        ).limit(max_fit_rows).collect()
+    else:
+        rows = df.collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):

@@ -122,7 +122,6 @@ def bm25_topk_wand(
     if not ranges:
         return empty
 
-    phase1 = [r["shard_id"] for r in ranges[:phase1_ranges]]
     matched = pidx.index.filter(F.col("term").isin(q_terms))
     range_bits = pidx.stats["range_bits"]
 

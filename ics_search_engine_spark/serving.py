@@ -51,7 +51,18 @@ class LocalIndexServer:
     """Serve top-k BM25 from a packed index directory, no Spark."""
 
     def __init__(self, path: str):
+        from ics_search_engine_spark.sources.catalog import is_iceberg_layout
+
         self.path = path
+        for sub in ("index", "term_stats", "docmap"):
+            if is_iceberg_layout(os.path.join(path, sub)):
+                raise NotImplementedError(
+                    f"{path}/{sub} is an Iceberg table directory; the "
+                    "pyarrow serving tier cannot snapshot-filter it — "
+                    "serve through Spark, or read via pyiceberg, or "
+                    "build serving artifacts with "
+                    "SPARK_GRAFT_PATH_FORMAT=parquet"
+                )
         with open(os.path.join(path, "stats.json")) as f:
             self.stats = json.load(f)
         idx = pq.read_table(
@@ -131,8 +142,10 @@ class LocalIndexServer:
             return []
         if avgdl is None:
             avgdl = self.stats["avgdl"]
-        if use_wand and require_all is None:
-            return self._search_wand(weights, k, stats, avgdl)
+        if use_wand:
+            return self._search_wand(
+                weights, k, stats, avgdl, require_all=require_all
+            )
 
         scores = np.zeros(self.n_docs, dtype=np.float64)
         touched = np.zeros(self.n_docs, dtype=bool)
@@ -175,6 +188,7 @@ class LocalIndexServer:
         k: int,
         stats: dict | None,
         avgdl: float | None = None,
+        require_all: int | None = None,
     ) -> list[tuple[str, int, float]]:
         """Block-max WAND over doc-range shards: score shards in
         descending ub order, skip every shard whose ub < current k-th
@@ -210,12 +224,24 @@ class LocalIndexServer:
                 by_shard.setdefault(int(shard), []).append(
                     (t, w, max_tfn, payload)
                 )
+        if require_all is not None:
+            # conjunctive: a shard missing any required term can never
+            # produce a match — metadata-level pruning, like the
+            # distributed conjunctive WAND
+            by_shard = {
+                s_: rows for s_, rows in by_shard.items()
+                if len(rows) == require_all
+            }
+            if not by_shard:
+                if stats is not None:
+                    stats.update(n_ranges=0, scored=0, pruned=0)
+                return []
         ubs = {
             s: sum(w * m for _, w, m, _ in rows) * ub_scale
             for s, rows in by_shard.items()
         }
         order = sorted(ubs, key=lambda s: (-ubs[s], s))
-        if len(order) <= 2:
+        if len(order) <= 2 and require_all is None:
             # nothing meaningful to skip — the per-shard array resets
             # cost more than pruning can save; take the exhaustive
             # path's single pass (identical results by construction)
@@ -237,6 +263,10 @@ class LocalIndexServer:
             base = s << range_bits
             local[:] = 0.0
             touched = np.zeros(size, dtype=bool)
+            counts = (
+                np.zeros(size, dtype=np.int32)
+                if require_all is not None else None
+            )
             for _t, w, _m, payload in by_shard[s]:  # ascending term order
                 d, tf, dl, _ = unpack_postings(
                     bytes(payload), with_positions=False
@@ -244,6 +274,10 @@ class LocalIndexServer:
                 idx = d.astype(np.int64) - base
                 local[idx] += w * self._tfn(tf, dl, avgdl)
                 touched[idx] = True
+                if counts is not None:
+                    counts[idx] += 1
+            if counts is not None:
+                touched &= counts == require_all
             ti = np.flatnonzero(touched)
             if len(heap) >= k:
                 # vectorized pre-filter: a candidate below θ can never
@@ -289,7 +323,10 @@ class LocalSegmentedServer:
             if s.stats.get("stem", True) != s0.get("stem", True):
                 raise ValueError("segments disagree on stemming")
         self.n_docs = sum(s.n_docs for s in self.servers)
-        self.sum_dl = sum(int(s.stats["sum_dl"]) for s in self.servers)
+        self.sum_dl = sum(
+            int(s.stats.get("sum_dl", round(s.stats["avgdl"] * s.n_docs)))
+            for s in self.servers
+        )
         self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 0.0
         self.stem = s0.get("stem", True)
 

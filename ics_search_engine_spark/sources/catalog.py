@@ -5,15 +5,30 @@ The north_rule specifies Iceberg tables for input and index storage.
 This sandbox has no Iceberg runtime jar, so the shim keeps every
 Iceberg-dependent decision in ONE place:
 
-* ``writer(df, path, sort_cols, partition_cols)`` — Iceberg:
-  ``df.writeTo(table).using('iceberg')`` with a sort order and hidden
-  partitioning; parquet: ``repartition(partition_cols) +
-  sortWithinPartitions(sort_cols) + write.parquet`` — the SAME physical
-  layout (file-internal sort runs + hash distribution), so row-group
-  min/max pruning behaves identically.  Flipping to Iceberg adds
-  snapshot isolation and metadata-table time travel, it does not change
-  the engine's plans.
-* ``reader(spark, path)`` — symmetric.
+* ``write_table(df, path, sort_cols, hash_col)`` — computes the
+  physical layout ONCE (hash distribution + in-file sort runs, so
+  row-group min/max pruning behaves identically in every format) and
+  branches only on the final writer call;
+* ``read_table(spark, path)`` — symmetric.
+
+Format selection for PATH targets is an explicit, stack-wide contract
+— NOT inferred from the classpath:
+
+* ``path_format()`` reads ``SPARK_GRAFT_PATH_FORMAT`` (default
+  "parquet").  Setting it to "iceberg" flips every engine artifact
+  write AND read to Iceberg's path-based (HadoopTables) surface in
+  one move — but it is a whole-stack switch, because the in-process
+  serving tier (serving.py) reads artifacts with pyarrow, which does
+  not understand the Iceberg directory layout (data/ + metadata/
+  manifests, snapshot filtering).  Flipping the format therefore
+  requires an Iceberg-aware serving reader (pyiceberg); serving
+  detects an Iceberg layout and fails with a clear message rather
+  than silently reading stale/duplicate data files.  Inferring the
+  format from ``iceberg_available()`` alone would silently split the
+  stack: Spark writing snapshots that pyarrow then misreads.
+* Catalog TABLE NAMES (no '/') always use the V2
+  ``writeTo(...).using('iceberg')`` chain when the runtime exists —
+  those artifacts are only ever read back through Spark.
 
 ``iceberg_available(spark)`` probes the classpath at runtime; all
 engine code calls the shim, never a format string directly.
@@ -21,7 +36,20 @@ engine code calls the shim, never a format string directly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+PATH_FORMAT_ENV = "SPARK_GRAFT_PATH_FORMAT"
+
+
+def path_format() -> str:
+    """Storage format for path-target tables: "parquet" (default) or
+    "iceberg" (explicit whole-stack opt-in; see module docstring)."""
+    fmt = os.environ.get(PATH_FORMAT_ENV, "parquet").lower()
+    if fmt not in ("parquet", "iceberg"):
+        raise ValueError(f"{PATH_FORMAT_ENV} must be parquet|iceberg, got {fmt}")
+    return fmt
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -34,6 +62,26 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _layout(
+    df: DataFrame,
+    sort_cols: list[str] | None,
+    hash_col: str | None,
+    n_partitions: int | None,
+) -> DataFrame:
+    """The ONE physical-layout policy (hash distribution + in-file
+    sorted runs) shared by every storage format."""
+    spark = df.sparkSession
+    out = df
+    if hash_col:
+        n = n_partitions or max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
+        )
+        out = out.repartition(n, hash_col)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    return out
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -43,17 +91,9 @@ def write_table(
     mode: str = "overwrite",
 ) -> None:
     """Write with hash distribution + in-file sort order.  On Iceberg
-    this maps to ``ALTER TABLE ... WRITE ORDERED BY`` semantics; on
-    parquet we realize the identical layout explicitly.
-
-    With the Iceberg runtime present, BOTH target shapes engage the
-    Iceberg branch: a catalog table name (no '/') goes through the V2
-    ``writeTo(...).using('iceberg')`` chain; a filesystem path — what
-    every engine call site passes — goes through Iceberg's path-based
-    (HadoopTables) surface ``format('iceberg').save(path)``, with the
-    same explicit distribution+sort so the physical layout matches the
-    parquet branch.  Without the runtime, the parquet branch produces
-    the identical layout (tested)."""
+    this corresponds to ``ALTER TABLE ... WRITE ORDERED BY`` semantics;
+    here the layout is realized explicitly so it is identical in every
+    format.  See the module docstring for the format contract."""
     spark = df.sparkSession
     if iceberg_available(spark) and path.count("/") == 0:
         writer = df.writeTo(path).using("iceberg")
@@ -62,34 +102,27 @@ def write_table(
         else:
             writer.append()
         return
-    out = df
-    if iceberg_available(spark):
-        # path-based Iceberg table (HadoopTables): keep the explicit
-        # layout, swap the format
-        if hash_col:
-            n = n_partitions or max(
-                int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-                // 2,
-                4,
-            )
-            out = out.repartition(n, hash_col)
-        if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
+    out = _layout(df, sort_cols, hash_col, n_partitions)
+    if path_format() == "iceberg":
+        # path-based Iceberg table (HadoopTables) — explicit opt-in
         out.write.format("iceberg").mode(mode).save(path)
         return
-    if hash_col:
-        n = n_partitions or max(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
-        )
-        out = out.repartition(n, hash_col)
-    if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
     out.write.mode(mode).parquet(path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    if iceberg_available(spark):
-        if path.count("/") == 0:
-            return spark.read.table(path)
+    if path.count("/") == 0 and iceberg_available(spark):
+        return spark.read.table(path)
+    if path_format() == "iceberg":
         return spark.read.format("iceberg").load(path)
     return spark.read.parquet(path)
+
+
+def is_iceberg_layout(path: str) -> bool:
+    """True when ``path`` holds an Iceberg table directory (the
+    ``metadata/`` manifest dir next to ``data/``) — used by the
+    pyarrow-based serving tier to fail loudly instead of misreading
+    snapshot data files."""
+    return os.path.isdir(os.path.join(path, "metadata")) and os.path.isdir(
+        os.path.join(path, "data")
+    )

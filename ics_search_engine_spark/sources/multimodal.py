@@ -64,7 +64,7 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
             if len(pdf) == 0:
                 continue
             feats = [
-                decode(bytes(p), k).tolist()
+                decode(b"" if p is None else bytes(p), k).tolist()
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
@@ -115,7 +115,9 @@ def resize_stub(
                     raise DecodeUnavailable(
                         "real image resize requires PIL — use fake=True"
                     )
-                payloads.append(_fake_resize(bytes(payload)))
+                payloads.append(
+                    _fake_resize(b"" if payload is None else bytes(payload))
+                )
                 m = dict(meta) if meta is not None else {}
                 m["w"], m["h"] = str(width), str(height)
                 metas.append(m)

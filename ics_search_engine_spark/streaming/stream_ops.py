@@ -259,6 +259,12 @@ def incremental_segments(
         if batch_df.isEmpty():
             return
         seg_dir = f"{out_dir}/segment={batch_id}"
+        if os.path.exists(f"{seg_dir}/_SEGMENT_READY"):
+            # redelivered batch after a crash: the segment is complete
+            # (the marker is written LAST) and the build is
+            # deterministic — never rewrite a marked segment, or a
+            # concurrent reader could see it half-rewritten
+            return
         build_packed_index(
             batch_df.sparkSession, batch_df, seg_dir,
             range_bits=range_bits, with_positions=with_positions,

@@ -120,14 +120,26 @@ def test_iceberg_branch_fails_in_catalog_resolution_not_python(
     ), msg
 
 
-def test_iceberg_path_branch_engages_for_engine_paths(
+def test_path_format_is_explicit_not_inferred(
     spark, tdf, monkeypatch, tmp_path
 ):
-    """Engine call sites pass slash paths — with the runtime 'present'
-    the write/read must take the path-based Iceberg (HadoopTables)
-    surface and fail in DataSource resolution for 'iceberg', not fall
-    silently back to parquet and not break in our Python."""
+    """Path-target format is a whole-stack CONTRACT, not a classpath
+    inference: with the runtime 'present' but SPARK_GRAFT_PATH_FORMAT
+    unset, engine paths still write parquet (the pyarrow serving tier
+    must be able to read them); setting the env flips write AND read to
+    the path-based Iceberg surface, failing in DataSource resolution
+    for 'iceberg' (runtime truly absent here), never in our Python."""
+    import os
+
     monkeypatch.setattr(catalog, "iceberg_available", lambda s: True)
+    # default: parquet even with the jar present — stack coherence
+    p1 = str(tmp_path / "coherent")
+    catalog.write_table(tdf, p1, sort_cols=["term"], hash_col="term")
+    assert catalog.read_table(spark, p1).count() == 1000
+    from ics_search_engine_spark.serving import LocalIndexServer  # noqa: F401
+
+    # explicit opt-in: the path-based Iceberg surface engages
+    monkeypatch.setenv(catalog.PATH_FORMAT_ENV, "iceberg")
     for op in (
         lambda: catalog.write_table(
             tdf, str(tmp_path / "ice"), sort_cols=["term"], hash_col="term"
@@ -144,6 +156,21 @@ def test_iceberg_path_branch_engages_for_engine_paths(
                         "Failed to find")
         ), msg
     # and nothing was written by a parquet fallback
+    assert not os.path.exists(tmp_path / "ice")
+
+
+def test_serving_refuses_iceberg_layout(tmp_path):
+    """The pyarrow serving tier must fail LOUDLY on an Iceberg table
+    directory (data/ + metadata/) instead of misreading snapshot data
+    files."""
     import os
 
-    assert not os.path.exists(tmp_path / "ice")
+    from ics_search_engine_spark.serving import LocalIndexServer
+
+    idx = tmp_path / "iceidx"
+    os.makedirs(idx / "index" / "data")
+    os.makedirs(idx / "index" / "metadata")
+    with open(idx / "stats.json", "w") as f:
+        f.write("{}")
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        LocalIndexServer(str(idx))

@@ -303,3 +303,21 @@ class TestIvfPartitionPruning:
         assert "PartitionFilters" in plan
         pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
         assert any("ivf_cell" in l for l in pf_lines), plan[:2000]
+
+
+def test_multimodal_null_payload_does_not_crash(spark):
+    from ics_search_engine_spark.sources.multimodal import (
+        decode_features,
+        resize_stub,
+    )
+
+    rows = [("m0", "image", None, {"w": "1"}), ("m1", "audio", None, None)]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, meta map<string,string>",
+    )
+    feats = decode_features(media).collect()
+    assert len(feats) == 2
+    out = {r["media_id"]: r for r in resize_stub(media, 4, 2).collect()}
+    assert len(bytes(out["m0"]["payload"])) == 8  # deterministic fake
+    assert out["m1"]["payload"] is None  # non-image passthrough

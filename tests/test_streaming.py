@@ -284,3 +284,38 @@ class TestIncrementalSegments:
             ]
             assert seg_rows == full_rows, query
             assert LocalSegmentedServer(segs).search(query, k=10) == full_rows
+
+    def test_marked_segment_never_rewritten(self, spark, stream_dirs, small_df):
+        """Redelivered batches must not rewrite a READY segment (a
+        concurrent reader could see it half-rewritten): with the marker
+        present, the builder is a no-op."""
+        import json
+
+        from ics_search_engine_spark.streaming.stream_ops import (
+            incremental_segments,
+        )
+
+        out = f"{stream_dirs}/seg_idem"
+        seg = f"{out}/segment=0"
+        os.makedirs(seg, exist_ok=True)
+        with open(f"{seg}/_SEGMENT_READY", "w") as f:
+            f.write("0")
+        sentinel = f"{seg}/stats.json"
+        with open(sentinel, "w") as f:
+            json.dump({"sentinel": True}, f)
+
+        # drive one batch through foreachBatch with the marker present
+        src = f"{stream_dirs}/seg_idem_src"
+        os.makedirs(src, exist_ok=True)
+        small_df.limit(5).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(small_df.schema).parquet(src)
+        q = (
+            incremental_segments(
+                stream, out, f"{stream_dirs}/seg_idem_ckpt", range_bits=9
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        with open(sentinel) as f:
+            assert json.load(f) == {"sentinel": True}  # untouched

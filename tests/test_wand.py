@@ -231,11 +231,21 @@ class TestServingWandProperty:
                 {t: srv.df[t] for t in q_terms},
                 n_docs,
             )
+            # every third trial scores with an EXTERNAL avgdl far above
+            # the index's own (the segmented-server situation) so the
+            # ub_scale mismatch correction is exercised, not just the
+            # matched-avgdl path
+            ext_avgdl = (
+                srv.stats["avgdl"] * float(rng.uniform(2.0, 20.0))
+                if trial % 3 == 0
+                else None
+            )
             for k in (1, 3, 10):
-                ex = srv.score_with(dict(weights), k)
+                ex = srv.score_with(dict(weights), k, avgdl=ext_avgdl)
                 st: dict = {}
                 wd = srv.score_with(
-                    dict(weights), k, use_wand=True, stats=st
+                    dict(weights), k, use_wand=True, stats=st,
+                    avgdl=ext_avgdl,
                 )
                 assert wd == ex, (trial, k)
 
@@ -281,3 +291,29 @@ def test_serving_conjunctive_equals_distributed(spark, pidx, oracle_idx):
             for r in bm25_topk_conjunctive(spark, pidx, query, k=10).collect()
         ]
         assert local == dist, query
+
+
+def test_serving_conjunctive_wand_prunes_and_matches(spark, pidx):
+    """conjunctive + use_wand at the serving tier: results identical to
+    the exhaustive conjunctive path, stats populated, and ranges
+    missing a required term pruned at the metadata level."""
+    from ics_search_engine_spark.serving import LocalIndexServer
+
+    srv = LocalIndexServer(pidx.path)
+    for query in ["machine learning", "xyzzyqux machine",
+                  "machine zzznotaterm"]:
+        st: dict = {}
+        wand = srv.search(query, k=5, use_wand=True, conjunctive=True,
+                          stats=st)
+        plain = srv.search(query, k=5, conjunctive=True)
+        assert wand == plain, query
+        if plain:  # absent-term query returns [] before stats
+            assert st["scored"] + st["pruned"] == st["n_ranges"], query
+    # the planted-rare term exists in few ranges: conjunctive metadata
+    # pruning must restrict n_ranges below the common term's range count
+    st_or: dict = {}
+    srv.search("machine", k=5, use_wand=True, stats=st_or)
+    st_and: dict = {}
+    srv.search("xyzzyqux machine", k=5, use_wand=True, conjunctive=True,
+               stats=st_and)
+    assert st_and["n_ranges"] < st_or["n_ranges"]
