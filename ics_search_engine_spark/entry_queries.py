@@ -1079,6 +1079,77 @@ FROM scored ORDER BY blend_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_blend_rank_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blend with a REPEATED-term query ('spark stream spark') — gates
+    the un-deduplicated query-instance semantics: per-term weight
+    qtf²/len (4/3 and 1/3), dot = s·Σqtf_matched, and crucially
+    ‖q‖ = √(#instances) = √3 (sklearn normalize() over the reference's
+    ones-CSR with duplicate indices, search.py:112-115)."""
+    from ics_search_engine_spark.operators.blend import (
+        build_blend_index,
+        search_blend,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("url"),
+        "text",
+        F.expr(
+            "cast(array() as array<struct<text:string,weight:double>>)"
+        ).alias("important"),
+        F.expr("cast(array() as array<string>)").alias("outgoing_links"),
+    )
+    bidx = build_blend_index(spark, pages, with_links=False, stem=False)
+    top = search_blend(spark, bidx, "spark stream spark", max_results=60)
+    return (
+        top.select(
+            F.substring("url", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("blend_r6"),
+        )
+        .orderBy(F.desc("blend_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# repeated-term blend: qterms carries (w = qtf²/len, qtf); ‖q‖ = √3
+_SQL_BLEND_REPEATED = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n FROM t),
+qterms AS (
+  SELECT * FROM (VALUES ('spark', 4.0/3.0, 2.0), ('stream', 1.0/3.0, 1.0))
+  AS q(term, w, qtf)
+),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN (SELECT term FROM qterms)
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+perdoc AS (
+  SELECT p.doc_id,
+         sum((CASE WHEN p.dl = 0 THEN 0.0 ELSE p.tf / p.dl::DOUBLE END)
+             * log10(n.n / d.df) * q.w) AS s,
+         sum(q.qtf) AS sq,
+         count(*) AS m
+  FROM posts p JOIN dfs d USING (term) JOIN qterms q USING (term)
+  CROSS JOIN n
+  GROUP BY p.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         0.2 * s
+         + 0.2 * (CASE WHEN s > 0
+                       THEN (s * sq) / (sqrt(3.0) * (s * sqrt(m::DOUBLE)))
+                       ELSE 0.0 END)
+         + 0.6 * (m / 3.0) AS blend
+  FROM perdoc
+)
+SELECT doc_id, round(blend, 6) AS blend_r6
+FROM scored ORDER BY blend_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1103,6 +1174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_engine_packed": q_bm25_engine_packed,
     "phrase_engine_packed": q_phrase_engine_packed,
     "blend_rank": q_blend_rank,
+    "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
 }
 
@@ -1128,5 +1200,6 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_engine_packed": _SQL_BM25_ENGINE,
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
     "blend_rank": _SQL_BLEND,
+    "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,
 }

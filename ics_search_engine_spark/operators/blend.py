@@ -141,9 +141,12 @@ def search_blend(
     # INSTANCE with query_vector[t] = qtf/len  →  qtf^2 / len total
     w_rows = [(t, (c * c) / total, float(c)) for t, c in sorted(qtf.items())]
     w_df = spark.createDataFrame(w_rows, "term string, w double, qtf double")
-    # ‖q‖ over the ones-vector with duplicate coordinates summed:
-    # csr duplicate entries add (search.py:112-115) → value qtf per term
-    q_norm = math.sqrt(sum(c * c for c in qtf.values()))
+    # ‖q‖ of the reference's ones-vector (search.py:112-115): the CSR
+    # stores one 1.0 entry PER QUERY INSTANCE with duplicate indices
+    # never sum_duplicates'd, and sklearn normalize() squares each
+    # STORED entry → ‖q‖ = √len(query_terms).  Duplicates DO sum in
+    # the subsequent matmul, so the dot product below keeps qtf.
+    q_norm = math.sqrt(total)
 
     matched = bidx.tfidf.join(F.broadcast(w_df), "term")
     per_doc = (
@@ -221,16 +224,17 @@ def page_titles(pages: DataFrame) -> DataFrame:
         F.regexp_replace("url", "#.*$", "").alias("url"),
         F.coalesce(F.col("title"), F.regexp_replace("url", "#.*$", ""))
         .alias("title"),
+        # priority keys on the ORIGINAL column's nullness, not on
+        # title == url string equality: a page whose real <title> text
+        # literally equals its URL still counts as a real title
+        F.when(F.col("title").isNull(), 1).otherwise(0).alias("pri"),
     )
     # doc_titles is a DICT in the reference (one title per url,
     # main.py:28-31): pages that defrag to the same url must collapse
     # to ONE row or the presentation join fans out.  Deterministic
     # winner: a real title beats the url fallback, then min(title).
     return (
-        t.withColumn(
-            "pri", F.when(F.col("title") == F.col("url"), 1).otherwise(0)
-        )
-        .groupBy("url")
+        t.groupBy("url")
         .agg(F.min(F.struct("pri", "title")).alias("w"))
         .select("url", F.col("w.title").alias("title"))
     )

@@ -62,10 +62,16 @@ class SegmentedIndex:
             if s.stats.get("stem", True) != s0.get("stem", True):
                 raise ValueError("segments disagree on stemming")
         self.n_docs = sum(s.n_docs for s in self.segments)
-        self.sum_dl = sum(
-            int(s.stats.get("sum_dl", round(s.avgdl * s.n_docs)))
-            for s in self.segments
-        )
+        # bit-parity contract: the global avgdl is an exact integer sum
+        # over segment sum_dl — an approximated segment would silently
+        # poison every score, so a missing sum_dl is a hard error
+        for s in self.segments:
+            if "sum_dl" not in s.stats:
+                raise ValueError(
+                    f"segment {s.path} stats.json lacks sum_dl; "
+                    "rebuild it — avgdl reconstruction must be exact"
+                )
+        self.sum_dl = sum(int(s.stats["sum_dl"]) for s in self.segments)
         self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 0.0
         self.stem = s0.get("stem", True)
 

@@ -323,10 +323,16 @@ class LocalSegmentedServer:
             if s.stats.get("stem", True) != s0.get("stem", True):
                 raise ValueError("segments disagree on stemming")
         self.n_docs = sum(s.n_docs for s in self.servers)
-        self.sum_dl = sum(
-            int(s.stats.get("sum_dl", round(s.stats["avgdl"] * s.n_docs)))
-            for s in self.servers
-        )
+        # bit-parity contract (class docstring): avgdl recombines as an
+        # exact integer sum — approximating a missing sum_dl would
+        # silently break bit-identity, so it's a hard error
+        for s in self.servers:
+            if "sum_dl" not in s.stats:
+                raise ValueError(
+                    f"segment {s.path} stats.json lacks sum_dl; "
+                    "rebuild it — avgdl reconstruction must be exact"
+                )
+        self.sum_dl = sum(int(s.stats["sum_dl"]) for s in self.servers)
         self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 0.0
         self.stem = s0.get("stem", True)
 

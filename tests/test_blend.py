@@ -109,7 +109,9 @@ def _transcribe(pages, query, k=10):
     if not doc_scores:
         return []
 
-    q_norm = math.sqrt(sum(c * c for c in qtf.values()))
+    # sklearn normalize() over the reference's never-sum_duplicates'd
+    # ones-CSR: ‖q‖ = sqrt(#query INSTANCES), not sqrt(Σqtf²)
+    q_norm = math.sqrt(total)
     link_pages = [(u, links) for u, _, _, links in pages]
     auth, hub = _np_hits(link_pages)
     pr = _np_pagerank(link_pages)
@@ -191,6 +193,39 @@ def test_blend_weights_sum_documented():
     ) == pytest.approx(1.4)
 
 
+def test_query_norm_counts_instances_not_squared_tf(spark):
+    """Pin ‖q‖ = √(#query instances), independently of _transcribe.
+
+    The reference CSR (search.py:112-115) stores one 1.0 entry per
+    query INSTANCE and never calls sum_duplicates(); sklearn
+    normalize() squares each STORED entry, so for 'alpha beta alpha'
+    ‖q‖ = √3 — NOT √(2²+1²) = √5.  Duplicates sum only in the matmul.
+    Hand-computed two-doc corpus where the two conventions give
+    visibly different final scores (cos = 3/√6 vs 3/√10)."""
+    pages = spark.createDataFrame(
+        [
+            ("https://x.edu/1", "alpha beta", [], [], None),
+            ("https://x.edu/2", "gamma delta", [], [], None),
+        ],
+        "url string, text string, "
+        "important array<struct<text:string,weight:double>>, "
+        "outgoing_links array<string>, title string",
+    )
+    bidx_nl = build_blend_index(spark, pages, with_links=False)
+    got = {
+        r["url"]: r["score"]
+        for r in search_blend(spark, bidx_nl, "alpha beta alpha").collect()
+    }
+    a = 0.5 * math.log10(2.0)          # tf(1/2) · (1+0) · log10(2/1)
+    s = a * (4.0 / 3.0) + a * (1.0 / 3.0)   # w = qtf²/len per term
+    cos = (3.0 * s) / (math.sqrt(3.0) * (s * math.sqrt(2.0)))  # = 3/√6
+    want = 0.2 * s + 0.2 * cos + 0.6 * (2.0 / 3.0)
+    assert got["https://x.edu/1"] == pytest.approx(want, rel=1e-12)
+    # the wrong convention is measurably different — the test bites
+    wrong = 0.2 * s + 0.2 * (3.0 / math.sqrt(10.0)) + 0.6 * (2.0 / 3.0)
+    assert abs(want - wrong) > 1e-2
+
+
 def test_blend_without_links_matches_zero_scores(spark, pages_df):
     """with_links=False = the reference's missing-link_scores.json
     fallback (search.py:73-81): auth/hub/pagerank read as 0.0."""
@@ -260,3 +295,27 @@ def test_titles_unique_per_defragged_url(spark):
     assert len(got) == 1
     assert got[0]["url"] == "https://e.edu/a"
     assert got[0]["title"] == "Real Title"
+
+
+def test_title_equal_to_url_is_still_a_real_title(spark):
+    """A page whose real <title> text literally equals its URL must not
+    be demoted to fallback priority: priority keys on the title
+    column's NULLness, not on string equality with the url.  Here both
+    siblings carry real titles, so min(title) breaks the tie — the
+    url-valued title sorts before 'zzz portal' ('h' < 'z') and wins;
+    the old equality-keyed pri would have demoted it and picked the
+    sibling."""
+    url = "https://e.edu/p"
+    rows = [
+        (url, "x", [], [], url),                 # real title == url
+        (url + "#frag", "y", [], [], "zzz portal"),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, text string, "
+        "important array<struct<text:string,weight:double>>, "
+        "outgoing_links array<string>, title string",
+    )
+    got = page_titles(pages).collect()
+    assert len(got) == 1
+    assert got[0]["title"] == url  # not 'zzz portal'

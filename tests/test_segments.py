@@ -39,6 +39,30 @@ def test_segment_stats_recombine_exactly(spark, setup):
     assert sidx.avgdl == full.avgdl  # bit-equal, not approx
 
 
+def test_segment_missing_sum_dl_is_a_hard_error(spark, setup, tmp_path):
+    """The exact-avgdl contract refuses to approximate: a segment whose
+    stats.json lacks sum_dl must raise, not silently reconstruct
+    avgdl*n_docs (which can differ in low-order bits from the batch
+    rebuild and break bit-identity)."""
+    import json
+    import shutil
+
+    from ics_search_engine_spark.serving import LocalSegmentedServer
+
+    _, seg_dirs = setup
+    broken = str(tmp_path / "seg_broken")
+    shutil.copytree(seg_dirs[0], broken)
+    with open(f"{broken}/stats.json") as f:
+        stats = json.load(f)
+    stats.pop("sum_dl")
+    with open(f"{broken}/stats.json", "w") as f:
+        json.dump(stats, f)
+    with pytest.raises(ValueError, match="sum_dl"):
+        SegmentedIndex(spark, [broken, seg_dirs[1]])
+    with pytest.raises(ValueError, match="sum_dl"):
+        LocalSegmentedServer([broken, seg_dirs[1]])
+
+
 @pytest.mark.parametrize("qid", sorted(REFERENCE_QUERIES))
 def test_segmented_query_equals_full_build(qid, spark, setup, small_rows):
     full_dir, seg_dirs = setup
