@@ -186,6 +186,61 @@ def _segment_shard_scorer(
 
 _WINNER_SCHEMA = "query_id string, seg int, doc_ord long, score double"
 
+# extra candidates fetched past the boundary so an exact-score tie on
+# the k-th place is detected without a second pass in the common case
+_TIE_OVERFETCH = 8
+
+
+def _bounded_winners(
+    winners: DataFrame, K: int, over: int = _TIE_OVERFETCH
+) -> list:
+    """Global top-(K+over) of a single query's winner rows, with the
+    exact-tie completeness guarantee the (conv_id, turn_idx) tie-break
+    needs: the job is TakeOrderedAndProject on (score desc, seg,
+    doc_ord) shipping ≤ K+over rows; if the fetch window is full AND
+    its last row ties the K-th score, every candidate at that score is
+    re-fetched (sorted-desc prefix property: anything not collected
+    scores ≤ the last collected row, so a strict drop below the K-th
+    score proves completeness)."""
+    cand = (
+        winners.orderBy(F.desc("score"), F.asc("seg"), F.asc("doc_ord"))
+        .limit(K + over)
+        .collect()
+    )
+    if len(cand) == K + over and cand[-1]["score"] == cand[K - 1]["score"]:
+        cand = winners.filter(
+            F.col("score") >= cand[K - 1]["score"]
+        ).collect()
+    return cand
+
+
+def _pushdown_lookup(
+    sidx: SegmentedIndex, pairs: set[tuple[int, int]]
+) -> dict[tuple[int, int], tuple[str, int]]:
+    """Resolve (seg, doc_ord) pairs to (conv_id, turn_idx) via
+    per-segment ``doc_ord IN (...)`` point lookups — the docmap is
+    written SORTED by doc_ord, so parquet row-group min/max skip
+    everything but the winners' groups; no segment's docmap is scanned
+    in full.  ONE job over the union."""
+    per_seg: dict[int, list[int]] = {}
+    for s, o in pairs:
+        per_seg.setdefault(s, []).append(o)
+    parts = None
+    for i, seg in enumerate(sidx.segments):
+        ords = per_seg.get(i)
+        if not ords:
+            continue
+        p = seg.docmap.filter(F.col("doc_ord").isin(ords)).select(
+            F.lit(i).alias("seg"), "doc_ord", "conv_id", "turn_idx"
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    if parts is None:
+        return {}
+    return {
+        (int(h["seg"]), int(h["doc_ord"])): (h["conv_id"], int(h["turn_idx"]))
+        for h in parts.collect()
+    }
+
 
 def bm25_topk_segmented(
     spark: SparkSession,
@@ -193,6 +248,7 @@ def bm25_topk_segmented(
     query: str,
     k: int = 10,
     deletes: set[tuple[str, int]] | None = None,
+    resolve: str = "join",
 ) -> DataFrame:
     """Top-k BM25 across all segments → (conv_id, turn_idx, score),
     bit-identical to querying one index built over the union (tested).
@@ -215,6 +271,14 @@ def bm25_topk_segmented(
     stay pre-delete until a compaction applies tombstones physically
     (``compact_segments(deletes=...)``), after which the index is
     byte-identical to one never containing the deleted docs (tested).
+
+    ``resolve``: "join" (default) resolves winners through ONE
+    broadcast join against the tagged docmap union — one Spark job
+    total, fastest while docmaps are scannable; "pushdown" bounds the
+    winners to a global top-(K+ε) first (TakeOrderedAndProject, exact
+    boundary-tie re-fetch) and point-looks-up only those doc_ords —
+    two bounded jobs, NO full docmap scan, the 10^12-doc mode.
+    Results are bit-identical between modes (tested).
     """
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
@@ -240,12 +304,37 @@ def bm25_topk_segmented(
         .drop("query_id")
     )
 
+    if resolve == "pushdown":
+        # Two bounded jobs instead of one docmap-union probe scan:
+        # (1) global top-(K+ε) over the per-shard winners — a
+        # TakeOrderedAndProject shipping ≤ K+ε rows, with an exact
+        # boundary-tie re-fetch (ties break on (conv_id, turn_idx),
+        # which only resolution provides, so every K-th-score tie must
+        # be resolved); (2) per-segment doc_ord IN (...) point lookup.
+        # The 10^12-doc mode: no docmap is ever scanned in full.
+        K = k + (len(deletes) if deletes else 0)
+        cand = _bounded_winners(winners, K)
+        dmap = _pushdown_lookup(
+            sidx, {(int(r["seg"]), int(r["doc_ord"])) for r in cand}
+        )
+        rows = [
+            (*dmap[(int(r["seg"]), int(r["doc_ord"]))], float(r["score"]))
+            for r in cand
+        ]
+        if deletes:
+            rows = [r for r in rows if (r[0], r[1]) not in deletes]
+        rows.sort(key=lambda t: (-t[2], t[0], t[1]))
+        rows = rows[:k]
+        if not rows:
+            return empty
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, score double"
+        )
+
     # Resolution is a broadcast join against the tagged docmap union
-    # (column-pruned scan, one per query).  At docmap scales where even
-    # that scan hurts, compact segments and use bm25_topk_multi's
-    # resolve="pushdown" point-lookup — the segmented path cannot
-    # pushdown before the global merge because exact-score ties break
-    # on (conv_id, turn_idx), which only resolution provides.
+    # (column-pruned scan, one per query) — ONE job total; fastest at
+    # sandbox scale.  resolve="pushdown" above is the point-lookup form
+    # for docmap scales where a full scan hurts.
     resolved = _dm_union(sidx).join(
         F.broadcast(winners), ["seg", "doc_ord"]
     ).select("conv_id", "turn_idx", "score")
@@ -298,6 +387,7 @@ def bm25_topk_multi_segmented(
     sidx: SegmentedIndex,
     queries: dict[str, str],
     k: int = 10,
+    resolve: str = "join",
 ) -> DataFrame:
     """Batched multi-query top-k over the segment set →
     (query_id, conv_id, turn_idx, score, rank) — ONE Spark job for the
@@ -345,6 +435,67 @@ def bm25_topk_multi_segmented(
         .groupBy("seg", "shard_id")
         .applyInPandas(scorer, _WINNER_SCHEMA)
     )
+
+    if resolve == "pushdown":
+        # bounded per-query top-(k+ε) via a window over the winners
+        # (ships ≤ |q|·(k+ε) rows), exact boundary-tie re-fetch per
+        # flagged query, then ONE doc_ord IN (...) point-lookup job —
+        # no docmap union scan (same guarantee as bm25_topk_segmented's
+        # pushdown mode; final (conv_id, turn_idx) tie-break applied
+        # after resolution on the bounded candidate set)
+        pre_w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("seg"), F.asc("doc_ord")
+        )
+        cand = (
+            winners.withColumn("r", F.row_number().over(pre_w))
+            .filter(F.col("r") <= k + _TIE_OVERFETCH)
+            .drop("r")
+            .collect()
+        )
+        by_q: dict[str, list] = {}
+        for r in cand:
+            by_q.setdefault(r["query_id"], []).append(r)
+        flagged: dict[str, float] = {}
+        for qid, rows_ in by_q.items():
+            rows_.sort(key=lambda r: (-r["score"], r["seg"], r["doc_ord"]))
+            if (
+                len(rows_) == k + _TIE_OVERFETCH
+                and rows_[-1]["score"] == rows_[k - 1]["score"]
+            ):
+                flagged[qid] = float(rows_[k - 1]["score"])
+        if flagged:
+            cond = None
+            for qid, s in sorted(flagged.items()):
+                c = (F.col("query_id") == qid) & (F.col("score") >= s)
+                cond = c if cond is None else (cond | c)
+            extra = winners.filter(cond).collect()
+            for qid in flagged:
+                by_q[qid] = []
+            for r in extra:
+                by_q[r["query_id"]].append(r)
+        pairs = {
+            (int(r["seg"]), int(r["doc_ord"]))
+            for rows_ in by_q.values()
+            for r in rows_
+        }
+        dmap = _pushdown_lookup(sidx, pairs)
+        out_rows = []
+        for qid in sorted(by_q):
+            resolved_q = [
+                (*dmap[(int(r["seg"]), int(r["doc_ord"]))], float(r["score"]))
+                for r in by_q[qid]
+            ]
+            resolved_q.sort(key=lambda t: (-t[2], t[0], t[1]))
+            for rank, (conv, turn, sc) in enumerate(resolved_q[:k], 1):
+                out_rows.append((qid, conv, turn, sc, rank))
+        if not out_rows:
+            return empty
+        return spark.createDataFrame(
+            out_rows,
+            "query_id string, conv_id string, turn_idx int, "
+            "score double, rank int",
+        )
+
     resolved = _dm_union(sidx).join(
         F.broadcast(winners), ["seg", "doc_ord"]
     ).select("query_id", "conv_id", "turn_idx", "score")

@@ -77,10 +77,14 @@ def bm25_topk_wand(
         if not weights:
             return empty
         ubs: dict[int, float] = {}
+        lbs: dict[int, float] = {}
         shard_terms: dict[int, int] = {}
         for t, w in weights.items():
             for shard_id, max_tfn in pidx._shard_meta.get(t, ()):
                 ubs[shard_id] = ubs.get(shard_id, 0.0) + w * max_tfn
+                c = w * max_tfn
+                if c > lbs.get(shard_id, 0.0):
+                    lbs[shard_id] = c
                 shard_terms[shard_id] = shard_terms.get(shard_id, 0) + 1
     else:
         # ONE pushed-down metadata job fetches df AND block maxes for
@@ -94,6 +98,7 @@ def bm25_topk_wand(
         if not weights:
             return empty
         ubs = {}
+        lbs = {}
         shard_terms = {}
         seen_term_shard = set()
         for r in meta_rows:
@@ -102,6 +107,9 @@ def bm25_topk_wand(
                 ubs[r["shard_id"]] = (
                     ubs.get(r["shard_id"], 0.0) + w * r["max_tfn"]
                 )
+                c = w * r["max_tfn"]
+                if c > lbs.get(r["shard_id"], 0.0):
+                    lbs[r["shard_id"]] = c
                 key = (r["term"], r["shard_id"])
                 if key not in seen_term_shard:
                     seen_term_shard.add(key)
@@ -121,18 +129,50 @@ def bm25_topk_wand(
     ranges = sorted(ub_rows, key=lambda r: (-r["ub"], r["shard_id"]))
     if not ranges:
         return empty
+    n_ranges_total = len(ranges)
+
+    # θ seed from metadata alone, BEFORE any scoring: for each range r,
+    # lb(r) = max_t w_t·max_tfn(t,r) is the score lower bound of a real
+    # document in r (BM25 contributions are non-negative — idf is the
+    # Lucene log1p form, always > 0).  Ranges are disjoint, so the k-th
+    # largest lb over ranges lower-bounds the FINAL k-th best score,
+    # and every range with ub < θ₀ is prunable without decoding a byte.
+    # Cuts the iterative loop's early low-θ rounds (rare-term queries:
+    # the rare term's high-lb ranges clear the common-term-only tail
+    # up front).  Invalid under conjunctive semantics: the doc
+    # achieving max_tfn may not match every required term.
+    seed_pruned = 0
+    if require_all is None and len(lbs) >= k:
+        theta0 = sorted(lbs.values(), reverse=True)[k - 1]
+        kept0 = [r for r in ranges if r["ub"] >= theta0]
+        seed_pruned = len(ranges) - len(kept0)
+        ranges = kept0
 
     matched = pidx.index.filter(F.col("term").isin(q_terms))
     range_bits = pidx.stats["range_bits"]
 
     def score_ranges(shard_ids: list[int]) -> DataFrame:
         # shard-local scoring: each shard computes its own top-k with
-        # no per-posting shuffle (see score_shards_topk); the union of
-        # per-shard top-ks is merged driver-side below
+        # no per-posting shuffle (see score_shards_topk), then a GLOBAL
+        # limit k turns the round job into TakeOrderedAndProject — the
+        # driver receives at most k rows per round no matter how many
+        # ranges the batch holds (θ only ever needs the running top-k,
+        # so merging per-round top-ks loses nothing; invariant-tested)
         m = matched.filter(F.col("shard_id").isin([int(s) for s in shard_ids]))
-        return score_shards_topk(
-            m, weights, pidx.avgdl, k, range_bits, require_all=require_all
+        out = (
+            score_shards_topk(
+                m, weights, pidx.avgdl, k, range_bits,
+                require_all=require_all,
+            )
+            .orderBy(F.desc("score"), F.asc("doc_ord"))
+            .limit(k)
         )
+        if collect_stats is not None and "round_plan" not in collect_stats:
+            # plan-audit hook: the round job must be TakeOrderedAndProject
+            collect_stats["round_plan"] = (
+                out._jdf.queryExecution().executedPlan().toString()
+            )
+        return out
 
     def merge_topk(rows: list) -> list:
         rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
@@ -142,7 +182,8 @@ def bm25_topk_wand(
         rows = merge_topk(score_ranges([r["shard_id"] for r in ranges]).collect())
         if collect_stats is not None:
             collect_stats.update(
-                n_ranges=len(ranges), scored=len(ranges), pruned=0, rounds=1
+                n_ranges=n_ranges_total, scored=len(ranges),
+                pruned=seed_pruned, seed_pruned=seed_pruned, rounds=1,
             )
         if not rows:
             return empty
@@ -195,9 +236,10 @@ def bm25_topk_wand(
 
     if collect_stats is not None:
         collect_stats.update(
-            n_ranges=len(ranges),
+            n_ranges=n_ranges_total,
             scored=n_scored,
-            pruned=len(ranges) - n_scored,
+            pruned=n_ranges_total - n_scored,
+            seed_pruned=seed_pruned,
             rounds=rounds,
         )
     if not rows:

@@ -48,6 +48,18 @@ class TestPushdownAndPruning:
         assert read_schema, plan[:2000]
         assert "payload" not in read_schema[0]
 
+    def test_docmap_point_lookup_pushes_doc_ord_filter(self, pidx):
+        """The segmented pushdown resolution (_pushdown_lookup) relies
+        on doc_ord IN (...) reaching the parquet scan: the docmap is
+        written sorted by doc_ord, so row-group min/max skip everything
+        but the winners' groups."""
+        df = pidx.docmap.filter(F.col("doc_ord").isin([3, 77, 512])).select(
+            "doc_ord", "conv_id", "turn_idx"
+        )
+        plan = _plan(df, "formatted")
+        assert "PushedFilters" in plan
+        assert "In(doc_ord" in plan, plan[:2000]
+
     def test_docmap_resolve_is_broadcast(self, spark, pidx):
         from ics_search_engine_spark.operators.query import bm25_topk_packed
 

@@ -80,6 +80,63 @@ def test_segmented_query_equals_full_build(qid, spark, setup, small_rows):
     assert seg == [tuple(x) for x in oracle.search(oidx, query, k=10)], qid
 
 
+@pytest.mark.parametrize("qid", sorted(REFERENCE_QUERIES))
+def test_segmented_pushdown_resolution_equals_join(qid, spark, setup):
+    """resolve='pushdown' (bounded top-K' + per-segment doc_ord IN
+    point lookup, no docmap union scan) is bit-identical to the
+    default broadcast-join resolution."""
+    _, seg_dirs = setup
+    query = REFERENCE_QUERIES[qid]
+    sidx = SegmentedIndex(spark, seg_dirs)
+    push = [
+        tuple(r)
+        for r in bm25_topk_segmented(
+            spark, sidx, query, k=10, resolve="pushdown"
+        ).collect()
+    ]
+    join = [
+        tuple(r) for r in bm25_topk_segmented(spark, sidx, query, k=10).collect()
+    ]
+    assert push == join, qid
+
+
+def test_segmented_pushdown_boundary_tie_refetch(spark, corpus_dir):
+    """A wall of exact score ties across the k-th boundary forces the
+    re-fetch branch: 14 identical single-term docs score identically,
+    so with k=2 the fetch window (k+8) fills with tied rows and every
+    tie must be re-fetched — the winners then break on (conv_id,
+    turn_idx) exactly like the join mode."""
+    texts = [("tiedoc%02d" % i, 0, "user", "zebra quagga", "t", None)
+             for i in range(14)]
+    texts += [("other%02d" % i, 0, "user", "lion tiger puma", "t", None)
+              for i in range(4)]
+    df = spark.createDataFrame(
+        texts,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    d1, d2 = f"{corpus_dir}/tie_a", f"{corpus_dir}/tie_b"
+    build_packed_index(
+        spark, df.filter(F.col("conv_id") < "tiedoc07"), d1, range_bits=9
+    )
+    build_packed_index(
+        spark, df.filter(F.col("conv_id") >= "tiedoc07"), d2, range_bits=9
+    )
+    sidx = SegmentedIndex(spark, [d1, d2])
+    push = [
+        tuple(r)
+        for r in bm25_topk_segmented(
+            spark, sidx, "zebra", k=2, resolve="pushdown"
+        ).collect()
+    ]
+    join = [
+        tuple(r)
+        for r in bm25_topk_segmented(spark, sidx, "zebra", k=2).collect()
+    ]
+    assert push == join
+    assert [r[0] for r in push] == ["tiedoc00", "tiedoc01"]
+
+
 def test_segmented_query_is_one_job_regardless_of_segment_count(
     spark, setup
 ):
@@ -277,6 +334,28 @@ def test_multi_segmented_equals_per_query(spark, setup):
         ]
         got = [(c, t, s) for _, c, t, s in sorted(by_q.get(qid, []))]
         assert got == want, qid
+
+
+def test_multi_segmented_pushdown_equals_join(spark, setup):
+    """resolve='pushdown' on the batched multi-query path returns the
+    same rows as the default window+broadcast-join resolution."""
+    from ics_search_engine_spark.operators.segments import (
+        bm25_topk_multi_segmented,
+    )
+
+    _, seg_dirs = setup
+    sidx = SegmentedIndex(spark, seg_dirs)
+    push = sorted(
+        (tuple(r) for r in bm25_topk_multi_segmented(
+            spark, sidx, REFERENCE_QUERIES, k=10, resolve="pushdown"
+        ).collect()),
+    )
+    join = sorted(
+        (tuple(r) for r in bm25_topk_multi_segmented(
+            spark, sidx, REFERENCE_QUERIES, k=10
+        ).collect()),
+    )
+    assert push == join
 
 
 def test_pick_compaction_size_tiers(tmp_path):

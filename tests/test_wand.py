@@ -68,6 +68,48 @@ def test_wand_small_k_prunes_common_query(spark, pidx):
     assert stats["scored"] + stats["pruned"] == stats["n_ranges"]
 
 
+def test_wand_round_job_is_take_ordered(spark, pidx):
+    """Every pruning round ships at most k rows to the driver: the
+    round job's physical plan must be TakeOrderedAndProject (global
+    limit k over the per-shard top-ks), not an unbounded collect of
+    |batch|×k rows."""
+    stats: dict = {}
+    bm25_topk_wand(
+        spark, pidx, "machine learning", k=3, phase1_ranges=2,
+        collect_stats=stats,
+    ).collect()
+    assert "round_plan" in stats, stats.keys()
+    assert "TakeOrderedAndProject" in stats["round_plan"], stats["round_plan"]
+
+
+def test_wand_seed_theta_prunes_before_scoring(spark, pidx):
+    """The metadata-only θ seed (k-th largest per-range single-term
+    lower bound) prunes common-term-only ranges up front on a
+    rare+common query, and the result stays identical to exhaustive."""
+    stats: dict = {}
+    wand = [
+        tuple(r)
+        for r in bm25_topk_wand(
+            spark, pidx, "xyzzyqux machine", k=2, phase1_ranges=2,
+            collect_stats=stats,
+        ).collect()
+    ]
+    exhaustive = [
+        tuple(r)
+        for r in bm25_topk_packed(
+            spark, pidx, "xyzzyqux machine", k=2
+        ).collect()
+    ]
+    assert wand == exhaustive
+    assert "seed_pruned" in stats
+    # seed pruning is part of the total pruned accounting
+    assert stats["scored"] + stats["pruned"] == stats["n_ranges"]
+    if stats["n_ranges"] > 2:
+        # the rare term's high-lb ranges set θ₀ above the common-only
+        # tail's ub — some ranges must fall before any scoring
+        assert stats["seed_pruned"] > 0, stats
+
+
 def test_wand_cached_serving_equals_uncached(spark, pidx, oracle_idx):
     """Serving mode (driver-resident block-max metadata + executor
     cache) must return exactly what the cold path returns."""
