@@ -398,6 +398,12 @@ class PackedIndex:
         )
 
 
+# Dense-accumulator ceiling: the per-group score array is 2^range_bits
+# doubles (32 MB at 22 bits).  Beyond it the sorted-merge accumulator
+# takes over — memory proportional to MATCHED docs, not range width.
+DENSE_RANGE_BITS_MAX = 22
+
+
 def score_shards_topk(
     matched: DataFrame,
     weights: dict[str, float],
@@ -405,6 +411,7 @@ def score_shards_topk(
     k: int,
     range_bits: int,
     require_all: int | None = None,
+    accumulator: str | None = None,
 ) -> DataFrame:
     """Per-shard BM25 scoring with a local top-k — NO per-posting
     shuffle.
@@ -428,8 +435,15 @@ def score_shards_topk(
 
     Scale note: the dense array is 2^range_bits doubles (0.5 MB at 16
     bits).  At 10^12 docs with range_bits ~22 it is 32 MB per in-flight
-    group — still executor-friendly; beyond that switch the accumulator
-    to a sorted-merge over the (already doc_ord-sorted) term arrays.
+    group — still executor-friendly; beyond ``DENSE_RANGE_BITS_MAX``
+    the accumulator AUTO-SWITCHES to a sorted-merge over the (already
+    doc_ord-sorted) term posting arrays: memory proportional to the
+    number of MATCHED docs in the shard, independent of range width.
+    The merge performs the SAME per-doc additions in the SAME ascending
+    term order (one binary add per term per doc, starting from the
+    first term's contribution), so dense and merge are bit-identical —
+    property-tested.  ``accumulator`` forces a path ('dense'|'merge');
+    None = auto by range_bits.
 
     ``require_all=n``: posting-list INTERSECTION semantics — only docs
     matched by n distinct terms survive (a dense matched-term counter
@@ -437,6 +451,12 @@ def score_shards_topk(
     unchanged (same fold), so this is the shard-local, shuffle-free
     form of query.bm25_topk_conjunctive.
     """
+    if accumulator is None:
+        accumulator = (
+            "dense" if range_bits <= DENSE_RANGE_BITS_MAX else "merge"
+        )
+    if accumulator not in ("dense", "merge"):
+        raise ValueError(f"unknown accumulator {accumulator!r}")
     wts = sorted(weights.items())
     size = 1 << range_bits
     out_schema = "doc_ord long, score double"
@@ -475,10 +495,62 @@ def score_shards_topk(
             {"doc_ord": sel + base, "score": scores[sel]}
         )
 
+    def score_group_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Sorted-merge accumulator: term posting arrays arrive doc_ord-
+        # sorted (pack invariant), so each term folds into the running
+        # (doc_ord-sorted) accumulator via searchsorted + insert.  Per
+        # doc this performs exactly the additions the dense path does
+        # (ascending term order, one add per term) — bit-identical.
+        acc_docs = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        acc_counts = (
+            np.empty(0, dtype=np.int32) if require_all is not None else None
+        )
+        by_term: dict = {}
+        for t, p in zip(pdf["term"], pdf["payload"]):
+            by_term[t] = p
+        for t, w in wts:
+            pl = by_term.get(t)
+            if pl is None:
+                continue
+            d, tf, dl, _ = unpack_postings(bytes(pl), with_positions=False)
+            d = d.astype(np.int64)
+            contrib = w * _tfn(tf, dl, avgdl)
+            pos = np.searchsorted(acc_docs, d)
+            if len(acc_docs):
+                safe = np.minimum(pos, len(acc_docs) - 1)
+                is_old = (pos < len(acc_docs)) & (acc_docs[safe] == d)
+            else:
+                is_old = np.zeros(len(d), dtype=bool)
+            acc_scores[pos[is_old]] += contrib[is_old]
+            if acc_counts is not None:
+                acc_counts[pos[is_old]] += 1
+            new = ~is_old
+            if new.any():
+                ins = pos[new]
+                acc_docs = np.insert(acc_docs, ins, d[new])
+                acc_scores = np.insert(acc_scores, ins, contrib[new])
+                if acc_counts is not None:
+                    acc_counts = np.insert(
+                        acc_counts, ins, np.ones(new.sum(), dtype=np.int32)
+                    )
+        if acc_counts is not None:
+            keep = acc_counts == require_all
+            acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+        if acc_docs.size == 0:
+            return pd.DataFrame({"doc_ord": [], "score": []}).astype(
+                {"doc_ord": np.int64, "score": np.float64}
+            )
+        order = np.lexsort((acc_docs, -acc_scores))[:k]
+        return pd.DataFrame(
+            {"doc_ord": acc_docs[order], "score": acc_scores[order]}
+        )
+
+    fn = score_group if accumulator == "dense" else score_group_merge
     return (
         matched.select("term", "shard_id", "payload")
         .groupBy("shard_id")
-        .applyInPandas(score_group, out_schema)
+        .applyInPandas(fn, out_schema)
     )
 
 

@@ -22,6 +22,7 @@ wall-clock, deterministic across runs (resume/rank-identity ethos).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -112,6 +113,60 @@ def cosine_topk_lsh(
     return cosine_topk_bruteforce(cand, qvec, k, id_col, vec_col)
 
 
+def _chunked_argmin(
+    X: np.ndarray, cents: np.ndarray, chunk_bytes: int = 256 << 20
+) -> np.ndarray:
+    """Nearest-centroid assignment via the expanded form
+    ``d2 = |x|^2 - 2 x.c + |c|^2`` over row chunks.
+
+    The naive broadcast ``((X[:,None,:]-C[None,:,:])**2).sum(2)``
+    materialises an (n, k, d) transient — hundreds of GB at the 1M-row
+    fit cap with 768-dim vectors and realistic cell counts.  This form
+    peaks at one (chunk, k) distance block instead: the chunk size is
+    derived so that block stays under ``chunk_bytes`` (default 256 MB)
+    for ANY k, so the fit is cap-safe at every (dims, n_cells) a caller
+    can reach.  The ``|x|^2`` term is constant per row, so dropping it
+    would not change the argmin — it is kept (cheap, (chunk,1)) so the
+    returned distances-free argmin matches the geometric definition
+    under the same tie-break (first/lowest index, as np.argmin)."""
+    k = max(len(cents), 1)
+    chunk = max(256, int(chunk_bytes // (8 * k)))
+    c_norm2 = (cents * cents).sum(axis=1)
+    out = np.empty(len(X), dtype=np.int64)
+    for s in range(0, len(X), chunk):
+        xc = X[s : s + chunk]
+        d2 = xc @ (-2.0 * cents.T)
+        d2 += c_norm2[None, :]
+        d2 += (xc * xc).sum(axis=1)[:, None]
+        out[s : s + chunk] = d2.argmin(axis=1)
+    return out
+
+
+def _lloyd_fit(
+    X: np.ndarray, n_cells: int, iters: int, seed: int
+) -> np.ndarray:
+    """Seeded Lloyd iterations, cap-safe at the 1M-row fit ceiling.
+
+    Assignment goes through :func:`_chunked_argmin` (bounded transient)
+    and the centroid update is a single stable sort + segmented
+    ``np.add.reduceat`` — O(n log n + n d) total, no per-cell boolean
+    mask sweep (which is O(k n) and dominates at thousands of cells).
+    Empty cells keep their previous centroid.  Deterministic for a
+    given (X, seed): RandomState init + stable sort."""
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = _chunked_argmin(X, cents)
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(sorted_assign)) + 1]
+        sums = np.add.reduceat(X[order], starts, axis=0)
+        counts = np.bincount(assign, minlength=len(cents))
+        for i, c in enumerate(sorted_assign[starts]):
+            cents[c] = sums[i] / counts[c]
+    return cents
+
+
 def ivf_centroids(
     emb: DataFrame, n_cells: int = 16, iters: int = 3, seed: int = 42,
     vec_col: str = "embedding", sample_fraction: float | None = None,
@@ -145,24 +200,53 @@ def ivf_centroids(
     else:
         rows = df.collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
-    for _ in range(iters):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(cents)):
-            members = X[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
-    return cents
+    return _lloyd_fit(X, n_cells, iters, seed)
+
+
+# Above this cell count the literal-expression assignment would inline
+# n_cells * dim array literals into ONE Catalyst expression — plan-size
+# explosion at the thousands of cells real IVF needs.  The pandas path
+# ships the centroid matrix once per executor as a broadcast instead.
+IVF_LITERAL_MAX_CELLS = 32
 
 
 def with_ivf_cells(
-    emb: DataFrame, cents: np.ndarray, vec_col: str = "embedding"
+    emb: DataFrame, cents: np.ndarray, vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid — pure column
-    expression argmin over squared distance (d small; centroids are
-    literals, broadcast-free constant folding)."""
+    """Assign each vector to its nearest centroid.
+
+    ``method='literal'``: pure column expression argmin over squared
+    distance — centroids become constant-folded array literals.  Great
+    plan (whole-stage codegen, no Python) but the expression grows with
+    n_cells * dim, so it is only safe for small centroid sets.
+
+    ``method='pandas'``: Arrow-batched scalar pandas UDF over a
+    BROADCAST centroid matrix — the plan carries one UDF node no matter
+    how many cells; the executor-side math is the same chunked
+    |x|^2 - 2x.c + |c|^2 argmin as the fit.  This is the 100 TB path
+    for realistic IVF (thousands of cells, 768-dim).
+
+    ``method='auto'`` (default): literal up to
+    ``IVF_LITERAL_MAX_CELLS``, pandas beyond.  Both paths break argmin
+    ties toward the lowest cell index; parity is property-tested."""
+    if method == "auto":
+        method = "literal" if len(cents) <= IVF_LITERAL_MAX_CELLS else "pandas"
+    if method == "pandas":
+        bc = emb.sparkSession.sparkContext.broadcast(
+            np.asarray(cents, dtype=np.float64)
+        )
+
+        @F.pandas_udf("int")
+        def assign_cell(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            X = np.array(v.tolist(), dtype=np.float64)
+            return pd.Series(
+                _chunked_argmin(X, bc.value).astype(np.int32)
+            )
+
+        return emb.withColumn("ivf_cell", assign_cell(F.col(vec_col)))
     dists = []
     for c, cent in enumerate(cents):
         d2 = F.aggregate(

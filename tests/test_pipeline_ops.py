@@ -136,6 +136,72 @@ class TestSimilarity:
         full = ivf_centroids(emb, n_cells=4, iters=1, seed=7)
         assert not np.array_equal(cents, full)
 
+    def test_chunked_argmin_matches_naive_broadcast(self):
+        """The |x|^2 - 2x.c + |c|^2 chunked form must agree with the
+        textbook (x-c)^2 broadcast on assignment — including when the
+        chunk size forces many passes."""
+        from ics_search_engine_spark.operators.similarity import _chunked_argmin
+
+        rng = np.random.RandomState(3)
+        X = rng.randn(513, 24)
+        C = rng.randn(37, 24)
+        naive = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        # chunk_bytes tiny enough that chunk floor (256 rows) bites -> 3 passes
+        got = _chunked_argmin(X, C, chunk_bytes=1)
+        assert np.array_equal(got, naive)
+
+    def test_lloyd_fit_cap_scale(self):
+        """Fit at the enforced cap's realistic shape: 1M rows x 256
+        dims, 64 cells.  The naive broadcast transient would be
+        1M*64*256*8 = 131 GB; the chunked form peaks at one
+        (chunk, 64) block <= 256 MB + X itself (2 GB).  Completing at
+        all (and in seconds, BLAS matmul) is the evidence."""
+        from ics_search_engine_spark.operators.similarity import (
+            _chunked_argmin,
+            _lloyd_fit,
+        )
+
+        rng = np.random.RandomState(11)
+        X = rng.randn(1_000_000, 256)
+        cents = _lloyd_fit(X, n_cells=64, iters=2, seed=5)
+        assert cents.shape == (64, 256)
+        assert np.isfinite(cents).all()
+        # every cell is someone's nearest (no degenerate collapse)
+        assign = _chunked_argmin(X[:100_000], cents)
+        assert len(np.unique(assign)) > 32
+
+    def test_ivf_pandas_assignment_matches_literal(self, emb):
+        """method='pandas' (broadcast centroid matrix, Arrow UDF) and
+        method='literal' (constant-folded expression) assign every
+        vector to the same cell."""
+        cents = ivf_centroids(emb, n_cells=8, iters=2, seed=42)
+        lit = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in with_ivf_cells(emb, cents, method="literal")
+            .select("vec_id", "ivf_cell").collect()
+        }
+        pdu = {
+            r["vec_id"]: r["ivf_cell"]
+            for r in with_ivf_cells(emb, cents, method="pandas")
+            .select("vec_id", "ivf_cell").collect()
+        }
+        assert lit == pdu
+
+    def test_ivf_auto_switches_on_cell_count(self, emb):
+        """auto -> literal at <=32 cells, pandas beyond (plan safety:
+        the literal expression grows with n_cells*dim)."""
+        from ics_search_engine_spark.operators.similarity import (
+            IVF_LITERAL_MAX_CELLS,
+        )
+
+        few = ivf_centroids(emb, n_cells=4, iters=1, seed=1)
+        many = ivf_centroids(emb, n_cells=IVF_LITERAL_MAX_CELLS + 8,
+                             iters=1, seed=1)
+        plan_few = with_ivf_cells(emb, few)._jdf.queryExecution().toString()
+        plan_many = with_ivf_cells(emb, many)._jdf.queryExecution().toString()
+        assert "pythonUDF" not in plan_few and "assign_cell" not in plan_few
+        assert "assign_cell" in plan_many
+
     def test_lsh_deterministic(self, emb):
         b1, p1 = with_lsh_buckets(emb, n_planes=5, seed=42)
         b2, p2 = with_lsh_buckets(emb, n_planes=5, seed=42)
