@@ -894,6 +894,64 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEGMENTED engine with point-lookup resolution under the
+    DuckDB gate: the documents table splits into two segments (whole
+    docs by doc_id parity), each built as an independent packed index,
+    queried as one logical index via bm25_topk_segmented with
+    resolve='pushdown' — bounded global top-(K+ε) then per-segment
+    doc_ord IN (...) point lookups, NO full docmap scan.  The oracle is
+    the same relational BM25 as bm25_engine_packed: segment recombination
+    (N, avgdl, df exact-sum across segments) must reproduce the single-
+    corpus computation bit-for-bit before rounding."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.segments import (
+        SegmentedIndex,
+        bm25_topk_segmented,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    base = tempfile.mkdtemp(prefix="gate_engine_seg_")
+    try:
+        paths = []
+        for half in (0, 1):
+            p = f"{base}/seg{half}"
+            build_packed_index(
+                spark,
+                transcripts.filter(F.col("half") == half).drop("half"),
+                p, range_bits=8, with_positions=False, stem=False,
+            )
+            paths.append(p)
+        sidx = SegmentedIndex(spark, paths)
+        top = bm25_topk_segmented(
+            spark, sidx, " ".join(DOCS_QUERY_TERMS), k=60,
+            resolve="pushdown",
+        )
+    finally:
+        # bm25_topk_segmented(resolve='pushdown') collects during the
+        # call and returns a driver-local DataFrame — safe to remove
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        top.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list INTERSECTION (AND semantics, SURVEY.md §2.3): BM25
     top-20 over documents containing ALL four query terms — the n-way
@@ -1172,6 +1230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "bm25_engine_packed": q_bm25_engine_packed,
+    "bm25_engine_segmented": q_bm25_engine_segmented,
     "phrase_engine_packed": q_phrase_engine_packed,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
@@ -1198,6 +1257,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": _SQL_NGRAM_JACCARD_PAIRS,
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
     "bm25_engine_packed": _SQL_BM25_ENGINE,
+    "bm25_engine_segmented": _SQL_BM25_ENGINE,
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,

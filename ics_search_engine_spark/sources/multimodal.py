@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns + typed metadata, processed through Arrow-batched mapInPandas.
 
-The decode step itself is STUBBED (image/audio libraries are not in
-this container — see ``DecodeUnavailable`` / deterministic fake), but
-everything Spark-side is real and tested: schemas, batch shapes,
-UDF signatures, partitioning.
+Decode is REAL for lib-free formats — binary PPM/PGM images and PCM
+WAV audio parse with pure Python/numpy (``fake=False``); formats that
+genuinely need native codecs (JPEG, PNG, MP3, MP4) raise
+``DecodeUnavailable`` (libraries absent in this container), with a
+deterministic fake available for end-to-end pipeline tests.
+Everything Spark-side is real and tested either way: schemas, batch
+shapes, UDF signatures, partitioning.
 
 Schema convention:
     media: (media_id string, kind string in {image,audio,video},
@@ -24,6 +27,9 @@ feature vectors) runs end-to-end.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -34,13 +40,105 @@ FEATURE_DIM = 16
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real-decode hook: media libraries absent."""
+    """Raised by the real-decode hook for formats that genuinely need
+    native libraries (JPEG, PNG, MP3, MP4, ...) — absent here.  Lib-free
+    formats (binary PPM/PGM images, PCM WAV audio) decode for REAL via
+    the pure-Python parsers below."""
+
+
+def _parse_pnm(payload: bytes) -> tuple[np.ndarray, int]:
+    """Binary PPM (P6) / PGM (P5) → (float64 array (h, w, channels),
+    maxval).  Pure Python/numpy: magic + whitespace-and-#-comment
+    header tokens (width, height, maxval), then the raster — u8 for
+    maxval < 256, big-endian u16 above (the Netpbm spec)."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise DecodeUnavailable(
+            f"image magic {magic!r} needs a native decoder "
+            "(only binary PPM/PGM decode lib-free); use fake=True"
+        )
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise DecodeUnavailable("truncated PNM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # exactly one whitespace byte separates header and raster
+    w, h, maxval = tokens
+    channels = 3 if magic == b"P6" else 1
+    n = w * h * channels
+    if maxval < 256:
+        raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    else:
+        raster = np.frombuffer(payload, dtype=">u2", count=n, offset=pos)
+    return raster.reshape(h, w, channels).astype(np.float64), maxval
+
+
+def _emit_pnm(arr: np.ndarray, maxval: int) -> bytes:
+    h, w, channels = arr.shape
+    magic = b"P6" if channels == 3 else b"P5"
+    header = b"%s\n%d %d\n%d\n" % (magic, w, h, maxval)
+    dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+    return header + arr.astype(dtype).tobytes()
+
+
+def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (float64 mono samples in [-1, 1], sample_rate) via the
+    stdlib ``wave`` reader (8-bit unsigned / 16-bit / 32-bit signed)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            width = wf.getsampwidth()
+            n_ch = wf.getnchannels()
+            rate = wf.getframerate()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, struct.error) as e:
+        raise DecodeUnavailable(f"not a PCM WAV: {e}") from e
+    if width == 1:
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise DecodeUnavailable(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
 
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
+    """Real feature extraction for lib-free formats.
+
+    image (PPM/PGM): FEATURE_DIM-bin normalized grayscale-intensity
+    histogram (density over [0, 1]); audio (PCM WAV): per-window RMS
+    over FEATURE_DIM equal windows.  Anything else (JPEG, MP3, video
+    containers) raises DecodeUnavailable — those need native codecs."""
+    if kind == "image":
+        arr, maxval = _parse_pnm(payload)
+        gray = arr.mean(axis=2).ravel() / maxval
+        hist, _ = np.histogram(gray, bins=FEATURE_DIM, range=(0.0, 1.0))
+        return hist.astype(np.float64) / max(gray.size, 1)
+    if kind == "audio":
+        x, _rate = _parse_wav(payload)
+        if len(x) == 0:
+            return np.zeros(FEATURE_DIM)
+        windows = np.array_split(x, FEATURE_DIM)
+        return np.array(
+            [np.sqrt((w * w).mean()) if len(w) else 0.0 for w in windows]
+        )
     raise DecodeUnavailable(
-        "real image/audio decode requires PIL/torchvision/ffmpeg — "
-        "not available in this environment; use fake=True"
+        f"real decode for kind={kind!r} requires native codecs "
+        "(ffmpeg) — not available in this environment; use fake=True"
     )
 
 
@@ -83,12 +181,17 @@ def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
 def resize_stub(
     media: DataFrame, width: int = 32, height: int = 24, fake: bool = True
 ) -> DataFrame:
-    """Image payload → "resized" payload with updated meta — the 1→1
+    """Image payload → resized payload with updated meta — the 1→1
     payload-transform shape (batch in, same-length batch out, bytes
-    stay in Arrow).  The fake resize deterministically downsamples the
-    byte stream to width*height bytes (repeating if short); a real
-    implementation swaps the inner function for PIL's
-    ``Image.resize``.  Non-image rows pass through untouched."""
+    stay in Arrow).
+
+    ``fake=False`` is a REAL nearest-neighbor resize for binary
+    PPM/PGM payloads (pure numpy index-map over the parsed raster,
+    re-emitted as the same PNM flavor); non-PNM images raise
+    DecodeUnavailable (JPEG et al. need native codecs).  The fake
+    path deterministically downsamples the raw byte stream to
+    width*height bytes (repeating if short).  Non-image rows pass
+    through untouched."""
 
     target = width * height
 
@@ -98,6 +201,13 @@ def resize_stub(
         arr = np.frombuffer(payload, dtype=np.uint8)
         idx = (np.arange(target) * len(arr)) // target
         return bytes(arr[idx % len(arr)].tobytes())
+
+    def _real_resize(payload: bytes) -> bytes:
+        arr, maxval = _parse_pnm(payload)
+        h0, w0, _ = arr.shape
+        ri = (np.arange(height) * h0) // height
+        ci = (np.arange(width) * w0) // width
+        return _emit_pnm(arr[ri][:, ci], maxval)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,12 +221,9 @@ def resize_stub(
                     payloads.append(payload)
                     metas.append(meta)
                     continue
-                if not fake:
-                    raise DecodeUnavailable(
-                        "real image resize requires PIL — use fake=True"
-                    )
+                resize = _fake_resize if fake else _real_resize
                 payloads.append(
-                    _fake_resize(b"" if payload is None else bytes(payload))
+                    resize(b"" if payload is None else bytes(payload))
                 )
                 m = dict(meta) if meta is not None else {}
                 m["w"], m["h"] = str(width), str(height)
@@ -166,6 +273,43 @@ def frame_sample(media: DataFrame, every_n: int = 2, fake: bool = True
     return media.mapInPandas(
         run,
         schema="media_id string, frame_no int, frame_payload binary",
+    )
+
+
+def synthetic_decodable_media(spark, n: int = 30, seed: int = 42
+                              ) -> DataFrame:
+    """Deterministic media table whose payloads are REAL lib-free
+    formats — binary PPM/PGM images and PCM-16 WAV audio — so the
+    ``fake=False`` decode/resize paths run end-to-end in-sandbox."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:  # color PPM
+            w, h = 8 + i % 5, 6 + i % 4
+            raster = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = _emit_pnm(raster.astype(np.float64), 255)
+            rows.append((f"d{i:05d}", "image", payload,
+                         {"w": str(w), "h": str(h), "fmt": "ppm"}))
+        elif i % 3 == 1:  # grayscale PGM
+            w, h = 10 + i % 7, 5 + i % 3
+            raster = rng.randint(0, 256, size=(h, w, 1), dtype=np.uint8)
+            payload = _emit_pnm(raster.astype(np.float64), 255)
+            rows.append((f"d{i:05d}", "image", payload,
+                         {"w": str(w), "h": str(h), "fmt": "pgm"}))
+        else:  # PCM-16 mono WAV
+            samples = (
+                rng.randint(-20000, 20000, size=160 + 16 * (i % 5))
+            ).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(samples.tobytes())
+            rows.append((f"d{i:05d}", "audio", buf.getvalue(),
+                         {"rate": "8000", "fmt": "wav"}))
+    return spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, meta map<string,string>"
     )
 
 
