@@ -816,15 +816,20 @@ WHERE round(list_dot_product(a.v, b.v)
 """
 
 
-def q_bm25_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE ENGINE ITSELF under the DuckDB gate: build a stem-free packed
-    index from the documents table (tokenize → postings → doc ordinals
-    → doc-range shards → delta+varint pack), then answer the fixed
-    query through block-max WAND — the same build+query code path the
-    stemmed engine runs (operators/build + packed_index + wand), minus
-    Porter because DuckDB cannot stem.  The oracle recomputes BM25
-    relationally.  Scores compare rounded to 6 decimals; ordering is by
-    the ROUNDED score in both engines so the top-20 boundary agrees."""
+def _engine_packed_top20(
+    spark: SparkSession, sf_dir: str, accumulator: str | None = None
+) -> DataFrame:
+    """Shared body of the engine-under-gate queries: build a stem-free
+    packed index from the documents table (tokenize → postings → doc
+    ordinals → doc-range shards → delta+varint pack), then answer the
+    fixed query through block-max WAND — the same build+query code path
+    the stemmed engine runs (operators/build + packed_index + wand),
+    minus Porter because DuckDB cannot stem.  The oracle recomputes
+    BM25 relationally.  Scores compare rounded to 6 decimals; ordering
+    is by the ROUNDED score in both engines so the top-20 boundary
+    agrees.  ``accumulator`` forces the shard scorer's accumulation
+    strategy (None = auto)."""
+    import shutil
     import tempfile
 
     from ics_search_engine_spark.operators.packed_index import (
@@ -839,8 +844,6 @@ def q_bm25_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("turn_idx"),
         F.col("text"),
     )
-    import shutil
-
     out = tempfile.mkdtemp(prefix="gate_engine_idx_")
     try:
         build_packed_index(
@@ -853,7 +856,8 @@ def q_bm25_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # share one rounded score (no exact-duplicate docs in the sf
         # tables)
         top = bm25_topk_wand(
-            spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60,
+            accumulator=accumulator,
         )
     finally:
         # safe to remove before the caller materializes: bm25_topk_wand
@@ -867,6 +871,23 @@ def q_bm25_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def q_bm25_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ENGINE ITSELF under the DuckDB gate (see
+    _engine_packed_top20) — default accumulation (dense at the gate's
+    range_bits)."""
+    return _engine_packed_top20(spark, sf_dir)
+
+
+def q_bm25_engine_merge_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sorted-merge score accumulator under the DuckDB gate: the
+    same packed build + WAND query as bm25_engine_packed, but scoring
+    accumulates via the searchsorted-merge path that serves
+    range_bits > 22 (memory tracks matched docs, not range width) —
+    forced on here so the gate covers it at the test corpus's
+    range_bits.  Must reproduce the identical relational BM25."""
+    return _engine_packed_top20(spark, sf_dir, accumulator="merge")
 
 
 # identical semantics to _SQL_BM25_TOPK — the engine must reproduce the
@@ -1231,6 +1252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "bm25_engine_packed": q_bm25_engine_packed,
     "bm25_engine_segmented": q_bm25_engine_segmented,
+    "bm25_engine_merge_acc": q_bm25_engine_merge_acc,
     "phrase_engine_packed": q_phrase_engine_packed,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
@@ -1258,6 +1280,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
     "bm25_engine_packed": _SQL_BM25_ENGINE,
     "bm25_engine_segmented": _SQL_BM25_ENGINE,
+    "bm25_engine_merge_acc": _SQL_BM25_ENGINE,
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,

@@ -48,6 +48,7 @@ def bm25_topk_wand(
     phase1_ranges: int = 4,
     collect_stats: dict | None = None,
     conjunctive: bool = False,
+    accumulator: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 with block-max range pruning — result identical to the
     exhaustive packed path (invariant-tested).  ``collect_stats`` (if a
@@ -60,7 +61,10 @@ def bm25_topk_wand(
     never match and is dropped before scoring, and the OR upper bound
     remains a valid bound for the (smaller) conjunctive scores, so the
     θ pruning loop is unchanged.  Identical to the exhaustive
-    bm25_topk_conjunctive (tested)."""
+    bm25_topk_conjunctive (tested).
+
+    ``accumulator`` forwards to score_shards_topk ('dense'|'merge'|
+    None=auto by range_bits) — results are bit-identical either way."""
     do_stem = pidx.stats.get("stem", True)
     q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
     empty = spark.createDataFrame(
@@ -162,7 +166,7 @@ def bm25_topk_wand(
         out = (
             score_shards_topk(
                 m, weights, pidx.avgdl, k, range_bits,
-                require_all=require_all,
+                require_all=require_all, accumulator=accumulator,
             )
             .orderBy(F.desc("score"), F.asc("doc_ord"))
             .limit(k)
