@@ -182,7 +182,22 @@ def bm25_topk_wand(
         rows.sort(key=lambda r: (-r["score"], r["doc_ord"]))
         return rows[:k]
 
-    if len(ranges) <= phase1_ranges:
+    # Single-job bail-out: a pruning round's fixed cost is one Spark
+    # job schedule (~0.3-0.6 s here) — worth paying only when θ can
+    # prune MORE ranges than a job costs to decode (dozens).  With few
+    # survivors (tiny corpora, or a θ seed that already cleared the
+    # tail), score them all in ONE job instead of drip-feeding rounds.
+    # Seed-aware widening: when the metadata θ₀ pruned over half the
+    # ranges, iterating rarely buys more — θ₀ came from real per-range
+    # max-score docs, so survivors are the genuinely-plausible band
+    # (measured: q5_rare survivors 49/169, iterative rounds pruned 0
+    # further while paying 2 extra job schedules) — score survivors in
+    # one job.  When the seed pruned nothing (uniform common-term
+    # bands) iteration still runs and its convergence bail-out governs.
+    one_job = len(ranges) <= 4 * phase1_ranges or (
+        seed_pruned > 0 and len(ranges) <= n_ranges_total // 2
+    )
+    if one_job:
         rows = merge_topk(score_ranges([r["shard_id"] for r in ranges]).collect())
         if collect_stats is not None:
             collect_stats.update(
