@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns + typed metadata, processed through Arrow-batched mapInPandas.
 
-Decode is REAL for lib-free formats — binary PPM/PGM images and PCM
-WAV audio parse with pure Python/numpy (``fake=False``); formats that
-genuinely need native codecs (JPEG, PNG, MP3, MP4) raise
-``DecodeUnavailable`` (libraries absent in this container), with a
-deterministic fake available for end-to-end pipeline tests.
+Decode is REAL for lib-free formats — binary PPM/PGM and PNG images
+and PCM WAV audio parse with pure Python/numpy (``fake=False``; PNG
+is DEFLATE + per-scanline filters, both fully covered by stdlib
+``zlib`` + numpy — no native codec involved); formats that genuinely
+need native codecs (JPEG, MP3, MP4) raise ``DecodeUnavailable``
+(libraries absent in this container), with a deterministic fake
+available for end-to-end pipeline tests.
 Everything Spark-side is real and tested either way: schemas, batch
 shapes, UDF signatures, partitioning.
 
@@ -30,6 +32,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,9 +44,9 @@ FEATURE_DIM = 16
 
 class DecodeUnavailable(NotImplementedError):
     """Raised by the real-decode hook for formats that genuinely need
-    native libraries (JPEG, PNG, MP3, MP4, ...) — absent here.  Lib-free
-    formats (binary PPM/PGM images, PCM WAV audio) decode for REAL via
-    the pure-Python parsers below."""
+    native libraries (JPEG, MP3, MP4, ...) — absent here.  Lib-free
+    formats (binary PPM/PGM and PNG images, PCM WAV audio) decode for
+    REAL via the pure-Python parsers below."""
 
 
 def _parse_pnm(payload: bytes) -> tuple[np.ndarray, int]:
@@ -55,7 +58,7 @@ def _parse_pnm(payload: bytes) -> tuple[np.ndarray, int]:
     if magic not in (b"P5", b"P6"):
         raise DecodeUnavailable(
             f"image magic {magic!r} needs a native decoder "
-            "(only binary PPM/PGM decode lib-free); use fake=True"
+            "(only binary PPM/PGM and PNG decode lib-free); use fake=True"
         )
     pos, tokens = 2, []
     while len(tokens) < 3:
@@ -91,6 +94,172 @@ def _emit_pnm(arr: np.ndarray, maxval: int) -> bytes:
     return header + arr.astype(dtype).tobytes()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Yield (type, data) for each chunk, verifying length and CRC32
+    (PNG §5.3: CRC covers type + data)."""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise DecodeUnavailable("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != zlib.crc32(ctype + data):
+            raise DecodeUnavailable(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise DecodeUnavailable("PNG stream ended before IEND")
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Inverse the PNG §9 per-scanline filters (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) → (h, stride) uint8.  None/Sub/Up vectorize
+    (Sub is a per-byte-lane cumulative sum — uint8 wraparound IS the
+    mod-256 the spec wants); Average and Paeth depend on the previous
+    pixel AND previous row, so they run as a per-scanline byte loop —
+    correctness-first, and each payload decodes inside an Arrow batch
+    worker so the loop never touches the driver."""
+    if len(raw) != h * (stride + 1):
+        raise DecodeUnavailable("PNG inflated size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, offset=base + 1)
+        if ft == 0:
+            recon = line.copy()
+        elif ft == 1:
+            lanes = line.reshape(-1, bpp).astype(np.int64)
+            recon = (
+                np.cumsum(lanes, axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif ft == 2:
+            recon = line + prior  # uint8 add wraps mod 256
+        elif ft in (3, 4):
+            rec = bytearray(stride)
+            pri = prior.tolist()
+            lin = line.tolist()
+            if ft == 3:
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    rec[x] = (lin[x] + ((a + pri[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    c = pri[x - bpp] if x >= bpp else 0
+                    b = pri[x]
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    rec[x] = (lin[x] + pred) & 0xFF
+            recon = np.frombuffer(bytes(rec), dtype=np.uint8)
+        else:
+            raise DecodeUnavailable(f"PNG filter type {ft} is invalid")
+        out[y] = recon
+        prior = out[y]
+    return out
+
+
+def _parse_png(payload: bytes) -> tuple[np.ndarray, int]:
+    """PNG → (float64 array (h, w, channels), maxval), pure stdlib
+    zlib + numpy.  Bit depth 8/16; color types 0 gray, 2 RGB,
+    3 palette (depth 8), 4 gray+alpha, 6 RGBA; non-interlaced.
+    Adam7 interlace and sub-byte depths raise DecodeUnavailable —
+    stated limits, not silent corruption.  Chunk CRCs are verified."""
+    if payload[:8] != _PNG_MAGIC:
+        raise DecodeUnavailable("not a PNG signature")
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise DecodeUnavailable("PNG missing IHDR or IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise DecodeUnavailable("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise DecodeUnavailable("Adam7-interlaced PNG not supported")
+    if ctype_n not in _PNG_CHANNELS:
+        raise DecodeUnavailable(f"PNG color type {ctype_n} is invalid")
+    if depth not in (8, 16) or (ctype_n == 3 and depth != 8):
+        raise DecodeUnavailable(f"PNG bit depth {depth} not supported")
+    channels = _PNG_CHANNELS[ctype_n]
+    bpp = channels * depth // 8
+    stride = w * bpp
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise DecodeUnavailable(f"PNG IDAT inflate failed: {e}") from e
+    flat = _png_unfilter(raw, h, stride, bpp)
+    if ctype_n == 3:
+        if plte is None:
+            raise DecodeUnavailable("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        arr = pal[flat.reshape(h, w)].astype(np.float64)
+        return arr, 255
+    if depth == 8:
+        arr = flat.reshape(h, w, channels).astype(np.float64)
+        return arr, 255
+    arr16 = np.frombuffer(flat.tobytes(), dtype=">u2").reshape(h, w, channels)
+    return arr16.astype(np.float64), 65535
+
+
+def _emit_png(arr: np.ndarray, maxval: int) -> bytes:
+    """(h, w, channels) + maxval → PNG bytes (filter 0 scanlines, one
+    IDAT).  channels 1/2/3/4 → color types 0/4/2/6; maxval picks
+    depth 8 vs 16.  Round-trips through _parse_png exactly."""
+    h, w, channels = arr.shape
+    ctype_n = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    depth = 8 if maxval < 256 else 16
+    dtype = np.uint8 if depth == 8 else np.dtype(">u2")
+    rows = arr.astype(dtype).reshape(h, -1)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_n, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_image(payload: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch PNM vs PNG by signature → (array (h, w, channels),
+    maxval).  Alpha channels (PNG color types 4/6) are dropped —
+    alpha is coverage, not intensity, so it must not feed the
+    grayscale feature histogram."""
+    if payload[:8] == _PNG_MAGIC:
+        arr, maxval = _parse_png(payload)
+        if arr.shape[2] in (2, 4):
+            arr = arr[:, :, :-1]
+        return arr, maxval
+    return _parse_pnm(payload)
+
+
 def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (float64 mono samples in [-1, 1], sample_rate) via the
     stdlib ``wave`` reader (8-bit unsigned / 16-bit / 32-bit signed)."""
@@ -119,12 +288,12 @@ def _parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     """Real feature extraction for lib-free formats.
 
-    image (PPM/PGM): FEATURE_DIM-bin normalized grayscale-intensity
+    image (PPM/PGM/PNG): FEATURE_DIM-bin normalized grayscale-intensity
     histogram (density over [0, 1]); audio (PCM WAV): per-window RMS
     over FEATURE_DIM equal windows.  Anything else (JPEG, MP3, video
     containers) raises DecodeUnavailable — those need native codecs."""
     if kind == "image":
-        arr, maxval = _parse_pnm(payload)
+        arr, maxval = _parse_image(payload)
         gray = arr.mean(axis=2).ravel() / maxval
         hist, _ = np.histogram(gray, bins=FEATURE_DIM, range=(0.0, 1.0))
         return hist.astype(np.float64) / max(gray.size, 1)
@@ -186,9 +355,10 @@ def resize_stub(
     stay in Arrow).
 
     ``fake=False`` is a REAL nearest-neighbor resize for binary
-    PPM/PGM payloads (pure numpy index-map over the parsed raster,
-    re-emitted as the same PNM flavor); non-PNM images raise
-    DecodeUnavailable (JPEG et al. need native codecs).  The fake
+    PPM/PGM and PNG payloads (pure numpy index-map over the parsed
+    raster, re-emitted in the same container format — PNG keeps its
+    alpha channel); other images raise DecodeUnavailable (JPEG et
+    al. need native codecs).  The fake
     path deterministically downsamples the raw byte stream to
     width*height bytes (repeating if short).  Non-image rows pass
     through untouched."""
@@ -203,11 +373,13 @@ def resize_stub(
         return bytes(arr[idx % len(arr)].tobytes())
 
     def _real_resize(payload: bytes) -> bytes:
-        arr, maxval = _parse_pnm(payload)
+        is_png = payload[:8] == _PNG_MAGIC
+        arr, maxval = _parse_png(payload) if is_png else _parse_pnm(payload)
         h0, w0, _ = arr.shape
         ri = (np.arange(height) * h0) // height
         ci = (np.arange(width) * w0) // width
-        return _emit_pnm(arr[ri][:, ci], maxval)
+        emit = _emit_png if is_png else _emit_pnm
+        return emit(arr[ri][:, ci], maxval)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -279,23 +451,29 @@ def frame_sample(media: DataFrame, every_n: int = 2, fake: bool = True
 def synthetic_decodable_media(spark, n: int = 30, seed: int = 42
                               ) -> DataFrame:
     """Deterministic media table whose payloads are REAL lib-free
-    formats — binary PPM/PGM images and PCM-16 WAV audio — so the
-    ``fake=False`` decode/resize paths run end-to-end in-sandbox."""
+    formats — binary PPM/PGM and PNG images and PCM-16 WAV audio — so
+    the ``fake=False`` decode/resize paths run end-to-end in-sandbox."""
     rng = np.random.RandomState(seed)
     rows = []
     for i in range(n):
-        if i % 3 == 0:  # color PPM
+        if i % 4 == 0:  # color PPM
             w, h = 8 + i % 5, 6 + i % 4
             raster = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = _emit_pnm(raster.astype(np.float64), 255)
             rows.append((f"d{i:05d}", "image", payload,
                          {"w": str(w), "h": str(h), "fmt": "ppm"}))
-        elif i % 3 == 1:  # grayscale PGM
+        elif i % 4 == 1:  # grayscale PGM
             w, h = 10 + i % 7, 5 + i % 3
             raster = rng.randint(0, 256, size=(h, w, 1), dtype=np.uint8)
             payload = _emit_pnm(raster.astype(np.float64), 255)
             rows.append((f"d{i:05d}", "image", payload,
                          {"w": str(w), "h": str(h), "fmt": "pgm"}))
+        elif i % 4 == 2:  # RGBA PNG (alpha exercises the drop rule)
+            w, h = 7 + i % 6, 5 + i % 4
+            raster = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+            payload = _emit_png(raster.astype(np.float64), 255)
+            rows.append((f"d{i:05d}", "image", payload,
+                         {"w": str(w), "h": str(h), "fmt": "png"}))
         else:  # PCM-16 mono WAV
             samples = (
                 rng.randint(-20000, 20000, size=160 + 16 * (i % 5))

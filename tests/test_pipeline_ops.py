@@ -299,36 +299,217 @@ class TestMultimodal:
 
     def test_real_resize_pnm(self, spark):
         """fake=False resize is a REAL nearest-neighbor resize of the
-        parsed PNM raster, re-emitted as valid PNM of the target dims;
-        matches a direct numpy index-map resize."""
+        parsed raster, re-emitted in the SAME container (PNM stays
+        PNM, PNG stays PNG, alpha preserved); matches a direct numpy
+        index-map resize."""
         from ics_search_engine_spark.sources.multimodal import (
+            _PNG_MAGIC,
+            _parse_png,
             _parse_pnm,
             resize_stub,
             synthetic_decodable_media,
         )
+
+        def parse(payload):
+            if payload[:8] == _PNG_MAGIC:
+                return _parse_png(payload)
+            return _parse_pnm(payload)
 
         media = synthetic_decodable_media(spark, n=30)
         out = {
             r["media_id"]: r
             for r in resize_stub(media, 6, 4, fake=False).collect()
         }
-        n_imgs = 0
+        n_imgs = n_png = 0
         for r in media.collect():
             o = out[r["media_id"]]
             if r["kind"] != "image":
                 assert bytes(o["payload"]) == bytes(r["payload"])
                 continue
             n_imgs += 1
-            src, maxval = _parse_pnm(bytes(r["payload"]))
-            dst, maxval2 = _parse_pnm(bytes(o["payload"]))
+            src_b, dst_b = bytes(r["payload"]), bytes(o["payload"])
+            if src_b[:8] == _PNG_MAGIC:
+                n_png += 1
+                assert dst_b[:8] == _PNG_MAGIC  # container preserved
+            src, maxval = parse(src_b)
+            dst, maxval2 = parse(dst_b)
             assert maxval2 == maxval
             assert dst.shape[:2] == (4, 6)
-            assert dst.shape[2] == src.shape[2]  # PGM stays 1-channel
+            assert dst.shape[2] == src.shape[2]  # PGM 1-ch, RGBA 4-ch
             ri = (np.arange(4) * src.shape[0]) // 4
             ci = (np.arange(6) * src.shape[1]) // 6
             assert np.array_equal(dst, src[ri][:, ci])
             assert o["meta"]["w"] == "6" and o["meta"]["h"] == "4"
-        assert n_imgs > 0
+        assert n_imgs > 0 and n_png > 0
+
+    def test_png_decode_all_filters_roundtrip(self):
+        """_parse_png inverts every PNG §9 filter type: a test-local
+        FORWARD filterer (independent of _emit_png, which only emits
+        filter 0) encodes random rasters cycling filters 0-4 per
+        scanline; the decoder must recover the exact raster.  Covers
+        gray / gray+alpha / RGB / RGBA at depth 8 and RGB at 16."""
+        import struct
+        import zlib
+
+        from ics_search_engine_spark.sources.multimodal import (
+            _PNG_MAGIC,
+            _parse_png,
+        )
+
+        def forward_filter(rows: np.ndarray, bpp: int) -> bytes:
+            raw = b""
+            prior = np.zeros(rows.shape[1], dtype=np.int64)
+            for y in range(rows.shape[0]):
+                line = rows[y].astype(np.int64)
+                ft = y % 5
+                a = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]]) \
+                    if rows.shape[1] > bpp else np.zeros_like(line)
+                c = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]]) \
+                    if rows.shape[1] > bpp else np.zeros_like(prior)
+                b = prior
+                if ft == 0:
+                    filt = line
+                elif ft == 1:
+                    filt = line - a
+                elif ft == 2:
+                    filt = line - b
+                elif ft == 3:
+                    filt = line - ((a + b) >> 1)
+                else:
+                    pa = np.abs(b - c)
+                    pb = np.abs(a - c)
+                    pc = np.abs(a + b - 2 * c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    filt = line - pred
+                raw += b"%c" % ft + (filt % 256).astype(np.uint8).tobytes()
+                prior = line
+            return raw
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        rng = np.random.RandomState(0)
+        cases = [(1, 0, 8), (2, 4, 8), (3, 2, 8), (4, 6, 8), (3, 2, 16)]
+        for channels, ctype_n, depth in cases:
+            h, w = 11, 7
+            maxval = 255 if depth == 8 else 65535
+            raster = rng.randint(0, maxval + 1, size=(h, w, channels))
+            dtype = np.uint8 if depth == 8 else np.dtype(">u2")
+            rows = raster.astype(dtype).reshape(h, -1)
+            rows_b = np.frombuffer(rows.tobytes(), np.uint8).reshape(h, -1)
+            bpp = channels * depth // 8
+            payload = (
+                _PNG_MAGIC
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, depth, ctype_n, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(forward_filter(rows_b, bpp)))
+                + chunk(b"IEND", b"")
+            )
+            arr, got_maxval = _parse_png(payload)
+            assert got_maxval == maxval, (channels, depth)
+            assert np.array_equal(arr, raster.astype(np.float64)), \
+                (channels, ctype_n, depth)
+
+    def test_png_palette_decode(self):
+        """Color type 3: indices map through PLTE to RGB."""
+        import struct
+        import zlib
+
+        from ics_search_engine_spark.sources.multimodal import (
+            _PNG_MAGIC,
+            _parse_png,
+        )
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+        idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        payload = (
+            _PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        arr, maxval = _parse_png(payload)
+        assert maxval == 255
+        expect = np.frombuffer(pal, np.uint8).reshape(4, 3)[idx]
+        assert np.array_equal(arr, expect.astype(np.float64))
+
+    def test_png_emit_parse_roundtrip(self):
+        from ics_search_engine_spark.sources.multimodal import (
+            _emit_png,
+            _parse_png,
+        )
+
+        rng = np.random.RandomState(3)
+        for channels in (1, 2, 3, 4):
+            raster = rng.randint(
+                0, 256, size=(5, 9, channels)
+            ).astype(np.float64)
+            arr, maxval = _parse_png(_emit_png(raster, 255))
+            assert maxval == 255
+            assert np.array_equal(arr, raster)
+
+    def test_png_rejects_corruption_and_interlace(self):
+        import struct
+        import zlib
+
+        from ics_search_engine_spark.sources.multimodal import (
+            _PNG_MAGIC,
+            DecodeUnavailable,
+            _emit_png,
+            _parse_png,
+        )
+
+        good = _emit_png(np.zeros((2, 2, 3)), 255)
+        bad_crc = bytearray(good)
+        bad_crc[-5] ^= 0xFF  # flip a byte of IEND's CRC
+        with pytest.raises(DecodeUnavailable, match="CRC"):
+            _parse_png(bytes(bad_crc))
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        interlaced = (
+            _PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(DecodeUnavailable, match="Adam7"):
+            _parse_png(interlaced)
+        with pytest.raises(DecodeUnavailable):
+            _parse_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
+
+    def test_png_decode_features_drops_alpha(self):
+        """The grayscale histogram must come from color channels only:
+        an RGBA image whose alpha is all-zero has the same features as
+        the same RGB pixels with alpha stripped."""
+        from ics_search_engine_spark.sources.multimodal import (
+            _decode_real,
+            _emit_png,
+        )
+
+        rng = np.random.RandomState(5)
+        rgb = rng.randint(0, 256, size=(6, 8, 3)).astype(np.float64)
+        rgba = np.concatenate([rgb, np.zeros((6, 8, 1))], axis=2)
+        f_rgb = _decode_real(_emit_png(rgb, 255), "image")
+        f_rgba = _decode_real(_emit_png(rgba, 255), "image")
+        assert np.array_equal(f_rgb, f_rgba)
 
     def test_resize_stub_transforms_images_only(self, spark):
         from ics_search_engine_spark.sources.multimodal import resize_stub
