@@ -443,6 +443,34 @@ ORDER BY cosine_r6 DESC, vec_id ASC LIMIT 20
 """
 
 
+def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF pipeline (Lloyd fit -> distributed cell assignment ->
+    probe-filtered scan) under the DuckDB gate: with n_probe = n_cells
+    every cell is probed, so IVF must return EXACTLY the brute-force
+    answer — same oracle SQL as knn_cosine.  Gates the fit collect cap,
+    the pandas/literal assignment dispatch, and the probe filter
+    end-to-end; the recall-vs-n_probe tradeoff of partial probes is
+    pytest-covered (approximate by design, not SQL-expressible)."""
+    from ics_search_engine_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_centroids,
+        with_ivf_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = ivf_centroids(emb, n_cells=8, iters=3, seed=42)
+    celled = with_ivf_cells(emb.filter(F.col("vec_id") != 0), cents)
+    top = cosine_topk_ivf(
+        celled, cents, [float(x) for x in qvec], k=20, n_probe=len(cents)
+    )
+    return (
+        top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+        .orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (batch
     form; streaming variant in streaming/).  Integer-cents sum keeps the
@@ -914,6 +942,36 @@ FROM scored GROUP BY doc_id
 ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
+# tombstone semantics: drop the top-3 RANK rows (rank on the exact
+# unrounded score, ties by doc_id — the engine's ordering), keep every
+# surviving score computed against pre-delete N/avgdl/df
+_SQL_BM25_ENGINE_DELETES = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+ranked AS (
+  SELECT doc_id, sum(contrib) AS s,
+         row_number() OVER (ORDER BY sum(contrib) DESC, doc_id ASC) AS rn
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25_r6
+FROM ranked WHERE rn > 3
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+""".replace("{toks}", _SQL_TOKS)
+
 
 def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENTED engine with point-lookup resolution under the
@@ -971,6 +1029,168 @@ def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def q_bm25_engine_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time tombstones under the DuckDB gate (the LSM delete
+    path, SURVEY §2.7): build the two-segment index, find the top-3
+    winners, tombstone them, re-query.  The reference semantics the
+    engine pins: tombstoned docs vanish from RESULTS exactly, while
+    N/avgdl/df stay pre-delete until a compaction applies tombstones
+    physically — so every surviving score is bit-identical to the
+    undeleted computation, and the oracle is the same relational BM25
+    minus its own top-3 rank rows (engine top-3 == oracle top-3 is
+    itself gated by bm25_engine_segmented)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.segments import (
+        SegmentedIndex,
+        bm25_topk_segmented,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    base = tempfile.mkdtemp(prefix="gate_engine_del_")
+    try:
+        paths = []
+        for half in (0, 1):
+            p = f"{base}/seg{half}"
+            build_packed_index(
+                spark,
+                transcripts.filter(F.col("half") == half).drop("half"),
+                p, range_bits=8, with_positions=False, stem=False,
+            )
+            paths.append(p)
+        sidx = SegmentedIndex(spark, paths)
+        q = " ".join(DOCS_QUERY_TERMS)
+        tombstones = {
+            (r["conv_id"], r["turn_idx"])
+            for r in bm25_topk_segmented(spark, sidx, q, k=3).collect()
+        }
+        # pushdown resolution: collects during the call (safe to rmtree
+        # below) and gates the tombstones+point-lookup combination
+        top = bm25_topk_segmented(
+            spark, sidx, q, k=60, deletes=tombstones, resolve="pushdown"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        top.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _convs_engine_topk(
+    spark: SparkSession, sf_dir: str, agg: str
+) -> DataFrame:
+    """Conversation-grain rollup over the PACKED engine under the
+    DuckDB gate (operators/convs.py): documents become 5-turn
+    conversations (conv = doc_id // 5, turn = doc_id % 5), the packed
+    index is built stem-free, and bm25_topk_convs_packed ranks whole
+    conversations by the agg of their turns' BM25 scores.  The oracle
+    rolls up the same relational per-doc BM25 by doc_id // 5.
+    ``matched_turns`` rides through as an exact integer."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.convs import (
+        bm25_topk_convs_packed,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string(
+            "conv%07d", (F.col("doc_id") / 5).cast("long")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_convs_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        # over-fetch exact-score winners, report 20 by rounded order
+        # (same boundary discipline as the other engine gates)
+        top = bm25_topk_convs_packed(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60, agg=agg
+        )
+    finally:
+        # bm25_topk_convs_packed collects during the call
+        shutil.rmtree(out, ignore_errors=True)
+    return (
+        top.select(
+            F.substring("conv_id", 5, 7).cast("long").alias("conv_num"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+            "matched_turns",
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("conv_num"))
+        .limit(20)
+    )
+
+
+def q_bm25_convs_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg='max' (rank conversations by best turn) — order-free float
+    math, bit-exact across engines before rounding."""
+    return _convs_engine_topk(spark, sf_dir, "max")
+
+
+def q_bm25_convs_engine_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg='sum' (rank by total matching mass) — cross-engine float
+    sums compare rounded, like every sum-based gate here."""
+    return _convs_engine_topk(spark, sf_dir, "sum")
+
+
+_SQL_BM25_CONVS_TMPL = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+doc_scores AS (
+  SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id
+),
+convs AS (
+  SELECT doc_id // 5 AS conv_num, {agg}(s) AS s,
+         count(*) AS matched_turns
+  FROM doc_scores GROUP BY doc_id // 5
+)
+SELECT conv_num, round(s, 6) AS bm25_r6, matched_turns
+FROM convs ORDER BY bm25_r6 DESC, conv_num ASC LIMIT 20
+"""
+_SQL_BM25_CONVS_TMPL = _SQL_BM25_CONVS_TMPL.replace("{toks}", _SQL_TOKS)
+_SQL_BM25_CONVS = _SQL_BM25_CONVS_TMPL.replace("{agg}", "max")
+_SQL_BM25_CONVS_SUM = _SQL_BM25_CONVS_TMPL.replace("{agg}", "sum")
 
 
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,6 +1463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shingle_fingerprint": q_shingle_fingerprint,
     "quality_scores": q_quality_scores,
     "knn_cosine": q_knn_cosine,
+    "knn_cosine_ivf": q_knn_cosine_ivf,
     "events_hourly": q_events_hourly,
     "lang_source_profile": q_lang_source_profile,
     "phrase_match": q_phrase_match,
@@ -1252,6 +1473,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "bm25_engine_packed": q_bm25_engine_packed,
     "bm25_engine_segmented": q_bm25_engine_segmented,
+    "bm25_engine_deletes": q_bm25_engine_deletes,
+    "bm25_convs_engine": q_bm25_convs_engine,
+    "bm25_convs_engine_sum": q_bm25_convs_engine_sum,
     "bm25_engine_merge_acc": q_bm25_engine_merge_acc,
     "phrase_engine_packed": q_phrase_engine_packed,
     "blend_rank": q_blend_rank,
@@ -1271,6 +1495,8 @@ ORACLE_SQL: dict[str, str] = {
     "shingle_fingerprint": _SQL_SHINGLE_FP,
     "quality_scores": _SQL_QUALITY,
     "knn_cosine": _SQL_KNN_COSINE,
+    # full-probe IVF must equal brute force exactly — same oracle
+    "knn_cosine_ivf": _SQL_KNN_COSINE,
     "events_hourly": _SQL_EVENTS_HOURLY,
     "lang_source_profile": _SQL_LANG_SOURCE,
     "phrase_match": _SQL_PHRASE,
@@ -1280,6 +1506,9 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup": _SQL_EMB_NEAR_DUP,
     "bm25_engine_packed": _SQL_BM25_ENGINE,
     "bm25_engine_segmented": _SQL_BM25_ENGINE,
+    "bm25_engine_deletes": _SQL_BM25_ENGINE_DELETES,
+    "bm25_convs_engine": _SQL_BM25_CONVS,
+    "bm25_convs_engine_sum": _SQL_BM25_CONVS_SUM,
     "bm25_engine_merge_acc": _SQL_BM25_ENGINE,
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
     "blend_rank": _SQL_BLEND,

@@ -125,6 +125,22 @@ def score_topk(
     (term, doc), so the fold list's size IS the matched-term count).
     The reference instead unions postings and boosts by match fraction
     (SURVEY.md §2.3 note; /root/reference/search.py:148-162)."""
+    scored = score_all(spark, matched, weights, avgdl, key_cols, require_all)
+    return scored.orderBy(F.desc("score"), *[F.asc(c) for c in key_cols]).limit(k)
+
+
+def score_all(
+    spark: SparkSession,
+    matched: DataFrame,
+    weights: dict[str, float],
+    avgdl: float,
+    key_cols: list[str],
+    require_all: int | None = None,
+) -> DataFrame:
+    """Every matched doc's full score (no top-k truncation) —
+    (key_cols..., score).  The deterministic sorted-term fold shared by
+    score_topk and the conversation-grain rollup, which must aggregate
+    over ALL matching turns before any limit can be applied."""
     w_df = spark.createDataFrame(
         [(t, w) for t, w in weights.items()], "term string, w double"
     )
@@ -138,11 +154,72 @@ def score_topk(
     )
     if require_all is not None:
         scored = scored.filter(F.size("tc") == require_all)
-    scored = scored.withColumn(
+    return scored.withColumn(
         "score",
         F.aggregate("tc", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
     ).select(*key_cols, "score")
-    return scored.orderBy(F.desc("score"), *[F.asc(c) for c in key_cols]).limit(k)
+
+
+CONV_AGGS = {"max": F.max, "sum": F.sum}
+
+
+def bm25_topk_convs(
+    spark: SparkSession,
+    postings_df: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    agg: str = "max",
+    term_df: dict[str, int] | None = None,
+) -> DataFrame:
+    """Conversation-grain ranking: top-k CONVERSATIONS by an aggregate
+    of their turns' BM25 scores → (conv_id, score, matched_turns).
+
+    The natural product query for a transcript corpus — "which
+    conversation matches" rather than "which turn".  ``agg='max'``
+    ranks by best turn (order-free, bit-exact across engines);
+    ``agg='sum'`` by total matching mass (float addition order across
+    turns is Spark's aggregation order — compare rounded, like every
+    cross-engine float sum).  ``matched_turns`` rides the same agg as
+    an exact integer.
+
+    Scale shape: per-turn scores never truncate before the rollup
+    (any turn contributes), but the conv aggregation is an ordinary
+    hash agg with map-side partial aggregation — turns of a
+    conversation are adjacent in the scan (doc ordinals sort by
+    (conv_id, turn_idx)), so partials collapse before the shuffle and
+    the exchange carries ~|matched convs| rows, then
+    TakeOrderedAndProject.  No driver-side loops."""
+    if agg not in CONV_AGGS:
+        raise ValueError(f"unknown conv agg {agg!r}")
+    q_terms = sorted(set(tokenize(query, for_query=True)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, score double, matched_turns long"
+    )
+    if not q_terms:
+        return empty
+    matched = postings_df.filter(F.col("term").isin(q_terms))
+    if term_df is None:
+        term_df = {
+            r["term"]: r["df"]
+            for r in matched.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+    weights = query_weights(query, term_df, n_docs)
+    if not weights:
+        return empty
+    turns = score_all(spark, matched, weights, avgdl, DOC_KEY)
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            CONV_AGGS[agg]("score").alias("score"),
+            F.count("*").alias("matched_turns"),
+        )
+        .orderBy(F.desc("score"), F.asc("conv_id"))
+        .limit(k)
+    )
 
 
 def bm25_topk_conjunctive(

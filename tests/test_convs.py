@@ -1,0 +1,168 @@
+"""Conversation-grain ranking: relational vs packed parity + edges.
+
+The packed path (operators/convs.py) must reproduce the relational
+rollup (query.bm25_topk_convs) — agg='max' bit-exactly (order-free
+float math), agg='sum' to 1e-9 rounding (cross-engine float addition
+order).  Built at range_bits small enough that conversations straddle
+shard boundaries, so the cross-shard partial combine is exercised,
+not just the happy path."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+
+from ics_search_engine_spark.operators import index_build as ib
+from ics_search_engine_spark.operators.convs import (
+    bm25_topk_convs_packed,
+    conv_bounds,
+)
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+from ics_search_engine_spark.operators.query import bm25_topk_convs
+from ics_search_engine_spark.sources.transcripts import generate_turns
+
+QUERIES = [
+    "machine",
+    "machine learning",
+    "the machine learning and its impact on society",
+    "xyzzyqux machine",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("convs"))
+    pq.write_table(generate_turns(250, seed=13), f"{d}/t.parquet")
+    df = spark.read.parquet(f"{d}/t.parquet")
+    # range_bits=6: 64-ordinal shards << avg conv length x few convs,
+    # so conv spans straddle shard boundaries
+    build_packed_index(spark, df, f"{d}/idx", range_bits=6)
+    toks = ib.tokenized(df).cache()
+    posts = ib.postings(toks).cache()
+    n, avgdl = ib.corpus_stats(toks)
+    return {
+        "df": df,
+        "pidx": PackedIndex(spark, f"{d}/idx"),
+        "posts": posts,
+        "n": n,
+        "avgdl": avgdl,
+    }
+
+
+class TestConvRollup:
+    @pytest.mark.parametrize("agg", ["max", "sum"])
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_packed_matches_relational(self, spark, corpus, agg, q):
+        rel = bm25_topk_convs(
+            spark, corpus["posts"], q, corpus["n"], corpus["avgdl"],
+            k=12, agg=agg,
+        ).collect()
+        pk = bm25_topk_convs_packed(
+            spark, corpus["pidx"], q, k=12, agg=agg
+        ).collect()
+        assert [r["conv_id"] for r in rel] == [r["conv_id"] for r in pk]
+        assert [r["matched_turns"] for r in rel] == [
+            r["matched_turns"] for r in pk
+        ]
+        for a, b in zip(rel, pk):
+            if agg == "max":
+                assert a["score"] == b["score"]  # bit-identical
+            else:
+                assert math.isclose(
+                    a["score"], b["score"], rel_tol=0, abs_tol=1e-9
+                )
+
+    @pytest.mark.parametrize("agg", ["max", "sum"])
+    def test_merge_accumulator_parity(self, spark, corpus, agg):
+        dense = bm25_topk_convs_packed(
+            spark, corpus["pidx"], "machine learning", k=10, agg=agg,
+            accumulator="dense",
+        ).collect()
+        merge = bm25_topk_convs_packed(
+            spark, corpus["pidx"], "machine learning", k=10, agg=agg,
+            accumulator="merge",
+        ).collect()
+        assert [tuple(r) for r in dense] == [tuple(r) for r in merge]
+
+    def test_rollup_against_bruteforce(self, spark, corpus):
+        """matched_turns and the max rollup recomputed per-conv from
+        the un-truncated per-turn relational scores."""
+        from ics_search_engine_spark.operators.query import (
+            query_weights, score_all,
+        )
+        from ics_search_engine_spark.textproc.tokenizer import tokenize
+        import pyspark.sql.functions as F
+
+        q = "machine learning"
+        q_terms = sorted(set(tokenize(q, for_query=True)))
+        matched = corpus["posts"].filter(F.col("term").isin(q_terms))
+        term_df = {
+            r["term"]: r["df"]
+            for r in matched.groupBy("term")
+            .agg(F.count("*").alias("df")).collect()
+        }
+        weights = query_weights(q, term_df, corpus["n"])
+        turns = score_all(
+            spark, matched, weights, corpus["avgdl"],
+            ["conv_id", "turn_idx"],
+        ).collect()
+        per_conv: dict = {}
+        for r in turns:
+            cur = per_conv.setdefault(r["conv_id"], [0.0, 0])
+            cur[0] = max(cur[0], r["score"])
+            cur[1] += 1
+        expect = sorted(
+            ((c, s, m) for c, (s, m) in per_conv.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:15]
+        got = [
+            (r["conv_id"], r["score"], r["matched_turns"])
+            for r in bm25_topk_convs_packed(
+                spark, corpus["pidx"], q, k=15, agg="max"
+            ).collect()
+        ]
+        assert got == expect
+
+    def test_convs_straddle_shards(self, spark, corpus):
+        """Fixture sanity: the corpus genuinely exercises cross-shard
+        conversations (spans covering >1 shard in the bounds table)."""
+        import pyspark.sql.functions as F
+
+        multi = (
+            conv_bounds(corpus["pidx"])
+            .groupBy("conv_start")
+            .agg(F.count("*").alias("n_shards"))
+            .filter(F.col("n_shards") > 1)
+            .count()
+        )
+        assert multi > 0
+
+    def test_empty_and_absent_queries(self, spark, corpus):
+        for q in ["", "the and of", "zzzznotaterm"]:
+            assert (
+                bm25_topk_convs_packed(spark, corpus["pidx"], q, k=5)
+                .count() == 0
+            )
+            assert (
+                bm25_topk_convs(
+                    spark, corpus["posts"], q, corpus["n"],
+                    corpus["avgdl"], k=5,
+                ).count() == 0
+            )
+
+    def test_bad_agg_raises(self, spark, corpus):
+        with pytest.raises(ValueError):
+            bm25_topk_convs_packed(
+                spark, corpus["pidx"], "machine", agg="mean"
+            )
+        with pytest.raises(ValueError):
+            bm25_topk_convs(
+                spark, corpus["posts"], "machine", corpus["n"],
+                corpus["avgdl"], agg="mean",
+            )
