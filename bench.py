@@ -130,6 +130,42 @@ def main() -> None:
         wtimes.sort()
         wand_p50 = wtimes[len(wtimes) // 2]
 
+        # conversation-grain rollup (operators/convs.py): the same
+        # corpus regrouped as 5-turn conversations, ranked by best
+        # turn (max) and total mass (sum) — packed path + serving
+        from ics_search_engine_spark.operators.convs import (
+            bm25_topk_convs_packed,
+        )
+
+        conv_dir = tempfile.mkdtemp(prefix="bench_convs_")
+        try:
+            conv_transcripts = docs.select(
+                F.format_string(
+                    "conv%07d", (F.col("doc_id") / 5).cast("long")
+                ).alias("conv_id"),
+                (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+                F.col("text"),
+            )
+            build_packed_index(
+                spark, conv_transcripts, conv_dir, range_bits=12,
+                with_positions=False,
+            )
+            cpidx = PackedIndex(spark, conv_dir).cache()
+            bm25_topk_convs_packed(spark, cpidx, "warm up query", k=10)
+            for agg in ("max", "sum"):
+                t0 = time.time()
+                bm25_topk_convs_packed(
+                    spark, cpidx, BENCH_QUERIES["q2_two"], k=10, agg=agg
+                ).collect()
+                timings[f"convs_{agg}"] = round(time.time() - t0, 3)
+            csrv = LocalIndexServer(conv_dir)
+            csrv.search_convs("warm up query", k=10)
+            t0 = time.time()
+            csrv.search_convs(BENCH_QUERIES["q2_two"], k=10, agg="max")
+            timings["serve_convs_max"] = round(time.time() - t0, 4)
+        finally:
+            shutil.rmtree(conv_dir, ignore_errors=True)
+
         total = build_s + sum(qtimes)
         print(
             json.dumps(

@@ -147,13 +147,31 @@ class LocalIndexServer:
                 weights, k, stats, avgdl, require_all=require_all
             )
 
+        scores, touched = self._dense_scores(weights, avgdl, require_all)
+        ti = np.flatnonzero(touched)
+        if ti.size == 0:
+            return []
+        order = np.lexsort((ti, -scores[ti]))[:k]
+        sel = ti[order]
+        return [
+            (str(self._conv[i]), int(self._turn[i]), float(scores[i]))
+            for i in sel
+        ]
+
+    def _dense_scores(
+        self,
+        weights: dict[str, float],
+        avgdl: float,
+        require_all: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exhaustive dense accumulation → (scores, touched) over
+        doc_ord.  CRITICAL for bit-identity: ascending term order."""
         scores = np.zeros(self.n_docs, dtype=np.float64)
         touched = np.zeros(self.n_docs, dtype=bool)
         counts = (
             np.zeros(self.n_docs, dtype=np.int32)
             if require_all is not None else None
         )
-        # CRITICAL for bit-identity: accumulate in ascending term order
         for t in sorted(weights):
             w = weights[t]
             for _shard, _maxtfn, payload in self.postings.get(t, ()):
@@ -167,14 +185,57 @@ class LocalIndexServer:
                     counts[idx] += 1
         if counts is not None:
             touched &= counts == require_all
-        ti = np.flatnonzero(touched)
+        return scores, touched
+
+    def search_convs(
+        self, query: str, k: int = 10, agg: str = "max"
+    ) -> list[tuple[str, float, int]]:
+        """Conversation-grain rollup, serving tier → [(conv_id, score,
+        matched_turns)] — the in-process form of
+        operators/convs.bm25_topk_convs_packed (same semantics, same
+        tie-break).  agg='max' is bit-identical to the Spark paths;
+        agg='sum' adds turns in ascending doc_ord (reduceat), the same
+        order as the packed kernel's within-shard fold, so serving ≡
+        packed to cross-shard-combine rounding (exact when no
+        conversation straddles a shard boundary)."""
+        if agg not in ("max", "sum"):
+            raise ValueError(f"unknown conv agg {agg!r}")
+        do_stem = self.stats.get("stem", True)
+        q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+        if not q_terms:
+            return []
+        term_df = {t: int(self.df[t]) for t in q_terms if t in self.df}
+        weights = query_weights(query, term_df, self.n_docs, do_stem=do_stem)
+        if not weights:
+            return []
+        scores, touched = self._dense_scores(weights, self.stats["avgdl"])
+        ti = np.flatnonzero(touched)  # ascending doc_ord
         if ti.size == 0:
             return []
-        order = np.lexsort((ti, -scores[ti]))[:k]
-        sel = ti[order]
+        # conv spans are contiguous ordinal runs (docmap.py: doc_ord is
+        # the global rank of (conv_id, turn_idx)) — start ordinals are
+        # the change points of the conv column, computed once
+        if not hasattr(self, "_conv_starts"):
+            change = np.r_[True, self._conv[1:] != self._conv[:-1]]
+            self._conv_starts = np.flatnonzero(change).astype(np.int64)
+        starts = self._conv_starts
+        conv_ix = np.searchsorted(starts, ti, side="right") - 1
+        cuts = np.concatenate([[0], np.flatnonzero(np.diff(conv_ix)) + 1])
+        vals = scores[ti]
+        rolled = (
+            np.maximum.reduceat(vals, cuts)
+            if agg == "max" else np.add.reduceat(vals, cuts)
+        )
+        matched = np.diff(np.concatenate([cuts, [ti.size]]))
+        conv_start_ords = starts[conv_ix[cuts]]
+        order = np.lexsort((conv_start_ords, -rolled))[:k]
         return [
-            (str(self._conv[i]), int(self._turn[i]), float(scores[i]))
-            for i in sel
+            (
+                str(self._conv[conv_start_ords[i]]),
+                float(rolled[i]),
+                int(matched[i]),
+            )
+            for i in order
         ]
 
     # ONE bit-sensitive scoring kernel for the whole engine: serving

@@ -156,6 +156,42 @@ class TestConvRollup:
                 ).count() == 0
             )
 
+    @pytest.mark.parametrize("agg", ["max", "sum"])
+    def test_serving_matches_packed(self, spark, corpus, agg):
+        """The in-process server's conv rollup vs the Spark packed
+        path: identical conv order and matched_turns; max scores
+        bit-identical, sum to 1e-9 (cross-shard partial association —
+        see serving.search_convs docstring)."""
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        srv = LocalIndexServer(corpus["pidx"].path)
+        for q in QUERIES:
+            pk = [
+                (r["conv_id"], r["score"], r["matched_turns"])
+                for r in bm25_topk_convs_packed(
+                    spark, corpus["pidx"], q, k=12, agg=agg
+                ).collect()
+            ]
+            sv = srv.search_convs(q, k=12, agg=agg)
+            assert [t[0] for t in sv] == [t[0] for t in pk], q
+            assert [t[2] for t in sv] == [t[2] for t in pk], q
+            for a, b in zip(sv, pk):
+                if agg == "max":
+                    assert a[1] == b[1], q
+                else:
+                    assert math.isclose(
+                        a[1], b[1], rel_tol=0, abs_tol=1e-9
+                    ), q
+
+    def test_serving_convs_edges(self, spark, corpus):
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        srv = LocalIndexServer(corpus["pidx"].path)
+        assert srv.search_convs("") == []
+        assert srv.search_convs("zzzznotaterm") == []
+        with pytest.raises(ValueError):
+            srv.search_convs("machine", agg="mean")
+
     def test_bad_agg_raises(self, spark, corpus):
         with pytest.raises(ValueError):
             bm25_topk_convs_packed(
