@@ -70,11 +70,17 @@ def main() -> None:
             spark, transcripts, warm, range_bits=12, with_positions=True
         )
         shutil.rmtree(warm, ignore_errors=True)
-        t0 = time.time()
-        build_packed_index(
-            spark, transcripts, out, range_bits=12, with_positions=True
-        )
-        build_s = time.time() - t0
+        # min-of-2 measured builds (same ±40% host-noise defense as the
+        # queries below; the LAST build's artifacts are kept and queried)
+        build_s = None
+        for _ in range(2):
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.time()
+            build_packed_index(
+                spark, transcripts, out, range_bits=12, with_positions=True
+            )
+            dt = time.time() - t0
+            build_s = dt if build_s is None or dt < build_s else build_s
         timings["index_build"] = round(build_s, 3)
 
         # serving mode: block-max metadata + term stats driver-side,
@@ -87,11 +93,18 @@ def main() -> None:
 
         qtimes = []
         for name, q in BENCH_QUERIES.items():
-            t0 = time.time()
-            bm25_topk_wand(spark, pidx, q, k=10).collect()
-            dt = time.time() - t0
-            timings[name] = round(dt, 3)
-            qtimes.append(dt)
+            # min-of-2: single-run wall times on this shared VM vary
+            # ±40% with external load (BENCH/BASELINE.md host-probe
+            # notes); min-of-k measures the engine, not the neighbor —
+            # same methodology as tools/scaling_bench.py
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                bm25_topk_wand(spark, pidx, q, k=10).collect()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
+            qtimes.append(best)
 
         qtimes.sort()
         p50 = qtimes[len(qtimes) // 2]
@@ -129,6 +142,29 @@ def main() -> None:
             pruned += st.get("pruned", 0)
         wtimes.sort()
         wand_p50 = wtimes[len(wtimes) // 2]
+
+        # filtered (fielded) search over the main index: allowed set =
+        # one fifth of the corpus by source — packed cogroup path
+        from ics_search_engine_spark.operators.filtered import (
+            bm25_topk_filtered_packed,
+        )
+
+        allowed = docs.filter(
+            F.col("source").isin(["src1", "src3", "src5", "src7"])
+        ).select(
+            F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+        )
+        bm25_topk_filtered_packed(spark, pidx, "warm up query", allowed)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            bm25_topk_filtered_packed(
+                spark, pidx, BENCH_QUERIES["q2_two"], allowed, k=10
+            ).collect()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings["filtered_q2"] = round(best, 3)
 
         # conversation-grain rollup (operators/convs.py): the same
         # corpus regrouped as 5-turn conversations, ranked by best
@@ -184,6 +220,8 @@ def main() -> None:
                         "wand_pruned_ranges": pruned,
                         "wand_scored_ranges": scored,
                         "cpus": int(cpus),
+                        "timing": "min-of-2 (build + distributed "
+                        "queries); shared-VM noise defense",
                     },
                 }
             )

@@ -1252,6 +1252,193 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+# doc-attribute filter for the filtered-search gates: ~1/5 of the
+# documents table by source — selective enough that the filtered top-20
+# differs from the unfiltered one, wide enough that 20 results exist
+FILTER_SOURCES = ["src1", "src3", "src5", "src7"]
+
+
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-query semantics (operators/query.bm25_topk_filtered):
+    BM25 top-20 restricted to docs from FILTER_SOURCES, with idf /
+    avgdl / n_docs CORPUS-GLOBAL (Lucene filter convention — the
+    predicate restricts results, never re-derives stats)."""
+    from ics_search_engine_spark.operators import index_build as ib
+    from ics_search_engine_spark.operators.query import bm25_topk_filtered
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    toks = ib.tokenized(transcripts, stem=False)
+    posts = ib.postings(toks, with_positions=False)
+    n, avgdl = ib.corpus_stats(toks)
+    allowed = docs.filter(F.col("source").isin(FILTER_SOURCES)).select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+    )
+    top = bm25_topk_filtered(
+        spark, posts, " ".join(DOCS_QUERY_TERMS), n, avgdl, allowed, k=60
+    )
+    return (
+        top.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_bm25_filtered_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED engine's filter-query path under the gate
+    (operators/filtered.bm25_topk_filtered_packed): same filter, same
+    global-stats semantics, answered from packed shards via the
+    shard-cogroup mask — must reproduce the relational oracle."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.filtered import (
+        bm25_topk_filtered_packed,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    allowed = docs.filter(F.col("source").isin(FILTER_SOURCES)).select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_filtered_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_filtered_packed(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), allowed, k=60
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return (
+        top.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# stats CTEs are computed over the FULL corpus; the source predicate
+# applies only to which docs may rank — the filter-query convention
+_SQL_BM25_FILTERED = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT sc.doc_id, round(sum(sc.contrib), 6) AS bm25_r6
+FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id
+WHERE doc.source IN ('src1','src3','src5','src7')
+GROUP BY sc.doc_id
+ORDER BY bm25_r6 DESC, sc.doc_id ASC LIMIT 20
+"""
+
+
+def q_turn_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-context expansion end-to-end (operators/context.py): the
+    documents table regrouped as 5-turn conversations (conv = doc_id
+    DIV 5, turn = doc_id % 5, role by parity), BM25 top-5 anchor turns
+    for the fixed query (rounded-score selection boundary, same
+    convention as the other gates), each expanded with its ±1
+    neighboring turns via the broadcast range join."""
+    from ics_search_engine_spark.operators import index_build as ib
+    from ics_search_engine_spark.operators.context import with_turn_context
+    from ics_search_engine_spark.operators.query import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    tr = docs.select(
+        F.format_string("conv%07d", F.expr("doc_id DIV 5")).alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("text"),
+    )
+    toks = ib.tokenized(tr, stem=False)
+    posts = ib.postings(toks, with_positions=False)
+    n, avgdl = ib.corpus_stats(toks)
+    exact = bm25_topk(
+        spark, posts, " ".join(DOCS_QUERY_TERMS), n, avgdl, k=20
+    )
+    anchors = (
+        exact.select(
+            "conv_id", "turn_idx", F.round("score", 6).alias("r6")
+        )
+        .orderBy(F.desc("r6"), F.asc("conv_id"), F.asc("turn_idx"))
+        .limit(5)
+    )
+    return with_turn_context(anchors, tr, before=1, after=1)
+
+
+_SQL_TURN_CONTEXT = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id, round(sum(contrib), 6) AS r6 FROM scored GROUP BY doc_id
+),
+anchors AS (
+  SELECT doc_id FROM perdoc ORDER BY r6 DESC, doc_id ASC LIMIT 5
+)
+SELECT printf('conv%07d', a.doc_id // 5) AS conv_id,
+       (a.doc_id % 5)::INT AS turn_idx,
+       (d.doc_id % 5)::INT AS ctx_turn_idx,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       d.text AS text
+FROM anchors a
+JOIN documents d
+  ON d.doc_id // 5 = a.doc_id // 5
+ AND d.doc_id % 5 BETWEEN a.doc_id % 5 - 1 AND a.doc_id % 5 + 1
+ORDER BY conv_id, turn_idx, ctx_turn_idx
+"""
+
+
 def q_phrase_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search THROUGH the packed index: build a
     stem-free positional index (tokenize → positions → doc-range shards
@@ -1481,6 +1668,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
+    "bm25_filtered": q_bm25_filtered,
+    "bm25_filtered_engine": q_bm25_filtered_engine,
+    "turn_context": q_turn_context,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1514,4 +1704,9 @@ ORACLE_SQL: dict[str, str] = {
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,
+    "bm25_filtered": _SQL_BM25_FILTERED,
+    # the packed engine's filtered path must reproduce the identical
+    # relational filter-query
+    "bm25_filtered_engine": _SQL_BM25_FILTERED,
+    "turn_context": _SQL_TURN_CONTEXT,
 }

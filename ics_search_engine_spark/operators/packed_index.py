@@ -412,6 +412,7 @@ def score_shards_topk(
     range_bits: int,
     require_all: int | None = None,
     accumulator: str | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Per-shard BM25 scoring with a local top-k — NO per-posting
     shuffle.
@@ -450,6 +451,14 @@ def score_shards_topk(
     rides the same pass; no extra shuffle).  Scores of survivors are
     unchanged (same fold), so this is the shard-local, shuffle-free
     form of query.bm25_topk_conjunctive.
+
+    ``allowed``: optional DataFrame (shard_id, doc_ord) of docs that may
+    appear (filter-query support, operators/filtered.py).  Applied via
+    COGROUP on shard_id — both sides hash-partition on the shard key
+    (one exchange each, the filter side carrying two longs per allowed
+    doc), and the kernel masks survivors vectorized.  Scores of
+    survivors stay bit-identical to the unfiltered fold; a shard with
+    no allowed docs returns empty before decoding a payload byte.
     """
     if accumulator is None:
         accumulator = (
@@ -461,7 +470,9 @@ def score_shards_topk(
     size = 1 << range_bits
     out_schema = "doc_ord long, score double"
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_group(
+        pdf: pd.DataFrame, allowed_ords: "np.ndarray | None" = None
+    ) -> pd.DataFrame:
         base = int(pdf["shard_id"].iloc[0]) << range_bits
         scores = np.zeros(size, dtype=np.float64)
         touched = np.zeros(size, dtype=bool)
@@ -484,6 +495,10 @@ def score_shards_topk(
                 counts[idx] += 1
         if counts is not None:
             touched &= counts == require_all
+        if allowed_ords is not None:
+            mask = np.zeros(size, dtype=bool)
+            mask[allowed_ords - base] = True
+            touched &= mask
         ti = np.flatnonzero(touched)
         if ti.size == 0:
             return pd.DataFrame({"doc_ord": [], "score": []}).astype(
@@ -495,7 +510,9 @@ def score_shards_topk(
             {"doc_ord": sel + base, "score": scores[sel]}
         )
 
-    def score_group_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_group_merge(
+        pdf: pd.DataFrame, allowed_ords: "np.ndarray | None" = None
+    ) -> pd.DataFrame:
         # Sorted-merge accumulator: term posting arrays arrive doc_ord-
         # sorted (pack invariant), so each term folds into the running
         # (doc_ord-sorted) accumulator via searchsorted + insert.  Per
@@ -537,6 +554,12 @@ def score_shards_topk(
         if acc_counts is not None:
             keep = acc_counts == require_all
             acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+        if allowed_ords is not None and acc_docs.size:
+            al = np.sort(allowed_ords)
+            pos = np.searchsorted(al, acc_docs)
+            safe = np.minimum(pos, al.size - 1)
+            keep_a = (pos < al.size) & (al[safe] == acc_docs)
+            acc_docs, acc_scores = acc_docs[keep_a], acc_scores[keep_a]
         if acc_docs.size == 0:
             return pd.DataFrame({"doc_ord": [], "score": []}).astype(
                 {"doc_ord": np.int64, "score": np.float64}
@@ -547,10 +570,33 @@ def score_shards_topk(
         )
 
     fn = score_group if accumulator == "dense" else score_group_merge
+    if allowed is None:
+        # NB: applyInPandas dispatches on function ARITY (2 params →
+        # (key, pdf)); the kernels carry an allowed_ords kwarg, so wrap
+        # them in an explicitly unary callable
+        def fn_unary(pdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(pdf)
+
+        return (
+            matched.select("term", "shard_id", "payload")
+            .groupBy("shard_id")
+            .applyInPandas(fn_unary, out_schema)
+        )
+
+    def fn_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            # no matched postings, or no allowed docs, in this shard:
+            # nothing can rank — and no payload is ever decoded
+            return pd.DataFrame({"doc_ord": [], "score": []}).astype(
+                {"doc_ord": np.int64, "score": np.float64}
+            )
+        return fn(left, right["doc_ord"].to_numpy(np.int64))
+
     return (
         matched.select("term", "shard_id", "payload")
-        .groupBy("shard_id")
-        .applyInPandas(fn, out_schema)
+        .groupby("shard_id")
+        .cogroup(allowed.select("shard_id", "doc_ord").groupby("shard_id"))
+        .applyInPandas(fn_cogroup, out_schema)
     )
 
 

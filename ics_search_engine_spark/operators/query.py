@@ -160,6 +160,60 @@ def score_all(
     ).select(*key_cols, "score")
 
 
+def bm25_topk_filtered(
+    spark: SparkSession,
+    postings_df: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    allowed_docs: DataFrame,
+    k: int = 10,
+    term_df: dict[str, int] | None = None,
+) -> DataFrame:
+    """Filtered top-k BM25 (the filter-query every fielded search engine
+    needs; the reference has no doc-attribute filtering at all): rank
+    only turns present in ``allowed_docs``, a DataFrame carrying the
+    DOC_KEY columns — e.g. the transcripts table filtered by a
+    role/tool/ts predicate:
+
+        bm25_topk_filtered(spark, posts, q, n, avgdl,
+                           transcripts.filter("role = 'assistant'"))
+
+    Semantics (Lucene filter-query convention): idf / n_docs / avgdl
+    stay CORPUS-GLOBAL — the predicate restricts which documents may
+    appear, it does not re-derive collection statistics — so a
+    surviving doc's score is bit-identical to its unfiltered score and
+    scores are comparable across differently-filtered queries.
+
+    Plan shape at scale: the caller's predicate lives in
+    ``allowed_docs``'s own scan (predicate pushdown + key-column
+    pruning); matched postings LEFT SEMI join the allowed keys — a
+    selective filter broadcasts under AQE, otherwise one hash exchange
+    keyed on the doc key.  Stats (term_df) come from the UNfiltered
+    matched postings, same as bm25_topk.
+    """
+    q_terms = sorted(set(tokenize(query, for_query=True)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+    matched = postings_df.filter(F.col("term").isin(q_terms))
+    if term_df is None:
+        term_df = {
+            r["term"]: r["df"]
+            for r in matched.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+    weights = query_weights(query, term_df, n_docs)
+    if not weights:
+        return empty
+    keys = allowed_docs.select(*DOC_KEY)
+    matched_f = matched.join(keys, DOC_KEY, "left_semi")
+    return score_topk(spark, matched_f, weights, avgdl, DOC_KEY, k)
+
+
 CONV_AGGS = {"max": F.max, "sum": F.sum}
 
 

@@ -127,6 +127,33 @@ class TestPackAndShardedQueryPlans:
         assert "hashpartitioning(shard_id" in plan
         assert "FlatMapGroupsInPandas" in plan
 
+    def test_filtered_scorer_cogroups_on_shard_id(self, spark, pidx):
+        """The filter-query scorer (score_shards_topk(allowed=...))
+        must apply the allowed-doc mask via a shard_id COGROUP: both
+        sides exchange on shard_id only (payload rows and two-long
+        filter rows — never a per-posting or per-doc-key shuffle into
+        the kernel)."""
+        from ics_search_engine_spark.operators.packed_index import (
+            score_shards_topk,
+        )
+
+        rb = pidx.stats["range_bits"]
+        matched = pidx.index.filter(F.col("term").isin(["spark", "machin"]))
+        allowed = pidx.docmap.filter(F.col("turn_idx") % 2 == 0).select(
+            F.shiftright(F.col("doc_ord"), rb).alias("shard_id"), "doc_ord"
+        )
+        df = score_shards_topk(
+            matched, {"spark": 1.0, "machin": 0.5}, pidx.avgdl, 10, rb,
+            allowed=allowed,
+        )
+        plan = _plan(df)
+        assert "FlatMapCoGroupsInPandas" in plan
+        exchanges = [
+            ln for ln in plan.splitlines() if "Exchange" in ln
+        ]
+        assert len(exchanges) == 2, plan  # one per cogroup side
+        assert all("hashpartitioning(shard_id" in ln for ln in exchanges), plan
+
 
 def test_fused_build_single_posting_exchange(spark, small_df):
     """build_packed_index's fused plan: groupBy(term, shard_id, doc_ord)

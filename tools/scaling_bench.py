@@ -6,7 +6,11 @@ Runs the identical packed-index build + query workload in two separate
 spark-submit-style subprocess sessions (cold JVM each, startup excluded
 from timing), writes BENCH/BASELINE.md and prints a JSON summary.
 
-Usage: python tools/scaling_bench.py [n_convs] [--quick]
+Usage: python tools/scaling_bench.py [n_convs] [--pair]
+
+--pair runs ONLY the primary local[2]/local[8] pair (plus the host
+probe) and prints the JSON summary without rewriting BENCH/BASELINE.md
+— for re-measuring the headline efficiency in a quieter host window.
 """
 
 from __future__ import annotations
@@ -123,6 +127,7 @@ def run_at(cores: int, corpus: str) -> dict:
 
 def main() -> None:
     n_convs = 60_000
+    pair_only = "--pair" in sys.argv
     for a in sys.argv[1:]:
         if a.isdigit():
             n_convs = int(a)
@@ -142,7 +147,7 @@ def main() -> None:
         print(f"host probe: {probe}", file=sys.stderr)
 
         results = {}
-        for c in (2, 8, 4, 16, 32):
+        for c in (2, 8) if pair_only else (2, 8, 4, 16, 32):
             results[c] = run_at(c, corpus)
             print(f"local[{c}]: {results[c]}", file=sys.stderr)
 
@@ -150,6 +155,23 @@ def main() -> None:
             return round(
                 (results[b]["build_turns_per_sec"]
                  / results[a]["build_turns_per_sec"]) / factor, 3)
+
+        if pair_only:
+            cpu_c = probe["cpu_scaling_vs_1proc"]
+            mem_c = probe["membw_scaling_vs_1proc"]
+            print(json.dumps({
+                "mode": "pair",
+                "n_turns": results[2]["n_turns"],
+                "runs": {f"local{c}": r for c, r in results.items()},
+                "scaling_efficiency_2_to_8": eff(2, 8, 4),
+                "host_ceiling_cpu_2_to_8":
+                    round((8 * cpu_c[8]) / (2 * cpu_c[2] * 4), 3),
+                "host_ceiling_membw_2_to_8":
+                    round((8 * mem_c[8]) / (2 * mem_c[2] * 4), 3),
+                "host_probe": probe,
+                "target": 0.8,
+            }))
+            return
 
         def ceiling(curve: dict, a: int, b: int) -> float:
             """Hardware-imposed efficiency ceiling for an a->b scale-up:
