@@ -23,12 +23,15 @@ Scale shape (packed tier):
     global TakeOrderedAndProject(k) → point-lookup resolution
 
 Block-max note: range upper bounds remain VALID under a filter (a
-filtered doc's score is unchanged), so WAND-style θ pruning composes;
-the metadata θ-seed does NOT (the doc achieving a range's max_tfn may
-be filtered out — same reason the seed is disabled for conjunctive
-queries, operators/wand.py).  This path scores allowed shards
-exhaustively in one job: the filter's own shard-level semi-join is
-already the dominant prune for selective filters.
+filtered doc's score is unchanged), so WAND-style θ pruning composes —
+`operators.wand.bm25_topk_wand(allowed_docs=...)` runs exactly that
+(metadata-level drop of ranges with no allowed doc + iterative θ over
+filtered winners; the θ-seed alone is disabled, for the same reason as
+under conjunctive semantics).  THIS function scores allowed shards
+exhaustively in one job — right for SELECTIVE filters, where the
+shard-level semi-join is the dominant prune; for unselective filters
+(half the corpus) use the WAND form.  Both are invariant-tested
+identical.
 """
 
 from __future__ import annotations
@@ -44,6 +47,22 @@ from ics_search_engine_spark.operators.packed_index import (
 from ics_search_engine_spark.operators.query import query_weights
 from ics_search_engine_spark.operators.wand import _resolve
 from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+
+def allowed_shard_ords(pidx: PackedIndex, allowed_docs: DataFrame) -> DataFrame:
+    """Caller-filtered doc keys → (shard_id, doc_ord): the filter side
+    of the scoring cogroup.  docmap is sorted by doc_ord and the
+    semi-join prunes its scan to the key columns."""
+    range_bits = pidx.stats["range_bits"]
+    return (
+        pidx.docmap.join(
+            allowed_docs.select(*DOC_KEY).distinct(), DOC_KEY, "left_semi"
+        )
+        .select(
+            F.shiftright(F.col("doc_ord"), range_bits).alias("shard_id"),
+            "doc_ord",
+        )
+    )
 
 
 def bm25_topk_filtered_packed(
@@ -79,18 +98,7 @@ def bm25_topk_filtered_packed(
         return empty
 
     range_bits = pidx.stats["range_bits"]
-    # allowed keys -> global ordinals -> shard-tagged filter side.
-    # docmap is sorted by doc_ord; the semi-join keys prune its scan
-    # columns to the three point columns.
-    allowed_ords = (
-        pidx.docmap.join(
-            allowed_docs.select(*DOC_KEY).distinct(), DOC_KEY, "left_semi"
-        )
-        .select(
-            F.shiftright(F.col("doc_ord"), range_bits).alias("shard_id"),
-            "doc_ord",
-        )
-    )
+    allowed_ords = allowed_shard_ords(pidx, allowed_docs)
     # only shards containing an allowed doc can produce a result: the
     # semi-join keeps payloads of all other shards inside the scan
     matched = pidx.index.filter(F.col("term").isin(q_terms)).join(

@@ -49,6 +49,7 @@ def bm25_topk_wand(
     collect_stats: dict | None = None,
     conjunctive: bool = False,
     accumulator: str | None = None,
+    allowed_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 with block-max range pruning — result identical to the
     exhaustive packed path (invariant-tested).  ``collect_stats`` (if a
@@ -64,7 +65,19 @@ def bm25_topk_wand(
     bm25_topk_conjunctive (tested).
 
     ``accumulator`` forwards to score_shards_topk ('dense'|'merge'|
-    None=auto by range_bits) — results are bit-identical either way."""
+    None=auto by range_bits) — results are bit-identical either way.
+
+    ``allowed_docs``: filter-query support (operators/filtered.py
+    semantics — stats stay corpus-global, surviving scores are
+    bit-identical to unfiltered), COMPOSED with θ pruning: ranges with
+    no allowed doc drop at metadata level, ub(r) remains a valid upper
+    bound for filtered scores (a filtered doc's score is unchanged),
+    and θ from real filtered winners prunes the tail.  The metadata
+    θ-seed is disabled, exactly as under conjunctive: the doc achieving
+    a range's max_tfn may be filtered out, so lb(r) is not a real
+    document's score.  This is the scale path for UNSELECTIVE filters
+    (e.g. role='assistant' ≈ half the corpus), where the exhaustive
+    bm25_topk_filtered_packed would decode every allowed shard."""
     do_stem = pidx.stats.get("stem", True)
     q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
     empty = spark.createDataFrame(
@@ -129,6 +142,23 @@ def bm25_topk_wand(
         require_all = len(weights)
         ubs = {s: u for s, u in ubs.items()
                if shard_terms.get(s, 0) == require_all}
+
+    allowed_ords = None
+    if allowed_docs is not None:
+        from ics_search_engine_spark.operators.filtered import (
+            allowed_shard_ords,
+        )
+
+        allowed_ords = allowed_shard_ords(pidx, allowed_docs)
+        # metadata-level filter pruning: a range with no allowed doc
+        # cannot produce a result.  The distinct-shard collect is
+        # range-grain (≤ n_ranges longs), the same size class as the
+        # ub table itself.
+        allowed_shards = {
+            r["shard_id"]
+            for r in allowed_ords.select("shard_id").distinct().collect()
+        }
+        ubs = {s: u for s, u in ubs.items() if s in allowed_shards}
     ub_rows = [{"shard_id": s, "ub": u} for s, u in ubs.items()]
     ranges = sorted(ub_rows, key=lambda r: (-r["ub"], r["shard_id"]))
     if not ranges:
@@ -146,7 +176,7 @@ def bm25_topk_wand(
     # up front).  Invalid under conjunctive semantics: the doc
     # achieving max_tfn may not match every required term.
     seed_pruned = 0
-    if require_all is None and len(lbs) >= k:
+    if require_all is None and allowed_ords is None and len(lbs) >= k:
         theta0 = sorted(lbs.values(), reverse=True)[k - 1]
         kept0 = [r for r in ranges if r["ub"] >= theta0]
         seed_pruned = len(ranges) - len(kept0)
@@ -162,11 +192,17 @@ def bm25_topk_wand(
         # driver receives at most k rows per round no matter how many
         # ranges the batch holds (θ only ever needs the running top-k,
         # so merging per-round top-ks loses nothing; invariant-tested)
-        m = matched.filter(F.col("shard_id").isin([int(s) for s in shard_ids]))
+        sids = [int(s) for s in shard_ids]
+        m = matched.filter(F.col("shard_id").isin(sids))
+        al = (
+            allowed_ords.filter(F.col("shard_id").isin(sids))
+            if allowed_ords is not None else None
+        )
         out = (
             score_shards_topk(
                 m, weights, pidx.avgdl, k, range_bits,
                 require_all=require_all, accumulator=accumulator,
+                allowed=al,
             )
             .orderBy(F.desc("score"), F.asc("doc_ord"))
             .limit(k)

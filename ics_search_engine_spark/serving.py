@@ -97,6 +97,7 @@ class LocalIndexServer:
         use_wand: bool = False,
         stats: dict | None = None,
         conjunctive: bool = False,
+        allowed=None,
     ) -> list[tuple[str, int, float]]:
         """Top-k → [(conv_id, turn_idx, score)], bit-identical to the
         Spark paths and oracle.search (same weights, same tfn order,
@@ -108,7 +109,11 @@ class LocalIndexServer:
         ``conjunctive=True``: AND semantics (every query term must
         match; an absent term empties the result) — mirrors the
         distributed bm25_topk_conjunctive / bm25_topk_wand(conjunctive)
-        paths (tested identical)."""
+        paths (tested identical).
+        ``allowed``: filter-query support (the serving form of
+        operators/filtered.py — same semantics: stats stay global,
+        surviving scores bit-identical): an iterable of (conv_id,
+        turn_idx) keys, or a bool numpy mask aligned to doc_ord."""
         do_stem = self.stats.get("stem", True)
         q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
         if not q_terms:
@@ -123,7 +128,33 @@ class LocalIndexServer:
         return self.score_with(
             weights, k, use_wand=use_wand, stats=stats,
             require_all=require_all,
+            allowed_mask=(
+                None if allowed is None else self._allowed_mask(allowed)
+            ),
         )
+
+    def _allowed_mask(self, allowed) -> np.ndarray:
+        """Normalize a filter to a bool mask over doc_ord: accepts a
+        ready mask (length n_docs) or an iterable of (conv_id,
+        turn_idx) keys (unknown keys are ignored — they cannot rank)."""
+        if isinstance(allowed, np.ndarray):
+            if allowed.dtype != bool or allowed.shape != (self.n_docs,):
+                raise ValueError(
+                    f"allowed mask must be bool[{self.n_docs}], got "
+                    f"{allowed.dtype}[{allowed.shape}]"
+                )
+            return allowed
+        if not hasattr(self, "_key_to_ord"):
+            self._key_to_ord = {
+                (str(c), int(t)): i
+                for i, (c, t) in enumerate(zip(self._conv, self._turn))
+            }
+        mask = np.zeros(self.n_docs, dtype=bool)
+        for key in allowed:
+            i = self._key_to_ord.get((str(key[0]), int(key[1])))
+            if i is not None:
+                mask[i] = True
+        return mask
 
     def score_with(
         self,
@@ -133,21 +164,26 @@ class LocalIndexServer:
         use_wand: bool = False,
         stats: dict | None = None,
         require_all: int | None = None,
+        allowed_mask: np.ndarray | None = None,
     ) -> list[tuple[str, int, float]]:
         """Score with EXTERNALLY supplied weights/avgdl — the segmented
         server passes global-corpus values so per-segment scoring is
         bit-identical to the compacted index's.  ``require_all=n``
-        keeps only docs matched by n distinct terms (AND)."""
+        keeps only docs matched by n distinct terms (AND).
+        ``allowed_mask``: pre-normalized bool mask over doc_ord."""
         if not weights:
             return []
         if avgdl is None:
             avgdl = self.stats["avgdl"]
         if use_wand:
             return self._search_wand(
-                weights, k, stats, avgdl, require_all=require_all
+                weights, k, stats, avgdl, require_all=require_all,
+                allowed_mask=allowed_mask,
             )
 
         scores, touched = self._dense_scores(weights, avgdl, require_all)
+        if allowed_mask is not None:
+            touched &= allowed_mask
         ti = np.flatnonzero(touched)
         if ti.size == 0:
             return []
@@ -250,6 +286,7 @@ class LocalIndexServer:
         stats: dict | None,
         avgdl: float | None = None,
         require_all: int | None = None,
+        allowed_mask: np.ndarray | None = None,
     ) -> list[tuple[str, int, float]]:
         """Block-max WAND over doc-range shards: score shards in
         descending ub order, skip every shard whose ub < current k-th
@@ -308,7 +345,9 @@ class LocalIndexServer:
             # path's single pass (identical results by construction)
             if stats is not None:
                 stats.update(n_ranges=len(order), scored=len(order), pruned=0)
-            return self.score_with(dict(weights), k, avgdl=avgdl)
+            return self.score_with(
+                dict(weights), k, avgdl=avgdl, allowed_mask=allowed_mask
+            )
 
         # min-heap of (score, -doc_ord): heap[0] is the CURRENT k-th
         # result (worst kept); θ = heap[0][0]
@@ -320,8 +359,20 @@ class LocalIndexServer:
             if len(heap) >= k and ubs[s] < heap[0][0]:
                 n_pruned += 1
                 continue  # no doc here can beat (or tie) the k-th
-            n_scored += 1
             base = s << range_bits
+            shard_mask = None
+            if allowed_mask is not None:
+                shard_mask = allowed_mask[base:base + size]
+                if shard_mask.size < size:
+                    shard_mask = np.pad(
+                        shard_mask, (0, size - shard_mask.size)
+                    )
+                if not shard_mask.any():
+                    # the filter empties this shard: provably no
+                    # candidate — skip without decoding a byte
+                    n_pruned += 1
+                    continue
+            n_scored += 1
             local[:] = 0.0
             touched = np.zeros(size, dtype=bool)
             counts = (
@@ -339,6 +390,8 @@ class LocalIndexServer:
                     counts[idx] += 1
             if counts is not None:
                 touched &= counts == require_all
+            if shard_mask is not None:
+                touched &= shard_mask
             ti = np.flatnonzero(touched)
             if len(heap) >= k:
                 # vectorized pre-filter: a candidate below θ can never

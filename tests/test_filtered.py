@@ -220,6 +220,120 @@ class TestFiltered:
             == 0
         )
 
+    @pytest.mark.parametrize("fname", sorted(FILTERS))
+    def test_wand_filtered_matches_exhaustive(self, spark, corpus, fname):
+        """Filter composed with distributed block-max WAND pruning
+        (bm25_topk_wand(allowed_docs=...)): identical to the exhaustive
+        filtered packed path; pruning counters stay coherent and the
+        metadata θ-seed is disabled (seed_pruned == 0 — a pruned-out
+        max_tfn doc may be filtered)."""
+        from ics_search_engine_spark.operators.wand import bm25_topk_wand
+
+        predicate = FILTERS[fname]
+        for q in QUERIES:
+            st: dict = {}
+            wd = [
+                (r["conv_id"], r["turn_idx"], r["score"])
+                for r in bm25_topk_wand(
+                    spark, corpus["pidx"], q, k=12,
+                    allowed_docs=corpus["df"].filter(predicate),
+                    collect_stats=st, phase1_ranges=2,
+                ).collect()
+            ]
+            ex = [
+                (r["conv_id"], r["turn_idx"], r["score"])
+                for r in bm25_topk_filtered_packed(
+                    spark, corpus["pidx"], q, corpus["df"].filter(predicate),
+                    k=12,
+                ).collect()
+            ]
+            assert wd == ex, (fname, q)
+            if wd:
+                assert st["seed_pruned"] == 0
+                assert st["scored"] + st["pruned"] >= st["scored"] > 0
+
+    def test_wand_filtered_conjunctive_composes(self, spark, corpus):
+        """AND semantics under a filter: only docs matching EVERY term
+        AND the predicate — cross-checked against a python recompute
+        from the unfiltered conjunctive ranking."""
+        from ics_search_engine_spark.operators.wand import bm25_topk_wand
+
+        q = "machine learning"
+        predicate = FILTERS["role_assistant"]
+        allowed = {
+            (r["conv_id"], r["turn_idx"])
+            for r in corpus["df"].filter(predicate).collect()
+        }
+        full_conj = bm25_topk_wand(
+            spark, corpus["pidx"], q, k=10_000, conjunctive=True
+        ).collect()
+        expect = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in full_conj
+            if (r["conv_id"], r["turn_idx"]) in allowed
+        ][:12]
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_wand(
+                spark, corpus["pidx"], q, k=12, conjunctive=True,
+                allowed_docs=corpus["df"].filter(predicate),
+            ).collect()
+        ]
+        assert got == expect
+
+    @pytest.mark.parametrize("use_wand", [False, True])
+    @pytest.mark.parametrize("fname", sorted(FILTERS))
+    def test_serving_matches_packed(self, spark, corpus, fname, use_wand):
+        """The in-process server's filter (key set AND mask forms, both
+        exhaustive and WAND) reproduces the Spark packed path exactly."""
+        import numpy as np
+
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        srv = LocalIndexServer(corpus["pidx"].path)
+        predicate = FILTERS[fname]
+        keys = [
+            (r["conv_id"], r["turn_idx"])
+            for r in corpus["df"].filter(predicate).collect()
+        ]
+        mask = srv._allowed_mask(keys)
+        assert mask.sum() == len(set(keys))
+        for q in QUERIES:
+            pk = [
+                (r["conv_id"], r["turn_idx"], r["score"])
+                for r in bm25_topk_filtered_packed(
+                    spark, corpus["pidx"], q, corpus["df"].filter(predicate),
+                    k=12,
+                ).collect()
+            ]
+            got_keys = srv.search(q, k=12, allowed=keys, use_wand=use_wand)
+            got_mask = srv.search(q, k=12, allowed=mask, use_wand=use_wand)
+            assert got_keys == pk, (fname, q)
+            assert got_mask == pk, (fname, q)
+
+    def test_serving_filter_edges(self, spark, corpus):
+        import numpy as np
+
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        srv = LocalIndexServer(corpus["pidx"].path)
+        # unknown keys are ignored; an all-False mask empties the result
+        assert srv.search("machine", allowed=[("nope", 0)]) == []
+        assert (
+            srv.search(
+                "machine", allowed=np.zeros(srv.n_docs, dtype=bool),
+                use_wand=True,
+            )
+            == []
+        )
+        with pytest.raises(ValueError):
+            srv.search("machine", allowed=np.zeros(3, dtype=bool))
+        # all-True mask == unfiltered
+        assert srv.search(
+            "machine learning", k=8,
+            allowed=np.ones(srv.n_docs, dtype=bool),
+        ) == srv.search("machine learning", k=8)
+
     def test_empty_query_and_absent_term(self, spark, corpus):
         allowed = corpus["df"].filter(FILTERS["role_assistant"])
         for q in ("", "the of and", "xyzzyqux"):
