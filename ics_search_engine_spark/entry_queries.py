@@ -1494,6 +1494,67 @@ ORDER BY match_count DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_near_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered-proximity (NEAR/5) search THROUGH the packed positional
+    index (operators/phrase.near_topk): the adjacency-query capability
+    the reference stored positions for but never built
+    (/root/reference/todo.md:70-72).  Anchor = lexicographically first
+    distinct term ('join'); match_count = anchor positions with every
+    other term within 5 indexed-token slots.  The oracle recomputes the
+    same count relationally from 1-based token positions (the shift
+    cancels inside |q−p|)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.phrase import near_topk
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_near_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = near_topk(spark, pidx, "spark join", window=5, k=20).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), int(m)) for c, _, m in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, match_count int"
+    )
+
+
+_SQL_NEAR_ENGINE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'join')  AS p0,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'spark') AS p1
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         len(list_filter(p0,
+             a -> len(list_filter(p1, b -> abs(b - a) <= 5)) > 0))::INT
+           AS match_count
+  FROM p WHERE len(p0) > 0 AND len(p1) > 0
+)
+SELECT doc_id, match_count FROM m WHERE match_count > 0
+ORDER BY match_count DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_blend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ASSEMBLED ranking blend (F9,
     /root/reference/search.py:183-190) under the DuckDB gate: stem-free
@@ -1665,6 +1726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_convs_engine_sum": q_bm25_convs_engine_sum,
     "bm25_engine_merge_acc": q_bm25_engine_merge_acc,
     "phrase_engine_packed": q_phrase_engine_packed,
+    "near_engine_packed": q_near_engine_packed,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -1701,6 +1763,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_convs_engine_sum": _SQL_BM25_CONVS_SUM,
     "bm25_engine_merge_acc": _SQL_BM25_ENGINE,
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
+    "near_engine_packed": _SQL_NEAR_ENGINE,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,

@@ -59,6 +59,101 @@ def phrase_offsets(phrase: str, do_stem: bool = True) -> list[tuple[str, int]]:
     return out
 
 
+def _pivot_positions(
+    pidx: PackedIndex, uniq_terms: list[str]
+) -> tuple[DataFrame, dict[str, str]]:
+    """Decode positions for ``uniq_terms`` only and pivot them into one
+    array column per term, keeping docs that contain EVERY term.
+    Returns (pivoted df keyed on doc_ord, term -> column-name map).
+    Shared by exact-phrase and proximity matching."""
+    matched = pidx.index.filter(F.col("term").isin(uniq_terms))
+    posts = decode_matched(matched, with_positions=True)
+    aggs = [
+        F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True)
+        .alias(f"pos_{i}")
+        for i, t in enumerate(uniq_terms)
+    ]
+    pivoted = posts.groupBy("doc_ord").agg(*aggs)
+    for i in range(len(uniq_terms)):
+        pivoted = pivoted.filter(F.col(f"pos_{i}").isNotNull())
+    return pivoted, {t: f"pos_{i}" for i, t in enumerate(uniq_terms)}
+
+
+def _resolve_counts(pidx: PackedIndex, result: DataFrame) -> DataFrame:
+    """(doc_ord, match_count) winners → (conv_id, turn_idx, match_count)
+    via a broadcast docmap join (winners are ≤ k rows)."""
+    return (
+        pidx.docmap.join(F.broadcast(result), "doc_ord")
+        .select("conv_id", "turn_idx", "match_count")
+        .orderBy(F.desc("match_count"), "conv_id", "turn_idx")
+    )
+
+
+def _near_pred(p, window: int):
+    """1-arg lambda factory: q -> |q - p| <= window (pyspark counts the
+    lambda's parameters, so p must be a closure, not a default arg)."""
+    return lambda q: F.abs(q - p) <= F.lit(window)
+
+
+def near_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    window: int,
+    k: int = 10,
+) -> DataFrame:
+    """Unordered proximity (NEAR/n) search over the packed positional
+    index → top-k (conv_id, turn_idx, match_count).
+
+    The reference stores positions precisely so that "you can handle
+    phrase/adjacency queries later" (/root/reference/todo.md:70-72,
+    components/token_processor.py:21-24) but never implements them;
+    this is the adjacency half (``phrase_topk`` is the exact half).
+
+    Semantics: query-mode tokenization (stop words dropped, stemmed per
+    the index's stem flag); T = sorted distinct query terms; the ANCHOR
+    is T[0].  match_count(d) = |{p ∈ pos(T[0], d) : ∀ t ∈ T[1:],
+    ∃ q ∈ pos(t, d) with |q − p| ≤ window}| — positions are index-mode
+    body-token offsets, so ``window`` counts indexed tokens (stop words
+    occupy slots).  A single-term query degenerates to match_count = tf.
+    Docs ranked (match_count desc, docID asc), limit k.
+
+    Plan shape is identical to ``phrase_topk``: decode positions for the
+    query's terms ONLY, pivot to ≤|T| arrays per doc, then one pure
+    Catalyst expression — size(filter(anchor, p -> exists(pos_t, q ->
+    abs(q−p) ≤ w) AND ...)).  No Python in the match logic, no shuffle
+    beyond the per-doc pivot; scales exactly as the phrase path does.
+    """
+    from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, match_count int"
+    )
+    do_stem = pidx.stats.get("stem", True)
+    uniq_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+    if not uniq_terms:
+        return empty
+
+    pivoted, col_of = _pivot_positions(pidx, uniq_terms)
+    anchor = F.col(col_of[uniq_terms[0]])
+
+    def match_at(p):
+        conds = None
+        for t in uniq_terms[1:]:
+            c = F.exists(F.col(col_of[t]), _near_pred(p, window))
+            conds = c if conds is None else (conds & c)
+        return conds if conds is not None else F.lit(True)
+
+    count_col = F.size(F.filter(anchor, match_at)).alias("match_count")
+    result = (
+        pivoted.select("doc_ord", count_col)
+        .filter(F.col("match_count") > 0)
+        .orderBy(F.desc("match_count"), F.asc("doc_ord"))
+        .limit(k)
+    )
+    return _resolve_counts(pidx, result)
+
+
 def phrase_topk(
     spark: SparkSession,
     pidx: PackedIndex,
@@ -77,20 +172,7 @@ def phrase_topk(
     rel = [(t, off - base_off) for t, off in terms_offsets]
     uniq_terms = sorted({t for t, _ in rel})
 
-    matched = pidx.index.filter(F.col("term").isin(uniq_terms))
-    posts = decode_matched(matched, with_positions=True)
-
-    # pivot: one positions array per distinct term
-    aggs = [
-        F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True)
-        .alias(f"pos_{i}")
-        for i, t in enumerate(uniq_terms)
-    ]
-    pivoted = posts.groupBy("doc_ord").agg(*aggs)
-    for i in range(len(uniq_terms)):
-        pivoted = pivoted.filter(F.col(f"pos_{i}").isNotNull())
-
-    col_of = {t: f"pos_{i}" for i, t in enumerate(uniq_terms)}
+    pivoted, col_of = _pivot_positions(pidx, uniq_terms)
     first_term = rel[0][0]
     start_positions = F.col(col_of[first_term])
 
@@ -108,8 +190,4 @@ def phrase_topk(
         .orderBy(F.desc("match_count"), F.asc("doc_ord"))
         .limit(k)
     )
-    return (
-        pidx.docmap.join(F.broadcast(result), "doc_ord")
-        .select("conv_id", "turn_idx", "match_count")
-        .orderBy(F.desc("match_count"), "conv_id", "turn_idx")
-    )
+    return _resolve_counts(pidx, result)

@@ -101,3 +101,95 @@ class TestPhraseSearch:
                 for r in phrase_topk(spark, pidx, phrase, k=10).collect()
             ]
             assert got == _oracle_phrase(small_rows, phrase), phrase
+
+
+def _oracle_near(rows, query, window, k=10):
+    """Anchored unordered-proximity oracle (see near_topk docstring)."""
+    terms = sorted(set(tokenize(query, for_query=True)))
+    if not terms:
+        return []
+    out = []
+    for conv_id, turn_idx, text in rows:
+        toks = tokenize(text, for_query=False)
+        pos_of = {}
+        for p, t in enumerate(toks):
+            pos_of.setdefault(t, []).append(p)
+        if not all(t in pos_of for t in terms):
+            continue
+        count = 0
+        for p in pos_of[terms[0]]:
+            if all(
+                any(abs(q - p) <= window for q in pos_of[t])
+                for t in terms[1:]
+            ):
+                count += 1
+        if count > 0:
+            out.append((conv_id, turn_idx, count))
+    out.sort(key=lambda x: (-x[2], x[0], x[1]))
+    return out[:k]
+
+
+class TestNearSearch:
+    @pytest.fixture(scope="class")
+    def setup(self, spark, corpus_dir):
+        rows = [
+            ("c0", 0, "we study machine learning and search engines daily"),
+            ("c1", 0, "machine tools help; far away words then learning ends"),
+            ("c2", 0, "learning about the machine"),  # within 3, reversed
+            ("c3", 0, "machine learning machine learning machine learning"),
+            ("c4", 0, "machine alpha beta gamma delta epsilon zeta learning"),
+            ("c5", 0, "nothing relevant whatsoever appears here"),
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        out = f"{corpus_dir}/near_idx"
+        build_packed_index(spark, df, out, range_bits=4)
+        return PackedIndex(spark, out), rows
+
+    @pytest.mark.parametrize("query,window", [
+        ("machine learning", 1),
+        ("machine learning", 3),
+        ("machine learning", 100),
+        ("learning machine", 3),       # order-insensitive
+        ("machine learning search", 4),
+        ("machine", 1),                # single term -> tf
+        ("absent terms query", 5),
+        ("the of and", 2),             # all stop words -> empty
+    ])
+    def test_matches_oracle(self, spark, setup, query, window):
+        from ics_search_engine_spark.operators.phrase import near_topk
+
+        pidx, rows = setup
+        got = [
+            (r["conv_id"], r["turn_idx"], r["match_count"])
+            for r in near_topk(spark, pidx, query, window, k=10).collect()
+        ]
+        assert got == _oracle_near(rows, query, window), (query, window)
+
+    def test_window_tightens_monotonically(self, spark, setup):
+        from ics_search_engine_spark.operators.phrase import near_topk
+
+        pidx, rows = setup
+        hits = {}
+        for w in (1, 3, 7, 100):
+            hits[w] = {
+                (r["conv_id"], r["match_count"])
+                for r in near_topk(spark, pidx, "machine learning", w, k=10).collect()
+            }
+        # widening the window never loses a match
+        docs = {w: {c for c, _ in hits[w]} for w in hits}
+        assert docs[1] <= docs[3] <= docs[7] <= docs[100]
+        # c4 only matches at window >= 7 (distance 7)
+        assert "c4" not in docs[3] and "c4" in docs[7]
+
+    def test_on_synthetic_corpus(self, spark, small_df, small_rows, corpus_dir):
+        from ics_search_engine_spark.operators.phrase import near_topk
+
+        out = f"{corpus_dir}/near_idx_small"
+        build_packed_index(spark, small_df, out, range_bits=9)
+        pidx = PackedIndex(spark, out)
+        for query, w in [("machine learning", 3), ("spark query engine", 6)]:
+            got = [
+                (r["conv_id"], r["turn_idx"], r["match_count"])
+                for r in near_topk(spark, pidx, query, w, k=10).collect()
+            ]
+            assert got == _oracle_near(small_rows, query, w), (query, w)
