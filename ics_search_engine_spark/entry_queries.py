@@ -973,6 +973,79 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """.replace("{toks}", _SQL_TOKS)
 
 
+def q_bm25_wildcard_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-expansion BM25 THROUGH the packed index
+    (operators/wildcard.bm25_topk_wildcard): 's* join' expands the
+    's' pattern against the term dictionary via a pushed-down
+    StringStartsWith scan, each expanded term joining the query with
+    qtf 1; the literal 'join' rides along unchanged.  The oracle
+    recomputes the same weighting relationally with LIKE 's%'.  The
+    term dictionary the reference would have to linear-scan for this
+    (seek map keyed on exact terms, utils/index_generator.py:35-53) is
+    a sorted parquet table here, so expansion is file-skip cheap."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.wildcard import bm25_topk_wildcard
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_wildcard_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        # 60 exact-score winners >> the 20 reported (rounded-boundary
+        # over-fetch, same rationale as _engine_packed_top20)
+        top = bm25_topk_wildcard(spark, pidx, "s* join", k=60).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, bm25_r6 double"
+    )
+
+
+_SQL_BM25_WILDCARD = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term LIKE 's%' OR term = 'join'
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+w AS (
+  SELECT d.term, d.df,
+         ((CASE WHEN d.term = 'join' THEN 1 ELSE 0 END)
+          + (CASE WHEN d.term LIKE 's%' THEN 1 ELSE 0 END))::DOUBLE
+         * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS w
+  FROM dfs d CROSS JOIN stats s
+),
+scored AS (
+  SELECT p.doc_id,
+         w.w * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN w USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENTED engine with point-lookup resolution under the
     DuckDB gate: the documents table splits into two segments (whole
@@ -1727,6 +1800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_engine_merge_acc": q_bm25_engine_merge_acc,
     "phrase_engine_packed": q_phrase_engine_packed,
     "near_engine_packed": q_near_engine_packed,
+    "bm25_wildcard_engine": q_bm25_wildcard_engine,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -1764,6 +1838,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_engine_merge_acc": _SQL_BM25_ENGINE,
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
     "near_engine_packed": _SQL_NEAR_ENGINE,
+    "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,

@@ -1,0 +1,129 @@
+"""Prefix (wildcard) term expansion for BM25 queries.
+
+The reference's term dictionary is a seek map keyed on exact terms
+(/root/reference/utils/index_generator.py:35-53) — a prefix query like
+``mach*`` would need a linear scan of the map.  Here the term
+dictionary IS a parquet table sorted by term, so prefix expansion is a
+pushed-down `StringStartsWith` scan (parquet min/max skips every file
+whose term range can't contain the prefix), and the expanded terms then
+ride the normal packed BM25 path.
+
+Semantics (documented, mirrored by the DuckDB gate and tests):
+* a query token of the form ``pre*`` is a PREFIX pattern — lowercased,
+  NOT stemmed, NOT stop-word-filtered (patterns name index terms
+  directly, the way Lucene skips analysis for wildcard terms);
+* every index term starting with ``pre`` joins the query's term set;
+  a pattern instance adds 1 to each expanded term's query tf, so
+  weight(t) = (literal qtf + covering pattern instances) × idf(df_t) —
+  a term matched both literally and by prefix gets both contributions;
+* per-pattern expansion is capped at ``max_expansions``, keeping the
+  (df desc, term asc) heaviest terms — deterministic, and the weight
+  table stays driver-sized no matter how promiscuous the prefix.
+
+Scale: expansion is one metadata-only job over term_stats (vocabulary-
+sized table, prefix pushdown); scoring is the unchanged packed path —
+term-IN pushdown over the index, decode, broadcast weight join,
+TakeOrderedAndProject.  Nothing new shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from operator import or_
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oracle.bm25 import idf as py_idf
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    decode_matched,
+)
+from ics_search_engine_spark.operators.query import score_topk
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+_PATTERN_RE = re.compile(r"([a-z0-9]+)\*")
+
+
+def parse_wildcard_query(query: str) -> tuple[dict[str, int], str]:
+    """Split a query into (prefix -> instance count, residual query).
+    Only whole whitespace-delimited tokens of the shape ``alnum*`` are
+    patterns; everything else flows to the regular tokenizer."""
+    prefixes: dict[str, int] = {}
+    rest: list[str] = []
+    for part in (query or "").lower().split():
+        m = _PATTERN_RE.fullmatch(part)
+        if m:
+            prefixes[m.group(1)] = prefixes.get(m.group(1), 0) + 1
+        else:
+            rest.append(part)
+    return prefixes, " ".join(rest)
+
+
+def expand_prefixes(
+    pidx: PackedIndex,
+    prefixes: dict[str, int],
+    max_expansions: int = 1024,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """One pushed-down term_stats scan for ALL patterns → (term ->
+    added qtf, term -> df).  Caps each pattern at the ``max_expansions``
+    (df desc, term asc) heaviest matching terms."""
+    if not prefixes:
+        return {}, {}
+    cond = reduce(or_, [F.col("term").startswith(p) for p in prefixes])
+    rows = pidx.term_stats.filter(cond).select("term", "df").collect()
+    added: dict[str, int] = {}
+    dfs: dict[str, int] = {}
+    for p, inst in prefixes.items():
+        matches = sorted(
+            ((r["term"], r["df"]) for r in rows if r["term"].startswith(p)),
+            key=lambda x: (-x[1], x[0]),
+        )[:max_expansions]
+        for t, df in matches:
+            added[t] = added.get(t, 0) + inst
+            dfs[t] = df
+    return added, dfs
+
+
+def bm25_topk_wildcard(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """Top-k BM25 where query tokens may be ``pre*`` prefix patterns →
+    (conv_id, turn_idx, score).  With no patterns present this is
+    exactly ``bm25_topk_packed``."""
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    do_stem = pidx.stats.get("stem", True)
+    prefixes, rest = parse_wildcard_query(query)
+
+    qtf: dict[str, int] = {}
+    for t in tokenize(rest, for_query=True, do_stem=do_stem):
+        qtf[t] = qtf.get(t, 0) + 1
+    term_df = pidx.df_for_terms(sorted(qtf))
+
+    added, exp_df = expand_prefixes(pidx, prefixes, max_expansions)
+    for t, inst in added.items():
+        qtf[t] = qtf.get(t, 0) + inst
+    term_df.update(exp_df)
+
+    weights = {
+        t: qtf[t] * py_idf(pidx.n_docs, term_df[t])
+        for t in qtf
+        if term_df.get(t, 0) > 0
+    }
+    if not weights:
+        return empty
+
+    matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
+    posts = decode_matched(matched)
+    topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
+    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
+        "conv_id", "turn_idx", "score"
+    )
+    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
