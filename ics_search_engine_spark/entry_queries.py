@@ -1046,6 +1046,96 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+# apostrophe stop words can never match a [a-z0-9]+ token, but escape
+# them anyway so the literal list is valid SQL
+_SQL_STOP_LIST = ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in sorted(STOP_WORDS)
+)
+
+
+def q_more_like_this_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this THROUGH the packed index (operators/mlt): doc 7's
+    text becomes the query — query-mode token counts, top-10 terms by
+    rounded tf·idf, flat idf weights, source excluded — and the engine
+    BM25-ranks the rest of the corpus from its packed artifacts.  The
+    oracle transcribes the same selection + scoring relationally."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.mlt import more_like_this
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_mlt_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        # rounded-boundary over-fetch, same rationale as the other
+        # engine gates
+        top = more_like_this(
+            spark, pidx, transcripts, "doc00000007", 0, k=60,
+            max_query_terms=10,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, mlt_r6 double"
+    )
+
+
+_SQL_MLT_ENGINE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+srctf AS (
+  SELECT term, count(*) AS tf FROM (
+    SELECT unnest(toks) AS term FROM t WHERE doc_id = 7
+  ) WHERE term NOT IN ({_SQL_STOP_LIST}) GROUP BY term
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) GROUP BY term
+),
+sel AS (
+  SELECT q.term,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS w
+  FROM srctf q JOIN dfs d USING (term) CROSS JOIN stats s
+  ORDER BY round(q.tf * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+             DESC,
+           q.term ASC
+  LIMIT 10
+),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN (SELECT term FROM sel) AND doc_id <> 7
+  GROUP BY term, doc_id
+),
+scored AS (
+  SELECT p.doc_id,
+         sel.w * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+           AS contrib
+  FROM posts p JOIN sel USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS mlt_r6
+FROM scored GROUP BY doc_id
+ORDER BY mlt_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENTED engine with point-lookup resolution under the
     DuckDB gate: the documents table splits into two segments (whole
@@ -1801,6 +1891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_engine_packed": q_phrase_engine_packed,
     "near_engine_packed": q_near_engine_packed,
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
+    "more_like_this_engine": q_more_like_this_engine,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -1839,6 +1930,7 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
     "near_engine_packed": _SQL_NEAR_ENGINE,
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
+    "more_like_this_engine": _SQL_MLT_ENGINE,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,
