@@ -1136,6 +1136,143 @@ ORDER BY mlt_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet rollup over the query's FULL match set through the packed
+    index (operators/facets.facet_counts): distinct matched docs per
+    role — the doc-value faceting a search result page shows next to
+    the ranked hits.  Disjunctive match semantics (≥1 query term), the
+    reference's own (/root/reference/search.py:148-162)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.facets import facet_counts
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_facet_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = facet_counts(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "role"), "role",
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["role"], r["n_docs"]) for r in rows], "role string, n_docs long"
+    )
+
+
+_SQL_FACETS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+)
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       count(*)::BIGINT AS n_docs
+FROM m GROUP BY role ORDER BY role
+"""
+
+
+def q_bm25_explain_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explain surface (operators/query.bm25_explain) under the
+    gate: one row per (winner doc, matched term) with tf, df, and the
+    BM25 contribution — Σ contrib per doc is the doc's score.  Winners
+    are the rounded top-20 (exact top-60 over-fetch, the standard
+    rounded-boundary trick); the oracle reproduces the identical
+    breakdown relationally."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.query import bm25_explain
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_explain_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = bm25_explain(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    per_doc: dict[int, float] = {}
+    for r in rows:
+        per_doc[int(r["conv_id"][3:])] = round(r["score"], 6)
+    winners = set(
+        sorted(per_doc, key=lambda d: (-per_doc[d], d))[:20]
+    )
+    out_rows = sorted(
+        (
+            (int(r["conv_id"][3:]), r["term"], int(r["tf"]),
+             int(r["df"]), round(r["contrib"], 6))
+            for r in rows
+            if int(r["conv_id"][3:]) in winners
+        ),
+        key=lambda x: (x[0], x[1]),
+    )
+    return spark.createDataFrame(
+        out_rows,
+        "doc_id long, term string, tf int, df long, contrib_r6 double",
+    )
+
+
+_SQL_EXPLAIN = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf::INT AS tf, d.df,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id, round(sum(contrib), 6) AS r6 FROM scored GROUP BY doc_id
+),
+winners AS (SELECT doc_id FROM perdoc ORDER BY r6 DESC, doc_id ASC LIMIT 20)
+SELECT s.doc_id, s.term, s.tf, s.df, round(s.contrib, 6) AS contrib_r6
+FROM scored s JOIN winners w USING (doc_id)
+ORDER BY s.doc_id, s.term
+"""
+
+
 def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENTED engine with point-lookup resolution under the
     DuckDB gate: the documents table splits into two segments (whole
@@ -1892,6 +2029,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_engine_packed": q_near_engine_packed,
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
     "more_like_this_engine": q_more_like_this_engine,
+    "facet_counts": q_facet_counts,
+    "bm25_explain_engine": q_bm25_explain_engine,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -1931,6 +2070,8 @@ ORACLE_SQL: dict[str, str] = {
     "near_engine_packed": _SQL_NEAR_ENGINE,
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
     "more_like_this_engine": _SQL_MLT_ENGINE,
+    "facet_counts": _SQL_FACETS,
+    "bm25_explain_engine": _SQL_EXPLAIN,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,

@@ -476,6 +476,65 @@ def bm25_topk_multi(
     )
 
 
+def bm25_explain(spark: SparkSession, pidx, query: str, k: int = 10
+                 ) -> DataFrame:
+    """Score EXPLANATION for the top-k docs: one row per (winner doc,
+    matched term) with every BM25 ingredient → (conv_id, turn_idx,
+    term, tf, dl, df, w, contrib, score).
+
+    The analog of Lucene's Explanation API; the reference's only
+    introspection is a debug print of the blend inputs
+    (/root/reference/search.py:183-198, commented out).  Σ contrib over
+    a doc's rows reproduces its score bit-exactly (same sorted-fold
+    order as scoring).
+
+    Plan: the normal packed top-k first; then ONE extra narrow job that
+    re-filters the matched postings to the ≤ k winner ordinals
+    (broadcast) and annotates each row from the driver-sized
+    (term, w, df) table.  The corpus-scale matched set is never
+    re-shuffled — the second job's output is ≤ k × |query terms| rows.
+    """
+    from ics_search_engine_spark.operators.packed_index import decode_matched
+    from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
+
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(_tok(query, for_query=True, do_stem=do_stem)))
+    empty = spark.createDataFrame(
+        [],
+        "conv_id string, turn_idx int, term string, tf int, dl int, "
+        "df long, w double, contrib double, score double",
+    )
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if not weights:
+        return empty
+
+    matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
+    posts = decode_matched(matched)
+    topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
+
+    wdf = spark.createDataFrame(
+        [(t, w, term_df[t]) for t, w in weights.items()],
+        "term string, w double, df long",
+    )
+    breakdown = (
+        posts.join(F.broadcast(topk), "doc_ord")
+        .join(F.broadcast(wdf), "term")
+        .withColumn("contrib", bm25_contrib_col(pidx.avgdl))
+    )
+    return (
+        pidx.docmap.select("doc_ord", "conv_id", "turn_idx")
+        .join(F.broadcast(breakdown), "doc_ord")
+        .select(
+            "conv_id", "turn_idx", "term", "tf", "dl", "df", "w",
+            "contrib", "score",
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx", "term")
+    )
+
+
 def bm25_topk_packed(spark: SparkSession, pidx, query: str, k: int = 10
                      ) -> DataFrame:
     """Top-k BM25 over a persisted PackedIndex → (conv_id, turn_idx,

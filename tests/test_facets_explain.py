@@ -1,0 +1,122 @@
+"""Facet counts and score-explain vs pure-Python transcriptions."""
+
+import pytest
+
+from oracle import bm25 as oracle
+from ics_search_engine_spark.operators.facets import facet_counts, matched_docs
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+from ics_search_engine_spark.operators.query import bm25_explain
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_df, small_rows, corpus_dir):
+    out = f"{corpus_dir}/facets_idx"
+    build_packed_index(spark, small_df, out, range_bits=9)
+    return PackedIndex(spark, out), small_rows
+
+
+def _oracle_matched(rows, query, conjunctive=False):
+    terms = sorted(set(tokenize(query, for_query=True)))
+    if not terms:
+        return set()
+    idx = oracle.build_index(rows)
+    hit: dict[tuple[str, int], int] = {}
+    for t in terms:
+        for docid in idx.postings.get(t, ()):
+            hit[docid] = hit.get(docid, 0) + 1
+    need = len(terms) if conjunctive else 1
+    return {d for d, n in hit.items() if n >= need}
+
+
+class TestFacets:
+    @pytest.mark.parametrize("query,conj", [
+        ("machine learning", False),
+        ("machine learning", True),
+        ("spark", False),
+        ("absent terms entirely", False),
+    ])
+    def test_role_facets_match_oracle(
+        self, spark, setup, small_df, query, conj
+    ):
+        pidx, rows = setup
+        got = {
+            (r[0], r["n_docs"])
+            for r in facet_counts(
+                spark, pidx, query, small_df, "role", conjunctive=conj
+            ).collect()
+        }
+        matched = _oracle_matched(rows, query, conjunctive=conj)
+        role_of = {}
+        for r in small_df.select("conv_id", "turn_idx", "role").collect():
+            role_of[(r["conv_id"], r["turn_idx"])] = r["role"]
+        expect: dict[str, int] = {}
+        for d in matched:
+            expect[role_of[d]] = expect.get(role_of[d], 0) + 1
+        assert got == set(expect.items()), (query, conj)
+
+    def test_matched_docs_count(self, spark, setup):
+        pidx, rows = setup
+        n = matched_docs(spark, pidx, "machine learning").count()
+        assert n == len(_oracle_matched(rows, "machine learning"))
+
+    def test_output_ordered_by_facet_value(self, spark, setup, small_df):
+        pidx, _ = setup
+        vals = [
+            r[0]
+            for r in facet_counts(
+                spark, pidx, "machine", small_df, "role"
+            ).collect()
+        ]
+        assert vals == sorted(vals)
+
+
+class TestExplain:
+    def test_contribs_sum_to_score_bit_exact(self, spark, setup):
+        pidx, rows = setup
+        rows_out = bm25_explain(spark, pidx, "machine learning", k=10).collect()
+        assert rows_out
+        per_doc: dict[tuple[str, int], list] = {}
+        for r in rows_out:
+            per_doc.setdefault((r["conv_id"], r["turn_idx"]), []).append(r)
+        for docid, rs in per_doc.items():
+            # ascending term order = the scoring fold's order
+            acc = 0.0
+            for r in sorted(rs, key=lambda x: x["term"]):
+                acc += r["contrib"]
+            assert acc == rs[0]["score"], docid
+
+    def test_ingredients_match_oracle(self, spark, setup):
+        pidx, rows = setup
+        idx = oracle.build_index(rows)
+        out = bm25_explain(spark, pidx, "machine learning", k=5).collect()
+        top = oracle.search(idx, "machine learning", k=5)
+        assert {(r["conv_id"], r["turn_idx"]) for r in out} == {
+            (c, t) for c, t, _ in top
+        }
+        for r in out:
+            docid = (r["conv_id"], r["turn_idx"])
+            tf = idx.postings[r["term"]][docid]
+            df = idx.df(r["term"])
+            assert r["tf"] == tf
+            assert r["df"] == df
+            assert r["dl"] == idx.dl[docid]
+            assert r["w"] == oracle.idf(idx.n_docs, df)  # qtf=1 per term
+            assert r["contrib"] == oracle.bm25_contribution(
+                tf, idx.dl[docid], idx.avgdl, idx.n_docs, df, 1
+            )
+
+    def test_empty_and_absent_queries(self, spark, setup):
+        pidx, _ = setup
+        assert bm25_explain(spark, pidx, "", k=5).count() == 0
+        assert bm25_explain(spark, pidx, "zzzqqqxx", k=5).count() == 0
+
+    def test_repeated_term_weight(self, spark, setup):
+        pidx, rows = setup
+        idx = oracle.build_index(rows)
+        out = bm25_explain(spark, pidx, "machine machine", k=3).collect()
+        for r in out:
+            assert r["w"] == 2 * oracle.idf(idx.n_docs, idx.df("machin"))
