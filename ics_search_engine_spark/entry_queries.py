@@ -1273,6 +1273,104 @@ ORDER BY s.doc_id, s.term
 """
 
 
+def q_snippets_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet/highlight rendering THROUGH the packed positional index
+    (operators/snippets.highlight_topk): each rounded-top-20 winner
+    returns its first match position, every matched position, and the
+    ±3-token surface window — the display payload the reference never
+    derives from the positions it stores.  The oracle recomputes
+    positions and the window relationally (1-based shift cancelled)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.snippets import highlight_topk
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_snip_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = highlight_topk(
+            spark, pidx, transcripts, " ".join(DOCS_QUERY_TERMS),
+            k=60, context=3,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    ranked = sorted(
+        rows, key=lambda r: (-round(r["score"], 6), int(r["conv_id"][3:]))
+    )[:20]
+    out_rows = sorted(
+        (
+            (int(r["conv_id"][3:]), round(r["score"], 6),
+             int(r["first_pos"]), [int(p) for p in r["match_positions"]],
+             r["snippet"])
+            for r in ranked
+        ),
+        key=lambda x: x[0],
+    )
+    return spark.createDataFrame(
+        out_rows,
+        "doc_id long, bm25_r6 double, first_pos int, "
+        "match_positions array<int>, snippet string",
+    )
+
+
+_SQL_SNIPPETS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id, round(sum(contrib), 6) AS bm25_r6 FROM scored
+  GROUP BY doc_id
+),
+winners AS (
+  SELECT doc_id, bm25_r6 FROM perdoc
+  ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+),
+pos AS (
+  SELECT doc_id,
+         list_sort(list_filter(range(1, len(toks)+1),
+             i -> toks[i] IN ('spark','stream','window','join'))) AS p1s
+  FROM t
+)
+SELECT w.doc_id, w.bm25_r6,
+       (p.p1s[1] - 1)::INT AS first_pos,
+       list_transform(p.p1s, x -> (x - 1)::INT) AS match_positions,
+       array_to_string(
+         list_slice(t2.toks, greatest(1, p.p1s[1] - 3), p.p1s[1] + 3), ' '
+       ) AS snippet
+FROM winners w
+JOIN pos p USING (doc_id)
+JOIN t t2 USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
 def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENTED engine with point-lookup resolution under the
     DuckDB gate: the documents table splits into two segments (whole
@@ -2031,6 +2129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "more_like_this_engine": q_more_like_this_engine,
     "facet_counts": q_facet_counts,
     "bm25_explain_engine": q_bm25_explain_engine,
+    "snippets_engine": q_snippets_engine,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2072,6 +2171,7 @@ ORACLE_SQL: dict[str, str] = {
     "more_like_this_engine": _SQL_MLT_ENGINE,
     "facet_counts": _SQL_FACETS,
     "bm25_explain_engine": _SQL_EXPLAIN,
+    "snippets_engine": _SQL_SNIPPETS,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,

@@ -65,3 +65,17 @@ def tokenize(text: str, for_query: bool = False, do_stem: bool = True) -> list[s
     else:
         tokens = raw
     return [t for t in tokens if len(t) != 1]
+
+
+def tokenize_raw_aligned(text: str, do_stem: bool = True) -> list[str]:
+    """RAW (lowercased, unstemmed) tokens that survive the INDEX-mode
+    pipeline, in position order — element i is the surface form sitting
+    at index position i.  Used to render snippets/highlights around
+    stored positions: the length-1 drop must test the same form the
+    index tested (the stem when ``do_stem``), or alignment drifts."""
+    if not text:
+        return []
+    raw = _TOKEN_RE.findall(text.lower())
+    if do_stem:
+        return [r for r in raw if len(stem(r)) != 1]
+    return [r for r in raw if len(r) != 1]
