@@ -413,6 +413,153 @@ class LocalIndexServer:
             for sc, nd in winners
         ]
 
+    # ------------------------------------------------ positional serving
+
+    def _positions_for(self, term: str) -> dict[int, np.ndarray]:
+        """doc_ord -> ascending positions for one term, decoded from the
+        packed payloads (requires a with_positions build)."""
+        out: dict[int, np.ndarray] = {}
+        for _shard, _maxtfn, payload in self.postings.get(term, ()):
+            d, _tf, _dl, poss = unpack_postings(
+                bytes(payload), with_positions=True
+            )
+            if poss is None:
+                raise ValueError(
+                    "index was built without positions "
+                    "(build_packed_index(with_positions=True))"
+                )
+            for o, p in zip(d, poss):
+                out[int(o)] = p.astype(np.int64)
+        return out
+
+    def _rank_counts(
+        self, counts: dict[int, int], k: int
+    ) -> list[tuple[str, int, int]]:
+        hits = [(o, c) for o, c in counts.items() if c > 0]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return [
+            (str(self._conv[o]), int(self._turn[o]), int(c))
+            for o, c in hits[:k]
+        ]
+
+    def search_phrase(self, phrase: str, k: int = 10
+                      ) -> list[tuple[str, int, int]]:
+        """Exact-phrase serving → [(conv_id, turn_idx, match_count)],
+        identical to the Spark operators/phrase.phrase_topk (same
+        offsets rule: stop words occupy positions, see phrase_offsets)."""
+        from ics_search_engine_spark.operators.phrase import phrase_offsets
+
+        do_stem = self.stats.get("stem", True)
+        offs = phrase_offsets(phrase, do_stem=do_stem)
+        if not offs:
+            return []
+        base = offs[0][1]
+        rel = [(t, o - base) for t, o in offs]
+        pos = {t: self._positions_for(t) for t in {t for t, _ in rel}}
+        anchor = pos[rel[0][0]]
+        counts: dict[int, int] = {}
+        for o, p0 in anchor.items():
+            mask = np.ones(p0.size, dtype=bool)
+            for t, off in rel[1:]:
+                pt = pos[t].get(o)
+                if pt is None:
+                    mask[:] = False
+                    break
+                mask &= np.isin(p0 + off, pt)
+            counts[o] = int(mask.sum())
+        return self._rank_counts(counts, k)
+
+    def search_near(self, query: str, window: int, k: int = 10
+                    ) -> list[tuple[str, int, int]]:
+        """Unordered-proximity serving → [(conv_id, turn_idx,
+        match_count)], identical to operators/phrase.near_topk (same
+        anchored semantics: T = sorted distinct query terms, anchor
+        T[0], count anchor positions with every other term within
+        ``window``)."""
+        do_stem = self.stats.get("stem", True)
+        terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+        if not terms:
+            return []
+        pos = {t: self._positions_for(t) for t in terms}
+        counts: dict[int, int] = {}
+        for o, p0 in pos[terms[0]].items():
+            mask = np.ones(p0.size, dtype=bool)
+            for t in terms[1:]:
+                pt = pos[t].get(o)
+                if pt is None:
+                    mask[:] = False
+                    break
+                lo = np.searchsorted(pt, p0 - window, side="left")
+                hi = np.searchsorted(pt, p0 + window, side="right")
+                mask &= hi > lo
+            counts[o] = int(mask.sum())
+        return self._rank_counts(counts, k)
+
+    def search_wildcard(
+        self, query: str, k: int = 10, max_expansions: int = 1024
+    ) -> list[tuple[str, int, float]]:
+        """Prefix-pattern serving → [(conv_id, turn_idx, score)],
+        identical to operators/wildcard.bm25_topk_wildcard (same
+        expansion rule: per-pattern (df desc, term asc) cap, qtf adds
+        across literal + covering patterns).  Expansion scans the
+        driver-resident term dictionary — the serving analog of the
+        pushed-down StartsWith metadata job."""
+        from oracle.bm25 import idf as py_idf
+        from ics_search_engine_spark.operators.wildcard import (
+            parse_wildcard_query,
+        )
+
+        do_stem = self.stats.get("stem", True)
+        prefixes, rest = parse_wildcard_query(query)
+        qtf: dict[str, int] = {}
+        for t in tokenize(rest, for_query=True, do_stem=do_stem):
+            qtf[t] = qtf.get(t, 0) + 1
+        term_df = {t: int(self.df[t]) for t in qtf if t in self.df}
+        for p, inst in prefixes.items():
+            matches = sorted(
+                ((t, int(d)) for t, d in self.df.items()
+                 if t.startswith(p)),
+                key=lambda x: (-x[1], x[0]),
+            )[:max_expansions]
+            for t, d in matches:
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
+        weights = {
+            t: qtf[t] * py_idf(self.n_docs, term_df[t])
+            for t in qtf
+            if term_df.get(t, 0) > 0
+        }
+        return self.score_with(weights, k)
+
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        max_query_terms: int = 10,
+        exclude: tuple[str, int] | None = None,
+    ) -> list[tuple[str, int, float]]:
+        """Serve documents similar to ``text`` — identical term
+        selection and weighting to operators/mlt.more_like_this (the
+        Spark path fetches the source row first; a serving caller
+        usually already holds the text).  ``exclude``: drop one
+        (conv_id, turn_idx) — the source doc — from the results."""
+        from ics_search_engine_spark.operators.mlt import mlt_terms
+
+        do_stem = self.stats.get("stem", True)
+        probe = sorted(set(tokenize(text, for_query=True, do_stem=do_stem)))
+        term_df = {t: int(self.df[t]) for t in probe if t in self.df}
+        weights = mlt_terms(
+            text, term_df, self.n_docs, max_query_terms, do_stem=do_stem
+        )
+        if not weights:
+            return []
+        if exclude is None:
+            return self.score_with(weights, k)
+        mask = np.ones(self.n_docs, dtype=bool)
+        excl_mask = self._allowed_mask([exclude])
+        mask &= ~excl_mask
+        return self.score_with(weights, k, allowed_mask=mask)
+
 
 class LocalSegmentedServer:
     """In-process serving over N independently built segments — the
