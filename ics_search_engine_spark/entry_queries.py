@@ -1371,6 +1371,93 @@ ORDER BY w.doc_id
 """
 
 
+def q_qlang_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query language end-to-end (operators/qlang.bm25_topk_qlang):
+    '+spark s* -window "batch batch" join' exercises every production —
+    required term, wildcard expansion, exclusion (of a term OUTSIDE the
+    scoring set), positional phrase constraint, and a plain optional
+    term — through the packed positional index.  Scoring keeps global
+    stats (filter-query posture); the oracle transcribes the same
+    multiplier table and constraints relationally."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.qlang import bm25_topk_qlang
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_qlang_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_qlang(
+            spark, pidx, '+spark s* -window "batch batch" join', k=60
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, bm25_r6 double"
+    )
+
+
+# multiplier table: join +1 (optional), spark +1 (required), batch +2
+# (phrase terms score), LIKE 's%' +1 (wildcard) — spark lands at 2
+_SQL_QLANG = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+alldfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) GROUP BY term
+),
+qterms AS (
+  SELECT term, df,
+         (CASE WHEN term = 'join'  THEN 1 ELSE 0 END)
+         + (CASE WHEN term = 'spark' THEN 1 ELSE 0 END)
+         + (CASE WHEN term = 'batch' THEN 2 ELSE 0 END)
+         + (CASE WHEN term LIKE 's%' THEN 1 ELSE 0 END) AS qtf
+  FROM alldfs
+),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN (SELECT term FROM qterms WHERE qtf > 0)
+  GROUP BY term, doc_id
+),
+scored AS (
+  SELECT p.doc_id,
+         q.qtf * ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN qterms q USING (term) CROSS JOIN stats s
+),
+cand AS (
+  SELECT doc_id FROM t
+  WHERE list_contains(toks, 'spark')
+    AND NOT list_contains(toks, 'window')
+    AND len(list_filter(range(1, len(toks)),
+            i -> toks[i] = 'batch' AND toks[i+1] = 'batch')) > 0
+)
+SELECT s.doc_id, round(sum(s.contrib), 6) AS bm25_r6
+FROM scored s JOIN cand c USING (doc_id)
+GROUP BY s.doc_id
+ORDER BY bm25_r6 DESC, s.doc_id ASC LIMIT 20
+"""
+
+
 def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENTED engine with point-lookup resolution under the
     DuckDB gate: the documents table splits into two segments (whole
@@ -2130,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_counts": q_facet_counts,
     "bm25_explain_engine": q_bm25_explain_engine,
     "snippets_engine": q_snippets_engine,
+    "qlang_engine": q_qlang_engine,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2172,6 +2260,7 @@ ORACLE_SQL: dict[str, str] = {
     "facet_counts": _SQL_FACETS,
     "bm25_explain_engine": _SQL_EXPLAIN,
     "snippets_engine": _SQL_SNIPPETS,
+    "qlang_engine": _SQL_QLANG,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,

@@ -1,0 +1,212 @@
+"""Mini query language: +required  -excluded  "exact phrase"  wild*  term.
+
+The reference accepts only a flat term bag (/root/reference/
+search.py:132-144).  This module gives the engine the standard search
+box grammar, composed entirely from operators that already exist —
+parsing produces a plan over BM25 scoring, positional phrase
+constraints, term presence/absence masks, and wildcard expansion.
+
+Grammar (whitespace-split, double quotes group phrases):
+* ``term``        — optional: contributes BM25 score.
+* ``pre*``        — wildcard: expands per operators/wildcard rules;
+                    expanded terms contribute score.
+* ``+term``       — required: doc must contain the term; the term also
+                    contributes score.  An absent required term empties
+                    the result.
+* ``-term``       — excluded: doc must not contain the term; no score
+                    contribution.  (A stop word here tokenizes away and
+                    is ignored, same as anywhere else.)
+* ``"a b c"``     — phrase: doc must contain the exact phrase
+                    (positional adjacency, stop words occupy slots —
+                    operators/phrase semantics); the phrase's
+                    searchable terms also contribute score.
+
+Scoring: BM25 with GLOBAL collection stats over the union of scoring
+terms (optional + required + phrase + expanded), qtf summed across
+appearances — constraints only shrink the candidate set (Lucene
+filter-query posture), so a surviving doc's score is bit-identical to
+the unconstrained OR-query's.  Tie-break (score desc, docID asc).
+
+Scale: every constraint is a doc_ord-level semi/anti join against an
+already-decoded term posting set or a phrase pivot — no new shuffle
+shapes; the scoring path is the unchanged packed plan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from oracle.bm25 import idf as py_idf
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    decode_matched,
+)
+from ics_search_engine_spark.operators.query import score_topk
+from ics_search_engine_spark.operators.wildcard import (
+    _PATTERN_RE,
+    expand_prefixes,
+)
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+_PART_RE = re.compile(r'"[^"]*"|\S+')
+
+
+@dataclass
+class QuerySpec:
+    """Parsed query: scoring tf per raw text fragment is resolved at
+    plan time (tokenization depends on the index's stem flag)."""
+
+    optional: list[str] = field(default_factory=list)   # raw fragments
+    required: list[str] = field(default_factory=list)
+    excluded: list[str] = field(default_factory=list)
+    phrases: list[str] = field(default_factory=list)    # without quotes
+    prefixes: dict[str, int] = field(default_factory=dict)
+
+
+def parse_query(q: str) -> QuerySpec:
+    spec = QuerySpec()
+    for part in _PART_RE.findall(q or ""):
+        if part.startswith('"') and part.endswith('"') and len(part) >= 2:
+            body = part[1:-1].strip()
+            if body:
+                spec.phrases.append(body)
+        elif part.startswith("+") and len(part) > 1:
+            spec.required.append(part[1:])
+        elif part.startswith("-") and len(part) > 1:
+            spec.excluded.append(part[1:])
+        else:
+            m = _PATTERN_RE.fullmatch(part.lower())
+            if m:
+                p = m.group(1)
+                spec.prefixes[p] = spec.prefixes.get(p, 0) + 1
+            else:
+                spec.optional.append(part)
+    return spec
+
+
+def resolve_terms(
+    spec: QuerySpec, do_stem: bool
+) -> tuple[dict[str, int], list[str], list[str]]:
+    """(scoring qtf before expansion, required terms, excluded terms) —
+    pure, shared by the Spark path, the serving path, and the tests."""
+    qtf: dict[str, int] = {}
+
+    def add_scoring(fragment: str):
+        for t in tokenize(fragment, for_query=True, do_stem=do_stem):
+            qtf[t] = qtf.get(t, 0) + 1
+
+    for frag in spec.optional:
+        add_scoring(frag)
+    required: list[str] = []
+    for frag in spec.required:
+        toks = tokenize(frag, for_query=True, do_stem=do_stem)
+        required.extend(toks)
+        for t in toks:
+            qtf[t] = qtf.get(t, 0) + 1
+    for frag in spec.phrases:
+        add_scoring(frag)
+    excluded: list[str] = []
+    for frag in spec.excluded:
+        excluded.extend(tokenize(frag, for_query=True, do_stem=do_stem))
+    return qtf, sorted(set(required)), sorted(set(excluded))
+
+
+def _phrase_pred(rel, col_of):
+    """1-arg lambda factory for the phrase-at-position test (pyspark
+    counts the lambda's parameters, so rel/col_of must be closures)."""
+
+    def at(p):
+        conds = None
+        for t, off in rel[1:]:
+            c = F.array_contains(F.col(col_of[t]), p + off)
+            conds = c if conds is None else (conds & c)
+        return conds if conds is not None else F.lit(True)
+
+    return at
+
+
+def bm25_topk_qlang(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    q: str,
+    k: int = 10,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """Evaluate a query-language string → top-k (conv_id, turn_idx,
+    score)."""
+    from ics_search_engine_spark.operators.phrase import (
+        _pivot_positions,
+        phrase_offsets,
+    )
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    do_stem = pidx.stats.get("stem", True)
+    spec = parse_query(q)
+    qtf, required, excluded = resolve_terms(spec, do_stem)
+
+    added, exp_df = expand_prefixes(pidx, spec.prefixes, max_expansions)
+    for t, inst in added.items():
+        qtf[t] = qtf.get(t, 0) + inst
+
+    term_df = pidx.df_for_terms(sorted(set(qtf) | set(required)))
+    term_df.update(exp_df)
+    if any(term_df.get(t, 0) == 0 for t in required):
+        return empty  # a required term the corpus never saw
+    weights = {
+        t: qtf[t] * py_idf(pidx.n_docs, term_df[t])
+        for t in qtf
+        if term_df.get(t, 0) > 0
+    }
+    if not weights:
+        return empty
+
+    matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
+    posts = decode_matched(matched)
+
+    candidates = posts
+    # required-term semi-joins: one doc_ord set per required term
+    for t in required:
+        have = (
+            posts.filter(F.col("term") == t).select("doc_ord").distinct()
+        )
+        candidates = candidates.join(have, "doc_ord", "left_semi")
+    # excluded-term anti-joins (excluded terms may be outside the
+    # scoring set — decode them separately, metadata pushdown again)
+    excl_outside = [t for t in excluded if t not in weights]
+    if excl_outside:
+        extra = decode_matched(
+            pidx.index.filter(F.col("term").isin(excl_outside))
+        )
+    for t in excluded:
+        src = posts if t in weights else extra
+        have = src.filter(F.col("term") == t).select("doc_ord").distinct()
+        candidates = candidates.join(have, "doc_ord", "left_anti")
+    # phrase constraints: match_count >= 1 via the positional pivot
+    for ph in spec.phrases:
+        offs = phrase_offsets(ph, do_stem=do_stem)
+        if not offs:
+            continue
+        base = offs[0][1]
+        rel = [(t, o - base) for t, o in offs]
+        uniq = sorted({t for t, _ in rel})
+        pivoted, col_of = _pivot_positions(pidx, uniq)
+        first = F.col(col_of[rel[0][0]])
+        ph_docs = (
+            pivoted.filter(
+                F.size(F.filter(first, _phrase_pred(rel, col_of))) > 0
+            )
+            .select("doc_ord")
+        )
+        candidates = candidates.join(ph_docs, "doc_ord", "left_semi")
+
+    topk = score_topk(spark, candidates, weights, pidx.avgdl, ["doc_ord"], k)
+    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
+        "conv_id", "turn_idx", "score"
+    )
+    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")

@@ -442,17 +442,15 @@ class LocalIndexServer:
             for o, c in hits[:k]
         ]
 
-    def search_phrase(self, phrase: str, k: int = 10
-                      ) -> list[tuple[str, int, int]]:
-        """Exact-phrase serving → [(conv_id, turn_idx, match_count)],
-        identical to the Spark operators/phrase.phrase_topk (same
-        offsets rule: stop words occupy positions, see phrase_offsets)."""
+    def _phrase_counts(self, phrase: str) -> dict[int, int] | None:
+        """doc_ord -> exact-phrase match count (None if the phrase has
+        no searchable terms)."""
         from ics_search_engine_spark.operators.phrase import phrase_offsets
 
         do_stem = self.stats.get("stem", True)
         offs = phrase_offsets(phrase, do_stem=do_stem)
         if not offs:
-            return []
+            return None
         base = offs[0][1]
         rel = [(t, o - base) for t, o in offs]
         pos = {t: self._positions_for(t) for t in {t for t, _ in rel}}
@@ -467,6 +465,16 @@ class LocalIndexServer:
                     break
                 mask &= np.isin(p0 + off, pt)
             counts[o] = int(mask.sum())
+        return counts
+
+    def search_phrase(self, phrase: str, k: int = 10
+                      ) -> list[tuple[str, int, int]]:
+        """Exact-phrase serving → [(conv_id, turn_idx, match_count)],
+        identical to the Spark operators/phrase.phrase_topk (same
+        offsets rule: stop words occupy positions, see phrase_offsets)."""
+        counts = self._phrase_counts(phrase)
+        if counts is None:
+            return []
         return self._rank_counts(counts, k)
 
     def search_near(self, query: str, window: int, k: int = 10
@@ -558,6 +566,84 @@ class LocalIndexServer:
         mask = np.ones(self.n_docs, dtype=bool)
         excl_mask = self._allowed_mask([exclude])
         mask &= ~excl_mask
+        return self.score_with(weights, k, allowed_mask=mask)
+
+    def _presence_mask(self, term: str) -> np.ndarray:
+        """bool[n_docs]: does the doc contain ``term``."""
+        mask = np.zeros(self.n_docs, dtype=bool)
+        for _shard, _maxtfn, payload in self.postings.get(term, ()):
+            d, _tf, _dl, _ = unpack_postings(
+                bytes(payload), with_positions=False
+            )
+            mask[d.astype(np.int64)] = True
+        return mask
+
+    def search_qlang(
+        self,
+        q: str,
+        k: int = 10,
+        max_expansions: int = 1024,
+        allowed=None,
+    ) -> list[tuple[str, int, float]]:
+        """Evaluate a query-language string (+required -excluded
+        "exact phrase" wild* term) — identical results to the Spark
+        operators/qlang.bm25_topk_qlang (same parse, same resolve, same
+        global-stats posture; constraints compose as doc masks here
+        instead of semi/anti joins)."""
+        from oracle.bm25 import idf as py_idf
+        from ics_search_engine_spark.operators.qlang import (
+            parse_query,
+            resolve_terms,
+        )
+
+        do_stem = self.stats.get("stem", True)
+        spec = parse_query(q)
+        qtf, required, excluded = resolve_terms(spec, do_stem)
+        term_df = {
+            t: int(self.df[t])
+            for t in set(qtf) | set(required)
+            if t in self.df
+        }
+        for p, inst in spec.prefixes.items():
+            matches = sorted(
+                ((t, int(d)) for t, d in self.df.items()
+                 if t.startswith(p)),
+                key=lambda x: (-x[1], x[0]),
+            )[:max_expansions]
+            for t, d in matches:
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
+        if any(term_df.get(t, 0) == 0 for t in required):
+            return []
+        weights = {
+            t: qtf[t] * py_idf(self.n_docs, term_df[t])
+            for t in qtf
+            if term_df.get(t, 0) > 0
+        }
+        if not weights:
+            return []
+
+        mask = (
+            None if allowed is None else self._allowed_mask(allowed).copy()
+        )
+
+        def and_mask(m: np.ndarray):
+            nonlocal mask
+            mask = m if mask is None else (mask & m)
+
+        for t in required:
+            and_mask(self._presence_mask(t))
+        for t in excluded:
+            and_mask(~self._presence_mask(t))
+        for ph in spec.phrases:
+            counts = self._phrase_counts(ph)
+            if counts is None:
+                continue
+            m = np.zeros(self.n_docs, dtype=bool)
+            for o, c in counts.items():
+                if c > 0:
+                    m[o] = True
+            and_mask(m)
         return self.score_with(weights, k, allowed_mask=mask)
 
 
