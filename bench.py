@@ -143,6 +143,47 @@ def main() -> None:
         wtimes.sort()
         wand_p50 = wtimes[len(wtimes) // 2]
 
+        # round-3 query surfaces over the same artifacts — positional
+        # (exact phrase, NEAR/5), wildcard expansion, and the query
+        # language — each at the serving tier plus one distributed
+        # sample (min-of-2, same noise defense)
+        from ics_search_engine_spark.operators.phrase import (
+            near_topk,
+            phrase_topk,
+        )
+        from ics_search_engine_spark.operators.qlang import bm25_topk_qlang
+
+        QL = '+spark "batch batch" -window join'
+        serve_ops = {
+            "serve_phrase": lambda: srv.search_phrase("batch batch", k=10),
+            "serve_near": lambda: srv.search_near("stream window", 5, k=10),
+            "serve_wildcard": lambda: srv.search_wildcard("str* join", k=10),
+            "serve_qlang": lambda: srv.search_qlang(QL, k=10),
+        }
+        for name, fn in serve_ops.items():
+            fn()  # warm the per-term position/posting decode
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 4)
+        dist_ops = {
+            "phrase_q": lambda: phrase_topk(
+                spark, pidx, "batch batch", k=10
+            ).collect(),
+            "near_q": lambda: near_topk(
+                spark, pidx, "stream window", 5, k=10
+            ).collect(),
+            "qlang_q": lambda: bm25_topk_qlang(spark, pidx, QL, k=10
+                                               ).collect(),
+        }
+        for name, fn in dist_ops.items():
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
+
         # filtered (fielded) search over the main index: allowed set =
         # one fifth of the corpus by source — packed cogroup path
         from ics_search_engine_spark.operators.filtered import (
