@@ -181,3 +181,49 @@ def test_fused_build_single_posting_exchange(spark, small_df):
     plan = _plan(agged)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastHashJoin" in plan
+
+
+class TestRound3QuerySurfacePlans:
+    @pytest.fixture(scope="class")
+    def ppidx(self, spark, small_df, corpus_dir):
+        out = f"{corpus_dir}/plans_pos_idx"
+        build_packed_index(spark, small_df, out, range_bits=10,
+                           with_positions=True)
+        return PackedIndex(spark, out)
+
+    def test_near_pushes_term_filter_and_takeordered(self, spark, ppidx):
+        from ics_search_engine_spark.operators.phrase import near_topk
+
+        df = near_topk(spark, ppidx, "machine learning", 3, k=10)
+        plan = _plan(df, "formatted")
+        assert "In(term" in plan, plan[:2000]
+
+    def test_snippet_text_join_is_broadcast(self, spark, ppidx, small_df):
+        from ics_search_engine_spark.operators.snippets import highlight_topk
+
+        df = highlight_topk(spark, ppidx, small_df, "machine learning", k=5)
+        plan = _plan(df)
+        # k winner rows broadcast against the transcripts scan — the
+        # corpus is never shuffled for display payload
+        assert "BroadcastHashJoin" in plan, plan[:3000]
+
+    def test_qlang_term_filters_push_down(self, spark, ppidx):
+        from ics_search_engine_spark.operators.qlang import bm25_topk_qlang
+
+        df = bm25_topk_qlang(
+            spark, ppidx, '+machine -slow "machine learning" spark', k=10
+        )
+        plan = _plan(df, "formatted")
+        assert "In(term" in plan, plan[:2000]
+        assert "TakeOrderedAndProject" in plan
+
+    def test_wildcard_expansion_is_metadata_only(self, ppidx):
+        """Prefix expansion scans term_stats (vocabulary-sized), never
+        the payload-bearing index table."""
+        df = ppidx.term_stats.filter(F.col("term").startswith("mach"))
+        plan = _plan(df, "formatted")
+        assert "StartsWith" in plan, plan[:2000]
+        read_schema = [
+            line for line in plan.splitlines() if "ReadSchema" in line
+        ]
+        assert read_schema and "payload" not in read_schema[0]
