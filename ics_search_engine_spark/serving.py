@@ -715,3 +715,135 @@ class LocalSegmentedServer:
         # oracle and the Spark segmented path
         merged.sort(key=lambda r: (-r[2], r[0], r[1]))
         return merged[:k]
+
+    # ------------------------------------------- round-3 query surfaces
+    #
+    # Positional counts need NO stat recombination (a doc's phrase /
+    # proximity matches live entirely in its segment); per-segment
+    # top-k lists merge on (count desc, docID asc).  Wildcard and the
+    # query language recombine exactly like BM25: expansion and idf
+    # come from the UNION dictionary (df summed), weights broadcast to
+    # every segment with the global avgdl.
+
+    def _merge_counts(
+        self, per_segment: list[list[tuple[str, int, int]]], k: int
+    ) -> list[tuple[str, int, int]]:
+        merged = [r for seg in per_segment for r in seg]
+        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return merged[:k]
+
+    def search_phrase(self, phrase: str, k: int = 10
+                      ) -> list[tuple[str, int, int]]:
+        return self._merge_counts(
+            [s.search_phrase(phrase, k) for s in self.servers], k
+        )
+
+    def search_near(self, query: str, window: int, k: int = 10
+                    ) -> list[tuple[str, int, int]]:
+        return self._merge_counts(
+            [s.search_near(query, window, k) for s in self.servers], k
+        )
+
+    def _global_df(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for s in self.servers:
+            for t, d in s.df.items():
+                out[t] = out.get(t, 0) + int(d)
+        return out
+
+    def search_wildcard(
+        self, query: str, k: int = 10, max_expansions: int = 1024
+    ) -> list[tuple[str, int, float]]:
+        """Identical to serving a compacted index: expansion selects on
+        the UNION dictionary's summed df (a per-segment cap could pick
+        different terms than the compacted index would)."""
+        from oracle.bm25 import idf as py_idf
+        from ics_search_engine_spark.operators.wildcard import (
+            parse_wildcard_query,
+        )
+
+        prefixes, rest = parse_wildcard_query(query)
+        qtf: dict[str, int] = {}
+        for t in tokenize(rest, for_query=True, do_stem=self.stem):
+            qtf[t] = qtf.get(t, 0) + 1
+        gdf = self._global_df()
+        term_df = {t: gdf[t] for t in qtf if t in gdf}
+        for p, inst in prefixes.items():
+            matches = sorted(
+                ((t, d) for t, d in gdf.items() if t.startswith(p)),
+                key=lambda x: (-x[1], x[0]),
+            )[:max_expansions]
+            for t, d in matches:
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
+        weights = {
+            t: qtf[t] * py_idf(self.n_docs, term_df[t])
+            for t in qtf
+            if term_df.get(t, 0) > 0
+        }
+        if not weights:
+            return []
+        merged: list[tuple[str, int, float]] = []
+        for s in self.servers:
+            merged.extend(s.score_with(weights, k, avgdl=self.avgdl))
+        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return merged[:k]
+
+    def search_qlang(self, q: str, k: int = 10, max_expansions: int = 1024
+                     ) -> list[tuple[str, int, float]]:
+        """Query language over the LSM: weights from global stats;
+        +/-/phrase constraints evaluate per segment (a doc's terms and
+        positions live entirely in its segment)."""
+        from oracle.bm25 import idf as py_idf
+        from ics_search_engine_spark.operators.qlang import (
+            parse_query,
+            resolve_terms,
+        )
+
+        spec = parse_query(q)
+        qtf, required, excluded = resolve_terms(spec, self.stem)
+        gdf = self._global_df()
+        term_df = {
+            t: gdf[t] for t in set(qtf) | set(required) if t in gdf
+        }
+        for p, inst in spec.prefixes.items():
+            matches = sorted(
+                ((t, d) for t, d in gdf.items() if t.startswith(p)),
+                key=lambda x: (-x[1], x[0]),
+            )[:max_expansions]
+            for t, d in matches:
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
+        if any(term_df.get(t, 0) == 0 for t in required):
+            return []
+        weights = {
+            t: qtf[t] * py_idf(self.n_docs, term_df[t])
+            for t in qtf
+            if term_df.get(t, 0) > 0
+        }
+        if not weights:
+            return []
+        merged: list[tuple[str, int, float]] = []
+        for s in self.servers:
+            mask = None
+            for t in required:
+                m = s._presence_mask(t)
+                mask = m if mask is None else (mask & m)
+            for t in excluded:
+                m = ~s._presence_mask(t)
+                mask = m if mask is None else (mask & m)
+            for ph in spec.phrases:
+                counts = s._phrase_counts(ph)
+                if counts is None:
+                    continue
+                m = np.zeros(s.n_docs, dtype=bool)
+                for o, c in counts.items():
+                    if c > 0:
+                        m[o] = True
+                mask = m if mask is None else (mask & m)
+            merged.extend(
+                s.score_with(weights, k, avgdl=self.avgdl,
+                             allowed_mask=mask)
+            )
+        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return merged[:k]
