@@ -415,10 +415,22 @@ class LocalIndexServer:
 
     # ------------------------------------------------ positional serving
 
-    def _positions_for(self, term: str) -> dict[int, np.ndarray]:
-        """doc_ord -> ascending positions for one term, decoded from the
-        packed payloads (requires a with_positions build)."""
-        out: dict[int, np.ndarray] = {}
+    def _position_keys(self, term: str) -> np.ndarray:
+        """Every occurrence of ``term`` as a SORTED int64 composite key
+        ``doc_ord << 32 | position`` — the layout that turns phrase and
+        proximity matching into whole-array searchsorted probes instead
+        of a per-doc Python loop (positions are bounded by turn length,
+        far below 2^32, so the key order is (doc, pos) lexicographic).
+        Memoized per term: serving is a long-lived process, the analog
+        of the reference's postings lru_cache
+        (/root/reference/search.py:53)."""
+        cache = getattr(self, "_poskey_cache", None)
+        if cache is None:
+            cache = self._poskey_cache = {}
+        hit = cache.get(term)
+        if hit is not None:
+            return hit
+        parts: list[np.ndarray] = []
         for _shard, _maxtfn, payload in self.postings.get(term, ()):
             d, _tf, _dl, poss = unpack_postings(
                 bytes(payload), with_positions=True
@@ -428,9 +440,23 @@ class LocalIndexServer:
                     "index was built without positions "
                     "(build_packed_index(with_positions=True))"
                 )
-            for o, p in zip(d, poss):
-                out[int(o)] = p.astype(np.int64)
-        return out
+            if not len(d):
+                continue
+            lens = np.fromiter(
+                (p.size for p in poss), dtype=np.int64, count=len(poss)
+            )
+            flat = (
+                np.concatenate(poss).astype(np.int64)
+                if lens.sum() else np.empty(0, np.int64)
+            )
+            ords = np.repeat(d.astype(np.int64), lens)
+            parts.append((ords << 32) | flat)
+        keys = (
+            np.concatenate(parts) if parts else np.empty(0, np.int64)
+        )
+        keys.sort(kind="stable")
+        cache[term] = keys
+        return keys
 
     def _rank_counts(
         self, counts: dict[int, int], k: int
@@ -442,9 +468,27 @@ class LocalIndexServer:
             for o, c in hits[:k]
         ]
 
+    @staticmethod
+    def _count_by_doc(anchor_keys: np.ndarray, mask: np.ndarray
+                      ) -> dict[int, int]:
+        """Anchor keys surviving ``mask`` → doc_ord -> count (docs with
+        at least one anchor occurrence but zero surviving matches are
+        reported with 0, matching the pivot semantics: the doc contains
+        every term yet no aligned window)."""
+        all_docs = np.unique(anchor_keys >> 32)
+        hit_docs, hit_counts = np.unique(
+            (anchor_keys[mask] >> 32), return_counts=True
+        )
+        counts = {int(d): 0 for d in all_docs}
+        for d, c in zip(hit_docs, hit_counts):
+            counts[int(d)] = int(c)
+        return counts
+
     def _phrase_counts(self, phrase: str) -> dict[int, int] | None:
         """doc_ord -> exact-phrase match count (None if the phrase has
-        no searchable terms)."""
+        no searchable terms).  Whole-array probes: anchor occurrence
+        keys + offset are binary-searched in each other term's sorted
+        key array — no per-doc Python."""
         from ics_search_engine_spark.operators.phrase import phrase_offsets
 
         do_stem = self.stats.get("stem", True)
@@ -453,19 +497,20 @@ class LocalIndexServer:
             return None
         base = offs[0][1]
         rel = [(t, o - base) for t, o in offs]
-        pos = {t: self._positions_for(t) for t in {t for t, _ in rel}}
-        anchor = pos[rel[0][0]]
-        counts: dict[int, int] = {}
-        for o, p0 in anchor.items():
-            mask = np.ones(p0.size, dtype=bool)
-            for t, off in rel[1:]:
-                pt = pos[t].get(o)
-                if pt is None:
-                    mask[:] = False
-                    break
-                mask &= np.isin(p0 + off, pt)
-            counts[o] = int(mask.sum())
-        return counts
+        anchor_keys = self._position_keys(rel[0][0])
+        mask = np.ones(anchor_keys.size, dtype=bool)
+        for t, off in rel[1:]:
+            kt = self._position_keys(t)
+            want = anchor_keys + off  # same doc: pos+off < 2^32
+            if kt.size == 0:
+                mask[:] = False
+                break
+            idx = np.searchsorted(kt, want)
+            found = (idx < kt.size) & (
+                kt[np.minimum(idx, kt.size - 1)] == want
+            )
+            mask &= found
+        return self._count_by_doc(anchor_keys, mask)
 
     def search_phrase(self, phrase: str, k: int = 10
                       ) -> list[tuple[str, int, int]]:
@@ -488,20 +533,23 @@ class LocalIndexServer:
         terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
         if not terms:
             return []
-        pos = {t: self._positions_for(t) for t in terms}
-        counts: dict[int, int] = {}
-        for o, p0 in pos[terms[0]].items():
-            mask = np.ones(p0.size, dtype=bool)
-            for t in terms[1:]:
-                pt = pos[t].get(o)
-                if pt is None:
-                    mask[:] = False
-                    break
-                lo = np.searchsorted(pt, p0 - window, side="left")
-                hi = np.searchsorted(pt, p0 + window, side="right")
-                mask &= hi > lo
-            counts[o] = int(mask.sum())
-        return self._rank_counts(counts, k)
+        anchor_keys = self._position_keys(terms[0])
+        docs = anchor_keys >> 32
+        pos = anchor_keys & 0xFFFFFFFF
+        # window bounds as composite keys — clamping the low side at 0
+        # keeps the probe inside the anchor's own doc
+        lo_key = (docs << 32) | np.maximum(pos - window, 0)
+        hi_key = (docs << 32) | (pos + window)
+        mask = np.ones(anchor_keys.size, dtype=bool)
+        for t in terms[1:]:
+            kt = self._position_keys(t)
+            if kt.size == 0:
+                mask[:] = False
+                break
+            lo = np.searchsorted(kt, lo_key, side="left")
+            hi = np.searchsorted(kt, hi_key, side="right")
+            mask &= hi > lo
+        return self._rank_counts(self._count_by_doc(anchor_keys, mask), k)
 
     def search_wildcard(
         self, query: str, k: int = 10, max_expansions: int = 1024
