@@ -47,6 +47,31 @@ from ics_search_engine_spark.operators.query import query_weights
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
 
+class _TermDict:
+    """Sorted term dictionary for prefix expansion: a binary-searched
+    slice instead of a linear vocabulary scan (a fat-tailed corpus has
+    millions of distinct terms; scanning them per query is the serving
+    analog of the full-scan the parquet StartsWith pushdown avoids)."""
+
+    def __init__(self, df_map: dict[str, int]):
+        self.terms = np.array(sorted(df_map), dtype=object)
+        self.dfs = np.array(
+            [df_map[t] for t in self.terms], dtype=np.int64
+        )
+
+    def expand(self, prefix: str, cap: int) -> list[tuple[str, int]]:
+        """Terms starting with ``prefix`` as (term, df), capped at the
+        (df desc, term asc) heaviest ``cap`` — identical selection to
+        operators/wildcard.expand_prefixes."""
+        lo = int(np.searchsorted(self.terms, prefix))
+        hi = int(np.searchsorted(self.terms, prefix + "\U0010ffff"))
+        ts, ds = self.terms[lo:hi], self.dfs[lo:hi]
+        if ts.size > cap:
+            order = np.lexsort((ts, -ds))[:cap]
+            ts, ds = ts[order], ds[order]
+        return [(str(t), int(d)) for t, d in zip(ts, ds)]
+
+
 class LocalIndexServer:
     """Serve top-k BM25 from a packed index directory, no Spark."""
 
@@ -459,36 +484,35 @@ class LocalIndexServer:
         return keys
 
     def _rank_counts(
-        self, counts: dict[int, int], k: int
+        self, docs: np.ndarray, counts: np.ndarray, k: int
     ) -> list[tuple[str, int, int]]:
-        hits = [(o, c) for o, c in counts.items() if c > 0]
-        hits.sort(key=lambda x: (-x[1], x[0]))
+        """Vectorized top-k over (doc, count): lexsort by (count desc,
+        doc_ord asc) — doc_ord ascending IS (conv_id, turn_idx)
+        ascending (docmap ordinal = rank of the key) — then materialize
+        exactly k rows.  Only the k winners touch Python."""
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -counts))[:k]
         return [
             (str(self._conv[o]), int(self._turn[o]), int(c))
-            for o, c in hits[:k]
+            for o, c in zip(docs[order], counts[order])
         ]
 
     @staticmethod
     def _count_by_doc(anchor_keys: np.ndarray, mask: np.ndarray
-                      ) -> dict[int, int]:
-        """Anchor keys surviving ``mask`` → doc_ord -> count (docs with
-        at least one anchor occurrence but zero surviving matches are
-        reported with 0, matching the pivot semantics: the doc contains
-        every term yet no aligned window)."""
-        all_docs = np.unique(anchor_keys >> 32)
-        hit_docs, hit_counts = np.unique(
-            (anchor_keys[mask] >> 32), return_counts=True
-        )
-        counts = {int(d): 0 for d in all_docs}
-        for d, c in zip(hit_docs, hit_counts):
-            counts[int(d)] = int(c)
-        return counts
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Anchor keys surviving ``mask`` → (docs, counts) arrays for
+        docs with ≥1 surviving match (zero-match docs can never rank or
+        pass a phrase constraint, so they are not materialized)."""
+        return np.unique(anchor_keys[mask] >> 32, return_counts=True)
 
-    def _phrase_counts(self, phrase: str) -> dict[int, int] | None:
-        """doc_ord -> exact-phrase match count (None if the phrase has
-        no searchable terms).  Whole-array probes: anchor occurrence
-        keys + offset are binary-searched in each other term's sorted
-        key array — no per-doc Python."""
+    def _phrase_counts(self, phrase: str
+                       ) -> tuple[np.ndarray, np.ndarray] | None:
+        """(docs, match counts) arrays for docs with ≥1 exact-phrase
+        match (None if the phrase has no searchable terms).  Whole-
+        array probes: anchor occurrence keys + offset are binary-
+        searched in each other term's sorted key array — no per-doc
+        Python."""
         from ics_search_engine_spark.operators.phrase import phrase_offsets
 
         do_stem = self.stats.get("stem", True)
@@ -517,10 +541,10 @@ class LocalIndexServer:
         """Exact-phrase serving → [(conv_id, turn_idx, match_count)],
         identical to the Spark operators/phrase.phrase_topk (same
         offsets rule: stop words occupy positions, see phrase_offsets)."""
-        counts = self._phrase_counts(phrase)
-        if counts is None:
+        hit = self._phrase_counts(phrase)
+        if hit is None:
             return []
-        return self._rank_counts(counts, k)
+        return self._rank_counts(*hit, k)
 
     def search_near(self, query: str, window: int, k: int = 10
                     ) -> list[tuple[str, int, int]]:
@@ -549,7 +573,7 @@ class LocalIndexServer:
             lo = np.searchsorted(kt, lo_key, side="left")
             hi = np.searchsorted(kt, hi_key, side="right")
             mask &= hi > lo
-        return self._rank_counts(self._count_by_doc(anchor_keys, mask), k)
+        return self._rank_counts(*self._count_by_doc(anchor_keys, mask), k)
 
     def search_wildcard(
         self, query: str, k: int = 10, max_expansions: int = 1024
@@ -572,12 +596,7 @@ class LocalIndexServer:
             qtf[t] = qtf.get(t, 0) + 1
         term_df = {t: int(self.df[t]) for t in qtf if t in self.df}
         for p, inst in prefixes.items():
-            matches = sorted(
-                ((t, int(d)) for t, d in self.df.items()
-                 if t.startswith(p)),
-                key=lambda x: (-x[1], x[0]),
-            )[:max_expansions]
-            for t, d in matches:
+            for t, d in self._terms().expand(p, max_expansions):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
         weights = {
@@ -626,6 +645,12 @@ class LocalIndexServer:
             mask[d.astype(np.int64)] = True
         return mask
 
+    def _terms(self) -> "_TermDict":
+        td = getattr(self, "_term_dict", None)
+        if td is None:
+            td = self._term_dict = _TermDict(self.df)
+        return td
+
     def search_qlang(
         self,
         q: str,
@@ -653,12 +678,7 @@ class LocalIndexServer:
             if t in self.df
         }
         for p, inst in spec.prefixes.items():
-            matches = sorted(
-                ((t, int(d)) for t, d in self.df.items()
-                 if t.startswith(p)),
-                key=lambda x: (-x[1], x[0]),
-            )[:max_expansions]
-            for t, d in matches:
+            for t, d in self._terms().expand(p, max_expansions):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
         if any(term_df.get(t, 0) == 0 for t in required):
@@ -684,13 +704,11 @@ class LocalIndexServer:
         for t in excluded:
             and_mask(~self._presence_mask(t))
         for ph in spec.phrases:
-            counts = self._phrase_counts(ph)
-            if counts is None:
+            hit = self._phrase_counts(ph)
+            if hit is None:
                 continue
             m = np.zeros(self.n_docs, dtype=bool)
-            for o, c in counts.items():
-                if c > 0:
-                    m[o] = True
+            m[hit[0]] = True
             and_mask(m)
         return self.score_with(weights, k, allowed_mask=mask)
 
@@ -793,11 +811,23 @@ class LocalSegmentedServer:
         )
 
     def _global_df(self) -> dict[str, int]:
-        out: dict[str, int] = {}
-        for s in self.servers:
-            for t, d in s.df.items():
-                out[t] = out.get(t, 0) + int(d)
-        return out
+        """UNION dictionary (df summed) — memoized: segments are
+        immutable once opened, and rebuilding a fat-tailed vocabulary
+        union per query would dominate small queries."""
+        gdf = getattr(self, "_gdf", None)
+        if gdf is None:
+            gdf = {}
+            for s in self.servers:
+                for t, d in s.df.items():
+                    gdf[t] = gdf.get(t, 0) + int(d)
+            self._gdf = gdf
+        return gdf
+
+    def _terms(self) -> "_TermDict":
+        td = getattr(self, "_term_dict", None)
+        if td is None:
+            td = self._term_dict = _TermDict(self._global_df())
+        return td
 
     def search_wildcard(
         self, query: str, k: int = 10, max_expansions: int = 1024
@@ -817,11 +847,7 @@ class LocalSegmentedServer:
         gdf = self._global_df()
         term_df = {t: gdf[t] for t in qtf if t in gdf}
         for p, inst in prefixes.items():
-            matches = sorted(
-                ((t, d) for t, d in gdf.items() if t.startswith(p)),
-                key=lambda x: (-x[1], x[0]),
-            )[:max_expansions]
-            for t, d in matches:
+            for t, d in self._terms().expand(p, max_expansions):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
         weights = {
@@ -855,11 +881,7 @@ class LocalSegmentedServer:
             t: gdf[t] for t in set(qtf) | set(required) if t in gdf
         }
         for p, inst in spec.prefixes.items():
-            matches = sorted(
-                ((t, d) for t, d in gdf.items() if t.startswith(p)),
-                key=lambda x: (-x[1], x[0]),
-            )[:max_expansions]
-            for t, d in matches:
+            for t, d in self._terms().expand(p, max_expansions):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
         if any(term_df.get(t, 0) == 0 for t in required):
@@ -881,13 +903,11 @@ class LocalSegmentedServer:
                 m = ~s._presence_mask(t)
                 mask = m if mask is None else (mask & m)
             for ph in spec.phrases:
-                counts = s._phrase_counts(ph)
-                if counts is None:
+                hit = s._phrase_counts(ph)
+                if hit is None:
                     continue
                 m = np.zeros(s.n_docs, dtype=bool)
-                for o, c in counts.items():
-                    if c > 0:
-                        m[o] = True
+                m[hit[0]] = True
                 mask = m if mask is None else (mask & m)
             merged.extend(
                 s.score_with(weights, k, avgdl=self.avgdl,
