@@ -1458,6 +1458,84 @@ ORDER BY bm25_r6 DESC, s.doc_id ASC LIMIT 20
 """
 
 
+def q_bm25_fuzzy_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching THROUGH the packed index
+    (operators/fuzzy.bm25_topk_fuzzy): the misspelled query
+    'sprak jion' expands to dictionary terms within Levenshtein 2
+    ('spark', 'join' — transposition costs 2 in classic Levenshtein,
+    which Spark and DuckDB both implement) and BM25-ranks the union.
+    The reference returns nothing for a misspelling
+    (/root/reference/search.py:56-57)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.fuzzy import bm25_topk_fuzzy
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_fuzzy_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_fuzzy(
+            spark, pidx, "sprak jion", k=60, max_dist=2
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, bm25_r6 double"
+    )
+
+
+# at sf scale each probe matches exactly one dictionary term within
+# distance 2 (verified), so the multiplier table is 1 per matched term
+_SQL_FUZZY = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+v AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) GROUP BY term
+),
+qterms AS (
+  SELECT term, df,
+         (CASE WHEN levenshtein(term, 'sprak') <= 2 THEN 1 ELSE 0 END)
+         + (CASE WHEN levenshtein(term, 'jion') <= 2 THEN 1 ELSE 0 END)
+           AS qtf
+  FROM v
+),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN (SELECT term FROM qterms WHERE qtf > 0)
+  GROUP BY term, doc_id
+),
+scored AS (
+  SELECT p.doc_id,
+         q.qtf * ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN qterms q USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENTED engine with point-lookup resolution under the
     DuckDB gate: the documents table splits into two segments (whole
@@ -2218,6 +2296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_explain_engine": q_bm25_explain_engine,
     "snippets_engine": q_snippets_engine,
     "qlang_engine": q_qlang_engine,
+    "bm25_fuzzy_engine": q_bm25_fuzzy_engine,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2261,6 +2340,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_explain_engine": _SQL_EXPLAIN,
     "snippets_engine": _SQL_SNIPPETS,
     "qlang_engine": _SQL_QLANG,
+    "bm25_fuzzy_engine": _SQL_FUZZY,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,

@@ -59,6 +59,34 @@ class _TermDict:
             [df_map[t] for t in self.terms], dtype=np.int64
         )
 
+    def lengths(self) -> np.ndarray:
+        lens = getattr(self, "_lens", None)
+        if lens is None:
+            lens = self._lens = np.fromiter(
+                (len(t) for t in self.terms), dtype=np.int64,
+                count=self.terms.size,
+            )
+        return lens
+
+    def fuzzy(self, probe: str, max_dist: int
+              ) -> list[tuple[str, int, int]]:
+        """(term, df, dist) within ``max_dist`` of ``probe``.  A length
+        band (|len−len(probe)| ≤ max_dist, vectorized) prefilters the
+        vocabulary before the per-candidate DP — the in-memory stand-in
+        for a Levenshtein automaton / SymSpell deletion index."""
+        from ics_search_engine_spark.operators.fuzzy import edit_distance
+
+        band = np.flatnonzero(
+            np.abs(self.lengths() - len(probe)) <= max_dist
+        )
+        out = []
+        for i in band:
+            t = self.terms[i]
+            d = edit_distance(t, probe)
+            if d <= max_dist:
+                out.append((str(t), int(self.dfs[i]), d))
+        return out
+
     def expand(self, prefix: str, cap: int) -> list[tuple[str, int]]:
         """Terms starting with ``prefix`` as (term, df), capped at the
         (df desc, term asc) heaviest ``cap`` — identical selection to
@@ -219,6 +247,36 @@ class LocalIndexServer:
             for i in sel
         ]
 
+    # decoded-postings LRU size (terms) — the serving analog of the
+    # reference's @lru_cache(1000) on get_postings
+    # (/root/reference/search.py:53, utils/constants.py:30); repeat and
+    # multi-expansion queries skip the varint re-decode of hot terms
+    DECODE_CACHE_TERMS = 1024
+
+    def _decoded(self, term: str) -> list[tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]]:
+        """Per-payload decoded (doc_ords int64, tf, dl) for one term,
+        LRU-cached."""
+        import collections
+
+        cache = getattr(self, "_decode_cache", None)
+        if cache is None:
+            cache = self._decode_cache = collections.OrderedDict()
+        hit = cache.get(term)
+        if hit is not None:
+            cache.move_to_end(term)
+            return hit
+        out = []
+        for _shard, _maxtfn, payload in self.postings.get(term, ()):
+            d, tf, dl, _ = unpack_postings(
+                bytes(payload), with_positions=False
+            )
+            out.append((d.astype(np.int64), tf, dl))
+        cache[term] = out
+        if len(cache) > self.DECODE_CACHE_TERMS:
+            cache.popitem(last=False)
+        return out
+
     def _dense_scores(
         self,
         weights: dict[str, float],
@@ -235,11 +293,7 @@ class LocalIndexServer:
         )
         for t in sorted(weights):
             w = weights[t]
-            for _shard, _maxtfn, payload in self.postings.get(t, ()):
-                d, tf, dl, _ = unpack_postings(
-                    bytes(payload), with_positions=False
-                )
-                idx = d.astype(np.int64)
+            for idx, tf, dl in self._decoded(t):
                 scores[idx] += w * self._tfn(tf, dl, avgdl)
                 touched[idx] = True
                 if counts is not None:
@@ -606,6 +660,34 @@ class LocalIndexServer:
         }
         return self.score_with(weights, k)
 
+    def search_fuzzy(
+        self, query: str, k: int = 10, max_dist: int = 2,
+        max_matches: int = 8,
+    ) -> list[tuple[str, int, float]]:
+        """Fuzzy serving — identical semantics to
+        operators/fuzzy.bm25_topk_fuzzy (same stem-first probe, same
+        (dist asc, df desc, term asc) cap, flat qtf×idf weights)."""
+        from oracle.bm25 import idf as py_idf
+        from ics_search_engine_spark.operators.fuzzy import select_matches
+
+        do_stem = self.stats.get("stem", True)
+        probes: dict[str, int] = {}
+        for t in tokenize(query, for_query=True, do_stem=do_stem):
+            probes[t] = probes.get(t, 0) + 1
+        qtf: dict[str, int] = {}
+        term_df: dict[str, int] = {}
+        td = self._terms()
+        for p, inst in probes.items():
+            for t, d in select_matches(td.fuzzy(p, max_dist), max_matches):
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
+        weights = {
+            t: qtf[t] * py_idf(self.n_docs, term_df[t])
+            for t in qtf
+            if term_df.get(t, 0) > 0
+        }
+        return self.score_with(weights, k)
+
     def more_like_this(
         self,
         text: str,
@@ -638,11 +720,8 @@ class LocalIndexServer:
     def _presence_mask(self, term: str) -> np.ndarray:
         """bool[n_docs]: does the doc contain ``term``."""
         mask = np.zeros(self.n_docs, dtype=bool)
-        for _shard, _maxtfn, payload in self.postings.get(term, ()):
-            d, _tf, _dl, _ = unpack_postings(
-                bytes(payload), with_positions=False
-            )
-            mask[d.astype(np.int64)] = True
+        for idx, _tf, _dl in self._decoded(term):
+            mask[idx] = True
         return mask
 
     def _terms(self) -> "_TermDict":

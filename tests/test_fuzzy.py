@@ -1,0 +1,119 @@
+"""Fuzzy term expansion vs a pure-Python transcription, plus
+serving ≡ Spark parity."""
+
+import pytest
+
+from oracle import bm25 as oracle
+from ics_search_engine_spark.operators.fuzzy import (
+    bm25_topk_fuzzy,
+    edit_distance,
+    select_matches,
+)
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+from ics_search_engine_spark.serving import LocalIndexServer
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+QUERIES = [
+    "machine learning",        # exact terms: distance 0 is own match
+    "machne learnng",          # one deletion each
+    "sparkk",                  # one insertion
+    "zzzzzzzzzz",              # nothing within distance
+    "machine machne",          # instances accumulate on shared match
+]
+
+
+def _oracle_fuzzy(rows, query, k=10, max_dist=2, max_matches=8):
+    idx = oracle.build_index(rows)
+    probes: dict[str, int] = {}
+    for t in tokenize(query, for_query=True):
+        probes[t] = probes.get(t, 0) + 1
+    qtf: dict[str, int] = {}
+    for p, inst in probes.items():
+        cands = [
+            (t, idx.df(t), edit_distance(t, p))
+            for t in idx.postings
+            if edit_distance(t, p) <= max_dist
+        ]
+        for t, _d in select_matches(cands, max_matches):
+            qtf[t] = qtf.get(t, 0) + inst
+    scores: dict[tuple[str, int], float] = {}
+    for term in sorted(qtf):
+        d_f = idx.df(term)
+        for docid, tf in idx.postings[term].items():
+            scores[docid] = scores.get(docid, 0.0) + oracle.bm25_contribution(
+                tf, idx.dl[docid], idx.avgdl, idx.n_docs, d_f, qtf[term]
+            )
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(c, t, s) for (c, t), s in ranked[:k]]
+
+
+class TestEditDistance:
+    @pytest.mark.parametrize("a,b,d", [
+        ("spark", "spark", 0),
+        ("sprak", "spark", 2),      # classic: transposition costs 2
+        ("machin", "machine", 1),
+        ("", "abc", 3),
+        ("kitten", "sitting", 3),
+    ])
+    def test_known_values(self, a, b, d):
+        assert edit_distance(a, b) == d
+        assert edit_distance(b, a) == d
+
+    def test_agrees_with_spark_levenshtein(self, spark):
+        pairs = [("sprak", "spark"), ("jion", "join"), ("machne", "machin"),
+                 ("window", "windows"), ("abcdef", "xyz")]
+        df = spark.createDataFrame(pairs, "a string, b string")
+        import pyspark.sql.functions as F
+
+        got = df.select(F.levenshtein("a", "b").alias("d")).collect()
+        assert [r["d"] for r in got] == [
+            edit_distance(a, b) for a, b in pairs
+        ]
+
+
+class TestFuzzySearch:
+    @pytest.fixture(scope="class")
+    def setup(self, spark, small_df, small_rows, corpus_dir):
+        out = f"{corpus_dir}/fuzzy_idx"
+        build_packed_index(spark, small_df, out, range_bits=9)
+        return PackedIndex(spark, out), LocalIndexServer(out), small_rows
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_matches_oracle_bit_identical(self, spark, setup, q):
+        pidx, _, rows = setup
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_fuzzy(spark, pidx, q, k=10).collect()
+        ]
+        assert got == _oracle_fuzzy(rows, q), q
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_serving_identical_to_spark(self, spark, setup, q):
+        pidx, srv, _ = setup
+        spark_rows = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_fuzzy(spark, pidx, q, k=10).collect()
+        ]
+        assert srv.search_fuzzy(q, k=10) == spark_rows, q
+
+    def test_max_matches_cap(self, spark, setup):
+        pidx, srv, rows = setup
+        q, cap = "machne", 2
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_fuzzy(
+                spark, pidx, q, k=10, max_matches=cap
+            ).collect()
+        ]
+        assert got == _oracle_fuzzy(rows, q, max_matches=cap)
+        assert srv.search_fuzzy(q, k=10, max_matches=cap) == got
+
+    def test_closer_match_beats_heavier(self):
+        # selection rule: distance ascends before df descends
+        sel = select_matches(
+            [("heavy", 1000, 2), ("close", 3, 1), ("tie", 3, 1)], 2
+        )
+        assert sel == [("close", 3), ("tie", 3)]
