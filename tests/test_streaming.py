@@ -319,3 +319,63 @@ class TestIncrementalSegments:
         q.awaitTermination(120)
         with open(sentinel) as f:
             assert json.load(f) == {"sentinel": True}  # untouched
+
+
+class TestStreamedPositionalServing:
+    def test_streamed_segments_serve_phrase_near_qlang(
+        self, spark, stream_dirs, small_df
+    ):
+        """Positional payloads survive the streaming LSM path: segments
+        ingested with positions answer phrase/NEAR/qlang identically to
+        a batch positional rebuild."""
+        from ics_search_engine_spark.operators.packed_index import (
+            build_packed_index,
+        )
+        from ics_search_engine_spark.serving import (
+            LocalIndexServer,
+            LocalSegmentedServer,
+        )
+        from ics_search_engine_spark.streaming.stream_ops import (
+            incremental_segments,
+            list_ready_segments,
+        )
+
+        src = f"{stream_dirs}/pos_src"
+        os.makedirs(src, exist_ok=True)
+        for i in range(2):
+            part = small_df.filter(F.pmod(F.hash("conv_id"), F.lit(2)) == i)
+            part.coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/arrival_{i}"
+            )
+        stream = (
+            spark.readStream.schema(small_df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/arrival_*")
+        )
+        out = f"{stream_dirs}/pos_out"
+        q = (
+            incremental_segments(
+                stream, out, f"{stream_dirs}/pos_ckpt", range_bits=9,
+                with_positions=True,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        segs = list_ready_segments(out)
+        assert len(segs) >= 2
+
+        full_dir = f"{stream_dirs}/pos_full"
+        build_packed_index(spark, small_df, full_dir, range_bits=9,
+                           with_positions=True)
+        full = LocalIndexServer(full_dir)
+        seg = LocalSegmentedServer(segs)
+
+        assert seg.search_phrase("machine learning", k=10) == (
+            full.search_phrase("machine learning", k=10)
+        )
+        assert seg.search_near("machine learning", 4, k=10) == (
+            full.search_near("machine learning", 4, k=10)
+        )
+        q = '+machine "machine learning" -slow quer*'
+        assert seg.search_qlang(q, k=10) == full.search_qlang(q, k=10)
