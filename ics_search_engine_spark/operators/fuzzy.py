@@ -33,12 +33,15 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from oracle.bm25 import idf as py_idf
 from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
     decode_matched,
 )
-from ics_search_engine_spark.operators.query import score_topk
+from ics_search_engine_spark.operators.query import (
+    idf_weights,
+    resolve_topk_keys,
+    score_topk,
+)
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
 
@@ -128,17 +131,10 @@ def bm25_topk_fuzzy(
     for t in tokenize(query, for_query=True, do_stem=do_stem):
         probes[t] = probes.get(t, 0) + 1
     qtf, term_df = fuzzy_expand(pidx, probes, max_dist, max_matches)
-    weights = {
-        t: qtf[t] * py_idf(pidx.n_docs, term_df[t])
-        for t in qtf
-        if term_df.get(t, 0) > 0
-    }
+    weights = idf_weights(qtf, term_df, pidx.n_docs)
     if not weights:
         return empty
     matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
     posts = decode_matched(matched)
     topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
-    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
-        "conv_id", "turn_idx", "score"
-    )
-    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
+    return resolve_topk_keys(pidx, topk)

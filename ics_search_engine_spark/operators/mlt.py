@@ -40,7 +40,10 @@ from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
     decode_matched,
 )
-from ics_search_engine_spark.operators.query import score_topk
+from ics_search_engine_spark.operators.query import (
+    resolve_topk_keys,
+    score_topk,
+)
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
 
@@ -115,7 +118,4 @@ def more_like_this(
     if src_ord:
         posts = posts.filter(F.col("doc_ord") != src_ord[0])
     topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
-    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
-        "conv_id", "turn_idx", "score"
-    )
-    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
+    return resolve_topk_keys(pidx, topk)

@@ -6,16 +6,23 @@ box grammar, composed entirely from operators that already exist —
 parsing produces a plan over BM25 scoring, positional phrase
 constraints, term presence/absence masks, and wildcard expansion.
 
-Grammar (whitespace-split, double quotes group phrases):
+Grammar (whitespace-split, double quotes group phrases; a leading
+``+``/``-`` operator composes with every token shape — see the
+QuerySpec docstring for the full operator × shape matrix):
 * ``term``        — optional: contributes BM25 score.
 * ``pre*``        — wildcard: expands per operators/wildcard rules;
                     expanded terms contribute score.
 * ``+term``       — required: doc must contain the term; the term also
                     contributes score.  An absent required term empties
-                    the result.
+                    the result.  ``+pre*`` requires ≥1 expansion;
+                    ``+"a b"`` is just a phrase (phrases are already
+                    required).
 * ``-term``       — excluded: doc must not contain the term; no score
                     contribution.  (A stop word here tokenizes away and
-                    is ignored, same as anywhere else.)
+                    is ignored, same as anywhere else.)  ``-pre*``
+                    excludes docs matching ANY term with the prefix
+                    (uncapped); ``-"a b"`` excludes docs containing the
+                    phrase.
 * ``"a b c"``     — phrase: doc must contain the exact phrase
                     (positional adjacency, stop words occupy slots —
                     operators/phrase semantics); the phrase's
@@ -40,51 +47,83 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from oracle.bm25 import idf as py_idf
 from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
     decode_matched,
 )
-from ics_search_engine_spark.operators.query import score_topk
+from ics_search_engine_spark.operators.query import (
+    idf_weights,
+    resolve_topk_keys,
+    score_topk,
+)
 from ics_search_engine_spark.operators.wildcard import (
     _PATTERN_RE,
     expand_prefixes,
 )
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
-_PART_RE = re.compile(r'"[^"]*"|\S+')
+# an optional leading +/- operator composes with every token shape:
+# quoted phrase, wildcard pattern, or plain term
+_PART_RE = re.compile(r'[+-]?"[^"]*"|\S+')
 
 
 @dataclass
 class QuerySpec:
     """Parsed query: scoring tf per raw text fragment is resolved at
-    plan time (tokenization depends on the index's stem flag)."""
+    plan time (tokenization depends on the index's stem flag).
+
+    Operator × shape matrix (every combination is defined — a silently
+    mis-binned operator would produce confidently wrong constraints):
+    * term: optional scores; ``+`` also requires it; ``-`` excludes it
+      (no score).
+    * ``"phrase"``: a phrase is a required adjacency constraint whose
+      terms score — ``+"..."`` is therefore the same thing; ``-"..."``
+      excludes docs containing the phrase (terms do NOT score).
+    * ``pre*``: expansions score; ``+pre*`` additionally requires ≥1
+      expansion to match; ``-pre*`` excludes docs matching ANY
+      expansion (no score).
+    """
 
     optional: list[str] = field(default_factory=list)   # raw fragments
     required: list[str] = field(default_factory=list)
     excluded: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)    # without quotes
+    neg_phrases: list[str] = field(default_factory=list)
     prefixes: dict[str, int] = field(default_factory=dict)
+    required_prefixes: list[str] = field(default_factory=list)
+    excluded_prefixes: list[str] = field(default_factory=list)
 
 
 def parse_query(q: str) -> QuerySpec:
     spec = QuerySpec()
     for part in _PART_RE.findall(q or ""):
+        op = ""
+        if part[:1] in "+-" and len(part) > 1:
+            op, part = part[0], part[1:]
         if part.startswith('"') and part.endswith('"') and len(part) >= 2:
             body = part[1:-1].strip()
-            if body:
-                spec.phrases.append(body)
-        elif part.startswith("+") and len(part) > 1:
-            spec.required.append(part[1:])
-        elif part.startswith("-") and len(part) > 1:
-            spec.excluded.append(part[1:])
-        else:
-            m = _PATTERN_RE.fullmatch(part.lower())
-            if m:
-                p = m.group(1)
-                spec.prefixes[p] = spec.prefixes.get(p, 0) + 1
+            if not body:
+                continue
+            (spec.neg_phrases if op == "-" else spec.phrases).append(body)
+            continue
+        m = _PATTERN_RE.fullmatch(part.lower())
+        if m:
+            p = m.group(1)
+            if op == "-":
+                spec.excluded_prefixes.append(p)
             else:
-                spec.optional.append(part)
+                spec.prefixes[p] = spec.prefixes.get(p, 0) + 1
+                if op == "+":
+                    spec.required_prefixes.append(p)
+            continue
+        if op == "+":
+            spec.required.append(part)
+        elif op == "-":
+            spec.excluded.append(part)
+        else:
+            # bare '+'/'-' fall through here with op == "" (a lone sign
+            # is a term that tokenizes to nothing)
+            spec.optional.append(part)
     return spec
 
 
@@ -150,30 +189,53 @@ def bm25_topk_qlang(
     spec = parse_query(q)
     qtf, required, excluded = resolve_terms(spec, do_stem)
 
-    added, exp_df = expand_prefixes(pidx, spec.prefixes, max_expansions)
+    added, exp_df, per_prefix = expand_prefixes(
+        pidx, spec.prefixes, max_expansions
+    )
     for t, inst in added.items():
         qtf[t] = qtf.get(t, 0) + inst
+    if any(not per_prefix.get(p) for p in spec.required_prefixes):
+        return empty  # a required pattern with zero expansions
 
     term_df = pidx.df_for_terms(sorted(set(qtf) | set(required)))
     term_df.update(exp_df)
     if any(term_df.get(t, 0) == 0 for t in required):
         return empty  # a required term the corpus never saw
-    weights = {
-        t: qtf[t] * py_idf(pidx.n_docs, term_df[t])
-        for t in qtf
-        if term_df.get(t, 0) > 0
-    }
+    weights = idf_weights(qtf, term_df, pidx.n_docs)
     if not weights:
         return empty
 
     matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
     posts = decode_matched(matched)
 
+    def phrase_docs(ph: str):
+        """doc_ord set matching the exact phrase, or None if the phrase
+        has no searchable terms (constraint vacuously satisfied)."""
+        offs = phrase_offsets(ph, do_stem=do_stem)
+        if not offs:
+            return None
+        base = offs[0][1]
+        rel = [(t, o - base) for t, o in offs]
+        pivoted, col_of = _pivot_positions(pidx, sorted({t for t, _ in rel}))
+        first = F.col(col_of[rel[0][0]])
+        return pivoted.filter(
+            F.size(F.filter(first, _phrase_pred(rel, col_of))) > 0
+        ).select("doc_ord")
+
     candidates = posts
     # required-term semi-joins: one doc_ord set per required term
     for t in required:
         have = (
             posts.filter(F.col("term") == t).select("doc_ord").distinct()
+        )
+        candidates = candidates.join(have, "doc_ord", "left_semi")
+    # required patterns: the doc must match ≥1 of the pattern's
+    # (capped, scoring) expansions
+    for p in spec.required_prefixes:
+        have = (
+            posts.filter(F.col("term").isin(per_prefix[p]))
+            .select("doc_ord")
+            .distinct()
         )
         candidates = candidates.join(have, "doc_ord", "left_semi")
     # excluded-term anti-joins (excluded terms may be outside the
@@ -187,26 +249,25 @@ def bm25_topk_qlang(
         src = posts if t in weights else extra
         have = src.filter(F.col("term") == t).select("doc_ord").distinct()
         candidates = candidates.join(have, "doc_ord", "left_anti")
+    # excluded patterns: drop docs containing ANY term with the prefix
+    # (uncapped — exclusion must not depend on an expansion cap); the
+    # StartsWith filter pushes to the metadata scan
+    for p in spec.excluded_prefixes:
+        have = (
+            decode_matched(pidx.index.filter(F.col("term").startswith(p)))
+            .select("doc_ord")
+            .distinct()
+        )
+        candidates = candidates.join(have, "doc_ord", "left_anti")
     # phrase constraints: match_count >= 1 via the positional pivot
     for ph in spec.phrases:
-        offs = phrase_offsets(ph, do_stem=do_stem)
-        if not offs:
-            continue
-        base = offs[0][1]
-        rel = [(t, o - base) for t, o in offs]
-        uniq = sorted({t for t, _ in rel})
-        pivoted, col_of = _pivot_positions(pidx, uniq)
-        first = F.col(col_of[rel[0][0]])
-        ph_docs = (
-            pivoted.filter(
-                F.size(F.filter(first, _phrase_pred(rel, col_of))) > 0
-            )
-            .select("doc_ord")
-        )
-        candidates = candidates.join(ph_docs, "doc_ord", "left_semi")
+        ph_docs = phrase_docs(ph)
+        if ph_docs is not None:
+            candidates = candidates.join(ph_docs, "doc_ord", "left_semi")
+    for ph in spec.neg_phrases:
+        ph_docs = phrase_docs(ph)
+        if ph_docs is not None:
+            candidates = candidates.join(ph_docs, "doc_ord", "left_anti")
 
     topk = score_topk(spark, candidates, weights, pidx.avgdl, ["doc_ord"], k)
-    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
-        "conv_id", "turn_idx", "score"
-    )
-    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
+    return resolve_topk_keys(pidx, topk)

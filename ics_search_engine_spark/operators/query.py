@@ -57,6 +57,31 @@ def query_weights(query: str, term_df: dict[str, int], n_docs: int,
     }
 
 
+def idf_weights(
+    qtf: dict[str, int], term_df: dict[str, int], n_docs: int
+) -> dict[str, float]:
+    """term -> qtf × idf for terms the corpus has seen — the one
+    weight formula every query surface (packed/wildcard/fuzzy/MLT/
+    qlang, Spark and serving tiers) shares, so the tested bit-parity
+    contract has a single definition."""
+    return {
+        t: qtf[t] * py_idf(n_docs, term_df[t])
+        for t in qtf
+        if term_df.get(t, 0) > 0
+    }
+
+
+def resolve_topk_keys(pidx, topk: DataFrame) -> DataFrame:
+    """(doc_ord, score) winners (≤ k rows, broadcast) → (conv_id,
+    turn_idx, score) in presentation order — the shared resolve tail of
+    every packed top-k surface."""
+    return (
+        pidx.docmap.join(F.broadcast(topk), "doc_ord")
+        .select("conv_id", "turn_idx", "score")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+    )
+
+
 def bm25_contrib_col(avgdl: float) -> F.Column:
     """w * tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avgdl)) with the exact
     oracle operation order (oracle/bm25.py bm25_contribution)."""
@@ -565,7 +590,4 @@ def bm25_topk_packed(spark: SparkSession, pidx, query: str, k: int = 10
     # doc_ord is the global rank of (conv_id, turn_idx) ascending, so the
     # doc_ord tie-break is EXACTLY the oracle's docID tie-break.
     topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
-    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
-        "conv_id", "turn_idx", "score"
-    )
-    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
+    return resolve_topk_keys(pidx, topk)

@@ -29,18 +29,18 @@ TakeOrderedAndProject.  Nothing new shuffles.
 from __future__ import annotations
 
 import re
-from functools import reduce
-from operator import or_
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from oracle.bm25 import idf as py_idf
 from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
     decode_matched,
 )
-from ics_search_engine_spark.operators.query import score_topk
+from ics_search_engine_spark.operators.query import (
+    idf_weights,
+    resolve_topk_keys,
+    score_topk,
+)
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
 _PATTERN_RE = re.compile(r"([a-z0-9]+)\*")
@@ -65,25 +65,34 @@ def expand_prefixes(
     pidx: PackedIndex,
     prefixes: dict[str, int],
     max_expansions: int = 1024,
-) -> tuple[dict[str, int], dict[str, int]]:
-    """One pushed-down term_stats scan for ALL patterns → (term ->
-    added qtf, term -> df).  Caps each pattern at the ``max_expansions``
-    (df desc, term asc) heaviest matching terms."""
-    if not prefixes:
-        return {}, {}
-    cond = reduce(or_, [F.col("term").startswith(p) for p in prefixes])
-    rows = pidx.term_stats.filter(cond).select("term", "df").collect()
+) -> tuple[dict[str, int], dict[str, int], dict[str, list[str]]]:
+    """Pushed-down term_stats expansion for the patterns → (term ->
+    added qtf, term -> df, pattern -> its selected terms).
+
+    One TakeOrderedAndProject job per pattern: the (df desc, term asc)
+    cap applies INSIDE Spark, so at most ``max_expansions`` rows per
+    pattern ever cross to the driver — a promiscuous prefix ('s*' over
+    a 10^8-term vocabulary) costs a metadata scan, not a driver OOM.
+    """
     added: dict[str, int] = {}
     dfs: dict[str, int] = {}
+    per_prefix: dict[str, list[str]] = {}
     for p, inst in prefixes.items():
-        matches = sorted(
-            ((r["term"], r["df"]) for r in rows if r["term"].startswith(p)),
-            key=lambda x: (-x[1], x[0]),
-        )[:max_expansions]
-        for t, df in matches:
+        rows = (
+            pidx.term_stats.filter(F.col("term").startswith(p))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term", "df")
+            .collect()
+        )
+        terms: list[str] = []
+        for r in rows:
+            t, d = r["term"], int(r["df"])
             added[t] = added.get(t, 0) + inst
-            dfs[t] = df
-    return added, dfs
+            dfs[t] = d
+            terms.append(t)
+        per_prefix[p] = terms
+    return added, dfs, per_prefix
 
 
 def bm25_topk_wildcard(
@@ -107,23 +116,16 @@ def bm25_topk_wildcard(
         qtf[t] = qtf.get(t, 0) + 1
     term_df = pidx.df_for_terms(sorted(qtf))
 
-    added, exp_df = expand_prefixes(pidx, prefixes, max_expansions)
+    added, exp_df, _ = expand_prefixes(pidx, prefixes, max_expansions)
     for t, inst in added.items():
         qtf[t] = qtf.get(t, 0) + inst
     term_df.update(exp_df)
 
-    weights = {
-        t: qtf[t] * py_idf(pidx.n_docs, term_df[t])
-        for t in qtf
-        if term_df.get(t, 0) > 0
-    }
+    weights = idf_weights(qtf, term_df, pidx.n_docs)
     if not weights:
         return empty
 
     matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
     posts = decode_matched(matched)
     topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
-    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
-        "conv_id", "turn_idx", "score"
-    )
-    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
+    return resolve_topk_keys(pidx, topk)

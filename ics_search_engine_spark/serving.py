@@ -247,6 +247,9 @@ class LocalIndexServer:
             for i in sel
         ]
 
+    # position-key LRU size (terms): entries are occurrence-sized
+    POSKEY_CACHE_TERMS = 256
+
     # decoded-postings LRU size (terms) — the serving analog of the
     # reference's @lru_cache(1000) on get_postings
     # (/root/reference/search.py:53, utils/constants.py:30); repeat and
@@ -500,25 +503,32 @@ class LocalIndexServer:
         proximity matching into whole-array searchsorted probes instead
         of a per-doc Python loop (positions are bounded by turn length,
         far below 2^32, so the key order is (doc, pos) lexicographic).
-        Memoized per term: serving is a long-lived process, the analog
+        LRU-memoized per term (position keys are occurrence-sized —
+        bigger than the df-sized _decoded entries — so they get their
+        own, smaller cap): serving is a long-lived process, the analog
         of the reference's postings lru_cache
         (/root/reference/search.py:53)."""
+        import collections
+
+        # stats.json records the build flag — a positionless payload
+        # would otherwise surface as a cryptic codec error mid-decode
+        if not self.stats.get("with_positions", True):
+            raise ValueError(
+                "index was built without positions "
+                "(build_packed_index(with_positions=True))"
+            )
         cache = getattr(self, "_poskey_cache", None)
         if cache is None:
-            cache = self._poskey_cache = {}
+            cache = self._poskey_cache = collections.OrderedDict()
         hit = cache.get(term)
         if hit is not None:
+            cache.move_to_end(term)
             return hit
         parts: list[np.ndarray] = []
         for _shard, _maxtfn, payload in self.postings.get(term, ()):
             d, _tf, _dl, poss = unpack_postings(
                 bytes(payload), with_positions=True
             )
-            if poss is None:
-                raise ValueError(
-                    "index was built without positions "
-                    "(build_packed_index(with_positions=True))"
-                )
             if not len(d):
                 continue
             lens = np.fromiter(
@@ -535,6 +545,8 @@ class LocalIndexServer:
         )
         keys.sort(kind="stable")
         cache[term] = keys
+        if len(cache) > self.POSKEY_CACHE_TERMS:
+            cache.popitem(last=False)
         return keys
 
     def _rank_counts(
@@ -638,7 +650,7 @@ class LocalIndexServer:
         across literal + covering patterns).  Expansion scans the
         driver-resident term dictionary — the serving analog of the
         pushed-down StartsWith metadata job."""
-        from oracle.bm25 import idf as py_idf
+        from ics_search_engine_spark.operators.query import idf_weights
         from ics_search_engine_spark.operators.wildcard import (
             parse_wildcard_query,
         )
@@ -653,12 +665,7 @@ class LocalIndexServer:
             for t, d in self._terms().expand(p, max_expansions):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
-        weights = {
-            t: qtf[t] * py_idf(self.n_docs, term_df[t])
-            for t in qtf
-            if term_df.get(t, 0) > 0
-        }
-        return self.score_with(weights, k)
+        return self.score_with(idf_weights(qtf, term_df, self.n_docs), k)
 
     def search_fuzzy(
         self, query: str, k: int = 10, max_dist: int = 2,
@@ -667,8 +674,8 @@ class LocalIndexServer:
         """Fuzzy serving — identical semantics to
         operators/fuzzy.bm25_topk_fuzzy (same stem-first probe, same
         (dist asc, df desc, term asc) cap, flat qtf×idf weights)."""
-        from oracle.bm25 import idf as py_idf
         from ics_search_engine_spark.operators.fuzzy import select_matches
+        from ics_search_engine_spark.operators.query import idf_weights
 
         do_stem = self.stats.get("stem", True)
         probes: dict[str, int] = {}
@@ -681,12 +688,7 @@ class LocalIndexServer:
             for t, d in select_matches(td.fuzzy(p, max_dist), max_matches):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
-        weights = {
-            t: qtf[t] * py_idf(self.n_docs, term_df[t])
-            for t in qtf
-            if term_df.get(t, 0) > 0
-        }
-        return self.score_with(weights, k)
+        return self.score_with(idf_weights(qtf, term_df, self.n_docs), k)
 
     def more_like_this(
         self,
@@ -712,9 +714,9 @@ class LocalIndexServer:
             return []
         if exclude is None:
             return self.score_with(weights, k)
-        mask = np.ones(self.n_docs, dtype=bool)
-        excl_mask = self._allowed_mask([exclude])
-        mask &= ~excl_mask
+        # _allowed_mask returns a fresh array for key iterables, so the
+        # in-place negation aliases nothing
+        mask = ~self._allowed_mask([exclude])
         return self.score_with(weights, k, allowed_mask=mask)
 
     def _presence_mask(self, term: str) -> np.ndarray:
@@ -738,15 +740,16 @@ class LocalIndexServer:
         allowed=None,
     ) -> list[tuple[str, int, float]]:
         """Evaluate a query-language string (+required -excluded
-        "exact phrase" wild* term) — identical results to the Spark
+        "exact phrase" wild* term, operators composing with phrases and
+        patterns) — identical results to the Spark
         operators/qlang.bm25_topk_qlang (same parse, same resolve, same
         global-stats posture; constraints compose as doc masks here
         instead of semi/anti joins)."""
-        from oracle.bm25 import idf as py_idf
         from ics_search_engine_spark.operators.qlang import (
             parse_query,
             resolve_terms,
         )
+        from ics_search_engine_spark.operators.query import idf_weights
 
         do_stem = self.stats.get("stem", True)
         spec = parse_query(q)
@@ -756,17 +759,18 @@ class LocalIndexServer:
             for t in set(qtf) | set(required)
             if t in self.df
         }
+        per_prefix: dict[str, list[str]] = {}
         for p, inst in spec.prefixes.items():
-            for t, d in self._terms().expand(p, max_expansions):
+            terms = self._terms().expand(p, max_expansions)
+            per_prefix[p] = [t for t, _ in terms]
+            for t, d in terms:
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
+        if any(not per_prefix.get(p) for p in spec.required_prefixes):
+            return []
         if any(term_df.get(t, 0) == 0 for t in required):
             return []
-        weights = {
-            t: qtf[t] * py_idf(self.n_docs, term_df[t])
-            for t in qtf
-            if term_df.get(t, 0) > 0
-        }
+        weights = idf_weights(qtf, term_df, self.n_docs)
         if not weights:
             return []
 
@@ -778,16 +782,37 @@ class LocalIndexServer:
             nonlocal mask
             mask = m if mask is None else (mask & m)
 
+        def union_presence(terms: list[str]) -> np.ndarray:
+            m = np.zeros(self.n_docs, dtype=bool)
+            for t in terms:
+                m |= self._presence_mask(t)
+            return m
+
         for t in required:
             and_mask(self._presence_mask(t))
+        for p in spec.required_prefixes:
+            and_mask(union_presence(per_prefix[p]))
         for t in excluded:
             and_mask(~self._presence_mask(t))
+        for p in spec.excluded_prefixes:
+            # uncapped, like the Spark path: exclusion must not depend
+            # on the expansion cap
+            and_mask(~union_presence(
+                [t for t, _ in self._terms().expand(p, 1 << 31)]
+            ))
         for ph in spec.phrases:
             hit = self._phrase_counts(ph)
             if hit is None:
                 continue
             m = np.zeros(self.n_docs, dtype=bool)
             m[hit[0]] = True
+            and_mask(m)
+        for ph in spec.neg_phrases:
+            hit = self._phrase_counts(ph)
+            if hit is None:
+                continue
+            m = np.ones(self.n_docs, dtype=bool)
+            m[hit[0]] = False
             and_mask(m)
         return self.score_with(weights, k, allowed_mask=mask)
 
@@ -914,7 +939,7 @@ class LocalSegmentedServer:
         """Identical to serving a compacted index: expansion selects on
         the UNION dictionary's summed df (a per-segment cap could pick
         different terms than the compacted index would)."""
-        from oracle.bm25 import idf as py_idf
+        from ics_search_engine_spark.operators.query import idf_weights
         from ics_search_engine_spark.operators.wildcard import (
             parse_wildcard_query,
         )
@@ -929,11 +954,7 @@ class LocalSegmentedServer:
             for t, d in self._terms().expand(p, max_expansions):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
-        weights = {
-            t: qtf[t] * py_idf(self.n_docs, term_df[t])
-            for t in qtf
-            if term_df.get(t, 0) > 0
-        }
+        weights = idf_weights(qtf, term_df, self.n_docs)
         if not weights:
             return []
         merged: list[tuple[str, int, float]] = []
@@ -947,11 +968,11 @@ class LocalSegmentedServer:
         """Query language over the LSM: weights from global stats;
         +/-/phrase constraints evaluate per segment (a doc's terms and
         positions live entirely in its segment)."""
-        from oracle.bm25 import idf as py_idf
         from ics_search_engine_spark.operators.qlang import (
             parse_query,
             resolve_terms,
         )
+        from ics_search_engine_spark.operators.query import idf_weights
 
         spec = parse_query(q)
         qtf, required, excluded = resolve_terms(spec, self.stem)
@@ -959,34 +980,56 @@ class LocalSegmentedServer:
         term_df = {
             t: gdf[t] for t in set(qtf) | set(required) if t in gdf
         }
+        per_prefix: dict[str, list[str]] = {}
         for p, inst in spec.prefixes.items():
-            for t, d in self._terms().expand(p, max_expansions):
+            terms = self._terms().expand(p, max_expansions)
+            per_prefix[p] = [t for t, _ in terms]
+            for t, d in terms:
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
+        if any(not per_prefix.get(p) for p in spec.required_prefixes):
+            return []
         if any(term_df.get(t, 0) == 0 for t in required):
             return []
-        weights = {
-            t: qtf[t] * py_idf(self.n_docs, term_df[t])
-            for t in qtf
-            if term_df.get(t, 0) > 0
-        }
+        weights = idf_weights(qtf, term_df, self.n_docs)
         if not weights:
             return []
+        excl_terms_by_prefix = {
+            p: [t for t, _ in self._terms().expand(p, 1 << 31)]
+            for p in spec.excluded_prefixes
+        }
         merged: list[tuple[str, int, float]] = []
         for s in self.servers:
-            mask = None
+            masks: list[np.ndarray] = []
+
+            def union_presence(terms):
+                m = np.zeros(s.n_docs, dtype=bool)
+                for t in terms:
+                    m |= s._presence_mask(t)
+                return m
+
             for t in required:
-                m = s._presence_mask(t)
-                mask = m if mask is None else (mask & m)
+                masks.append(s._presence_mask(t))
+            for p in spec.required_prefixes:
+                masks.append(union_presence(per_prefix[p]))
             for t in excluded:
-                m = ~s._presence_mask(t)
-                mask = m if mask is None else (mask & m)
+                masks.append(~s._presence_mask(t))
+            for p in spec.excluded_prefixes:
+                masks.append(~union_presence(excl_terms_by_prefix[p]))
             for ph in spec.phrases:
                 hit = s._phrase_counts(ph)
-                if hit is None:
-                    continue
-                m = np.zeros(s.n_docs, dtype=bool)
-                m[hit[0]] = True
+                if hit is not None:
+                    m = np.zeros(s.n_docs, dtype=bool)
+                    m[hit[0]] = True
+                    masks.append(m)
+            for ph in spec.neg_phrases:
+                hit = s._phrase_counts(ph)
+                if hit is not None:
+                    m = np.ones(s.n_docs, dtype=bool)
+                    m[hit[0]] = False
+                    masks.append(m)
+            mask = None
+            for m in masks:
                 mask = m if mask is None else (mask & m)
             merged.extend(
                 s.score_with(weights, k, avgdl=self.avgdl,

@@ -26,6 +26,11 @@ QUERIES = [
     "-the machine",                        # stop-word exclusion ignored
     '"machine learning" -machine',         # phrase then excluded anchor
     "s* -spark",                           # expansion minus one term
+    '-"machine learning" machine',         # NEGATED phrase
+    '+"machine learning" spark',           # + on a phrase == phrase
+    "+mach* learning",                     # required pattern
+    "+zzz* machine",                       # required pattern, no matches
+    "-mach* learning spark",               # excluded pattern
 ]
 
 
@@ -53,13 +58,17 @@ def _oracle_qlang(rows, q, k=10, max_expansions=1024):
     idx = oracle.build_index(rows)
     spec = parse_query(q)
     qtf, required, excluded = resolve_terms(spec, do_stem=True)
+    per_prefix: dict[str, list[str]] = {}
     for p, inst in spec.prefixes.items():
         matches = sorted(
             ((t, idx.df(t)) for t in idx.postings if t.startswith(p)),
             key=lambda x: (-x[1], x[0]),
         )[:max_expansions]
+        per_prefix[p] = [t for t, _ in matches]
         for t, _ in matches:
             qtf[t] = qtf.get(t, 0) + inst
+    if any(not per_prefix.get(p) for p in spec.required_prefixes):
+        return []
     if any(idx.df(t) == 0 for t in required):
         return []
     weights = {t: qtf[t] for t in qtf if idx.df(t) > 0}
@@ -75,12 +84,25 @@ def _oracle_qlang(rows, q, k=10, max_expansions=1024):
     docs = set(scores)
     for t in required:
         docs &= set(idx.postings.get(t, {}))
+    for p in spec.required_prefixes:
+        hit = set()
+        for t in per_prefix[p]:
+            hit |= set(idx.postings.get(t, {}))
+        docs &= hit
     for t in excluded:
         docs -= set(idx.postings.get(t, {}))
+    for p in spec.excluded_prefixes:
+        for t in idx.postings:           # uncapped, like the engines
+            if t.startswith(p):
+                docs -= set(idx.postings[t])
     for ph in spec.phrases:
         pd = _phrase_docs(idx, ph)
         if pd is not None:
             docs &= pd
+    for ph in spec.neg_phrases:
+        pd = _phrase_docs(idx, ph)
+        if pd is not None:
+            docs -= pd
     ranked = sorted(((d, scores[d]) for d in docs),
                     key=lambda kv: (-kv[1], kv[0]))
     return [(c, t, s) for (c, t), s in ranked[:k]]
@@ -106,6 +128,20 @@ class TestParse:
     def test_bare_signs_are_terms(self):
         spec = parse_query("+ - x")
         assert spec.optional == ["+", "-", "x"]
+        assert not spec.required and not spec.excluded
+
+    def test_operators_compose_with_phrases(self):
+        spec = parse_query('-"batch window" +"a b" spark')
+        assert spec.neg_phrases == ["batch window"]
+        assert spec.phrases == ["a b"]      # +phrase == phrase
+        assert spec.optional == ["spark"]
+        assert not spec.excluded            # NOT excluded=['batch']!
+
+    def test_operators_compose_with_patterns(self):
+        spec = parse_query("+mach* -str* s*")
+        assert spec.prefixes == {"mach": 1, "s": 1}
+        assert spec.required_prefixes == ["mach"]
+        assert spec.excluded_prefixes == ["str"]
         assert not spec.required and not spec.excluded
 
 

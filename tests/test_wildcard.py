@@ -109,13 +109,14 @@ class TestWildcardSearch:
     def test_expansion_selects_heaviest_by_df(self, spark, setup):
         pidx, rows = setup
         idx = oracle.build_index(rows)
-        added, dfs = expand_prefixes(pidx, {"s": 1}, max_expansions=3)
+        added, dfs, per = expand_prefixes(pidx, {"s": 1}, max_expansions=3)
         expect = sorted(
             ((t, idx.df(t)) for t in idx.postings if t.startswith("s")),
             key=lambda x: (-x[1], x[0]),
         )[:3]
         assert sorted(added) == sorted(t for t, _ in expect)
         assert all(dfs[t] == d for t, d in expect)
+        assert set(per["s"]) == {t for t, _ in expect}
 
     def test_prefix_pushdown_in_plan(self, spark, setup):
         pidx, _ = setup
