@@ -1536,6 +1536,50 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/textstats.term_cooccurrence): PMI
+    of term pairs over document-level presence, vocabulary pruned to
+    the df-heaviest terms before the pair join.  Top-20 by rounded PMI;
+    ordering on the ROUNDED value in both engines."""
+    from ics_search_engine_spark.operators.textstats import (
+        term_cooccurrence,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", toks_col().alias("toks")
+    )
+    pairs = term_cooccurrence(toks, top_v=100, min_pairs=5)
+    return (
+        pairs.select(
+            "t1", "t2", "n_pair", F.round("pmi", 6).alias("pmi_r6")
+        )
+        .orderBy(F.desc("pmi_r6"), "t1", "t2")
+        .limit(20)
+    )
+
+
+_SQL_PMI = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n FROM t),
+pres AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+dfs AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS n_pair
+  FROM pres a JOIN pres b USING (doc_id)
+  WHERE a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 5
+)
+SELECT p.t1, p.t2, p.n_pair,
+       round(ln(p.n_pair * n.n / (d1.df * d2.df)), 6) AS pmi_r6
+FROM pairs p
+JOIN dfs d1 ON d1.term = p.t1
+JOIN dfs d2 ON d2.term = p.t2
+CROSS JOIN n
+ORDER BY pmi_r6 DESC, p.t1, p.t2 LIMIT 20
+"""
+
+
 def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENTED engine with point-lookup resolution under the
     DuckDB gate: the documents table splits into two segments (whole
@@ -2297,6 +2341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snippets_engine": q_snippets_engine,
     "qlang_engine": q_qlang_engine,
     "bm25_fuzzy_engine": q_bm25_fuzzy_engine,
+    "term_pmi_pairs": q_term_pmi_pairs,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2341,6 +2386,7 @@ ORACLE_SQL: dict[str, str] = {
     "snippets_engine": _SQL_SNIPPETS,
     "qlang_engine": _SQL_QLANG,
     "bm25_fuzzy_engine": _SQL_FUZZY,
+    "term_pmi_pairs": _SQL_PMI,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,

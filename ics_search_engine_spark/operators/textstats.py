@@ -129,3 +129,70 @@ def rolling_fingerprint(transcripts: DataFrame, n: int = 3) -> DataFrame:
         ),
     ).otherwise(F.lit(None).cast("long"))
     return transcripts.select(*DOC_KEY, fp.alias("fingerprint"))
+
+
+def term_cooccurrence(
+    tokens_df: DataFrame,
+    top_v: int = 10_000,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of term PAIRS co-occurring in a
+    document → (t1, t2, n_pair, pmi), t1 < t2.
+
+    The collocation statistic a training-data pipeline uses to find
+    multiword expressions and template boilerplate; the reference has
+    no corpus-level term analytics at all (its only aggregate is df,
+    /root/reference/components/index_manager.py:39).
+
+    PMI(a,b) = ln( n_ab · N / (n_a · n_b) ) over DOCUMENT-level
+    presence counts (tf ignored), pairs with n_ab < ``min_pairs``
+    dropped.
+
+    Scale: naive pair mining is O(doc_len²) per doc and vocabulary² in
+    the worst case, so the vocabulary is pruned FIRST to the ``top_v``
+    df-heaviest terms (broadcast set, the only collect — ≤ top_v rows);
+    pair counting is then one self-join of the distinct (doc, term)
+    relation on doc_id with t1 < t2 — a hash join whose per-doc fan-out
+    is bounded by |doc ∩ top_v|², followed by a hash-agg rollup.  No
+    driver-side row processing.
+
+    ``tokens_df``: (doc_id, toks array<string>) — pass index-mode
+    tokens for parity with the rest of the engine.
+    """
+    pres = tokens_df.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    n_docs = tokens_df.count()
+    dfs = pres.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = dfs.orderBy(F.desc("df"), F.asc("term")).limit(top_v)
+    pres_v = pres.join(F.broadcast(vocab), "term").select(
+        "doc_id", "term", "df"
+    )
+    left = pres_v.select(
+        "doc_id",
+        F.col("term").alias("t1"),
+        F.col("df").alias("df1"),
+    )
+    right = pres_v.select(
+        "doc_id",
+        F.col("term").alias("t2"),
+        F.col("df").alias("df2"),
+    )
+    pairs = (
+        left.join(right, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count("*").alias("n_pair"),
+            F.first("df1").alias("df1"),
+            F.first("df2").alias("df2"),
+        )
+        .filter(F.col("n_pair") >= min_pairs)
+    )
+    pmi = F.log(
+        F.col("n_pair").cast("double") * F.lit(float(n_docs))
+        / (F.col("df1").cast("double") * F.col("df2").cast("double"))
+    )
+    return pairs.select(
+        "t1", "t2", "n_pair", pmi.alias("pmi")
+    ).orderBy(F.desc("pmi"), "t1", "t2")

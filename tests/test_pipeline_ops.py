@@ -665,3 +665,55 @@ def test_multimodal_null_payload_does_not_crash(spark):
     out = {r["media_id"]: r for r in resize_stub(media, 4, 2).collect()}
     assert len(bytes(out["m0"]["payload"])) == 8  # deterministic fake
     assert out["m1"]["payload"] is None  # non-image passthrough
+
+
+class TestTermCooccurrence:
+    def test_matches_python_transcription(self, spark):
+        import math
+
+        from ics_search_engine_spark.operators.textstats import (
+            term_cooccurrence,
+        )
+
+        rows = [
+            (0, ["a", "b", "c"]),
+            (1, ["a", "b"]),
+            (2, ["a", "b", "b", "d"]),   # duplicate b: presence counts once
+            (3, ["b", "c"]),
+            (4, ["a", "c"]),
+            (5, ["a", "b", "c"]),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+        got = {
+            (r["t1"], r["t2"]): (r["n_pair"], round(r["pmi"], 9))
+            for r in term_cooccurrence(df, top_v=10, min_pairs=2).collect()
+        }
+        pres = {d: set(t) for d, t in rows}
+        dfs: dict[str, int] = {}
+        for s in pres.values():
+            for t in s:
+                dfs[t] = dfs.get(t, 0) + 1
+        expect = {}
+        terms = sorted(dfs)
+        for i, a in enumerate(terms):
+            for b in terms[i + 1:]:
+                n_ab = sum(1 for s in pres.values() if a in s and b in s)
+                if n_ab >= 2:
+                    expect[(a, b)] = (
+                        n_ab,
+                        round(
+                            math.log(n_ab * len(rows) / (dfs[a] * dfs[b])), 9
+                        ),
+                    )
+        assert got == expect
+
+    def test_top_v_prunes_vocabulary(self, spark):
+        from ics_search_engine_spark.operators.textstats import (
+            term_cooccurrence,
+        )
+
+        rows = [(i, ["hot", "warm", f"rare{i}"]) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+        got = term_cooccurrence(df, top_v=2, min_pairs=2).collect()
+        # only the two df-heaviest terms survive pruning
+        assert {(r["t1"], r["t2"]) for r in got} == {("hot", "warm")}
