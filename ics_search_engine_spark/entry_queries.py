@@ -1580,6 +1580,67 @@ ORDER BY pmi_r6 DESC, p.t1, p.t2 LIMIT 20
 """
 
 
+def q_bm25_boosted_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-boosted BM25 (operators/query.bm25_topk_boosted) — the
+    reference's importance weighting (weighted_tf = tf × (1 +
+    importance), index_manager.py:48) re-expressed over transcript
+    roles: user turns boost 1.0, assistant turns 0.0; global stats stay
+    unweighted, exactly like the reference's."""
+    from ics_search_engine_spark.operators import index_build as ib
+    from ics_search_engine_spark.operators.query import bm25_topk_boosted
+
+    docs = _docs(spark, sf_dir)
+    tr = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("text"),
+    )
+    toks = ib.tokenized(tr, stem=False)
+    posts = ib.postings(toks, with_positions=False)
+    n, avgdl = ib.corpus_stats(toks)
+    boosts = tr.select(
+        "conv_id", "turn_idx",
+        F.when(F.col("role") == "user", 1.0).otherwise(0.0).alias("boost"),
+    )
+    top = bm25_topk_boosted(
+        spark, posts, boosts, " ".join(DOCS_QUERY_TERMS), n, avgdl, k=60
+    ).collect()
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, bm25_r6 double"
+    )
+
+
+_SQL_BM25_BOOSTED = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * ((p.tf * (CASE WHEN p.doc_id % 2 = 0 THEN 2.0 ELSE 1.0 END))
+            * 2.2
+            / ((p.tf * (CASE WHEN p.doc_id % 2 = 0 THEN 2.0 ELSE 1.0 END))
+               + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_bm25_engine_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SEGMENTED engine with point-lookup resolution under the
     DuckDB gate: the documents table splits into two segments (whole
@@ -2342,6 +2403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qlang_engine": q_qlang_engine,
     "bm25_fuzzy_engine": q_bm25_fuzzy_engine,
     "term_pmi_pairs": q_term_pmi_pairs,
+    "bm25_boosted_roles": q_bm25_boosted_roles,
     "blend_rank": q_blend_rank,
     "blend_rank_repeated": q_blend_rank_repeated,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -2387,6 +2449,7 @@ ORACLE_SQL: dict[str, str] = {
     "qlang_engine": _SQL_QLANG,
     "bm25_fuzzy_engine": _SQL_FUZZY,
     "term_pmi_pairs": _SQL_PMI,
+    "bm25_boosted_roles": _SQL_BM25_BOOSTED,
     "blend_rank": _SQL_BLEND,
     "blend_rank_repeated": _SQL_BLEND_REPEATED,
     "bm25_conjunctive": _SQL_BM25_CONJ,

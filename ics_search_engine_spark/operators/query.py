@@ -501,6 +501,58 @@ def bm25_topk_multi(
     )
 
 
+def bm25_topk_boosted(
+    spark: SparkSession,
+    postings_df: DataFrame,
+    boosts: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    term_df: dict[str, int] | None = None,
+) -> DataFrame:
+    """Top-k BM25 with per-document boosts — the transcript analog of
+    the reference's tag-importance weighting (A3: weighted_tf =
+    tf × (1 + importance), /root/reference/components/
+    index_manager.py:48, token_processor.py:26-31): a turn's role
+    (or any doc attribute) scales its term frequencies before
+    saturation, so boosted turns rank higher WITHOUT touching global
+    stats (df, N, avgdl stay unweighted, like the reference's).
+
+    ``boosts``: DataFrame (conv_id, turn_idx, boost:double); missing
+    docs boost 0.0 (plain tf).  The join is doc-keyed (doc-count-sized
+    both sides, hash join); everything after is the unchanged
+    deterministic scoring fold.
+    """
+    q_terms = sorted(set(tokenize(query, for_query=True)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+    matched = postings_df.filter(F.col("term").isin(q_terms))
+    if term_df is None:
+        term_df = {
+            r["term"]: r["df"]
+            for r in matched.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+    weights = query_weights(query, term_df, n_docs)
+    if not weights:
+        return empty
+    boosted = (
+        matched.join(boosts, DOC_KEY, "left")
+        .withColumn(
+            "tf",
+            F.col("tf").cast("double")
+            * (F.lit(1.0) + F.coalesce(F.col("boost"), F.lit(0.0))),
+        )
+        .drop("boost")
+    )
+    return score_topk(spark, boosted, weights, avgdl, DOC_KEY, k)
+
+
 def bm25_explain(spark: SparkSession, pidx, query: str, k: int = 10
                  ) -> DataFrame:
     """Score EXPLANATION for the top-k docs: one row per (winner doc,

@@ -717,3 +717,61 @@ class TestTermCooccurrence:
         got = term_cooccurrence(df, top_v=2, min_pairs=2).collect()
         # only the two df-heaviest terms survive pruning
         assert {(r["t1"], r["t2"]) for r in got} == {("hot", "warm")}
+
+
+class TestBoostedBM25:
+    def test_zero_boost_equals_plain(self, spark, small_df):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators import index_build as ib
+        from ics_search_engine_spark.operators.query import (
+            bm25_topk,
+            bm25_topk_boosted,
+        )
+
+        toks = ib.tokenized(small_df)
+        posts = ib.postings(toks, with_positions=False).cache()
+        n, avgdl = ib.corpus_stats(toks)
+        zero = small_df.select(
+            "conv_id", "turn_idx", F.lit(0.0).alias("boost")
+        )
+        a = bm25_topk_boosted(
+            spark, posts, zero, "machine learning", n, avgdl, k=10
+        ).collect()
+        b = bm25_topk(spark, posts, "machine learning", n, avgdl, k=10
+                      ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_boost_monotonic_and_stats_global(self, spark, small_df):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators import index_build as ib
+        from ics_search_engine_spark.operators.query import (
+            bm25_topk,
+            bm25_topk_boosted,
+        )
+
+        toks = ib.tokenized(small_df)
+        posts = ib.postings(toks, with_positions=False).cache()
+        n, avgdl = ib.corpus_stats(toks)
+        plain = bm25_topk(spark, posts, "machine learning", n, avgdl, k=5
+                          ).collect()
+        target = (plain[2]["conv_id"], plain[2]["turn_idx"])
+        boosts = small_df.select(
+            "conv_id", "turn_idx",
+            F.when(
+                (F.col("conv_id") == target[0])
+                & (F.col("turn_idx") == target[1]),
+                5.0,
+            ).otherwise(0.0).alias("boost"),
+        )
+        boosted = bm25_topk_boosted(
+            spark, posts, boosts, "machine learning", n, avgdl, k=5
+        ).collect()
+        # the boosted doc climbs to the top...
+        assert (boosted[0]["conv_id"], boosted[0]["turn_idx"]) == target
+        # ...and every UNboosted doc keeps its exact plain score
+        plain_scores = {(r[0], r[1]): r[2] for r in plain}
+        for r in boosted:
+            if (r[0], r[1]) != target:
+                assert plain_scores.get((r[0], r[1]), r[2]) == r[2]
