@@ -963,6 +963,35 @@ class LocalSegmentedServer:
         merged.sort(key=lambda r: (-r[2], r[0], r[1]))
         return merged[:k]
 
+    def search_fuzzy(
+        self, query: str, k: int = 10, max_dist: int = 2,
+        max_matches: int = 8,
+    ) -> list[tuple[str, int, float]]:
+        """Fuzzy matching over the LSM — expansion against the UNION
+        dictionary (summed df), identical to serving a compacted
+        index."""
+        from ics_search_engine_spark.operators.fuzzy import select_matches
+        from ics_search_engine_spark.operators.query import idf_weights
+
+        probes: dict[str, int] = {}
+        for t in tokenize(query, for_query=True, do_stem=self.stem):
+            probes[t] = probes.get(t, 0) + 1
+        qtf: dict[str, int] = {}
+        term_df: dict[str, int] = {}
+        td = self._terms()
+        for p, inst in probes.items():
+            for t, d in select_matches(td.fuzzy(p, max_dist), max_matches):
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
+        weights = idf_weights(qtf, term_df, self.n_docs)
+        if not weights:
+            return []
+        merged: list[tuple[str, int, float]] = []
+        for s in self.servers:
+            merged.extend(s.score_with(weights, k, avgdl=self.avgdl))
+        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return merged[:k]
+
     def search_qlang(self, q: str, k: int = 10, max_expansions: int = 1024
                      ) -> list[tuple[str, int, float]]:
         """Query language over the LSM: weights from global stats;

@@ -72,3 +72,14 @@ class TestSegmentedWildcardQlang:
     def test_qlang_equals_compacted(self, setup, q):
         full, seg = setup
         assert seg.search_qlang(q, k=10) == full.search_qlang(q, k=10), q
+
+
+class TestSegmentedFuzzy:
+    @pytest.mark.parametrize("q", [
+        "machne learnng",
+        "machine learning",
+        "zzzzzzzzzz",
+    ])
+    def test_fuzzy_equals_compacted(self, setup, q):
+        full, seg = setup
+        assert seg.search_fuzzy(q, k=10) == full.search_fuzzy(q, k=10), q
