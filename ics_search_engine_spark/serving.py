@@ -39,7 +39,6 @@ import json
 import os
 
 import numpy as np
-import pyarrow.parquet as pq
 
 from ics_search_engine_spark.functions.codec import unpack_postings
 from ics_search_engine_spark.operators.packed_index import _tfn as _tfn_kernel
@@ -104,21 +103,16 @@ class LocalIndexServer:
     """Serve top-k BM25 from a packed index directory, no Spark."""
 
     def __init__(self, path: str):
-        from ics_search_engine_spark.sources.catalog import is_iceberg_layout
+        # read_arrow_table is snapshot-aware: plain parquet dirs read
+        # directly; Iceberg table dirs resolve the current snapshot's
+        # live file list through the metadata layer first (so stale /
+        # replaced data files are never misread)
+        from ics_search_engine_spark.sources.catalog import read_arrow_table
 
         self.path = path
-        for sub in ("index", "term_stats", "docmap"):
-            if is_iceberg_layout(os.path.join(path, sub)):
-                raise NotImplementedError(
-                    f"{path}/{sub} is an Iceberg table directory; the "
-                    "pyarrow serving tier cannot snapshot-filter it — "
-                    "serve through Spark, or read via pyiceberg, or "
-                    "build serving artifacts with "
-                    "SPARK_GRAFT_PATH_FORMAT=parquet"
-                )
         with open(os.path.join(path, "stats.json")) as f:
             self.stats = json.load(f)
-        idx = pq.read_table(
+        idx = read_arrow_table(
             f"{path}/index", columns=["term", "shard_id", "max_tfn", "payload"]
         )
         terms = idx.column("term").to_pylist()
@@ -128,11 +122,11 @@ class LocalIndexServer:
         self.postings: dict[str, list[tuple[int, float, bytes]]] = {}
         for t, s, m, p in zip(terms, shards, maxes, payloads):
             self.postings.setdefault(t, []).append((int(s), float(m), p))
-        ts = pq.read_table(f"{path}/term_stats")
+        ts = read_arrow_table(f"{path}/term_stats")
         self.df = dict(
             zip(ts.column("term").to_pylist(), ts.column("df").to_numpy())
         )
-        dm = pq.read_table(
+        dm = read_arrow_table(
             f"{path}/docmap", columns=["doc_ord", "conv_id", "turn_idx"]
         )
         order = np.argsort(dm.column("doc_ord").to_numpy(), kind="stable")

@@ -159,10 +159,12 @@ def test_path_format_is_explicit_not_inferred(
     assert not os.path.exists(tmp_path / "ice")
 
 
-def test_serving_refuses_iceberg_layout(tmp_path):
-    """The pyarrow serving tier must fail LOUDLY on an Iceberg table
-    directory (data/ + metadata/) instead of misreading snapshot data
-    files."""
+def test_serving_fails_loudly_on_broken_iceberg_layout(tmp_path):
+    """The pyarrow serving tier reads Iceberg layouts through the
+    metadata layer (tests/test_iceberg_meta.py proves the working
+    path); a DAMAGED table — iceberg directory shape but no committed
+    metadata — must fail loudly, never fall back to a raw directory
+    scan that would read stale/duplicate data files."""
     import os
 
     from ics_search_engine_spark.serving import LocalIndexServer
@@ -172,5 +174,5 @@ def test_serving_refuses_iceberg_layout(tmp_path):
     os.makedirs(idx / "index" / "metadata")
     with open(idx / "stats.json", "w") as f:
         f.write("{}")
-    with pytest.raises(NotImplementedError, match="Iceberg"):
+    with pytest.raises(FileNotFoundError, match="no Iceberg metadata"):
         LocalIndexServer(str(idx))
