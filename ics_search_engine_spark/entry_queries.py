@@ -1861,6 +1861,87 @@ _SQL_BM25_CONVS = _SQL_BM25_CONVS_TMPL.replace("{agg}", "max")
 _SQL_BM25_CONVS_SUM = _SQL_BM25_CONVS_TMPL.replace("{agg}", "sum")
 
 
+def q_bm25_collapse_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (one best turn per conversation) through the
+    PACKED engine (operators/convs.bm25_topk_collapse_packed): 5-turn
+    conversations, stem-free index; the representative turn's argmax is
+    an EXACT float comparison of complete turn scores (order-free max),
+    so both engines pick the same turn; cross-engine per-turn sums
+    compare rounded like every sum-based gate."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.convs import (
+        bm25_topk_collapse_packed,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string(
+            "conv%07d", (F.col("doc_id") / 5).cast("long")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_collapse_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_collapse_packed(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rows = [
+        (int(c[4:]), int(t), round(float(s), 6)) for c, t, s in top
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return spark.createDataFrame(
+        rows[:20], "conv_num long, turn_idx int, bm25_r6 double"
+    )
+
+
+_SQL_BM25_COLLAPSE = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+doc_scores AS (
+  SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id
+),
+best AS (
+  SELECT doc_id, s,
+         row_number() OVER (
+           PARTITION BY doc_id // 5 ORDER BY s DESC, doc_id ASC
+         ) AS rn
+  FROM doc_scores
+)
+SELECT doc_id // 5 AS conv_num, (doc_id % 5)::INT AS turn_idx,
+       round(s, 6) AS bm25_r6
+FROM best WHERE rn = 1
+ORDER BY bm25_r6 DESC, conv_num ASC, turn_idx ASC LIMIT 20
+""".replace("{toks}", _SQL_TOKS)
+
+
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list INTERSECTION (AND semantics, SURVEY.md §2.3): BM25
     top-20 over documents containing ALL four query terms — the n-way
@@ -2223,6 +2304,72 @@ ORDER BY match_count DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_near_ordered_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED proximity (span-near in order) THROUGH the packed
+    positional index (operators/phrase.near_ordered_topk): 'spark' then
+    'join' then 'batch', each gap ≤ 5 indexed tokens.  The existential
+    chain is exact backward reachability (greedy witness selection is
+    wrong — tested in test_phrase.py); the oracle recomputes the same
+    chain with nested list_filter quantifiers over 1-based token
+    positions (the shift cancels in the differences)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.phrase import near_ordered_topk
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_nearord_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = near_ordered_topk(
+            spark, pidx, "spark join batch", window=5, k=20
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), int(m)) for c, _, m in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, match_count int"
+    )
+
+
+_SQL_NEAR_ORDERED = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'spark') AS p0,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'join')  AS p1,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'batch') AS p2
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         len(list_filter(p0,
+             a -> len(list_filter(p1,
+                 b -> b > a AND b - a <= 5
+                      AND len(list_filter(p2,
+                          c -> c > b AND c - b <= 5)) > 0)) > 0))::INT
+           AS match_count
+  FROM p WHERE len(p0) > 0 AND len(p1) > 0 AND len(p2) > 0
+)
+SELECT doc_id, match_count FROM m WHERE match_count > 0
+ORDER BY match_count DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_blend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ASSEMBLED ranking blend (F9,
     /root/reference/search.py:183-190) under the DuckDB gate: stem-free
@@ -2392,9 +2539,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_engine_deletes": q_bm25_engine_deletes,
     "bm25_convs_engine": q_bm25_convs_engine,
     "bm25_convs_engine_sum": q_bm25_convs_engine_sum,
+    "bm25_collapse_engine": q_bm25_collapse_engine,
     "bm25_engine_merge_acc": q_bm25_engine_merge_acc,
     "phrase_engine_packed": q_phrase_engine_packed,
     "near_engine_packed": q_near_engine_packed,
+    "near_ordered_engine": q_near_ordered_engine,
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
     "more_like_this_engine": q_more_like_this_engine,
     "facet_counts": q_facet_counts,
@@ -2438,9 +2587,11 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_engine_deletes": _SQL_BM25_ENGINE_DELETES,
     "bm25_convs_engine": _SQL_BM25_CONVS,
     "bm25_convs_engine_sum": _SQL_BM25_CONVS_SUM,
+    "bm25_collapse_engine": _SQL_BM25_COLLAPSE,
     "bm25_engine_merge_acc": _SQL_BM25_ENGINE,
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
     "near_engine_packed": _SQL_NEAR_ENGINE,
+    "near_ordered_engine": _SQL_NEAR_ORDERED,
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
     "more_like_this_engine": _SQL_MLT_ENGINE,
     "facet_counts": _SQL_FACETS,

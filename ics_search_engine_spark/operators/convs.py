@@ -129,11 +129,15 @@ def _conv_partial_scorer(
 
     fold = fold_dense if accumulator == "dense" else fold_merge
     empty = pd.DataFrame(
-        {"conv_start": [], "smax": [], "ssum": [], "matched_turns": []}
+        {
+            "conv_start": [], "smax": [], "amax": [], "ssum": [],
+            "matched_turns": [],
+        }
     ).astype(
         {
             "conv_start": np.int64,
             "smax": np.float64,
+            "amax": np.int64,
             "ssum": np.float64,
             "matched_turns": np.int64,
         }
@@ -152,10 +156,20 @@ def _conv_partial_scorer(
         cuts = np.concatenate(
             [[0], np.flatnonzero(np.diff(conv_ix)) + 1]
         )
+        smax = np.maximum.reduceat(scores, cuts)
+        # argmax doc_ord per conv segment: first element equal to the
+        # segment max — docs ascend, so "first" IS min doc_ord on ties
+        # (doc-range shards hold a doc's ENTIRE score, so these are
+        # complete turn scores, not partial floats)
+        seg_id = np.searchsorted(cuts, np.arange(len(docs)), side="right") - 1
+        max_ix = np.flatnonzero(scores == smax[seg_id])
+        _, first_ix = np.unique(seg_id[max_ix], return_index=True)
+        amax = docs[max_ix[first_ix]]
         return pd.DataFrame(
             {
                 "conv_start": starts[conv_ix[cuts]],
-                "smax": np.maximum.reduceat(scores, cuts),
+                "smax": smax,
+                "amax": amax,
                 "ssum": np.add.reduceat(scores, cuts),
                 "matched_turns": np.diff(
                     np.concatenate([cuts, [len(docs)]])
@@ -164,6 +178,41 @@ def _conv_partial_scorer(
         )
 
     return run
+
+
+def _conv_partials(
+    spark: SparkSession, pidx, query: str, accumulator: str | None
+) -> DataFrame | None:
+    """Shared prologue of the conversation-grain surfaces: tokenize,
+    look up df, build weights, cogroup matched payloads with conv
+    bounds → per-shard per-conv partials (conv_start, smax, amax, ssum,
+    matched_turns), or None for a no-op query."""
+    q_terms = sorted(
+        set(tokenize(query, for_query=True, do_stem=pidx.stats.get("stem", True)))
+    )
+    if not q_terms:
+        return None
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(
+        query, term_df, pidx.n_docs, pidx.stats.get("stem", True)
+    )
+    if not weights:
+        return None
+    range_bits = int(pidx.stats["range_bits"])
+    if accumulator is None:
+        accumulator = "dense" if range_bits <= DENSE_RANGE_BITS_MAX else "merge"
+    matched = pidx.index.filter(F.col("term").isin(q_terms)).select(
+        "term", "shard_id", "payload"
+    )
+    return (
+        matched.groupBy("shard_id")
+        .cogroup(conv_bounds(pidx).groupBy("shard_id"))
+        .applyInPandas(
+            _conv_partial_scorer(weights, pidx.avgdl, range_bits, accumulator),
+            "conv_start long, smax double, amax long, ssum double, "
+            "matched_turns long",
+        )
+    )
 
 
 def bm25_topk_convs_packed(
@@ -183,31 +232,9 @@ def bm25_topk_convs_packed(
     empty = spark.createDataFrame(
         [], "conv_id string, score double, matched_turns long"
     )
-    q_terms = sorted(
-        set(tokenize(query, for_query=True, do_stem=pidx.stats.get("stem", True)))
-    )
-    if not q_terms:
+    partials = _conv_partials(spark, pidx, query, accumulator)
+    if partials is None:
         return empty
-    term_df = pidx.df_for_terms(q_terms)
-    weights = query_weights(
-        query, term_df, pidx.n_docs, pidx.stats.get("stem", True)
-    )
-    if not weights:
-        return empty
-    range_bits = int(pidx.stats["range_bits"])
-    if accumulator is None:
-        accumulator = "dense" if range_bits <= DENSE_RANGE_BITS_MAX else "merge"
-    matched = pidx.index.filter(F.col("term").isin(q_terms)).select(
-        "term", "shard_id", "payload"
-    )
-    partials = (
-        matched.groupBy("shard_id")
-        .cogroup(conv_bounds(pidx).groupBy("shard_id"))
-        .applyInPandas(
-            _conv_partial_scorer(weights, pidx.avgdl, range_bits, accumulator),
-            "conv_start long, smax double, ssum double, matched_turns long",
-        )
-    )
     score_col = (
         F.max("smax") if agg == "max" else F.sum("ssum")
     ).alias("score")
@@ -239,4 +266,75 @@ def bm25_topk_convs_packed(
     rows.sort(key=lambda t: (-t[1], t[0]))
     return spark.createDataFrame(
         rows, "conv_id string, score double, matched_turns long"
+    )
+
+
+def bm25_topk_collapse_packed(
+    spark: SparkSession,
+    pidx,
+    query: str,
+    k: int = 10,
+    accumulator: str | None = None,
+) -> DataFrame:
+    """Field collapsing over the packed index: top-k TURNS with at most
+    one result per conversation → (conv_id, turn_idx, score) — the SERP
+    diversity operator (Lucene/Solr "collapse on field", here the
+    transcript's natural group key).  The reference can return several
+    near-identical pages; a transcript corpus amplifies that (every
+    turn of a matching conversation scores), so collapsing is the
+    useful default presentation.
+
+    Semantics: each conversation is represented by its best-scoring
+    turn (exact BM25 max; ties inside a conversation break on min
+    doc_ord = min turn_idx); conversations rank by that representative
+    score (ties: conv_id asc).  Scores are bit-identical to the
+    uncollapsed ranking — collapsing only FILTERS which turns appear.
+
+    Plan shape (the 100 TB question): identical to
+    ``bm25_topk_convs_packed`` — per-shard cogroup partials carry
+    (smax, amax) per conversation span; the global agg picks, per
+    conversation, the partial with the max score via one struct max
+    (order-free float compare of COMPLETE turn scores — doc-range
+    shards never split a turn), then TakeOrderedAndProject k and one
+    bounded docmap point lookup resolves (conv_id, turn_idx).  No
+    per-turn rows leave their shard; the k winners are the only rows
+    the driver sees.
+    """
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    partials = _conv_partials(spark, pidx, query, accumulator)
+    if partials is None:
+        return empty
+    # per conv: (smax desc, doc_ord asc) — encode as max(struct(smax,
+    # -amax)) so one order-free agg carries the argmax along
+    best = (
+        partials.groupBy("conv_start")
+        .agg(F.max(F.struct(F.col("smax"), (-F.col("amax")).alias("na"))).alias("m"))
+        .select(
+            F.col("m.smax").alias("score"),
+            (-F.col("m.na")).cast("long").alias("doc_ord"),
+            "conv_start",
+        )
+    )
+    winners = (
+        best.orderBy(F.desc("score"), F.asc("conv_start"))
+        .limit(k)
+        .collect()
+    )
+    if not winners:
+        return empty
+    ords = [int(r["doc_ord"]) for r in winners]
+    key_of = {
+        r["doc_ord"]: (r["conv_id"], int(r["turn_idx"]))
+        for r in pidx.docmap.filter(F.col("doc_ord").isin(ords))
+        .select("doc_ord", "conv_id", "turn_idx")
+        .collect()
+    }
+    rows = [
+        (*key_of[int(r["doc_ord"])], float(r["score"])) for r in winners
+    ]
+    rows.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, score double"
     )

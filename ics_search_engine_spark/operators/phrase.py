@@ -154,6 +154,70 @@ def near_topk(
     return _resolve_counts(pidx, result)
 
 
+def _chain_pred(nxt, window: int):
+    """1-arg lambda factory for the ordered chain step: r -> ∃ q ∈ nxt
+    with r < q ≤ r + window (closure so the loop variable binds by
+    value, and so pyspark sees exactly one lambda parameter)."""
+    return lambda r: F.exists(
+        nxt, lambda q: (q > r) & ((q - r) <= F.lit(window))
+    )
+
+
+def near_ordered_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    window: int,
+    k: int = 10,
+) -> DataFrame:
+    """Ordered proximity (span-near in order, Lucene SpanNearQuery
+    inOrder=true analog) over the packed positional index → top-k
+    (conv_id, turn_idx, match_count).
+
+    Semantics: the query-mode token SEQUENCE t1..tn (duplicates kept,
+    query order preserved — unlike ``near_topk``'s sorted distinct set);
+    match_count(d) = |{p1 ∈ pos(t1,d) : ∃p2 ∈ pos(t2,d) with
+    p1 < p2 ≤ p1+window, ∃p3 with p2 < p3 ≤ p2+window, …}| — each gap
+    counts indexed tokens, like ``window`` in near_topk.  A single-term
+    query degenerates to match_count = tf.
+
+    The existential chain is NOT greedy-satisfiable (picking the
+    smallest valid p2 can strand p3, picking the largest can skip it —
+    both directions have counterexamples, see test_phrase.py), so the
+    implementation runs exact backward reachability: ok_n = pos(t_n);
+    ok_i = filter(pos(t_i), r -> exists(ok_{i+1}, q -> r < q ≤ r+w));
+    match_count = size(ok_1).  Each step is one pure-Catalyst array
+    filter over the ≤|seq| pivoted position arrays — same decode-query-
+    terms-only plan shape as phrase_topk, no Python in the match logic,
+    no shuffle beyond the per-doc pivot.
+    """
+    from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, match_count int"
+    )
+    do_stem = pidx.stats.get("stem", True)
+    seq = tokenize(query, for_query=True, do_stem=do_stem)
+    if not seq:
+        return empty
+
+    uniq_terms = sorted(set(seq))
+    pivoted, col_of = _pivot_positions(pidx, uniq_terms)
+
+    ok = F.col(col_of[seq[-1]])
+    for t in reversed(seq[:-1]):
+        ok = F.filter(F.col(col_of[t]), _chain_pred(ok, window))
+
+    count_col = F.size(ok).alias("match_count")
+    result = (
+        pivoted.select("doc_ord", count_col)
+        .filter(F.col("match_count") > 0)
+        .orderBy(F.desc("match_count"), F.asc("doc_ord"))
+        .limit(k)
+    )
+    return _resolve_counts(pidx, result)
+
+
 def phrase_topk(
     spark: SparkSession,
     pidx: PackedIndex,

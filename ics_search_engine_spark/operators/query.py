@@ -239,6 +239,63 @@ def bm25_topk_filtered(
     return score_topk(spark, matched_f, weights, avgdl, DOC_KEY, k)
 
 
+def bm25_topk_collapse(
+    spark: SparkSession,
+    postings_df: DataFrame,
+    query: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    term_df: dict[str, int] | None = None,
+) -> DataFrame:
+    """Field-collapsed top-k BM25: at most ONE turn per conversation —
+    each conversation represented by its best-scoring turn (exact-score
+    ties inside a conversation break on turn_idx asc), conversations
+    ranked by that representative's score (ties: conv_id asc).  Scores
+    are bit-identical to the uncollapsed ranking; collapsing only
+    filters which turns appear (the SERP-diversity operator the
+    reference lacks — its result list can be one page's near-duplicates,
+    /root/reference/todo.md:96-101 fights that with dedup instead).
+
+    Plan shape: score_all's grouped fold (one shuffle on the doc key)
+    → row_number window PARTITIONED BY conv_id (second hash exchange on
+    conv_id, no global sort) → filter rn=1 → TakeOrderedAndProject k.
+    At 10^12 turns both exchanges are plain hash partitions; the window
+    state per key is one row.  The packed-engine form
+    (operators/convs.bm25_topk_collapse_packed) avoids even those by
+    folding inside doc-range shards."""
+    from pyspark.sql import Window
+
+    q_terms = sorted(set(tokenize(query, for_query=True)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+    matched = postings_df.filter(F.col("term").isin(q_terms))
+    if term_df is None:
+        term_df = {
+            r["term"]: r["df"]
+            for r in matched.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+    weights = query_weights(query, term_df, n_docs)
+    if not weights:
+        return empty
+    scored = score_all(spark, matched, weights, avgdl, DOC_KEY)
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("score"), F.asc("turn_idx")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(k)
+    )
+
+
 CONV_AGGS = {"max": F.max, "sum": F.sum}
 
 

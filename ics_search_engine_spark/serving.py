@@ -635,6 +635,38 @@ class LocalIndexServer:
             mask &= hi > lo
         return self._rank_counts(*self._count_by_doc(anchor_keys, mask), k)
 
+    def search_near_ordered(self, query: str, window: int, k: int = 10
+                            ) -> list[tuple[str, int, int]]:
+        """Ordered-proximity serving → [(conv_id, turn_idx,
+        match_count)], identical to operators/phrase.near_ordered_topk.
+        Exact backward reachability over the sorted composite-key
+        arrays (the greedy shortcut is wrong — see the Spark operator's
+        docstring): S_n = keys(t_n); S_i = keys(t_i) that range-probe a
+        successor in S_{i+1} within (key, key+window]; match_count(d) =
+        surviving anchor keys of t_1 in d.  Whole-array searchsorted
+        per step, no per-doc Python."""
+        import numpy as np
+
+        do_stem = self.stats.get("stem", True)
+        seq = tokenize(query, for_query=True, do_stem=do_stem)
+        if not seq:
+            return []
+        ok = self._position_keys(seq[-1])
+        for t in reversed(seq[:-1]):
+            keys_t = self._position_keys(t)
+            if ok.size == 0 or keys_t.size == 0:
+                ok = np.empty(0, np.int64)
+                break
+            # q ∈ [r+1, r+window]; composite keys keep the probe inside
+            # r's doc (pos + window < 2^32 for any real turn)
+            lo = np.searchsorted(ok, keys_t + 1, side="left")
+            hi = np.searchsorted(ok, keys_t + window, side="right")
+            ok = keys_t[hi > lo]
+        if ok.size == 0:
+            return []
+        docs, counts = np.unique(ok >> 32, return_counts=True)
+        return self._rank_counts(docs, counts, k)
+
     def search_wildcard(
         self, query: str, k: int = 10, max_expansions: int = 1024
     ) -> list[tuple[str, int, float]]:
@@ -906,6 +938,13 @@ class LocalSegmentedServer:
                     ) -> list[tuple[str, int, int]]:
         return self._merge_counts(
             [s.search_near(query, window, k) for s in self.servers], k
+        )
+
+    def search_near_ordered(self, query: str, window: int, k: int = 10
+                            ) -> list[tuple[str, int, int]]:
+        return self._merge_counts(
+            [s.search_near_ordered(query, window, k) for s in self.servers],
+            k,
         )
 
     def _global_df(self) -> dict[str, int]:

@@ -202,3 +202,90 @@ class TestConvRollup:
                 spark, corpus["posts"], "machine", corpus["n"],
                 corpus["avgdl"], agg="mean",
             )
+
+
+class TestCollapse:
+    """Field collapsing: packed vs relational vs a brute-force oracle.
+
+    The corpus fixture's range_bits=6 makes conversations straddle
+    shard boundaries, so the cross-shard struct-max argmax combine is
+    exercised (a conv's best turn may sit in either partial)."""
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_packed_matches_relational(self, spark, corpus, q):
+        from ics_search_engine_spark.operators.convs import (
+            bm25_topk_collapse_packed,
+        )
+        from ics_search_engine_spark.operators.query import (
+            bm25_topk_collapse,
+        )
+
+        rel = bm25_topk_collapse(
+            spark, corpus["posts"], q, corpus["n"], corpus["avgdl"], k=12
+        ).collect()
+        pk = bm25_topk_collapse_packed(
+            spark, corpus["pidx"], q, k=12
+        ).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in rel] == [
+            (r["conv_id"], r["turn_idx"]) for r in pk
+        ], q
+        # exact-score bit parity: max is order-free on both paths
+        for a, b in zip(rel, pk):
+            assert a["score"] == b["score"], q
+
+    def test_one_result_per_conv_and_scores_unchanged(self, spark, corpus):
+        from ics_search_engine_spark.operators.convs import (
+            bm25_topk_collapse_packed,
+        )
+        from ics_search_engine_spark.operators.query import bm25_topk
+
+        q = "machine learning"
+        pk = bm25_topk_collapse_packed(
+            spark, corpus["pidx"], q, k=12
+        ).collect()
+        convs = [r["conv_id"] for r in pk]
+        assert len(convs) == len(set(convs))
+        # a collapsed row's score equals the turn's UNcollapsed score
+        full = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in bm25_topk(
+                spark, corpus["posts"], q, corpus["n"], corpus["avgdl"],
+                k=10_000,
+            ).collect()
+        }
+        for r in pk:
+            assert full[(r["conv_id"], r["turn_idx"])] == r["score"]
+
+    def test_tie_breaks_min_turn(self, spark, tmp_path_factory):
+        """Two identical turns in one conversation tie exactly — the
+        representative must be the lower turn_idx on BOTH paths."""
+        from ics_search_engine_spark.operators.convs import (
+            bm25_topk_collapse_packed,
+        )
+        from ics_search_engine_spark.operators.query import (
+            bm25_topk_collapse,
+        )
+
+        rows = [
+            ("c0", 0, "filler words only here"),
+            ("c0", 1, "machine learning rocks"),
+            ("c0", 2, "machine learning rocks"),   # exact tie with turn 1
+            ("c1", 0, "machine learning rocks and more text to differ"),
+            ("c2", 0, "unrelated content entirely"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        d = str(tmp_path_factory.mktemp("collapse_tie"))
+        build_packed_index(spark, df, f"{d}/idx", range_bits=4)
+        pidx = PackedIndex(spark, f"{d}/idx")
+        toks = ib.tokenized(df)
+        posts = ib.postings(toks)
+        n, avgdl = ib.corpus_stats(toks)
+        q = "machine learning"
+        rel = bm25_topk_collapse(spark, posts, q, n, avgdl, k=5).collect()
+        pk = bm25_topk_collapse_packed(spark, pidx, q, k=5).collect()
+        got_rel = [(r["conv_id"], r["turn_idx"]) for r in rel]
+        got_pk = [(r["conv_id"], r["turn_idx"]) for r in pk]
+        assert got_rel == got_pk
+        assert ("c0", 1) in got_rel and ("c0", 2) not in got_rel

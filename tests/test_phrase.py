@@ -193,3 +193,152 @@ class TestNearSearch:
                 for r in near_topk(spark, pidx, query, w, k=10).collect()
             ]
             assert got == _oracle_near(small_rows, query, w), (query, w)
+
+def _oracle_near_ordered(rows, query, window, k=10):
+    """Exact existential-chain oracle (recursive — no greedy shortcut)."""
+    seq = tokenize(query, for_query=True)
+    if not seq:
+        return []
+    out = []
+    for conv_id, turn_idx, text in rows:
+        toks = tokenize(text, for_query=False)
+        pos_of = {}
+        for p, t in enumerate(toks):
+            pos_of.setdefault(t, []).append(p)
+        if not all(t in pos_of for t in set(seq)):
+            continue
+
+        def ok(i, prev):
+            if i == len(seq):
+                return True
+            return any(
+                ok(i + 1, q)
+                for q in pos_of[seq[i]]
+                if prev < q <= prev + window
+            )
+
+        count = sum(1 for p in pos_of[seq[0]] if ok(1, p))
+        if count > 0:
+            out.append((conv_id, turn_idx, count))
+    out.sort(key=lambda x: (-x[2], x[0], x[1]))
+    return out[:k]
+
+
+class TestNearOrdered:
+    @pytest.fixture(scope="class")
+    def setup(self, spark, corpus_dir):
+        rows = [
+            ("c0", 0, "we study machine learning and search engines daily"),
+            ("c1", 0, "learning about the machine"),  # reversed: no ordered hit
+            ("c2", 0, "machine learning machine learning machine learning"),
+            # greedy-MIN counterexample: alpha@4, bravo@{5,8}, charlie@12
+            # — the chain only completes through bravo=8 (min witness 5
+            # strands charlie: 12 > 5+5)
+            ("c3", 0, "pad pad pad pad alpha bravo pad pad bravo pad pad pad charlie"),
+            # greedy-MAX counterexample: alpha@4, bravo@{5,8}, charlie@6
+            # — only bravo=5 works (max witness 8 makes charlie@6 non-forward)
+            ("c4", 0, "pad pad pad pad alpha bravo charlie pad bravo"),
+            ("c5", 0, "machine alpha beta gamma delta epsilon zeta learning"),
+            ("c6", 0, "nothing relevant whatsoever appears here"),
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        out = f"{corpus_dir}/near_ordered_idx"
+        build_packed_index(spark, df, out, range_bits=4, with_positions=True)
+        return PackedIndex(spark, out), rows, out
+
+    @pytest.mark.parametrize("query,window", [
+        ("machine learning", 1),
+        ("machine learning", 3),
+        ("learning machine", 3),          # order-SENSITIVE: c0 must drop
+        ("alpha bravo charlie", 5),       # both greedy counterexamples
+        ("alpha bravo charlie", 2),
+        ("machine learning", 100),
+        ("machine", 1),                   # single term -> tf
+        ("machine machine", 2),           # duplicate term chain
+        ("absent terms query", 5),
+        ("the of and", 2),                # all stop words -> empty
+    ])
+    def test_matches_oracle(self, spark, setup, query, window):
+        from ics_search_engine_spark.operators.phrase import near_ordered_topk
+
+        pidx, rows, _ = setup
+        got = [
+            (r["conv_id"], r["turn_idx"], r["match_count"])
+            for r in near_ordered_topk(spark, pidx, query, window, k=10).collect()
+        ]
+        assert got == _oracle_near_ordered(rows, query, window), (query, window)
+
+    def test_greedy_counterexamples_pin_counts(self, spark, setup):
+        """The two adversarial docs each have EXACTLY one valid chain —
+        a greedy-min implementation would return 0 for c3, a greedy-max
+        one 0 for c4."""
+        from ics_search_engine_spark.operators.phrase import near_ordered_topk
+
+        pidx, _, _ = setup
+        got = {
+            r["conv_id"]: r["match_count"]
+            for r in near_ordered_topk(
+                spark, pidx, "alpha bravo charlie", 5, k=10
+            ).collect()
+        }
+        assert got == {"c3": 1, "c4": 1}
+
+    def test_two_term_ordered_subset_of_unordered(self, spark, setup):
+        """For TWO terms the chain gap and the anchor radius coincide
+        (one gap from the anchor), so ordered hits ⊆ unordered hits.
+        Beyond two terms they deliberately diverge: the chain reaches
+        (n-1)·window from the anchor while unordered NEAR bounds every
+        term to ±window of it — c3's 'alpha bravo charlie' matches
+        ordered-5 (span 8 via bravo@8) but not unordered-5."""
+        from ics_search_engine_spark.operators.phrase import (
+            near_ordered_topk,
+            near_topk,
+        )
+
+        pidx, _, _ = setup
+        for q, w in [("machine learning", 3), ("machine learning", 1)]:
+            ordered = {
+                r["conv_id"]
+                for r in near_ordered_topk(spark, pidx, q, w, k=10).collect()
+            }
+            unordered = {
+                r["conv_id"] for r in near_topk(spark, pidx, q, w, k=10).collect()
+            }
+            assert ordered <= unordered, (q, w)
+        chain = {
+            r["conv_id"]
+            for r in near_ordered_topk(
+                spark, pidx, "alpha bravo charlie", 5, k=10
+            ).collect()
+        }
+        radius = {
+            r["conv_id"]
+            for r in near_topk(spark, pidx, "alpha bravo charlie", 5, k=10).collect()
+        }
+        assert "c3" in chain and "c3" not in radius
+
+    def test_serving_parity(self, spark, setup):
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        pidx, rows, out = setup
+        srv = LocalIndexServer(out)
+        for q, w in [
+            ("machine learning", 3),
+            ("learning machine", 3),
+            ("alpha bravo charlie", 5),
+            ("alpha bravo charlie", 2),
+            ("machine machine", 2),
+            ("machine", 1),
+            ("absent terms query", 5),
+        ]:
+            spark_rows = [
+                (r["conv_id"], r["turn_idx"], r["match_count"])
+                for r in near_ordered_topk_import(spark, pidx, q, w)
+            ]
+            assert srv.search_near_ordered(q, w, k=10) == spark_rows, (q, w)
+
+
+def near_ordered_topk_import(spark, pidx, q, w, k=10):
+    from ics_search_engine_spark.operators.phrase import near_ordered_topk
+
+    return near_ordered_topk(spark, pidx, q, w, k=k).collect()
