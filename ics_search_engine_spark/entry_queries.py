@@ -973,6 +973,78 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """.replace("{toks}", _SQL_TOKS)
 
 
+def q_bm25_synonyms_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-group expansion THROUGH the packed engine
+    (operators/synonyms.bm25_topk_synonyms_packed): 'join'≡'merge' and
+    'fast'≡'quick' score as single pseudo-terms — summed tf, BLENDED df
+    over the union of member postings (a doc holding both members
+    counts once — the discriminating case vs naive OR-expansion).
+    The oracle regroups relationally with the same CASE mapping."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.synonyms import (
+        bm25_topk_synonyms_packed,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_syn_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_synonyms_packed(
+            spark, pidx, "join fast table",
+            {"join": ["merge"], "fast": ["quick"]}, k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rows = [(int(c[3:]), round(float(s), 6)) for c, _, s in top]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(rows[:20], "doc_id long, bm25_r6 double")
+
+
+_SQL_BM25_SYNONYMS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('join','merge','fast','quick','table')
+  GROUP BY term, doc_id
+),
+grouped AS (
+  SELECT CASE WHEN term IN ('join','merge') THEN 'join'
+              WHEN term IN ('fast','quick') THEN 'fast'
+              ELSE term END AS grp,
+         doc_id, sum(tf) AS tf, any_value(dl) AS dl
+  FROM posts GROUP BY 1, doc_id
+),
+dfs AS (SELECT grp, count(*) AS df FROM grouped GROUP BY grp),
+scored AS (
+  SELECT g.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (g.tf * 2.2 / (g.tf + 1.2 * (0.25 + 0.75 * g.dl / s.avgdl)))
+         AS contrib
+  FROM grouped g JOIN dfs d USING (grp) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_bm25_wildcard_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-expansion BM25 THROUGH the packed index
     (operators/wildcard.bm25_topk_wildcard): 's* join' expands the
@@ -2545,6 +2617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_engine_packed": q_near_engine_packed,
     "near_ordered_engine": q_near_ordered_engine,
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
+    "bm25_synonyms_engine": q_bm25_synonyms_engine,
     "more_like_this_engine": q_more_like_this_engine,
     "facet_counts": q_facet_counts,
     "bm25_explain_engine": q_bm25_explain_engine,
@@ -2593,6 +2666,7 @@ ORACLE_SQL: dict[str, str] = {
     "near_engine_packed": _SQL_NEAR_ENGINE,
     "near_ordered_engine": _SQL_NEAR_ORDERED,
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
+    "bm25_synonyms_engine": _SQL_BM25_SYNONYMS,
     "more_like_this_engine": _SQL_MLT_ENGINE,
     "facet_counts": _SQL_FACETS,
     "bm25_explain_engine": _SQL_EXPLAIN,

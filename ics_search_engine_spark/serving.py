@@ -41,6 +41,7 @@ import os
 import numpy as np
 
 from ics_search_engine_spark.functions.codec import unpack_postings
+from oracle.bm25 import idf
 from ics_search_engine_spark.operators.packed_index import _tfn as _tfn_kernel
 from ics_search_engine_spark.operators.query import query_weights
 from ics_search_engine_spark.textproc.tokenizer import tokenize
@@ -298,6 +299,59 @@ class LocalIndexServer:
         if counts is not None:
             touched &= counts == require_all
         return scores, touched
+
+    def search_synonyms(
+        self, query: str, synonyms: dict[str, list[str]], k: int = 10
+    ) -> list[tuple[str, int, float]]:
+        """Synonym-group serving → [(conv_id, turn_idx, score)],
+        bit-identical to operators/synonyms.bm25_topk_synonyms_packed:
+        per group (ascending key — the Spark fold's order), sum member
+        tfs per doc (exact integers), df_g from the union, one blended
+        weight, same tfn kernel."""
+        from ics_search_engine_spark.operators.synonyms import (
+            expand_groups,
+        )
+
+        do_stem = self.stats.get("stem", True)
+        qtf, members = expand_groups(query, synonyms, do_stem=do_stem)
+        if not qtf:
+            return []
+        avgdl = self.stats["avgdl"]
+        # pass 1: per-group summed tf + dl (dense over doc_ord)
+        g_tf: dict[str, np.ndarray] = {}
+        g_dl: dict[str, np.ndarray] = {}
+        for g, ms in members.items():
+            tf_sum = np.zeros(self.n_docs, dtype=np.float64)
+            dl_arr = np.zeros(self.n_docs, dtype=np.float64)
+            for m in ms:
+                for idx, tf, dl in self._decoded(m):
+                    tf_sum[idx] += tf
+                    dl_arr[idx] = dl
+            if tf_sum.any():
+                g_tf[g], g_dl[g] = tf_sum, dl_arr
+        weights = {
+            g: qtf[g] * idf(self.n_docs, int(np.count_nonzero(g_tf[g])))
+            for g in g_tf
+        }
+        if not weights:
+            return []
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        touched = np.zeros(self.n_docs, dtype=bool)
+        for g in sorted(weights):
+            ti = np.flatnonzero(g_tf[g])
+            scores[ti] += weights[g] * self._tfn(
+                g_tf[g][ti], g_dl[g][ti], avgdl
+            )
+            touched[ti] = True
+        ti = np.flatnonzero(touched)
+        if ti.size == 0:
+            return []
+        order = np.lexsort((ti, -scores[ti]))[:k]
+        sel = ti[order]
+        return [
+            (str(self._conv[i]), int(self._turn[i]), float(scores[i]))
+            for i in sel
+        ]
 
     def search_convs(
         self, query: str, k: int = 10, agg: str = "max"
