@@ -1045,6 +1045,110 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_bm25_prf_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback THROUGH the packed engine
+    (operators/prf.bm25_topk_prf_packed): top-5 feedback docs from the
+    plain BM25 ranking, top-5 expansion terms by Σtf·idf (originals and
+    stop words excluded), re-score with α=1 original + β=0.75·e/|F|
+    expansion weights.  The oracle replays all three stages in SQL —
+    the full candidate mining, the (e desc, term asc) selection, and
+    the blended re-score."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.prf import bm25_topk_prf_packed
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_prf_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_prf_packed(
+            spark, pidx, transcripts, " ".join(DOCS_QUERY_TERMS),
+            k=60, fb_docs=5, fb_terms=5,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rows = [(int(c[3:]), round(float(s), 6)) for c, _, s in top]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(rows[:20], "doc_id long, bm25_r6 double")
+
+
+def _sql_prf() -> str:
+    from ics_search_engine_spark.textproc.tokenizer import STOP_WORDS
+
+    # SQL-escape: the canonical list has apostrophe forms ("aren't") —
+    # they can never match a [a-z0-9]+ token, but the literal must parse
+    stoplist = ", ".join(
+        "'{}'".format(w.replace("'", "''")) for w in sorted(STOP_WORDS)
+    )
+    origs = ", ".join(f"'{t}'" for t in DOCS_QUERY_TERMS)
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+w0 AS (
+  SELECT term, ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS w
+  FROM dfs d CROSS JOIN stats s WHERE term IN ({origs})
+),
+base AS (
+  SELECT p.doc_id,
+         sum(w0.w * (p.tf * 2.2 /
+             (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))) AS s
+  FROM posts p JOIN w0 USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+fb AS (SELECT doc_id FROM base ORDER BY s DESC, doc_id ASC LIMIT 5),
+nfb AS (SELECT count(*)::DOUBLE AS nf FROM fb),
+cand AS (
+  SELECT p.term, sum(p.tf) AS tfsum
+  FROM posts p JOIN fb USING (doc_id)
+  WHERE p.term NOT IN ({origs}) AND p.term NOT IN ({stoplist})
+  GROUP BY p.term
+),
+expn AS (
+  SELECT c.term,
+         c.tfsum * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS e
+  FROM cand c JOIN dfs d USING (term) CROSS JOIN stats s
+  ORDER BY e DESC, c.term ASC LIMIT 5
+),
+weights AS (
+  SELECT term, w FROM w0
+  UNION ALL
+  SELECT e.term, 0.75 * e.e / nfb.nf AS w FROM expn e CROSS JOIN nfb
+),
+final AS (
+  SELECT p.doc_id,
+         sum(wt.w * (p.tf * 2.2 /
+             (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))) AS s
+  FROM posts p JOIN weights wt USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25_r6 FROM final
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
+_SQL_BM25_PRF = _sql_prf()
+
+
 def q_bm25_wildcard_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-expansion BM25 THROUGH the packed index
     (operators/wildcard.bm25_topk_wildcard): 's* join' expands the
@@ -2618,6 +2722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_ordered_engine": q_near_ordered_engine,
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
     "bm25_synonyms_engine": q_bm25_synonyms_engine,
+    "bm25_prf_engine": q_bm25_prf_engine,
     "more_like_this_engine": q_more_like_this_engine,
     "facet_counts": q_facet_counts,
     "bm25_explain_engine": q_bm25_explain_engine,
@@ -2667,6 +2772,7 @@ ORACLE_SQL: dict[str, str] = {
     "near_ordered_engine": _SQL_NEAR_ORDERED,
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
     "bm25_synonyms_engine": _SQL_BM25_SYNONYMS,
+    "bm25_prf_engine": _SQL_BM25_PRF,
     "more_like_this_engine": _SQL_MLT_ENGINE,
     "facet_counts": _SQL_FACETS,
     "bm25_explain_engine": _SQL_EXPLAIN,
