@@ -2546,6 +2546,68 @@ ORDER BY match_count DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-Python Iceberg v2 layer (sources/iceberg_meta.py) under
+    the DuckDB gate: two append commits split the documents table at
+    half the doc_id range; reading the FIRST snapshot back through the
+    Avro manifest-list → manifest → data-file chain must reproduce
+    exactly the lower half (row content hashed by the driver).  A
+    current-snapshot row-count mismatch raises rather than returning
+    partial data."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ics_search_engine_spark.sources import iceberg_meta as im
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cut = (pc.max(tbl["doc_id"]).as_py() + 1) // 2
+    lower = tbl.filter(pc.less(tbl["doc_id"], cut))
+    upper = tbl.filter(pc.greater_equal(tbl["doc_id"], cut))
+    d = tempfile.mkdtemp(prefix="gate_iceberg_")
+    table = os.path.join(d, "docs_ice")
+    try:
+        for name, part in (("c1", lower), ("c2", upper)):
+            os.makedirs(f"{table}/data/{name}")
+            fp = f"{table}/data/{name}/part-0.parquet"
+            pq.write_table(part, fp)
+            im.commit(table, [fp], part.schema, operation="append")
+        # the metadata's snapshot list is append-ordered by the writer
+        snaps = im.IcebergMetaTable(table).snapshots
+        first_id = snaps[0]["snapshot-id"]
+        at1 = im.IcebergMetaTable(table, snapshot_id=first_id).to_arrow(
+            ["doc_id", "text"]
+        )
+        n_cur = im.IcebergMetaTable(table).record_count()
+        if n_cur != tbl.num_rows:
+            raise AssertionError(
+                f"current snapshot sees {n_cur} rows, expected {tbl.num_rows}"
+            )
+        rows = [
+            (int(i), len(t))
+            for i, t in zip(
+                at1.column("doc_id").to_pylist(),
+                at1.column("text").to_pylist(),
+            )
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    rows.sort()
+    return spark.createDataFrame(rows, "doc_id long, text_len int")
+
+
+_SQL_ICEBERG_TT = """
+SELECT doc_id, length(text)::INT AS text_len FROM documents
+WHERE doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents)
+ORDER BY doc_id
+"""
+
+
 def q_blend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ASSEMBLED ranking blend (F9,
     /root/reference/search.py:183-190) under the DuckDB gate: stem-free
@@ -2720,6 +2782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_engine_packed": q_phrase_engine_packed,
     "near_engine_packed": q_near_engine_packed,
     "near_ordered_engine": q_near_ordered_engine,
+    "iceberg_time_travel": q_iceberg_time_travel,
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
     "bm25_synonyms_engine": q_bm25_synonyms_engine,
     "bm25_prf_engine": q_bm25_prf_engine,
@@ -2770,6 +2833,7 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_engine_packed": _SQL_PHRASE_ENGINE,
     "near_engine_packed": _SQL_NEAR_ENGINE,
     "near_ordered_engine": _SQL_NEAR_ORDERED,
+    "iceberg_time_travel": _SQL_ICEBERG_TT,
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
     "bm25_synonyms_engine": _SQL_BM25_SYNONYMS,
     "bm25_prf_engine": _SQL_BM25_PRF,
