@@ -300,6 +300,55 @@ class LocalIndexServer:
             touched &= counts == require_all
         return scores, touched
 
+    def _synonym_group_tf(
+        self, members: dict[str, list[str]]
+    ) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+        """Per-group dense (summed tf, dl) over this index's doc_ord —
+        the SynonymQuery pseudo-term statistics (exact integer sums)."""
+        g_tf: dict[str, np.ndarray] = {}
+        g_dl: dict[str, np.ndarray] = {}
+        for g, ms in members.items():
+            tf_sum = np.zeros(self.n_docs, dtype=np.float64)
+            dl_arr = np.zeros(self.n_docs, dtype=np.float64)
+            for m in ms:
+                for idx, tf, dl in self._decoded(m):
+                    tf_sum[idx] += tf
+                    dl_arr[idx] = dl
+            if tf_sum.any():
+                g_tf[g], g_dl[g] = tf_sum, dl_arr
+        return g_tf, g_dl
+
+    def _score_synonym_groups(
+        self,
+        g_tf: dict[str, np.ndarray],
+        g_dl: dict[str, np.ndarray],
+        weights: dict[str, float],
+        k: int,
+        avgdl: float,
+    ) -> list[tuple[str, int, float]]:
+        """Score pre-computed group statistics with EXTERNALLY supplied
+        weights/avgdl (the segmented server passes global values) —
+        ascending group key, the Spark fold's accumulation order."""
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        touched = np.zeros(self.n_docs, dtype=bool)
+        for g in sorted(weights):
+            if g not in g_tf:
+                continue
+            ti = np.flatnonzero(g_tf[g])
+            scores[ti] += weights[g] * self._tfn(
+                g_tf[g][ti], g_dl[g][ti], avgdl
+            )
+            touched[ti] = True
+        ti = np.flatnonzero(touched)
+        if ti.size == 0:
+            return []
+        order = np.lexsort((ti, -scores[ti]))[:k]
+        sel = ti[order]
+        return [
+            (str(self._conv[i]), int(self._turn[i]), float(scores[i]))
+            for i in sel
+        ]
+
     def search_synonyms(
         self, query: str, synonyms: dict[str, list[str]], k: int = 10
     ) -> list[tuple[str, int, float]]:
@@ -316,42 +365,16 @@ class LocalIndexServer:
         qtf, members = expand_groups(query, synonyms, do_stem=do_stem)
         if not qtf:
             return []
-        avgdl = self.stats["avgdl"]
-        # pass 1: per-group summed tf + dl (dense over doc_ord)
-        g_tf: dict[str, np.ndarray] = {}
-        g_dl: dict[str, np.ndarray] = {}
-        for g, ms in members.items():
-            tf_sum = np.zeros(self.n_docs, dtype=np.float64)
-            dl_arr = np.zeros(self.n_docs, dtype=np.float64)
-            for m in ms:
-                for idx, tf, dl in self._decoded(m):
-                    tf_sum[idx] += tf
-                    dl_arr[idx] = dl
-            if tf_sum.any():
-                g_tf[g], g_dl[g] = tf_sum, dl_arr
+        g_tf, g_dl = self._synonym_group_tf(members)
         weights = {
             g: qtf[g] * idf(self.n_docs, int(np.count_nonzero(g_tf[g])))
             for g in g_tf
         }
         if not weights:
             return []
-        scores = np.zeros(self.n_docs, dtype=np.float64)
-        touched = np.zeros(self.n_docs, dtype=bool)
-        for g in sorted(weights):
-            ti = np.flatnonzero(g_tf[g])
-            scores[ti] += weights[g] * self._tfn(
-                g_tf[g][ti], g_dl[g][ti], avgdl
-            )
-            touched[ti] = True
-        ti = np.flatnonzero(touched)
-        if ti.size == 0:
-            return []
-        order = np.lexsort((ti, -scores[ti]))[:k]
-        sel = ti[order]
-        return [
-            (str(self._conv[i]), int(self._turn[i]), float(scores[i]))
-            for i in sel
-        ]
+        return self._score_synonym_groups(
+            g_tf, g_dl, weights, k, self.stats["avgdl"]
+        )
 
     def search_convs(
         self, query: str, k: int = 10, agg: str = "max"
@@ -1076,6 +1099,41 @@ class LocalSegmentedServer:
         merged: list[tuple[str, int, float]] = []
         for s in self.servers:
             merged.extend(s.score_with(weights, k, avgdl=self.avgdl))
+        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
+        return merged[:k]
+
+    def search_synonyms(
+        self, query: str, synonyms: dict[str, list[str]], k: int = 10
+    ) -> list[tuple[str, int, float]]:
+        """Synonym groups over the LSM, identical to serving a
+        compacted index: a document lives in exactly one segment, so
+        the group's union-df is the SUM of per-segment union-dfs and
+        per-doc group tf is segment-local; weights broadcast globally
+        (global n_docs/avgdl) like every blended LSM surface."""
+        from ics_search_engine_spark.operators.synonyms import (
+            expand_groups,
+        )
+
+        qtf, members = expand_groups(query, synonyms, do_stem=self.stem)
+        if not qtf:
+            return []
+        per_seg = [s._synonym_group_tf(members) for s in self.servers]
+        df_g: dict[str, int] = {}
+        for g_tf, _ in per_seg:
+            for g, arr in g_tf.items():
+                df_g[g] = df_g.get(g, 0) + int(np.count_nonzero(arr))
+        weights = {
+            g: qtf[g] * idf(self.n_docs, d)
+            for g, d in df_g.items()
+            if d > 0
+        }
+        if not weights:
+            return []
+        merged: list[tuple[str, int, float]] = []
+        for s, (g_tf, g_dl) in zip(self.servers, per_seg):
+            merged.extend(
+                s._score_synonym_groups(g_tf, g_dl, weights, k, self.avgdl)
+            )
         merged.sort(key=lambda r: (-r[2], r[0], r[1]))
         return merged[:k]
 

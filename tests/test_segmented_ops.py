@@ -83,3 +83,42 @@ class TestSegmentedFuzzy:
     def test_fuzzy_equals_compacted(self, setup, q):
         full, seg = setup
         assert seg.search_fuzzy(q, k=10) == full.search_fuzzy(q, k=10), q
+
+
+class TestSegmentedNearOrdered:
+    @pytest.mark.parametrize("query,window", [
+        ("machine learning", 1),
+        ("machine learning", 5),
+        ("learning machine", 3),       # order-sensitive
+        ("spark query engine", 6),     # 3-term chain
+    ])
+    def test_near_ordered_equals_compacted(self, setup, query, window):
+        full, seg = setup
+        assert seg.search_near_ordered(query, window, k=10) == (
+            full.search_near_ordered(query, window, k=10)
+        ), (query, window)
+
+
+class TestSegmentedSynonyms:
+    SYNS = {"machin": ["learn"], "queri": ["engin"]}
+
+    @pytest.mark.parametrize("q", [
+        "machine society",
+        "machine",
+        "query speed",
+        "zzzabsent",
+    ])
+    def test_synonyms_equal_compacted(self, setup, q):
+        """The discriminating statistic is df_g: the compacted index
+        counts union docs directly; the LSM must reconstruct the SAME
+        number from per-segment counts before weighting."""
+        full, seg = setup
+        assert seg.search_synonyms(q, self.SYNS, k=10) == (
+            full.search_synonyms(q, self.SYNS, k=10)
+        ), q
+
+    def test_no_expansion_matches_plain_search(self, setup):
+        full, seg = setup
+        got = seg.search_synonyms("machine learning", {}, k=10)
+        assert got == full.search("machine learning", k=10)
+        assert got == seg.search("machine learning", k=10)
