@@ -2546,6 +2546,64 @@ ORDER BY match_count DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_index_stats_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-accounting audit: the packed index's OWN artifacts
+    (stats.json n_docs/sum_dl from the write-time Observation;
+    term_stats vocabulary size and Σdf = total postings) must equal the
+    relational truth DuckDB computes from raw tokenization.  One row —
+    if any build stage dropped or duplicated a posting, a doc, or a
+    term, some number here moves."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_stats_idx_")
+    try:
+        stats = build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        agg = pidx.term_stats.agg(
+            F.count("*").alias("vocab"), F.sum("df").alias("postings")
+        ).collect()[0]
+        row = (
+            int(stats["n_docs"]),
+            int(stats["sum_dl"]),
+            int(agg["vocab"]),
+            int(agg["postings"]),
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "n_docs long, sum_dl long, vocab long, postings long"
+    )
+
+
+_SQL_INDEX_STATS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+posts AS (
+  SELECT DISTINCT term, doc_id
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+)
+SELECT (SELECT count(*) FROM t)::BIGINT AS n_docs,
+       (SELECT sum(len(toks)) FROM t)::BIGINT AS sum_dl,
+       count(DISTINCT term)::BIGINT AS vocab,
+       count(*)::BIGINT AS postings
+FROM posts
+"""
+
+
 def q_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-Python Iceberg v2 layer (sources/iceberg_meta.py) under
     the DuckDB gate: two append commits split the documents table at
@@ -2783,6 +2841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_engine_packed": q_near_engine_packed,
     "near_ordered_engine": q_near_ordered_engine,
     "iceberg_time_travel": q_iceberg_time_travel,
+    "index_stats_engine": q_index_stats_engine,
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
     "bm25_synonyms_engine": q_bm25_synonyms_engine,
     "bm25_prf_engine": q_bm25_prf_engine,
@@ -2834,6 +2893,7 @@ ORACLE_SQL: dict[str, str] = {
     "near_engine_packed": _SQL_NEAR_ENGINE,
     "near_ordered_engine": _SQL_NEAR_ORDERED,
     "iceberg_time_travel": _SQL_ICEBERG_TT,
+    "index_stats_engine": _SQL_INDEX_STATS,
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
     "bm25_synonyms_engine": _SQL_BM25_SYNONYMS,
     "bm25_prf_engine": _SQL_BM25_PRF,

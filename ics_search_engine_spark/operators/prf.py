@@ -178,16 +178,24 @@ def bm25_topk_prf_packed(
     fb_docs: int = 5,
     fb_terms: int = 5,
     beta: float = BETA,
+    use_wand: bool = False,
 ) -> DataFrame:
     """Packed-engine path.  ``transcripts`` is the doc store (the same
     table the index was built from): the |F| feedback texts come from a
     broadcast point lookup and are re-tokenized driver-side — identical
     tf by construction (postings ARE tokenize()'s counts), bounded by
-    fb_docs·max_dl."""
+    fb_docs·max_dl.
+
+    ``use_wand=True`` runs BOTH scoring stages through block-max WAND
+    with the stage's weights passed as the override — θ pruning is
+    weight-agnostic (ub/lb hold for any positive per-term weights), so
+    expansion costs no pruning power.  Results identical either way
+    (tested)."""
     from ics_search_engine_spark.operators.packed_index import (
         decode_matched,
     )
     from ics_search_engine_spark.operators.query import bm25_topk_packed
+    from ics_search_engine_spark.operators.wand import bm25_topk_wand
 
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
@@ -200,7 +208,12 @@ def bm25_topk_prf_packed(
     base_w = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
     if not base_w:
         return empty
-    fb = bm25_topk_packed(spark, pidx, query, k=fb_docs).collect()
+    if use_wand:
+        fb = bm25_topk_wand(
+            spark, pidx, query, k=fb_docs, weights=base_w
+        ).collect()
+    else:
+        fb = bm25_topk_packed(spark, pidx, query, k=fb_docs).collect()
     if not fb:
         return empty
     keys = spark.createDataFrame(
@@ -221,6 +234,8 @@ def bm25_topk_prf_packed(
         cand_tf, set(base_w), df_of, pidx.n_docs, fb_terms, do_stem
     )
     weights = _final_weights(base_w, expansion, len(fb), beta)
+    if use_wand:
+        return bm25_topk_wand(spark, pidx, query, k=k, weights=weights)
     matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
     posts = decode_matched(matched)
     topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)

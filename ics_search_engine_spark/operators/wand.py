@@ -50,6 +50,7 @@ def bm25_topk_wand(
     conjunctive: bool = False,
     accumulator: str | None = None,
     allowed_docs: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 with block-max range pruning — result identical to the
     exhaustive packed path (invariant-tested).  ``collect_stats`` (if a
@@ -79,7 +80,19 @@ def bm25_topk_wand(
     (e.g. role='assistant' ≈ half the corpus), where the exhaustive
     bm25_topk_filtered_packed would decode every allowed shard."""
     do_stem = pidx.stats.get("stem", True)
-    q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+    # ``weights``: pre-computed (term -> weight) override — lets the
+    # query-expansion surfaces (Rocchio PRF, any externally weighted
+    # query) ride the same θ pruning: ub(r) = Σ w_t·max_tfn(t,r) and
+    # lb(r) = max_t w_t·max_tfn(t,r) are valid for ANY positive
+    # per-term weights, not just qtf·idf.  ``query`` is ignored when
+    # given.
+    w_over = weights
+    if w_over is not None:
+        q_terms = sorted(w_over)
+    else:
+        q_terms = sorted(
+            set(tokenize(query, for_query=True, do_stem=do_stem))
+        )
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
     )
@@ -89,8 +102,11 @@ def bm25_topk_wand(
     if pidx._shard_meta is not None:
         # serving mode, small vocabulary: metadata is driver-resident —
         # term stats and phase selection cost zero Spark jobs
-        term_df = pidx.df_for_terms(q_terms)
-        weights = query_weights(query, term_df, pidx.n_docs, do_stem)
+        if w_over is not None:
+            weights = dict(w_over)
+        else:
+            term_df = pidx.df_for_terms(q_terms)
+            weights = query_weights(query, term_df, pidx.n_docs, do_stem)
         if not weights:
             return empty
         ubs: dict[int, float] = {}
@@ -108,10 +124,15 @@ def bm25_topk_wand(
         # just the query terms (seek-map analog; term IN (...) prunes
         # at the parquet/cache level)
         meta_rows = pidx.query_meta(q_terms)
-        term_df: dict[str, int] = {}
-        for r in meta_rows:
-            term_df[r["term"]] = term_df.get(r["term"], 0) + r["n_postings"]
-        weights = query_weights(query, term_df, pidx.n_docs, do_stem)
+        if w_over is not None:
+            weights = dict(w_over)
+        else:
+            term_df: dict[str, int] = {}
+            for r in meta_rows:
+                term_df[r["term"]] = (
+                    term_df.get(r["term"], 0) + r["n_postings"]
+                )
+            weights = query_weights(query, term_df, pidx.n_docs, do_stem)
         if not weights:
             return empty
         ubs = {}

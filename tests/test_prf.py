@@ -204,3 +204,53 @@ class TestPRF:
             if r["score"] > 0.0
         }
         assert prf - base, "expansion should surface new documents"
+
+
+class TestPRFWand:
+    def test_wand_path_matches_exhaustive(self, spark, setup):
+        """use_wand=True runs both PRF stages through block-max pruning
+        with the stage weights as the WAND override — results must be
+        identical to the exhaustive packed path."""
+        for q in ["kernel panic", "memory", "allocator corruption"]:
+            ex = [
+                (r["conv_id"], r["turn_idx"], r["score"])
+                for r in bm25_topk_prf_packed(
+                    spark, setup["pidx"], setup["df"], q, k=10,
+                    fb_docs=3, fb_terms=3,
+                ).collect()
+            ]
+            wd = [
+                (r["conv_id"], r["turn_idx"], r["score"])
+                for r in bm25_topk_prf_packed(
+                    spark, setup["pidx"], setup["df"], q, k=10,
+                    fb_docs=3, fb_terms=3, use_wand=True,
+                ).collect()
+            ]
+            assert wd == ex, q
+
+    def test_wand_weights_override_equals_plain_query(self, spark, setup):
+        """Passing the exact qtf*idf weights as the override must equal
+        the string-query WAND path bit-for-bit."""
+        from oracle.bm25 import idf as py_idf
+        from ics_search_engine_spark.operators.wand import bm25_topk_wand
+        from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+        q = "kernel panic"
+        q_terms = sorted(set(tokenize(q, for_query=True)))
+        df_of = setup["pidx"].df_for_terms(q_terms)
+        weights = {
+            t: py_idf(setup["pidx"].n_docs, df_of[t])
+            for t in q_terms
+            if df_of.get(t, 0) > 0
+        }
+        via_query = [
+            tuple(r)
+            for r in bm25_topk_wand(spark, setup["pidx"], q, k=10).collect()
+        ]
+        via_weights = [
+            tuple(r)
+            for r in bm25_topk_wand(
+                spark, setup["pidx"], "", k=10, weights=weights
+            ).collect()
+        ]
+        assert via_weights == via_query

@@ -29,8 +29,19 @@ def main() -> None:
         PackedIndex,
         build_packed_index,
     )
-    from ics_search_engine_spark.operators.phrase import near_topk, phrase_topk
+    from ics_search_engine_spark.operators.convs import (
+        bm25_topk_collapse_packed,
+    )
+    from ics_search_engine_spark.operators.phrase import (
+        near_ordered_topk,
+        near_topk,
+        phrase_topk,
+    )
+    from ics_search_engine_spark.operators.prf import bm25_topk_prf_packed
     from ics_search_engine_spark.operators.qlang import bm25_topk_qlang
+    from ics_search_engine_spark.operators.synonyms import (
+        bm25_topk_synonyms_packed,
+    )
     from ics_search_engine_spark.operators.wildcard import bm25_topk_wildcard
     from ics_search_engine_spark.serving import LocalIndexServer
     from ics_search_engine_spark.session import get_spark
@@ -55,6 +66,9 @@ def main() -> None:
         NEARQ = ("machine learning", 4)
         WILD = "mach* learn*"
         QL = '+machine "machine learning" -society learn*'
+        SYNS = {"machin": ["learn"]}
+        SYNQ = "machine society"
+        PRFQ = "machine learning"
 
         # distributed samples (min-of-2, warm plan cache)
         phrase_topk(spark, pidx, "warm up", k=10).collect()
@@ -67,6 +81,14 @@ def main() -> None:
                 spark, pidx, WILD, k=10).collect(),
             "qlang_q": lambda: bm25_topk_qlang(
                 spark, pidx, QL, k=10).collect(),
+            "near_ordered_q": lambda: near_ordered_topk(
+                spark, pidx, *NEARQ, k=10).collect(),
+            "collapse_q": lambda: bm25_topk_collapse_packed(
+                spark, pidx, PHRASE, k=10).collect(),
+            "synonyms_q": lambda: bm25_topk_synonyms_packed(
+                spark, pidx, SYNQ, SYNS, k=10).collect(),
+            "prf_q": lambda: bm25_topk_prf_packed(
+                spark, pidx, df, PRFQ, k=10).collect(),
         }
         for name, fn in dist.items():
             best = None
@@ -84,6 +106,10 @@ def main() -> None:
             "serve_near": lambda: srv.search_near(*NEARQ, k=10),
             "serve_wildcard": lambda: srv.search_wildcard(WILD, k=10),
             "serve_qlang": lambda: srv.search_qlang(QL, k=10),
+            "serve_near_ordered": lambda: srv.search_near_ordered(
+                *NEARQ, k=10),
+            "serve_synonyms": lambda: srv.search_synonyms(
+                SYNQ, SYNS, k=10),
         }
         for name, fn in serve.items():
             t0 = time.time()
