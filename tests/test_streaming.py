@@ -379,3 +379,12 @@ class TestStreamedPositionalServing:
         )
         q = '+machine "machine learning" -slow quer*'
         assert seg.search_qlang(q, k=10) == full.search_qlang(q, k=10)
+        # third-wave surfaces ride the same streamed segments: ordered
+        # proximity (positional) and synonym groups (blended union-df)
+        assert seg.search_near_ordered("machine learning", 4, k=10) == (
+            full.search_near_ordered("machine learning", 4, k=10)
+        )
+        syns = {"machin": ["learn"]}
+        assert seg.search_synonyms("machine society", syns, k=10) == (
+            full.search_synonyms("machine society", syns, k=10)
+        )
