@@ -972,6 +972,40 @@ FROM ranked WHERE rn > 3
 ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """.replace("{toks}", _SQL_TOKS)
 
+# upsert semantics: the corpus holds BOTH versions of every updated
+# doc (stats count both — pre-compaction staleness, Lucene-style); the
+# dead (v1) rows of updated docs are dropped from the RANKING only
+_SQL_BM25_ENGINE_UPSERT = """
+WITH src AS (
+  SELECT doc_id, FALSE AS dead, text FROM documents WHERE doc_id % 7 <> 3
+  UNION ALL
+  SELECT doc_id, TRUE AS dead, text FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id, FALSE AS dead, text || ' spark stream spark'
+  FROM documents WHERE doc_id % 7 = 3
+),
+t AS (SELECT doc_id, dead, {toks} AS toks FROM src),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, dead, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, dead, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id, dead
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.dead,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored WHERE NOT dead
+GROUP BY doc_id, dead
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+""".replace("{toks}", _SQL_TOKS)
+
 
 def q_bm25_synonyms_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synonym-group expansion THROUGH the packed engine
@@ -1191,6 +1225,155 @@ def q_bm25_wildcard_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         resolved[:20], "doc_id long, bm25_r6 double"
     )
+
+
+def q_spell_suggest_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell suggestion ("did you mean") under the DuckDB gate
+    (operators/spell.suggest_terms): each probe maps to its best
+    dictionary term within Levenshtein 2, best = (dist asc, df desc,
+    term asc) — 'sparkk'→'spark', 'strem'→'stream', an exact token is
+    its own best match at distance 0, and a hopeless probe keeps
+    itself (sentinel -1 stats, both sides).  The oracle recomputes the
+    selection with DuckDB's levenshtein over the relational
+    vocabulary."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.spell import suggest_terms
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_spell_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        probes = ["join", "sparkk", "strem", "zzzzzzqq"]
+        rows = suggest_terms(spark, pidx, probes).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    fixed = [
+        (
+            r["token"],
+            r["suggestion"],
+            int(r["dist"]) if r["dist"] is not None else -1,
+            int(r["df"]) if r["df"] is not None else -1,
+        )
+        for r in rows
+    ]
+    fixed.sort()
+    return spark.createDataFrame(
+        fixed, "token string, suggestion string, dist int, df long"
+    )
+
+
+_SQL_SPELL_SUGGEST = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+vocab AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id, unnest(toks) AS term FROM t
+    )
+  ) GROUP BY term
+),
+probes(token) AS (VALUES ('join'), ('sparkk'), ('strem'), ('zzzzzzqq')),
+cand AS (
+  SELECT p.token, v.term AS suggestion,
+         levenshtein(p.token, v.term) AS dist, v.df,
+         row_number() OVER (
+           PARTITION BY p.token
+           ORDER BY levenshtein(p.token, v.term) ASC, v.df DESC, v.term ASC
+         ) AS rn
+  FROM probes p JOIN vocab v ON levenshtein(p.token, v.term) <= 2
+)
+SELECT p.token,
+       coalesce(c.suggestion, p.token) AS suggestion,
+       coalesce(c.dist, -1)::INT AS dist,
+       coalesce(c.df, -1)::BIGINT AS df
+FROM probes p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (token)
+ORDER BY token
+"""
+
+
+def q_bm25_suffix_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix (leading-wildcard) expansion THROUGH the packed index
+    (operators/wildcard.expand_suffixes): '*ing join' expands the
+    'ing' suffix against the REVERSED term dictionary — Lucene's
+    ReverseStringFilter trick realized as a parquet table sorted by
+    reverse(term), so the scan is a pushed-down StringStartsWith on
+    'gni', never a full-vocabulary endswith.  Each expanded term joins
+    the query with qtf 1; the literal 'join' rides along unchanged
+    (and is itself covered by the pattern — qtf adds).  The oracle
+    recomputes the same weighting relationally with LIKE '%ing'."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.wildcard import bm25_topk_wildcard
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_suffix_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_wildcard(spark, pidx, "*ing join", k=60).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, bm25_r6 double"
+    )
+
+
+_SQL_BM25_SUFFIX = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term LIKE '%ing' OR term = 'join'
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+w AS (
+  SELECT d.term, d.df,
+         ((CASE WHEN d.term = 'join' THEN 1 ELSE 0 END)
+          + (CASE WHEN d.term LIKE '%ing' THEN 1 ELSE 0 END))::DOUBLE
+         * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS w
+  FROM dfs d CROSS JOIN stats s
+),
+scored AS (
+  SELECT p.doc_id,
+         w.w * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN w USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
 
 
 _SQL_BM25_WILDCARD = f"""
@@ -1926,6 +2109,71 @@ def q_bm25_engine_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sidx, q, k=60, deletes=tombstones, resolve="pushdown"
         )
     finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        top.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_bm25_engine_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document update (upsert) under the DuckDB gate — the LSM
+    lifecycle's third verb (operators/segments.py "Document update"):
+    every 7th document is re-ingested with appended text via
+    build_upsert_segment, whose supersedes.json shadows the base
+    segment's versions.  Semantics pinned: dead versions vanish from
+    RESULTS exactly, live (v2) documents score with their NEW tf/dl,
+    and collection stats (N, avgdl, df) count BOTH versions until
+    compaction — so the oracle scores the both-versions corpus and
+    drops the dead rows from the ranking.  Resolution runs the
+    pushdown (point-lookup) path, gating the shadows × pushdown
+    combination."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.segments import (
+        SegmentedIndex,
+        bm25_topk_segmented,
+        build_upsert_segment,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        (F.col("doc_id") % 7 == 3).alias("upd"),
+    )
+    base = tempfile.mkdtemp(prefix="gate_engine_ups_")
+    try:
+        build_packed_index(
+            spark, transcripts.drop("upd"), f"{base}/seg0",
+            range_bits=8, with_positions=False, stem=False,
+        )
+        delta = transcripts.filter("upd").select(
+            "conv_id", "turn_idx",
+            F.concat(F.col("text"), F.lit(" spark stream spark")).alias(
+                "text"
+            ),
+        )
+        build_upsert_segment(
+            spark, delta, f"{base}/seg1",
+            range_bits=8, with_positions=False, stem=False,
+        )
+        sidx = SegmentedIndex(spark, [f"{base}/seg0", f"{base}/seg1"])
+        top = bm25_topk_segmented(
+            spark, sidx, " ".join(DOCS_QUERY_TERMS), k=60,
+            resolve="pushdown",
+        )
+    finally:
+        # pushdown resolution collects during the call — safe to remove
         shutil.rmtree(base, ignore_errors=True)
     return (
         top.select(
@@ -2833,6 +3081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_engine_packed": q_bm25_engine_packed,
     "bm25_engine_segmented": q_bm25_engine_segmented,
     "bm25_engine_deletes": q_bm25_engine_deletes,
+    "bm25_engine_upsert": q_bm25_engine_upsert,
     "bm25_convs_engine": q_bm25_convs_engine,
     "bm25_convs_engine_sum": q_bm25_convs_engine_sum,
     "bm25_collapse_engine": q_bm25_collapse_engine,
@@ -2843,6 +3092,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_time_travel": q_iceberg_time_travel,
     "index_stats_engine": q_index_stats_engine,
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
+    "bm25_suffix_engine": q_bm25_suffix_engine,
+    "spell_suggest_engine": q_spell_suggest_engine,
     "bm25_synonyms_engine": q_bm25_synonyms_engine,
     "bm25_prf_engine": q_bm25_prf_engine,
     "more_like_this_engine": q_more_like_this_engine,
@@ -2885,6 +3136,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_engine_packed": _SQL_BM25_ENGINE,
     "bm25_engine_segmented": _SQL_BM25_ENGINE,
     "bm25_engine_deletes": _SQL_BM25_ENGINE_DELETES,
+    "bm25_engine_upsert": _SQL_BM25_ENGINE_UPSERT,
     "bm25_convs_engine": _SQL_BM25_CONVS,
     "bm25_convs_engine_sum": _SQL_BM25_CONVS_SUM,
     "bm25_collapse_engine": _SQL_BM25_COLLAPSE,
@@ -2895,6 +3147,8 @@ ORACLE_SQL: dict[str, str] = {
     "iceberg_time_travel": _SQL_ICEBERG_TT,
     "index_stats_engine": _SQL_INDEX_STATS,
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
+    "bm25_suffix_engine": _SQL_BM25_SUFFIX,
+    "spell_suggest_engine": _SQL_SPELL_SUGGEST,
     "bm25_synonyms_engine": _SQL_BM25_SYNONYMS,
     "bm25_prf_engine": _SQL_BM25_PRF,
     "more_like_this_engine": _SQL_MLT_ENGINE,

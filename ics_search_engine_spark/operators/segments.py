@@ -30,6 +30,30 @@ fetches by the segment count, the classic LSM/Lucene trade; the
 compaction cadence bounds it.  Docs must not straddle segments
 (segment = set of whole conversations — same invariant as the build's
 conv-hash buckets).
+
+**Document update (upsert).**  The reference's only update story is a
+full re-index (its mutable doc_id counter renumbers everything,
+/root/reference/indexer.py:32,76).  Here an update is Lucene's
+``updateDocument``: the new version lands in a NEW segment built by
+``build_upsert_segment``, which also writes ``supersedes.json`` — the
+delta's doc keys, i.e. a declaration that any OLDER segment's version
+of those keys is dead.  The segment list order is AGE order (older
+first); a key's live version is the one in the newest declaring
+segment.  Query semantics mirror the delete contract exactly:
+
+* superseded versions vanish from RESULTS exactly (each shard
+  over-fetches k + |shadows| candidates, so even if every dead version
+  outranked the true top-k the survivors are correct);
+* collection stats (N, Σdl, df) count BOTH versions until a compaction
+  applies the declarations physically — the same pre-merge staleness
+  Lucene accepts — after which the index is byte-identical to a fresh
+  build over the latest-wins corpus (tested);
+* a ``supersedes.json`` entry whose key the segment does NOT contain
+  acts as a segment-carried tombstone (delete with no new version).
+
+Shadow declarations are driver-resident (a dict, like Lucene's
+liveDocs); their size is the number of updates since the last
+compaction, which the compaction cadence bounds.
 """
 
 from __future__ import annotations
@@ -49,14 +73,79 @@ from ics_search_engine_spark.operators.query import query_weights
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
 
+SUPERSEDES_FILE = "supersedes.json"
+
+
+def load_supersedes(seg_path: str) -> set[tuple[str, int]]:
+    """The doc keys whose older-segment versions this segment declares
+    dead (empty set when the segment was a plain add)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(seg_path, SUPERSEDES_FILE)
+    if not _os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return {(str(c), int(t)) for c, t in _json.load(f)}
+
+
+def write_supersedes(seg_path: str, keys: set[tuple[str, int]]) -> None:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(seg_path, SUPERSEDES_FILE), "w") as f:
+        _json.dump(sorted(keys), f)
+
+
+def build_upsert_segment(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    **build_kw,
+) -> set[tuple[str, int]]:
+    """Ingest a delta of UPDATED documents as a new segment: the normal
+    packed build over just the delta, plus a ``supersedes.json``
+    declaring every delta key — Lucene's updateDocument (delete-by-term
+    + add), which never reads the older segments at ingest time.  Use
+    the plain ``build_packed_index`` for pure adds (no declaration, no
+    query-time shadow cost).  Returns the declared key set.
+
+    The declaration is collected from the freshly written docmap —
+    bounded by the DELTA's size (the thing that is small by LSM
+    construction), never the corpus.
+    """
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+
+    build_packed_index(spark, transcripts, out_dir, **build_kw)
+    dm = catalog.read_table(spark, f"{out_dir}/docmap")
+    keys = {
+        (r["conv_id"], int(r["turn_idx"]))
+        for r in dm.select(*DOC_KEY).collect()
+    }
+    write_supersedes(out_dir, keys)
+    return keys
+
+
 class SegmentedIndex:
-    """A list of PackedIndex segments queried as one logical index."""
+    """A list of PackedIndex segments queried as one logical index.
+    Path order is AGE order (older first) — upsert shadowing resolves
+    a recurring doc key to its newest declaring segment."""
 
     def __init__(self, spark: SparkSession, paths: list[str]):
         if not paths:
             raise ValueError("need at least one segment")
         self.spark = spark
         self.segments = [PackedIndex(spark, p) for p in paths]
+        # key -> newest segment ordinal declaring it (versions in older
+        # segments are dead); segment 0 can declare nothing older
+        self.shadows: dict[tuple[str, int], int] = {}
+        for i, p in enumerate(paths):
+            if i == 0:
+                continue
+            for key in load_supersedes(p):
+                self.shadows[key] = max(self.shadows.get(key, -1), i)
         s0 = self.segments[0].stats
         for s in self.segments[1:]:
             if s.stats.get("stem", True) != s0.get("stem", True):
@@ -279,6 +368,12 @@ def bm25_topk_segmented(
     boundary-tie re-fetch) and point-looks-up only those doc_ords —
     two bounded jobs, NO full docmap scan, the 10^12-doc mode.
     Results are bit-identical between modes (tested).
+
+    Upsert shadows (``sidx.shadows``, from supersedes.json) filter with
+    the same exact over-fetch guarantee as ``deletes``: a version of a
+    key from a segment older than its newest declaring segment never
+    reaches the results; stats stay both-versions until compaction
+    (module docstring).
     """
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
@@ -291,7 +386,8 @@ def bm25_topk_segmented(
     if not weights:
         return empty
 
-    fetch = k + (len(deletes) if deletes else 0)
+    shadows = sidx.shadows
+    fetch = k + (len(deletes) if deletes else 0) + len(shadows)
     # range_bits may differ per segment (pre-compaction mixtures)
     rbs = {i: int(s.stats["range_bits"]) for i, s in enumerate(sidx.segments)}
     scorer = _segment_shard_scorer(
@@ -312,15 +408,25 @@ def bm25_topk_segmented(
         # which only resolution provides, so every K-th-score tie must
         # be resolved); (2) per-segment doc_ord IN (...) point lookup.
         # The 10^12-doc mode: no docmap is ever scanned in full.
-        K = k + (len(deletes) if deletes else 0)
+        K = k + (len(deletes) if deletes else 0) + len(shadows)
         cand = _bounded_winners(winners, K)
         dmap = _pushdown_lookup(
             sidx, {(int(r["seg"]), int(r["doc_ord"])) for r in cand}
         )
         rows = [
-            (*dmap[(int(r["seg"]), int(r["doc_ord"]))], float(r["score"]))
+            (
+                int(r["seg"]),
+                *dmap[(int(r["seg"]), int(r["doc_ord"]))],
+                float(r["score"]),
+            )
             for r in cand
         ]
+        if shadows:
+            rows = [
+                r for r in rows
+                if shadows.get((r[1], r[2]), -1) <= r[0]
+            ]
+        rows = [r[1:] for r in rows]
         if deletes:
             rows = [r for r in rows if (r[0], r[1]) not in deletes]
         rows.sort(key=lambda t: (-t[2], t[0], t[1]))
@@ -337,7 +443,8 @@ def bm25_topk_segmented(
     # for docmap scales where a full scan hurts.
     resolved = _dm_union(sidx).join(
         F.broadcast(winners), ["seg", "doc_ord"]
-    ).select("conv_id", "turn_idx", "score")
+    ).select("seg", "conv_id", "turn_idx", "score")
+    resolved = _apply_shadows(spark, resolved, shadows)
     if deletes:
         del_df = spark.createDataFrame(
             sorted(deletes), "conv_id string, turn_idx int"
@@ -347,6 +454,31 @@ def bm25_topk_segmented(
     return resolved.orderBy(
         F.desc("score"), "conv_id", "turn_idx"
     ).limit(k)
+
+
+def _apply_shadows(
+    spark: SparkSession,
+    resolved: DataFrame,
+    shadows: dict[tuple[str, int], int],
+) -> DataFrame:
+    """Drop superseded versions from resolved winner rows (seg,
+    conv_id, turn_idx, ...): a row survives iff its segment is at least
+    the key's newest declaring segment.  The declaration set is
+    driver-resident (module docstring), so the filter is one broadcast
+    left-join against a |shadows|-row frame — never a shuffle."""
+    if not shadows:
+        return resolved.drop("seg")
+    shadow_df = spark.createDataFrame(
+        [(c, t, s) for (c, t), s in sorted(shadows.items())],
+        "conv_id string, turn_idx int, win_seg int",
+    )
+    return (
+        resolved.join(F.broadcast(shadow_df), DOC_KEY, "left")
+        .filter(
+            F.col("win_seg").isNull() | (F.col("seg") >= F.col("win_seg"))
+        )
+        .drop("seg", "win_seg")
+    )
 
 
 def pick_compaction(
@@ -428,8 +560,10 @@ def bm25_topk_multi_segmented(
         return empty
 
     qw_items = sorted(q_weights.items())
+    shadows = sidx.shadows
+    Kp = k + len(shadows)  # upsert over-fetch, same bound as single-query
     rbs = {i: int(s.stats["range_bits"]) for i, s in enumerate(sidx.segments)}
-    scorer = _segment_shard_scorer(qw_items, rbs, sidx.avgdl, k)
+    scorer = _segment_shard_scorer(qw_items, rbs, sidx.avgdl, Kp)
     winners = (
         _matched_union(sidx, sorted(all_terms))
         .groupBy("seg", "shard_id")
@@ -448,7 +582,7 @@ def bm25_topk_multi_segmented(
         )
         cand = (
             winners.withColumn("r", F.row_number().over(pre_w))
-            .filter(F.col("r") <= k + _TIE_OVERFETCH)
+            .filter(F.col("r") <= Kp + _TIE_OVERFETCH)
             .drop("r")
             .collect()
         )
@@ -459,10 +593,10 @@ def bm25_topk_multi_segmented(
         for qid, rows_ in by_q.items():
             rows_.sort(key=lambda r: (-r["score"], r["seg"], r["doc_ord"]))
             if (
-                len(rows_) == k + _TIE_OVERFETCH
-                and rows_[-1]["score"] == rows_[k - 1]["score"]
+                len(rows_) == Kp + _TIE_OVERFETCH
+                and rows_[-1]["score"] == rows_[Kp - 1]["score"]
             ):
-                flagged[qid] = float(rows_[k - 1]["score"])
+                flagged[qid] = float(rows_[Kp - 1]["score"])
         if flagged:
             cond = None
             for qid, s in sorted(flagged.items()):
@@ -484,6 +618,9 @@ def bm25_topk_multi_segmented(
             resolved_q = [
                 (*dmap[(int(r["seg"]), int(r["doc_ord"]))], float(r["score"]))
                 for r in by_q[qid]
+                if shadows.get(
+                    dmap[(int(r["seg"]), int(r["doc_ord"]))], -1
+                ) <= int(r["seg"])
             ]
             resolved_q.sort(key=lambda t: (-t[2], t[0], t[1]))
             for rank, (conv, turn, sc) in enumerate(resolved_q[:k], 1):
@@ -498,7 +635,8 @@ def bm25_topk_multi_segmented(
 
     resolved = _dm_union(sidx).join(
         F.broadcast(winners), ["seg", "doc_ord"]
-    ).select("query_id", "conv_id", "turn_idx", "score")
+    ).select("query_id", "seg", "conv_id", "turn_idx", "score")
+    resolved = _apply_shadows(spark, resolved, shadows)
     rank_w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
     )
@@ -516,6 +654,7 @@ def compact_segments(
     index_partitions: int | None = None,
     deletes: DataFrame | None = None,
     range_bits: int | None = None,
+    partial: bool = False,
 ) -> dict:
     """LSM-style compaction: merge many segments into ONE packed index
     WITHOUT re-tokenizing — decode each segment's payloads, re-rank doc
@@ -535,6 +674,18 @@ def compact_segments(
     their postings are dropped, and stats (N, Σdl, df, max_tfn)
     recompute over survivors, so the output is byte-identical to a
     fresh build over a corpus that never contained them (tested).
+
+    Upsert declarations (supersedes.json, module docstring) apply
+    PHYSICALLY too: for each declared key, versions held by input
+    segments OLDER than the newest declaring input are dropped from
+    docmap and postings — the output is byte-identical to a fresh
+    build over the latest-wins corpus (tested).  ``seg_paths`` order is
+    age order.  By default the inputs are assumed to be the FULL
+    segment set, so every declaration is fully applied and the output
+    carries no supersedes.json; a subset compaction must pass
+    ``partial=True``, which re-declares the union of the inputs'
+    declarations on the output (a key's winning version may still need
+    to shadow a segment outside the inputs).
     """
     import json as _json
     import os as _os
@@ -542,6 +693,27 @@ def compact_segments(
     from pyspark.sql import Observation
 
     segs = [PackedIndex(spark, p) for p in seg_paths]
+    # upsert shadows within the input set: key -> newest declaring seg
+    shadow: dict[tuple[str, int], int] = {}
+    declared_union: set[tuple[str, int]] = set()
+    for i, p in enumerate(seg_paths):
+        decl = load_supersedes(p)
+        declared_union |= decl
+        if i == 0:
+            continue
+        for key in decl:
+            shadow[key] = max(shadow.get(key, -1), i)
+
+    def _live_docmap(s: PackedIndex, i: int) -> DataFrame:
+        """Segment i's docmap minus versions a newer input supersedes
+        (driver-sized anti-join side, broadcast — never a shuffle)."""
+        dead = sorted(k for k, w in shadow.items() if w > i)
+        if not dead:
+            return s.docmap
+        dead_df = spark.createDataFrame(
+            dead, "conv_id string, turn_idx int"
+        )
+        return s.docmap.join(F.broadcast(dead_df), DOC_KEY, "left_anti")
     s0 = segs[0].stats
     # with_positions/stem must agree (they change payload CONTENT);
     # range_bits need not — decode yields absolute ordinals and the
@@ -556,9 +728,11 @@ def compact_segments(
         range_bits = int(s0["range_bits"])
 
     _os.makedirs(out_dir, exist_ok=True)
-    union_docs = segs[0].docmap.select(*DOC_KEY, "dl")
-    for s in segs[1:]:
-        union_docs = union_docs.unionByName(s.docmap.select(*DOC_KEY, "dl"))
+    union_docs = _live_docmap(segs[0], 0).select(*DOC_KEY, "dl")
+    for i, s in enumerate(segs[1:], start=1):
+        union_docs = union_docs.unionByName(
+            _live_docmap(s, i).select(*DOC_KEY, "dl")
+        )
     if deletes is not None:
         union_docs = union_docs.join(
             deletes.select(*DOC_KEY), DOC_KEY, "left_anti"
@@ -586,12 +760,16 @@ def compact_segments(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
     )
     posts = None
-    for s in segs:
+    for i, s in enumerate(segs):
         # decode -> (term, doc_ord[old], tf, dl[, positions]); remap the
         # segment-local ordinal to the new global one via the segment's
-        # docmap joined with the union docmap on the doc KEY
+        # LIVE docmap joined with the union docmap on the doc KEY —
+        # live, because a superseded key's new ordinal exists in new_dm
+        # under the SAME key, and the dead version's postings must not
+        # attach to it
         remap = (
-            s.docmap.select(*DOC_KEY, F.col("doc_ord").alias("old_ord"))
+            _live_docmap(s, i)
+            .select(*DOC_KEY, F.col("doc_ord").alias("old_ord"))
             .join(new_dm.select(*DOC_KEY, "doc_ord"), DOC_KEY)
             .select("old_ord", "doc_ord")
         )
@@ -616,4 +794,9 @@ def compact_segments(
         hash_col="term",
         n_partitions=ts_parts,
     )
+    if partial and declared_union:
+        # subset compaction: the winning versions now live here, but
+        # segments outside the input set may still hold dead versions —
+        # re-declare so the shadow survives until a full compaction
+        write_supersedes(out_dir, declared_union)
     return stats

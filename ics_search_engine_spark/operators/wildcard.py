@@ -9,21 +9,30 @@ whose term range can't contain the prefix), and the expanded terms then
 ride the normal packed BM25 path.
 
 Semantics (documented, mirrored by the DuckDB gate and tests):
-* a query token of the form ``pre*`` is a PREFIX pattern — lowercased,
-  NOT stemmed, NOT stop-word-filtered (patterns name index terms
-  directly, the way Lucene skips analysis for wildcard terms);
-* every index term starting with ``pre`` joins the query's term set;
+* a query token of the form ``pre*`` is a PREFIX pattern, ``*suf`` a
+  SUFFIX pattern — lowercased, NOT stemmed, NOT stop-word-filtered
+  (patterns name index terms directly, the way Lucene skips analysis
+  for wildcard terms); a token with ``*`` anywhere else (``ma*ch``,
+  ``*mid*``) is NOT a pattern and flows to the regular tokenizer;
+* every index term matching a pattern joins the query's term set;
   a pattern instance adds 1 to each expanded term's query tf, so
   weight(t) = (literal qtf + covering pattern instances) × idf(df_t) —
-  a term matched both literally and by prefix gets both contributions;
+  a term matched both literally and by pattern gets both contributions;
 * per-pattern expansion is capped at ``max_expansions``, keeping the
   (df desc, term asc) heaviest terms — deterministic, and the weight
-  table stays driver-sized no matter how promiscuous the prefix.
+  table stays driver-sized no matter how promiscuous the pattern.
 
-Scale: expansion is one metadata-only job over term_stats (vocabulary-
-sized table, prefix pushdown); scoring is the unchanged packed path —
-term-IN pushdown over the index, decode, broadcast weight join,
-TakeOrderedAndProject.  Nothing new shuffles.
+Scale: prefix expansion is one metadata-only job over term_stats
+(vocabulary-sized table, prefix pushdown).  Suffix expansion gets the
+same plan through a REVERSED term dictionary (Lucene's
+ReverseStringFilter trick): ``term_stats_rev`` — (reverse(term), term,
+df) written sorted by the reversed term — turns ``*suf`` into a
+pushed-down StringStartsWith on ``reverse(suf)``, so parquet min/max
+skip every file outside the reversed range.  The derived table is
+built lazily on first use (``ensure_reversed_dict``) and is immutable
+per segment.  Scoring is the unchanged packed path — term-IN pushdown
+over the index, decode, broadcast weight join, TakeOrderedAndProject.
+Nothing new shuffles.
 """
 
 from __future__ import annotations
@@ -44,21 +53,60 @@ from ics_search_engine_spark.operators.query import (
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
 _PATTERN_RE = re.compile(r"([a-z0-9]+)\*")
+_SUFFIX_RE = re.compile(r"\*([a-z0-9]+)")
+
+REV_DICT_NAME = "term_stats_rev"
 
 
-def parse_wildcard_query(query: str) -> tuple[dict[str, int], str]:
-    """Split a query into (prefix -> instance count, residual query).
-    Only whole whitespace-delimited tokens of the shape ``alnum*`` are
-    patterns; everything else flows to the regular tokenizer."""
+def parse_wildcard_query(
+    query: str,
+) -> tuple[dict[str, int], dict[str, int], str]:
+    """Split a query into (prefix -> instance count, suffix -> instance
+    count, residual query).  Only whole whitespace-delimited tokens of
+    the shape ``alnum*`` / ``*alnum`` are patterns; everything else
+    flows to the regular tokenizer."""
     prefixes: dict[str, int] = {}
+    suffixes: dict[str, int] = {}
     rest: list[str] = []
     for part in (query or "").lower().split():
         m = _PATTERN_RE.fullmatch(part)
         if m:
             prefixes[m.group(1)] = prefixes.get(m.group(1), 0) + 1
-        else:
-            rest.append(part)
-    return prefixes, " ".join(rest)
+            continue
+        m = _SUFFIX_RE.fullmatch(part)
+        if m:
+            suffixes[m.group(1)] = suffixes.get(m.group(1), 0) + 1
+            continue
+        rest.append(part)
+    return prefixes, suffixes, " ".join(rest)
+
+
+def ensure_reversed_dict(spark: SparkSession, pidx: PackedIndex) -> DataFrame:
+    """The reversed term dictionary (module docstring): (rterm, term,
+    df), written SORTED by rterm so a reversed-prefix scan is
+    file-skip cheap — a vocabulary-sized one-off job per segment,
+    materialized on first suffix query (idempotent; segments are
+    immutable once built)."""
+    import os
+
+    from ics_search_engine_spark.sources import catalog
+
+    path = f"{pidx.path}/{REV_DICT_NAME}"
+    if not os.path.exists(path):
+        n_parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 8,
+            4,
+        )
+        catalog.write_table(
+            pidx.term_stats.select(
+                F.reverse(F.col("term")).alias("rterm"), "term", "df"
+            ),
+            path,
+            sort_cols=["rterm"],
+            hash_col="rterm",
+            n_partitions=n_parts,
+        )
+    return catalog.read_table(spark, path)
 
 
 def expand_prefixes(
@@ -95,6 +143,40 @@ def expand_prefixes(
     return added, dfs, per_prefix
 
 
+def expand_suffixes(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    suffixes: dict[str, int],
+    max_expansions: int = 1024,
+) -> tuple[dict[str, int], dict[str, int], dict[str, list[str]]]:
+    """Suffix expansion through the reversed dictionary → same
+    contract as ``expand_prefixes``: (term -> added qtf, term -> df,
+    pattern -> its selected terms), the (df desc, term asc) cap
+    applied INSIDE Spark (one TakeOrderedAndProject per pattern)."""
+    added: dict[str, int] = {}
+    dfs: dict[str, int] = {}
+    per_suffix: dict[str, list[str]] = {}
+    if not suffixes:
+        return added, dfs, per_suffix
+    rev = ensure_reversed_dict(spark, pidx)
+    for s, inst in suffixes.items():
+        rows = (
+            rev.filter(F.col("rterm").startswith(s[::-1]))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term", "df")
+            .collect()
+        )
+        terms: list[str] = []
+        for r in rows:
+            t, d = r["term"], int(r["df"])
+            added[t] = added.get(t, 0) + inst
+            dfs[t] = d
+            terms.append(t)
+        per_suffix[s] = terms
+    return added, dfs, per_suffix
+
+
 def bm25_topk_wildcard(
     spark: SparkSession,
     pidx: PackedIndex,
@@ -102,14 +184,14 @@ def bm25_topk_wildcard(
     k: int = 10,
     max_expansions: int = 1024,
 ) -> DataFrame:
-    """Top-k BM25 where query tokens may be ``pre*`` prefix patterns →
-    (conv_id, turn_idx, score).  With no patterns present this is
-    exactly ``bm25_topk_packed``."""
+    """Top-k BM25 where query tokens may be ``pre*`` prefix or ``*suf``
+    suffix patterns → (conv_id, turn_idx, score).  With no patterns
+    present this is exactly ``bm25_topk_packed``."""
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
     )
     do_stem = pidx.stats.get("stem", True)
-    prefixes, rest = parse_wildcard_query(query)
+    prefixes, suffixes, rest = parse_wildcard_query(query)
 
     qtf: dict[str, int] = {}
     for t in tokenize(rest, for_query=True, do_stem=do_stem):
@@ -120,6 +202,11 @@ def bm25_topk_wildcard(
     for t, inst in added.items():
         qtf[t] = qtf.get(t, 0) + inst
     term_df.update(exp_df)
+
+    s_added, s_df, _ = expand_suffixes(spark, pidx, suffixes, max_expansions)
+    for t, inst in s_added.items():
+        qtf[t] = qtf.get(t, 0) + inst
+    term_df.update(s_df)
 
     weights = idf_weights(qtf, term_df, pidx.n_docs)
     if not weights:

@@ -99,6 +99,32 @@ class _TermDict:
             ts, ds = ts[order], ds[order]
         return [(str(t), int(d)) for t, d in zip(ts, ds)]
 
+    def _reversed(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted reversed terms, permutation into self.terms) — the
+        in-memory analog of the reversed dictionary parquet
+        (operators/wildcard.ensure_reversed_dict), built lazily once."""
+        rev = getattr(self, "_rev", None)
+        if rev is None:
+            rts = np.array([t[::-1] for t in self.terms], dtype=object)
+            order = np.argsort(rts, kind="stable")
+            rev = self._rev = (rts[order], order)
+        return rev
+
+    def expand_suffix(self, suffix: str, cap: int) -> list[tuple[str, int]]:
+        """Terms ending with ``suffix`` as (term, df) — a binary-
+        searched slice of the reversed dictionary, same (df desc,
+        term asc) cap as operators/wildcard.expand_suffixes."""
+        rts, order = self._reversed()
+        probe = suffix[::-1]
+        lo = int(np.searchsorted(rts, probe))
+        hi = int(np.searchsorted(rts, probe + "\U0010ffff"))
+        idxs = order[lo:hi]
+        ts, ds = self.terms[idxs], self.dfs[idxs]
+        if ts.size > cap:
+            keep = np.lexsort((ts, -ds))[:cap]
+            ts, ds = ts[keep], ds[keep]
+        return [(str(t), int(d)) for t, d in zip(ts, ds)]
+
 
 class LocalIndexServer:
     """Serve top-k BM25 from a packed index directory, no Spark."""
@@ -759,13 +785,17 @@ class LocalIndexServer:
         )
 
         do_stem = self.stats.get("stem", True)
-        prefixes, rest = parse_wildcard_query(query)
+        prefixes, suffixes, rest = parse_wildcard_query(query)
         qtf: dict[str, int] = {}
         for t in tokenize(rest, for_query=True, do_stem=do_stem):
             qtf[t] = qtf.get(t, 0) + 1
         term_df = {t: int(self.df[t]) for t in qtf if t in self.df}
         for p, inst in prefixes.items():
             for t, d in self._terms().expand(p, max_expansions):
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
+        for s, inst in suffixes.items():
+            for t, d in self._terms().expand_suffix(s, max_expansions):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
         return self.score_with(idf_weights(qtf, term_df, self.n_docs), k)
@@ -792,6 +822,24 @@ class LocalIndexServer:
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
         return self.score_with(idf_weights(qtf, term_df, self.n_docs), k)
+
+    def did_you_mean(self, query: str, max_dist: int = 2) -> str | None:
+        """Serving-tier spell suggestion — identical selection to
+        operators/spell.did_you_mean ((dist asc, df desc, term asc)
+        best within max_dist; None when no token changed)."""
+        do_stem = self.stats.get("stem", True)
+        toks = tokenize(query, for_query=True, do_stem=do_stem)
+        if not toks:
+            return None
+        td = self._terms()
+        fix: dict[str, str] = {}
+        for p in sorted(set(toks)):
+            cands = sorted(
+                td.fuzzy(p, max_dist), key=lambda x: (x[2], -x[1], x[0])
+            )
+            fix[p] = cands[0][0] if cands else p
+        out = [fix[t] for t in toks]
+        return " ".join(out) if out != toks else None
 
     def more_like_this(
         self,
@@ -932,12 +980,29 @@ class LocalSegmentedServer:
 
     ``deletes`` gives query-time tombstones with the same exact
     over-fetch guarantee as the Spark path (k + |deletes| per segment).
+
+    Upsert shadows (supersedes.json, operators/segments.py module
+    docstring) apply to every surface with the same guarantee: a key's
+    version from a segment older than its newest declaring segment
+    never reaches the results; stats stay both-versions until a
+    compaction applies the declarations physically — identical to the
+    Spark segmented path (tested).
     """
 
     def __init__(self, paths: list[str]):
+        from ics_search_engine_spark.operators.segments import (
+            load_supersedes,
+        )
+
         if not paths:
             raise ValueError("need at least one segment")
         self.servers = [LocalIndexServer(p) for p in paths]
+        self.shadows: dict[tuple[str, int], int] = {}
+        for i, p in enumerate(paths):
+            if i == 0:
+                continue
+            for key in load_supersedes(p):
+                self.shadows[key] = max(self.shadows.get(key, -1), i)
         s0 = self.servers[0].stats
         for s in self.servers[1:]:
             if s.stats.get("stem", True) != s0.get("stem", True):
@@ -975,17 +1040,31 @@ class LocalSegmentedServer:
                                 do_stem=self.stem)
         if not weights:
             return []
-        fetch = k + (len(deletes) if deletes else 0)
-        merged: list[tuple[str, int, float]] = []
-        for s in self.servers:
-            merged.extend(
-                s.score_with(weights, fetch, avgdl=self.avgdl,
-                             use_wand=use_wand)
-            )
+        fetch = k + (len(deletes) if deletes else 0) + len(self.shadows)
+        per_seg = [
+            s.score_with(weights, fetch, avgdl=self.avgdl,
+                         use_wand=use_wand)
+            for s in self.servers
+        ]
+        merged = self._merge_scored(per_seg, fetch)
         if deletes:
             merged = [r for r in merged if (r[0], r[1]) not in deletes]
-        # exact-score ties across segments break on docID, like the
-        # oracle and the Spark segmented path
+        return merged[:k]
+
+    def _merge_scored(
+        self, per_segment: list[list[tuple[str, int, float]]], k: int
+    ) -> list[tuple[str, int, float]]:
+        """Merge per-segment scored lists (index = segment age order):
+        drop superseded versions, then sort on (score desc, docID asc)
+        — exact-score ties across segments break on docID, like the
+        oracle and the Spark segmented path."""
+        sh = self.shadows
+        merged = [
+            r
+            for i, seg in enumerate(per_segment)
+            for r in seg
+            if sh.get((r[0], r[1]), -1) <= i
+        ]
         merged.sort(key=lambda r: (-r[2], r[0], r[1]))
         return merged[:k]
 
@@ -1001,26 +1080,35 @@ class LocalSegmentedServer:
     def _merge_counts(
         self, per_segment: list[list[tuple[str, int, int]]], k: int
     ) -> list[tuple[str, int, int]]:
-        merged = [r for seg in per_segment for r in seg]
+        sh = self.shadows
+        merged = [
+            r
+            for i, seg in enumerate(per_segment)
+            for r in seg
+            if sh.get((r[0], r[1]), -1) <= i
+        ]
         merged.sort(key=lambda r: (-r[2], r[0], r[1]))
         return merged[:k]
 
     def search_phrase(self, phrase: str, k: int = 10
                       ) -> list[tuple[str, int, int]]:
+        f = k + len(self.shadows)
         return self._merge_counts(
-            [s.search_phrase(phrase, k) for s in self.servers], k
+            [s.search_phrase(phrase, f) for s in self.servers], k
         )
 
     def search_near(self, query: str, window: int, k: int = 10
                     ) -> list[tuple[str, int, int]]:
+        f = k + len(self.shadows)
         return self._merge_counts(
-            [s.search_near(query, window, k) for s in self.servers], k
+            [s.search_near(query, window, f) for s in self.servers], k
         )
 
     def search_near_ordered(self, query: str, window: int, k: int = 10
                             ) -> list[tuple[str, int, int]]:
+        f = k + len(self.shadows)
         return self._merge_counts(
-            [s.search_near_ordered(query, window, k) for s in self.servers],
+            [s.search_near_ordered(query, window, f) for s in self.servers],
             k,
         )
 
@@ -1054,7 +1142,7 @@ class LocalSegmentedServer:
             parse_wildcard_query,
         )
 
-        prefixes, rest = parse_wildcard_query(query)
+        prefixes, suffixes, rest = parse_wildcard_query(query)
         qtf: dict[str, int] = {}
         for t in tokenize(rest, for_query=True, do_stem=self.stem):
             qtf[t] = qtf.get(t, 0) + 1
@@ -1064,14 +1152,19 @@ class LocalSegmentedServer:
             for t, d in self._terms().expand(p, max_expansions):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
+        for s, inst in suffixes.items():
+            for t, d in self._terms().expand_suffix(s, max_expansions):
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
         weights = idf_weights(qtf, term_df, self.n_docs)
         if not weights:
             return []
-        merged: list[tuple[str, int, float]] = []
-        for s in self.servers:
-            merged.extend(s.score_with(weights, k, avgdl=self.avgdl))
-        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
-        return merged[:k]
+        f = k + len(self.shadows)
+        return self._merge_scored(
+            [s.score_with(weights, f, avgdl=self.avgdl)
+             for s in self.servers],
+            k,
+        )
 
     def search_fuzzy(
         self, query: str, k: int = 10, max_dist: int = 2,
@@ -1096,11 +1189,12 @@ class LocalSegmentedServer:
         weights = idf_weights(qtf, term_df, self.n_docs)
         if not weights:
             return []
-        merged: list[tuple[str, int, float]] = []
-        for s in self.servers:
-            merged.extend(s.score_with(weights, k, avgdl=self.avgdl))
-        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
-        return merged[:k]
+        f = k + len(self.shadows)
+        return self._merge_scored(
+            [s.score_with(weights, f, avgdl=self.avgdl)
+             for s in self.servers],
+            k,
+        )
 
     def search_synonyms(
         self, query: str, synonyms: dict[str, list[str]], k: int = 10
@@ -1129,13 +1223,30 @@ class LocalSegmentedServer:
         }
         if not weights:
             return []
-        merged: list[tuple[str, int, float]] = []
-        for s, (g_tf, g_dl) in zip(self.servers, per_seg):
-            merged.extend(
-                s._score_synonym_groups(g_tf, g_dl, weights, k, self.avgdl)
+        f = k + len(self.shadows)
+        return self._merge_scored(
+            [
+                s._score_synonym_groups(g_tf, g_dl, weights, f, self.avgdl)
+                for s, (g_tf, g_dl) in zip(self.servers, per_seg)
+            ],
+            k,
+        )
+
+    def did_you_mean(self, query: str, max_dist: int = 2) -> str | None:
+        """Spell suggestion over the LSM — selection against the UNION
+        dictionary (summed df), identical to a compacted index."""
+        toks = tokenize(query, for_query=True, do_stem=self.stem)
+        if not toks:
+            return None
+        td = self._terms()
+        fix: dict[str, str] = {}
+        for p in sorted(set(toks)):
+            cands = sorted(
+                td.fuzzy(p, max_dist), key=lambda x: (x[2], -x[1], x[0])
             )
-        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
-        return merged[:k]
+            fix[p] = cands[0][0] if cands else p
+        out = [fix[t] for t in toks]
+        return " ".join(out) if out != toks else None
 
     def search_qlang(self, q: str, k: int = 10, max_expansions: int = 1024
                      ) -> list[tuple[str, int, float]]:
@@ -1172,7 +1283,7 @@ class LocalSegmentedServer:
             p: [t for t, _ in self._terms().expand(p, 1 << 31)]
             for p in spec.excluded_prefixes
         }
-        merged: list[tuple[str, int, float]] = []
+        merged: list[list[tuple[str, int, float]]] = []
         for s in self.servers:
             masks: list[np.ndarray] = []
 
@@ -1205,9 +1316,8 @@ class LocalSegmentedServer:
             mask = None
             for m in masks:
                 mask = m if mask is None else (mask & m)
-            merged.extend(
-                s.score_with(weights, k, avgdl=self.avgdl,
-                             allowed_mask=mask)
+            merged.append(
+                s.score_with(weights, k + len(self.shadows),
+                             avgdl=self.avgdl, allowed_mask=mask)
             )
-        merged.sort(key=lambda r: (-r[2], r[0], r[1]))
-        return merged[:k]
+        return self._merge_scored(merged, k)

@@ -1,0 +1,121 @@
+"""Spell suggestion (operators/spell.py) vs a pure-Python selection
+oracle, plus serving-tier and LSM parity."""
+
+import pytest
+
+from oracle import bm25 as oracle
+from ics_search_engine_spark.operators.fuzzy import edit_distance
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+from ics_search_engine_spark.operators.spell import (
+    did_you_mean,
+    suggest_terms,
+)
+from ics_search_engine_spark.serving import (
+    LocalIndexServer,
+    LocalSegmentedServer,
+)
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_df, small_rows, corpus_dir):
+    out = f"{corpus_dir}/spell_idx"
+    build_packed_index(spark, small_df, out, range_bits=9)
+    idx = oracle.build_index(small_rows)
+    return PackedIndex(spark, out), idx
+
+
+def _best(idx, probe, max_dist=2):
+    cands = [
+        (t, idx.df(t), edit_distance(t, probe))
+        for t in idx.postings
+        if edit_distance(t, probe) <= max_dist
+    ]
+    cands.sort(key=lambda x: (x[2], -x[1], x[0]))
+    return cands[0] if cands else None
+
+
+@pytest.mark.parametrize("probe", [
+    "machin",      # exact stem -> itself at distance 0
+    "machne",      # typo of a real stem
+    "learnin",     # missing char
+    "reserch",     # transposed-ish (two edits)
+    "zzzzzzqq",    # hopeless
+])
+def test_suggest_matches_selection_oracle(spark, setup, probe):
+    pidx, idx = setup
+    row = suggest_terms(spark, pidx, [probe]).collect()[0]
+    want = _best(idx, probe)
+    if want is None:
+        assert (row["suggestion"], row["dist"], row["df"]) == (
+            probe, None, None
+        )
+    else:
+        t, df, dist = want
+        assert (row["suggestion"], row["dist"], row["df"]) == (t, dist, df)
+
+
+def test_suggest_is_one_bounded_collect(spark, setup):
+    """Many probes still resolve in one job whose result is
+    |probes|-bounded (each branch is a top-1)."""
+    pidx, idx = setup
+    probes = ["machne", "learnin", "reserch", "studnt", "zzzzzzqq"]
+    rows = suggest_terms(spark, pidx, probes).collect()
+    assert len(rows) == len(probes)
+    assert [r["token"] for r in rows] == sorted(probes)
+
+
+def test_did_you_mean_rewrites_and_preserves_order(spark, setup):
+    pidx, idx = setup
+    got = did_you_mean(spark, pidx, "machne learning machne")
+    toks = tokenize("machne learning machne", for_query=True)
+    fix0 = _best(idx, toks[0])[0]
+    fix1 = _best(idx, toks[1])[0]
+    assert got == f"{fix0} {fix1} {fix0}"
+
+
+def test_did_you_mean_none_when_clean(spark, setup):
+    pidx, _ = setup
+    assert did_you_mean(spark, pidx, "machine learning") is None
+    assert did_you_mean(spark, pidx, "") is None
+
+
+def test_did_you_mean_keeps_hopeless_tokens(spark, setup, corpus_dir):
+    pidx, idx = setup
+    got = did_you_mean(spark, pidx, "machne zzzzzzqq")
+    toks = tokenize("machne zzzzzzqq", for_query=True)
+    assert got == f"{_best(idx, toks[0])[0]} {toks[1]}"
+
+
+def test_serving_parity(spark, setup):
+    pidx, _ = setup
+    srv = LocalIndexServer(pidx.path)
+    for q in [
+        "machne learning machne",
+        "machine learning",
+        "machne zzzzzzqq",
+        "reserch studnt",
+        "",
+    ]:
+        assert srv.did_you_mean(q) == did_you_mean(spark, pidx, q), q
+
+
+def test_lsm_parity(spark, setup, small_df, corpus_dir):
+    """Suggestion over segments uses the UNION dictionary — identical
+    to the compacted index."""
+    import pyspark.sql.functions as F
+
+    pidx, _ = setup
+    seg_dirs = [f"{corpus_dir}/spell_seg_{i}" for i in range(2)]
+    import os
+    for i, d in enumerate(seg_dirs):
+        if not os.path.exists(f"{d}/stats.json"):
+            part = small_df.filter(F.pmod(F.hash("conv_id"), F.lit(2)) == i)
+            build_packed_index(spark, part, d, range_bits=9)
+    full = LocalIndexServer(pidx.path)
+    lsm = LocalSegmentedServer(seg_dirs)
+    for q in ["machne learning", "reserch studnt", "machine learning"]:
+        assert lsm.did_you_mean(q) == full.did_you_mean(q), q
