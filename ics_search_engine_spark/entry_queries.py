@@ -1227,6 +1227,77 @@ def q_bm25_wildcard_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lmd_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model (Dirichlet) ranking THROUGH the packed index
+    (operators/lmd.py — Zhai & Lafferty 2001, mu=2000): score =
+    Σ qtf·ln(1 + tf/(mu·ctf/total_tokens)) + Q·ln(mu/(dl+mu)) over
+    docs matching ≥1 term.  The second similarity the engine serves
+    from the SAME artifacts as BM25 — collection term frequency is an
+    extra narrow agg over the already-matched postings, total tokens
+    is stats sum_dl.  The oracle replays the formula relationally."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.lmd import lmd_topk_packed
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_lmd_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = lmd_topk_packed(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, lmd_r6 double"
+    )
+
+
+_SQL_LMD_ENGINE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tot AS (SELECT sum(len(toks))::DOUBLE AS total FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+ctfs AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM posts GROUP BY term),
+consts AS (
+  SELECT c.term, 1.0 AS qtf, 2000.0 * (c.ctf / tot.total) AS mp
+  FROM ctfs c CROSS JOIN tot
+),
+qsum AS (SELECT sum(qtf) AS q FROM consts),
+scored AS (
+  SELECT p.doc_id, c.qtf * ln(1.0 + p.tf / c.mp) AS contrib, p.dl
+  FROM posts p JOIN consts c USING (term)
+)
+SELECT s.doc_id,
+       round(sum(s.contrib)
+             + any_value(qsum.q) * ln(2000.0 / (any_value(s.dl) + 2000.0)),
+             6) AS lmd_r6
+FROM scored s CROSS JOIN qsum
+GROUP BY s.doc_id
+ORDER BY lmd_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_spell_suggest_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spell suggestion ("did you mean") under the DuckDB gate
     (operators/spell.suggest_terms): each probe maps to its best
@@ -3094,6 +3165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
     "bm25_suffix_engine": q_bm25_suffix_engine,
     "spell_suggest_engine": q_spell_suggest_engine,
+    "lmd_engine_packed": q_lmd_engine_packed,
     "bm25_synonyms_engine": q_bm25_synonyms_engine,
     "bm25_prf_engine": q_bm25_prf_engine,
     "more_like_this_engine": q_more_like_this_engine,
@@ -3149,6 +3221,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
     "bm25_suffix_engine": _SQL_BM25_SUFFIX,
     "spell_suggest_engine": _SQL_SPELL_SUGGEST,
+    "lmd_engine_packed": _SQL_LMD_ENGINE,
     "bm25_synonyms_engine": _SQL_BM25_SYNONYMS,
     "bm25_prf_engine": _SQL_BM25_PRF,
     "more_like_this_engine": _SQL_MLT_ENGINE,

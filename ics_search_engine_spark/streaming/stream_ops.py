@@ -229,6 +229,7 @@ def incremental_segments(
     range_bits: int = 12,
     with_positions: bool = False,
     stem: bool = True,
+    upserts: bool = False,
 ) -> DataStreamWriter:
     """Streaming ingest → queryable LSM index: every non-empty
     micro-batch becomes a complete packed-index SEGMENT (the full
@@ -248,11 +249,24 @@ def incremental_segments(
     Invariant inherited from segments.py: conversations must not
     straddle micro-batches if per-conv docIDs are to stay unique
     (one conversation = one arrival batch, the natural ingest shape).
+
+    ``upserts=True``: every batch is a CDC-style stream of document
+    VERSIONS — the segment is built by build_upsert_segment, whose
+    supersedes.json (written BEFORE the ready marker, so registration
+    stays atomic) shadows any older segment's version of the batch's
+    keys.  list_ready_segments returns batch order, which IS the age
+    order SegmentedIndex/LocalSegmentedServer need.  A key may recur
+    across batches (latest wins) but must not recur WITHIN one batch
+    (one segment holding two versions of a key is undefined —
+    dedupe-to-latest upstream, e.g. a windowed last() per key).
     """
     import os
 
     from ics_search_engine_spark.operators.packed_index import (
         build_packed_index,
+    )
+    from ics_search_engine_spark.operators.segments import (
+        build_upsert_segment,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -265,7 +279,8 @@ def incremental_segments(
             # deterministic — never rewrite a marked segment, or a
             # concurrent reader could see it half-rewritten
             return
-        build_packed_index(
+        build = build_upsert_segment if upserts else build_packed_index
+        build(
             batch_df.sparkSession, batch_df, seg_dir,
             range_bits=range_bits, with_positions=with_positions,
             stem=stem,

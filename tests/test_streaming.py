@@ -388,3 +388,96 @@ class TestStreamedPositionalServing:
         assert seg.search_synonyms("machine society", syns, k=10) == (
             full.search_synonyms("machine society", syns, k=10)
         )
+
+    def test_streamed_upserts_shadow_older_batches(
+        self, spark, stream_dirs, small_df
+    ):
+        """CDC-style streaming: batch 0 is the base corpus, batch 1
+        re-delivers updated versions of some conversations
+        (incremental_segments(upserts=True)).  The streamed LSM must
+        answer identically to the batch upsert path
+        (build_upsert_segment over the same delta) — dead versions
+        excluded, both-versions stats."""
+        import time
+
+        from ics_search_engine_spark.operators.packed_index import (
+            build_packed_index,
+        )
+        from ics_search_engine_spark.operators.segments import (
+            SegmentedIndex,
+            bm25_topk_segmented,
+            build_upsert_segment,
+            load_supersedes,
+        )
+        from ics_search_engine_spark.serving import LocalSegmentedServer
+        from ics_search_engine_spark.streaming.stream_ops import (
+            incremental_segments,
+            list_ready_segments,
+        )
+
+        delta = (
+            small_df.filter(F.pmod(F.hash("conv_id"), F.lit(5)) == 2)
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" machine learning machine")),
+            )
+        )
+
+        src = f"{stream_dirs}/ups_src"
+        os.makedirs(src, exist_ok=True)
+        small_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/arrival_0"
+        )
+        time.sleep(1.1)  # file-source ordering is by mtime: base first
+        delta.coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/arrival_1"
+        )
+
+        stream = (
+            spark.readStream.schema(small_df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/arrival_*")
+        )
+        out = f"{stream_dirs}/ups_out"
+        q = (
+            incremental_segments(
+                stream, out, f"{stream_dirs}/ups_ckpt", range_bits=9,
+                upserts=True,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        segs = list_ready_segments(out)
+        assert len(segs) == 2
+        delta_keys = {
+            (r["conv_id"], r["turn_idx"])
+            for r in delta.select("conv_id", "turn_idx").collect()
+        }
+        assert load_supersedes(segs[1]) == delta_keys
+
+        # batch reference: plain base build + batch upsert segment
+        base_dir = f"{stream_dirs}/ups_batch_base"
+        up_dir = f"{stream_dirs}/ups_batch_delta"
+        build_packed_index(spark, small_df, base_dir, range_bits=9)
+        build_upsert_segment(spark, delta, up_dir, range_bits=9)
+        want_sidx = SegmentedIndex(spark, [base_dir, up_dir])
+
+        got_sidx = SegmentedIndex(spark, segs)
+        assert got_sidx.shadows == want_sidx.shadows
+        srv = LocalSegmentedServer(segs)
+        for query in ["machine learning", "research data", "xyzzyqux"]:
+            want = [
+                tuple(r)
+                for r in bm25_topk_segmented(
+                    spark, want_sidx, query, k=10
+                ).collect()
+            ]
+            got = [
+                tuple(r)
+                for r in bm25_topk_segmented(
+                    spark, got_sidx, query, k=10
+                ).collect()
+            ]
+            assert got == want, query
+            assert srv.search(query, k=10) == want, query
