@@ -3127,6 +3127,160 @@ FROM scored ORDER BY blend_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def _bm25_leg(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """BM25 top-n candidate leg over documents (same math as
+    q_bm25_topk; rounded score so the selection boundary is exact)."""
+    docs = _docs(spark, sf_dir).select("doc_id", toks_col().alias("toks"))
+    stats = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("sdl")
+    ).collect()[0]
+    nn, avgdl = stats["n"], stats["sdl"] / stats["n"]
+    posts = (
+        docs.select("doc_id", F.size("toks").alias("dl"),
+                    F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(DOCS_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfs = posts.groupBy("term").agg(F.count("*").alias("df"))
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log((F.lit(float(nn)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / F.lit(avgdl)))
+    return (
+        posts.join(F.broadcast(dfs), "term")
+        .withColumn("contrib", idf * tfn)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25_r6"))
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(n)
+    )
+
+
+def _cosine_leg(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Cosine top-n candidate leg over embeddings vs the vec_id=0 query
+    vector; vec_id aliases to doc_id (the testdata tables are aligned
+    1:1 by construction — TESTDATA.md)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (nrm(e) * nrm(q))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"), F.round(cos, 6).alias("cosine_r6")
+        )
+        .orderBy(F.desc("cosine_r6"), F.asc("doc_id"))
+        .limit(n)
+    )
+
+
+_SQL_HYBRID_LEGS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+bmtop AS (
+  SELECT doc_id, round(sum(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         ), 6) AS bm25_r6
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY doc_id ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 50
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+cstop AS (
+  SELECT vec_id AS doc_id,
+    round(
+      list_dot_product(embedding::DOUBLE[], qv.v)
+      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine_r6
+  FROM embeddings CROSS JOIN qv WHERE vec_id != 0
+  ORDER BY cosine_r6 DESC, doc_id ASC LIMIT 50
+),
+bm AS (SELECT doc_id, bm25_r6, row_number()
+         OVER (ORDER BY bm25_r6 DESC, doc_id ASC) AS r FROM bmtop),
+cs AS (SELECT doc_id, cosine_r6, row_number()
+         OVER (ORDER BY cosine_r6 DESC, doc_id ASC) AS r FROM cstop)
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, reciprocal-rank fusion: BM25 top-50 (lexical
+    leg over documents) x cosine top-50 (vector leg over embeddings)
+    fused as sum 1/(60+rank) — operators/hybrid.py rrf_fuse."""
+    from ics_search_engine_spark.operators.hybrid import add_rank, rrf_fuse
+
+    bm = add_rank(_bm25_leg(spark, sf_dir, 50), "bm25_r6", "doc_id")
+    cs = add_rank(_cosine_leg(spark, sf_dir, 50), "cosine_r6", "doc_id")
+    fused = rrf_fuse([bm, cs], id_col="doc_id", k=60)
+    return (
+        fused.select("doc_id", F.round("rrf", 9).alias("rrf_r9"))
+        .orderBy(F.desc("rrf_r9"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_HYBRID_RRF = _SQL_HYBRID_LEGS + """
+SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60.0 + bm.r), 0.0)
+             + coalesce(1.0 / (60.0 + cs.r), 0.0), 9) AS rrf_r9
+FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
+ORDER BY rrf_r9 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, min-max linear fusion: per-leg min-max
+    normalisation to [0,1] then 0.7*bm25 + 0.3*cosine (missing leg
+    contributes 0) — operators/hybrid.py linear_fuse."""
+    from ics_search_engine_spark.operators.hybrid import linear_fuse
+
+    bm = _bm25_leg(spark, sf_dir, 50)
+    cs = _cosine_leg(spark, sf_dir, 50)
+    fused = linear_fuse(
+        [bm, cs], weights=[0.7, 0.3], id_col="doc_id",
+        score_cols=["bm25_r6", "cosine_r6"],
+    )
+    return (
+        fused.select("doc_id", F.round("fused", 9).alias("fused_r9"))
+        .orderBy(F.desc("fused_r9"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_HYBRID_MINMAX = _SQL_HYBRID_LEGS + """
+, bmn AS (
+  SELECT doc_id, CASE WHEN max(bm25_r6) OVER () = min(bm25_r6) OVER ()
+    THEN 1.0 ELSE (bm25_r6 - min(bm25_r6) OVER ())
+                  / (max(bm25_r6) OVER () - min(bm25_r6) OVER ()) END AS nb
+  FROM bm
+),
+csn AS (
+  SELECT doc_id, CASE WHEN max(cosine_r6) OVER () = min(cosine_r6) OVER ()
+    THEN 1.0 ELSE (cosine_r6 - min(cosine_r6) OVER ())
+                  / (max(cosine_r6) OVER () - min(cosine_r6) OVER ()) END AS nc
+  FROM cs
+)
+SELECT coalesce(bmn.doc_id, csn.doc_id) AS doc_id,
+       round(coalesce(bmn.nb * 0.7, 0.0) + coalesce(csn.nc * 0.3, 0.0), 9)
+         AS fused_r9
+FROM bmn FULL OUTER JOIN csn ON bmn.doc_id = csn.doc_id
+ORDER BY fused_r9 DESC, doc_id ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3182,6 +3336,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_filtered": q_bm25_filtered,
     "bm25_filtered_engine": q_bm25_filtered_engine,
     "turn_context": q_turn_context,
+    "hybrid_rrf": q_hybrid_rrf,
+    "hybrid_minmax": q_hybrid_minmax,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3240,4 +3396,6 @@ ORACLE_SQL: dict[str, str] = {
     # relational filter-query
     "bm25_filtered_engine": _SQL_BM25_FILTERED,
     "turn_context": _SQL_TURN_CONTEXT,
+    "hybrid_rrf": _SQL_HYBRID_RRF,
+    "hybrid_minmax": _SQL_HYBRID_MINMAX,
 }
