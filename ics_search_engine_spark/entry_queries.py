@@ -845,7 +845,8 @@ WHERE round(list_dot_product(a.v, b.v)
 
 
 def _engine_packed_top20(
-    spark: SparkSession, sf_dir: str, accumulator: str | None = None
+    spark: SparkSession, sf_dir: str, accumulator: str | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Shared body of the engine-under-gate queries: build a stem-free
     packed index from the documents table (tokenize → postings → doc
@@ -885,7 +886,7 @@ def _engine_packed_top20(
         # tables)
         top = bm25_topk_wand(
             spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60,
-            accumulator=accumulator,
+            accumulator=accumulator, min_match=min_match,
         )
     finally:
         # safe to remove before the caller materializes: bm25_topk_wand
@@ -906,6 +907,14 @@ def q_bm25_engine_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _engine_packed_top20) — default accumulation (dense at the gate's
     range_bits)."""
     return _engine_packed_top20(spark, sf_dir)
+
+
+def q_bm25_msm_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match under the DuckDB gate: the packed engine's
+    θ-pruned WAND path with min_match=2 (docs matching >= 2 of the 4
+    query terms) vs a HAVING count >= 2 relational oracle — surviving
+    scores must stay bit-identical to the OR path's."""
+    return _engine_packed_top20(spark, sf_dir, min_match=2)
 
 
 def q_bm25_engine_merge_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,6 +948,31 @@ scored AS (
 )
 SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
 FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+# minimum_should_match=2: posts are unique per (term, doc), so
+# count(*) in the per-doc group IS the distinct matched-term count
+_SQL_BM25_MSM = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+HAVING count(*) >= 2
 ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
@@ -3338,6 +3372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_context": q_turn_context,
     "hybrid_rrf": q_hybrid_rrf,
     "hybrid_minmax": q_hybrid_minmax,
+    "bm25_msm_engine": q_bm25_msm_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3398,4 +3433,5 @@ ORACLE_SQL: dict[str, str] = {
     "turn_context": _SQL_TURN_CONTEXT,
     "hybrid_rrf": _SQL_HYBRID_RRF,
     "hybrid_minmax": _SQL_HYBRID_MINMAX,
+    "bm25_msm_engine": _SQL_BM25_MSM,
 }

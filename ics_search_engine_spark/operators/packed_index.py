@@ -413,6 +413,7 @@ def score_shards_topk(
     require_all: int | None = None,
     accumulator: str | None = None,
     allowed: DataFrame | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Per-shard BM25 scoring with a local top-k — NO per-posting
     shuffle.
@@ -452,6 +453,12 @@ def score_shards_topk(
     unchanged (same fold), so this is the shard-local, shuffle-free
     form of query.bm25_topk_conjunctive.
 
+    ``min_match=m``: minimum-should-match semantics (the Lucene
+    ``minimum_should_match`` knob, between pure OR and AND) — docs
+    matched by AT LEAST m distinct terms survive; same counter, a
+    ``>=`` keep instead of ``==``.  Mutually exclusive with
+    ``require_all``.
+
     ``allowed``: optional DataFrame (shard_id, doc_ord) of docs that may
     appear (filter-query support, operators/filtered.py).  Applied via
     COGROUP on shard_id — both sides hash-partition on the shard key
@@ -466,6 +473,9 @@ def score_shards_topk(
         )
     if accumulator not in ("dense", "merge"):
         raise ValueError(f"unknown accumulator {accumulator!r}")
+    if require_all is not None and min_match is not None:
+        raise ValueError("require_all and min_match are mutually exclusive")
+    count_terms = require_all is not None or min_match is not None
     wts = sorted(weights.items())
     size = 1 << range_bits
     out_schema = "doc_ord long, score double"
@@ -476,9 +486,7 @@ def score_shards_topk(
         base = int(pdf["shard_id"].iloc[0]) << range_bits
         scores = np.zeros(size, dtype=np.float64)
         touched = np.zeros(size, dtype=bool)
-        counts = (
-            np.zeros(size, dtype=np.int32) if require_all is not None else None
-        )
+        counts = np.zeros(size, dtype=np.int32) if count_terms else None
         by_term: dict = {}
         for t, p in zip(pdf["term"], pdf["payload"]):
             by_term[t] = p
@@ -494,7 +502,11 @@ def score_shards_topk(
             if counts is not None:
                 counts[idx] += 1
         if counts is not None:
-            touched &= counts == require_all
+            touched &= (
+                counts == require_all
+                if require_all is not None
+                else counts >= min_match
+            )
         if allowed_ords is not None:
             mask = np.zeros(size, dtype=bool)
             mask[allowed_ords - base] = True
@@ -520,9 +532,7 @@ def score_shards_topk(
         # (ascending term order, one add per term) — bit-identical.
         acc_docs = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
-        acc_counts = (
-            np.empty(0, dtype=np.int32) if require_all is not None else None
-        )
+        acc_counts = np.empty(0, dtype=np.int32) if count_terms else None
         by_term: dict = {}
         for t, p in zip(pdf["term"], pdf["payload"]):
             by_term[t] = p
@@ -552,7 +562,11 @@ def score_shards_topk(
                         acc_counts, ins, np.ones(new.sum(), dtype=np.int32)
                     )
         if acc_counts is not None:
-            keep = acc_counts == require_all
+            keep = (
+                acc_counts == require_all
+                if require_all is not None
+                else acc_counts >= min_match
+            )
             acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
         if allowed_ords is not None and acc_docs.size:
             al = np.sort(allowed_ords)

@@ -140,6 +140,7 @@ def score_topk(
     key_cols: list[str],
     k: int,
     require_all: int | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Shared scoring core: matched postings (term, *key_cols, tf, dl)
     → top-k (key_cols..., score).  Deterministic sorted-term fold; see
@@ -149,8 +150,14 @@ def score_topk(
     docs matched by exactly n distinct terms (postings are unique per
     (term, doc), so the fold list's size IS the matched-term count).
     The reference instead unions postings and boosts by match fraction
-    (SURVEY.md §2.3 note; /root/reference/search.py:148-162)."""
-    scored = score_all(spark, matched, weights, avgdl, key_cols, require_all)
+    (SURVEY.md §2.3 note; /root/reference/search.py:148-162).
+
+    ``min_match=m``: minimum-should-match — keep docs matched by AT
+    LEAST m distinct terms (between OR and AND).  Mutually exclusive
+    with ``require_all``."""
+    scored = score_all(
+        spark, matched, weights, avgdl, key_cols, require_all, min_match
+    )
     return scored.orderBy(F.desc("score"), *[F.asc(c) for c in key_cols]).limit(k)
 
 
@@ -161,11 +168,14 @@ def score_all(
     avgdl: float,
     key_cols: list[str],
     require_all: int | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Every matched doc's full score (no top-k truncation) —
     (key_cols..., score).  The deterministic sorted-term fold shared by
     score_topk and the conversation-grain rollup, which must aggregate
     over ALL matching turns before any limit can be applied."""
+    if require_all is not None and min_match is not None:
+        raise ValueError("require_all and min_match are mutually exclusive")
     w_df = spark.createDataFrame(
         [(t, w) for t, w in weights.items()], "term string, w double"
     )
@@ -179,6 +189,8 @@ def score_all(
     )
     if require_all is not None:
         scored = scored.filter(F.size("tc") == require_all)
+    elif min_match is not None:
+        scored = scored.filter(F.size("tc") >= min_match)
     return scored.withColumn(
         "score",
         F.aggregate("tc", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
@@ -388,6 +400,48 @@ def bm25_topk_conjunctive(
     topk = score_topk(
         spark, posts, weights, pidx.avgdl, ["doc_ord"], k,
         require_all=len(weights),
+    )
+    resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
+        "conv_id", "turn_idx", "score"
+    )
+    return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
+
+
+def bm25_topk_msm(
+    spark: SparkSession, pidx, query: str, k: int = 10, min_match: int = 2
+) -> DataFrame:
+    """Top-k BM25 with minimum-should-match semantics (Lucene's
+    ``minimum_should_match``, the knob between pure OR and AND the
+    reference lacks): only documents containing AT LEAST ``min_match``
+    distinct query terms rank.  A query term absent from the index
+    simply cannot count toward the minimum (it does NOT empty the
+    result the way conjunctive does); if fewer than ``min_match``
+    query terms exist in the index at all, no doc can qualify.
+    Survivors' scores are bit-identical to the OR path (same
+    sorted-term fold over the same matched contributions).
+
+    The θ-pruned form is ``wand.bm25_topk_wand(..., min_match=m)`` —
+    tested identical."""
+    from ics_search_engine_spark.operators.packed_index import decode_matched
+    from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
+
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(_tok(query, for_query=True, do_stem=do_stem)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if min_match > 1 and len(weights) < min_match:
+        return empty
+
+    matched = pidx.index.filter(F.col("term").isin(q_terms))
+    posts = decode_matched(matched)
+    topk = score_topk(
+        spark, posts, weights, pidx.avgdl, ["doc_ord"], k,
+        min_match=min_match if min_match > 1 else None,
     )
     resolved = pidx.docmap.join(F.broadcast(topk), "doc_ord").select(
         "conv_id", "turn_idx", "score"

@@ -51,6 +51,7 @@ def bm25_topk_wand(
     accumulator: str | None = None,
     allowed_docs: DataFrame | None = None,
     weights: dict[str, float] | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 with block-max range pruning — result identical to the
     exhaustive packed path (invariant-tested).  ``collect_stats`` (if a
@@ -78,7 +79,15 @@ def bm25_topk_wand(
     a range's max_tfn may be filtered out, so lb(r) is not a real
     document's score.  This is the scale path for UNSELECTIVE filters
     (e.g. role='assistant' ≈ half the corpus), where the exhaustive
-    bm25_topk_filtered_packed would decode every allowed shard."""
+    bm25_topk_filtered_packed would decode every allowed shard.
+
+    ``min_match=m``: minimum-should-match (Lucene's knob between OR
+    and AND) — only docs matching >= m distinct query terms rank.
+    Composes with θ pruning like conjunctive: ranges whose metadata
+    holds < m of the query terms drop before scoring, the OR ub stays
+    a valid bound for the (subset) msm scores, and the metadata θ-seed
+    is disabled (the doc achieving a range's max_tfn may match < m
+    terms).  Mutually exclusive with ``conjunctive``."""
     do_stem = pidx.stats.get("stem", True)
     # ``weights``: pre-computed (term -> weight) override — lets the
     # query-expansion surfaces (Rocchio PRF, any externally weighted
@@ -156,6 +165,8 @@ def bm25_topk_wand(
                     )
     require_all = None
     if conjunctive:
+        if min_match is not None:
+            raise ValueError("conjunctive and min_match are mutually exclusive")
         # AND of an absent term is empty; a range missing any required
         # term cannot match — metadata-level conjunctive pruning
         if len(weights) < len(q_terms):
@@ -163,6 +174,17 @@ def bm25_topk_wand(
         require_all = len(weights)
         ubs = {s: u for s, u in ubs.items()
                if shard_terms.get(s, 0) == require_all}
+    if min_match is not None:
+        if min_match <= 1:
+            min_match = None  # m <= 1 is plain OR semantics
+        elif len(weights) < min_match:
+            # fewer than m query terms exist in the index at all
+            return empty
+        else:
+            # metadata-level msm pruning: a range holding fewer than m
+            # of the query terms can never produce a match
+            ubs = {s: u for s, u in ubs.items()
+                   if shard_terms.get(s, 0) >= min_match}
 
     allowed_ords = None
     if allowed_docs is not None:
@@ -197,7 +219,10 @@ def bm25_topk_wand(
     # up front).  Invalid under conjunctive semantics: the doc
     # achieving max_tfn may not match every required term.
     seed_pruned = 0
-    if require_all is None and allowed_ords is None and len(lbs) >= k:
+    if (
+        require_all is None and min_match is None
+        and allowed_ords is None and len(lbs) >= k
+    ):
         theta0 = sorted(lbs.values(), reverse=True)[k - 1]
         kept0 = [r for r in ranges if r["ub"] >= theta0]
         seed_pruned = len(ranges) - len(kept0)
@@ -223,7 +248,7 @@ def bm25_topk_wand(
             score_shards_topk(
                 m, weights, pidx.avgdl, k, range_bits,
                 require_all=require_all, accumulator=accumulator,
-                allowed=al,
+                allowed=al, min_match=min_match,
             )
             .orderBy(F.desc("score"), F.asc("doc_ord"))
             .limit(k)

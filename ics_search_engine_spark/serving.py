@@ -172,6 +172,7 @@ class LocalIndexServer:
         stats: dict | None = None,
         conjunctive: bool = False,
         allowed=None,
+        min_match: int | None = None,
     ) -> list[tuple[str, int, float]]:
         """Top-k → [(conv_id, turn_idx, score)], bit-identical to the
         Spark paths and oracle.search (same weights, same tfn order,
@@ -187,7 +188,12 @@ class LocalIndexServer:
         ``allowed``: filter-query support (the serving form of
         operators/filtered.py — same semantics: stats stay global,
         surviving scores bit-identical): an iterable of (conv_id,
-        turn_idx) keys, or a bool numpy mask aligned to doc_ord."""
+        turn_idx) keys, or a bool numpy mask aligned to doc_ord.
+        ``min_match=m``: minimum-should-match — only docs matching
+        >= m distinct query terms rank (absent terms cannot count
+        toward m but do not empty the result); mirrors
+        query.bm25_topk_msm / bm25_topk_wand(min_match) (tested
+        identical).  Mutually exclusive with ``conjunctive``."""
         do_stem = self.stats.get("stem", True)
         q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
         if not q_terms:
@@ -196,12 +202,21 @@ class LocalIndexServer:
         weights = query_weights(query, term_df, self.n_docs, do_stem=do_stem)
         require_all = None
         if conjunctive:
+            if min_match is not None:
+                raise ValueError(
+                    "conjunctive and min_match are mutually exclusive"
+                )
             if len(weights) < len(q_terms):
                 return []
             require_all = len(weights)
+        if min_match is not None:
+            if min_match <= 1:
+                min_match = None  # plain OR
+            elif len(weights) < min_match:
+                return []
         return self.score_with(
             weights, k, use_wand=use_wand, stats=stats,
-            require_all=require_all,
+            require_all=require_all, min_match=min_match,
             allowed_mask=(
                 None if allowed is None else self._allowed_mask(allowed)
             ),
@@ -239,23 +254,30 @@ class LocalIndexServer:
         stats: dict | None = None,
         require_all: int | None = None,
         allowed_mask: np.ndarray | None = None,
+        min_match: int | None = None,
     ) -> list[tuple[str, int, float]]:
         """Score with EXTERNALLY supplied weights/avgdl — the segmented
         server passes global-corpus values so per-segment scoring is
         bit-identical to the compacted index's.  ``require_all=n``
-        keeps only docs matched by n distinct terms (AND).
+        keeps only docs matched by n distinct terms (AND);
+        ``min_match=m`` keeps docs matched by >= m (minimum-should-
+        match) — mutually exclusive.
         ``allowed_mask``: pre-normalized bool mask over doc_ord."""
         if not weights:
             return []
+        if require_all is not None and min_match is not None:
+            raise ValueError("require_all and min_match are mutually exclusive")
         if avgdl is None:
             avgdl = self.stats["avgdl"]
         if use_wand:
             return self._search_wand(
                 weights, k, stats, avgdl, require_all=require_all,
-                allowed_mask=allowed_mask,
+                allowed_mask=allowed_mask, min_match=min_match,
             )
 
-        scores, touched = self._dense_scores(weights, avgdl, require_all)
+        scores, touched = self._dense_scores(
+            weights, avgdl, require_all, min_match
+        )
         if allowed_mask is not None:
             touched &= allowed_mask
         ti = np.flatnonzero(touched)
@@ -306,6 +328,7 @@ class LocalIndexServer:
         weights: dict[str, float],
         avgdl: float,
         require_all: int | None = None,
+        min_match: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exhaustive dense accumulation → (scores, touched) over
         doc_ord.  CRITICAL for bit-identity: ascending term order."""
@@ -313,7 +336,7 @@ class LocalIndexServer:
         touched = np.zeros(self.n_docs, dtype=bool)
         counts = (
             np.zeros(self.n_docs, dtype=np.int32)
-            if require_all is not None else None
+            if (require_all is not None or min_match is not None) else None
         )
         for t in sorted(weights):
             w = weights[t]
@@ -323,7 +346,11 @@ class LocalIndexServer:
                 if counts is not None:
                     counts[idx] += 1
         if counts is not None:
-            touched &= counts == require_all
+            touched &= (
+                counts == require_all
+                if require_all is not None
+                else counts >= min_match
+            )
         return scores, touched
 
     def _synonym_group_tf(
@@ -466,6 +493,7 @@ class LocalIndexServer:
         avgdl: float | None = None,
         require_all: int | None = None,
         allowed_mask: np.ndarray | None = None,
+        min_match: int | None = None,
     ) -> list[tuple[str, int, float]]:
         """Block-max WAND over doc-range shards: score shards in
         descending ub order, skip every shard whose ub < current k-th
@@ -513,6 +541,17 @@ class LocalIndexServer:
                 if stats is not None:
                     stats.update(n_ranges=0, scored=0, pruned=0)
                 return []
+        if min_match is not None:
+            # msm: a shard holding fewer than m of the query terms can
+            # never produce a match — same metadata-level pruning
+            by_shard = {
+                s_: rows for s_, rows in by_shard.items()
+                if len(rows) >= min_match
+            }
+            if not by_shard:
+                if stats is not None:
+                    stats.update(n_ranges=0, scored=0, pruned=0)
+                return []
         ubs = {
             s: sum(w * m for _, w, m, _ in rows) * ub_scale
             for s, rows in by_shard.items()
@@ -525,7 +564,8 @@ class LocalIndexServer:
             if stats is not None:
                 stats.update(n_ranges=len(order), scored=len(order), pruned=0)
             return self.score_with(
-                dict(weights), k, avgdl=avgdl, allowed_mask=allowed_mask
+                dict(weights), k, avgdl=avgdl, allowed_mask=allowed_mask,
+                min_match=min_match,
             )
 
         # min-heap of (score, -doc_ord): heap[0] is the CURRENT k-th
@@ -556,7 +596,8 @@ class LocalIndexServer:
             touched = np.zeros(size, dtype=bool)
             counts = (
                 np.zeros(size, dtype=np.int32)
-                if require_all is not None else None
+                if (require_all is not None or min_match is not None)
+                else None
             )
             for _t, w, _m, payload in by_shard[s]:  # ascending term order
                 d, tf, dl, _ = unpack_postings(
@@ -568,7 +609,11 @@ class LocalIndexServer:
                 if counts is not None:
                     counts[idx] += 1
             if counts is not None:
-                touched &= counts == require_all
+                touched &= (
+                    counts == require_all
+                    if require_all is not None
+                    else counts >= min_match
+                )
             if shard_mask is not None:
                 touched &= shard_mask
             ti = np.flatnonzero(touched)
@@ -1027,6 +1072,7 @@ class LocalSegmentedServer:
         k: int = 10,
         use_wand: bool = False,
         deletes: set[tuple[str, int]] | None = None,
+        min_match: int | None = None,
     ) -> list[tuple[str, int, float]]:
         q_terms = sorted(set(tokenize(query, for_query=True, do_stem=self.stem)))
         if not q_terms:
@@ -1040,10 +1086,18 @@ class LocalSegmentedServer:
                                 do_stem=self.stem)
         if not weights:
             return []
+        if min_match is not None:
+            # a doc's postings live entirely in its segment, so the
+            # per-segment matched-term counts are complete — min_match
+            # forwards unchanged (global df/avgdl already recombined)
+            if min_match <= 1:
+                min_match = None
+            elif len(weights) < min_match:
+                return []
         fetch = k + (len(deletes) if deletes else 0) + len(self.shadows)
         per_seg = [
             s.score_with(weights, fetch, avgdl=self.avgdl,
-                         use_wand=use_wand)
+                         use_wand=use_wand, min_match=min_match)
             for s in self.servers
         ]
         merged = self._merge_scored(per_seg, fetch)
