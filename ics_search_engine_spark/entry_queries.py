@@ -917,6 +917,86 @@ def q_bm25_msm_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_packed_top20(spark, sf_dir, min_match=2)
 
 
+def q_bm25_page2_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_after deep pagination under the DuckDB gate: page 1 =
+    WAND top-20 (exact-score order), cursor = its last row, page 2 =
+    bm25_topk_after(cursor, k=20) — must equal the oracle's exact-rank
+    rows 21..40.  Gates that the cursor tuple predicate resumes with no
+    skipped/repeated docs, and that engine scores are bit-identical to
+    the relational computation (the oracle ranks on the EXACT unrounded
+    score, like the deletes gate)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.query import bm25_topk_after
+    from ics_search_engine_spark.operators.wand import bm25_topk_wand
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_page2_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        query = " ".join(DOCS_QUERY_TERMS)
+        page1 = bm25_topk_wand(spark, pidx, query, k=20).collect()
+        last = page1[-1]
+        page2 = bm25_topk_after(
+            spark, pidx, query,
+            (last["score"], last["conv_id"], last["turn_idx"]), k=20,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        page2, "conv_id string, turn_idx int, score double"
+    )
+    return (
+        out_df.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+    )
+
+
+_SQL_BM25_PAGE2 = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+ranked AS (
+  SELECT doc_id, sum(contrib) AS s,
+         row_number() OVER (ORDER BY sum(contrib) DESC, doc_id ASC) AS rn
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25_r6
+FROM ranked WHERE rn BETWEEN 21 AND 40
+ORDER BY bm25_r6 DESC, doc_id ASC
+"""
+
+
 def q_bm25_engine_merge_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sorted-merge score accumulator under the DuckDB gate: the
     same packed build + WAND query as bm25_engine_packed, but scoring
@@ -3373,6 +3453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "hybrid_minmax": q_hybrid_minmax,
     "bm25_msm_engine": q_bm25_msm_engine,
+    "bm25_page2_engine": q_bm25_page2_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3434,4 +3515,5 @@ ORACLE_SQL: dict[str, str] = {
     "hybrid_rrf": _SQL_HYBRID_RRF,
     "hybrid_minmax": _SQL_HYBRID_MINMAX,
     "bm25_msm_engine": _SQL_BM25_MSM,
+    "bm25_page2_engine": _SQL_BM25_PAGE2,
 }

@@ -449,6 +449,72 @@ def bm25_topk_msm(
     return resolved.orderBy(F.desc("score"), "conv_id", "turn_idx")
 
 
+def bm25_topk_after(
+    spark: SparkSession,
+    pidx,
+    query: str,
+    after: tuple[float, str, int],
+    k: int = 10,
+) -> DataFrame:
+    """Deep pagination via a search-after cursor (the Elasticsearch
+    ``search_after`` pattern; from+size re-fetch is O(page_depth)):
+    return the next ``k`` results strictly AFTER ``after = (score,
+    conv_id, turn_idx)`` — the last row of the previous page — in the
+    engine's total order (score desc, conv_id asc, turn_idx asc).
+
+    Cursor correctness depends on the engine's bit-identical scores:
+    the cursor score from any tier (WAND, serving, exhaustive) is the
+    same double here, so the tuple predicate
+    ``score < s  OR  (score == s AND doc_ord > ord(key))`` resumes
+    exactly where the page ended, with no skipped or repeated docs —
+    even mid-tie.  Stateless: no server-side scroll context to hold,
+    so any executor/page can serve any cursor.
+
+    Plan shape: the cursor predicate is one comparison on the scored
+    rows BEFORE the top-k, so the job stays TakeOrderedAndProject —
+    page N costs the same as page 1 (score-all + filter + heap-k),
+    never a LIMIT N*k + driver skip."""
+    from ics_search_engine_spark.operators.packed_index import decode_matched
+    from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
+
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(_tok(query, for_query=True, do_stem=do_stem)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if not weights:
+        return empty
+
+    s_after, conv_after, turn_after = after
+    ord_rows = pidx.docmap.filter(
+        (F.col("conv_id") == conv_after)
+        & (F.col("turn_idx") == int(turn_after))
+    ).select("doc_ord").collect()
+    if not ord_rows:
+        raise ValueError(f"cursor doc {(conv_after, turn_after)} not in index")
+    ord_after = ord_rows[0]["doc_ord"]
+
+    matched = pidx.index.filter(F.col("term").isin(q_terms))
+    posts = decode_matched(matched)
+    scored = score_all(spark, posts, weights, pidx.avgdl, ["doc_ord"])
+    nxt = (
+        scored.filter(
+            (F.col("score") < float(s_after))
+            | (
+                (F.col("score") == float(s_after))
+                & (F.col("doc_ord") > int(ord_after))
+            )
+        )
+        .orderBy(F.desc("score"), F.asc("doc_ord"))
+        .limit(k)
+    )
+    return resolve_topk_keys(pidx, nxt)
+
+
 def bm25_topk_multi(
     spark: SparkSession,
     pidx,

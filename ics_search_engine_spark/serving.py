@@ -222,6 +222,70 @@ class LocalIndexServer:
             ),
         )
 
+    def search_after(
+        self,
+        query: str,
+        after: tuple[float, str, int],
+        k: int = 10,
+    ) -> list[tuple[str, int, float]]:
+        """Deep pagination: the next k results strictly AFTER the
+        cursor ``after = (score, conv_id, turn_idx)`` (the last row of
+        the previous page) in (score desc, conv_id asc, turn_idx asc)
+        order — the serving form of query.bm25_topk_after (tested
+        identical).  Stateless (no scroll context); cursor scores are
+        bit-identical across tiers, so a page started on Spark can
+        continue here."""
+        do_stem = self.stats.get("stem", True)
+        q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+        if not q_terms:
+            return []
+        term_df = {t: int(self.df[t]) for t in q_terms if t in self.df}
+        weights = query_weights(query, term_df, self.n_docs, do_stem=do_stem)
+        if not weights:
+            return []
+        return self.score_after_with(weights, after, k)
+
+    def score_after_with(
+        self,
+        weights: dict[str, float],
+        after: tuple[float, str, int],
+        k: int,
+        avgdl: float | None = None,
+    ) -> list[tuple[str, int, float]]:
+        """search_after with EXTERNALLY supplied weights/avgdl (the
+        segmented server passes global-corpus values).  The cursor
+        predicate is purely per-doc — (score, conv_id, turn_idx) tuple
+        comparison — so each segment can apply it independently and the
+        cross-segment merge stays correct."""
+        if not weights:
+            return []
+        if avgdl is None:
+            avgdl = self.stats["avgdl"]
+        s_after, conv_after, turn_after = after
+        scores, touched = self._dense_scores(weights, avgdl)
+        ti = np.flatnonzero(touched)
+        if ti.size == 0:
+            return []
+        conv = np.asarray(self._conv)[ti]
+        turn = np.asarray(self._turn)[ti]
+        sc = scores[ti]
+        qualify = (sc < s_after) | (
+            (sc == s_after)
+            & (
+                (conv > conv_after)
+                | ((conv == conv_after) & (turn > int(turn_after)))
+            )
+        )
+        ti = ti[qualify]
+        if ti.size == 0:
+            return []
+        order = np.lexsort((ti, -scores[ti]))[:k]
+        sel = ti[order]
+        return [
+            (str(self._conv[i]), int(self._turn[i]), float(scores[i]))
+            for i in sel
+        ]
+
     def _allowed_mask(self, allowed) -> np.ndarray:
         """Normalize a filter to a bool mask over doc_ord: accepts a
         ready mask (length n_docs) or an iterable of (conv_id,
@@ -1098,6 +1162,39 @@ class LocalSegmentedServer:
         per_seg = [
             s.score_with(weights, fetch, avgdl=self.avgdl,
                          use_wand=use_wand, min_match=min_match)
+            for s in self.servers
+        ]
+        merged = self._merge_scored(per_seg, fetch)
+        if deletes:
+            merged = [r for r in merged if (r[0], r[1]) not in deletes]
+        return merged[:k]
+
+    def search_after(
+        self,
+        query: str,
+        after: tuple[float, str, int],
+        k: int = 10,
+        deletes: set[tuple[str, int]] | None = None,
+    ) -> list[tuple[str, int, float]]:
+        """Deep pagination over the segment set: the cursor predicate
+        is per-doc, so each segment pages independently with the
+        GLOBAL weights/avgdl and the merge keeps the engine's total
+        order — identical to paging a compacted index (tested)."""
+        q_terms = sorted(set(tokenize(query, for_query=True, do_stem=self.stem)))
+        if not q_terms:
+            return []
+        term_df: dict[str, int] = {}
+        for s in self.servers:
+            for t in q_terms:
+                if t in s.df:
+                    term_df[t] = term_df.get(t, 0) + int(s.df[t])
+        weights = query_weights(query, term_df, self.n_docs,
+                                do_stem=self.stem)
+        if not weights:
+            return []
+        fetch = k + (len(deletes) if deletes else 0) + len(self.shadows)
+        per_seg = [
+            s.score_after_with(weights, after, fetch, avgdl=self.avgdl)
             for s in self.servers
         ]
         merged = self._merge_scored(per_seg, fetch)

@@ -1,0 +1,154 @@
+"""search_after deep pagination: page-chain reconstruction, mid-tie
+resume, and tier parity (Spark packed / serving / segmented)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+from ics_search_engine_spark.operators.query import (
+    bm25_topk_after,
+    bm25_topk_packed,
+)
+from ics_search_engine_spark.serving import (
+    LocalIndexServer,
+    LocalSegmentedServer,
+)
+
+QUERY = "machine learning algorithm"
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_df, corpus_dir):
+    out = f"{corpus_dir}/page_idx"
+    build_packed_index(spark, small_df, out, range_bits=8)
+    return PackedIndex(spark, out), LocalIndexServer(out)
+
+
+def page_chain(fetch_first, fetch_after, page: int, n_pages: int):
+    """Walk n_pages pages of size `page` via cursors; return the
+    concatenation."""
+    rows = fetch_first(page)
+    out = list(rows)
+    for _ in range(n_pages - 1):
+        if len(rows) < page:
+            break
+        last = rows[-1]
+        rows = fetch_after((last[2], last[0], last[1]), page)
+        out.extend(rows)
+    return out
+
+
+class TestSparkPagination:
+    def test_pages_reconstruct_full_ranking(self, spark, setup):
+        pidx, _ = setup
+        full = [
+            tuple(r) for r in bm25_topk_packed(spark, pidx, QUERY, k=40).collect()
+        ]
+        paged = page_chain(
+            lambda k: [
+                tuple(r)
+                for r in bm25_topk_packed(spark, pidx, QUERY, k=k).collect()
+            ],
+            lambda after, k: [
+                tuple(r)
+                for r in bm25_topk_after(spark, pidx, QUERY, after, k=k).collect()
+            ],
+            page=8, n_pages=5,
+        )
+        assert paged == full
+
+    def test_no_overlap_no_gap_across_boundary(self, spark, setup):
+        pidx, _ = setup
+        p1 = [tuple(r) for r in bm25_topk_packed(spark, pidx, QUERY, k=7).collect()]
+        last = p1[-1]
+        p2 = [
+            tuple(r)
+            for r in bm25_topk_after(
+                spark, pidx, QUERY, (last[2], last[0], last[1]), k=7
+            ).collect()
+        ]
+        keys1 = {(c, t) for c, t, _ in p1}
+        keys2 = {(c, t) for c, t, _ in p2}
+        assert not keys1 & keys2
+        full = [
+            tuple(r) for r in bm25_topk_packed(spark, pidx, QUERY, k=14).collect()
+        ]
+        assert p1 + p2 == full
+
+    def test_unknown_cursor_raises(self, spark, setup):
+        pidx, _ = setup
+        with pytest.raises(ValueError):
+            bm25_topk_after(
+                spark, pidx, QUERY, (1.0, "conv_does_not_exist", 0), k=5
+            )
+
+    def test_mid_tie_resume(self, spark, corpus_dir):
+        # identical texts → identical scores; a page boundary inside
+        # the tie must resume on the docID tie-break with no skip/dup
+        rows = [(f"conv{i:04d}", 0, "alpha beta gamma") for i in range(10)]
+        rows += [(f"conv{i:04d}", 1, "alpha delta") for i in range(10)]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        out = f"{corpus_dir}/tie_idx"
+        build_packed_index(spark, df, out, range_bits=4)
+        pidx = PackedIndex(spark, out)
+        full = [
+            tuple(r) for r in bm25_topk_packed(spark, pidx, "alpha", k=20).collect()
+        ]
+        assert len(full) == 20
+        # boundary at 5: inside the first tie group of 10 equal scores
+        p1 = full[:5]
+        last = p1[-1]
+        p2 = [
+            tuple(r)
+            for r in bm25_topk_after(
+                spark, pidx, "alpha", (last[2], last[0], last[1]), k=15
+            ).collect()
+        ]
+        assert p1 + p2 == full
+
+
+class TestServingPagination:
+    def test_serving_equals_spark(self, spark, setup):
+        pidx, srv = setup
+        p1 = srv.search(QUERY, k=6)
+        last = p1[-1]
+        after = (last[2], last[0], last[1])
+        spark_p2 = [
+            tuple(r)
+            for r in bm25_topk_after(spark, pidx, QUERY, after, k=6).collect()
+        ]
+        assert srv.search_after(QUERY, after, k=6) == spark_p2
+
+    def test_serving_chain_reconstructs(self, setup):
+        _, srv = setup
+        full = srv.search(QUERY, k=30)
+        paged = page_chain(
+            lambda k: srv.search(QUERY, k=k),
+            lambda after, k: srv.search_after(QUERY, after, k=k),
+            page=6, n_pages=5,
+        )
+        assert paged == full
+
+
+class TestSegmentedPagination:
+    def test_segmented_equals_compacted(self, spark, small_df, corpus_dir):
+        base = f"{corpus_dir}/page_segs"
+        parts = [
+            small_df.filter(F.crc32("conv_id") % 2 == i) for i in range(2)
+        ]
+        seg_dirs = []
+        for i, p in enumerate(parts):
+            d = f"{base}/seg{i}"
+            build_packed_index(spark, p, d, range_bits=8)
+            seg_dirs.append(d)
+        full_dir = f"{base}/full"
+        build_packed_index(spark, small_df, full_dir, range_bits=8)
+        seg_srv = LocalSegmentedServer(seg_dirs)
+        full_srv = LocalIndexServer(full_dir)
+        p1 = full_srv.search(QUERY, k=6)
+        after = (p1[-1][2], p1[-1][0], p1[-1][1])
+        assert seg_srv.search_after(QUERY, after, k=6) == \
+            full_srv.search_after(QUERY, after, k=6)
