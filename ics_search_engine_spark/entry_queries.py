@@ -1590,6 +1590,84 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_bm25_regex_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored-regex expansion BM25 THROUGH the packed index
+    (operators/wildcard.bm25_topk_regex): '/s[a-z]+/ join' expands the
+    regex against the term dictionary (guaranteed-literal-prefix
+    StartsWith pushdown + RLIKE refine), each matched term joining the
+    query with qtf 1; the literal 'join' rides along.  The oracle
+    recomputes the same weighting with regexp_full_match — the gate
+    crosses THREE regex engines (Java/RLIKE, RE2/DuckDB, and the
+    serving tier's Python re in tests), pinning the portable-subset
+    contract."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.wildcard import bm25_topk_regex
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_regex_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_regex(spark, pidx, "/s[a-z]+/ join", k=60).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        top, "conv_id string, turn_idx int, score double"
+    )
+    return (
+        out_df.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_BM25_REGEX = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE regexp_full_match(term, 's[a-z]+') OR term = 'join'
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+w AS (
+  SELECT d.term, d.df,
+         ((CASE WHEN d.term = 'join' THEN 1 ELSE 0 END)
+          + (CASE WHEN regexp_full_match(d.term, 's[a-z]+')
+             THEN 1 ELSE 0 END))::DOUBLE
+         * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS w
+  FROM dfs d CROSS JOIN stats s
+),
+scored AS (
+  SELECT p.doc_id,
+         w.w * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN w USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 # apostrophe stop words can never match a [a-z0-9]+ token, but escape
 # them anyway so the literal list is valid SQL
 _SQL_STOP_LIST = ", ".join(
@@ -3454,6 +3532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_minmax": q_hybrid_minmax,
     "bm25_msm_engine": q_bm25_msm_engine,
     "bm25_page2_engine": q_bm25_page2_engine,
+    "bm25_regex_engine": q_bm25_regex_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3516,4 +3595,5 @@ ORACLE_SQL: dict[str, str] = {
     "hybrid_minmax": _SQL_HYBRID_MINMAX,
     "bm25_msm_engine": _SQL_BM25_MSM,
     "bm25_page2_engine": _SQL_BM25_PAGE2,
+    "bm25_regex_engine": _SQL_BM25_REGEX,
 }

@@ -177,6 +177,135 @@ def expand_suffixes(
     return added, dfs, per_suffix
 
 
+_REGEX_TOKEN_RE = re.compile(r"/(.+)/")
+
+# characters that end the guaranteed-literal prefix of a regex
+_REGEX_META = set("\\[](){}.*+?|^$")
+
+
+def parse_regex_query(query: str) -> tuple[dict[str, int], str]:
+    """Split a query into (regex pattern -> instance count, residual
+    query).  A whole whitespace-delimited token of the form ``/pat/``
+    is a regex term pattern (the Lucene query-syntax spelling);
+    everything else flows to the regular tokenizer.  Patterns are
+    fully anchored against index terms, Lucene RegexpQuery style."""
+    patterns: dict[str, int] = {}
+    rest: list[str] = []
+    for part in (query or "").lower().split():
+        m = _REGEX_TOKEN_RE.fullmatch(part)
+        if m:
+            patterns[m.group(1)] = patterns.get(m.group(1), 0) + 1
+        else:
+            rest.append(part)
+    return patterns, " ".join(rest)
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix every match of the (anchored) regex must
+    start with — the dictionary-pushdown handle (Lucene intersects the
+    automaton with the term FST; a sorted parquet/array dictionary
+    gets the same skip from StartsWith on the required prefix).
+
+    Conservative: any top-level-or-nested alternation (``|``) voids
+    the prefix entirely (alternatives need not share it), and a
+    leading char directly followed by a quantifier is optional, so the
+    scan stops one short of it.  Returning "" just means a full
+    dictionary scan — never wrong, only slower."""
+    if "|" in pattern:
+        return ""
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c in _REGEX_META:
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def expand_regexes(
+    pidx: PackedIndex,
+    patterns: dict[str, int],
+    max_expansions: int = 1024,
+) -> tuple[dict[str, int], dict[str, int], dict[str, list[str]]]:
+    """Anchored-regex term expansion → same contract as
+    ``expand_prefixes``.  Plan per pattern: StartsWith on the
+    guaranteed literal prefix (parquet min/max file skip) narrows the
+    dictionary scan, RLIKE refines exactly, and the (df desc, term
+    asc) cap applies INSIDE Spark (TakeOrderedAndProject) — at most
+    ``max_expansions`` rows per pattern reach the driver."""
+    added: dict[str, int] = {}
+    dfs: dict[str, int] = {}
+    per_pattern: dict[str, list[str]] = {}
+    for pat, inst in patterns.items():
+        base = pidx.term_stats
+        lp = regex_literal_prefix(pat)
+        if lp:
+            base = base.filter(F.col("term").startswith(lp))
+        rows = (
+            base.filter(F.col("term").rlike(f"^(?:{pat})$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term", "df")
+            .collect()
+        )
+        terms: list[str] = []
+        for r in rows:
+            t, d = r["term"], int(r["df"])
+            added[t] = added.get(t, 0) + inst
+            dfs[t] = d
+            terms.append(t)
+        per_pattern[pat] = terms
+    return added, dfs, per_pattern
+
+
+def bm25_topk_regex(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """Top-k BM25 where query tokens may be ``/regex/`` term patterns
+    (Lucene RegexpQuery semantics: anchored match against index terms,
+    no analysis) → (conv_id, turn_idx, score).  Expansion weighting
+    matches the wildcard rule: each pattern instance adds 1 to every
+    matched term's query tf; literals ride the normal tokenizer.
+
+    Portability contract (tested): patterns stick to the common
+    regex subset — literals, char classes, ., *, +, ?, {m,n},
+    alternation, groups — which behaves identically in Java regex
+    (Spark RLIKE), Python ``re`` (serving tier), and RE2/DuckDB (the
+    gate oracle).  Lookaround/backrefs are out of scope."""
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    do_stem = pidx.stats.get("stem", True)
+    patterns, rest = parse_regex_query(query)
+
+    qtf: dict[str, int] = {}
+    for t in tokenize(rest, for_query=True, do_stem=do_stem):
+        qtf[t] = qtf.get(t, 0) + 1
+    term_df = pidx.df_for_terms(sorted(qtf))
+
+    added, exp_df, _ = expand_regexes(pidx, patterns, max_expansions)
+    for t, inst in added.items():
+        qtf[t] = qtf.get(t, 0) + inst
+    term_df.update(exp_df)
+
+    weights = idf_weights(qtf, term_df, pidx.n_docs)
+    if not weights:
+        return empty
+
+    matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
+    posts = decode_matched(matched)
+    topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
+    return resolve_topk_keys(pidx, topk)
+
+
 def bm25_topk_wildcard(
     spark: SparkSession,
     pidx: PackedIndex,

@@ -99,6 +99,34 @@ class _TermDict:
             ts, ds = ts[order], ds[order]
         return [(str(t), int(d)) for t, d in zip(ts, ds)]
 
+    def expand_regex(self, pattern: str, cap: int) -> list[tuple[str, int]]:
+        """Terms fully matching the anchored regex, capped at the
+        (df desc, term asc) heaviest ``cap`` — identical selection to
+        operators/wildcard.expand_regexes.  The guaranteed literal
+        prefix narrows to a binary-searched slice before the per-term
+        fullmatch (the in-memory analog of the StartsWith pushdown)."""
+        import re as _re
+
+        from ics_search_engine_spark.operators.wildcard import (
+            regex_literal_prefix,
+        )
+
+        lp = regex_literal_prefix(pattern)
+        lo = int(np.searchsorted(self.terms, lp)) if lp else 0
+        hi = (
+            int(np.searchsorted(self.terms, lp + "\U0010ffff"))
+            if lp else self.terms.size
+        )
+        rx = _re.compile(f"(?:{pattern})")
+        keep = [
+            i for i in range(lo, hi) if rx.fullmatch(self.terms[i])
+        ]
+        ts, ds = self.terms[keep], self.dfs[keep]
+        if ts.size > cap:
+            order = np.lexsort((ts, -ds))[:cap]
+            ts, ds = ts[order], ds[order]
+        return [(str(t), int(d)) for t, d in zip(ts, ds)]
+
     def _reversed(self) -> tuple[np.ndarray, np.ndarray]:
         """(sorted reversed terms, permutation into self.terms) — the
         in-memory analog of the reversed dictionary parquet
@@ -909,6 +937,31 @@ class LocalIndexServer:
                 term_df[t] = d
         return self.score_with(idf_weights(qtf, term_df, self.n_docs), k)
 
+    def search_regex(
+        self, query: str, k: int = 10, max_expansions: int = 1024
+    ) -> list[tuple[str, int, float]]:
+        """Anchored-regex term patterns (``/pat/`` tokens) →
+        [(conv_id, turn_idx, score)], identical to
+        operators/wildcard.bm25_topk_regex (same expansion cap, same
+        qtf-adds-across-instances weighting, same portable regex
+        subset)."""
+        from ics_search_engine_spark.operators.query import idf_weights
+        from ics_search_engine_spark.operators.wildcard import (
+            parse_regex_query,
+        )
+
+        do_stem = self.stats.get("stem", True)
+        patterns, rest = parse_regex_query(query)
+        qtf: dict[str, int] = {}
+        for t in tokenize(rest, for_query=True, do_stem=do_stem):
+            qtf[t] = qtf.get(t, 0) + 1
+        term_df = {t: int(self.df[t]) for t in qtf if t in self.df}
+        for pat, inst in patterns.items():
+            for t, d in self._terms().expand_regex(pat, max_expansions):
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
+        return self.score_with(idf_weights(qtf, term_df, self.n_docs), k)
+
     def search_fuzzy(
         self, query: str, k: int = 10, max_dist: int = 2,
         max_matches: int = 8,
@@ -1305,6 +1358,37 @@ class LocalSegmentedServer:
                 term_df[t] = d
         for s, inst in suffixes.items():
             for t, d in self._terms().expand_suffix(s, max_expansions):
+                qtf[t] = qtf.get(t, 0) + inst
+                term_df[t] = d
+        weights = idf_weights(qtf, term_df, self.n_docs)
+        if not weights:
+            return []
+        f = k + len(self.shadows)
+        return self._merge_scored(
+            [s.score_with(weights, f, avgdl=self.avgdl)
+             for s in self.servers],
+            k,
+        )
+
+    def search_regex(
+        self, query: str, k: int = 10, max_expansions: int = 1024
+    ) -> list[tuple[str, int, float]]:
+        """Anchored-regex patterns over the LSM — expansion against
+        the UNION dictionary (summed df), identical to serving a
+        compacted index."""
+        from ics_search_engine_spark.operators.query import idf_weights
+        from ics_search_engine_spark.operators.wildcard import (
+            parse_regex_query,
+        )
+
+        patterns, rest = parse_regex_query(query)
+        qtf: dict[str, int] = {}
+        for t in tokenize(rest, for_query=True, do_stem=self.stem):
+            qtf[t] = qtf.get(t, 0) + 1
+        gdf = self._global_df()
+        term_df = {t: gdf[t] for t in qtf if t in gdf}
+        for pat, inst in patterns.items():
+            for t, d in self._terms().expand_regex(pat, max_expansions):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
         weights = idf_weights(qtf, term_df, self.n_docs)
