@@ -3473,6 +3473,480 @@ ORDER BY fused_r9 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_facet_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram over the query's full match set
+    (operators/facets.date_histogram): matched-doc count per month —
+    the time-axis rollup every search dashboard draws.  The gate
+    synthesizes a deterministic ts per doc (epoch + doc_id % 97 days)
+    so DuckDB can reproduce the bucketing."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.facets import date_histogram
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        F.date_add(
+            F.to_date(F.lit("2026-01-01")),
+            (F.col("doc_id") % 97).cast("int"),
+        ).cast("timestamp").alias("ts"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_dhisto_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts.drop("ts"), out, range_bits=8,
+            with_positions=False, stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = date_histogram(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "ts"), "ts",
+            granularity="month",
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["bucket"].strftime("%Y-%m-%d"), r["n_docs"]) for r in rows],
+        "bucket string, n_docs long",
+    )
+
+
+_SQL_DATE_HISTO = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+)
+SELECT strftime(date_trunc('month',
+                DATE '2026-01-01' + (doc_id % 97)::INT), '%Y-%m-%d')
+         AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM m GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_term_vectors_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The termvectors API (operators/termvectors.term_vectors): one
+    stored doc's full per-term stats — tf and positions from
+    re-analysis with the index's own tokenizer (identical to the build
+    by construction), df from one metadata-only term-IN scan.  The
+    oracle recomputes tf from the doc and df from the corpus
+    (positions are pytest-gated — DuckDB's list_filter drops
+    ordinals)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.termvectors import term_vectors
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_tv_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = term_vectors(
+            spark, pidx, transcripts, "doc00000007", 0
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["term"], r["tf"], r["df"]) for r in rows],
+        "term string, tf int, df long",
+    ).orderBy("term")
+
+
+_SQL_TERM_VECTORS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+doc AS (SELECT unnest(toks) AS term FROM t WHERE doc_id = 7),
+tfs AS (SELECT term, count(*)::INT AS tf FROM doc GROUP BY term),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) GROUP BY term
+)
+SELECT term, tf, df FROM tfs JOIN dfs USING (term) ORDER BY term
+"""
+
+
+def q_bm25_rescore_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ranking under the DuckDB gate
+    (operators/rescore.rescore_topk): exact BM25 top-60 window, LM
+    Dirichlet evaluated on the window only, final =
+    1.0·bm25 + 0.5·lmd re-sorted — the Elasticsearch rescore pattern.
+    The oracle replays both similarities relationally and combines with
+    the same weights."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.rescore import rescore_topk
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_rescore_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = rescore_topk(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            k=60, window=60, query_weight=1.0, rescore_weight=0.5,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, rescored_r6 double"
+    )
+
+
+_SQL_RESCORE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+bm AS (
+  SELECT p.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (p.tf * 2.2 /
+                (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))) AS bs
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+win AS (
+  SELECT doc_id, bs FROM (
+    SELECT doc_id, bs,
+           row_number() OVER (ORDER BY bs DESC, doc_id ASC) AS rn
+    FROM bm
+  ) WHERE rn <= 60
+),
+tot AS (SELECT sum(len(toks))::DOUBLE AS total FROM t),
+ctfs AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM posts GROUP BY term),
+consts AS (
+  SELECT c.term, 1.0 AS qtf, 2000.0 * (c.ctf / tot.total) AS mp
+  FROM ctfs c CROSS JOIN tot
+),
+qsum AS (SELECT sum(qtf) AS q FROM consts),
+lmd AS (
+  SELECT p.doc_id,
+         sum(c.qtf * ln(1.0 + p.tf / c.mp))
+         + any_value(qs.q) * ln(2000.0 / (any_value(p.dl) + 2000.0)) AS ls
+  FROM posts p JOIN consts c USING (term) CROSS JOIN qsum qs
+  JOIN win w ON p.doc_id = w.doc_id
+  GROUP BY p.doc_id
+)
+SELECT w.doc_id, round(1.0 * w.bs + 0.5 * l.ls, 6) AS rescored_r6
+FROM win w JOIN lmd l USING (doc_id)
+ORDER BY rescored_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms (JLH) under the DuckDB gate
+    (operators/sigterms.significant_terms): foreground = exact BM25
+    top-30 sample, candidates = terms present in ≥2 foreground docs
+    minus query terms and stop forms, JLH = (fg%−bg%)·(fg%/bg%), top
+    10 by (score desc, term asc).  The oracle replays the sample
+    selection, the presence counts, and the formula."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.sigterms import (
+        significant_terms,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_sig_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        # over-fetch 30 then report 10 after rounding-sort, the
+        # standard rounded-boundary convention of this file
+        rows = significant_terms(
+            spark, pidx, transcripts, " ".join(DOCS_QUERY_TERMS),
+            k=30, sample_docs=30, min_fg_df=2,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    scored = [
+        (r["term"], r["fg_df"], r["df"], round(r["score"], 9))
+        for r in rows
+    ]
+    scored.sort(key=lambda s: (-s[3], s[0]))
+    return spark.createDataFrame(
+        scored[:10], "term string, fg_df int, df long, score_r9 double"
+    )
+
+
+def _sql_sigterms() -> str:
+    from ics_search_engine_spark.textproc.tokenizer import STOP_WORDS
+
+    stoplist = ", ".join(
+        "'{}'".format(w.replace("'", "''")) for w in sorted(STOP_WORDS)
+    )
+    origs = ", ".join(f"'{t}'" for t in DOCS_QUERY_TERMS)
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM posts GROUP BY term),
+base AS (
+  SELECT p.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (p.tf * 2.2 /
+                (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))) AS s
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  WHERE p.term IN ({origs})
+  GROUP BY p.doc_id
+),
+fg AS (SELECT doc_id FROM base ORDER BY s DESC, doc_id ASC LIMIT 30),
+nfg AS (SELECT count(*)::DOUBLE AS nf FROM fg),
+fgdf AS (
+  SELECT term, count(*)::INT AS fg_df FROM (
+    SELECT DISTINCT p.term, p.doc_id FROM posts p JOIN fg USING (doc_id)
+  ) GROUP BY term
+),
+scored AS (
+  SELECT f.term, f.fg_df, d.df,
+         ((f.fg_df / nfg.nf) - (d.df / s.n))
+         * ((f.fg_df / nfg.nf) / (d.df / s.n)) AS score
+  FROM fgdf f JOIN dfs d USING (term)
+  CROSS JOIN nfg CROSS JOIN stats s
+  WHERE f.fg_df >= 2
+    AND f.term NOT IN ({origs}) AND f.term NOT IN ({stoplist})
+    AND (f.fg_df / nfg.nf) > (d.df / s.n)
+)
+SELECT term, fg_df, df, round(score, 9) AS score_r9 FROM scored
+ORDER BY score_r9 DESC, term ASC LIMIT 10
+"""
+
+
+_SQL_SIGTERMS = _sql_sigterms()
+
+
+def q_qlang_boost_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clause ^boost through the query language
+    (operators/qlang — Lucene clause boosts):
+    '+spark^2 "batch batch"^2 join stream^0.5 s*^3' — a boosted
+    required term, a boosted phrase (each token instance adds the
+    boost), a fractional boost, and a boosted wildcard whose
+    expansions each gain the boost.  Boost sums generalize qtf, so the
+    oracle's multiplier table is: spark 2+3(s*)=5, batch 2·2=4,
+    join 1, stream 0.5+3=3.5, other s-terms 3."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.qlang import bm25_topk_qlang
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_qboost_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_qlang(
+            spark, pidx,
+            '+spark^2 "batch batch"^2 join stream^0.5 s*^3', k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, bm25_r6 double"
+    )
+
+
+_SQL_QLANG_BOOST = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+alldfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) GROUP BY term
+),
+qterms AS (
+  SELECT term, df,
+         (CASE WHEN term = 'spark'  THEN 2.0 ELSE 0 END)
+         + (CASE WHEN term = 'batch' THEN 4.0 ELSE 0 END)
+         + (CASE WHEN term = 'join'  THEN 1.0 ELSE 0 END)
+         + (CASE WHEN term = 'stream' THEN 0.5 ELSE 0 END)
+         + (CASE WHEN term LIKE 's%' THEN 3.0 ELSE 0 END) AS qtf
+  FROM alldfs
+),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN (SELECT term FROM qterms WHERE qtf > 0)
+  GROUP BY term, doc_id
+),
+scored AS (
+  SELECT p.doc_id,
+         q.qtf * ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN qterms q USING (term) CROSS JOIN stats s
+),
+cand AS (
+  SELECT doc_id FROM t
+  WHERE list_contains(toks, 'spark')
+    AND len(list_filter(range(1, len(toks)),
+            i -> toks[i] = 'batch' AND toks[i+1] = 'batch')) > 0
+)
+SELECT s.doc_id, round(sum(s.contrib), 6) AS bm25_r6
+FROM scored s JOIN cand c USING (doc_id)
+GROUP BY s.doc_id
+ORDER BY bm25_r6 DESC, s.doc_id ASC LIMIT 20
+"""
+
+
+def q_bm25_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_delete_by_query under the DuckDB gate
+    (operators/segments.delete_by_query): two-segment index, delete
+    every doc matching 'window', query through the resulting
+    three-segment set (the third is the tombstone-only empty segment).
+    Oracle = the same relational BM25 with matching docs excluded and
+    collection stats PRE-delete — the LSM's stats-stay-until-compaction
+    contract."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.segments import (
+        SegmentedIndex,
+        bm25_topk_segmented,
+        delete_by_query,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    base = tempfile.mkdtemp(prefix="gate_delq_idx_")
+    try:
+        paths = []
+        for half in (0, 1):
+            p = f"{base}/seg{half}"
+            build_packed_index(
+                spark,
+                transcripts.filter(F.col("half") == half).drop("half"),
+                p, range_bits=8, with_positions=False, stem=False,
+            )
+            paths.append(p)
+        sidx = SegmentedIndex(spark, paths)
+        tomb = f"{base}/tomb"
+        delete_by_query(
+            spark, sidx, "window", tomb, range_bits=8,
+            with_positions=False,
+        )
+        sidx2 = SegmentedIndex(spark, paths + [tomb])
+        top = bm25_topk_segmented(
+            spark, sidx2, " ".join(DOCS_QUERY_TERMS), k=60,
+            resolve="pushdown",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        top.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_DELETE_BY_QUERY = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+alive AS (SELECT doc_id FROM t WHERE NOT list_contains(toks, 'window')),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  JOIN alive a ON p.doc_id = a.doc_id
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3533,6 +4007,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_msm_engine": q_bm25_msm_engine,
     "bm25_page2_engine": q_bm25_page2_engine,
     "bm25_regex_engine": q_bm25_regex_engine,
+    "facet_date_histogram": q_facet_date_histogram,
+    "term_vectors_engine": q_term_vectors_engine,
+    "bm25_rescore_engine": q_bm25_rescore_engine,
+    "significant_terms": q_significant_terms,
+    "qlang_boost_engine": q_qlang_boost_engine,
+    "bm25_delete_by_query": q_bm25_delete_by_query,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3596,4 +4076,10 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_msm_engine": _SQL_BM25_MSM,
     "bm25_page2_engine": _SQL_BM25_PAGE2,
     "bm25_regex_engine": _SQL_BM25_REGEX,
+    "facet_date_histogram": _SQL_DATE_HISTO,
+    "term_vectors_engine": _SQL_TERM_VECTORS,
+    "bm25_rescore_engine": _SQL_RESCORE,
+    "significant_terms": _SQL_SIGTERMS,
+    "qlang_boost_engine": _SQL_QLANG_BOOST,
+    "bm25_delete_by_query": _SQL_DELETE_BY_QUERY,
 }

@@ -57,6 +57,33 @@ def matched_docs(
     return per_doc.select("doc_ord")
 
 
+def date_histogram(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    ts_col: str,
+    granularity: str = "day",
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Matched-doc count per time bucket → (bucket timestamp, n_docs),
+    ordered by bucket — the date_histogram every search dashboard draws
+    over its hit set (the transcript schema's ``ts`` is exactly the
+    doc-value column this needs).  ``granularity`` is any
+    ``date_trunc`` unit ('hour' | 'day' | 'week' | 'month' | ...).
+    Same plan shape as ``facet_counts``: matched set → attribute join →
+    hash-agg rollup whose result is |buckets| rows; empty buckets don't
+    appear (render-side zero-fill is presentation, not dataflow)."""
+    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
+    keyed = pidx.docmap.join(docs, "doc_ord").select("conv_id", "turn_idx")
+    return (
+        keyed.join(attrs, ["conv_id", "turn_idx"])
+        .groupBy(F.date_trunc(granularity, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.asc("bucket"))
+    )
+
+
 def facet_counts(
     spark: SparkSession,
     pidx: PackedIndex,

@@ -63,8 +63,21 @@ from ics_search_engine_spark.operators.wildcard import (
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
 # an optional leading +/- operator composes with every token shape:
-# quoted phrase, wildcard pattern, or plain term
-_PART_RE = re.compile(r'[+-]?"[^"]*"|\S+')
+# quoted phrase (with optional trailing ^boost), wildcard pattern, or
+# plain term
+_PART_RE = re.compile(r'[+-]?"[^"]*"(?:\^\d+(?:\.\d+)?)?|\S+')
+
+# Lucene's per-clause boost suffix: term^2, "a b"^0.5, pre*^3.  The
+# boost must be stripped BEFORE tokenization (the tokenizer would split
+# 'term^25' into [term, 25] and score a phantom numeric term).
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+
+
+def _split_boost(part: str) -> tuple[str, float]:
+    m = _BOOST_RE.fullmatch(part)
+    if m and m.group(1):
+        return m.group(1), float(m.group(2))
+    return part, 1.0
 
 
 @dataclass
@@ -82,6 +95,14 @@ class QuerySpec:
     * ``pre*``: expansions score; ``+pre*`` additionally requires ≥1
       expansion to match; ``-pre*`` excludes docs matching ANY
       expansion (no score).
+
+    A ``^boost`` suffix (Lucene clause boost) multiplies the clause's
+    scoring weight: instance counts generalize to boost SUMS (an
+    unboosted clause contributes 1.0, so qtf semantics are unchanged
+    without boosts).  Boosts on non-scoring clauses (``-`` exclusions)
+    are parsed and ignored — exclusion is binary.  The boost-aligned
+    lists (``optional_boosts`` etc.) are index-parallel with their
+    fragment lists.
     """
 
     optional: list[str] = field(default_factory=list)   # raw fragments
@@ -89,9 +110,12 @@ class QuerySpec:
     excluded: list[str] = field(default_factory=list)
     phrases: list[str] = field(default_factory=list)    # without quotes
     neg_phrases: list[str] = field(default_factory=list)
-    prefixes: dict[str, int] = field(default_factory=dict)
+    prefixes: dict[str, float] = field(default_factory=dict)  # boost sums
     required_prefixes: list[str] = field(default_factory=list)
     excluded_prefixes: list[str] = field(default_factory=list)
+    optional_boosts: list[float] = field(default_factory=list)
+    required_boosts: list[float] = field(default_factory=list)
+    phrase_boosts: list[float] = field(default_factory=list)
 
 
 def parse_query(q: str) -> QuerySpec:
@@ -100,54 +124,68 @@ def parse_query(q: str) -> QuerySpec:
         op = ""
         if part[:1] in "+-" and len(part) > 1:
             op, part = part[0], part[1:]
-        if part.startswith('"') and part.endswith('"') and len(part) >= 2:
-            body = part[1:-1].strip()
+        if part.startswith('"') and '"' in part[1:]:
+            close = part.rindex('"')
+            body = part[1:close].strip()
+            _, boost = _split_boost(part[close:])  # '"' or '"^2'
             if not body:
                 continue
-            (spec.neg_phrases if op == "-" else spec.phrases).append(body)
+            if op == "-":
+                spec.neg_phrases.append(body)
+            else:
+                spec.phrases.append(body)
+                spec.phrase_boosts.append(boost)
             continue
+        part, boost = _split_boost(part)
         m = _PATTERN_RE.fullmatch(part.lower())
         if m:
             p = m.group(1)
             if op == "-":
                 spec.excluded_prefixes.append(p)
             else:
-                spec.prefixes[p] = spec.prefixes.get(p, 0) + 1
+                spec.prefixes[p] = spec.prefixes.get(p, 0.0) + boost
                 if op == "+":
                     spec.required_prefixes.append(p)
             continue
         if op == "+":
             spec.required.append(part)
+            spec.required_boosts.append(boost)
         elif op == "-":
             spec.excluded.append(part)
         else:
             # bare '+'/'-' fall through here with op == "" (a lone sign
             # is a term that tokenizes to nothing)
             spec.optional.append(part)
+            spec.optional_boosts.append(boost)
     return spec
 
 
 def resolve_terms(
     spec: QuerySpec, do_stem: bool
-) -> tuple[dict[str, int], list[str], list[str]]:
-    """(scoring qtf before expansion, required terms, excluded terms) —
-    pure, shared by the Spark path, the serving path, and the tests."""
-    qtf: dict[str, int] = {}
+) -> tuple[dict[str, float], list[str], list[str]]:
+    """(scoring boost-sums before expansion, required terms, excluded
+    terms) — pure, shared by the Spark path, the serving path, and the
+    tests.  The first dict generalizes qtf: each clause instance adds
+    its ``^boost`` (1.0 when unboosted), so without boosts the values
+    are exactly the integer term frequencies and every downstream
+    weight is bit-identical to the pre-boost engine (1.0·idf ≡ 1·idf
+    in IEEE754)."""
+    qtf: dict[str, float] = {}
 
-    def add_scoring(fragment: str):
+    def add_scoring(fragment: str, boost: float = 1.0):
         for t in tokenize(fragment, for_query=True, do_stem=do_stem):
-            qtf[t] = qtf.get(t, 0) + 1
+            qtf[t] = qtf.get(t, 0.0) + boost
 
-    for frag in spec.optional:
-        add_scoring(frag)
+    for frag, b in zip(spec.optional, spec.optional_boosts):
+        add_scoring(frag, b)
     required: list[str] = []
-    for frag in spec.required:
+    for frag, b in zip(spec.required, spec.required_boosts):
         toks = tokenize(frag, for_query=True, do_stem=do_stem)
         required.extend(toks)
         for t in toks:
-            qtf[t] = qtf.get(t, 0) + 1
-    for frag in spec.phrases:
-        add_scoring(frag)
+            qtf[t] = qtf.get(t, 0.0) + b
+    for frag, b in zip(spec.phrases, spec.phrase_boosts):
+        add_scoring(frag, b)
     excluded: list[str] = []
     for frag in spec.excluded:
         excluded.extend(tokenize(frag, for_query=True, do_stem=do_stem))

@@ -128,6 +128,73 @@ def build_upsert_segment(
     return keys
 
 
+def delete_by_query(
+    spark: SparkSession,
+    sidx: "SegmentedIndex",
+    query: str,
+    out_dir: str,
+    max_docs: int = 100_000,
+    conjunctive: bool = False,
+    **build_kw,
+) -> set[tuple[str, int]]:
+    """Mass deletion by MATCH SET (the Elasticsearch _delete_by_query
+    verb): every live document matching ``query`` is declared dead via
+    a tombstone-only segment — an EMPTY packed segment whose
+    supersedes.json carries the matched keys (the segment-carried
+    tombstone form, module docstring).  Results shrink exactly from the
+    next query on; stats stay pre-delete until ``compact_segments``
+    applies the declarations physically — the same contract as upsert.
+
+    Matching is SHADOW-AWARE: each segment's match set is evaluated
+    independently (a doc lives wholly in one segment), then versions
+    already superseded by a newer segment are dropped — so a key whose
+    LIVE version does not match is never deleted just because a dead
+    older version did.
+
+    ``max_docs`` bounds the declaration (shadow sets are
+    driver-resident, like Lucene's liveDocs): the match set is COUNTED
+    first and the call refuses above the cap.  A corpus-sized deletion
+    is a retention rewrite, not an LSM verb — run
+    ``compact_segments(deletes=...)`` with the predicate instead.
+
+    Returns the declared key set.
+    """
+    from ics_search_engine_spark.operators.facets import matched_docs
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+
+    per_seg = []
+    for i, seg in enumerate(sidx.segments):
+        m = matched_docs(spark, seg, query, conjunctive=conjunctive)
+        per_seg.append(
+            seg.docmap.join(m, "doc_ord")
+            .select(*DOC_KEY)
+            .withColumn("seg", F.lit(i))
+        )
+    matched = per_seg[0]
+    for m in per_seg[1:]:
+        matched = matched.unionByName(m)
+    live = _apply_shadows(spark, matched, sidx.shadows)
+    n = live.count()
+    if n > max_docs:
+        raise ValueError(
+            f"delete_by_query matched {n} docs > max_docs={max_docs}; "
+            "use compact_segments(deletes=...) for a retention rewrite"
+        )
+    keys = {
+        (r["conv_id"], int(r["turn_idx"]))
+        for r in live.select(*DOC_KEY).collect()
+    }
+    build_kw.setdefault("stem", sidx.segments[0].stats.get("stem", True))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, text string"
+    )
+    build_packed_index(spark, empty, out_dir, **build_kw)
+    write_supersedes(out_dir, keys)
+    return keys
+
+
 class SegmentedIndex:
     """A list of PackedIndex segments queried as one logical index.
     Path order is AGE order (older first) — upsert shadowing resolves

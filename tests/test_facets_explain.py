@@ -3,7 +3,11 @@
 import pytest
 
 from oracle import bm25 as oracle
-from ics_search_engine_spark.operators.facets import facet_counts, matched_docs
+from ics_search_engine_spark.operators.facets import (
+    date_histogram,
+    facet_counts,
+    matched_docs,
+)
 from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
     build_packed_index,
@@ -72,6 +76,35 @@ class TestFacets:
             ).collect()
         ]
         assert vals == sorted(vals)
+
+    @pytest.mark.parametrize("gran", ["day", "month"])
+    def test_date_histogram_matches_oracle(
+        self, spark, setup, small_df, gran
+    ):
+        pidx, rows = setup
+        got = [
+            (r["bucket"], r["n_docs"])
+            for r in date_histogram(
+                spark, pidx, "machine learning", small_df, "ts",
+                granularity=gran,
+            ).collect()
+        ]
+        matched = _oracle_matched(rows, "machine learning")
+        ts_of = {
+            (r["conv_id"], r["turn_idx"]): r["ts"]
+            for r in small_df.select("conv_id", "turn_idx", "ts").collect()
+        }
+        expect: dict = {}
+        for d in matched:
+            t = ts_of[d]
+            if gran == "day":
+                b = t.replace(hour=0, minute=0, second=0, microsecond=0)
+            else:
+                b = t.replace(day=1, hour=0, minute=0, second=0,
+                              microsecond=0)
+            expect[b] = expect.get(b, 0) + 1
+        assert got == sorted(expect.items())
+        assert [b for b, _ in got] == sorted(b for b, _ in got)
 
 
 class TestExplain:

@@ -31,6 +31,11 @@ QUERIES = [
     "+mach* learning",                     # required pattern
     "+zzz* machine",                       # required pattern, no matches
     "-mach* learning spark",               # excluded pattern
+    "machine^2 learning",                  # boosted term
+    "+machine^2 learning^0.5 -spark",      # boosted required + fractional
+    '"machine learning"^2 spark',          # boosted phrase
+    "mach*^2 learning",                    # boosted wildcard expansion
+    "machine^2 machine",                   # boost + plain repeat: 2+1=3
 ]
 
 
@@ -143,6 +148,35 @@ class TestParse:
         assert spec.required_prefixes == ["mach"]
         assert spec.excluded_prefixes == ["str"]
         assert not spec.required and not spec.excluded
+
+    def test_boost_suffix_every_shape(self):
+        spec = parse_query('alpha^2 +beta^0.5 "g d"^3 pre*^4 -neg^9')
+        assert spec.optional == ["alpha"]
+        assert spec.optional_boosts == [2.0]
+        assert spec.required == ["beta"]
+        assert spec.required_boosts == [0.5]
+        assert spec.phrases == ["g d"]
+        assert spec.phrase_boosts == [3.0]
+        assert spec.prefixes == {"pre": 4.0}
+        # exclusion is binary: the boost parses away, the term excludes
+        assert spec.excluded == ["neg"]
+
+    def test_boost_sums_across_instances(self):
+        spec = parse_query("xy^2 xy xy^0.5")
+        qtf, _, _ = resolve_terms(spec, do_stem=False)
+        assert qtf == {"xy": 3.5}
+
+    def test_unboosted_values_equal_integer_qtf(self):
+        spec = parse_query("machine machine learning")
+        qtf, _, _ = resolve_terms(spec, do_stem=False)
+        assert qtf == {"machine": 2, "learning": 1}
+
+    def test_degenerate_carets_are_not_boosts(self):
+        # trailing '^' with no number, and a bare '^2', stay literal
+        # fragments (the tokenizer then strips/drops them)
+        spec = parse_query("x^ ^2")
+        assert spec.optional == ["x^", "^2"]
+        assert spec.optional_boosts == [1.0, 1.0]
 
 
 class TestQlangSpark:
