@@ -3949,6 +3949,129 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 
 # ---------------------------------------------------------------- registry
 
+def q_bool_query_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested boolean query tree THROUGH the packed positional index
+    (operators/boolquery.bool_topk — Lucene BooleanQuery semantics):
+
+        Bool(must=[Term(spark)],
+             should=[Term(stream), Phrase("window join"),
+                     Bool(must=[Term(batch), Term(merge)]),
+                     Prefix(vect)],
+             must_not=[Term(sort)],
+             minimum_should_match=1)
+
+    exercising every clause kind, a nested sub-Bool, the positional
+    phrase leaf (ExactPhraseScorer shape: Σidf × tfn(phrase count)),
+    the constant-score prefix leaf, and msm counting.  The oracle
+    replays the whole tree relationally: CASE-gated BM25 contributions
+    summed in clause order, the same sat predicate, round-6 compare."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.boolquery import (
+        Bool,
+        Phrase,
+        Prefix,
+        Term,
+        bool_topk,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    tree = Bool(
+        must=[Term("spark")],
+        should=[
+            Term("stream"),
+            Phrase("window join"),
+            Bool(must=[Term("batch"), Term("merge")]),
+            Prefix("vect"),
+        ],
+        must_not=[Term("sort")],
+        minimum_should_match=1,
+    )
+    out = tempfile.mkdtemp(prefix="gate_bool_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        # over-fetch 60 exact-score winners for a stable rounded top-20
+        # boundary (same convention as _engine_packed_top20)
+        rows = bool_topk(spark, pidx, tree, k=60).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(float(s), 6)) for c, _, s in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(resolved[:20], "doc_id long, bm25_r6 double")
+
+
+_SQL_BOOL_TFN = "({tf} * 2.2 / ({tf} + 1.2 * (0.25 + 0.75 * v.dl / s.avgdl)))"
+_SQL_BOOL_IDF = "ln((s.n - d.df_{t} + 0.5) / (d.df_{t} + 0.5) + 1.0)"
+
+_SQL_BOOL_QUERY = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+tfv AS (
+  SELECT doc_id, dl,
+    len(list_filter(toks, x -> x = 'spark'))  AS tf_spark,
+    len(list_filter(toks, x -> x = 'stream')) AS tf_stream,
+    len(list_filter(toks, x -> x = 'window')) AS tf_window,
+    len(list_filter(toks, x -> x = 'join'))   AS tf_join,
+    len(list_filter(toks, x -> x = 'batch'))  AS tf_batch,
+    len(list_filter(toks, x -> x = 'merge'))  AS tf_merge,
+    len(list_filter(toks, x -> x = 'sort'))   AS tf_sort,
+    len(list_filter(toks, x -> x LIKE 'vect%')) AS tf_vect,
+    len(list_filter(range(1, len(toks)),
+        i -> toks[i] = 'window' AND toks[i+1] = 'join')) AS pc
+  FROM base
+),
+dfs AS (
+  SELECT
+    count(*) FILTER (WHERE tf_spark > 0)  AS df_spark,
+    count(*) FILTER (WHERE tf_stream > 0) AS df_stream,
+    count(*) FILTER (WHERE tf_window > 0) AS df_window,
+    count(*) FILTER (WHERE tf_join > 0)   AS df_join,
+    count(*) FILTER (WHERE tf_batch > 0)  AS df_batch,
+    count(*) FILTER (WHERE tf_merge > 0)  AS df_merge
+  FROM tfv
+),
+scored AS (
+  SELECT v.doc_id,
+    {_SQL_BOOL_IDF.format(t='spark')} * {_SQL_BOOL_TFN.format(tf='v.tf_spark')}
+    + CASE WHEN v.tf_stream > 0 THEN
+        {_SQL_BOOL_IDF.format(t='stream')} * {_SQL_BOOL_TFN.format(tf='v.tf_stream')}
+      ELSE 0.0 END
+    + CASE WHEN v.pc > 0 THEN
+        ({_SQL_BOOL_IDF.format(t='window')} + {_SQL_BOOL_IDF.format(t='join')})
+        * {_SQL_BOOL_TFN.format(tf='v.pc')}
+      ELSE 0.0 END
+    + CASE WHEN v.tf_batch > 0 AND v.tf_merge > 0 THEN
+        {_SQL_BOOL_IDF.format(t='batch')} * {_SQL_BOOL_TFN.format(tf='v.tf_batch')}
+        + {_SQL_BOOL_IDF.format(t='merge')} * {_SQL_BOOL_TFN.format(tf='v.tf_merge')}
+      ELSE 0.0 END
+    + CASE WHEN v.tf_vect > 0 THEN 1.0 ELSE 0.0 END
+    AS score
+  FROM tfv v CROSS JOIN stats s CROSS JOIN dfs d
+  WHERE v.tf_spark > 0 AND v.tf_sort = 0
+    AND ((v.tf_stream > 0)::INT + (v.pc > 0)::INT
+         + (v.tf_batch > 0 AND v.tf_merge > 0)::INT
+         + (v.tf_vect > 0)::INT) >= 1
+)
+SELECT doc_id, round(score, 6) AS bm25_r6
+FROM scored ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -4013,6 +4136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "significant_terms": q_significant_terms,
     "qlang_boost_engine": q_qlang_boost_engine,
     "bm25_delete_by_query": q_bm25_delete_by_query,
+    "bool_query_engine": q_bool_query_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4082,4 +4206,5 @@ ORACLE_SQL: dict[str, str] = {
     "significant_terms": _SQL_SIGTERMS,
     "qlang_boost_engine": _SQL_QLANG_BOOST,
     "bm25_delete_by_query": _SQL_DELETE_BY_QUERY,
+    "bool_query_engine": _SQL_BOOL_QUERY,
 }
