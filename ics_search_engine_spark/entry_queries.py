@@ -4072,6 +4072,141 @@ FROM scored ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_phrase_prefix_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix (autocomplete) THROUGH the packed positional
+    index (operators/phrase.phrase_prefix_topk): fixed term 'window'
+    followed by any index term starting 'jo' — the oracle replays the
+    positional adjacency with a LIKE on the following token."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.phrase import phrase_prefix_topk
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_ppre_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = phrase_prefix_topk(spark, pidx, "window jo", k=20).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), int(m)) for c, _, m in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, match_count int"
+    )
+
+
+_SQL_PHRASE_PREFIX = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks)),
+             i -> toks[i] = 'window' AND toks[i+1] LIKE 'jo%'))::INT
+           AS match_count
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id, match_count FROM m WHERE match_count > 0
+ORDER BY match_count DESC, doc_id ASC LIMIT 20
+"""
+
+
+# gauss decay constant ln(decay)/scale^2 at decay=0.5, scale=30 days —
+# computed ONCE here so the engine literal and the oracle SQL embed the
+# same double
+import math as _math  # noqa: E402
+
+_DECAY_C = _math.log(0.5) / float(30 * 86400) ** 2
+
+
+def q_bm25_decay_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay function scoring (ES function_score gauss decay,
+    operators/funcscore.bm25_topk_decay): BM25 × exp(c·dist²) over a
+    deterministic synthetic ts (epoch 2026-01-01 + doc_id%97 days, the
+    date-histogram gate's convention), origin at the corpus max date,
+    scale 30 days, decay 0.5, multiply mode.  The decay re-ranks (the
+    factor applies before the top-k cut), so the gate catches any
+    post-hoc-multiply shortcut."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.funcscore import bm25_topk_decay
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        F.date_add(
+            F.to_date(F.lit("2026-01-01")),
+            (F.col("doc_id") % 97).cast("int"),
+        ).cast("timestamp").alias("ts"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_decay_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts.drop("ts"), out, range_bits=8,
+            with_positions=False, stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = bm25_topk_decay(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "ts"), "ts",
+            origin="2026-04-07", scale_days=30.0, k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(float(s), 6)) for c, _, s in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(resolved[:20], "doc_id long, score_r6 double")
+
+
+_SQL_BM25_DECAY = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+bm25 AS (SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id),
+decayed AS (
+  SELECT doc_id,
+         s * exp({_DECAY_C!r}
+                 * (abs((doc_id % 97) - 96)::DOUBLE * 86400.0)
+                 * (abs((doc_id % 97) - 96)::DOUBLE * 86400.0)) AS score
+  FROM bm25
+)
+SELECT doc_id, round(score, 6) AS score_r6
+FROM decayed ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -4137,6 +4272,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qlang_boost_engine": q_qlang_boost_engine,
     "bm25_delete_by_query": q_bm25_delete_by_query,
     "bool_query_engine": q_bool_query_engine,
+    "phrase_prefix_engine": q_phrase_prefix_engine,
+    "bm25_decay_engine": q_bm25_decay_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4207,4 +4344,6 @@ ORACLE_SQL: dict[str, str] = {
     "qlang_boost_engine": _SQL_QLANG_BOOST,
     "bm25_delete_by_query": _SQL_DELETE_BY_QUERY,
     "bool_query_engine": _SQL_BOOL_QUERY,
+    "phrase_prefix_engine": _SQL_PHRASE_PREFIX,
+    "bm25_decay_engine": _SQL_BM25_DECAY,
 }

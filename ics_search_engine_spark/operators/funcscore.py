@@ -1,0 +1,154 @@
+"""Function scoring: decay functions over document attributes.
+
+The Elasticsearch ``function_score`` decay pattern (gauss / exp /
+linear over a date or numeric doc-value, multiplied into the relevance
+score) — the standard "prefer recent documents" ranking for a
+transcript corpus, where ``ts`` is exactly the doc-value it wants.
+The reference has no doc attributes at all (its docID is a bare URL);
+this is part of the fielded data model the transcript schema
+(BASELINE.json input_hint) adds.
+
+Semantics (the ES formulas, double-precision):
+    dist   = max(0, |value - origin| - offset)          [seconds]
+    gauss  : exp( ln(decay) / scale^2 * dist^2 )
+    exp    : exp( ln(decay) / scale   * dist )
+    linear : max(0, (s - dist) / s),  s = scale / (1 - decay)
+so factor(origin ± (offset + scale)) = decay, factor(within offset) = 1.
+``mode='multiply'`` (default): final = bm25 * factor — factor ∈ (0, 1]
+keeps every block-max upper bound valid, so this composes with WAND
+pruning unchanged (ub_range * 1 ≥ score * factor).  ``mode='sum'``:
+final = bm25 + factor (additive recency nudge).
+
+Determinism: the decay constant ln(decay)/scale^k is computed
+driver-side in Python and embedded as ONE double literal; the per-doc
+factor is a single JVM exp() over exact integer second distances.
+Cross-engine comparison is by rounded score like every float gate.
+
+Plan shape: score_all's fold (one shuffle on doc_ord, matched postings
+only) → docmap join → ONE doc-values join against the attribute
+relation (the facet_counts shape — at 10^12 docs this is the
+doc-value-store lookup every fielded engine does) → scalar factor
+column → TakeOrderedAndProject.  Nothing new shuffles; the attribute
+join carries (key, ts) only (column pruning reaches the scan).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    decode_matched,
+)
+from ics_search_engine_spark.operators.query import (
+    query_weights,
+    score_all,
+)
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+DECAY_FNS = ("gauss", "exp", "linear")
+SCORE_MODES = ("multiply", "sum")
+
+
+def decay_factor_col(
+    value_sec: F.Column,
+    origin_sec: float,
+    scale_sec: float,
+    offset_sec: float = 0.0,
+    decay: float = 0.5,
+    fn: str = "gauss",
+) -> F.Column:
+    """The ES decay factor as a pure Catalyst column over a seconds
+    epoch value.  ``decay`` is the factor at distance offset+scale."""
+    if fn not in DECAY_FNS:
+        raise ValueError(f"unknown decay fn {fn!r}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    if scale_sec <= 0:
+        raise ValueError("scale must be positive")
+    dist = F.greatest(
+        F.abs(value_sec - F.lit(float(origin_sec))) - F.lit(float(offset_sec)),
+        F.lit(0.0),
+    )
+    if fn == "gauss":
+        c = math.log(decay) / (scale_sec * scale_sec)
+        return F.exp(F.lit(c) * dist * dist)
+    if fn == "exp":
+        c = math.log(decay) / scale_sec
+        return F.exp(F.lit(c) * dist)
+    s = scale_sec / (1.0 - decay)
+    return F.greatest(
+        (F.lit(s) - dist) / F.lit(s), F.lit(0.0)
+    )
+
+
+def bm25_topk_decay(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    ts_col: str,
+    origin: str,
+    scale_days: float,
+    k: int = 10,
+    offset_days: float = 0.0,
+    decay: float = 0.5,
+    fn: str = "gauss",
+    mode: str = "multiply",
+) -> DataFrame:
+    """Top-k BM25 with a time-decay function score → (conv_id,
+    turn_idx, score) where score = bm25 ∘ factor(ts).  ``attrs`` is the
+    doc-value relation carrying (conv_id, turn_idx, ts_col); ``origin``
+    an ISO date/timestamp string.  The decay RE-RANKS, so the factor
+    applies to every matched doc BEFORE the top-k cut (a post-hoc
+    multiply of a bm25 top-k would miss docs whose decayed score
+    overtakes a stale higher-bm25 doc)."""
+    if mode not in SCORE_MODES:
+        raise ValueError(f"unknown score mode {mode!r}")
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if not weights:
+        return empty
+
+    matched = pidx.index.filter(F.col("term").isin(q_terms))
+    posts = decode_matched(matched)
+    scored = score_all(spark, posts, weights, pidx.avgdl, ["doc_ord"])
+    keyed = pidx.docmap.join(scored, "doc_ord").select(
+        "conv_id", "turn_idx", "score"
+    )
+    import datetime
+
+    origin_sec = datetime.datetime.fromisoformat(origin).replace(
+        tzinfo=datetime.timezone.utc
+    ).timestamp()
+    factor = decay_factor_col(
+        F.col(ts_col).cast("double"),
+        origin_sec,
+        scale_days * 86400.0,
+        offset_days * 86400.0,
+        decay,
+        fn,
+    )
+    final = (
+        F.col("score") * factor if mode == "multiply"
+        else F.col("score") + factor
+    )
+    return (
+        keyed.join(
+            attrs.select("conv_id", "turn_idx", ts_col),
+            ["conv_id", "turn_idx"],
+        )
+        .select("conv_id", "turn_idx", final.alias("score"))
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(k)
+    )

@@ -218,6 +218,146 @@ def near_ordered_topk(
     return _resolve_counts(pidx, result)
 
 
+def phrase_prefix_offsets(
+    phrase: str, do_stem: bool = True
+) -> tuple[list[tuple[str, int]], str | None, int]:
+    """Analyze a match-phrase-prefix query → (fixed (term, offset)
+    pairs, last-token prefix, prefix offset).  The LAST whitespace
+    token is the prefix (a trailing ``*`` is accepted and stripped);
+    like wildcard patterns it is lowercased but NOT stemmed and NOT
+    stop-filtered — it names index terms directly.  Every earlier
+    token analyzes exactly like ``phrase_offsets`` (stop words occupy
+    positions, len-1 forms occupy none), and the prefix occupies the
+    next position after the fixed part."""
+    import re
+
+    from ics_search_engine_spark.textproc.porter import stem
+
+    parts = (phrase or "").lower().split()
+    if not parts:
+        return [], None, 0
+    last = parts[-1].rstrip("*")
+    fixed_raw = " ".join(parts[:-1])
+    out: list[tuple[str, int]] = []
+    pos = 0
+    for raw in re.findall(r"[a-z0-9]+", fixed_raw):
+        stemmed = stem(raw) if do_stem else raw
+        if len(stemmed) == 1:
+            continue
+        if raw not in STOP_WORDS:
+            out.append((stemmed, pos))
+        pos += 1
+    if not re.fullmatch(r"[a-z0-9]+", last or ""):
+        return out, None, pos
+    return out, last, pos
+
+
+def phrase_prefix_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """match_phrase_prefix (the autocomplete query: Elasticsearch
+    match_phrase_prefix / Lucene MultiPhraseQuery with a prefix-expanded
+    final position) → top-k (conv_id, turn_idx, match_count).
+    The reference's positions (stored, unused — todo.md:70-72) make
+    this a pure index query; it has no analog there.
+
+    Semantics: the last whitespace token is a PREFIX; every index term
+    starting with it may occupy the phrase's final position.  A start
+    position p matches when every fixed term sits at its offset and ANY
+    expansion sits at the prefix offset; match_count counts such p once
+    (one indexed term per position, so expansions cannot double-count).
+    Expansion reuses the wildcard module's deterministic in-Spark cap
+    — the (df desc, term asc) heaviest ``max_expansions`` terms.
+
+    Plan shape = phrase_topk with one extra pivot column: positions
+    decode for fixed terms + expansions ONLY; the expansion set's
+    positions union into a single sorted array per doc (flatten of a
+    conditional collect_list — nulls drop, no Python); the match is the
+    same pure-Catalyst filter/array_contains expression.  One metadata
+    job for the expansion, one scan + per-doc pivot for the match.
+    """
+    from ics_search_engine_spark.operators.wildcard import expand_prefixes
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, match_count int"
+    )
+    do_stem = pidx.stats.get("stem", True)
+    fixed, prefix, pre_off = phrase_prefix_offsets(phrase, do_stem=do_stem)
+    if prefix is None:
+        # no usable prefix token: degrade to the exact-phrase operator
+        return phrase_topk(spark, pidx, phrase, k=k)
+    _added, _dfs, per_pat = expand_prefixes(
+        pidx, {prefix: 1}, max_expansions
+    )
+    expansions = per_pat.get(prefix, [])
+    if not expansions:
+        return empty
+
+    base_off = fixed[0][1] if fixed else pre_off
+    rel = [(t, off - base_off) for t, off in fixed]
+    uniq_fixed = sorted({t for t, _ in rel})
+    exp_set = set(expansions)
+    all_terms = sorted(set(uniq_fixed) | exp_set)
+
+    matched = pidx.index.filter(F.col("term").isin(all_terms))
+    posts = decode_matched(matched, with_positions=True)
+    aggs = []
+    col_of: dict[str, str] = {}
+    for i, t in enumerate(uniq_fixed):
+        c = f"pos_{i}"
+        col_of[t] = c
+        aggs.append(
+            F.first(F.when(F.col("term") == t, F.col("positions")),
+                    ignorenulls=True).alias(c)
+        )
+    # union of the expansion terms' positions (distinct by construction:
+    # one indexed term per position)
+    aggs.append(
+        F.array_sort(
+            F.flatten(
+                F.collect_list(
+                    F.when(
+                        F.col("term").isin(sorted(exp_set)), F.col("positions")
+                    )
+                )
+            )
+        ).alias("pos_pre")
+    )
+    pivoted = posts.groupBy("doc_ord").agg(*aggs)
+    for i in range(len(uniq_fixed)):
+        pivoted = pivoted.filter(F.col(f"pos_{i}").isNotNull())
+    pivoted = pivoted.filter(F.size("pos_pre") > 0)
+
+    if rel:
+        start = F.col(col_of[rel[0][0]])
+
+        def match_at(p):
+            conds = None
+            for t, off in rel[1:]:
+                c = F.array_contains(F.col(col_of[t]), p + off)
+                conds = c if conds is None else (conds & c)
+            pre = F.array_contains(
+                F.col("pos_pre"), p + F.lit(pre_off - base_off)
+            )
+            return pre if conds is None else (conds & pre)
+
+        count_col = F.size(F.filter(start, match_at)).alias("match_count")
+    else:
+        # pure autocomplete: every expansion occurrence is a match
+        count_col = F.size(F.col("pos_pre")).alias("match_count")
+    result = (
+        pivoted.select("doc_ord", count_col)
+        .filter(F.col("match_count") > 0)
+        .orderBy(F.desc("match_count"), F.asc("doc_ord"))
+        .limit(k)
+    )
+    return _resolve_counts(pidx, result)
+
+
 def phrase_topk(
     spark: SparkSession,
     pidx: PackedIndex,
