@@ -4207,6 +4207,207 @@ FROM decayed ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def _transcripts_with_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the aggregation gates: documents as one-turn
+    transcripts with a deterministic role (doc_id parity — the facet
+    gate's convention) and a 7-way source attribute."""
+    return _docs(spark, sf_dir).select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.format_string("src%d", (F.col("doc_id") % 7)).alias("source"),
+        F.col("text"),
+    )
+
+
+def q_top_hits_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_hits aggregation (operators/aggs.top_hits): the 3 best hits
+    inside EACH role bucket of the match set — the per-bucket ranked
+    sub-list ES nests under a terms aggregation.  The engine ranks on
+    exact scores two-phase (hot-bucket presplit, then per-bucket cut);
+    the gate over-fetches 10 per bucket and reports the rounded-order
+    top 3 so the cross-engine boundary agrees (the explain/decay gates'
+    convention)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.aggs import top_hits
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="gate_tophits_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts.select("conv_id", "turn_idx", "text"), out,
+            range_bits=8, with_positions=False, stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = top_hits(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "role"), "role", k=10,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    by_role: dict[str, list[tuple[float, int]]] = {}
+    for r in rows:
+        by_role.setdefault(r["role"], []).append(
+            (round(r["score"], 6), int(r["conv_id"][3:]))
+        )
+    out_rows = []
+    for role in sorted(by_role):
+        ranked = sorted(by_role[role], key=lambda x: (-x[0], x[1]))[:3]
+        out_rows += [
+            (role, i + 1, d, s) for i, (s, d) in enumerate(ranked)
+        ]
+    return spark.createDataFrame(
+        out_rows, "role string, rank int, doc_id long, bm25_r6 double"
+    )
+
+
+_SQL_TOP_HITS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         round(sum(contrib), 6) AS r6
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT role, doc_id, r6,
+         row_number() OVER (PARTITION BY role ORDER BY r6 DESC, doc_id ASC)
+           AS rank
+  FROM perdoc
+)
+SELECT role, rank::INT AS rank, doc_id, r6 AS bm25_r6
+FROM ranked WHERE rank <= 3 ORDER BY role, rank
+"""
+
+
+def q_match_stats_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats aggregation (operators/aggs.match_stats): count / min /
+    max / sum of the doc-length doc-value per role bucket over the
+    match set.  All-integer outputs so the hash compares exactly; the
+    mean is the caller's division (module contract)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.aggs import match_stats
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", "role", F.size(toks_col()).alias("dl")
+    )
+    out = tempfile.mkdtemp(prefix="gate_matchstats_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts.select("conv_id", "turn_idx", "text"), out,
+            range_bits=8, with_positions=False, stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = match_stats(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl",
+            bucket_col="role",
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["role"], r["n_docs"], r["min_v"], r["max_v"], r["sum_v"])
+            for r in rows
+        ],
+        "role string, n_docs long, min_dl int, max_dl int, sum_dl long",
+    )
+
+
+_SQL_MATCH_STATS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+)
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       count(*)::BIGINT AS n_docs,
+       min(dl)::INT AS min_dl,
+       max(dl)::INT AS max_dl,
+       sum(dl)::BIGINT AS sum_dl
+FROM m GROUP BY role ORDER BY role
+"""
+
+
+def q_cardinality_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cardinality aggregation (operators/aggs.cardinality): exact
+    distinct sources per role bucket across the match set.  The gate
+    runs the exact path (DuckDB-reproducible); the HLL++ approx path is
+    bounds-tested in tests/test_aggs.py."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.aggs import cardinality
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="gate_cardinality_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts.select("conv_id", "turn_idx", "text"), out,
+            range_bits=8, with_positions=False, stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = cardinality(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "role", "source"),
+            "source", bucket_col="role",
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["role"], r["n_distinct"]) for r in rows],
+        "role string, n_sources long",
+    )
+
+
+_SQL_CARDINALITY = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+)
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       count(DISTINCT 'src' || (doc_id % 7)::VARCHAR)::BIGINT AS n_sources
+FROM m GROUP BY role ORDER BY role
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -4274,6 +4475,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_query_engine": q_bool_query_engine,
     "phrase_prefix_engine": q_phrase_prefix_engine,
     "bm25_decay_engine": q_bm25_decay_engine,
+    "top_hits_engine": q_top_hits_engine,
+    "match_stats_engine": q_match_stats_engine,
+    "cardinality_engine": q_cardinality_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4346,4 +4550,7 @@ ORACLE_SQL: dict[str, str] = {
     "bool_query_engine": _SQL_BOOL_QUERY,
     "phrase_prefix_engine": _SQL_PHRASE_PREFIX,
     "bm25_decay_engine": _SQL_BM25_DECAY,
+    "top_hits_engine": _SQL_TOP_HITS,
+    "match_stats_engine": _SQL_MATCH_STATS,
+    "cardinality_engine": _SQL_CARDINALITY,
 }

@@ -1,0 +1,184 @@
+"""Result-set aggregations: top_hits, stats, and cardinality over a
+query's full match set.
+
+A search page shows more than ranked hits and facet counts: per-bucket
+best hits (Lucene/ES ``top_hits``), numeric summaries of a doc-value
+over the matches (ES ``stats``: count/min/max/sum/avg), and distinct
+counts of an attribute (ES ``cardinality``).  The reference has none of
+this — its result surface is a ranked URL list
+(/root/reference/search.py:200-210) — so these are engine extensions
+over the same packed-index match set that powers faceting
+(operators/facets.matched_docs).
+
+Scale shapes (the 100 TB question, per aggregation):
+
+* ``top_hits`` — the match set is scored exhaustively (score_all: one
+  shuffle on doc_ord), then cut to k per bucket in TWO phases: a local
+  rank inside (bucket, salt) partitions bounds any one sort to a
+  1/``presplit`` slice of a hot bucket, then the global per-bucket rank
+  sees ≤ presplit × k rows per bucket.  A single window over a hot
+  bucket (every doc in one ``role``) would otherwise sort the whole
+  match set on one task.
+* ``match_stats`` / ``cardinality`` — pure hash-agg rollups:
+  matched set → docmap join (co-keyed, doc-count-sized) → attrs join →
+  groupBy.  Output is |buckets| rows; nothing collects.  Exact distinct
+  adds one extra shuffle (the distinct); the approx variant
+  (``approx_count_distinct``, HLL++) is single-pass and is the 100 TB
+  default — exact is kept because the driver gate needs a value DuckDB
+  can reproduce bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ics_search_engine_spark.operators.facets import matched_docs
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    decode_matched,
+)
+from ics_search_engine_spark.operators.query import query_weights, score_all
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+
+def scored_matches(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    min_match: int | None = None,
+) -> DataFrame:
+    """Every matched doc with its full BM25 score → (doc_ord, score).
+    The shared front half of top_hits and any scored whole-match-set
+    analytics; same decode → broadcast-weight join → deterministic fold
+    as the ranked path (operators/query.score_all), minus the top-k cut.
+    """
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+    empty = spark.createDataFrame([], "doc_ord long, score double")
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if not weights:
+        return empty
+    matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
+    posts = decode_matched(matched)
+    return score_all(
+        spark, posts, weights, pidx.avgdl, ["doc_ord"], min_match=min_match
+    )
+
+
+def top_hits(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    bucket_col: str,
+    k: int = 3,
+    presplit: int = 32,
+) -> DataFrame:
+    """Top-k hits per bucket of ``attrs.<bucket_col>`` →
+    (bucket_col, rank, conv_id, turn_idx, score), rank 1..k inside each
+    bucket by (score desc, conv_id asc, turn_idx asc).
+
+    ``presplit`` is the hot-bucket split factor: phase 1 ranks inside
+    (bucket, pmod(doc_ord, presplit)) so no single task sorts a whole
+    hot bucket; phase 2 ranks the surviving ≤ presplit × k rows per
+    bucket.  presplit=1 degenerates to the single-window plan (used by
+    tests to prove the two-phase cut is exact)."""
+    scored = scored_matches(spark, pidx, query)
+    keyed = (
+        pidx.docmap.select("doc_ord", "conv_id", "turn_idx")
+        .join(scored, "doc_ord")
+        .join(attrs, ["conv_id", "turn_idx"])
+        .select(bucket_col, "conv_id", "turn_idx", "score", "doc_ord")
+    )
+    order = [F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")]
+    if presplit > 1:
+        local = Window.partitionBy(
+            bucket_col, F.pmod(F.col("doc_ord"), F.lit(presplit))
+        ).orderBy(*order)
+        keyed = (
+            keyed.withColumn("_lr", F.row_number().over(local))
+            .filter(F.col("_lr") <= k)
+            .drop("_lr")
+        )
+    final = Window.partitionBy(bucket_col).orderBy(*order)
+    return (
+        keyed.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(bucket_col, "rank", "conv_id", "turn_idx", "score")
+        .orderBy(F.asc(bucket_col), F.asc("rank"))
+    )
+
+
+def match_stats(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    bucket_col: str | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES stats aggregation over the match set: count / min / max / sum
+    of ``attrs.<value_col>`` (a numeric doc value), optionally per
+    ``bucket_col`` → (bucket?, n_docs, min_v, max_v, sum_v).
+
+    The mean is NOT emitted: cross-engine float division belongs to the
+    caller (``sum_v / n_docs``, rounded to taste) — sums here stay in
+    the value column's integer/exact type so the driver gate can hash
+    them (module docstring, entry_queries.py 'no cross-row float sums').
+    """
+    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
+    keyed = (
+        pidx.docmap.join(docs, "doc_ord")
+        .select("conv_id", "turn_idx")
+        .join(attrs, ["conv_id", "turn_idx"])
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        F.sum(value_col).alias("sum_v"),
+    ]
+    if bucket_col is None:
+        return keyed.agg(*aggs)
+    return keyed.groupBy(bucket_col).agg(*aggs).orderBy(F.asc(bucket_col))
+
+
+def cardinality(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    card_col: str,
+    bucket_col: str | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES cardinality aggregation: distinct values of
+    ``attrs.<card_col>`` across the match set, optionally per bucket →
+    (bucket?, n_distinct).
+
+    ``exact=True`` → countDistinct (an extra shuffle keyed on the
+    value — exact, gate-able); ``exact=False`` → HLL++
+    (approx_count_distinct at ``rsd``), single-pass and
+    constant-memory per bucket — the 100 TB default, tested against the
+    exact path's value within the rsd bound."""
+    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
+    keyed = (
+        pidx.docmap.join(docs, "doc_ord")
+        .select("conv_id", "turn_idx")
+        .join(attrs, ["conv_id", "turn_idx"])
+    )
+    agg = (
+        F.countDistinct(card_col)
+        if exact
+        else F.approx_count_distinct(card_col, rsd)
+    ).alias("n_distinct")
+    if bucket_col is None:
+        return keyed.agg(agg)
+    return keyed.groupBy(bucket_col).agg(agg).orderBy(F.asc(bucket_col))
