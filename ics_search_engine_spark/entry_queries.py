@@ -4408,6 +4408,279 @@ FROM m GROUP BY role ORDER BY role
 """
 
 
+def _agg_gate_index(spark, transcripts, prefix: str):
+    """Build the stem-free gate index for an aggregation gate; caller
+    owns cleanup."""
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    build_packed_index(
+        spark, transcripts.select("conv_id", "turn_idx", "text"), out,
+        range_bits=8, with_positions=False, stem=False,
+    )
+    return out, PackedIndex(spark, out)
+
+
+def q_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation (operators/aggs.histogram): matched-doc
+    count per fixed-width doc-length bucket (interval 20)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import histogram
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_histo_idx_")
+    try:
+        rows = histogram(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl", 20
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["bucket_lo"], r["n_docs"]) for r in rows],
+        "bucket_lo long, n_docs long",
+    )
+
+
+_SQL_HISTOGRAM = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+)
+SELECT (dl // 20 * 20)::BIGINT AS bucket_lo, count(*)::BIGINT AS n_docs
+FROM m GROUP BY bucket_lo ORDER BY bucket_lo
+"""
+
+
+def q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation (operators/aggs.range_agg): matched-doc
+    count per explicit [lo, hi) doc-length bucket — the ranges OVERLAP
+    (80-* contains most of 100-150) to pin the a-doc-counts-in-every-
+    containing-range semantics."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import range_agg
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_range_idx_")
+    try:
+        rows = range_agg(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl",
+            [(None, 100.0), (100.0, 150.0), (80.0, None)],
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["range_ord"], r["range_key"], r["n_docs"]) for r in rows],
+        "range_ord int, range_key string, n_docs long",
+    )
+
+
+_SQL_RANGE_AGG = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+)
+SELECT 0 AS range_ord, '*-100' AS range_key,
+       count(*) FILTER (dl < 100)::BIGINT AS n_docs FROM m
+UNION ALL
+SELECT 1, '100-150', count(*) FILTER (dl >= 100 AND dl < 150)::BIGINT FROM m
+UNION ALL
+SELECT 2, '80-*', count(*) FILTER (dl >= 80)::BIGINT FROM m
+ORDER BY range_ord
+"""
+
+
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation (operators/aggs.filters_agg): matched-doc
+    count per NAMED predicate over the doc-values, one pass — the
+    predicates overlap (role vs source) to pin bucket independence."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import filters_agg
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_filters_idx_")
+    try:
+        rows = filters_agg(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "role", "source"),
+            {
+                "assistant": F.col("role") == "assistant",
+                "even_src": F.col("source").isin("src0", "src2", "src4"),
+                "user_src0": (F.col("role") == "user")
+                & (F.col("source") == "src0"),
+            },
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["filter_key"], r["n_docs"]) for r in rows],
+        "filter_key string, n_docs long",
+    )
+
+
+_SQL_FILTERS_AGG = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         'src' || (doc_id % 7)::VARCHAR AS source
+  FROM m
+)
+SELECT 'assistant' AS filter_key,
+       count(*) FILTER (role = 'assistant')::BIGINT AS n_docs FROM a
+UNION ALL
+SELECT 'even_src',
+       count(*) FILTER (source IN ('src0','src2','src4'))::BIGINT FROM a
+UNION ALL
+SELECT 'user_src0',
+       count(*) FILTER (role = 'user' AND source = 'src0')::BIGINT FROM a
+ORDER BY filter_key
+"""
+
+
+def q_date_histo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline aggregations (operators/aggs.cumulative_sum +
+    derivative) over the month date_histogram: running total and first
+    difference per bucket, ES emitting NULL for the first bucket's
+    derivative.  Bucket-count-sized input by construction."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import (
+        cumulative_sum,
+        derivative,
+    )
+    from ics_search_engine_spark.operators.facets import date_histogram
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        F.date_add(
+            F.to_date(F.lit("2026-01-01")),
+            (F.col("doc_id") % 97).cast("int"),
+        ).cast("timestamp").alias("ts"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_pipeline_idx_")
+    try:
+        histo = date_histogram(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "ts"), "ts",
+            granularity="month",
+        )
+        rows = derivative(
+            cumulative_sum(histo, "bucket", "n_docs"), "bucket", "n_docs"
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["bucket"].strftime("%Y-%m-%d"), r["n_docs"], r["cum"],
+             r["deriv"])
+            for r in rows
+        ],
+        "bucket string, n_docs long, cum long, deriv long",
+    )
+
+
+_SQL_DATE_HISTO_PIPELINE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+h AS (
+  SELECT strftime(date_trunc('month',
+                  DATE '2026-01-01' + (doc_id % 97)::INT), '%Y-%m-%d')
+           AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM m GROUP BY bucket
+)
+SELECT bucket, n_docs,
+       sum(n_docs) OVER (ORDER BY bucket)::BIGINT AS cum,
+       (n_docs - lag(n_docs) OVER (ORDER BY bucket))::BIGINT AS deriv
+FROM h ORDER BY bucket
+"""
+
+
+def q_composite_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation with after-key paging
+    (operators/aggs.composite_buckets): (role, source) buckets over the
+    match set in key order, page 1 of 5 taken, page 2 resumed from its
+    last key — must equal the oracle's exact bucket rows 6..10 (no
+    skip, no repeat across the cursor)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import composite_buckets
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select("conv_id", "turn_idx", "role", "source")
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_composite_idx_")
+    try:
+        q = " ".join(DOCS_QUERY_TERMS)
+        page1 = composite_buckets(
+            spark, pidx, q, attrs, ["role", "source"], 5
+        ).collect()
+        last = (page1[-1]["role"], page1[-1]["source"])
+        rows = composite_buckets(
+            spark, pidx, q, attrs, ["role", "source"], 5, after=last
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["role"], r["source"], r["n_docs"]) for r in rows],
+        "role string, source string, n_docs long",
+    )
+
+
+_SQL_COMPOSITE_PAGE2 = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+b AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         'src' || (doc_id % 7)::VARCHAR AS source,
+         count(*)::BIGINT AS n_docs
+  FROM m GROUP BY role, source
+),
+r AS (
+  SELECT role, source, n_docs,
+         row_number() OVER (ORDER BY role, source) AS rn
+  FROM b
+)
+SELECT role, source, n_docs FROM r
+WHERE rn BETWEEN 6 AND 10 ORDER BY role, source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -4478,6 +4751,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_hits_engine": q_top_hits_engine,
     "match_stats_engine": q_match_stats_engine,
     "cardinality_engine": q_cardinality_engine,
+    "histogram_agg": q_histogram_agg,
+    "range_agg": q_range_agg,
+    "filters_agg": q_filters_agg,
+    "date_histo_pipeline": q_date_histo_pipeline,
+    "composite_page2": q_composite_page2,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4553,4 +4831,9 @@ ORACLE_SQL: dict[str, str] = {
     "top_hits_engine": _SQL_TOP_HITS,
     "match_stats_engine": _SQL_MATCH_STATS,
     "cardinality_engine": _SQL_CARDINALITY,
+    "histogram_agg": _SQL_HISTOGRAM,
+    "range_agg": _SQL_RANGE_AGG,
+    "filters_agg": _SQL_FILTERS_AGG,
+    "date_histo_pipeline": _SQL_DATE_HISTO_PIPELINE,
+    "composite_page2": _SQL_COMPOSITE_PAGE2,
 }

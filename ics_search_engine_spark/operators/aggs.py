@@ -182,3 +182,200 @@ def cardinality(
     if bucket_col is None:
         return keyed.agg(agg)
     return keyed.groupBy(bucket_col).agg(agg).orderBy(F.asc(bucket_col))
+
+
+def _matched_attrs(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Match set joined to its doc-values — the shared front half of
+    every bucket aggregation below (same co-keyed join shape as
+    facet_counts; nothing collects)."""
+    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
+    return (
+        pidx.docmap.join(docs, "doc_ord")
+        .select("conv_id", "turn_idx")
+        .join(attrs, ["conv_id", "turn_idx"])
+    )
+
+
+def histogram(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    interval: int,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES histogram aggregation: matched-doc count per fixed-width
+    numeric bucket → (bucket_lo, n_docs), bucket_lo = floor(v /
+    interval) · interval, ordered by bucket.  Empty buckets don't
+    appear (zero-fill is presentation).  Same hash-agg rollup shape as
+    facet_counts — |buckets| rows out, nothing collects."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    bucket = (
+        F.floor(F.col(value_col) / F.lit(interval)) * F.lit(interval)
+    ).cast("long")
+    return (
+        keyed.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.asc("bucket_lo"))
+    )
+
+
+def range_agg(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    ranges: list[tuple[float | None, float | None]],
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES range aggregation: matched-doc count per explicit [lo, hi)
+    bucket → (range_key, n_docs) in the caller's range order.  Ranges
+    may overlap (a doc counts in every range containing it — ES
+    semantics), so each range is summed as an independent 0/1 column in
+    ONE pass over the matched set (the filters_agg shape) — no
+    per-range rescans.  None = unbounded end; key rendered '<lo>-<hi>'
+    with '*' for None."""
+    if not ranges:
+        return spark.createDataFrame(
+            [], "range_ord int, range_key string, n_docs long"
+        )
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    v = F.col(value_col)
+    conds, labels = [], []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= lo)
+        if hi is not None:
+            cond = cond & (v < hi)
+        conds.append(cond)
+        lo_s = "*" if lo is None else f"{lo:g}"
+        hi_s = "*" if hi is None else f"{hi:g}"
+        labels.append(f"{lo_s}-{hi_s}")
+    row = keyed.agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"_r{i}")
+            for i, c in enumerate(conds)
+        ]
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("range_ord"),
+                        F.lit(labels[i]).alias("range_key"),
+                        F.col(f"_r{i}").alias("n_docs"),
+                    )
+                    for i in range(len(conds))
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.range_ord", "kv.range_key", "kv.n_docs").orderBy("range_ord")
+
+
+def filters_agg(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    named_filters: dict[str, F.Column],
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES filters aggregation: matched-doc count per NAMED predicate
+    over the doc-values → (filter_key, n_docs), key asc.  Buckets may
+    overlap (each predicate is independent), so this is ONE pass that
+    sums each predicate as a 0/1 column — |filters| counters per
+    partition, a single row out per filter, no per-filter rescans."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    row = keyed.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in named_filters.items()
+        ]
+    )
+    names = sorted(named_filters)
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("filter_key"),
+                            F.col(n).alias("n_docs"),
+                        )
+                        for n in names
+                    ]
+                )
+            ).alias("kv")
+        )
+        .select("kv.filter_key", "kv.n_docs")
+        .orderBy("filter_key")
+    )
+
+
+def cumulative_sum(buckets: DataFrame, order_col: str, value_col: str,
+                   alias: str = "cum") -> DataFrame:
+    """ES cumulative_sum PIPELINE aggregation: running total of a
+    parent aggregation's per-bucket metric, in bucket order.  Operates
+    on ANY (bucket, value) frame (date_histogram, histogram, ...) —
+    pipeline aggs are bucket-count-sized, so the single-partition
+    window is driver-cheap by construction (|buckets| rows, the parent
+    already reduced the corpus)."""
+    w = Window.orderBy(F.asc(order_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return buckets.withColumn(alias, F.sum(value_col).over(w))
+
+
+def derivative(buckets: DataFrame, order_col: str, value_col: str,
+               alias: str = "deriv") -> DataFrame:
+    """ES derivative pipeline aggregation: first difference of the
+    parent metric in bucket order; first bucket's derivative is NULL
+    (ES emits no value there).  Same bucket-count-sized window note as
+    cumulative_sum."""
+    w = Window.orderBy(F.asc(order_col))
+    return buckets.withColumn(
+        alias, F.col(value_col) - F.lag(value_col, 1).over(w)
+    )
+
+
+def composite_buckets(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    keys: list[str],
+    size: int,
+    after: tuple | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES composite aggregation: ALL (key...) buckets over the match
+    set in key order, paged ``size`` at a time with an exclusive
+    ``after`` cursor (the bucket-space analog of search_after — ES's
+    only way to page an unbounded bucket set).  → (keys..., n_docs).
+
+    The cursor is a lexicographic tuple predicate compiled into the
+    plan, so each page is ONE job whose agg output is cut to ``size``
+    by TakeOrderedAndProject — no offset scan, no driver accumulation
+    of earlier pages."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    grouped = keyed.groupBy(*keys).agg(F.count("*").alias("n_docs"))
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError("after cursor arity != keys arity")
+        # lexicographic strictly-greater: (k1 > a1) or (k1 = a1 and ...)
+        cond = F.lit(False)
+        for i in range(len(keys) - 1, -1, -1):
+            gt = F.col(keys[i]) > F.lit(after[i])
+            cond = gt | ((F.col(keys[i]) == F.lit(after[i])) & cond)
+        grouped = grouped.filter(cond)
+    return grouped.orderBy(*[F.asc(k) for k in keys]).limit(size)

@@ -6,7 +6,13 @@ import pytest
 from oracle import bm25 as oracle
 from ics_search_engine_spark.operators.aggs import (
     cardinality,
+    composite_buckets,
+    cumulative_sum,
+    derivative,
+    filters_agg,
+    histogram,
     match_stats,
+    range_agg,
     scored_matches,
     top_hits,
 )
@@ -171,3 +177,125 @@ class TestCardinality:
             spark, pidx, QUERY, small_df, "conv_id", conjunctive=True
         ).collect()[0]["n_distinct"]
         assert n_and <= n_or
+
+
+def _matched_lens(setup, small_df):
+    """(docid -> text length) over the match set."""
+    _, rows = setup
+    matched = set(_oracle_scores(rows, QUERY))
+    text_of = {(c, t): txt for c, t, txt in rows}
+    return {d: len(text_of[d]) for d in matched}
+
+
+@pytest.fixture(scope="module")
+def len_attrs(spark, small_df):
+    import pyspark.sql.functions as F
+
+    return small_df.select(
+        "conv_id", "turn_idx", F.length("text").alias("nchars")
+    )
+
+
+class TestBucketAggs:
+    def test_histogram_matches_transcription(
+        self, spark, setup, small_df, len_attrs
+    ):
+        pidx, _ = setup
+        got = {
+            r["bucket_lo"]: r["n_docs"]
+            for r in histogram(
+                spark, pidx, QUERY, len_attrs, "nchars", 50
+            ).collect()
+        }
+        expect: dict[int, int] = {}
+        for v in _matched_lens(setup, small_df).values():
+            b = v // 50 * 50
+            expect[b] = expect.get(b, 0) + 1
+        assert got == expect
+
+    def test_range_overlap_counts_in_every_range(
+        self, spark, setup, small_df, len_attrs
+    ):
+        pidx, _ = setup
+        ranges = [(None, 120.0), (100.0, 200.0), (50.0, None), (None, None)]
+        got = range_agg(
+            spark, pidx, QUERY, len_attrs, "nchars", ranges
+        ).collect()
+        vals = list(_matched_lens(setup, small_df).values())
+        expect = [
+            sum(1 for v in vals if v < 120),
+            sum(1 for v in vals if 100 <= v < 200),
+            sum(1 for v in vals if v >= 50),
+            len(vals),
+        ]
+        assert [r["n_docs"] for r in got] == expect
+        assert [r["range_key"] for r in got] == [
+            "*-120", "100-200", "50-*", "*-*"
+        ]
+
+    def test_filters_agg_one_pass(self, spark, setup, small_df):
+        import pyspark.sql.functions as F
+
+        pidx, rows = setup
+        got = {
+            r["filter_key"]: r["n_docs"]
+            for r in filters_agg(
+                spark, pidx, QUERY, small_df,
+                {
+                    "assistant": F.col("role") == "assistant",
+                    "any": F.lit(True),
+                },
+            ).collect()
+        }
+        matched = set(_oracle_scores(rows, QUERY))
+        role_of = _attr_of(small_df, "role")
+        assert got["any"] == len(matched)
+        assert got["assistant"] == sum(
+            1 for d in matched if role_of[d] == "assistant"
+        )
+
+    def test_composite_pages_partition_bucket_space(
+        self, spark, setup, small_df
+    ):
+        pidx, rows = setup
+        attrs = small_df.select("conv_id", "turn_idx", "role", "tool")
+        pages, after = [], None
+        while True:
+            page = composite_buckets(
+                spark, pidx, QUERY, attrs, ["role", "tool"], 3, after=after
+            ).collect()
+            if not page:
+                break
+            pages.extend(page)
+            after = (page[-1]["role"], page[-1]["tool"])
+        matched = set(_oracle_scores(rows, QUERY))
+        role_of = _attr_of(small_df, "role")
+        tool_of = _attr_of(small_df, "tool")
+        expect: dict[tuple, int] = {}
+        for d in matched:
+            k = (role_of[d], tool_of[d])
+            expect[k] = expect.get(k, 0) + 1
+        got = {(r["role"], r["tool"]): r["n_docs"] for r in pages}
+        assert got == expect  # no skip, no repeat (dict insert would hide
+        assert len(pages) == len(expect)  # repeats — length pins it)
+        keys = [(r["role"], r["tool"]) for r in pages]
+        assert keys == sorted(keys)
+
+
+class TestPipelineAggs:
+    def test_cumsum_and_derivative(self, spark, setup, small_df, len_attrs):
+        pidx, _ = setup
+        histo = histogram(spark, pidx, QUERY, len_attrs, "nchars", 50)
+        out = derivative(
+            cumulative_sum(histo, "bucket_lo", "n_docs"),
+            "bucket_lo", "n_docs",
+        ).collect()
+        running, prev = 0, None
+        for r in out:
+            running += r["n_docs"]
+            assert r["cum"] == running
+            if prev is None:
+                assert r["deriv"] is None
+            else:
+                assert r["deriv"] == r["n_docs"] - prev
+            prev = r["n_docs"]
