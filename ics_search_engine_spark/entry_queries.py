@@ -4681,6 +4681,170 @@ WHERE rn BETWEEN 6 AND 10 ORDER BY role, source
 """
 
 
+def _fielded_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as one-turn transcripts with a synthesized TITLE field
+    that shares vocabulary with the query (doc_id % 3 rotation), so
+    multi-field scoring has real cross-field matches to combine."""
+    return _docs(spark, sf_dir).select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "spark streaming guide")
+        .when(F.col("doc_id") % 3 == 1, "window join notes")
+        .otherwise("misc other notes")
+        .alias("title"),
+        F.col("text"),
+    )
+
+
+def _multi_match_gate(spark: SparkSession, sf_dir: str, mode: str,
+                      tie_breaker: float = 0.0) -> DataFrame:
+    """Shared body of the multi_match gates: fielded index over
+    (text, title), query through operators/fields.multi_match_topk,
+    rounded-order top-20 (the engine-gate convention)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.fields import (
+        FieldedIndex,
+        build_fielded_index,
+        multi_match_topk,
+    )
+
+    transcripts = _fielded_transcripts(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="gate_fielded_idx_")
+    try:
+        build_fielded_index(
+            spark, transcripts, out, ["text", "title"], range_bits=8,
+            stem=False,
+        )
+        fidx = FieldedIndex(spark, out)
+        rows = multi_match_topk(
+            spark, fidx, " ".join(DOCS_QUERY_TERMS),
+            {"text": 1.0, "title": 2.0}, k=60, mode=mode,
+            tie_breaker=tie_breaker,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(float(s), 6)) for c, _, s in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, score_r6 double"
+    )
+
+
+def q_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match best_fields (operators/fields.multi_match_topk):
+    dis-max over per-field BM25 with boosts {text:1, title:2} and
+    tie_breaker 0.3 — the Lucene DisjunctionMaxQuery combination over
+    genuinely separate per-field statistics (df, avgdl)."""
+    return _multi_match_gate(spark, sf_dir, "best_fields", 0.3)
+
+
+def q_multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match cross_fields: term-centric blending — blended df =
+    max over fields, one idf, per (doc, term) the best boosted
+    saturation across fields (see operators/fields docstring for the
+    exact formula the oracle replays)."""
+    return _multi_match_gate(spark, sf_dir, "cross_fields")
+
+
+_SQL_FIELDED_BASE = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         list_filter(regexp_split_to_array(lower(
+           CASE WHEN doc_id % 3 = 0 THEN 'spark streaming guide'
+                WHEN doc_id % 3 = 1 THEN 'window join notes'
+                ELSE 'misc other notes' END), '[^a-z0-9]+'),
+           x -> length(x) > 1) AS ttoks
+  FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         avg(len(toks)) AS avgdl_text, avg(len(ttoks)) AS avgdl_title
+  FROM t
+),
+posts_text AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+posts_title AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(ttoks) AS dl, unnest(ttoks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs_text AS (SELECT term, count(*) AS df FROM posts_text GROUP BY term),
+dfs_title AS (SELECT term, count(*) AS df FROM posts_title GROUP BY term)
+"""
+
+_SQL_MULTI_MATCH_BEST = _SQL_FIELDED_BASE + """
+, fs_text AS (
+  SELECT p.doc_id,
+         1.0 * sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl_text)))
+         ) AS fs
+  FROM posts_text p JOIN dfs_text d USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+fs_title AS (
+  SELECT p.doc_id,
+         2.0 * sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl_title)))
+         ) AS fs
+  FROM posts_title p JOIN dfs_title d USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+pf AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.fs AS ft, b.fs AS fl
+  FROM fs_text a FULL OUTER JOIN fs_title b ON a.doc_id = b.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         CASE
+           WHEN ft IS NULL THEN fl
+           WHEN fl IS NULL THEN ft
+           ELSE greatest(ft, fl) + 0.3 * (ft + fl - greatest(ft, fl))
+         END AS score
+  FROM pf
+)
+SELECT doc_id, round(score, 6) AS score_r6
+FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+_SQL_MULTI_MATCH_CROSS = _SQL_FIELDED_BASE + """
+, blended AS (
+  SELECT term, greatest(COALESCE(a.df, 0), COALESCE(b.df, 0)) AS df
+  FROM dfs_text a FULL OUTER JOIN dfs_title b USING (term)
+),
+tfn AS (
+  SELECT term, doc_id, btfn FROM (
+    SELECT p.term, p.doc_id,
+           1.0 * (p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl_text))) AS btfn
+    FROM posts_text p CROSS JOIN stats s
+    UNION ALL
+    SELECT p.term, p.doc_id,
+           2.0 * (p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl_title))) AS btfn
+    FROM posts_title p CROSS JOIN stats s
+  )
+),
+best AS (
+  SELECT term, doc_id, max(btfn) AS btfn FROM tfn GROUP BY term, doc_id
+),
+scored AS (
+  SELECT t2.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * t2.btfn) AS score
+  FROM best t2 JOIN blended d USING (term) CROSS JOIN stats s
+  GROUP BY t2.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r6
+FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -4756,6 +4920,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filters_agg": q_filters_agg,
     "date_histo_pipeline": q_date_histo_pipeline,
     "composite_page2": q_composite_page2,
+    "multi_match_best": q_multi_match_best,
+    "multi_match_cross": q_multi_match_cross,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4836,4 +5002,6 @@ ORACLE_SQL: dict[str, str] = {
     "filters_agg": _SQL_FILTERS_AGG,
     "date_histo_pipeline": _SQL_DATE_HISTO_PIPELINE,
     "composite_page2": _SQL_COMPOSITE_PAGE2,
+    "multi_match_best": _SQL_MULTI_MATCH_BEST,
+    "multi_match_cross": _SQL_MULTI_MATCH_CROSS,
 }
