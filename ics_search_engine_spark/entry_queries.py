@@ -4681,6 +4681,80 @@ WHERE rn BETWEEN 6 AND 10 ORDER BY role, source
 """
 
 
+def q_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation (operators/aggs.percentiles): exact
+    linear-interpolation quantiles of the doc-length doc-value over the
+    match set — the same percentile_cont definition DuckDB's
+    quantile_cont implements, compared rounded.  The approx
+    (t-digest-class) variant is bounds-tested in tests/test_aggs.py."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import percentiles
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_pct_idx_")
+    try:
+        rows = percentiles(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl",
+            [0.25, 0.5, 0.75, 0.95],
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["p"], round(r["value"], 6)) for r in rows],
+        "p double, value_r6 double",
+    )
+
+
+_SQL_PERCENTILES = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+)
+SELECT unnest([0.25, 0.5, 0.75, 0.95])::DOUBLE AS p,
+       round(unnest(quantile_cont(dl, [0.25, 0.5, 0.75, 0.95])), 6)
+         AS value_r6
+FROM m
+"""
+
+
+def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester (operators/spell.suggest_completions):
+    top-10 dictionary completions of the prefix 's' by (df desc, term
+    asc) — one TakeOrderedAndProject over the term dictionary."""
+    import shutil
+
+    from ics_search_engine_spark.operators.spell import suggest_completions
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_complete_idx_")
+    try:
+        rows = suggest_completions(pidx, "s", size=10).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["term"], r["df"]) for r in rows], "term string, df long"
+    )
+
+
+_SQL_COMPLETION = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+d AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) GROUP BY term
+)
+SELECT term, df FROM d WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
 def _fielded_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as one-turn transcripts with a synthesized TITLE field
     that shares vocabulary with the query (doc_id % 3 rotation), so
@@ -4922,6 +4996,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "composite_page2": q_composite_page2,
     "multi_match_best": q_multi_match_best,
     "multi_match_cross": q_multi_match_cross,
+    "percentiles_agg": q_percentiles_agg,
+    "completion_suggest": q_completion_suggest,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5004,4 +5080,6 @@ ORACLE_SQL: dict[str, str] = {
     "composite_page2": _SQL_COMPOSITE_PAGE2,
     "multi_match_best": _SQL_MULTI_MATCH_BEST,
     "multi_match_cross": _SQL_MULTI_MATCH_CROSS,
+    "percentiles_agg": _SQL_PERCENTILES,
+    "completion_suggest": _SQL_COMPLETION,
 }

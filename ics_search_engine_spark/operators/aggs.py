@@ -322,6 +322,41 @@ def filters_agg(
     )
 
 
+def percentiles(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    ps: list[float],
+    exact: bool = True,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES percentiles aggregation over a doc-value of the match set →
+    (p, value) in the caller's order.  ``exact=True`` uses the
+    linear-interpolation definition (Spark `percentile`; the same
+    formula as SQL percentile_cont / DuckDB quantile_cont, so the gate
+    can replay it); ``exact=False`` uses `approx_percentile`
+    (t-digest-class single-pass sketch) — the 10^12 default, since the
+    exact form materializes the value multiset per partition.  Both
+    are ONE aggregation job; output is |ps| rows."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    arr = F.array(*[F.lit(float(p)) for p in ps])
+    agg = (
+        F.percentile(F.col(value_col), arr)
+        if exact
+        else F.percentile_approx(F.col(value_col), arr, 10_000)
+    )
+    row = keyed.agg(agg.alias("vals"))
+    return row.select(
+        F.posexplode("vals").alias("i", "value")
+    ).select(
+        F.element_at(F.array(*[F.lit(float(p)) for p in ps]),
+                     F.col("i") + 1).alias("p"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def cumulative_sum(buckets: DataFrame, order_col: str, value_col: str,
                    alias: str = "cum") -> DataFrame:
     """ES cumulative_sum PIPELINE aggregation: running total of a

@@ -96,3 +96,37 @@ def did_you_mean(
     }
     out = [fix.get(t, t) for t in toks]
     return " ".join(out) if out != toks else None
+
+
+def suggest_completions(
+    pidx: PackedIndex,
+    prefix: str,
+    size: int = 10,
+) -> DataFrame:
+    """ES completion suggester (weight = df): the top ``size``
+    dictionary terms extending ``prefix``, (df desc, term asc) —
+    the as-you-type box every search UI ships.  ONE
+    TakeOrderedAndProject over the sorted term dictionary with the
+    StringStartsWith predicate pushed to the scan (the wildcard
+    module's expansion shape, operators/wildcard.expand_prefixes);
+    ≤ size rows leave the executors.  The prefix is analyzed with the
+    index's tokenizer so suggestions come from the SEARCHABLE
+    vocabulary (a stemmed index completes stems — documented, same as
+    a stemmed Lucene suggester field).
+
+    The prefix is NOT a term, so it skips the query analyzer's
+    length-1 drop and stemming (Lucene suggesters don't stem the typed
+    prefix either — a partial word stems wrong): normalization is
+    lowercase + split on non-alphanumerics + last fragment."""
+    import re as _re
+
+    frags = [f for f in _re.split(r"[^a-z0-9]+", prefix.lower()) if f]
+    if not frags:
+        return pidx.term_stats.select("term", "df").limit(0)
+    p = frags[-1]
+    return (
+        pidx.term_stats.filter(F.col("term").startswith(p))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(size)
+    )

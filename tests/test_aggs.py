@@ -12,6 +12,7 @@ from ics_search_engine_spark.operators.aggs import (
     filters_agg,
     histogram,
     match_stats,
+    percentiles,
     range_agg,
     scored_matches,
     top_hits,
@@ -280,6 +281,49 @@ class TestBucketAggs:
         assert len(pages) == len(expect)  # repeats — length pins it)
         keys = [(r["role"], r["tool"]) for r in pages]
         assert keys == sorted(keys)
+
+
+class TestPercentiles:
+    PS = [0.0, 0.25, 0.5, 0.9, 1.0]
+
+    def test_exact_matches_numpy_linear(
+        self, spark, setup, small_df, len_attrs
+    ):
+        import numpy as np
+
+        pidx, _ = setup
+        got = {
+            r["p"]: r["value"]
+            for r in percentiles(
+                spark, pidx, QUERY, len_attrs, "nchars", self.PS
+            ).collect()
+        }
+        vals = np.array(sorted(_matched_lens(setup, small_df).values()))
+        for p in self.PS:
+            expect = float(np.quantile(vals, p, method="linear"))
+            assert got[p] == pytest.approx(expect, rel=1e-12)
+
+    def test_approx_close_to_exact(self, spark, setup, small_df, len_attrs):
+        pidx, _ = setup
+        exact = {
+            r["p"]: r["value"]
+            for r in percentiles(
+                spark, pidx, QUERY, len_attrs, "nchars", [0.5]
+            ).collect()
+        }
+        approx = {
+            r["p"]: r["value"]
+            for r in percentiles(
+                spark, pidx, QUERY, len_attrs, "nchars", [0.5], exact=False
+            ).collect()
+        }
+        # approx_percentile returns an actual data value near the rank
+        vals = sorted(_matched_lens(setup, small_df).values())
+        lo, hi = vals[max(0, len(vals) // 2 - 2)], vals[
+            min(len(vals) - 1, len(vals) // 2 + 2)
+        ]
+        assert lo <= approx[0.5] <= hi
+        assert abs(approx[0.5] - exact[0.5]) <= max(2.0, 0.05 * exact[0.5])
 
 
 class TestPipelineAggs:

@@ -119,3 +119,38 @@ def test_lsm_parity(spark, setup, small_df, corpus_dir):
     lsm = LocalSegmentedServer(seg_dirs)
     for q in ["machne learning", "reserch studnt", "machine learning"]:
         assert lsm.did_you_mean(q) == full.did_you_mean(q), q
+
+
+class TestCompletions:
+    def test_completions_match_dictionary_scan(self, spark, setup):
+        from ics_search_engine_spark.operators.spell import (
+            suggest_completions,
+        )
+
+        pidx, idx = setup
+        got = [
+            (r["term"], r["df"])
+            for r in suggest_completions(pidx, "ma", size=5).collect()
+        ]
+        cand = sorted(
+            (
+                (t, len(plist))
+                for t, plist in idx.postings.items()
+                if t.startswith("ma")
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:5]
+        assert got == cand
+
+    def test_prefix_skips_query_analyzer(self, spark, setup):
+        """1-char prefixes and stemmable fragments must not be dropped
+        or stemmed — the prefix is typed text, not a term."""
+        from ics_search_engine_spark.operators.spell import (
+            suggest_completions,
+        )
+
+        pidx, _ = setup
+        one = suggest_completions(pidx, "m", size=3).collect()
+        assert len(one) == 3  # length-1 prefix still completes
+        assert all(r["term"].startswith("m") for r in one)
+        assert suggest_completions(pidx, "  ", size=3).count() == 0
