@@ -4755,6 +4755,128 @@ ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation (operators/aggs.adjacency_matrix):
+    named predicates + every pairwise intersection counted in ONE pass;
+    empty intersections dropped (ES semantics)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import adjacency_matrix
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_adj_idx_")
+    try:
+        rows = adjacency_matrix(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "role", "source"),
+            {
+                "assist": F.col("role") == "assistant",
+                "evensrc": F.col("source").isin("src0", "src2", "src4"),
+                "lowsrc": F.col("source").isin("src0", "src1"),
+            },
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["key"], r["n_docs"]) for r in rows], "key string, n_docs long"
+    )
+
+
+_SQL_ADJACENCY = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+a AS (
+  SELECT (doc_id % 2 = 1) AS assist,
+         ('src' || (doc_id % 7)::VARCHAR) IN ('src0','src2','src4')
+           AS evensrc,
+         ('src' || (doc_id % 7)::VARCHAR) IN ('src0','src1') AS lowsrc
+  FROM m
+),
+cells AS (
+  SELECT 'assist' AS key, count(*) FILTER (assist)::BIGINT AS n_docs FROM a
+  UNION ALL
+  SELECT 'assist&evensrc', count(*) FILTER (assist AND evensrc)::BIGINT FROM a
+  UNION ALL
+  SELECT 'assist&lowsrc', count(*) FILTER (assist AND lowsrc)::BIGINT FROM a
+  UNION ALL
+  SELECT 'evensrc', count(*) FILTER (evensrc)::BIGINT FROM a
+  UNION ALL
+  SELECT 'evensrc&lowsrc', count(*) FILTER (evensrc AND lowsrc)::BIGINT FROM a
+  UNION ALL
+  SELECT 'lowsrc', count(*) FILTER (lowsrc)::BIGINT FROM a
+)
+SELECT key, n_docs FROM cells WHERE n_docs > 0 ORDER BY key
+"""
+
+
+def q_bucket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed bucket pipeline (operators/aggs): dl histogram →
+    bucket_selector (n_docs >= 2) → moving_avg (window 3) →
+    bucket_sort by (n_docs desc, bucket_lo asc) size 3 — the ES
+    pipeline-aggregation chain, each stage over the already-reduced
+    bucket frame."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import (
+        bucket_selector,
+        bucket_sort,
+        histogram,
+        moving_avg,
+    )
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_bpipe_idx_")
+    try:
+        histo = histogram(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl", 20
+        )
+        kept = bucket_selector(histo, F.col("n_docs") >= 2)
+        rows = bucket_sort(
+            moving_avg(kept, "bucket_lo", "n_docs", 3),
+            [("n_docs", "desc"), ("bucket_lo", "asc")], size=3,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["bucket_lo"], r["n_docs"], round(r["mavg"], 6))
+            for r in rows
+        ],
+        "bucket_lo long, n_docs long, mavg_r6 double",
+    )
+
+
+_SQL_BUCKET_PIPELINE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+),
+h AS (
+  SELECT (dl // 20 * 20)::BIGINT AS bucket_lo, count(*)::BIGINT AS n_docs
+  FROM m GROUP BY bucket_lo
+),
+kept AS (SELECT * FROM h WHERE n_docs >= 2),
+mv AS (
+  SELECT bucket_lo, n_docs,
+         round(avg(n_docs) OVER (ORDER BY bucket_lo
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg_r6
+  FROM kept
+)
+SELECT bucket_lo, n_docs, mavg_r6 FROM mv
+ORDER BY n_docs DESC, bucket_lo ASC LIMIT 3
+"""
+
+
 def _fielded_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as one-turn transcripts with a synthesized TITLE field
     that shares vocabulary with the query (doc_id % 3 rotation), so
@@ -4998,6 +5120,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_match_cross": q_multi_match_cross,
     "percentiles_agg": q_percentiles_agg,
     "completion_suggest": q_completion_suggest,
+    "adjacency_matrix_agg": q_adjacency_matrix,
+    "bucket_pipeline": q_bucket_pipeline,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5082,4 +5206,6 @@ ORACLE_SQL: dict[str, str] = {
     "multi_match_cross": _SQL_MULTI_MATCH_CROSS,
     "percentiles_agg": _SQL_PERCENTILES,
     "completion_suggest": _SQL_COMPLETION,
+    "adjacency_matrix_agg": _SQL_ADJACENCY,
+    "bucket_pipeline": _SQL_BUCKET_PIPELINE,
 }

@@ -383,6 +383,86 @@ def derivative(buckets: DataFrame, order_col: str, value_col: str,
     )
 
 
+def adjacency_matrix(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    named_filters: dict[str, F.Column],
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES adjacency_matrix aggregation: matched-doc counts for every
+    named predicate AND every pairwise intersection → (key, n_docs),
+    key = name or 'a&b' (names joined sorted, ES's convention), key
+    asc; empty intersections don't appear.  Same ONE-pass 0/1-sum
+    shape as filters_agg — n + n(n-1)/2 counters, one row group out.
+    ES caps n at 100 filters for exactly this quadratic reason; the
+    cap is the caller's."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    names = sorted(named_filters)
+    cells: list[tuple[str, F.Column]] = [
+        (n, named_filters[n]) for n in names
+    ]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", named_filters[a] & named_filters[b]))
+    row = keyed.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c{i}")
+            for i, (_, cond) in enumerate(cells)
+        ]
+    )
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(key).alias("key"),
+                            F.col(f"_c{i}").alias("n_docs"),
+                        )
+                        for i, (key, _) in enumerate(cells)
+                    ]
+                )
+            ).alias("kv")
+        )
+        .select("kv.key", "kv.n_docs")
+        .filter(F.col("n_docs") > 0)
+        .orderBy("key")
+    )
+
+
+def moving_avg(buckets: DataFrame, order_col: str, value_col: str,
+               window: int, alias: str = "mavg") -> DataFrame:
+    """ES moving_fn/moving_avg pipeline aggregation: mean of the
+    parent metric over the trailing ``window`` buckets (current
+    included; short head windows average what exists, ES's default).
+    Bucket-count-sized input, same note as cumulative_sum."""
+    w = Window.orderBy(F.asc(order_col)).rowsBetween(
+        -(window - 1), Window.currentRow
+    )
+    return buckets.withColumn(alias, F.avg(value_col).over(w))
+
+
+def bucket_sort(buckets: DataFrame, sort_cols: list, size: int | None = None,
+                ) -> DataFrame:
+    """ES bucket_sort pipeline aggregation: reorder the parent's
+    buckets by metric columns and optionally truncate to ``size`` —
+    presentation-layer paging of an already-reduced frame.
+    ``sort_cols``: list of (col, 'asc'|'desc')."""
+    order = [
+        F.asc(c) if d == "asc" else F.desc(c) for c, d in sort_cols
+    ]
+    out = buckets.orderBy(*order)
+    return out.limit(size) if size is not None else out
+
+
+def bucket_selector(buckets: DataFrame, predicate: F.Column) -> DataFrame:
+    """ES bucket_selector pipeline aggregation: keep only buckets whose
+    metrics satisfy the predicate (a Column over the bucket frame)."""
+    return buckets.filter(predicate)
+
+
 def composite_buckets(
     spark: SparkSession,
     pidx: PackedIndex,

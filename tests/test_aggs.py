@@ -5,6 +5,9 @@ import pytest
 
 from oracle import bm25 as oracle
 from ics_search_engine_spark.operators.aggs import (
+    adjacency_matrix,
+    bucket_selector,
+    bucket_sort,
     cardinality,
     composite_buckets,
     cumulative_sum,
@@ -12,6 +15,7 @@ from ics_search_engine_spark.operators.aggs import (
     filters_agg,
     histogram,
     match_stats,
+    moving_avg,
     percentiles,
     range_agg,
     scored_matches,
@@ -281,6 +285,70 @@ class TestBucketAggs:
         assert len(pages) == len(expect)  # repeats — length pins it)
         keys = [(r["role"], r["tool"]) for r in pages]
         assert keys == sorted(keys)
+
+
+class TestAdjacencyMatrix:
+    def test_cells_match_transcription(self, spark, setup, small_df):
+        import pyspark.sql.functions as F
+
+        pidx, rows = setup
+        got = {
+            r["key"]: r["n_docs"]
+            for r in adjacency_matrix(
+                spark, pidx, QUERY, small_df,
+                {
+                    "assist": F.col("role") == "assistant",
+                    "user": F.col("role") == "user",
+                    "any": F.lit(True),
+                },
+            ).collect()
+        }
+        matched = set(_oracle_scores(rows, QUERY))
+        role_of = _attr_of(small_df, "role")
+        n_a = sum(1 for d in matched if role_of[d] == "assistant")
+        n_u = sum(1 for d in matched if role_of[d] == "user")
+        expect = {
+            "assist": n_a, "user": n_u, "any": len(matched),
+            "any&assist": n_a, "any&user": n_u,
+            # assist&user is empty -> absent (ES drops empty cells)
+        }
+        assert got == {k: v for k, v in expect.items() if v > 0}
+        assert "assist&user" not in got
+
+
+class TestBucketPipelines:
+    def test_moving_avg_short_head_windows(
+        self, spark, setup, small_df, len_attrs
+    ):
+        pidx, _ = setup
+        histo = histogram(spark, pidx, QUERY, len_attrs, "nchars", 50)
+        out = moving_avg(histo, "bucket_lo", "n_docs", 3).collect()
+        vals = [r["n_docs"] for r in out]
+        for i, r in enumerate(out):
+            w = vals[max(0, i - 2): i + 1]
+            assert r["mavg"] == pytest.approx(sum(w) / len(w), rel=1e-12)
+
+    def test_sort_and_selector(self, spark, setup, small_df, len_attrs):
+        import pyspark.sql.functions as F
+
+        pidx, _ = setup
+        histo = histogram(spark, pidx, QUERY, len_attrs, "nchars", 50)
+        all_rows = histo.collect()
+        kept = bucket_selector(histo, F.col("n_docs") >= 2).collect()
+        assert {(r["bucket_lo"], r["n_docs"]) for r in kept} == {
+            (r["bucket_lo"], r["n_docs"])
+            for r in all_rows
+            if r["n_docs"] >= 2
+        }
+        top2 = bucket_sort(
+            histo, [("n_docs", "desc"), ("bucket_lo", "asc")], size=2
+        ).collect()
+        expect = sorted(
+            all_rows, key=lambda r: (-r["n_docs"], r["bucket_lo"])
+        )[:2]
+        assert [(r["bucket_lo"], r["n_docs"]) for r in top2] == [
+            (r["bucket_lo"], r["n_docs"]) for r in expect
+        ]
 
 
 class TestPercentiles:
