@@ -4231,22 +4231,12 @@ def q_top_hits_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     top 3 so the cross-engine boundary agrees (the explain/decay gates'
     convention)."""
     import shutil
-    import tempfile
 
     from ics_search_engine_spark.operators.aggs import top_hits
-    from ics_search_engine_spark.operators.packed_index import (
-        PackedIndex,
-        build_packed_index,
-    )
 
     transcripts = _transcripts_with_role(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="gate_tophits_idx_")
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_tophits_idx_")
     try:
-        build_packed_index(
-            spark, transcripts.select("conv_id", "turn_idx", "text"), out,
-            range_bits=8, with_positions=False, stem=False,
-        )
-        pidx = PackedIndex(spark, out)
         rows = top_hits(
             spark, pidx, " ".join(DOCS_QUERY_TERMS),
             transcripts.select("conv_id", "turn_idx", "role"), "role", k=10,
@@ -4309,25 +4299,15 @@ def q_match_stats_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     match set.  All-integer outputs so the hash compares exactly; the
     mean is the caller's division (module contract)."""
     import shutil
-    import tempfile
 
     from ics_search_engine_spark.operators.aggs import match_stats
-    from ics_search_engine_spark.operators.packed_index import (
-        PackedIndex,
-        build_packed_index,
-    )
 
     transcripts = _transcripts_with_role(spark, sf_dir)
     attrs = transcripts.select(
         "conv_id", "turn_idx", "role", F.size(toks_col()).alias("dl")
     )
-    out = tempfile.mkdtemp(prefix="gate_matchstats_idx_")
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_matchstats_idx_")
     try:
-        build_packed_index(
-            spark, transcripts.select("conv_id", "turn_idx", "text"), out,
-            range_bits=8, with_positions=False, stem=False,
-        )
-        pidx = PackedIndex(spark, out)
         rows = match_stats(
             spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl",
             bucket_col="role",
@@ -4366,22 +4346,12 @@ def q_cardinality_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the exact path (DuckDB-reproducible); the HLL++ approx path is
     bounds-tested in tests/test_aggs.py."""
     import shutil
-    import tempfile
 
     from ics_search_engine_spark.operators.aggs import cardinality
-    from ics_search_engine_spark.operators.packed_index import (
-        PackedIndex,
-        build_packed_index,
-    )
 
     transcripts = _transcripts_with_role(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="gate_cardinality_idx_")
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_cardinality_idx_")
     try:
-        build_packed_index(
-            spark, transcripts.select("conv_id", "turn_idx", "text"), out,
-            range_bits=8, with_positions=False, stem=False,
-        )
-        pidx = PackedIndex(spark, out)
         rows = cardinality(
             spark, pidx, " ".join(DOCS_QUERY_TERMS),
             transcripts.select("conv_id", "turn_idx", "role", "source"),

@@ -113,6 +113,24 @@ def top_hits(
     )
 
 
+def _matched_attrs(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Match set joined to its doc-values — the shared front half of
+    every aggregation below (same co-keyed join shape as facet_counts;
+    nothing collects)."""
+    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
+    return (
+        pidx.docmap.join(docs, "doc_ord")
+        .select("conv_id", "turn_idx")
+        .join(attrs, ["conv_id", "turn_idx"])
+    )
+
+
 def match_stats(
     spark: SparkSession,
     pidx: PackedIndex,
@@ -131,12 +149,7 @@ def match_stats(
     the value column's integer/exact type so the driver gate can hash
     them (module docstring, entry_queries.py 'no cross-row float sums').
     """
-    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
-    keyed = (
-        pidx.docmap.join(docs, "doc_ord")
-        .select("conv_id", "turn_idx")
-        .join(attrs, ["conv_id", "turn_idx"])
-    )
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
     aggs = [
         F.count("*").alias("n_docs"),
         F.min(value_col).alias("min_v"),
@@ -168,12 +181,7 @@ def cardinality(
     (approx_count_distinct at ``rsd``), single-pass and
     constant-memory per bucket — the 100 TB default, tested against the
     exact path's value within the rsd bound."""
-    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
-    keyed = (
-        pidx.docmap.join(docs, "doc_ord")
-        .select("conv_id", "turn_idx")
-        .join(attrs, ["conv_id", "turn_idx"])
-    )
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
     agg = (
         F.countDistinct(card_col)
         if exact
@@ -182,24 +190,6 @@ def cardinality(
     if bucket_col is None:
         return keyed.agg(agg)
     return keyed.groupBy(bucket_col).agg(agg).orderBy(F.asc(bucket_col))
-
-
-def _matched_attrs(
-    spark: SparkSession,
-    pidx: PackedIndex,
-    query: str,
-    attrs: DataFrame,
-    conjunctive: bool = False,
-) -> DataFrame:
-    """Match set joined to its doc-values — the shared front half of
-    every bucket aggregation below (same co-keyed join shape as
-    facet_counts; nothing collects)."""
-    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
-    return (
-        pidx.docmap.join(docs, "doc_ord")
-        .select("conv_id", "turn_idx")
-        .join(attrs, ["conv_id", "turn_idx"])
-    )
 
 
 def histogram(
@@ -260,9 +250,13 @@ def range_agg(
         lo_s = "*" if lo is None else f"{lo:g}"
         hi_s = "*" if hi is None else f"{hi:g}"
         labels.append(f"{lo_s}-{hi_s}")
+    # coalesce: an empty match set must yield doc_count 0 per bucket
+    # (ES semantics), not NULL (sum over zero rows)
     row = keyed.agg(
         *[
-            F.sum(F.when(c, 1).otherwise(0)).alias(f"_r{i}")
+            F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0)).alias(
+                f"_r{i}"
+            )
             for i, c in enumerate(conds)
         ]
     )
@@ -296,13 +290,18 @@ def filters_agg(
     sums each predicate as a 0/1 column — |filters| counters per
     partition, a single row out per filter, no per-filter rescans."""
     keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    names = sorted(named_filters)
+    # positional aliases: caller names are data (F.lit below), never
+    # column identifiers — dots/backticks in a name must not parse;
+    # coalesce: empty match set yields 0 per bucket (ES), not NULL
     row = keyed.agg(
         *[
-            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
-            for name, cond in named_filters.items()
+            F.coalesce(
+                F.sum(F.when(named_filters[n], 1).otherwise(0)), F.lit(0)
+            ).alias(f"_c{i}")
+            for i, n in enumerate(names)
         ]
     )
-    names = sorted(named_filters)
     return (
         row.select(
             F.explode(
@@ -310,9 +309,9 @@ def filters_agg(
                     *[
                         F.struct(
                             F.lit(n).alias("filter_key"),
-                            F.col(n).alias("n_docs"),
+                            F.col(f"_c{i}").alias("n_docs"),
                         )
-                        for n in names
+                        for i, n in enumerate(names)
                     ]
                 )
             ).alias("kv")
@@ -351,8 +350,7 @@ def percentiles(
     return row.select(
         F.posexplode("vals").alias("i", "value")
     ).select(
-        F.element_at(F.array(*[F.lit(float(p)) for p in ps]),
-                     F.col("i") + 1).alias("p"),
+        F.element_at(arr, F.col("i") + 1).alias("p"),
         F.col("value").cast("double").alias("value"),
     )
 
@@ -408,7 +406,9 @@ def adjacency_matrix(
             cells.append((f"{a}&{b}", named_filters[a] & named_filters[b]))
     row = keyed.agg(
         *[
-            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c{i}")
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(
+                f"_c{i}"
+            )
             for i, (_, cond) in enumerate(cells)
         ]
     )
@@ -450,6 +450,9 @@ def bucket_sort(buckets: DataFrame, sort_cols: list, size: int | None = None,
     buckets by metric columns and optionally truncate to ``size`` —
     presentation-layer paging of an already-reduced frame.
     ``sort_cols``: list of (col, 'asc'|'desc')."""
+    for _, d in sort_cols:
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be 'asc'|'desc', got {d!r}")
     order = [
         F.asc(c) if d == "asc" else F.desc(c) for c, d in sort_cols
     ]
@@ -488,9 +491,19 @@ def composite_buckets(
         if len(after) != len(keys):
             raise ValueError("after cursor arity != keys arity")
         # lexicographic strictly-greater: (k1 > a1) or (k1 = a1 and ...)
+        # — NULL-safe, matching Spark's asc ordering (nulls first): a
+        # NULL key is the smallest value, so k > NULL means k IS NOT
+        # NULL and equality is eqNullSafe.  Plain >/== would return SQL
+        # NULL against a NULL cursor component and silently drop every
+        # remaining bucket.
         cond = F.lit(False)
         for i in range(len(keys) - 1, -1, -1):
-            gt = F.col(keys[i]) > F.lit(after[i])
-            cond = gt | ((F.col(keys[i]) == F.lit(after[i])) & cond)
+            c = F.col(keys[i])
+            if after[i] is None:
+                gt, eq = c.isNotNull(), c.isNull()
+            else:
+                gt = c > F.lit(after[i])
+                eq = c.eqNullSafe(F.lit(after[i]))
+            cond = gt | (eq & cond)
         grouped = grouped.filter(cond)
     return grouped.orderBy(*[F.asc(k) for k in keys]).limit(size)

@@ -65,13 +65,7 @@ from ics_search_engine_spark.operators.packed_index import (
     build_packed_index,
     decode_matched,
 )
-from ics_search_engine_spark.operators.query import (
-    _K1P1,
-    _ONE_MINUS_B,
-    B,
-    K1,
-    py_idf,
-)
+from ics_search_engine_spark.operators.query import bm25_tfn_col, py_idf
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
 
@@ -121,17 +115,6 @@ class FieldedIndex:
     @property
     def n_docs(self) -> int:
         return self.primary.n_docs
-
-
-def _tfn_col(avgdl: float) -> F.Column:
-    """The saturation factor of bm25_contrib_col, without the weight —
-    same literal order so best_fields folds stay bit-identical to the
-    single-field engine."""
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    return (tf * F.lit(_K1P1)) / (
-        tf + F.lit(K1) * (F.lit(_ONE_MINUS_B) + (F.lit(B) * dl) / F.lit(avgdl))
-    )
 
 
 def _query_qtf(fidx: FieldedIndex, query: str) -> dict[str, int]:
@@ -197,7 +180,7 @@ def multi_match_topk(
             scored = (
                 _field_matches(fidx, f, sorted(weights))
                 .join(F.broadcast(w_df), "term")
-                .withColumn("contrib", F.col("w") * _tfn_col(fidx.sub[f].avgdl))
+                .withColumn("contrib", F.col("w") * bm25_tfn_col(fidx.sub[f].avgdl))
                 .groupBy("doc_ord")
                 .agg(
                     F.sort_array(
@@ -265,7 +248,7 @@ def multi_match_topk(
                 .select(
                     "term",
                     "doc_ord",
-                    (F.lit(boosts[f]) * _tfn_col(fidx.sub[f].avgdl)).alias(
+                    (F.lit(boosts[f]) * bm25_tfn_col(fidx.sub[f].avgdl)).alias(
                         "btfn"
                     ),
                 )

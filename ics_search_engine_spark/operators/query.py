@@ -82,15 +82,22 @@ def resolve_topk_keys(pidx, topk: DataFrame) -> DataFrame:
     )
 
 
-def bm25_contrib_col(avgdl: float) -> F.Column:
-    """w * tf*(k1+1) / (tf + k1*((1-b) + (b*dl)/avgdl)) with the exact
-    oracle operation order (oracle/bm25.py bm25_contribution)."""
+def bm25_tfn_col(avgdl: float) -> F.Column:
+    """The BM25 saturation factor tf*(k1+1) / (tf + k1*((1-b) +
+    (b*dl)/avgdl)) with the exact oracle operation order (oracle/bm25.py
+    bm25_contribution) — the ONE definition every weight-times-tfn
+    surface (single-field scoring, fielded multi_match) multiplies, so
+    bit-exactness has a single source of truth."""
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
-    tfn = (tf * F.lit(_K1P1)) / (
+    return (tf * F.lit(_K1P1)) / (
         tf + F.lit(K1) * (F.lit(_ONE_MINUS_B) + (F.lit(B) * dl) / F.lit(avgdl))
     )
-    return F.col("w") * tfn
+
+
+def bm25_contrib_col(avgdl: float) -> F.Column:
+    """w * tfn — the full per-posting BM25 contribution."""
+    return F.col("w") * bm25_tfn_col(avgdl)
 
 
 def bm25_topk(

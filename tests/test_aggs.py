@@ -259,6 +259,74 @@ class TestBucketAggs:
             1 for d in matched if role_of[d] == "assistant"
         )
 
+    def test_composite_pages_survive_null_keys(self, spark, setup, small_df):
+        """A NULL bucket key sorts first (Spark asc) and may land in a
+        page-1 cursor; paging must continue past it, not silently
+        return empty (review fix: null-safe lexicographic cursor)."""
+        import pyspark.sql.functions as F
+
+        pidx, rows = setup
+        attrs = small_df.select(
+            "conv_id", "turn_idx",
+            F.when(F.col("role") == "user", F.lit(None).cast("string"))
+            .otherwise(F.col("tool")).alias("nkey"),
+            "role",
+        )
+        pages, after = [], None
+        while True:
+            page = composite_buckets(
+                spark, pidx, QUERY, attrs, ["nkey", "role"], 1, after=after
+            ).collect()
+            if not page:
+                break
+            pages.extend(page)
+            after = (page[0]["nkey"], page[0]["role"])
+        assert pages, "no buckets at all"
+        assert pages[0]["nkey"] is None  # null bucket exists and is first
+        total = sum(r["n_docs"] for r in pages)
+        assert total == len(_oracle_scores(rows, QUERY))
+        keys = [(r["nkey"], r["role"]) for r in pages]
+        assert len(keys) == len(set(keys))  # no repeats across cursors
+
+    def test_empty_match_set_counts_are_zero_not_null(
+        self, spark, setup, small_df, len_attrs
+    ):
+        """review fix: sum() over an empty ungrouped agg is NULL in
+        SQL; ES returns doc_count 0 per bucket."""
+        import pyspark.sql.functions as F
+
+        pidx, _ = setup
+        r = range_agg(
+            spark, pidx, "zzqq absent", len_attrs, "nchars",
+            [(None, 100.0), (100.0, None)],
+        ).collect()
+        assert [x["n_docs"] for x in r] == [0, 0]
+        f = filters_agg(
+            spark, pidx, "zzqq absent", small_df, {"any": F.lit(True)}
+        ).collect()
+        assert [x["n_docs"] for x in f] == [0]
+
+    def test_filters_agg_names_are_data_not_identifiers(
+        self, spark, setup, small_df
+    ):
+        """review fix: filter names with dots/backticks must not be
+        parsed as column references."""
+        import pyspark.sql.functions as F
+
+        pidx, rows = setup
+        got = {
+            r["filter_key"]: r["n_docs"]
+            for r in filters_agg(
+                spark, pidx, QUERY, small_df,
+                {"user.src`0": F.col("role") == "user"},
+            ).collect()
+        }
+        matched = set(_oracle_scores(rows, QUERY))
+        role_of = _attr_of(small_df, "role")
+        assert got == {
+            "user.src`0": sum(1 for d in matched if role_of[d] == "user")
+        }
+
     def test_composite_pages_partition_bucket_space(
         self, spark, setup, small_df
     ):
