@@ -1556,3 +1556,114 @@ class LocalSegmentedServer:
                              avgdl=self.avgdl, allowed_mask=mask)
             )
         return self._merge_scored(merged, k)
+
+
+class LocalFieldedServer:
+    """In-process multi_match over a fielded index directory
+    (operators/fields.build_fielded_index layout): one LocalIndexServer
+    per field, combined with the EXACT arithmetic of the Spark paths
+    (operators/fields.multi_match_topk) so every result is
+    bit-identical across tiers — the engine-wide parity contract.
+
+    Accumulation-order parity notes (why results are bit-exact, not
+    just close): per-field scores use _dense_scores' ascending-term
+    accumulation (the Spark sorted fold); best_fields combines fields
+    in sorted-field order (total += fs_f, best = max) exactly like the
+    Spark sort_array'd struct fold; cross_fields accumulates
+    w_t · max_f(boost_f · tfn) per ascending term."""
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "fields.json")) as f:
+            self.manifest = json.load(f)
+        self.sub = {
+            field: LocalIndexServer(os.path.join(path, f"field={field}"))
+            for field in self.manifest["fields"]
+        }
+        self.primary = self.sub[self.manifest["fields"][0]]
+
+    @property
+    def n_docs(self) -> int:
+        return self.primary.n_docs
+
+    def multi_match(
+        self,
+        query: str,
+        boosts: dict[str, float],
+        k: int = 10,
+        mode: str = "best_fields",
+        tie_breaker: float = 0.0,
+    ) -> list[tuple[str, int, float]]:
+        from ics_search_engine_spark.operators.query import (
+            idf_weights,
+            py_idf,
+        )
+
+        if mode not in ("best_fields", "cross_fields"):
+            raise ValueError(f"unknown multi_match mode: {mode}")
+        do_stem = self.manifest.get("stem", True)
+        qtf: dict[str, int] = {}
+        for t in tokenize(query, for_query=True, do_stem=do_stem):
+            qtf[t] = qtf.get(t, 0) + 1
+        if not qtf:
+            return []
+        terms = sorted(qtf)
+        fields = sorted(boosts)
+        n = self.n_docs
+
+        if mode == "best_fields":
+            total = np.zeros(n, dtype=np.float64)
+            best = np.full(n, -np.inf, dtype=np.float64)
+            any_t = np.zeros(n, dtype=bool)
+            for f in fields:
+                srv = self.sub[f]
+                term_df = {
+                    t: int(srv.df[t]) for t in terms if t in srv.df
+                }
+                weights = idf_weights(qtf, term_df, srv.n_docs)
+                if not weights:
+                    continue
+                s, touched = srv._dense_scores(
+                    weights, srv.stats["avgdl"]
+                )
+                fs = boosts[f] * s
+                total[touched] += fs[touched]
+                best[touched] = np.maximum(best[touched], fs[touched])
+                any_t |= touched
+            scores = np.where(
+                any_t, best + tie_breaker * (total - best), 0.0
+            )
+        else:  # cross_fields
+            dfb = {
+                t: max(int(self.sub[f].df.get(t, 0)) for f in fields)
+                for t in terms
+            }
+            weights = {
+                t: qtf[t] * py_idf(n, dfb[t]) for t in terms if dfb[t] > 0
+            }
+            if not weights:
+                return []
+            scores = np.zeros(n, dtype=np.float64)
+            any_t = np.zeros(n, dtype=bool)
+            for t in sorted(weights):
+                btfn = np.zeros(n, dtype=np.float64)
+                t_touch = np.zeros(n, dtype=bool)
+                for f in fields:
+                    srv = self.sub[f]
+                    avgdl = srv.stats["avgdl"]
+                    for idx, tf, dl in srv._decoded(t):
+                        cand = boosts[f] * srv._tfn(tf, dl, avgdl)
+                        np.maximum.at(btfn, idx, cand)
+                        t_touch[idx] = True
+                scores[t_touch] += weights[t] * btfn[t_touch]
+                any_t |= t_touch
+
+        ti = np.flatnonzero(any_t)
+        if ti.size == 0:
+            return []
+        order = np.lexsort((ti, -scores[ti]))[:k]
+        sel = ti[order]
+        p = self.primary
+        return [
+            (str(p._conv[i]), int(p._turn[i]), float(scores[i]))
+            for i in sel
+        ]

@@ -172,3 +172,52 @@ class TestEdges:
             for f in fidx.manifest["fields"]
         ]
         assert maps[0] == maps[1]
+
+
+class TestFieldedServing:
+    def test_serving_parity_both_modes(self, spark, setup, corpus_dir):
+        """LocalFieldedServer.multi_match must be bit-identical to the
+        Spark path in both modes (the engine-wide parity contract)."""
+        from ics_search_engine_spark.serving import LocalFieldedServer
+
+        fidx, _ = setup
+        srv = LocalFieldedServer(f"{corpus_dir}/fielded_idx")
+        for mode, tb in [
+            ("best_fields", 0.0),
+            ("best_fields", 0.3),
+            ("cross_fields", 0.0),
+        ]:
+            got = srv.multi_match(QUERY, BOOSTS, k=15, mode=mode,
+                                  tie_breaker=tb)
+            want = [
+                (r["conv_id"], r["turn_idx"], r["score"])
+                for r in multi_match_topk(
+                    spark, fidx, QUERY, BOOSTS, k=15, mode=mode,
+                    tie_breaker=tb,
+                ).collect()
+            ]
+            assert got == want, mode
+
+    def test_serving_single_field_equals_plain_search(self, setup,
+                                                      corpus_dir):
+        from ics_search_engine_spark.serving import (
+            LocalFieldedServer,
+            LocalIndexServer,
+        )
+
+        srv = LocalFieldedServer(f"{corpus_dir}/fielded_idx")
+        got = srv.multi_match("machine learning", {"text": 1.0}, k=10)
+        plain = LocalIndexServer(
+            f"{corpus_dir}/fielded_idx/field=text"
+        ).search("machine learning", k=10)
+        assert got == plain
+
+    def test_serving_edges(self, setup, corpus_dir):
+        from ics_search_engine_spark.serving import LocalFieldedServer
+
+        srv = LocalFieldedServer(f"{corpus_dir}/fielded_idx")
+        assert srv.multi_match("", BOOSTS) == []
+        assert srv.multi_match("zzqq", BOOSTS) == []
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            srv.multi_match(QUERY, BOOSTS, mode="nope")
