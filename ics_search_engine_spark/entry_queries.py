@@ -4725,6 +4725,45 @@ ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES knn-with-filter (operators/similarity.cosine_topk_filtered):
+    brute-force cosine top-20 restricted to a PRE-filtered candidate
+    set (vec_id % 3 == 1) — every returned hit satisfies the filter and
+    k is selected among survivors only (never post-filtered)."""
+    from ics_search_engine_spark.operators.similarity import (
+        cosine_topk_filtered,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    top = cosine_topk_filtered(
+        e, [float(x) for x in qvec],
+        (F.col("vec_id") != 0) & (F.col("vec_id") % 3 == 1), k=20,
+    )
+    return top.select(
+        "vec_id", F.round(F.col("cosine"), 6).alias("cosine_r6")
+    ).orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+
+
+_SQL_KNN_FILTERED = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(
+    list_dot_product(embedding::DOUBLE[], q.qv)
+    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_r6
+FROM embeddings CROSS JOIN q
+WHERE vec_id != 0 AND vec_id % 3 = 1
+ORDER BY cosine_r6 DESC, vec_id ASC LIMIT 20
+"""
+
+
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation (operators/aggs.adjacency_matrix):
     named predicates + every pairwise intersection counted in ONE pass;
@@ -5092,6 +5131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "completion_suggest": q_completion_suggest,
     "adjacency_matrix_agg": q_adjacency_matrix,
     "bucket_pipeline": q_bucket_pipeline,
+    "knn_filtered": q_knn_filtered,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5178,4 +5218,5 @@ ORACLE_SQL: dict[str, str] = {
     "completion_suggest": _SQL_COMPLETION,
     "adjacency_matrix_agg": _SQL_ADJACENCY,
     "bucket_pipeline": _SQL_BUCKET_PIPELINE,
+    "knn_filtered": _SQL_KNN_FILTERED,
 }

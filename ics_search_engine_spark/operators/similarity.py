@@ -58,6 +58,30 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_filtered(
+    emb: DataFrame, qvec: list[float], predicate: Column, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ES knn-with-filter semantics: the filter applies BEFORE the k
+    selection (pre-filter), so the result is exactly k hits that ALL
+    satisfy the predicate — never a post-filtered short page.  One
+    filtered scan + TakeOrderedAndProject; the predicate participates
+    in parquet pushdown when it references scannable columns.
+
+    With the IVF layout the same pre-filter composes after cell-probe
+    partition pruning (read_ivf_partitioned(...).filter(probe).filter(
+    predicate)) — the probe prunes directories, the predicate prunes
+    rows, and k is selected from survivors only."""
+    qnorm = float(np.sqrt(np.dot(qvec, qvec)))
+    cos = _dot_lit(F.col(vec_col), qvec) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return (
+        emb.filter(predicate)
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)

@@ -97,6 +97,31 @@ class TestSimilarity:
         assert rows[0]["vec_id"] == 7
         assert abs(rows[0]["cosine"] - 1.0) < 1e-9
 
+    def test_filtered_knn_is_prefilter_not_postfilter(self, emb, qvec):
+        """ES knn filter semantics: k selected AMONG survivors — the
+        result must equal brute force over the filtered subset, and a
+        post-filtered global top-k would return fewer rows."""
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.similarity import (
+            cosine_topk_filtered,
+        )
+
+        pred = F.col("vec_id") % 2 == 0
+        got = cosine_topk_filtered(emb, qvec, pred, k=10).collect()
+        want = cosine_topk_bruteforce(
+            emb.filter(pred), qvec, k=10
+        ).collect()
+        assert got == want
+        assert len(got) == 10
+        assert all(r["vec_id"] % 2 == 0 for r in got)
+        # post-filtering the global top-10 would keep < 10 rows here
+        post = [
+            r for r in cosine_topk_bruteforce(emb, qvec, k=10).collect()
+            if r["vec_id"] % 2 == 0
+        ]
+        assert len(post) < 10
+
     def test_lsh_recall_vs_bruteforce(self, emb, qvec):
         exact = [r["vec_id"] for r in cosine_topk_bruteforce(emb, qvec, k=10).collect()]
         bucketed, planes = with_lsh_buckets(emb, n_planes=5, seed=42)
