@@ -4764,6 +4764,89 @@ ORDER BY cosine_r6 DESC, vec_id ASC LIMIT 20
 """
 
 
+def q_has_parent_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent over the conv→turn hierarchy
+    (operators/convs.has_parent_turns): every turn of the rounded-order
+    top-10 matching conversations, carrying the parent's conv-max BM25
+    (score_mode=score).  5-turn conv convention of the convs gates;
+    30-parent exact over-fetch, rounded re-rank (gate discipline)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.convs import has_parent_turns
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string(
+            "conv%07d", (F.col("doc_id") / 5).cast("long")
+        ).alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_hasparent_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = has_parent_turns(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), k_parents=30
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    by_conv: dict[int, tuple[float, list[int]]] = {}
+    for r in rows:
+        c = int(r["conv_id"][4:])
+        s = round(r["parent_score"], 6)
+        by_conv.setdefault(c, (s, []))[1].append(int(r["turn_idx"]))
+    winners = sorted(by_conv.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    out_rows = [
+        (c, t, s)
+        for c, (s, turns) in winners
+        for t in sorted(turns)
+    ]
+    return spark.createDataFrame(
+        out_rows, "conv_num long, turn_idx int, parent_r6 double"
+    )
+
+
+_SQL_HAS_PARENT = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+perdoc AS (SELECT doc_id, sum(contrib) AS sc FROM scored GROUP BY doc_id),
+convs AS (
+  SELECT doc_id // 5 AS conv_num, round(max(sc), 6) AS parent_r6
+  FROM perdoc GROUP BY conv_num
+),
+winners AS (
+  SELECT conv_num, parent_r6 FROM convs
+  ORDER BY parent_r6 DESC, conv_num ASC LIMIT 10
+)
+SELECT w.conv_num, (d.doc_id % 5)::INT AS turn_idx, w.parent_r6
+FROM winners w JOIN documents d ON d.doc_id // 5 = w.conv_num
+ORDER BY w.parent_r6 DESC, w.conv_num, turn_idx
+"""
+
+
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix aggregation (operators/aggs.adjacency_matrix):
     named predicates + every pairwise intersection counted in ONE pass;
@@ -5132,6 +5215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adjacency_matrix_agg": q_adjacency_matrix,
     "bucket_pipeline": q_bucket_pipeline,
     "knn_filtered": q_knn_filtered,
+    "has_parent_engine": q_has_parent_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5219,4 +5303,5 @@ ORACLE_SQL: dict[str, str] = {
     "adjacency_matrix_agg": _SQL_ADJACENCY,
     "bucket_pipeline": _SQL_BUCKET_PIPELINE,
     "knn_filtered": _SQL_KNN_FILTERED,
+    "has_parent_engine": _SQL_HAS_PARENT,
 }

@@ -338,3 +338,37 @@ def bm25_topk_collapse_packed(
     return spark.createDataFrame(
         rows, "conv_id string, turn_idx int, score double"
     )
+
+
+def has_parent_turns(
+    spark: SparkSession,
+    pidx,
+    parent_query: str,
+    k_parents: int = 10,
+    agg: str = "max",
+) -> DataFrame:
+    """ES has_parent over the conv→turn hierarchy: every TURN of the
+    top ``k_parents`` matching CONVERSATIONS, each child row carrying
+    its parent's score → (conv_id, turn_idx, parent_score), ordered
+    (parent_score desc, conv_id, turn_idx).
+
+    The mirror of has_child (which this engine answers as the
+    conversation rollup, `bm25_topk_convs_packed`): has_parent pivots
+    the matched-parent set back onto children.  ES's score_mode=score
+    semantics — every child inherits the parent's relevance; the
+    parent score is the engine's conv rollup (``agg`` = 'max' | 'sum',
+    same determinism contract).
+
+    Plan: the conv rollup's own bounded pipeline (nothing new crosses
+    the wire) → k parent (conv_id, score) rows broadcast against the
+    docmap scan — children stream out of the docmap without shuffling
+    the corpus (the turn-context expansion shape, operators/context)."""
+    parents = bm25_topk_convs_packed(
+        spark, pidx, parent_query, k=k_parents, agg=agg
+    ).select("conv_id", F.col("score").alias("parent_score"))
+    return (
+        pidx.docmap.select("conv_id", "turn_idx")
+        .join(F.broadcast(parents), "conv_id")
+        .select("conv_id", "turn_idx", "parent_score")
+        .orderBy(F.desc("parent_score"), F.asc("conv_id"), F.asc("turn_idx"))
+    )

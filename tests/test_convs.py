@@ -289,3 +289,40 @@ class TestCollapse:
         got_pk = [(r["conv_id"], r["turn_idx"]) for r in pk]
         assert got_rel == got_pk
         assert ("c0", 1) in got_rel and ("c0", 2) not in got_rel
+
+
+class TestHasParent:
+    def test_children_and_scores_match_rollup(self, spark, corpus):
+        from ics_search_engine_spark.operators.convs import (
+            bm25_topk_convs_packed,
+            has_parent_turns,
+        )
+
+        pidx, df = corpus["pidx"], corpus["df"]
+        q = "machine learning"
+        parents = bm25_topk_convs_packed(spark, pidx, q, k=5).collect()
+        got = has_parent_turns(spark, pidx, q, k_parents=5).collect()
+        pscore = {r["conv_id"]: r["score"] for r in parents}
+        # every child carries its parent's rollup score bit-exactly
+        for r in got:
+            assert r["parent_score"] == pscore[r["conv_id"]]
+        # the child set is EXACTLY the winners' full turn sets
+        n_turns = {
+            r["conv_id"]: r["cnt"]
+            for r in df.groupBy("conv_id").count()
+            .withColumnRenamed("count", "cnt").collect()
+        }
+        per_conv: dict[str, int] = {}
+        for r in got:
+            per_conv[r["conv_id"]] = per_conv.get(r["conv_id"], 0) + 1
+        assert per_conv == {c: n_turns[c] for c in pscore}
+        # ordering: parent_score desc, then conv, then turn
+        keys = [(-r["parent_score"], r["conv_id"], r["turn_idx"]) for r in got]
+        assert keys == sorted(keys)
+
+    def test_no_match_is_empty(self, spark, corpus):
+        from ics_search_engine_spark.operators.convs import has_parent_turns
+
+        assert has_parent_turns(
+            spark, corpus["pidx"], "zzqq absent"
+        ).count() == 0
