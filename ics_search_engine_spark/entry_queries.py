@@ -4764,6 +4764,100 @@ ORDER BY cosine_r6 DESC, vec_id ASC LIMIT 20
 """
 
 
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg (operators/aggs.weighted_avg): per-role
+    Σ(dl·weight)/Σ(weight) over the match set with weight = doc_id % 5
+    + 1 — exact integer num/den plus the rounded ratio."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import weighted_avg
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", "role",
+        F.size(toks_col()).alias("dl"),
+        (F.substring("conv_id", 4, 8).cast("long") % 5 + 1)
+        .cast("int").alias("w"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_wavg_idx_")
+    try:
+        rows = weighted_avg(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl", "w",
+            bucket_col="role",
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["role"], r["num"], r["den"], round(r["wavg"], 6))
+            for r in rows
+        ],
+        "role string, num long, den long, wavg_r6 double",
+    )
+
+
+_SQL_WEIGHTED_AVG = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+)
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       sum(dl * (doc_id % 5 + 1))::BIGINT AS num,
+       sum(doc_id % 5 + 1)::BIGINT AS den,
+       round(sum(dl * (doc_id % 5 + 1))::DOUBLE
+             / sum(doc_id % 5 + 1), 6) AS wavg_r6
+FROM m GROUP BY role ORDER BY role
+"""
+
+
+def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics (operators/aggs.top_metrics): the doc-value
+    metrics of the 5 longest matched docs (sort = dl desc, doc_id
+    tie-break)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import top_metrics
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", "role", "source",
+        F.size(toks_col()).alias("dl"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_topm_idx_")
+    try:
+        rows = top_metrics(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl",
+            ["role", "source"], k=5,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (int(r["conv_id"][3:]), r["dl"], r["role"], r["source"])
+            for r in rows
+        ],
+        "doc_id long, dl int, role string, source string",
+    )
+
+
+_SQL_TOP_METRICS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+)
+SELECT doc_id, dl::INT AS dl,
+       CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       'src' || (doc_id % 7)::VARCHAR AS source
+FROM m ORDER BY dl DESC, doc_id ASC LIMIT 5
+"""
+
+
 def q_has_parent_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES has_parent over the conv→turn hierarchy
     (operators/convs.has_parent_turns): every turn of the rounded-order
@@ -5216,6 +5310,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_pipeline": q_bucket_pipeline,
     "knn_filtered": q_knn_filtered,
     "has_parent_engine": q_has_parent_engine,
+    "weighted_avg_agg": q_weighted_avg,
+    "top_metrics_agg": q_top_metrics,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5304,4 +5400,6 @@ ORACLE_SQL: dict[str, str] = {
     "bucket_pipeline": _SQL_BUCKET_PIPELINE,
     "knn_filtered": _SQL_KNN_FILTERED,
     "has_parent_engine": _SQL_HAS_PARENT,
+    "weighted_avg_agg": _SQL_WEIGHTED_AVG,
+    "top_metrics_agg": _SQL_TOP_METRICS,
 }

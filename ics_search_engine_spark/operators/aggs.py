@@ -321,6 +321,66 @@ def filters_agg(
     )
 
 
+def weighted_avg(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    weight_col: str,
+    bucket_col: str | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES weighted_avg aggregation over the match set →
+    (bucket?, num, den, wavg): num = Σ value·weight, den = Σ weight,
+    wavg = num/den (NULL when den = 0, ES's empty-bucket value).
+    num/den stay in the inputs' exact type (integer inputs → exact
+    integer sums, hash-able by the driver gate); the division is the
+    only float.  One hash-agg pass, |buckets| rows."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    aggs = [
+        F.sum(F.col(value_col) * F.col(weight_col)).alias("num"),
+        F.sum(weight_col).alias("den"),
+    ]
+    grouped = (
+        keyed.agg(*aggs)
+        if bucket_col is None
+        else keyed.groupBy(bucket_col).agg(*aggs)
+    )
+    out = grouped.withColumn(
+        "wavg",
+        F.when(
+            F.col("den") != 0, F.col("num") / F.col("den")
+        ),
+    )
+    return out if bucket_col is None else out.orderBy(F.asc(bucket_col))
+
+
+def top_metrics(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    sort_col: str,
+    metric_cols: list[str],
+    k: int = 1,
+    ascending: bool = False,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES top_metrics aggregation: the metric column values from the k
+    matched docs with the largest (or smallest) ``sort_col`` →
+    (sort_col, metrics...), deterministic tie-break on (conv_id,
+    turn_idx).  TakeOrderedAndProject over the match set — k rows
+    leave the executors."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    lead = F.asc(sort_col) if ascending else F.desc(sort_col)
+    return (
+        keyed.select("conv_id", "turn_idx", sort_col, *metric_cols)
+        .orderBy(lead, F.asc("conv_id"), F.asc("turn_idx"))
+        .limit(k)
+    )
+
+
 def percentiles(
     spark: SparkSession,
     pidx: PackedIndex,

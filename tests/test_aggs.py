@@ -20,6 +20,8 @@ from ics_search_engine_spark.operators.aggs import (
     range_agg,
     scored_matches,
     top_hits,
+    top_metrics,
+    weighted_avg,
 )
 from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
@@ -460,6 +462,72 @@ class TestPercentiles:
         ]
         assert lo <= approx[0.5] <= hi
         assert abs(approx[0.5] - exact[0.5]) <= max(2.0, 0.05 * exact[0.5])
+
+
+class TestMetricAggs:
+    def test_weighted_avg_matches_transcription(
+        self, spark, setup, small_df
+    ):
+        import pyspark.sql.functions as F
+
+        pidx, rows = setup
+        attrs = small_df.select(
+            "conv_id", "turn_idx", "role",
+            F.length("text").alias("v"),
+            (F.col("turn_idx") + 1).alias("w"),
+        )
+        got = {
+            r["role"]: (r["num"], r["den"], r["wavg"])
+            for r in weighted_avg(
+                spark, pidx, QUERY, attrs, "v", "w", bucket_col="role"
+            ).collect()
+        }
+        matched = set(_oracle_scores(rows, QUERY))
+        role_of = _attr_of(small_df, "role")
+        text_of = {(c, t): txt for c, t, txt in rows}
+        expect: dict[str, list[tuple[int, int]]] = {}
+        for (c, t) in matched:
+            expect.setdefault(role_of[(c, t)], []).append(
+                (len(text_of[(c, t)]), t + 1)
+            )
+        for role, vw in expect.items():
+            num = sum(v * w for v, w in vw)
+            den = sum(w for _, w in vw)
+            g = got[role]
+            assert (g[0], g[1]) == (num, den)
+            assert g[2] == pytest.approx(num / den, rel=1e-12)
+
+    def test_weighted_avg_zero_den_is_null(self, spark, setup, small_df):
+        import pyspark.sql.functions as F
+
+        pidx, _ = setup
+        attrs = small_df.select(
+            "conv_id", "turn_idx",
+            F.length("text").alias("v"), F.lit(0).alias("w"),
+        )
+        row = weighted_avg(spark, pidx, QUERY, attrs, "v", "w").collect()[0]
+        assert row["den"] == 0 and row["wavg"] is None
+
+    def test_top_metrics_matches_sorted_cut(self, spark, setup, small_df):
+        import pyspark.sql.functions as F
+
+        pidx, rows = setup
+        attrs = small_df.select(
+            "conv_id", "turn_idx", "role",
+            F.length("text").alias("nchars"),
+        )
+        got = top_metrics(
+            spark, pidx, QUERY, attrs, "nchars", ["role"], k=4
+        ).collect()
+        matched = set(_oracle_scores(rows, QUERY))
+        text_of = {(c, t): txt for c, t, txt in rows}
+        expect = sorted(
+            ((len(text_of[d]), d) for d in matched),
+            key=lambda x: (-x[0], x[1]),
+        )[:4]
+        assert [
+            (r["nchars"], (r["conv_id"], r["turn_idx"])) for r in got
+        ] == expect
 
 
 class TestPipelineAggs:
