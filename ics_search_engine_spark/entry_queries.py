@@ -4764,6 +4764,136 @@ ORDER BY cosine_r6 DESC, vec_id ASC LIMIT 20
 """
 
 
+def q_boosting_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query (operators/querydsl.boosting_topk): positive
+    BM25 with docs matching the negative query ('merge sort') demoted
+    ×0.5 BEFORE the top-k cut — demotion without exclusion.  Rounded
+    top-20, exact-score over-fetch (gate discipline)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.querydsl import boosting_topk
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_boosting_idx_")
+    try:
+        rows = boosting_topk(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), "merge sort",
+            negative_boost=0.5, k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [
+        (int(c[3:]), round(float(s), 6)) for c, _, s in rows
+    ]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(resolved[:20], "doc_id long, score_r6 double")
+
+
+_SQL_BOOSTING = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+perdoc AS (SELECT doc_id, sum(contrib) AS sc FROM scored GROUP BY doc_id),
+neg AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('merge','sort')
+),
+demoted AS (
+  SELECT p.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN p.sc * 0.5 ELSE p.sc END
+           AS score
+  FROM perdoc p LEFT JOIN neg n USING (doc_id)
+)
+SELECT doc_id, round(score, 6) AS score_r6
+FROM demoted ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_pinned_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query (operators/querydsl.pinned_topk): docs 7, 3, 11
+    promoted first in that order (score NULL — unearned), then the
+    organic ranking minus the pins, 20 rows total."""
+    import shutil
+
+    from ics_search_engine_spark.operators.querydsl import pinned_topk
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    pins = [("doc%08d" % d, 0) for d in (7, 3, 11)]
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_pinned_idx_")
+    try:
+        rows = pinned_topk(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), pins, k=40
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    head = [
+        (i + 1, int(r["conv_id"][3:]), True, None)
+        for i, r in enumerate(rows[: len(pins)])
+    ]
+    organic = sorted(
+        (
+            (round(float(r["score"]), 6), int(r["conv_id"][3:]))
+            for r in rows[len(pins):]
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[: 20 - len(pins)]
+    tail = [
+        (len(pins) + i + 1, d, False, s)
+        for i, (s, d) in enumerate(organic)
+    ]
+    return spark.createDataFrame(
+        head + tail,
+        "rank int, doc_id long, pinned boolean, score_r6 double",
+    )
+
+
+_SQL_PINNED = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+perdoc AS (SELECT doc_id, sum(contrib) AS sc FROM scored GROUP BY doc_id),
+organic AS (
+  SELECT doc_id, round(sc, 6) AS r6,
+         row_number() OVER (ORDER BY round(sc, 6) DESC, doc_id ASC) AS rn
+  FROM perdoc WHERE doc_id NOT IN (7, 3, 11)
+),
+pins(rank, doc_id) AS (VALUES (1, 7), (2, 3), (3, 11))
+SELECT rank::INT AS rank, doc_id::BIGINT AS doc_id, TRUE AS pinned,
+       NULL::DOUBLE AS score_r6
+FROM pins
+UNION ALL
+SELECT (rn + 3)::INT, doc_id, FALSE, r6 FROM organic WHERE rn <= 17
+ORDER BY rank
+"""
+
+
 def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES weighted_avg (operators/aggs.weighted_avg): per-role
     Σ(dl·weight)/Σ(weight) over the match set with weight = doc_id % 5
@@ -5312,6 +5442,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "has_parent_engine": q_has_parent_engine,
     "weighted_avg_agg": q_weighted_avg,
     "top_metrics_agg": q_top_metrics,
+    "boosting_engine": q_boosting_engine,
+    "pinned_engine": q_pinned_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5402,4 +5534,6 @@ ORACLE_SQL: dict[str, str] = {
     "has_parent_engine": _SQL_HAS_PARENT,
     "weighted_avg_agg": _SQL_WEIGHTED_AVG,
     "top_metrics_agg": _SQL_TOP_METRICS,
+    "boosting_engine": _SQL_BOOSTING,
+    "pinned_engine": _SQL_PINNED,
 }

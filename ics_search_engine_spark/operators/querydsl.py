@@ -1,0 +1,112 @@
+"""Pinned and boosting queries — the last two ES query-DSL composition
+verbs this engine lacked.
+
+Both are result-set transforms over the engine's standard scored match
+set, not new scorers:
+
+* ``pinned`` (ES pinned query / "promoted results"): the caller's
+  pinned doc keys rank FIRST, in the caller's order, then the organic
+  ranking with the pinned docs removed.  ES implements it as a
+  dis-max over (constant huge score per pin, organic); the dataflow
+  form here is exact and simpler: pins are a driver-sized list, the
+  organic query excludes them, ranks are concatenated.
+* ``boosting`` (ES boosting query): positive query scores normally; a
+  doc that ALSO matches the negative query has its score multiplied by
+  ``negative_boost`` ∈ [0, 1) — demotion without exclusion (the
+  difference from -term / must_not).  The negative match set is
+  doc-level (disjunctive ≥1 term, the engine's match semantics), so
+  the demotion is one broadcast-joined flag on the scored frame; the
+  multiply happens BEFORE the top-k cut (a demoted head doc really
+  drops out).
+
+Scale: pins are O(k) driver data; the negative match set reuses
+facets.matched_docs (term-IN pushdown → one doc_ord rollup) and joins
+the scored frame on doc_ord — no corpus scan, no extra shuffle beyond
+the flag join.  Demotion factors ≤ 1 preserve block-max upper bounds,
+so a WAND-pruned positive leg stays valid (same argument as
+funcscore's multiply mode); the exhaustive form here is the reference
+implementation the pruned one must match.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ics_search_engine_spark.operators.aggs import scored_matches
+from ics_search_engine_spark.operators.facets import matched_docs
+from ics_search_engine_spark.operators.packed_index import PackedIndex
+from ics_search_engine_spark.operators.query import resolve_topk_keys
+
+
+def boosting_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """ES boosting query → (conv_id, turn_idx, score) top-k; see
+    module docstring.  ``negative_boost`` must be in [0, 1)."""
+    if not (0.0 <= negative_boost < 1.0):
+        raise ValueError("negative_boost must be in [0, 1)")
+    scored = scored_matches(spark, pidx, positive)
+    neg = matched_docs(spark, pidx, negative).withColumn(
+        "_neg", F.lit(True)
+    )
+    demoted = (
+        scored.join(neg, "doc_ord", "left")
+        .select(
+            "doc_ord",
+            F.when(
+                F.col("_neg").isNotNull(),
+                F.col("score") * F.lit(negative_boost),
+            )
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+    )
+    topk = demoted.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
+    return resolve_topk_keys(pidx, topk)
+
+
+def pinned_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    pinned: list[tuple[str, int]],
+    k: int = 10,
+) -> DataFrame:
+    """ES pinned query → (conv_id, turn_idx, score, pinned) top-k:
+    the ``pinned`` (conv_id, turn_idx) keys first IN THE GIVEN ORDER
+    (score NULL — they did not earn one), then the organic ranking
+    minus the pinned docs, until k rows total.  Unknown pinned keys
+    are kept (ES pins ids whether or not they match the query)."""
+    pins = pinned[:k]
+    rows: list[tuple[str, int, float | None, bool]] = [
+        (c, t, None, True) for c, t in pins
+    ]
+    need = k - len(rows)
+    if need > 0:
+        pin_set = set(pins)
+        organic = (
+            scored_matches(spark, pidx, query)
+            .join(
+                pidx.docmap.select("doc_ord", "conv_id", "turn_idx"),
+                "doc_ord",
+            )
+            .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+            # over-fetch by |pins|: every pin might sit inside the cut
+            .limit(k + len(pins))
+            .collect()
+        )
+        for r in organic:
+            if (r["conv_id"], r["turn_idx"]) in pin_set:
+                continue
+            rows.append((r["conv_id"], r["turn_idx"], r["score"], False))
+            if len(rows) == k:
+                break
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, score double, pinned boolean"
+    )

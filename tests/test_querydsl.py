@@ -1,0 +1,89 @@
+"""Pinned and boosting queries vs transcriptions on the stemmed corpus."""
+
+import pytest
+
+from oracle import bm25 as oracle
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+from ics_search_engine_spark.operators.querydsl import (
+    boosting_topk,
+    pinned_topk,
+)
+
+POS = "machine learning"
+NEG = "research"
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_df, small_rows, corpus_dir):
+    out = f"{corpus_dir}/querydsl_idx"
+    build_packed_index(spark, small_df, out, range_bits=9)
+    return PackedIndex(spark, out), small_rows
+
+
+def _scores(rows, query):
+    idx = oracle.build_index(rows)
+    return {
+        (c, t): s for c, t, s in oracle.search(idx, query, k=len(rows) + 1)
+    }
+
+
+class TestBoosting:
+    def test_demotes_negative_matches_before_cut(self, spark, setup):
+        pidx, rows = setup
+        pos = _scores(rows, POS)
+        neg = set(_scores(rows, NEG))
+        expect = {
+            d: (s * 0.5 if d in neg else s) for d, s in pos.items()
+        }
+        ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = boosting_topk(spark, pidx, POS, NEG, 0.5, k=15).collect()
+        assert len(got) == min(15, len(ranked))
+        for r, (doc, s) in zip(got, ranked):
+            assert (r["conv_id"], r["turn_idx"]) == doc
+            assert r["score"] == pytest.approx(s, rel=1e-12)
+        # the demotion must actually change the head vs plain BM25
+        plain_head = sorted(pos.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] != [
+            d for d, _ in plain_head[:len(got)]
+        ]
+
+    def test_zero_boost_excludes_only_by_rank(self, spark, setup):
+        pidx, rows = setup
+        got = boosting_topk(spark, pidx, POS, NEG, 0.0, k=10**6).collect()
+        # nothing is REMOVED — demoted docs still appear (score 0)
+        assert len(got) == len(_scores(rows, POS))
+
+    def test_invalid_boost_raises(self, spark, setup):
+        pidx, _ = setup
+        with pytest.raises(ValueError):
+            boosting_topk(spark, pidx, POS, NEG, 1.0)
+
+
+class TestPinned:
+    def test_pins_first_then_organic_minus_pins(self, spark, setup):
+        pidx, rows = setup
+        pos = _scores(rows, POS)
+        ranked = sorted(pos.items(), key=lambda kv: (-kv[1], kv[0]))
+        # pin the 5th organic result and one non-matching doc
+        pin_hit = ranked[4][0]
+        all_docs = {(c, t) for c, t, _ in rows}
+        pin_miss = sorted(all_docs - set(pos))[0]  # doc the query misses
+        pins = [pin_hit, pin_miss]
+        got = pinned_topk(spark, pidx, POS, pins, k=10).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got[:2]] == pins
+        assert all(r["pinned"] for r in got[:2])
+        assert all(r["score"] is None for r in got[:2])
+        organic = [(r["conv_id"], r["turn_idx"]) for r in got[2:]]
+        expect = [d for d, _ in ranked if d not in set(pins)][:8]
+        assert organic == expect
+        for r in got[2:]:
+            assert r["score"] == pos[(r["conv_id"], r["turn_idx"])]
+
+    def test_k_smaller_than_pins_truncates(self, spark, setup):
+        pidx, rows = setup
+        docs = sorted({(c, t) for c, t, _ in rows})[:5]
+        got = pinned_topk(spark, pidx, POS, docs, k=3).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == docs[:3]
