@@ -4764,6 +4764,138 @@ ORDER BY cosine_r6 DESC, vec_id ASC LIMIT 20
 """
 
 
+def _ts_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as one-turn transcripts with the deterministic ts of
+    the date-histogram gates (epoch 2026-01-01 + doc_id % 97 days)."""
+    return _docs(spark, sf_dir).select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        F.date_add(
+            F.to_date(F.lit("2026-01-01")),
+            (F.col("doc_id") % 97).cast("int"),
+        ).cast("timestamp").alias("ts"),
+    )
+
+
+def q_auto_date_histo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram (operators/aggs.auto_date_histogram):
+    the finest ladder interval keeping the matched ts span within 10
+    buckets (a ~96-day span → 'month'), then the rollup at that
+    granularity; the oracle replays the ladder choice from the same
+    min/max span."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import auto_date_histogram
+
+    transcripts = _ts_transcripts(spark, sf_dir)
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_autodh_idx_")
+    try:
+        histo, gran = auto_date_histogram(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "ts"), "ts",
+            target_buckets=10,
+        )
+        rows = histo.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (gran, r["bucket"].strftime("%Y-%m-%d"), r["n_docs"])
+            for r in rows
+        ],
+        "interval string, bucket string, n_docs long",
+    )
+
+
+_SQL_AUTO_DATE_HISTO = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+tsv AS (
+  SELECT doc_id,
+         (DATE '2026-01-01' + (doc_id % 97)::INT)::TIMESTAMP AS ts
+  FROM m
+),
+span AS (
+  SELECT date_diff('second', min(ts), max(ts))::DOUBLE AS s FROM tsv
+),
+gran AS (
+  SELECT CASE
+    WHEN s / 3600 <= 10 THEN 'hour'
+    WHEN s / 86400 <= 10 THEN 'day'
+    WHEN s / (7 * 86400) <= 10 THEN 'week'
+    WHEN s / (30 * 86400) <= 10 THEN 'month'
+    WHEN s / (91 * 86400) <= 10 THEN 'quarter'
+    ELSE 'year' END AS g
+  FROM span
+)
+SELECT g.g AS interval,
+       strftime(date_trunc(g.g, v.ts), '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM tsv v CROSS JOIN gran g
+GROUP BY interval, bucket ORDER BY bucket
+"""
+
+
+def q_serial_diff_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """serial_diff + rate pipelines (operators/aggs) over the week
+    date_histogram: week-over-week lag-2 difference and a per-day rate
+    (n_docs / 7) on each weekly bucket."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import rate, serial_diff
+    from ics_search_engine_spark.operators.facets import date_histogram
+
+    transcripts = _ts_transcripts(spark, sf_dir)
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_sdiff_idx_")
+    try:
+        histo = date_histogram(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "ts"), "ts",
+            granularity="week",
+        )
+        rows = rate(
+            serial_diff(histo, "bucket", "n_docs", lag=2),
+            "bucket", "n_docs", bucket_seconds=7 * 86400.0,
+            unit_seconds=86400.0,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["bucket"].strftime("%Y-%m-%d"), r["n_docs"], r["sdiff"],
+             round(r["rate"], 6))
+            for r in rows
+        ],
+        "bucket string, n_docs long, sdiff long, rate_r6 double",
+    )
+
+
+_SQL_SERIAL_DIFF_RATE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+h AS (
+  SELECT strftime(date_trunc('week',
+                  (DATE '2026-01-01' + (doc_id % 97)::INT)::TIMESTAMP),
+                  '%Y-%m-%d') AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM m GROUP BY bucket
+)
+SELECT bucket, n_docs,
+       (n_docs - lag(n_docs, 2) OVER (ORDER BY bucket))::BIGINT AS sdiff,
+       round(n_docs / 7.0, 6) AS rate_r6
+FROM h ORDER BY bucket
+"""
+
+
 def q_boosting_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES boosting query (operators/querydsl.boosting_topk): positive
     BM25 with docs matching the negative query ('merge sort') demoted
@@ -5444,6 +5576,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_metrics_agg": q_top_metrics,
     "boosting_engine": q_boosting_engine,
     "pinned_engine": q_pinned_engine,
+    "auto_date_histo": q_auto_date_histo,
+    "serial_diff_rate": q_serial_diff_rate,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5536,4 +5670,6 @@ ORACLE_SQL: dict[str, str] = {
     "top_metrics_agg": _SQL_TOP_METRICS,
     "boosting_engine": _SQL_BOOSTING,
     "pinned_engine": _SQL_PINNED,
+    "auto_date_histo": _SQL_AUTO_DATE_HISTO,
+    "serial_diff_rate": _SQL_SERIAL_DIFF_RATE,
 }

@@ -441,6 +441,102 @@ def derivative(buckets: DataFrame, order_col: str, value_col: str,
     )
 
 
+# auto_date_histogram interval ladder: (name, seconds) coarse→fine;
+# ES's own ladder minus sub-hour rungs (transcript grain is seconds)
+AUTO_INTERVALS = [
+    ("year", 365 * 86400),
+    ("quarter", 91 * 86400),
+    ("month", 30 * 86400),
+    ("week", 7 * 86400),
+    ("day", 86400),
+    ("hour", 3600),
+]
+
+
+def choose_auto_interval(span_seconds: float, target_buckets: int) -> str:
+    """The FINEST ladder interval whose bucket count over the span
+    stays ≤ target_buckets (ES auto_date_histogram's contract: 'at
+    most N buckets').  Falls back to the coarsest rung."""
+    chosen = AUTO_INTERVALS[0][0]
+    for name, secs in AUTO_INTERVALS:
+        if span_seconds / secs <= target_buckets:
+            chosen = name
+        else:
+            break
+    return chosen
+
+
+def auto_date_histogram(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    ts_col: str,
+    target_buckets: int = 10,
+    conjunctive: bool = False,
+) -> tuple[DataFrame, str]:
+    """ES auto_date_histogram: pick the finest calendar interval that
+    keeps the matched span within ``target_buckets`` buckets, then
+    bucket-count like date_histogram → ((bucket, n_docs) rows,
+    chosen interval name).
+
+    Two jobs by necessity (ES pays the same shape): a min/max
+    ts aggregation over the match set (2 scalars to the driver), then
+    the rollup at the chosen granularity."""
+    from ics_search_engine_spark.operators.facets import date_histogram
+
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    row = keyed.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        return (
+            spark.createDataFrame([], "bucket timestamp, n_docs long"),
+            AUTO_INTERVALS[-1][0],
+        )
+    span = (row["hi"] - row["lo"]).total_seconds()
+    gran = choose_auto_interval(span, target_buckets)
+    return (
+        date_histogram(
+            spark, pidx, query, attrs, ts_col, granularity=gran,
+            conjunctive=conjunctive,
+        ),
+        gran,
+    )
+
+
+def rate(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    bucket_seconds: float,
+    unit_seconds: float = 86400.0,
+    alias: str = "rate",
+) -> DataFrame:
+    """ES rate aggregation (fixed-width parent buckets): rescale a
+    per-bucket count/sum to a per-``unit`` rate —
+    value · unit_seconds / bucket_seconds.  A pure column transform on
+    the already-reduced frame (calendar-width parents like 'month'
+    need per-bucket widths — join them on before calling)."""
+    return buckets.withColumn(
+        alias,
+        F.col(value_col) * F.lit(float(unit_seconds) / float(bucket_seconds)),
+    )
+
+
+def serial_diff(buckets: DataFrame, order_col: str, value_col: str,
+                lag: int = 1, alias: str = "sdiff") -> DataFrame:
+    """ES serial_diff pipeline aggregation: value − value(lag buckets
+    earlier) in bucket order; the first ``lag`` buckets emit NULL
+    (derivative is the lag=1 special case)."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    w = Window.orderBy(F.asc(order_col))
+    return buckets.withColumn(
+        alias, F.col(value_col) - F.lag(value_col, lag).over(w)
+    )
+
+
 def adjacency_matrix(
     spark: SparkSession,
     pidx: PackedIndex,

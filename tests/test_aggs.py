@@ -530,6 +530,61 @@ class TestMetricAggs:
         ] == expect
 
 
+class TestAutoDateHistogram:
+    def test_ladder_choice(self):
+        from ics_search_engine_spark.operators.aggs import (
+            choose_auto_interval,
+        )
+
+        day = 86400.0
+        assert choose_auto_interval(5 * 3600, 10) == "hour"
+        assert choose_auto_interval(9 * day, 10) == "day"
+        assert choose_auto_interval(60 * day, 10) == "week"
+        assert choose_auto_interval(96 * day, 10) == "month"
+        assert choose_auto_interval(800 * day, 10) == "quarter"
+        assert choose_auto_interval(10000 * day, 10) == "year"
+        # never exceeds the target when ANY rung fits (the coarsest
+        # rung is the fallback and may legitimately overflow)
+        secs_of = dict(
+            year=365 * day, quarter=91 * day, month=30 * day,
+            week=7 * day, day=day, hour=3600.0,
+        )
+        for span in [3600.0, 40 * day, 5000 * day]:
+            g = choose_auto_interval(span, 10)
+            if span / secs_of["year"] <= 10:
+                assert span / secs_of[g] <= 10
+
+    def test_serial_diff_and_rate(self, spark, setup, small_df, len_attrs):
+        from ics_search_engine_spark.operators.aggs import (
+            rate,
+            serial_diff,
+        )
+
+        pidx, _ = setup
+        histo = histogram(spark, pidx, QUERY, len_attrs, "nchars", 50)
+        out = rate(
+            serial_diff(histo, "bucket_lo", "n_docs", lag=2),
+            "bucket_lo", "n_docs", bucket_seconds=100.0,
+            unit_seconds=50.0,
+        ).collect()
+        vals = [r["n_docs"] for r in out]
+        for i, r in enumerate(out):
+            if i < 2:
+                assert r["sdiff"] is None
+            else:
+                assert r["sdiff"] == vals[i] - vals[i - 2]
+            assert r["rate"] == pytest.approx(vals[i] * 0.5)
+
+    def test_serial_diff_invalid_lag(self, spark, setup, small_df,
+                                     len_attrs):
+        from ics_search_engine_spark.operators.aggs import serial_diff
+
+        pidx, _ = setup
+        histo = histogram(spark, pidx, QUERY, len_attrs, "nchars", 50)
+        with pytest.raises(ValueError):
+            serial_diff(histo, "bucket_lo", "n_docs", lag=0)
+
+
 class TestPipelineAggs:
     def test_cumsum_and_derivative(self, spark, setup, small_df, len_attrs):
         pidx, _ = setup
