@@ -4896,6 +4896,117 @@ FROM h ORDER BY bucket
 """
 
 
+def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler as a ranking surface
+    (operators/aggs.diversified_topk): global top-10 with at most 2
+    docs per source — the collapse generalization.  Rounded-order
+    report of the exact-score selection (gate discipline)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import diversified_topk
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_divtopk_idx_")
+    try:
+        rows = diversified_topk(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "source"),
+            "source", max_per_key=2, k=10,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = sorted(
+        (
+            (round(float(r["score"]), 6), int(r["conv_id"][3:]),
+             r["source"])
+            for r in rows
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return spark.createDataFrame(
+        [(s, d, r6) for r6, d, s in resolved],
+        "source string, doc_id long, score_r6 double",
+    )
+
+
+_SQL_DIVERSIFIED = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id, 'src' || (doc_id % 7)::VARCHAR AS source,
+         round(sum(contrib), 6) AS r6
+  FROM scored GROUP BY doc_id
+),
+cut AS (
+  SELECT source, doc_id, r6,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY r6 DESC, doc_id ASC) AS rn
+  FROM perdoc
+)
+SELECT source, doc_id, r6 AS score_r6 FROM cut
+WHERE rn <= 2 ORDER BY score_r6 DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms (operators/aggs.rare_terms): facet values matched
+    by at most 2 docs over a ~100-value bucket attribute (doc_id // 5)
+    — the long-tail complement of facet_counts."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import rare_terms
+
+    transcripts = _docs(spark, sf_dir).select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.format_string("g%d", (F.col("doc_id") / 5).cast("long")).alias(
+            "grp"
+        ),
+        F.col("text"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_rare_idx_")
+    try:
+        # 'dup' is the corpus's planted rare term (df ~5% of docs), so
+        # the per-group long tail is actually populated
+        rows = rare_terms(
+            spark, pidx, "dup",
+            transcripts.select("conv_id", "turn_idx", "grp"), "grp",
+            max_doc_count=2,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["grp"], r["n_docs"]) for r in rows], "grp string, n_docs long"
+    )
+
+
+_SQL_RARE_TERMS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('dup')
+)
+SELECT 'g' || (doc_id // 5)::VARCHAR AS grp, count(*)::BIGINT AS n_docs
+FROM m GROUP BY grp HAVING count(*) <= 2
+ORDER BY n_docs ASC, grp ASC
+"""
+
+
 def q_boosting_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES boosting query (operators/querydsl.boosting_topk): positive
     BM25 with docs matching the negative query ('merge sort') demoted
@@ -5578,6 +5689,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pinned_engine": q_pinned_engine,
     "auto_date_histo": q_auto_date_histo,
     "serial_diff_rate": q_serial_diff_rate,
+    "diversified_topk": q_diversified_topk,
+    "rare_terms_agg": q_rare_terms_agg,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5672,4 +5785,6 @@ ORACLE_SQL: dict[str, str] = {
     "pinned_engine": _SQL_PINNED,
     "auto_date_histo": _SQL_AUTO_DATE_HISTO,
     "serial_diff_rate": _SQL_SERIAL_DIFF_RATE,
+    "diversified_topk": _SQL_DIVERSIFIED,
+    "rare_terms_agg": _SQL_RARE_TERMS,
 }

@@ -441,6 +441,62 @@ def derivative(buckets: DataFrame, order_col: str, value_col: str,
     )
 
 
+def diversified_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    key_col: str,
+    max_per_key: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """ES diversified_sampler as a ranking surface: the global top-k
+    with AT MOST ``max_per_key`` docs per ``attrs.<key_col>`` value →
+    (key, conv_id, turn_idx, score), score desc.  The generalization
+    of field collapsing (collapse = max_per_key 1 on conv_id): a
+    per-key window cut, then the global TakeOrderedAndProject — the
+    same two-step shape as top_hits, so a hot key never forces a
+    corpus-wide sort."""
+    scored = scored_matches(spark, pidx, query)
+    keyed = (
+        pidx.docmap.select("doc_ord", "conv_id", "turn_idx")
+        .join(scored, "doc_ord")
+        .join(attrs, ["conv_id", "turn_idx"])
+    )
+    order = [F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")]
+    per_key = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        keyed.withColumn("_r", F.row_number().over(per_key))
+        .filter(F.col("_r") <= max_per_key)
+        .select(key_col, "conv_id", "turn_idx", "score")
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def rare_terms(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    facet_col: str,
+    max_doc_count: int = 1,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES rare_terms aggregation: the facet values matched by AT MOST
+    ``max_doc_count`` docs — the long-tail complement of the terms
+    (facet) aggregation → (value, n_docs), (n_docs asc, value asc).
+    Same facet rollup + a HAVING; ES approximates this with a CuckooFilter
+    at scale, the exact hash-agg form here is already one shuffle."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    return (
+        keyed.groupBy(facet_col)
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= max_doc_count)
+        .orderBy(F.asc("n_docs"), F.asc(facet_col))
+    )
+
+
 # auto_date_histogram interval ladder: (name, seconds) coarse→fine;
 # ES's own ladder minus sub-hour rungs (transcript grain is seconds)
 AUTO_INTERVALS = [

@@ -530,6 +530,54 @@ class TestMetricAggs:
         ] == expect
 
 
+class TestDiversifiedAndRare:
+    def test_diversified_caps_per_key_then_global_cut(
+        self, spark, setup, small_df
+    ):
+        from ics_search_engine_spark.operators.aggs import diversified_topk
+
+        pidx, rows = setup
+        got = diversified_topk(
+            spark, pidx, QUERY, small_df, "role", max_per_key=2, k=6
+        ).collect()
+        scores = _oracle_scores(rows, QUERY)
+        role_of = _attr_of(small_df, "role")
+        # transcription: per-role cut to 2 best, then global top-6
+        by_role: dict[str, list] = {}
+        for d, s in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0])):
+            by_role.setdefault(role_of[d], []).append((d, s))
+        pool = [
+            (d, s) for lst in by_role.values() for d, s in lst[:2]
+        ]
+        expect = sorted(pool, key=lambda x: (-x[1], x[0]))[:6]
+        assert [
+            ((r["conv_id"], r["turn_idx"]), r["score"]) for r in got
+        ] == expect
+        per_key: dict[str, int] = {}
+        for r in got:
+            per_key[r["role"]] = per_key.get(r["role"], 0) + 1
+        assert all(v <= 2 for v in per_key.values())
+
+    def test_rare_terms_is_long_tail_complement(
+        self, spark, setup, small_df
+    ):
+        from ics_search_engine_spark.operators.aggs import rare_terms
+
+        pidx, rows = setup
+        got = {
+            r["tool"]: r["n_docs"]
+            for r in rare_terms(
+                spark, pidx, QUERY, small_df, "tool", max_doc_count=3
+            ).collect()
+        }
+        matched = set(_oracle_scores(rows, QUERY))
+        tool_of = _attr_of(small_df, "tool")
+        counts: dict[str, int] = {}
+        for d in matched:
+            counts[tool_of[d]] = counts.get(tool_of[d], 0) + 1
+        assert got == {t: c for t, c in counts.items() if c <= 3}
+
+
 class TestAutoDateHistogram:
     def test_ladder_choice(self):
         from ics_search_engine_spark.operators.aggs import (
