@@ -4896,6 +4896,161 @@ FROM h ORDER BY bucket
 """
 
 
+def q_span_first_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene span_first (operators/phrase.span_first_topk): docs whose
+    first 'batch' occurrence sits before position 3, earliest-first —
+    through the packed POSITIONAL index (exact integers, no rounding)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.phrase import span_first_topk
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="gate_spanfirst_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts.select("conv_id", "turn_idx", "text"), out,
+            range_bits=8, with_positions=True, stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = span_first_topk(spark, pidx, "batch", end=3, k=20).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r["conv_id"][3:]), r["first_pos"]) for r in rows],
+        "doc_id long, first_pos int",
+    )
+
+
+_SQL_SPAN_FIRST = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+firsts AS (
+  SELECT doc_id, (list_position(toks, 'batch') - 1)::INT AS first_pos
+  FROM t WHERE list_position(toks, 'batch') > 0
+)
+SELECT doc_id, first_pos FROM firsts
+WHERE first_pos < 3 ORDER BY first_pos, doc_id LIMIT 20
+"""
+
+
+def q_random_score_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score random_score (operators/funcscore.
+    bm25_topk_random, replace mode): a deterministic per-doc uniform
+    keyed on (docID, seed) via the engine's md5 convention — stable
+    sampling of the match set, cross-engine-exact."""
+    import shutil
+
+    from ics_search_engine_spark.operators.funcscore import (
+        bm25_topk_random,
+    )
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_random_idx_")
+    try:
+        rows = bm25_topk_random(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), seed=7, k=20,
+            mode="replace",
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (int(r["conv_id"][3:]), round(float(r["score"]), 6))
+            for r in rows
+        ],
+        "doc_id long, rand_r6 double",
+    )
+
+
+_SQL_RANDOM_SCORE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+r AS (
+  SELECT doc_id,
+         {_sql_md5_32("'doc' || lpad(doc_id::VARCHAR, 8, '0') || ':0:7'")}
+           / 4294967296.0 AS rand
+  FROM m
+)
+SELECT doc_id, round(rand, 6) AS rand_r6
+FROM r ORDER BY rand DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_terms_set_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set (operators/querydsl.terms_set_topk): per-doc
+    minimum_should_match read from a doc value (1 + doc_id % 3 of the
+    4 query terms); surviving scores are plain BM25.  Rounded top-20
+    of an exact-score over-fetch."""
+    import shutil
+
+    from ics_search_engine_spark.operators.querydsl import terms_set_topk
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx",
+        (F.substring("conv_id", 4, 8).cast("long") % 3 + 1)
+        .cast("int").alias("required"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_termsset_idx_")
+    try:
+        rows = terms_set_topk(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "required",
+            k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = sorted(
+        (
+            (round(float(r["score"]), 6), int(r["conv_id"][3:]),
+             int(r["n_matched"]))
+            for r in rows
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    return spark.createDataFrame(
+        [(d, n, s) for s, d, n in resolved],
+        "doc_id long, n_matched int, score_r6 double",
+    )
+
+
+_SQL_TERMS_SET = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+perdoc AS (
+  SELECT doc_id, count(*)::INT AS n_matched, sum(contrib) AS sc
+  FROM scored GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id, n_matched, round(sc, 6) AS r6
+  FROM perdoc WHERE n_matched >= (doc_id % 3 + 1)
+)
+SELECT doc_id, n_matched, r6 AS score_r6
+FROM kept ORDER BY r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES diversified_sampler as a ranking surface
     (operators/aggs.diversified_topk): global top-10 with at most 2
@@ -5691,6 +5846,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "serial_diff_rate": q_serial_diff_rate,
     "diversified_topk": q_diversified_topk,
     "rare_terms_agg": q_rare_terms_agg,
+    "span_first_engine": q_span_first_engine,
+    "random_score_engine": q_random_score_engine,
+    "terms_set_engine": q_terms_set_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5787,4 +5945,7 @@ ORACLE_SQL: dict[str, str] = {
     "serial_diff_rate": _SQL_SERIAL_DIFF_RATE,
     "diversified_topk": _SQL_DIVERSIFIED,
     "rare_terms_agg": _SQL_RARE_TERMS,
+    "span_first_engine": _SQL_SPAN_FIRST,
+    "random_score_engine": _SQL_RANDOM_SCORE,
+    "terms_set_engine": _SQL_TERMS_SET,
 }

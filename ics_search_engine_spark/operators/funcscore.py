@@ -152,3 +152,50 @@ def bm25_topk_decay(
         .orderBy(F.desc("score"), "conv_id", "turn_idx")
         .limit(k)
     )
+
+
+def bm25_topk_random(
+    spark: SparkSession,
+    pidx,
+    query: str,
+    seed: int = 42,
+    k: int = 10,
+    mode: str = "replace",
+) -> DataFrame:
+    """ES function_score random_score: a DETERMINISTIC per-doc uniform
+    in [0, 1) keyed on (docID, seed) — md5's first 32 bits / 2^32, the
+    engine's cross-engine-exact hash convention — either REPLACING the
+    relevance score (ES's random_score alone; stable shuffling /
+    sampling of the match set) or MULTIPLYING into BM25
+    (boost_mode=multiply).  → (conv_id, turn_idx, score) top-k."""
+    from ics_search_engine_spark.operators.aggs import scored_matches
+
+    if mode not in ("replace", "multiply"):
+        raise ValueError(f"unknown random_score mode: {mode}")
+    scored = scored_matches(spark, pidx, query)
+    keyed = pidx.docmap.select("doc_ord", "conv_id", "turn_idx").join(
+        scored, "doc_ord"
+    )
+    rnd = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("conv_id"),
+                        F.col("turn_idx").cast("string"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    out = keyed.select(
+        "conv_id", "turn_idx",
+        (rnd if mode == "replace" else F.col("score") * rnd).alias("score"),
+    )
+    return out.orderBy(
+        F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
+    ).limit(k)

@@ -395,3 +395,42 @@ def phrase_topk(
         .limit(k)
     )
     return _resolve_counts(pidx, result)
+
+
+def span_first_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    term: str,
+    end: int,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene/ES span_first: docs whose FIRST occurrence of ``term``
+    sits at a body position < ``end`` (index-mode positions — stop
+    words occupy slots, the phrase operators' convention) →
+    (conv_id, turn_idx, first_pos), earliest-first then docID.
+
+    Positions are packed sorted ascending, so the first occurrence is
+    element 1 of the decoded array — a metadata-narrow decode of ONE
+    term's postings, no corpus scan."""
+    from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+    do_stem = pidx.stats.get("stem", True)
+    toks = tokenize(term, for_query=True, do_stem=do_stem)
+    if len(toks) != 1:
+        raise ValueError("span_first takes exactly one searchable term")
+    matched = pidx.index.filter(F.col("term") == toks[0])
+    posts = decode_matched(matched, with_positions=True)
+    firsts = (
+        posts.select(
+            "doc_ord",
+            F.element_at("positions", 1).cast("int").alias("first_pos"),
+        )
+        .filter(F.col("first_pos") < end)
+        .orderBy(F.asc("first_pos"), F.asc("doc_ord"))
+        .limit(k)
+    )
+    return (
+        pidx.docmap.join(F.broadcast(firsts), "doc_ord")
+        .select("conv_id", "turn_idx", "first_pos")
+        .orderBy(F.asc("first_pos"), F.asc("conv_id"), F.asc("turn_idx"))
+    )

@@ -110,3 +110,50 @@ def pinned_topk(
     return spark.createDataFrame(
         rows, "conv_id string, turn_idx int, score double, pinned boolean"
     )
+
+
+def terms_set_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    required_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES terms_set query: minimum_should_match PER DOCUMENT — each doc
+    demands its own number of matching query terms, read from
+    ``attrs.<required_col>`` (ES's minimum_should_match_field) →
+    (conv_id, turn_idx, n_matched, score) top-k.
+
+    The static-msm machinery can't express this (the threshold is a
+    doc value, not a constant), so the matched-term count joins the
+    doc-values frame and the filter is per-row.  Surviving scores are
+    the engine's standard BM25 (bit-identical to the unfiltered
+    path)."""
+    from ics_search_engine_spark.operators.packed_index import (
+        decode_matched,
+    )
+    from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, n_matched int, score double"
+    )
+    if not q_terms:
+        return empty
+    posts = decode_matched(pidx.index.filter(F.col("term").isin(q_terms)))
+    counts = posts.groupBy("doc_ord").agg(
+        F.count("*").cast("int").alias("n_matched")  # unique per (term, doc)
+    )
+    scored = scored_matches(spark, pidx, query)
+    return (
+        pidx.docmap.select("doc_ord", "conv_id", "turn_idx")
+        .join(scored, "doc_ord")
+        .join(counts, "doc_ord")
+        .join(attrs, ["conv_id", "turn_idx"])
+        .filter(F.col("n_matched") >= F.col(required_col))
+        .select("conv_id", "turn_idx", "n_matched", "score")
+        .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+        .limit(k)
+    )

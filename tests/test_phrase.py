@@ -342,3 +342,50 @@ def near_ordered_topk_import(spark, pidx, q, w, k=10):
     from ics_search_engine_spark.operators.phrase import near_ordered_topk
 
     return near_ordered_topk(spark, pidx, q, w, k=k).collect()
+
+
+class TestSpanFirst:
+    @pytest.fixture(scope="class")
+    def setup(self, spark, corpus_dir):
+        rows = [
+            ("c0", 0, "we study machine learning and search engines daily"),
+            ("c1", 0, "machine learning is used; learning machine backwards"),
+            ("c2", 0, "machine of learning"),
+            ("c3", 0, "deep in the text sits a machine eventually"),
+            ("c5", 0, "nothing relevant whatsoever appears here"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        out = f"{corpus_dir}/spanfirst_idx"
+        build_packed_index(spark, df, out, range_bits=4)
+        return PackedIndex(spark, out), rows
+
+    def test_matches_token_scan(self, spark, setup):
+        from ics_search_engine_spark.operators.phrase import span_first_topk
+        from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+        pidx, rows = setup
+        got = span_first_topk(spark, pidx, "machine", end=5, k=10**6
+                              ).collect()
+        probe = "machin"
+        expect = {}
+        for c, t, txt in rows:
+            toks = tokenize(txt)
+            if probe in toks:
+                p = toks.index(probe)
+                if p < 5:
+                    expect[(c, t)] = p
+        assert expect  # fixture must exercise the path
+        assert {
+            (r["conv_id"], r["turn_idx"]): r["first_pos"] for r in got
+        } == expect
+        order = [(r["first_pos"], r["conv_id"], r["turn_idx"]) for r in got]
+        assert order == sorted(order)
+
+    def test_multi_token_probe_rejected(self, spark, setup):
+        from ics_search_engine_spark.operators.phrase import span_first_topk
+
+        pidx, _ = setup
+        with pytest.raises(ValueError):
+            span_first_topk(spark, pidx, "machine learning", end=5)

@@ -87,3 +87,65 @@ class TestPinned:
         docs = sorted({(c, t) for c, t, _ in rows})[:5]
         got = pinned_topk(spark, pidx, POS, docs, k=3).collect()
         assert [(r["conv_id"], r["turn_idx"]) for r in got] == docs[:3]
+
+
+class TestTermsSet:
+    def test_per_doc_threshold(self, spark, setup, small_df):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.querydsl import (
+            terms_set_topk,
+        )
+        from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+        pidx, rows = setup
+        q = "machine learning research"
+        attrs = small_df.select(
+            "conv_id", "turn_idx",
+            (F.col("turn_idx") % 3 + 1).cast("int").alias("req"),
+        )
+        got = terms_set_topk(spark, pidx, q, attrs, "req", k=10**6
+                             ).collect()
+        idx = oracle.build_index(rows)
+        q_terms = sorted(set(tokenize(q, for_query=True)))
+        n_of: dict[tuple, int] = {}
+        for t in q_terms:
+            for d in idx.postings.get(t, ()):
+                n_of[d] = n_of.get(d, 0) + 1
+        scores = _scores(rows, q)
+        expect = {
+            d: (n, scores[d])
+            for d, n in n_of.items()
+            if n >= (d[1] % 3 + 1)
+        }
+        assert {
+            (r["conv_id"], r["turn_idx"]): (r["n_matched"], r["score"])
+            for r in got
+        } == expect
+
+
+class TestRandomScore:
+    def test_deterministic_and_uniform_range(self, spark, setup):
+        from ics_search_engine_spark.operators.funcscore import (
+            bm25_topk_random,
+        )
+
+        pidx, _ = setup
+        a = bm25_topk_random(spark, pidx, POS, seed=1, k=10).collect()
+        b = bm25_topk_random(spark, pidx, POS, seed=1, k=10).collect()
+        c = bm25_topk_random(spark, pidx, POS, seed=2, k=10).collect()
+        assert a == b                      # same seed -> same sample
+        assert [r["conv_id"] for r in a] != [r["conv_id"] for r in c]
+        assert all(0.0 <= r["score"] < 1.0 for r in a)
+
+    def test_multiply_mode_reranks_not_filters(self, spark, setup):
+        from ics_search_engine_spark.operators.funcscore import (
+            bm25_topk_random,
+        )
+
+        pidx, rows = setup
+        n_all = len(_scores(rows, POS))
+        got = bm25_topk_random(
+            spark, pidx, POS, seed=1, k=10**6, mode="multiply"
+        ).collect()
+        assert len(got) == n_all
