@@ -227,3 +227,69 @@ class TestRound3QuerySurfacePlans:
             line for line in plan.splitlines() if "ReadSchema" in line
         ]
         assert read_schema and "payload" not in read_schema[0]
+
+
+class TestAggregationPlans:
+    """Round-3 aggregation-family plan audits: the shapes the module
+    docstrings promise (term-IN pushdown through matched_docs, one-pass
+    0/1 sums, TakeOrderedAndProject cuts, broadcast child joins)."""
+
+    def test_matched_docs_pushes_term_filter(self, spark, pidx):
+        from ics_search_engine_spark.operators.facets import matched_docs
+
+        plan = _plan(matched_docs(spark, pidx, "machine"), "formatted")
+        assert "PushedFilters" in plan
+        assert "In(term" in plan or "EqualTo(term" in plan
+
+    def test_filters_agg_is_single_aggregate_no_union(
+        self, spark, pidx, small_df
+    ):
+        from ics_search_engine_spark.operators.aggs import filters_agg
+
+        df = filters_agg(
+            spark, pidx, "machine", small_df,
+            {"a": F.col("role") == "user", "b": F.col("role") != "user"},
+        )
+        plan = _plan(df)
+        # one pass: no Union of per-filter subplans
+        assert "Union" not in plan
+
+    def test_top_metrics_is_take_ordered(self, spark, pidx, small_df):
+        from ics_search_engine_spark.operators.aggs import top_metrics
+
+        attrs = small_df.select(
+            "conv_id", "turn_idx", "role",
+            F.length("text").alias("nchars"),
+        )
+        df = top_metrics(spark, pidx, "machine", attrs, "nchars",
+                         ["role"], k=3)
+        assert "TakeOrderedAndProject" in _plan(df)
+
+    def test_diversified_global_cut_is_take_ordered(
+        self, spark, pidx, small_df
+    ):
+        from ics_search_engine_spark.operators.aggs import diversified_topk
+
+        df = diversified_topk(
+            spark, pidx, "machine", small_df, "role", max_per_key=2, k=5
+        )
+        assert "TakeOrderedAndProject" in _plan(df)
+
+    def test_has_parent_children_join_broadcasts(self, spark, pidx):
+        from ics_search_engine_spark.operators.convs import has_parent_turns
+
+        df = has_parent_turns(spark, pidx, "machine", k_parents=3)
+        assert "BroadcastHashJoin" in _plan(df)
+
+    def test_knn_filtered_predicate_reaches_scan(self, spark):
+        from ics_search_engine_spark.operators.similarity import (
+            cosine_topk_filtered,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qvec = [0.1] * len(emb.first()["embedding"])
+        df = cosine_topk_filtered(
+            emb, qvec, F.col("vec_id") % 2 == 0, k=5
+        )
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan
