@@ -62,6 +62,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# The one relational BM25 transcription every scoring oracle shares:
+# stats -> posts (gate query terms) -> dfs -> per-posting contrib.
+# Single source of truth for the k1/b constants in SQL form — the
+# Python side's single source is query.bm25_tfn_col.
+_SQL_BM25_CTES = """stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),"""
+
+
 # A fixed query in the documents-table vocabulary (TESTDATA corpus).
 DOCS_QUERY_TERMS = ["spark", "stream", "window", "join"]
 
@@ -971,21 +992,7 @@ def q_bm25_page2_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BM25_PAGE2 = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 ranked AS (
   SELECT doc_id, sum(contrib) AS s,
          row_number() OVER (ORDER BY sum(contrib) DESC, doc_id ASC) AS rn
@@ -1061,21 +1068,7 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 # surviving score computed against pre-delete N/avgdl/df
 _SQL_BM25_ENGINE_DELETES = """
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 ranked AS (
   SELECT doc_id, sum(contrib) AS s,
          row_number() OVER (ORDER BY sum(contrib) DESC, doc_id ASC) AS rn
@@ -1084,7 +1077,7 @@ ranked AS (
 SELECT doc_id, round(s, 6) AS bm25_r6
 FROM ranked WHERE rn > 3
 ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
-""".replace("{toks}", _SQL_TOKS)
+""".replace("{_SQL_BM25_CTES}", _SQL_BM25_CTES).replace("{toks}", _SQL_TOKS)
 
 # upsert semantics: the corpus holds BOTH versions of every updated
 # doc (stats count both — pre-compaction staleness, Lucene-style); the
@@ -1951,21 +1944,7 @@ def q_snippets_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SNIPPETS = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 perdoc AS (
   SELECT doc_id, round(sum(contrib), 6) AS bm25_r6 FROM scored
   GROUP BY doc_id
@@ -2517,21 +2496,7 @@ def q_bm25_convs_engine_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BM25_CONVS_TMPL = """
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 doc_scores AS (
   SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id
 ),
@@ -2542,7 +2507,7 @@ convs AS (
 )
 SELECT conv_num, round(s, 6) AS bm25_r6, matched_turns
 FROM convs ORDER BY bm25_r6 DESC, conv_num ASC LIMIT 20
-"""
+""".replace("{_SQL_BM25_CTES}", _SQL_BM25_CTES)
 _SQL_BM25_CONVS_TMPL = _SQL_BM25_CONVS_TMPL.replace("{toks}", _SQL_TOKS)
 _SQL_BM25_CONVS = _SQL_BM25_CONVS_TMPL.replace("{agg}", "max")
 _SQL_BM25_CONVS_SUM = _SQL_BM25_CONVS_TMPL.replace("{agg}", "sum")
@@ -2597,21 +2562,7 @@ def q_bm25_collapse_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BM25_COLLAPSE = """
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 doc_scores AS (
   SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id
 ),
@@ -2626,7 +2577,7 @@ SELECT doc_id // 5 AS conv_num, (doc_id % 5)::INT AS turn_idx,
        round(s, 6) AS bm25_r6
 FROM best WHERE rn = 1
 ORDER BY bm25_r6 DESC, conv_num ASC, turn_idx ASC LIMIT 20
-""".replace("{toks}", _SQL_TOKS)
+""".replace("{_SQL_BM25_CTES}", _SQL_BM25_CTES).replace("{toks}", _SQL_TOKS)
 
 
 def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2841,21 +2792,7 @@ def q_turn_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TURN_CONTEXT = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 perdoc AS (
   SELECT doc_id, round(sum(contrib), 6) AS r6 FROM scored GROUP BY doc_id
 ),
@@ -4179,21 +4116,7 @@ def q_bm25_decay_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BM25_DECAY = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 bm25 AS (SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id),
 decayed AS (
   SELECT doc_id,
@@ -4261,21 +4184,7 @@ def q_top_hits_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TOP_HITS = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 perdoc AS (
   SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
@@ -4742,13 +4651,19 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
+    # exact-score over-fetch, rounded-order cut (the knn_cosine gate's
+    # boundary discipline)
     top = cosine_topk_filtered(
         e, [float(x) for x in qvec],
-        (F.col("vec_id") != 0) & (F.col("vec_id") % 3 == 1), k=20,
+        (F.col("vec_id") != 0) & (F.col("vec_id") % 3 == 1), k=60,
     )
-    return top.select(
-        "vec_id", F.round(F.col("cosine"), 6).alias("cosine_r6")
-    ).orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+    return (
+        top.select(
+            "vec_id", F.round(F.col("cosine"), 6).alias("cosine_r6")
+        )
+        .orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+        .limit(20)
+    )
 
 
 _SQL_KNN_FILTERED = """
@@ -5023,21 +4938,7 @@ def q_terms_set_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TERMS_SET = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 perdoc AS (
   SELECT doc_id, count(*)::INT AS n_matched, sum(contrib) AS sc
   FROM scored GROUP BY doc_id
@@ -5063,14 +4964,17 @@ def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts = _transcripts_with_role(spark, sf_dir)
     out, pidx = _agg_gate_index(spark, transcripts, "gate_divtopk_idx_")
     try:
+        # exact-score SUPERSET (double per-key cap, 6x global k): the
+        # rounded-order cuts below cannot reach past it unless >2
+        # same-key docs collide at 6 decimals (gate discipline)
         rows = diversified_topk(
             spark, pidx, " ".join(DOCS_QUERY_TERMS),
             transcripts.select("conv_id", "turn_idx", "source"),
-            "source", max_per_key=2, k=10,
+            "source", max_per_key=4, k=60,
         ).collect()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    resolved = sorted(
+    pool = sorted(
         (
             (round(float(r["score"]), 6), int(r["conv_id"][3:]),
              r["source"])
@@ -5078,29 +4982,23 @@ def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         key=lambda x: (-x[0], x[1]),
     )
+    per_key: dict[str, int] = {}
+    resolved = []
+    for r6, d, src in pool:
+        if per_key.get(src, 0) >= 2:
+            continue
+        per_key[src] = per_key.get(src, 0) + 1
+        resolved.append((src, d, r6))
+        if len(resolved) == 10:
+            break
     return spark.createDataFrame(
-        [(s, d, r6) for r6, d, s in resolved],
-        "source string, doc_id long, score_r6 double",
+        resolved, "source string, doc_id long, score_r6 double",
     )
 
 
 _SQL_DIVERSIFIED = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 perdoc AS (
   SELECT doc_id, 'src' || (doc_id % 7)::VARCHAR AS source,
          round(sum(contrib), 6) AS r6
@@ -5189,21 +5087,7 @@ def q_boosting_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BOOSTING = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 perdoc AS (SELECT doc_id, sum(contrib) AS sc FROM scored GROUP BY doc_id),
 neg AS (
   SELECT DISTINCT doc_id FROM (
@@ -5261,21 +5145,7 @@ def q_pinned_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PINNED = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 perdoc AS (SELECT doc_id, sum(contrib) AS sc FROM scored GROUP BY doc_id),
 organic AS (
   SELECT doc_id, round(sc, 6) AS r6,
@@ -5439,21 +5309,7 @@ def q_has_parent_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_HAS_PARENT = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
-posts AS (
-  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
-    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
-  ) WHERE term IN ('spark','stream','window','join')
-  GROUP BY term, doc_id
-),
-dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
-scored AS (
-  SELECT p.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
-         AS contrib
-  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
-),
+{_SQL_BM25_CTES}
 perdoc AS (SELECT doc_id, sum(contrib) AS sc FROM scored GROUP BY doc_id),
 convs AS (
   SELECT doc_id // 5 AS conv_num, round(max(sc), 6) AS parent_r6

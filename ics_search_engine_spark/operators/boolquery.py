@@ -117,15 +117,12 @@ def _walk_leaves(node, out: list) -> None:
 # ---------------------------------------------------------- evaluation
 
 def _tfn_col(tf: Column, dl: Column, avgdl: float) -> Column:
-    """The engine's exact BM25 saturation (same operation order as
-    query.bm25_contrib_col, so leaf scores are bit-identical to every
-    other surface)."""
-    tfd = tf.cast("double")
-    dld = dl.cast("double")
-    return (tfd * F.lit(_K1P1)) / (
-        tfd
-        + F.lit(K1) * (F.lit(_ONE_MINUS_B) + (F.lit(B) * dld) / F.lit(avgdl))
-    )
+    """The engine's exact BM25 saturation — delegates to the single
+    shared definition (query.bm25_tfn_col), so leaf scores are
+    bit-identical to every other surface by construction."""
+    from ics_search_engine_spark.operators.query import bm25_tfn_col
+
+    return bm25_tfn_col(avgdl, tf=tf, dl=dl)
 
 
 class _LeafPlan:

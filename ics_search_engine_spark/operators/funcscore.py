@@ -169,12 +169,18 @@ def bm25_topk_random(
     sampling of the match set) or MULTIPLYING into BM25
     (boost_mode=multiply).  → (conv_id, turn_idx, score) top-k."""
     from ics_search_engine_spark.operators.aggs import scored_matches
+    from ics_search_engine_spark.operators.facets import matched_docs
 
     if mode not in ("replace", "multiply"):
         raise ValueError(f"unknown random_score mode: {mode}")
-    scored = scored_matches(spark, pidx, query)
+    if mode == "replace":
+        # membership only — no weight join, no score fold (the scores
+        # would be discarded; ES random_score-alone semantics)
+        base = matched_docs(spark, pidx, query)
+    else:
+        base = scored_matches(spark, pidx, query)
     keyed = pidx.docmap.select("doc_ord", "conv_id", "turn_idx").join(
-        scored, "doc_ord"
+        base, "doc_ord"
     )
     rnd = (
         F.conv(

@@ -82,16 +82,23 @@ def resolve_topk_keys(pidx, topk: DataFrame) -> DataFrame:
     )
 
 
-def bm25_tfn_col(avgdl: float) -> F.Column:
+def bm25_tfn_col(
+    avgdl: float,
+    tf: F.Column | None = None,
+    dl: F.Column | None = None,
+) -> F.Column:
     """The BM25 saturation factor tf*(k1+1) / (tf + k1*((1-b) +
     (b*dl)/avgdl)) with the exact oracle operation order (oracle/bm25.py
     bm25_contribution) — the ONE definition every weight-times-tfn
-    surface (single-field scoring, fielded multi_match) multiplies, so
-    bit-exactness has a single source of truth."""
-    tf = F.col("tf").cast("double")
-    dl = F.col("dl").cast("double")
-    return (tf * F.lit(_K1P1)) / (
-        tf + F.lit(K1) * (F.lit(_ONE_MINUS_B) + (F.lit(B) * dl) / F.lit(avgdl))
+    surface (single-field scoring, fielded multi_match, boolean-query
+    leaves) multiplies, so bit-exactness has a single source of truth.
+    ``tf``/``dl`` default to the standard posting columns; pass
+    expressions (e.g. a phrase count) to saturate something else."""
+    tfd = (F.col("tf") if tf is None else tf).cast("double")
+    dld = (F.col("dl") if dl is None else dl).cast("double")
+    return (tfd * F.lit(_K1P1)) / (
+        tfd
+        + F.lit(K1) * (F.lit(_ONE_MINUS_B) + (F.lit(B) * dld) / F.lit(avgdl))
     )
 
 

@@ -126,12 +126,18 @@ def terms_set_topk(
     (conv_id, turn_idx, n_matched, score) top-k.
 
     The static-msm machinery can't express this (the threshold is a
-    doc value, not a constant), so the matched-term count joins the
-    doc-values frame and the filter is per-row.  Surviving scores are
-    the engine's standard BM25 (bit-identical to the unfiltered
-    path)."""
+    doc value, not a constant), so the matched-term count rides the ONE
+    scoring pass (postings are unique per (term, doc), so the fold
+    list's size IS the count — the score_all/min_match pattern) and the
+    filter is per-row against the joined doc value.  Surviving scores
+    are the engine's standard BM25 (bit-identical to the unfiltered
+    path — same sorted-term fold)."""
     from ics_search_engine_spark.operators.packed_index import (
         decode_matched,
+    )
+    from ics_search_engine_spark.operators.query import (
+        bm25_contrib_col,
+        query_weights,
     )
     from ics_search_engine_spark.textproc.tokenizer import tokenize
 
@@ -142,15 +148,36 @@ def terms_set_topk(
     )
     if not q_terms:
         return empty
-    posts = decode_matched(pidx.index.filter(F.col("term").isin(q_terms)))
-    counts = posts.groupBy("doc_ord").agg(
-        F.count("*").cast("int").alias("n_matched")  # unique per (term, doc)
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if not weights:
+        return empty
+    w_df = spark.createDataFrame(
+        [(t, w) for t, w in weights.items()], "term string, w double"
     )
-    scored = scored_matches(spark, pidx, query)
+    posts = decode_matched(
+        pidx.index.filter(F.col("term").isin(sorted(weights)))
+    )
+    scored = (
+        posts.join(F.broadcast(w_df), "term")
+        .withColumn("contrib", bm25_contrib_col(pidx.avgdl))
+        .groupBy("doc_ord")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias(
+                "tc"
+            )
+        )
+        .select(
+            "doc_ord",
+            F.size("tc").alias("n_matched"),
+            F.aggregate(
+                "tc", F.lit(0.0), lambda a, x: a + x["contrib"]
+            ).alias("score"),
+        )
+    )
     return (
         pidx.docmap.select("doc_ord", "conv_id", "turn_idx")
         .join(scored, "doc_ord")
-        .join(counts, "doc_ord")
         .join(attrs, ["conv_id", "turn_idx"])
         .filter(F.col("n_matched") >= F.col(required_col))
         .select("conv_id", "turn_idx", "n_matched", "score")

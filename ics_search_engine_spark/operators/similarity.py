@@ -72,13 +72,8 @@ def cosine_topk_filtered(
     partition pruning (read_ivf_partitioned(...).filter(probe).filter(
     predicate)) — the probe prunes directories, the predicate prunes
     rows, and k is selected from survivors only."""
-    qnorm = float(np.sqrt(np.dot(qvec, qvec)))
-    cos = _dot_lit(F.col(vec_col), qvec) / (_norm(F.col(vec_col)) * F.lit(qnorm))
-    return (
-        emb.filter(predicate)
-        .select(F.col(id_col), cos.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
+    return cosine_topk_bruteforce(
+        emb.filter(predicate), qvec, k, id_col=id_col, vec_col=vec_col
     )
 
 

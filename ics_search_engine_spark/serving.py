@@ -1629,9 +1629,12 @@ class LocalFieldedServer:
                 total[touched] += fs[touched]
                 best[touched] = np.maximum(best[touched], fs[touched])
                 any_t |= touched
-            scores = np.where(
-                any_t, best + tie_breaker * (total - best), 0.0
-            )
+            # combine only over touched docs: best is -inf elsewhere
+            # and np.where would still evaluate (and warn on) the
+            # dead branch over the full corpus width
+            scores = np.zeros(n, dtype=np.float64)
+            ati = np.flatnonzero(any_t)
+            scores[ati] = best[ati] + tie_breaker * (total[ati] - best[ati])
         else:  # cross_fields
             dfb = {
                 t: max(int(self.sub[f].df.get(t, 0)) for f in fields)
