@@ -4811,6 +4811,86 @@ FROM h ORDER BY bucket
 """
 
 
+def q_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot/restore lifecycle (operators/lifecycle): snapshot the
+    base segment, mutate the live index with an upsert delta (verified
+    to CHANGE the ranking), then restore the snapshot and query it —
+    the restored ranking must equal the oracle over the ORIGINAL
+    corpus, proving the pinned segment set is the pre-mutation state
+    bit-for-bit.  Also swings an alias from live → restored (the
+    blue/green swap)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.lifecycle import (
+        create_snapshot,
+        resolve_alias,
+        restore_snapshot,
+        set_alias,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.segments import (
+        SegmentedIndex,
+        bm25_topk_segmented,
+        build_upsert_segment,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    q = " ".join(DOCS_QUERY_TERMS)
+    base = tempfile.mkdtemp(prefix="gate_snap_")
+    try:
+        build_packed_index(
+            spark, transcripts, f"{base}/seg0", range_bits=8,
+            with_positions=False, stem=False,
+        )
+        create_snapshot([f"{base}/seg0"], f"{base}/snap", label="pre")
+        # mutate: boost every 7th doc so the live ranking diverges
+        delta = (
+            transcripts.filter(
+                F.substring("conv_id", 4, 8).cast("long") % 7 == 3
+            ).select(
+                "conv_id", "turn_idx",
+                F.concat(F.col("text"), F.lit(" spark stream spark"))
+                .alias("text"),
+            )
+        )
+        build_upsert_segment(
+            spark, delta, f"{base}/seg1", range_bits=8,
+            with_positions=False, stem=False,
+        )
+        alias_store = f"{base}/aliases.json"
+        set_alias(alias_store, "live", [f"{base}/seg0", f"{base}/seg1"])
+        live = SegmentedIndex(spark, resolve_alias(alias_store, "live"))
+        mutated = bm25_topk_segmented(spark, live, q, k=20).collect()
+
+        restored_paths = restore_snapshot(f"{base}/snap")
+        set_alias(alias_store, "live", restored_paths)  # blue/green swap
+        restored = SegmentedIndex(
+            spark, resolve_alias(alias_store, "live")
+        )
+        rows = bm25_topk_segmented(spark, restored, q, k=60).collect()
+        # the mutation must actually have changed the live ranking —
+        # otherwise this gate proves nothing
+        if [r["conv_id"] for r in mutated] == [
+            r["conv_id"] for r in rows[:20]
+        ]:
+            raise AssertionError("upsert did not change the ranking")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    resolved = [
+        (int(r["conv_id"][3:]), round(float(r["score"]), 6)) for r in rows
+    ]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(resolved[:20], "doc_id long, bm25_r6 double")
+
+
 def q_span_first_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene span_first (operators/phrase.span_first_topk): docs whose
     first 'batch' occurrence sits before position 3, earliest-first —
@@ -5702,6 +5782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "serial_diff_rate": q_serial_diff_rate,
     "diversified_topk": q_diversified_topk,
     "rare_terms_agg": q_rare_terms_agg,
+    "snapshot_restore": q_snapshot_restore,
     "span_first_engine": q_span_first_engine,
     "random_score_engine": q_random_score_engine,
     "terms_set_engine": q_terms_set_engine,
@@ -5801,6 +5882,8 @@ ORACLE_SQL: dict[str, str] = {
     "serial_diff_rate": _SQL_SERIAL_DIFF_RATE,
     "diversified_topk": _SQL_DIVERSIFIED,
     "rare_terms_agg": _SQL_RARE_TERMS,
+    # restored state must rank as the ORIGINAL corpus
+    "snapshot_restore": _SQL_BM25_ENGINE,
     "span_first_engine": _SQL_SPAN_FIRST,
     "random_score_engine": _SQL_RANDOM_SCORE,
     "terms_set_engine": _SQL_TERMS_SET,

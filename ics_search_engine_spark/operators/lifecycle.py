@@ -1,0 +1,139 @@
+"""Index lifecycle verbs: snapshots, restore, and aliases.
+
+The ES `_snapshot` / `_aliases` APIs re-expressed over this engine's
+LSM segment model.  Segments are IMMUTABLE once their ready marker is
+written (operators/segments, streaming ingest), which makes both verbs
+metadata operations:
+
+* a **snapshot** pins a segment SET: a manifest recording each
+  segment's path and per-file (name, size, checksum).  No data copy by
+  default — the files are immutable, so the manifest IS the state (the
+  same insight behind Iceberg snapshots; a ``copy=True`` mode
+  hard-copies for media that may be reclaimed).  Restore = validate
+  the manifest against the files and hand back the pinned path list —
+  subsequent upserts/deletes/compactions created NEW segments, so the
+  pre-mutation state is still on disk, bit-exact.
+* an **alias** maps a stable name to an index (segment-list) target in
+  one JSON document; re-pointing is an atomic file replace (os.replace)
+  — the ES blue/green alias-swap deploy pattern.
+
+Checksums are md5 (the engine's hash convention) over file bytes;
+at petabyte scale the per-file digest would come from the object
+store's ETag instead of a local read — the manifest format already
+carries it per file, so only `_digest` changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+
+def _digest(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def _walk_files(seg_dir: str) -> list[dict]:
+    out = []
+    for root, _, files in os.walk(seg_dir):
+        for name in sorted(files):
+            p = os.path.join(root, name)
+            rel = os.path.relpath(p, seg_dir)
+            out.append(
+                {"rel": rel, "size": os.path.getsize(p), "md5": _digest(p)}
+            )
+    out.sort(key=lambda d: d["rel"])
+    return out
+
+
+def create_snapshot(
+    segment_paths: list[str],
+    snap_dir: str,
+    label: str = "",
+    copy: bool = False,
+) -> dict:
+    """Pin ``segment_paths`` (age order) into a snapshot manifest under
+    ``snap_dir``; with ``copy=True`` the segment trees are hard-copied
+    under the snapshot directory and the manifest points at the copies.
+    Returns the manifest."""
+    os.makedirs(snap_dir, exist_ok=True)
+    pinned = []
+    for i, seg in enumerate(segment_paths):
+        target = seg
+        if copy:
+            target = os.path.join(snap_dir, f"seg{i:05d}")
+            shutil.copytree(seg, target)
+        pinned.append(
+            {
+                "path": os.path.abspath(target),
+                "files": _walk_files(target),
+            }
+        )
+    manifest = {"label": label, "copy": copy, "segments": pinned}
+    tmp = os.path.join(snap_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(snap_dir, "manifest.json"))
+    return manifest
+
+
+class SnapshotCorrupt(RuntimeError):
+    pass
+
+
+def restore_snapshot(snap_dir: str, verify: bool = True) -> list[str]:
+    """Validate the snapshot and return its pinned segment paths (age
+    order) — feed them to SegmentedIndex / LocalSegmentedServer.
+    ``verify=True`` recomputes every file digest and raises
+    SnapshotCorrupt on any missing/resized/altered file (never a
+    silently-wrong ranking)."""
+    with open(os.path.join(snap_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    paths = []
+    for seg in manifest["segments"]:
+        p = seg["path"]
+        for rec in seg["files"]:
+            fp = os.path.join(p, rec["rel"])
+            if not os.path.exists(fp):
+                raise SnapshotCorrupt(f"missing file: {fp}")
+            if os.path.getsize(fp) != rec["size"]:
+                raise SnapshotCorrupt(f"size changed: {fp}")
+            if verify and _digest(fp) != rec["md5"]:
+                raise SnapshotCorrupt(f"checksum mismatch: {fp}")
+        paths.append(p)
+    return paths
+
+
+def set_alias(store: str, alias: str, segment_paths: list[str]) -> None:
+    """Point ``alias`` at a segment list; atomic replace of the alias
+    store (a JSON file), so readers see either the old or the new
+    target, never a partial state."""
+    aliases = load_aliases(store)
+    aliases[alias] = [os.path.abspath(p) for p in segment_paths]
+    tmp = store + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(aliases, f)
+    os.replace(tmp, store)
+
+
+def load_aliases(store: str) -> dict[str, list[str]]:
+    if not os.path.exists(store):
+        return {}
+    with open(store) as f:
+        return json.load(f)
+
+
+def resolve_alias(store: str, alias: str) -> list[str]:
+    aliases = load_aliases(store)
+    if alias not in aliases:
+        raise KeyError(f"unknown alias: {alias}")
+    return aliases[alias]

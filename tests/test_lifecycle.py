@@ -1,0 +1,121 @@
+"""Snapshot/restore and alias lifecycle verbs."""
+
+import os
+
+import pytest
+
+from ics_search_engine_spark.operators.lifecycle import (
+    SnapshotCorrupt,
+    create_snapshot,
+    load_aliases,
+    resolve_alias,
+    restore_snapshot,
+    set_alias,
+)
+from ics_search_engine_spark.operators.packed_index import (
+    build_packed_index,
+)
+from ics_search_engine_spark.operators.segments import (
+    SegmentedIndex,
+    bm25_topk_segmented,
+    build_upsert_segment,
+)
+
+Q = "machine learning"
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_df, corpus_dir):
+    base = f"{corpus_dir}/lifecycle"
+    build_packed_index(spark, small_df, f"{base}/seg0", range_bits=9)
+    return base
+
+
+class TestSnapshotRestore:
+    def test_restore_is_premutation_state(self, spark, small_df, setup):
+        import pyspark.sql.functions as F
+
+        base = setup
+        before = bm25_topk_segmented(
+            spark, SegmentedIndex(spark, [f"{base}/seg0"]), Q, k=10
+        ).collect()
+        create_snapshot([f"{base}/seg0"], f"{base}/snap", label="pre")
+        delta = small_df.limit(20).select(
+            "conv_id", "turn_idx",
+            F.concat(F.col("text"), F.lit(" machine machine")).alias(
+                "text"
+            ),
+        )
+        build_upsert_segment(spark, delta, f"{base}/seg1", range_bits=9)
+        mutated = bm25_topk_segmented(
+            spark,
+            SegmentedIndex(spark, [f"{base}/seg0", f"{base}/seg1"]),
+            Q, k=10,
+        ).collect()
+        assert mutated != before  # the mutation is visible live
+        restored = bm25_topk_segmented(
+            spark,
+            SegmentedIndex(spark, restore_snapshot(f"{base}/snap")),
+            Q, k=10,
+        ).collect()
+        assert restored == before  # bit-exact pre-mutation ranking
+
+    def test_corruption_is_loud(self, spark, small_df, corpus_dir):
+        base = f"{corpus_dir}/lifecycle_corrupt"
+        build_packed_index(spark, small_df, f"{base}/seg0", range_bits=9)
+        # copy=True so tampering can't break the shared fixture index
+        create_snapshot(
+            [f"{base}/seg0"], f"{base}/snap", label="x", copy=True
+        )
+        paths = restore_snapshot(f"{base}/snap")  # pristine: fine
+        victim = None
+        for root, _, files in os.walk(paths[0]):
+            for n in files:
+                if n.endswith(".json"):
+                    victim = os.path.join(root, n)
+                    break
+            if victim:
+                break
+        with open(victim, "a") as f:
+            f.write(" ")
+        with pytest.raises(SnapshotCorrupt):
+            restore_snapshot(f"{base}/snap")
+
+    def test_copy_mode_survives_source_deletion(
+        self, spark, small_df, corpus_dir
+    ):
+        import shutil
+
+        base = f"{corpus_dir}/lifecycle_copy"
+        build_packed_index(spark, small_df, f"{base}/seg0", range_bits=9)
+        live = bm25_topk_segmented(
+            spark, SegmentedIndex(spark, [f"{base}/seg0"]), Q, k=5
+        ).collect()
+        create_snapshot(
+            [f"{base}/seg0"], f"{base}/snap", label="c", copy=True
+        )
+        shutil.rmtree(f"{base}/seg0")  # source reclaimed
+        restored = bm25_topk_segmented(
+            spark,
+            SegmentedIndex(spark, restore_snapshot(f"{base}/snap")),
+            Q, k=5,
+        ).collect()
+        assert restored == live
+
+
+class TestAliases:
+    def test_atomic_swap_and_resolution(self, setup, corpus_dir):
+        base = setup
+        store = f"{corpus_dir}/aliases.json"
+        set_alias(store, "live", [f"{base}/seg0"])
+        assert resolve_alias(store, "live") == [
+            os.path.abspath(f"{base}/seg0")
+        ]
+        set_alias(store, "staging", [f"{base}/seg0", f"{base}/other"])
+        set_alias(store, "live", [f"{base}/other"])  # swap
+        assert resolve_alias(store, "live") == [
+            os.path.abspath(f"{base}/other")
+        ]
+        assert len(load_aliases(store)) == 2
+        with pytest.raises(KeyError):
+            resolve_alias(store, "nope")
