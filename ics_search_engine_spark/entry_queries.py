@@ -4811,6 +4811,27 @@ FROM h ORDER BY bucket
 """
 
 
+def q_sql_surface_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface (functions/sqlreg.register_sql_functions): a
+    query written ENTIRELY in SQL text against the registered
+    vectorized tokenizer must reproduce doc_token_stats — one shared
+    kernel behind both APIs."""
+    from ics_search_engine_spark.functions.sqlreg import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    _docs(spark, sf_dir).createOrReplaceTempView("gate_docs_sql")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               size(ics_tokenize_nostem(text)) AS dl,
+               size(array_distinct(ics_tokenize_nostem(text))) AS n_terms
+        FROM gate_docs_sql
+        """
+    )
+
+
 def q_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot/restore lifecycle (operators/lifecycle): snapshot the
     base segment, mutate the live index with an upsert delta (verified
@@ -5783,6 +5804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diversified_topk": q_diversified_topk,
     "rare_terms_agg": q_rare_terms_agg,
     "snapshot_restore": q_snapshot_restore,
+    "sql_surface_stats": q_sql_surface_stats,
     "span_first_engine": q_span_first_engine,
     "random_score_engine": q_random_score_engine,
     "terms_set_engine": q_terms_set_engine,
@@ -5884,6 +5906,8 @@ ORACLE_SQL: dict[str, str] = {
     "rare_terms_agg": _SQL_RARE_TERMS,
     # restored state must rank as the ORIGINAL corpus
     "snapshot_restore": _SQL_BM25_ENGINE,
+    # the SQL surface must reproduce the DataFrame-API tokenization
+    "sql_surface_stats": _SQL_DOC_TOKEN_STATS,
     "span_first_engine": _SQL_SPAN_FIRST,
     "random_score_engine": _SQL_RANDOM_SCORE,
     "terms_set_engine": _SQL_TERMS_SET,

@@ -193,3 +193,39 @@ class TestSimHash:
         a = "the quarterly report shows strong growth in all segments this year"
         b = "the quarterly report shows strong growth in all segments this month"
         assert similarity(simhash_text(a), simhash_text(b)) >= 0.85
+
+
+class TestSqlSurface:
+    def test_registered_functions_match_dataframe_api(self, spark):
+        from ics_search_engine_spark.functions.sqlreg import (
+            register_sql_functions,
+        )
+        from ics_search_engine_spark.functions.udfs import tokenize_index
+
+        names = register_sql_functions(spark)
+        assert "ics_tokenize" in names and "ics_simhash128" in names
+        df = spark.createDataFrame(
+            [("machine learning of the engines",),
+             ("",), ("Des accents français!",)],
+            "text string",
+        )
+        df.createOrReplaceTempView("sqlreg_probe")
+        got = spark.sql(
+            "SELECT ics_tokenize(text) AS toks, ics_token_count(text) AS n "
+            "FROM sqlreg_probe"
+        ).collect()
+        want = df.select(tokenize_index("text").alias("toks")).collect()
+        for g, w in zip(got, want):
+            assert g["toks"] == w["toks"]
+            assert g["n"] == len(w["toks"])
+
+    def test_reregistration_is_idempotent(self, spark):
+        from ics_search_engine_spark.functions.sqlreg import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
+        register_sql_functions(spark)  # no error, replaces
+        assert spark.sql(
+            "SELECT size(ics_tokenize_query('the the machine')) AS n"
+        ).collect()[0]["n"] == 1  # stop words dropped in query mode
