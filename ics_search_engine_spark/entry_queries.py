@@ -4811,6 +4811,52 @@ FROM h ORDER BY bucket
 """
 
 
+def q_index_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query profile (operators/query.profile_terms): per query term —
+    df, shard span, and block-max upper bound from ONE metadata-only
+    scan.  The oracle recomputes the shard span from the layout
+    DEFINITION (shard = doc_ord >> range_bits; doc_ord ≡ doc_id on the
+    contiguous gate corpus), so this gates the physical sharding
+    itself."""
+    import shutil
+
+    from ics_search_engine_spark.operators.query import profile_terms
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_profile_idx_")
+    try:
+        rows = profile_terms(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS)
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["term"], r["df"], r["n_shards"], r["max_tfn_r6"])
+            for r in rows
+        ],
+        "term string, df long, n_shards long, max_tfn_r6 double",
+    )
+
+
+_SQL_INDEX_PROFILE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+)
+SELECT term, count(*)::BIGINT AS df,
+       count(DISTINCT doc_id // 256)::BIGINT AS n_shards,
+       round(max(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))), 6)
+         AS max_tfn_r6
+FROM posts CROSS JOIN stats s
+GROUP BY term ORDER BY term
+"""
+
+
 def q_sql_surface_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface (functions/sqlreg.register_sql_functions): a
     query written ENTIRELY in SQL text against the registered
@@ -5805,6 +5851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rare_terms_agg": q_rare_terms_agg,
     "snapshot_restore": q_snapshot_restore,
     "sql_surface_stats": q_sql_surface_stats,
+    "index_profile": q_index_profile,
     "span_first_engine": q_span_first_engine,
     "random_score_engine": q_random_score_engine,
     "terms_set_engine": q_terms_set_engine,
@@ -5908,6 +5955,7 @@ ORACLE_SQL: dict[str, str] = {
     "snapshot_restore": _SQL_BM25_ENGINE,
     # the SQL surface must reproduce the DataFrame-API tokenization
     "sql_surface_stats": _SQL_DOC_TOKEN_STATS,
+    "index_profile": _SQL_INDEX_PROFILE,
     "span_first_engine": _SQL_SPAN_FIRST,
     "random_score_engine": _SQL_RANDOM_SCORE,
     "terms_set_engine": _SQL_TERMS_SET,

@@ -834,3 +834,35 @@ def bm25_topk_packed(spark: SparkSession, pidx, query: str, k: int = 10
     # doc_ord tie-break is EXACTLY the oracle's docID tie-break.
     topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
     return resolve_topk_keys(pidx, topk)
+
+
+def profile_terms(spark: SparkSession, pidx, query: str) -> DataFrame:
+    """Query profile from ONE metadata-only scan (the ES _profile
+    idea's deterministic core): per searchable query term — df, the
+    number of index shards its postings span, and the block-max upper
+    bound over all its shards → (term, df, n_shards, max_tfn_r6).
+
+    This is the planner's-eye view of a query (what WAND phase
+    selection reads) surfaced to users; payload bytes never decode.
+    The shard count is relationally checkable because shard_id =
+    doc_ord >> range_bits is a pure function of the docID order —
+    which makes this a gate on the physical shard LAYOUT itself."""
+    from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
+
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(_tok(query, for_query=True, do_stem=do_stem)))
+    empty = spark.createDataFrame(
+        [], "term string, df long, n_shards long, max_tfn_r6 double"
+    )
+    if not q_terms:
+        return empty
+    return (
+        pidx.index.filter(F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(
+            F.sum("n_postings").alias("df"),
+            F.count("*").alias("n_shards"),
+            F.round(F.max("max_tfn"), 6).alias("max_tfn_r6"),
+        )
+        .orderBy("term")
+    )

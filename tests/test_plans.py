@@ -293,3 +293,20 @@ class TestAggregationPlans:
         )
         plan = _plan(df)
         assert "TakeOrderedAndProject" in plan
+
+
+class TestProfile:
+    def test_profile_is_metadata_only_and_matches_df(self, spark, pidx):
+        from ics_search_engine_spark.operators.query import profile_terms
+
+        df = profile_terms(spark, pidx, "machine learning")
+        plan = _plan(df, "formatted")
+        read_schema = [
+            line for line in plan.splitlines() if "ReadSchema" in line
+        ]
+        assert read_schema and "payload" not in read_schema[0]
+        rows = {r["term"]: r for r in df.collect()}
+        for t, r in rows.items():
+            assert r["df"] == pidx.df_for_terms([t])[t]
+            assert r["n_shards"] >= 1
+        assert profile_terms(spark, pidx, "zz").count() == 0
