@@ -56,7 +56,7 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from oracle.bm25 import K1, B, idf as py_idf
+from oracle.bm25 import idf as py_idf
 from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
     decode_matched,
@@ -65,9 +65,6 @@ from ics_search_engine_spark.operators.query import resolve_topk_keys
 from ics_search_engine_spark.operators.phrase import phrase_offsets
 from ics_search_engine_spark.operators.wildcard import expand_prefixes
 from ics_search_engine_spark.textproc.tokenizer import tokenize
-
-_K1P1 = K1 + 1.0
-_ONE_MINUS_B = 1.0 - B
 
 
 # ---------------------------------------------------------------- tree

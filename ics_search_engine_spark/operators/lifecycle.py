@@ -71,7 +71,15 @@ def create_snapshot(
         target = seg
         if copy:
             target = os.path.join(snap_dir, f"seg{i:05d}")
-            shutil.copytree(seg, target)
+            # crash-safe + re-runnable: copy to a temp sibling, then
+            # atomic rename; a half-copied tree from a previous crash
+            # (no manifest yet) is discarded, never trusted
+            tmp_t = target + ".copying"
+            for stale in (tmp_t, target):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+            shutil.copytree(seg, tmp_t)
+            os.replace(tmp_t, target)
         pinned.append(
             {
                 "path": os.path.abspath(target),
@@ -101,6 +109,20 @@ def restore_snapshot(snap_dir: str, verify: bool = True) -> list[str]:
     paths = []
     for seg in manifest["segments"]:
         p = seg["path"]
+        expected = {rec["rel"] for rec in seg["files"]}
+        actual = {
+            os.path.relpath(os.path.join(root, name), p)
+            for root, _, files in os.walk(p)
+            for name in files
+        }
+        # files ADDED after the snapshot are as corrupting as missing
+        # ones: Spark globs the directory, so a foreign parquet part
+        # would silently join the "restored" index
+        extras = actual - expected
+        if extras:
+            raise SnapshotCorrupt(
+                f"foreign files in pinned segment {p}: {sorted(extras)[:3]}"
+            )
         for rec in seg["files"]:
             fp = os.path.join(p, rec["rel"])
             if not os.path.exists(fp):
@@ -116,13 +138,24 @@ def restore_snapshot(snap_dir: str, verify: bool = True) -> list[str]:
 def set_alias(store: str, alias: str, segment_paths: list[str]) -> None:
     """Point ``alias`` at a segment list; atomic replace of the alias
     store (a JSON file), so readers see either the old or the new
-    target, never a partial state."""
-    aliases = load_aliases(store)
-    aliases[alias] = [os.path.abspath(p) for p in segment_paths]
-    tmp = store + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(aliases, f)
-    os.replace(tmp, store)
+    target, never a partial state.  Writers serialize on an advisory
+    lock (fcntl on <store>.lock), so concurrent set_alias calls on one
+    store cannot drop each other's update (the load-modify-replace
+    race); readers never block."""
+    import fcntl
+
+    lock_path = store + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            aliases = load_aliases(store)
+            aliases[alias] = [os.path.abspath(p) for p in segment_paths]
+            tmp = f"{store}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(aliases, f)
+            os.replace(tmp, store)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def load_aliases(store: str) -> dict[str, list[str]]:

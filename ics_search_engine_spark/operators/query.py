@@ -183,11 +183,15 @@ def score_all(
     key_cols: list[str],
     require_all: int | None = None,
     min_match: int | None = None,
+    with_count: bool = False,
 ) -> DataFrame:
     """Every matched doc's full score (no top-k truncation) —
-    (key_cols..., score).  The deterministic sorted-term fold shared by
-    score_topk and the conversation-grain rollup, which must aggregate
-    over ALL matching turns before any limit can be applied."""
+    (key_cols..., score[, n_matched]).  The deterministic sorted-term
+    fold shared by score_topk and the conversation-grain rollup, which
+    must aggregate over ALL matching turns before any limit can be
+    applied.  ``with_count=True`` also emits the matched-term count
+    (the fold list's size — postings are unique per (term, doc)), so
+    callers needing both (terms_set) never run a second decode pass."""
     if require_all is not None and min_match is not None:
         raise ValueError("require_all and min_match are mutually exclusive")
     w_df = spark.createDataFrame(
@@ -205,10 +209,17 @@ def score_all(
         scored = scored.filter(F.size("tc") == require_all)
     elif min_match is not None:
         scored = scored.filter(F.size("tc") >= min_match)
-    return scored.withColumn(
+    scored = scored.withColumn(
         "score",
         F.aggregate("tc", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
-    ).select(*key_cols, "score")
+    )
+    out_cols = [*key_cols, "score"]
+    if with_count:
+        scored = scored.withColumn(
+            "n_matched", F.size("tc").cast("int")
+        )
+        out_cols.append("n_matched")
+    return scored.select(*out_cols)
 
 
 def bm25_topk_filtered(

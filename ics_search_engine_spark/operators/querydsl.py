@@ -136,8 +136,8 @@ def terms_set_topk(
         decode_matched,
     )
     from ics_search_engine_spark.operators.query import (
-        bm25_contrib_col,
         query_weights,
+        score_all,
     )
     from ics_search_engine_spark.textproc.tokenizer import tokenize
 
@@ -152,28 +152,13 @@ def terms_set_topk(
     weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
     if not weights:
         return empty
-    w_df = spark.createDataFrame(
-        [(t, w) for t, w in weights.items()], "term string, w double"
-    )
     posts = decode_matched(
         pidx.index.filter(F.col("term").isin(sorted(weights)))
     )
-    scored = (
-        posts.join(F.broadcast(w_df), "term")
-        .withColumn("contrib", bm25_contrib_col(pidx.avgdl))
-        .groupBy("doc_ord")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias(
-                "tc"
-            )
-        )
-        .select(
-            "doc_ord",
-            F.size("tc").alias("n_matched"),
-            F.aggregate(
-                "tc", F.lit(0.0), lambda a, x: a + x["contrib"]
-            ).alias("score"),
-        )
+    # the engine's ONE scoring fold, with the matched-term count riding
+    # the same pass (score_all with_count)
+    scored = score_all(
+        spark, posts, weights, pidx.avgdl, ["doc_ord"], with_count=True
     )
     return (
         pidx.docmap.select("doc_ord", "conv_id", "turn_idx")

@@ -81,6 +81,22 @@ class TestSnapshotRestore:
         with pytest.raises(SnapshotCorrupt):
             restore_snapshot(f"{base}/snap")
 
+    def test_foreign_file_is_corruption(self, spark, small_df, corpus_dir):
+        """A file ADDED to a pinned segment after the snapshot corrupts
+        it just like a mutation — Spark globs the directory, so a
+        foreign parquet part would silently join the restored index
+        (review fix)."""
+        base = f"{corpus_dir}/lifecycle_foreign"
+        build_packed_index(spark, small_df, f"{base}/seg0", range_bits=9)
+        create_snapshot(
+            [f"{base}/seg0"], f"{base}/snap", label="f", copy=True
+        )
+        paths = restore_snapshot(f"{base}/snap")
+        with open(os.path.join(paths[0], "index", "part-foreign"), "w") as f:
+            f.write("x")
+        with pytest.raises(SnapshotCorrupt, match="foreign"):
+            restore_snapshot(f"{base}/snap")
+
     def test_copy_mode_survives_source_deletion(
         self, spark, small_df, corpus_dir
     ):
