@@ -5758,6 +5758,524 @@ FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_extended_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats (operators/aggs.extended_stats): the
+    second-moment family over the match set's doc-length doc value —
+    exact integer sums plus the derived population variance/std-dev and
+    ±2σ bounds, rounded r6 at the gate boundary."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import extended_stats
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_estats_idx_")
+    try:
+        r = extended_stats(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl"
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            r["n_docs"], r["min_v"], r["max_v"], int(r["sum_v"]),
+            int(r["sum_sq"]), round(r["avg_v"], 6), round(r["var_pop"], 6),
+            round(r["std_dev"], 6), round(r["std_upper"], 6),
+            round(r["std_lower"], 6),
+        )],
+        "n_docs long, min_v int, max_v int, sum_v long, sum_sq long, "
+        "avg_r6 double, var_r6 double, std_r6 double, upper_r6 double, "
+        "lower_r6 double",
+    )
+
+
+_SQL_EXTENDED_STATS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_docs, min(dl)::INT AS min_v,
+         max(dl)::INT AS max_v, sum(dl)::BIGINT AS sum_v,
+         sum(dl*dl)::BIGINT AS sum_sq
+  FROM m
+)
+SELECT n_docs, min_v, max_v, sum_v, sum_sq,
+  round(sum_v::DOUBLE / n_docs, 6) AS avg_r6,
+  round(sum_sq::DOUBLE / n_docs
+        - (sum_v::DOUBLE / n_docs) * (sum_v::DOUBLE / n_docs), 6)
+    AS var_r6,
+  round(sqrt(greatest(sum_sq::DOUBLE / n_docs
+        - (sum_v::DOUBLE / n_docs) * (sum_v::DOUBLE / n_docs), 0.0)), 6)
+    AS std_r6,
+  round(sum_v::DOUBLE / n_docs
+        + 2.0 * sqrt(greatest(sum_sq::DOUBLE / n_docs
+          - (sum_v::DOUBLE / n_docs) * (sum_v::DOUBLE / n_docs), 0.0)), 6)
+    AS upper_r6,
+  round(sum_v::DOUBLE / n_docs
+        - 2.0 * sqrt(greatest(sum_sq::DOUBLE / n_docs
+          - (sum_v::DOUBLE / n_docs) * (sum_v::DOUBLE / n_docs), 0.0)), 6)
+    AS lower_r6
+FROM s
+"""
+
+
+def q_boxplot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot (operators/aggs.boxplot): exact
+    linear-interpolation five-number summary of the doc-length value
+    over the match set (the percentiles gate's definition, r6)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import boxplot
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_boxplot_idx_")
+    try:
+        r = boxplot(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl"
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            r["min_v"], round(r["q1"], 6), round(r["q2"], 6),
+            round(r["q3"], 6), r["max_v"],
+        )],
+        "min_v int, q1_r6 double, q2_r6 double, q3_r6 double, max_v int",
+    )
+
+
+_SQL_BOXPLOT = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+)
+SELECT min(dl)::INT AS min_v,
+       round(quantile_cont(dl, 0.25), 6) AS q1_r6,
+       round(quantile_cont(dl, 0.5), 6) AS q2_r6,
+       round(quantile_cont(dl, 0.75), 6) AS q3_r6,
+       max(dl)::INT AS max_v
+FROM m
+"""
+
+
+def q_percentile_ranks_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks (operators/aggs.percentile_ranks): the exact
+    empirical-CDF rank (100·|v≤x|/n) of four probe doc-lengths — the
+    operator's documented exact contract vs ES's t-digest approx."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import percentile_ranks
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_pranks_idx_")
+    try:
+        rows = percentile_ranks(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl",
+            [20.0, 40.0, 80.0, 160.0],
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["value"], round(r["pct_rank"], 6)) for r in rows],
+        "value double, pct_r6 double",
+    )
+
+
+_SQL_PERCENTILE_RANKS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+),
+probes AS (SELECT unnest([20.0, 40.0, 80.0, 160.0]) AS value)
+SELECT p.value,
+       round(100.0 * (SELECT count(*) FROM m WHERE dl <= p.value)
+             / (SELECT count(*) FROM m), 6) AS pct_r6
+FROM probes p ORDER BY p.value
+"""
+
+
+def q_mad_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation (operators/aggs.
+    median_abs_deviation): median(|dl − median(dl)|), both medians
+    percentile_cont-exact — the two-pass robust-dispersion pipeline."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import median_abs_deviation
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_mad_idx_")
+    try:
+        r = median_abs_deviation(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl"
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(round(r["median_v"], 6), round(r["mad"], 6))],
+        "median_r6 double, mad_r6 double",
+    )
+
+
+_SQL_MAD = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+),
+med AS (SELECT quantile_cont(dl, 0.5) AS median_v FROM m)
+SELECT round(any_value(med.median_v), 6) AS median_r6,
+       round(quantile_cont(abs(m.dl::DOUBLE - med.median_v), 0.5), 6)
+         AS mad_r6
+FROM m CROSS JOIN med
+"""
+
+
+def q_string_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats (operators/aggs.string_stats) over the matched
+    docs' raw text: character-length extremes and exact sum plus the
+    Shannon entropy (bits) of the pooled character distribution."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import string_stats
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select("conv_id", "turn_idx", "text")
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_sstats_idx_")
+    try:
+        r = string_stats(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "text"
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            r["n_docs"], r["min_len"], r["max_len"], int(r["sum_len"]),
+            round(r["entropy"], 6),
+        )],
+        "n_docs long, min_len int, max_len int, sum_len long, "
+        "entropy_r6 double",
+    )
+
+
+_SQL_STRING_STATS = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(text) AS text FROM (
+    SELECT doc_id, text, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+),
+dist AS (
+  SELECT ch, count(*)::DOUBLE AS c FROM (
+    SELECT unnest(string_split(text, '')) AS ch FROM m
+  ) WHERE len(ch) > 0 GROUP BY ch
+),
+tot AS (SELECT sum(c) AS tc FROM dist)
+SELECT (SELECT count(*)::BIGINT FROM m) AS n_docs,
+       (SELECT min(len(text))::INT FROM m) AS min_len,
+       (SELECT max(len(text))::INT FROM m) AS max_len,
+       (SELECT sum(len(text))::BIGINT FROM m) AS sum_len,
+       round(-sum((c / tc) * log2(c / tc)), 6) AS entropy_r6
+FROM dist CROSS JOIN tot
+"""
+
+
+def q_matrix_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats (operators/aggs.matrix_stats) between the
+    token-count and character-count doc values: population moments
+    (mean/var/skew/Pearson-kurtosis per field) and the cross
+    covariance/correlation, all derived from exact int64 power sums."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import matrix_stats
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx",
+        F.size(toks_col()).alias("dl"),
+        F.length("text").alias("n_chars"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_mstats_idx_")
+    try:
+        r = matrix_stats(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs,
+            "dl", "n_chars",
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            r["n_docs"], round(r["mean_a"], 6), round(r["mean_b"], 6),
+            round(r["var_a"], 6), round(r["var_b"], 6),
+            round(r["skew_a"], 6), round(r["skew_b"], 6),
+            round(r["kurt_a"], 6), round(r["kurt_b"], 6),
+            round(r["covariance"], 6), round(r["correlation"], 6),
+        )],
+        "n_docs long, mean_a_r6 double, mean_b_r6 double, "
+        "var_a_r6 double, var_b_r6 double, skew_a_r6 double, "
+        "skew_b_r6 double, kurt_a_r6 double, kurt_b_r6 double, "
+        "cov_r6 double, corr_r6 double",
+    )
+
+
+# the closed forms mirror the Spark expressions term for term (same
+# op order) so the only divergence budget is the r6 rounding
+_SQL_MATRIX_STATS = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl)::BIGINT AS a,
+         any_value(nc)::BIGINT AS b FROM (
+    SELECT doc_id, len(toks) AS dl, len(text) AS nc,
+           unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(a)::BIGINT AS sa1, sum(a*a)::BIGINT AS sa2,
+         sum(a*a*a)::BIGINT AS sa3, sum(a*a*a*a)::BIGINT AS sa4,
+         sum(b)::BIGINT AS sb1, sum(b*b)::BIGINT AS sb2,
+         sum(b*b*b)::BIGINT AS sb3, sum(b*b*b*b)::BIGINT AS sb4,
+         sum(a*b)::BIGINT AS sab
+  FROM m
+),
+d AS (
+  SELECT n_docs, n_docs::DOUBLE AS n,
+         sa1::DOUBLE AS a1, sa2::DOUBLE AS a2, sa3::DOUBLE AS a3,
+         sa4::DOUBLE AS a4, sb1::DOUBLE AS b1, sb2::DOUBLE AS b2,
+         sb3::DOUBLE AS b3, sb4::DOUBLE AS b4, sab::DOUBLE AS ab
+  FROM s
+),
+mm AS (
+  SELECT n_docs, n, a1/n AS ma, b1/n AS mb,
+         a2/n - (a1/n)*(a1/n) AS va, b2/n - (b1/n)*(b1/n) AS vb,
+         a3/n - 3.0*(a1/n)*(a2/n) + 2.0*(a1/n)*(a1/n)*(a1/n) AS m3a,
+         b3/n - 3.0*(b1/n)*(b2/n) + 2.0*(b1/n)*(b1/n)*(b1/n) AS m3b,
+         a4/n - 4.0*(a1/n)*(a3/n) + 6.0*(a1/n)*(a1/n)*(a2/n)
+              - 3.0*(a1/n)*(a1/n)*(a1/n)*(a1/n) AS m4a,
+         b4/n - 4.0*(b1/n)*(b3/n) + 6.0*(b1/n)*(b1/n)*(b2/n)
+              - 3.0*(b1/n)*(b1/n)*(b1/n)*(b1/n) AS m4b,
+         ab/n - (a1/n)*(b1/n) AS cov
+  FROM d
+)
+SELECT n_docs,
+  round(ma, 6) AS mean_a_r6, round(mb, 6) AS mean_b_r6,
+  round(va, 6) AS var_a_r6, round(vb, 6) AS var_b_r6,
+  round(CASE WHEN va > 0 THEN m3a / pow(va, 1.5) ELSE 0.0 END, 6)
+    AS skew_a_r6,
+  round(CASE WHEN vb > 0 THEN m3b / pow(vb, 1.5) ELSE 0.0 END, 6)
+    AS skew_b_r6,
+  round(CASE WHEN va > 0 THEN m4a / (va * va) ELSE 0.0 END, 6)
+    AS kurt_a_r6,
+  round(CASE WHEN vb > 0 THEN m4b / (vb * vb) ELSE 0.0 END, 6)
+    AS kurt_b_r6,
+  round(cov, 6) AS cov_r6,
+  round(CASE WHEN va > 0 AND vb > 0 THEN cov / sqrt(va * vb)
+        ELSE 0.0 END, 6) AS corr_r6
+FROM mm
+"""
+
+
+def q_multi_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms (operators/aggs.multi_terms): doc counts per
+    (role, source) composite key over the match set, top 10 by
+    (count desc, keys asc) — popularity-ranked where composite pages
+    key-ordered."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import multi_terms
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select("conv_id", "turn_idx", "role", "source")
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_mterms_idx_")
+    try:
+        rows = multi_terms(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs,
+            ["role", "source"], size=10,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["role"], r["source"], r["n_docs"]) for r in rows],
+        "role string, source string, n_docs long",
+    )
+
+
+_SQL_MULTI_TERMS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+),
+k AS (
+  SELECT CASE WHEN d.doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+           AS role,
+         'src' || (d.doc_id % 7)::VARCHAR AS source
+  FROM documents d JOIN m USING (doc_id)
+)
+SELECT role, source, count(*)::BIGINT AS n_docs
+FROM k GROUP BY role, source
+ORDER BY n_docs DESC, role ASC, source ASC LIMIT 10
+"""
+
+
+def q_t_test_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test, Welch flavor (operators/aggs.t_test): the
+    heteroscedastic t statistic between user- and assistant-role doc
+    lengths over the match set, from exact conditional power sums."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import t_test
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", "role", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_ttest_idx_")
+    try:
+        r = t_test(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl",
+            "role", "user", "assistant",
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            r["n_a"], r["n_b"], round(r["mean_a"], 6),
+            round(r["mean_b"], 6),
+            None if r["t_stat"] is None else round(r["t_stat"], 6),
+        )],
+        "n_a long, n_b long, mean_a_r6 double, mean_b_r6 double, "
+        "t_r6 double",
+    )
+
+
+_SQL_T_TEST = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl)::DOUBLE AS v FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+),
+g AS (
+  SELECT m.doc_id, m.v,
+         CASE WHEN m.doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+           AS role
+  FROM m
+),
+s AS (
+  SELECT sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+           AS n_b,
+         sum(CASE WHEN role = 'user' THEN v ELSE 0.0 END) AS s1a,
+         sum(CASE WHEN role = 'assistant' THEN v ELSE 0.0 END) AS s1b,
+         sum(CASE WHEN role = 'user' THEN v * v ELSE 0.0 END) AS s2a,
+         sum(CASE WHEN role = 'assistant' THEN v * v ELSE 0.0 END) AS s2b
+  FROM g
+)
+SELECT n_a, n_b,
+  round(s1a / n_a, 6) AS mean_a_r6,
+  round(s1b / n_b, 6) AS mean_b_r6,
+  round(CASE WHEN n_a >= 2 AND n_b >= 2
+             AND ((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
+                  + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b) > 0
+        THEN (s1a / n_a - s1b / n_b)
+             / sqrt((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
+                    + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b)
+        END, 6) AS t_r6
+FROM s
+"""
+
+
+def q_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline aggregation (operators/aggs.
+    normalize_buckets): the dl histogram's doc counts rescaled to
+    [0,1] and to percent-of-sum across sibling buckets — two methods
+    riding one bucket frame."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import (
+        histogram,
+        normalize_buckets,
+    )
+
+    transcripts = _transcripts_with_role(spark, sf_dir)
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.size(toks_col()).alias("dl")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_norm_idx_")
+    try:
+        histo = histogram(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "dl", 20
+        )
+        rows = (
+            normalize_buckets(
+                normalize_buckets(histo, "n_docs", "rescale_0_1", "r01"),
+                "n_docs", "percent_of_sum", "pct",
+            )
+            .orderBy("bucket_lo")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["bucket_lo"], r["n_docs"], round(r["r01"], 6),
+             round(r["pct"], 6))
+            for r in rows
+        ],
+        "bucket_lo long, n_docs long, r01_r6 double, pct_r6 double",
+    )
+
+
+_SQL_NORMALIZE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+),
+h AS (
+  SELECT (dl // 20 * 20)::BIGINT AS bucket_lo, count(*)::BIGINT AS n_docs
+  FROM m GROUP BY bucket_lo
+)
+SELECT bucket_lo, n_docs,
+  round(CASE WHEN max(n_docs) OVER () - min(n_docs) OVER () > 0
+        THEN (n_docs - min(n_docs) OVER ())::DOUBLE
+             / (max(n_docs) OVER () - min(n_docs) OVER ())
+        ELSE 0.0 END, 6) AS r01_r6,
+  round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS pct_r6
+FROM h ORDER BY bucket_lo
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -5855,6 +6373,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_first_engine": q_span_first_engine,
     "random_score_engine": q_random_score_engine,
     "terms_set_engine": q_terms_set_engine,
+    "extended_stats_agg": q_extended_stats_agg,
+    "boxplot_agg": q_boxplot_agg,
+    "percentile_ranks_agg": q_percentile_ranks_agg,
+    "mad_agg": q_mad_agg,
+    "string_stats_agg": q_string_stats_agg,
+    "matrix_stats_agg": q_matrix_stats_agg,
+    "multi_terms_agg": q_multi_terms_agg,
+    "t_test_agg": q_t_test_agg,
+    "normalize_pipeline": q_normalize_pipeline,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5959,4 +6486,13 @@ ORACLE_SQL: dict[str, str] = {
     "span_first_engine": _SQL_SPAN_FIRST,
     "random_score_engine": _SQL_RANDOM_SCORE,
     "terms_set_engine": _SQL_TERMS_SET,
+    "extended_stats_agg": _SQL_EXTENDED_STATS,
+    "boxplot_agg": _SQL_BOXPLOT,
+    "percentile_ranks_agg": _SQL_PERCENTILE_RANKS,
+    "mad_agg": _SQL_MAD,
+    "string_stats_agg": _SQL_STRING_STATS,
+    "matrix_stats_agg": _SQL_MATRIX_STATS,
+    "multi_terms_agg": _SQL_MULTI_TERMS,
+    "t_test_agg": _SQL_T_TEST,
+    "normalize_pipeline": _SQL_NORMALIZE,
 }

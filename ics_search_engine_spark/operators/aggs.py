@@ -719,3 +719,399 @@ def composite_buckets(
             cond = gt | (eq & cond)
         grouped = grouped.filter(cond)
     return grouped.orderBy(*[F.asc(k) for k in keys]).limit(size)
+
+
+def extended_stats(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    sigma: float = 2.0,
+    bucket_col: str | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES extended_stats aggregation: match_stats plus the second-moment
+    family — sum_of_squares, POPULATION variance/std-deviation (ES's
+    definition), and the ±``sigma`` std-deviation bounds around the
+    mean → (bucket?, n_docs, min_v, max_v, sum_v, sum_sq, avg_v,
+    var_pop, std_dev, std_upper, std_lower).
+
+    Derived floats (avg, variance, bounds) come from the EXACT integer
+    sums (Σv, Σv²) when the doc value is integral, so the only
+    cross-engine float step is the final division — the same one-job
+    hash-agg shape as match_stats; output is |buckets| rows."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    dt = keyed.schema[value_col].dataType.simpleString()
+    # widen int32 before squaring — 46341² already wraps an int
+    v = F.col(value_col).cast(
+        "bigint" if dt in ("tinyint", "smallint", "int", "bigint")
+        else "double"
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+        F.sum(value_col).alias("sum_v"),
+        F.sum(v * v).alias("sum_sq"),
+    ]
+    grouped = (
+        keyed.agg(*aggs)
+        if bucket_col is None
+        else keyed.groupBy(bucket_col).agg(*aggs)
+    )
+    # try_divide: an empty match set leaves n_docs = 0 on the single
+    # ungrouped output row, which plain division trips under ANSI
+    n = F.col("n_docs").cast("double")
+    avg_v = F.try_divide(F.col("sum_v").cast("double"), n)
+    var_pop = F.try_divide(F.col("sum_sq").cast("double"), n) - avg_v * avg_v
+    # Σv²/n − mean² can land an ulp below 0 on constant buckets
+    std = F.sqrt(F.greatest(var_pop, F.lit(0.0)))
+    out = (
+        grouped.withColumn("avg_v", avg_v)
+        .withColumn("var_pop", var_pop)
+        .withColumn("std_dev", std)
+        .withColumn("std_upper", F.col("avg_v") + F.lit(sigma) * std)
+        .withColumn("std_lower", F.col("avg_v") - F.lit(sigma) * std)
+    )
+    return out if bucket_col is None else out.orderBy(F.asc(bucket_col))
+
+
+def boxplot(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES boxplot aggregation, exact flavor: (min_v, q1, q2, q3, max_v)
+    of the doc value over the match set, quartiles by linear
+    interpolation (percentile_cont — what ES's TDigest converges to).
+    One hash-agg job; Spark's exact ``percentile`` keeps a per-group
+    sorted digest, fine for the gate scale — at 100 TB swap
+    ``percentile_approx`` (same call shape, bounded memory)."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    qs = F.percentile(
+        value_col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return keyed.agg(
+        F.min(value_col).alias("min_v"),
+        qs[0].alias("q1"),
+        qs[1].alias("q2"),
+        qs[2].alias("q3"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def percentile_ranks(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    values: list[float],
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES percentile_ranks aggregation: for each probe value x, the
+    percentage of matched docs whose doc value is ≤ x →
+    (value, pct_rank), one row per probe in input order.
+
+    Contract note: this is the EXACT empirical CDF (100·|v ≤ x|/n).
+    ES's t-digest interpolates between centroids and can differ in the
+    low digits; the exact definition is deterministic and
+    DuckDB-reproducible, which the driver gate requires.  One hash-agg
+    job — each probe is one conditional-sum column, so the plan stays a
+    single pass however many probes are asked."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    v = F.col(value_col)
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.when(v <= F.lit(x), 1).otherwise(0)).alias(f"le_{i}")
+        for i, x in enumerate(values)
+    ]
+    row = keyed.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(float(x)).alias("value"),
+            F.try_divide(
+                F.col(f"le_{i}").cast("double") * 100.0,
+                F.col("n").cast("double"),
+            ).alias("pct_rank"),
+        )
+        for i, x in enumerate(values)
+    ])
+    return row.select(F.explode(pairs).alias("p")).select(
+        "p.value", "p.pct_rank"
+    )
+
+
+def median_abs_deviation(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES median_absolute_deviation aggregation, exact flavor:
+    median(|v − median(v)|) with both medians percentile_cont-exact →
+    one row (median_v, mad).
+
+    Two aggregation passes by definition (the inner median must be
+    known before deviations exist); the median scalar rides a broadcast
+    nested-loop join (1×1), never a collect.  ES's approx flavor
+    (t-digest both passes) is the 100 TB swap, same shape."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    med = keyed.agg(
+        F.percentile(value_col, F.lit(0.5)).alias("median_v")
+    )
+    dev = keyed.join(F.broadcast(med)).select(
+        "median_v",
+        F.abs(F.col(value_col).cast("double") - F.col("median_v"))
+        .alias("adev"),
+    )
+    return dev.groupBy("median_v").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+
+
+def string_stats(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    str_col: str,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES string_stats aggregation over a keyword/text doc value:
+    (n_docs, min_len, max_len, sum_len, entropy) — lengths in
+    characters, Shannon entropy (bits) of the CHARACTER distribution
+    pooled across every matched value, ES's definition.  avg_length is
+    sum_len/n_docs, left to the caller per the house no-cross-row-
+    float-sums rule.
+
+    Shape: one hash-agg for the lengths; the entropy leg explodes
+    characters and reduces to |alphabet| rows before the tiny final
+    fold — a groupBy(char) count, the same scale class as term df.  The
+    two legs cross-join as 1×1 broadcast."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    lens = keyed.agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.length(str_col)).alias("min_len"),
+        F.max(F.length(str_col)).alias("max_len"),
+        F.sum(F.length(str_col)).alias("sum_len"),
+    )
+    chars = (
+        keyed.select(
+            F.explode(F.split(F.col(str_col), "")).alias("ch")
+        )
+        .filter(F.length("ch") > 0)
+        .groupBy("ch")
+        .agg(F.count("*").alias("c"))
+    )
+    ent = (
+        chars.agg(
+            F.sum("c").alias("total"),
+            F.sort_array(
+                F.collect_list(F.struct("ch", "c"))
+            ).alias("dist"),
+        )
+        # deterministic fold in char order: −Σ p·log2 p
+        .select(
+            F.aggregate(
+                "dist",
+                F.lit(0.0),
+                lambda acc, x: acc
+                - (x["c"].cast("double") / F.col("total"))
+                * F.log2(x["c"].cast("double") / F.col("total")),
+            ).alias("entropy")
+        )
+    )
+    return lens.join(F.broadcast(ent))
+
+
+def matrix_stats(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    col_a: str,
+    col_b: str,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES matrix_stats aggregation over two numeric doc values: one row
+    (n_docs, mean_a, mean_b, var_a, var_b, skew_a, skew_b, kurt_a,
+    kurt_b, covariance, correlation) — population moments, Pearson
+    (non-excess) kurtosis m4/m2², ES's definitions.
+
+    Everything derives from the raw power sums Σv, Σv², Σv³, Σv⁴ and
+    Σab.  Integral doc values are widened to BIGINT first (an int32
+    doc value overflows at the 4th power long before its sum does) and
+    the sums accumulate EXACTLY in int64 on both engines, so both
+    compute the identical closed forms from identical sums — one
+    hash-agg job, eleven output columns, no second pass."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+
+    def _widened(c: str) -> F.Column:
+        dt = keyed.schema[c].dataType.simpleString()
+        return (
+            F.col(c).cast("bigint")
+            if dt in ("tinyint", "smallint", "int", "bigint")
+            else F.col(c).cast("double")
+        )
+
+    a, b = _widened(col_a), _widened(col_b)
+    sums = keyed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(a).alias("sa1"), F.sum(a * a).alias("sa2"),
+        F.sum(a * a * a).alias("sa3"),
+        F.sum(a * a * a * a).alias("sa4"),
+        F.sum(b).alias("sb1"), F.sum(b * b).alias("sb2"),
+        F.sum(b * b * b).alias("sb3"),
+        F.sum(b * b * b * b).alias("sb4"),
+        F.sum(a * b).alias("sab"),
+    )
+    n = F.col("n_docs").cast("double")
+
+    def _over_n(s: str) -> F.Column:
+        # try_divide: empty match set → n = 0 on the one output row
+        return F.try_divide(F.col(s).cast("double"), n)
+
+    def _moments(s1, s2, s3, s4):
+        m = _over_n(s1)
+        m2 = _over_n(s2) - m * m
+        m3 = _over_n(s3) - 3.0 * m * _over_n(s2) + 2.0 * m * m * m
+        m4 = (_over_n(s4) - 4.0 * m * _over_n(s3)
+              + 6.0 * m * m * _over_n(s2)
+              - 3.0 * m * m * m * m)
+        skew = F.when(m2 > 0, m3 / F.pow(m2, 1.5)).otherwise(F.lit(0.0))
+        kurt = F.when(m2 > 0, m4 / (m2 * m2)).otherwise(F.lit(0.0))
+        return m, m2, skew, kurt
+
+    ma, va, ska, ka = _moments("sa1", "sa2", "sa3", "sa4")
+    mb, vb, skb, kb = _moments("sb1", "sb2", "sb3", "sb4")
+    cov = _over_n("sab") - ma * mb
+    corr = F.when(
+        (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
+    ).otherwise(F.lit(0.0))
+    return sums.select(
+        "n_docs",
+        ma.alias("mean_a"), mb.alias("mean_b"),
+        va.alias("var_a"), vb.alias("var_b"),
+        ska.alias("skew_a"), skb.alias("skew_b"),
+        ka.alias("kurt_a"), kb.alias("kurt_b"),
+        cov.alias("covariance"), corr.alias("correlation"),
+    )
+
+
+def multi_terms(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    keys: list[str],
+    size: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES multi_terms aggregation: doc counts per COMPOSITE key tuple
+    over the match set, top ``size`` by (count desc, keys asc) →
+    (keys..., n_docs).  Differs from composite_buckets in ordering
+    contract: multi_terms ranks by popularity (TakeOrderedAndProject),
+    composite pages the full bucket space in key order."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    return (
+        keyed.groupBy(*keys)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), *[F.asc(k) for k in keys])
+        .limit(size)
+    )
+
+
+def t_test(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES t_test aggregation (heteroscedastic/Welch, its default): the
+    two-sided t statistic between the doc values of two filter groups
+    of the match set → one row (n_a, n_b, mean_a, mean_b, t_stat).
+
+    t = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b), SAMPLE variances, from
+    the exact integer power sums (one conditional-sum hash-agg job —
+    the percentile_ranks shape, six conditional columns).  Degenerate
+    inputs (a group with n < 2 or zero pooled variance) yield NULL
+    t_stat rather than ±inf."""
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    sums = keyed.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(in_a, v).otherwise(0.0)).alias("s1a"),
+        F.sum(F.when(in_b, v).otherwise(0.0)).alias("s1b"),
+        F.sum(F.when(in_a, v * v).otherwise(0.0)).alias("s2a"),
+        F.sum(F.when(in_b, v * v).otherwise(0.0)).alias("s2b"),
+    )
+    # try_divide throughout: when() does NOT short-circuit its branch
+    # expressions, so an empty group's 0-denominator would trip ANSI
+    # mode even under the n >= 2 guard
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.try_divide(F.col("s1a"), na)
+    mb = F.try_divide(F.col("s1b"), nb)
+    var_a = F.try_divide(
+        F.col("s2a") - F.try_divide(F.col("s1a") * F.col("s1a"), na),
+        na - 1,
+    )
+    var_b = F.try_divide(
+        F.col("s2b") - F.try_divide(F.col("s1b") * F.col("s1b"), nb),
+        nb - 1,
+    )
+    se2 = F.try_divide(var_a, na) + F.try_divide(var_b, nb)
+    t = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        (ma - mb) / F.sqrt(se2),
+    )
+    return sums.select(
+        "n_a", "n_b",
+        ma.alias("mean_a"), mb.alias("mean_b"), t.alias("t_stat"),
+    )
+
+
+def normalize_buckets(
+    buckets: DataFrame,
+    value_col: str,
+    method: str = "rescale_0_1",
+    alias: str = "norm",
+) -> DataFrame:
+    """ES normalize pipeline aggregation: rescale a parent metric
+    across its sibling buckets.  Methods: ``rescale_0_1``
+    ((v−min)/(max−min); constant frames → 0, ES's convention),
+    ``percent_of_sum`` (v/Σv), ``z-score`` ((v−mean)/σ, population σ).
+    Bucket-count-sized input (an already-reduced frame), so the single
+    unpartitioned window is the right plan — same note as
+    cumulative_sum."""
+    v = F.col(value_col).cast("double")
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if method == "rescale_0_1":
+        rng = F.max(v).over(w) - F.min(v).over(w)
+        out = F.when(rng > 0, (v - F.min(v).over(w)) / rng).otherwise(
+            F.lit(0.0)
+        )
+    elif method == "percent_of_sum":
+        out = F.try_divide(v, F.sum(v).over(w))  # zero-sum frame → NULL
+    elif method == "z-score":
+        mean = F.avg(v).over(w)
+        sd = F.sqrt(F.avg(v * v).over(w) - mean * mean)
+        out = F.when(sd > 0, (v - mean) / sd).otherwise(F.lit(0.0))
+    else:
+        raise ValueError(f"unknown normalize method {method!r}")
+    return buckets.withColumn(alias, out)

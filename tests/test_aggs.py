@@ -650,3 +650,333 @@ class TestPipelineAggs:
             else:
                 assert r["deriv"] == r["n_docs"] - prev
             prev = r["n_docs"]
+
+
+def _quantile_cont(vals, q):
+    """percentile_cont linear interpolation over a sorted list."""
+    xs = sorted(vals)
+    if len(xs) == 1:
+        return float(xs[0])
+    pos = q * (len(xs) - 1)
+    lo = int(pos)
+    frac = pos - lo
+    if lo + 1 >= len(xs):
+        return float(xs[-1])
+    return xs[lo] + (xs[lo + 1] - xs[lo]) * frac
+
+
+class TestExtendedStats:
+    def test_matches_transcription(self, spark, setup, small_df):
+        from ics_search_engine_spark.operators.aggs import extended_stats
+
+        pidx, rows = setup
+        import pyspark.sql.functions as F
+
+        attrs = small_df.select(
+            "conv_id", "turn_idx", F.length("text").alias("nchars")
+        )
+        r = extended_stats(
+            spark, pidx, QUERY, attrs, "nchars", sigma=2.0
+        ).collect()[0]
+        matched = set(_oracle_scores(rows, QUERY))
+        vals = [len(txt) for c, ti, txt in rows if (c, ti) in matched]
+        n = len(vals)
+        assert (r["n_docs"], r["min_v"], r["max_v"]) == (
+            n, min(vals), max(vals)
+        )
+        assert int(r["sum_v"]) == sum(vals)
+        assert int(r["sum_sq"]) == sum(v * v for v in vals)
+        mean = sum(vals) / n
+        var = sum(v * v for v in vals) / n - mean * mean
+        std = var ** 0.5
+        assert r["avg_v"] == pytest.approx(mean, abs=1e-9)
+        assert r["var_pop"] == pytest.approx(var, rel=1e-12)
+        assert r["std_upper"] == pytest.approx(mean + 2 * std, rel=1e-12)
+        assert r["std_lower"] == pytest.approx(mean - 2 * std, rel=1e-12)
+
+    def test_constant_bucket_zero_variance(self, spark, setup, small_df):
+        from ics_search_engine_spark.operators.aggs import extended_stats
+
+        pidx, rows = setup
+        import pyspark.sql.functions as F
+
+        attrs = small_df.select(
+            "conv_id", "turn_idx", F.lit(7).alias("k")
+        )
+        r = extended_stats(spark, pidx, QUERY, attrs, "k").collect()[0]
+        assert r["var_pop"] == pytest.approx(0.0, abs=1e-12)
+        assert r["std_dev"] == 0.0  # greatest(,0) guard: no sqrt(-ulp) NaN
+
+
+class TestBoxplot:
+    def test_matches_quantile_cont(self, spark, setup, small_df):
+        from ics_search_engine_spark.operators.aggs import boxplot
+
+        pidx, rows = setup
+        import pyspark.sql.functions as F
+
+        attrs = small_df.select(
+            "conv_id", "turn_idx", F.length("text").alias("nchars")
+        )
+        r = boxplot(spark, pidx, QUERY, attrs, "nchars").collect()[0]
+        matched = set(_oracle_scores(rows, QUERY))
+        vals = [len(txt) for c, ti, txt in rows if (c, ti) in matched]
+        assert r["min_v"] == min(vals) and r["max_v"] == max(vals)
+        for col, q in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+            assert r[col] == pytest.approx(
+                _quantile_cont(vals, q), rel=1e-12
+            )
+
+
+class TestPercentileRanks:
+    def test_empirical_cdf(self, spark, setup, small_df):
+        from ics_search_engine_spark.operators.aggs import percentile_ranks
+
+        pidx, rows = setup
+        import pyspark.sql.functions as F
+
+        attrs = small_df.select(
+            "conv_id", "turn_idx", F.length("text").alias("nchars")
+        )
+        matched = set(_oracle_scores(rows, QUERY))
+        vals = [len(txt) for c, ti, txt in rows if (c, ti) in matched]
+        probes = [float(min(vals)), _quantile_cont(vals, 0.5), 1e9]
+        got = percentile_ranks(
+            spark, pidx, QUERY, attrs, "nchars", probes
+        ).collect()
+        assert [r["value"] for r in got] == probes
+        for r in got:
+            expect = 100.0 * sum(
+                1 for v in vals if v <= r["value"]
+            ) / len(vals)
+            assert r["pct_rank"] == pytest.approx(expect, rel=1e-12)
+        assert got[-1]["pct_rank"] == 100.0
+
+
+class TestMedianAbsDeviation:
+    def test_matches_transcription(self, spark, setup, small_df):
+        from ics_search_engine_spark.operators.aggs import (
+            median_abs_deviation,
+        )
+
+        pidx, rows = setup
+        import pyspark.sql.functions as F
+
+        attrs = small_df.select(
+            "conv_id", "turn_idx", F.length("text").alias("nchars")
+        )
+        r = median_abs_deviation(
+            spark, pidx, QUERY, attrs, "nchars"
+        ).collect()[0]
+        matched = set(_oracle_scores(rows, QUERY))
+        vals = [len(txt) for c, ti, txt in rows if (c, ti) in matched]
+        med = _quantile_cont(vals, 0.5)
+        mad = _quantile_cont([abs(v - med) for v in vals], 0.5)
+        assert r["median_v"] == pytest.approx(med, rel=1e-12)
+        assert r["mad"] == pytest.approx(mad, rel=1e-12)
+
+
+class TestStringStats:
+    def test_matches_transcription(self, spark, setup, small_df):
+        import math
+        from collections import Counter
+
+        from ics_search_engine_spark.operators.aggs import string_stats
+
+        pidx, rows = setup
+        attrs = small_df.select("conv_id", "turn_idx", "text")
+        r = string_stats(
+            spark, pidx, QUERY, attrs, "text"
+        ).collect()[0]
+        matched = set(_oracle_scores(rows, QUERY))
+        texts = [txt for c, ti, txt in rows if (c, ti) in matched]
+        lens = [len(t) for t in texts]
+        assert (r["n_docs"], r["min_len"], r["max_len"]) == (
+            len(texts), min(lens), max(lens)
+        )
+        assert int(r["sum_len"]) == sum(lens)
+        freq = Counter("".join(texts))
+        total = sum(freq.values())
+        entropy = -sum(
+            (c / total) * math.log2(c / total) for c in freq.values()
+        )
+        assert r["entropy"] == pytest.approx(entropy, rel=1e-9)
+
+
+class TestMatrixStats:
+    def test_matches_transcription(self, spark, setup, small_df):
+        from ics_search_engine_spark.operators.aggs import matrix_stats
+
+        pidx, rows = setup
+        import pyspark.sql.functions as F
+
+        attrs = small_df.select(
+            "conv_id", "turn_idx",
+            F.length("text").alias("nchars"),
+            F.size(F.split("text", r"\s+")).alias("nwords"),
+        )
+        r = matrix_stats(
+            spark, pidx, QUERY, attrs, "nchars", "nwords"
+        ).collect()[0]
+        matched = set(_oracle_scores(rows, QUERY))
+        a_of = _attr_of(
+            small_df.select(
+                "conv_id", "turn_idx", F.length("text").alias("v")
+            ), "v",
+        )
+        b_of = _attr_of(
+            small_df.select(
+                "conv_id", "turn_idx",
+                F.size(F.split("text", r"\s+")).alias("v"),
+            ), "v",
+        )
+        A = [a_of[d] for d in matched]
+        B = [b_of[d] for d in matched]
+        n = len(A)
+
+        def moments(xs):
+            m = sum(xs) / n
+            m2 = sum(x * x for x in xs) / n - m * m
+            m3 = (sum(x ** 3 for x in xs) / n
+                  - 3 * m * sum(x * x for x in xs) / n + 2 * m ** 3)
+            m4 = (sum(x ** 4 for x in xs) / n
+                  - 4 * m * sum(x ** 3 for x in xs) / n
+                  + 6 * m * m * sum(x * x for x in xs) / n - 3 * m ** 4)
+            return m, m2, m3 / m2 ** 1.5, m4 / (m2 * m2)
+
+        ma, va, ska, ka = moments(A)
+        mb, vb, skb, kb = moments(B)
+        cov = sum(x * y for x, y in zip(A, B)) / n - ma * mb
+        assert r["n_docs"] == n
+        assert r["mean_a"] == pytest.approx(ma, rel=1e-12)
+        assert r["var_b"] == pytest.approx(vb, rel=1e-12)
+        assert r["skew_a"] == pytest.approx(ska, rel=1e-9)
+        assert r["kurt_b"] == pytest.approx(kb, rel=1e-9)
+        assert r["covariance"] == pytest.approx(cov, rel=1e-9)
+        assert r["correlation"] == pytest.approx(
+            cov / (va * vb) ** 0.5, rel=1e-9
+        )
+
+
+class TestMultiTerms:
+    def test_popularity_order_and_counts(self, spark, setup, small_df):
+        from ics_search_engine_spark.operators.aggs import multi_terms
+
+        pidx, rows = setup
+        attrs = small_df.select("conv_id", "turn_idx", "role")
+        got = multi_terms(
+            spark, pidx, QUERY, attrs, ["role"], size=10
+        ).collect()
+        matched = set(_oracle_scores(rows, QUERY))
+        role_of = _attr_of(small_df, "role")
+        expect: dict[str, int] = {}
+        for d in matched:
+            expect[role_of[d]] = expect.get(role_of[d], 0) + 1
+        assert {(r["role"], r["n_docs"]) for r in got} == set(
+            expect.items()
+        )
+        counts = [r["n_docs"] for r in got]
+        assert counts == sorted(counts, reverse=True)
+
+
+class TestTTest:
+    def test_welch_matches_transcription(self, spark, setup, small_df):
+        from ics_search_engine_spark.operators.aggs import t_test
+
+        pidx, rows = setup
+        import pyspark.sql.functions as F
+
+        attrs = small_df.select(
+            "conv_id", "turn_idx", "role",
+            F.length("text").alias("nchars"),
+        )
+        r = t_test(
+            spark, pidx, QUERY, attrs, "nchars", "role",
+            "user", "assistant",
+        ).collect()[0]
+        matched = set(_oracle_scores(rows, QUERY))
+        role_of = _attr_of(small_df, "role")
+        text_of = {(c, t): txt for c, t, txt in rows}
+        ga = [len(text_of[d]) for d in matched if role_of[d] == "user"]
+        gb = [
+            len(text_of[d]) for d in matched
+            if role_of[d] == "assistant"
+        ]
+        assert (r["n_a"], r["n_b"]) == (len(ga), len(gb))
+        if len(ga) >= 2 and len(gb) >= 2:
+            ma, mb = sum(ga) / len(ga), sum(gb) / len(gb)
+            va = sum((x - ma) ** 2 for x in ga) / (len(ga) - 1)
+            vb = sum((x - mb) ** 2 for x in gb) / (len(gb) - 1)
+            t = (ma - mb) / (va / len(ga) + vb / len(gb)) ** 0.5
+            assert r["t_stat"] == pytest.approx(t, rel=1e-9)
+
+    def test_degenerate_group_null_t(self, spark, setup, small_df):
+        from ics_search_engine_spark.operators.aggs import t_test
+
+        pidx, rows = setup
+        import pyspark.sql.functions as F
+
+        attrs = small_df.select(
+            "conv_id", "turn_idx", "role",
+            F.length("text").alias("nchars"),
+        )
+        r = t_test(
+            spark, pidx, QUERY, attrs, "nchars", "role",
+            "user", "no_such_role",
+        ).collect()[0]
+        assert r["n_b"] == 0 and r["t_stat"] is None
+
+
+class TestNormalizeBuckets:
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(0, 2.0), (1, 6.0), (2, 4.0)], "b long, v double"
+        )
+
+    def test_rescale_0_1(self, spark):
+        from ics_search_engine_spark.operators.aggs import (
+            normalize_buckets,
+        )
+
+        got = {
+            r["b"]: r["norm"]
+            for r in normalize_buckets(
+                self._frame(spark), "v", "rescale_0_1"
+            ).collect()
+        }
+        assert got == {0: 0.0, 1: 1.0, 2: 0.5}
+
+    def test_percent_of_sum_and_zscore(self, spark):
+        from ics_search_engine_spark.operators.aggs import (
+            normalize_buckets,
+        )
+
+        pct = {
+            r["b"]: r["norm"]
+            for r in normalize_buckets(
+                self._frame(spark), "v", "percent_of_sum"
+            ).collect()
+        }
+        assert pct[0] == pytest.approx(2.0 / 12.0)
+        zs = {
+            r["b"]: r["norm"]
+            for r in normalize_buckets(
+                self._frame(spark), "v", "z-score"
+            ).collect()
+        }
+        mean = 4.0
+        sd = (((2 - mean) ** 2 + (6 - mean) ** 2 + 0.0) / 3) ** 0.5
+        assert zs[1] == pytest.approx((6 - mean) / sd, rel=1e-12)
+
+    def test_constant_frame_and_bad_method(self, spark):
+        from ics_search_engine_spark.operators.aggs import (
+            normalize_buckets,
+        )
+
+        const = spark.createDataFrame(
+            [(0, 5.0), (1, 5.0)], "b long, v double"
+        )
+        got = normalize_buckets(const, "v", "rescale_0_1").collect()
+        assert all(r["norm"] == 0.0 for r in got)
+        with pytest.raises(ValueError):
+            normalize_buckets(const, "v", "nope")
