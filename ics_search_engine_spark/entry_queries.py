@@ -6276,6 +6276,58 @@ FROM h ORDER BY bucket_lo
 """
 
 
+def q_percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator (operators/percolate): four registered queries
+    inverted into a query-term index, every document percolated
+    through one broadcast join — (query_id, doc_id, matched, n_terms)
+    pairs where the doc contains ALL the query's terms (operator-AND).
+    Query 3 carries an absent term, so it must match nothing."""
+    from ics_search_engine_spark.operators.percolate import (
+        build_query_index,
+        percolate,
+    )
+
+    queries = spark.createDataFrame(
+        [
+            (0, "spark stream"),
+            (1, "window join"),
+            (2, "spark window join"),
+            (3, "qzzzabsent spark"),
+        ],
+        "query_id int, query string",
+    )
+    qidx = build_query_index(spark, queries, do_stem=False)
+    docs = _docs(spark, sf_dir)
+    return percolate(
+        spark, qidx, docs, ["doc_id"], do_stem=False
+    ).select(
+        "query_id", "doc_id", "matched", "n_terms"
+    )
+
+
+_SQL_PERCOLATE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+q AS (
+  SELECT * FROM (VALUES
+    (0, 'spark', 2), (0, 'stream', 2),
+    (1, 'window', 2), (1, 'join', 2),
+    (2, 'spark', 3), (2, 'window', 3), (2, 'join', 3),
+    (3, 'qzzzabsent', 2), (3, 'spark', 2)
+  ) v(query_id, term, n_terms)
+),
+c AS (
+  SELECT q.query_id::INT AS query_id, dt.doc_id,
+         count(*)::BIGINT AS matched,
+         any_value(q.n_terms)::INT AS n_terms
+  FROM dt JOIN q USING (term)
+  GROUP BY q.query_id, dt.doc_id
+)
+SELECT query_id, doc_id, matched, n_terms
+FROM c WHERE matched >= n_terms
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6382,6 +6434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_terms_agg": q_multi_terms_agg,
     "t_test_agg": q_t_test_agg,
     "normalize_pipeline": q_normalize_pipeline,
+    "percolate_match": q_percolate_match,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6495,4 +6548,5 @@ ORACLE_SQL: dict[str, str] = {
     "multi_terms_agg": _SQL_MULTI_TERMS,
     "t_test_agg": _SQL_T_TEST,
     "normalize_pipeline": _SQL_NORMALIZE,
+    "percolate_match": _SQL_PERCOLATE,
 }

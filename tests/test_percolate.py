@@ -1,0 +1,142 @@
+"""Percolation (reverse search) vs a pure-Python transcription, plus
+the streaming-alerting drive (per-batch percolation is exact because
+documents match independently)."""
+
+import pytest
+
+from ics_search_engine_spark.operators.percolate import (
+    build_query_index,
+    percolate,
+)
+from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+REGISTERED = [
+    (0, "machine learning"),
+    (1, "error handling"),
+    (2, "machine learning model training"),
+    (3, "the and of"),          # stop-only: can never match
+    (4, "qzzzabsent machine"),  # absent term: conjunctive never matches
+]
+
+
+def _expected_pairs(rows, min_match="all"):
+    """Brute-force percolation: (query_id, conv, turn, matched, n)."""
+    out = set()
+    for qid, q in REGISTERED:
+        qterms = set(tokenize(q, for_query=True, do_stem=True))
+        if not qterms:
+            continue
+        need = (
+            len(qterms) if min_match == "all"
+            else min(len(qterms), min_match)
+        )
+        for conv, turn, text in rows:
+            m = len(qterms & set(tokenize(text, for_query=False)))
+            if m >= need:
+                out.add((qid, conv, turn, m, len(qterms)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def qidx(spark):
+    queries = spark.createDataFrame(
+        REGISTERED, "query_id int, query string"
+    )
+    return build_query_index(spark, queries).cache()
+
+
+class TestQueryIndex:
+    def test_stop_only_query_vanishes(self, spark, qidx):
+        assert qidx.filter("query_id = 3").count() == 0
+
+    def test_terms_distinct_with_counts(self, spark, qidx):
+        rows = qidx.filter("query_id = 2").collect()
+        assert len(rows) == 4 and all(r["n_terms"] == 4 for r in rows)
+        assert len({r["term"] for r in rows}) == 4
+
+
+class TestPercolate:
+    def test_conjunctive_matches_transcription(
+        self, spark, qidx, tiny_rows, small_df
+    ):
+        sub = small_df.limit(300)
+        rows = [
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in sub.select("conv_id", "turn_idx", "text").collect()
+        ]
+        got = {
+            (r["query_id"], r["conv_id"], r["turn_idx"], r["matched"],
+             r["n_terms"])
+            for r in percolate(
+                spark, qidx, sub, ["conv_id", "turn_idx"]
+            ).collect()
+        }
+        assert got == _expected_pairs(rows)
+        assert not any(g[0] in (3, 4) for g in got)
+
+    def test_min_match_int(self, spark, qidx, small_df):
+        sub = small_df.limit(300)
+        rows = [
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in sub.select("conv_id", "turn_idx", "text").collect()
+        ]
+        got = {
+            (r["query_id"], r["conv_id"], r["turn_idx"], r["matched"],
+             r["n_terms"])
+            for r in percolate(
+                spark, qidx, sub, ["conv_id", "turn_idx"], min_match=2
+            ).collect()
+        }
+        expect = _expected_pairs(rows, min_match=2)
+        assert got == expect
+        # msm=2 must be a superset of conjunctive for multi-term
+        # queries, and the 2-term absent-term query now requires
+        # least(2, 2) = both its terms — still never matches
+        assert not any(g[0] == 4 for g in got)
+
+    def test_min_match_validation(self, spark, qidx, small_df):
+        with pytest.raises(ValueError):
+            percolate(
+                spark, qidx, small_df, ["conv_id"], min_match=0
+            )
+
+
+class TestPercolateStreaming:
+    def test_foreachbatch_equals_batch(
+        self, spark, qidx, small_df, corpus_dir
+    ):
+        import pyarrow.parquet as pq
+
+        sub = small_df.limit(200).select("conv_id", "turn_idx", "text")
+        src = f"{corpus_dir}/percolate_stream_src"
+        sub.write.mode("overwrite").parquet(src)
+
+        batch_pairs = {
+            (r["query_id"], r["conv_id"], r["turn_idx"])
+            for r in percolate(
+                spark, qidx, sub, ["conv_id", "turn_idx"]
+            ).collect()
+        }
+
+        streamed: set = set()
+
+        def _alert(batch_df, batch_id):
+            streamed.update(
+                (r["query_id"], r["conv_id"], r["turn_idx"])
+                for r in percolate(
+                    spark, qidx, batch_df, ["conv_id", "turn_idx"]
+                ).collect()
+            )
+
+        stream = spark.readStream.schema(sub.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(_alert)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                f"{corpus_dir}/percolate_stream_ckpt",
+            )
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        assert streamed == batch_pairs and len(streamed) > 0

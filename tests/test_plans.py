@@ -310,3 +310,25 @@ class TestProfile:
             assert r["df"] == pidx.df_for_terms([t])[t]
             assert r["n_shards"] >= 1
         assert profile_terms(spark, pidx, "zz").count() == 0
+
+
+class TestPercolatePlan:
+    def test_broadcast_join_and_partial_agg(self, spark, small_df):
+        """Percolation's 100 TB shape: query index broadcast (docs
+        never shuffle on term) and the (doc, query) count keeping
+        map-side partial aggregation."""
+        from ics_search_engine_spark.operators.percolate import (
+            build_query_index,
+            percolate,
+        )
+
+        queries = spark.createDataFrame(
+            [(0, "machine learning"), (1, "error handling")],
+            "query_id int, query string",
+        )
+        qidx = build_query_index(spark, queries)
+        df = percolate(spark, qidx, small_df, ["conv_id", "turn_idx"])
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "partial_count" in plan, plan[:3000]
