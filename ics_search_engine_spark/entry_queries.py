@@ -6328,6 +6328,92 @@ FROM c WHERE matched >= n_terms
 """
 
 
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester (operators/spell.phrase_suggest): the
+    misspelled phrase 'spark strem' corrected by ranking candidate
+    phrases with a stupid-backoff bigram LM computed from the packed
+    POSITIONAL index — the oracle regenerates candidates (levenshtein
+    over the vocabulary), recounts unigrams/bigram adjacencies
+    relationally, and replays the identical backoff algebra."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.spell import phrase_suggest
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_psuggest_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = phrase_suggest(
+            spark, pidx, "spark strem", max_dist=2, per_token=3, size=3
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["suggestion"], round(r["score"], 6)) for r in rows],
+        "suggestion string, score_r6 double",
+    )
+
+
+_SQL_PHRASE_SUGGEST = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS cf
+  FROM u GROUP BY term
+),
+tot AS (SELECT sum(len(toks))::DOUBLE AS T FROM t),
+c0 AS (
+  SELECT term FROM vocab WHERE levenshtein(term, 'spark') <= 2
+  ORDER BY levenshtein(term, 'spark'), df DESC, term LIMIT 3
+),
+c1 AS (
+  SELECT term FROM vocab WHERE levenshtein(term, 'strem') <= 2
+  ORDER BY levenshtein(term, 'strem'), df DESC, term LIMIT 3
+),
+phrases AS (SELECT c0.term AS w0, c1.term AS w1 FROM c0 CROSS JOIN c1),
+-- DuckDB lambdas can't capture correlated columns, so count every
+-- adjacent pair once (tokens are [a-z0-9]+, space is a safe join key)
+bi AS (
+  SELECT unnest(list_transform(
+           range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]
+         )) AS pair
+  FROM t
+),
+bic AS (SELECT pair, count(*)::BIGINT AS c FROM bi GROUP BY pair),
+adj AS (
+  SELECT p.w0, p.w1, coalesce(bic.c, 0) AS c
+  FROM phrases p LEFT JOIN bic ON bic.pair = p.w0 || ' ' || p.w1
+),
+scored AS (
+  SELECT a.w0 || ' ' || a.w1 AS suggestion,
+         log10(v0.cf / tot.T)
+         + log10(CASE WHEN a.c > 0 THEN a.c / v0.cf::DOUBLE
+                      ELSE 0.4 * v1.cf / tot.T END) AS score
+  FROM adj a
+  JOIN vocab v0 ON v0.term = a.w0
+  JOIN vocab v1 ON v1.term = a.w1
+  CROSS JOIN tot
+)
+SELECT suggestion, round(score, 6) AS score_r6
+FROM scored ORDER BY score DESC, suggestion LIMIT 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6435,6 +6521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_test_agg": q_t_test_agg,
     "normalize_pipeline": q_normalize_pipeline,
     "percolate_match": q_percolate_match,
+    "phrase_suggest": q_phrase_suggest,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6549,4 +6636,5 @@ ORACLE_SQL: dict[str, str] = {
     "t_test_agg": _SQL_T_TEST,
     "normalize_pipeline": _SQL_NORMALIZE,
     "percolate_match": _SQL_PERCOLATE,
+    "phrase_suggest": _SQL_PHRASE_SUGGEST,
 }

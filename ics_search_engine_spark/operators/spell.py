@@ -130,3 +130,194 @@ def suggest_completions(
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(size)
     )
+
+
+def candidate_terms(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    probes: list[str],
+    max_dist: int = 2,
+    per_token: int = 3,
+) -> dict[str, list[str]]:
+    """Top ``per_token`` dictionary candidates per probe by
+    (levenshtein asc, df desc, term asc) — the suggest_terms selection
+    rule generalized from top-1 to top-N.  Probes with no candidate
+    within ``max_dist`` keep themselves (OOV passthrough).  ONE job, a
+    union of per-probe TakeOrderedAndProject branches; the collect is
+    ≤ |probes|·per_token rows."""
+    uniq = sorted(set(probes))
+    if not uniq:
+        return {}
+    branches = None
+    for p in uniq:
+        b = (
+            pidx.term_stats.select(
+                F.lit(p).alias("token"),
+                F.col("term").alias("cand"),
+                F.levenshtein(F.col("term"), F.lit(p)).alias("dist"),
+                F.col("df").cast("long").alias("df"),
+            )
+            .filter(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("cand"))
+            .limit(per_token)
+        )
+        branches = b if branches is None else branches.unionByName(b)
+    out: dict[str, list[str]] = {p: [] for p in uniq}
+    rows = branches.collect()
+    rows.sort(key=lambda r: (r["token"], r["dist"], -r["df"], r["cand"]))
+    for r in rows:
+        out[r["token"]].append(r["cand"])
+    for p in uniq:
+        if not out[p]:
+            out[p] = [p]
+    return out
+
+
+def _lm_counts(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    terms: list[str],
+    pairs: list[tuple[str, str]],
+) -> tuple[dict[str, int], dict[tuple[str, str], int]]:
+    """Unigram collection frequencies (Σ tf) and bigram adjacency
+    counts (positions p, p+1 — index-mode offsets, so stop words
+    occupy slots, the near_topk convention) for the candidate terms
+    only.  Positions decode for ≤ |terms| postings; the bigram count
+    is a doc_ord-keyed self-join of that small frame filtered by a
+    broadcast pair list — nothing corpus-sized leaves the executors."""
+    from ics_search_engine_spark.operators.packed_index import (
+        decode_matched,
+    )
+
+    matched = pidx.index.filter(F.col("term").isin(sorted(set(terms))))
+    posts = decode_matched(matched, with_positions=True).select(
+        "term", "doc_ord", "tf", "positions"
+    )
+    cf = {
+        r["term"]: int(r["cf"])
+        for r in posts.groupBy("term").agg(F.sum("tf").alias("cf")).collect()
+    }
+    adj: dict[tuple[str, str], int] = {}
+    if pairs:
+        pairs_df = spark.createDataFrame(
+            sorted(set(pairs)), "left string, right string"
+        )
+        lhs = posts.select(
+            F.col("term").alias("left"),
+            "doc_ord",
+            F.col("positions").alias("lpos"),
+        )
+        rhs = posts.select(
+            F.col("term").alias("right"),
+            "doc_ord",
+            F.col("positions").alias("rpos"),
+        )
+        joined = (
+            F.broadcast(pairs_df)
+            .join(lhs, "left")
+            .join(rhs, ["right", "doc_ord"])
+            .select(
+                "left",
+                "right",
+                F.size(
+                    F.filter(
+                        "lpos",
+                        _adjacent_pred,
+                    )
+                ).alias("c"),
+            )
+        )
+        adj = {
+            (r["left"], r["right"]): int(r["c"])
+            for r in joined.groupBy("left", "right")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+    return cf, adj
+
+
+def _adjacent_pred(p):
+    """lpos element p is adjacent when p+1 appears in rpos."""
+    return F.array_contains(F.col("rpos"), p + F.lit(1))
+
+
+def phrase_suggest(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    max_dist: int = 2,
+    per_token: int = 3,
+    max_phrases: int = 200,
+    size: int = 3,
+) -> DataFrame:
+    """ES phrase suggester: whole corrected phrases ranked by a
+    stupid-backoff bigram language model over the indexed corpus →
+    (suggestion, score), (score desc, suggestion asc), limit ``size``.
+
+    Where ``did_you_mean`` corrects tokens independently, this ranks
+    CANDIDATE PHRASES in context, so a real dictionary word still
+    loses to a correction whose bigrams actually occur ("machine
+    lerning" → the phrase whose pair is adjacent in the corpus) — the
+    ES phrase-vs-term suggester distinction.
+
+    Contract (deterministic, mirrored by the DuckDB gate):
+    * tokens take the query-mode pipeline; per-token candidates by
+      (levenshtein ≤ max_dist asc, df desc, term asc), top
+      ``per_token``, OOV tokens pass through;
+    * candidate phrases are the rank-ordered cross product, truncated
+      to ``max_phrases`` (ES bounds generation the same way);
+    * score = Σᵢ log10 S(wᵢ) with stupid backoff (Brants et al. 2007,
+      α = 0.4): S(w₁) = cf(w₁)/T; S(wᵢ|wᵢ₋₁) = adj(wᵢ₋₁,wᵢ)/cf(wᵢ₋₁)
+      when the bigram occurs, else 0.4·cf(wᵢ)/T; zero-cf terms floor
+      at 1/(2T).  T = total indexed tokens (stats sum_dl), cf = Σ tf,
+      adj = adjacent-position count (p, p+1).
+
+    Scale shape: two bounded jobs (candidate union + LM counts on
+    candidate terms only) and a ≤ max_phrases driver-side scoring
+    loop — corpus size only enters through vocabulary-sized
+    TakeOrderedAndProject branches and the candidate postings decode.
+    """
+    import itertools
+    import math
+
+    out_schema = "suggestion string, score double"
+    do_stem = pidx.stats.get("stem", True)
+    toks = tokenize(query, for_query=True, do_stem=do_stem)
+    if not toks:
+        return spark.createDataFrame([], out_schema)
+    cands = candidate_terms(
+        spark, pidx, toks, max_dist=max_dist, per_token=per_token
+    )
+    ranked = [cands[t] for t in toks]
+    phrases = list(
+        itertools.islice(itertools.product(*ranked), max_phrases)
+    )
+    terms = sorted({w for ph in phrases for w in ph})
+    pairs = sorted({
+        (ph[i], ph[i + 1])
+        for ph in phrases
+        for i in range(len(ph) - 1)
+    })
+    cf, adj = _lm_counts(spark, pidx, terms, pairs)
+    total = float(pidx.stats.get("sum_dl", 0)) or 1.0
+    floor = 1.0 / (2.0 * total)
+
+    def uni(w: str) -> float:
+        c = cf.get(w, 0)
+        return c / total if c > 0 else floor
+
+    def backoff(prev: str, w: str) -> float:
+        a = adj.get((prev, w), 0)
+        if a > 0:
+            return a / cf[prev]  # prev has a bigram ⇒ cf(prev) > 0
+        c = cf.get(w, 0)
+        return 0.4 * c / total if c > 0 else floor
+
+    scored = []
+    for ph in phrases:
+        s = math.log10(uni(ph[0]))
+        for i in range(1, len(ph)):
+            s += math.log10(backoff(ph[i - 1], ph[i]))
+        scored.append((" ".join(ph), s))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(scored[:size], out_schema)

@@ -154,3 +154,114 @@ class TestCompletions:
         assert len(one) == 3  # length-1 prefix still completes
         assert all(r["term"].startswith("m") for r in one)
         assert suggest_completions(pidx, "  ", size=3).count() == 0
+
+
+def _lm_transcription(rows, toks, cands, max_phrases=200):
+    """Pure-Python replay of phrase_suggest's stupid-backoff scoring
+    over the stemmed index-mode corpus."""
+    import itertools
+    import math
+
+    docs = [tokenize(t, for_query=False) for _, _, t in rows]
+    cf: dict[str, int] = {}
+    adj: dict[tuple[str, str], int] = {}
+    total = 0
+    for d in docs:
+        total += len(d)
+        for w in d:
+            cf[w] = cf.get(w, 0) + 1
+        for a, b in zip(d, d[1:]):
+            adj[(a, b)] = adj.get((a, b), 0) + 1
+    floor = 1.0 / (2.0 * total)
+
+    def uni(w):
+        return cf[w] / total if cf.get(w, 0) > 0 else floor
+
+    def backoff(p, w):
+        a = adj.get((p, w), 0)
+        if a > 0:
+            return a / cf[p]
+        return 0.4 * cf[w] / total if cf.get(w, 0) > 0 else floor
+
+    scored = []
+    for ph in itertools.islice(
+        itertools.product(*[cands[t] for t in toks]), max_phrases
+    ):
+        s = math.log10(uni(ph[0]))
+        for i in range(1, len(ph)):
+            s += math.log10(backoff(ph[i - 1], ph[i]))
+        scored.append((" ".join(ph), s))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return scored
+
+
+class TestPhraseSuggest:
+    def _cands(self, idx, probes, per_token=3, max_dist=2):
+        out = {}
+        for p in set(probes):
+            cands = [
+                (t, idx.df(t), edit_distance(t, p))
+                for t in idx.postings
+                if edit_distance(t, p) <= max_dist
+            ]
+            cands.sort(key=lambda x: (x[2], -x[1], x[0]))
+            out[p] = [c[0] for c in cands[:per_token]] or [p]
+        return out
+
+    def test_candidate_terms_rank_and_oov(self, spark, setup):
+        from ics_search_engine_spark.operators.spell import candidate_terms
+
+        pidx, idx = setup
+        probes = ["machne", "learnin", "qqqzzzxxxy"]
+        got = candidate_terms(spark, pidx, probes, per_token=3)
+        expect = self._cands(idx, probes)
+        assert got == expect
+        assert got["qqqzzzxxxy"] == ["qqqzzzxxxy"]  # OOV passthrough
+
+    def test_phrase_suggest_matches_transcription(
+        self, spark, setup, small_rows
+    ):
+        from ics_search_engine_spark.operators.spell import phrase_suggest
+
+        pidx, idx = setup
+        query = "machine lerning"
+        toks = tokenize(query, for_query=True)
+        cands = self._cands(idx, toks)
+        expect = _lm_transcription(small_rows, toks, cands)[:3]
+        got = [
+            (r["suggestion"], r["score"])
+            for r in phrase_suggest(spark, pidx, query, size=3).collect()
+        ]
+        assert [g[0] for g in got] == [e[0] for e in expect]
+        for g, e in zip(got, expect):
+            assert g[1] == pytest.approx(e[1], rel=1e-12)
+
+    def test_context_beats_isolated_df(self, spark, setup, small_rows):
+        """The phrase-vs-term distinction: the top suggestion's bigram
+        must actually occur in the corpus (score strictly above the
+        pure-backoff alternative when an adjacency exists)."""
+        from ics_search_engine_spark.operators.spell import phrase_suggest
+
+        pidx, idx = setup
+        got = phrase_suggest(
+            spark, pidx, "machine lerning", size=3
+        ).collect()
+        assert got, "expected suggestions"
+        top = got[0]["suggestion"].split()
+        docs = [tokenize(t, for_query=False) for _, _, t in small_rows]
+        assert any(
+            a == top[0] and b == top[1]
+            for d in docs for a, b in zip(d, d[1:])
+        ), "top suggestion's bigram should occur in the corpus"
+
+    def test_empty_and_oov_queries(self, spark, setup):
+        from ics_search_engine_spark.operators.spell import phrase_suggest
+
+        pidx, idx = setup
+        assert phrase_suggest(spark, pidx, "the and of").count() == 0
+        rows = phrase_suggest(
+            spark, pidx, "qqqzzzxxxy wwwvvvuuut", size=2
+        ).collect()
+        # both tokens OOV: one floor-scored passthrough phrase
+        assert len(rows) == 1
+        assert rows[0]["suggestion"] == "qqqzzzxxxy wwwvvvuuut"
