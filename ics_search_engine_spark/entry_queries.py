@@ -6414,6 +6414,95 @@ FROM scored ORDER BY score DESC, suggestion LIMIT 3
 """
 
 
+def q_federated_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-index search (operators/federated.
+    federated_topk): two independently-built halves of the corpus
+    (doc_id parity), each scored with its OWN df/avgdl/n statistics —
+    the ES cross-cluster contract — the odd half boosted ×2, merged
+    top-20.  The oracle recomputes BOTH per-half BM25 rankings with
+    per-half stats and replays the boost + merge; the rounded-order
+    top-20 is the engine gates' boundary convention."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.federated import federated_topk
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        (F.col("doc_id") % 2).alias("half"),
+        F.col("text"),
+    )
+    dirs = [tempfile.mkdtemp(prefix=f"gate_fed{i}_idx_") for i in (0, 1)]
+    try:
+        idxs = []
+        for i, out in enumerate(dirs):
+            build_packed_index(
+                spark,
+                transcripts.filter(F.col("half") == i).drop("half"),
+                out, range_bits=8, with_positions=False, stem=False,
+            )
+            idxs.append(PackedIndex(spark, out))
+        rows = federated_topk(
+            spark,
+            [("even", idxs[0], 1.0), ("odd", idxs[1], 2.0)],
+            " ".join(DOCS_QUERY_TERMS),
+            k=120,
+        ).collect()
+    finally:
+        for out in dirs:
+            shutil.rmtree(out, ignore_errors=True)
+    resolved = [
+        (r["index_name"], int(r["conv_id"][3:]), round(r["score"], 6))
+        for r in rows
+    ]
+    resolved.sort(key=lambda x: (-x[2], x[0], x[1]))
+    return spark.createDataFrame(
+        resolved[:20], "index_name string, doc_id long, score_r6 double"
+    )
+
+
+_SQL_FEDERATED = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 2 AS half, {_SQL_TOKS} AS toks FROM documents
+),
+stats AS (
+  SELECT half, count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl
+  FROM t GROUP BY half
+),
+posts AS (
+  SELECT half, term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, half, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY half, term, doc_id
+),
+dfs AS (SELECT half, term, count(*) AS df FROM posts GROUP BY half, term),
+scored AS (
+  SELECT p.half, p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p
+  JOIN dfs d ON d.half = p.half AND d.term = p.term
+  JOIN stats s ON s.half = p.half
+),
+ranked AS (
+  SELECT CASE WHEN half = 0 THEN 'even' ELSE 'odd' END AS index_name,
+         doc_id,
+         round(sum(contrib) * (CASE WHEN half = 0 THEN 1.0 ELSE 2.0 END),
+               6) AS score_r6
+  FROM scored GROUP BY half, doc_id
+)
+SELECT index_name, doc_id, score_r6
+FROM ranked ORDER BY score_r6 DESC, index_name ASC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6522,6 +6611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_pipeline": q_normalize_pipeline,
     "percolate_match": q_percolate_match,
     "phrase_suggest": q_phrase_suggest,
+    "federated_boost": q_federated_boost,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6637,4 +6727,5 @@ ORACLE_SQL: dict[str, str] = {
     "normalize_pipeline": _SQL_NORMALIZE,
     "percolate_match": _SQL_PERCOLATE,
     "phrase_suggest": _SQL_PHRASE_SUGGEST,
+    "federated_boost": _SQL_FEDERATED,
 }
