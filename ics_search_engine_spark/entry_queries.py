@@ -6503,6 +6503,36 @@ FROM ranked ORDER BY score_r6 DESC, index_name ASC, doc_id ASC LIMIT 20
 """
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-quantization pipeline (operators/similarity.pq_fit
+    → pq_encode → ADC shortlist → exact rerank) under the DuckDB gate:
+    with n_candidates = |table| the ADC shortlist is everything and
+    the rerank must return EXACTLY the brute-force answer — the IVF
+    n_probe=all convention.  Gates the subspace fit, the broadcast
+    pandas encoder, the LUT distance, and the rerank join end-to-end;
+    the recall-vs-shortlist tradeoff is pytest-covered (approximate
+    by design, not SQL-expressible)."""
+    from ics_search_engine_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk_rerank,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    books = pq_fit(emb, m=4, k_cents=8, iters=3, seed=42)
+    coded = pq_encode(emb.filter(F.col("vec_id") != 0), books)
+    n = coded.count()
+    top = pq_topk_rerank(
+        coded, books, [float(x) for x in qvec], k=20, n_candidates=n
+    )
+    return (
+        top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+        .orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6612,6 +6642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percolate_match": q_percolate_match,
     "phrase_suggest": q_phrase_suggest,
     "federated_boost": q_federated_boost,
+    "knn_pq": q_knn_pq,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6728,4 +6759,5 @@ ORACLE_SQL: dict[str, str] = {
     "percolate_match": _SQL_PERCOLATE,
     "phrase_suggest": _SQL_PHRASE_SUGGEST,
     "federated_boost": _SQL_FEDERATED,
+    "knn_pq": _SQL_KNN_COSINE,
 }

@@ -386,3 +386,154 @@ def write_ivf_partitioned(
 
 def read_ivf_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011) — the memory-bounded
+# ANN path: a D-dim float vector compresses to M small codes (D·4 bytes
+# → M bytes at 256 centroids/subspace), and query-time distance becomes
+# M table lookups per vector (ADC, asymmetric distance computation).
+# At 10^12 vectors the raw embeddings cannot live hot; the PQ code
+# table is ~100× smaller and scans at memory bandwidth.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    k_cents: int = 256,
+    iters: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_fit_rows: int = 1_000_000,
+) -> np.ndarray:
+    """Train PQ codebooks: split the vector into ``m`` equal subspaces
+    and run the capped Lloyd fit (ivf_centroids' bounded-sample
+    discipline) independently per subspace → (m, k_cents, d/m) float64.
+
+    Requires dim % m == 0 (the standard PQ layout).  The fit sample is
+    collected ONCE and sliced per subspace — one driver-side array of
+    ≤ max_fit_rows × dim, the same cap class as the IVF fit."""
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot fit PQ on an empty table")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    over_cap = (
+        emb.select(vec_col).limit(max_fit_rows + 1)
+        .selectExpr("1 as one").count() > max_fit_rows
+    )
+    df = emb.select(vec_col)
+    if over_cap:
+        n = df.count()
+        rows = df.sample(
+            fraction=min(1.0, 1.05 * max_fit_rows / n), seed=seed
+        ).limit(max_fit_rows).collect()
+    else:
+        rows = df.collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    dsub = dim // m
+    return np.stack([
+        _lloyd_fit(X[:, i * dsub:(i + 1) * dsub], k_cents, iters, seed + i)
+        for i in range(m)
+    ])
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``pq_codes`` (array<int>, one nearest-centroid id per
+    subspace) — the compressed representation; every other column
+    passes through.  Assignment is an Arrow-batched pandas UDF over a
+    BROADCAST codebook matrix (the IVF pandas-dispatch note: literal
+    centroid expressions explode the plan at realistic sizes), each
+    batch going through the cap-safe chunked argmin."""
+    from pyspark.sql import SparkSession
+
+    m, k_cents, dsub = codebooks.shape
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = sc.broadcast(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        cb = bc.value
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        codes = np.empty((len(X), len(cb)), dtype=np.int64)
+        for i in range(len(cb)):
+            sub = X[:, i * dsub:(i + 1) * dsub]
+            codes[:, i] = _chunked_argmin(sub, cb[i])
+        return pd.Series(list(codes))
+
+    return emb.withColumn("pq_codes", _encode(F.col(vec_col)))
+
+
+def pq_topk_adc(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by ADC: the query builds one (m, k_cents)
+    lookup table of squared subdistances, and each row's distance is
+    the sum of m table lookups over its codes — no float vectors are
+    read at all.  → (id, approx_d2) ascending, TakeOrderedAndProject.
+
+    Approximate BY DESIGN (quantization error; recall is
+    pytest-bounded); compose with :func:`pq_topk_rerank` for the
+    exact-on-shortlist contract."""
+    from pyspark.sql import SparkSession
+
+    m, k_cents, dsub = codebooks.shape
+    q = np.asarray(qvec, dtype=np.float64)
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != {m * dsub}")
+    lut = np.stack([
+        ((codebooks[i] - q[i * dsub:(i + 1) * dsub][None, :]) ** 2)
+        .sum(axis=1)
+        for i in range(m)
+    ])
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = sc.broadcast(lut)
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series) -> pd.Series:
+        t = bc.value
+        C = np.array(codes.tolist(), dtype=np.int64)
+        d = np.take_along_axis(
+            t, C.T, axis=1
+        ).sum(axis=0)
+        return pd.Series(d)
+
+    return (
+        coded.select(F.col(id_col), _adc(F.col("pq_codes")).alias("approx_d2"))
+        .orderBy(F.asc("approx_d2"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    qvec: list[float],
+    k: int = 10,
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-phase PQ search: ADC shortlist of ``n_candidates``, then
+    EXACT cosine re-rank of the shortlist's true vectors → (id,
+    cosine) — the standard IVFADC+rerank serving shape.  With
+    n_candidates ≥ |table| the shortlist is everything and the result
+    is EXACTLY brute force (the gate's configuration, the IVF
+    n_probe=all convention).  The rerank join is a broadcast of ≤
+    n_candidates ids against the vector table."""
+    short = pq_topk_adc(coded, codebooks, qvec, k=n_candidates,
+                        id_col=id_col)
+    cand = coded.join(
+        F.broadcast(short.select(id_col)), id_col
+    )
+    return cosine_topk_bruteforce(cand, qvec, k, id_col, vec_col)
