@@ -6533,6 +6533,88 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_feature_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature clause (operators/funcscore.
+    bm25_topk_rank_feature): bm25 + 2·saturation(feature, pivot=10)
+    where the feature is a deterministic per-doc static signal
+    (doc_id % 97) present only for doc_id % 3 != 0 — docs without the
+    feature score bm25 + 0, never excluded.  Rounded-order top-20, the
+    engine gates' boundary convention."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.funcscore import (
+        bm25_topk_rank_feature,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    features = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        (F.col("doc_id") % 97).cast("double").alias("pagerank"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_rankfeat_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = bm25_topk_rank_feature(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), features,
+            "pagerank", boost=2.0, fn="saturation", pivot=10.0, k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [
+        (int(c[3:]), round(float(s), 6)) for c, _, s in rows
+    ]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, score_r6 double"
+    )
+
+
+_SQL_RANK_FEATURE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+bm25 AS (
+  SELECT p.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (p.tf * 2.2
+                / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))))
+           AS score
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+feat AS (
+  SELECT doc_id, (doc_id % 97)::DOUBLE AS f FROM documents
+  WHERE doc_id % 3 != 0
+)
+SELECT b.doc_id,
+       round(b.score + 2.0 * coalesce(f.f / (f.f + 10.0), 0.0), 6)
+         AS score_r6
+FROM bm25 b LEFT JOIN feat f USING (doc_id)
+ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6643,6 +6725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_suggest": q_phrase_suggest,
     "federated_boost": q_federated_boost,
     "knn_pq": q_knn_pq,
+    "rank_feature_engine": q_rank_feature_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6760,4 +6843,5 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_suggest": _SQL_PHRASE_SUGGEST,
     "federated_boost": _SQL_FEDERATED,
     "knn_pq": _SQL_KNN_COSINE,
+    "rank_feature_engine": _SQL_RANK_FEATURE,
 }

@@ -205,3 +205,101 @@ def bm25_topk_random(
     return out.orderBy(
         F.desc("score"), F.asc("conv_id"), F.asc("turn_idx")
     ).limit(k)
+
+
+RANK_FEATURE_FNS = ("saturation", "log", "sigmoid")
+
+
+def rank_feature_col(
+    feature: Column,
+    fn: str = "saturation",
+    pivot: float = 1.0,
+    exponent: float = 1.0,
+    scaling_factor: float = 1.0,
+) -> Column:
+    """ES rank_feature score functions over a non-negative per-doc
+    static feature: ``saturation`` f/(f+pivot), ``log``
+    ln(scaling_factor + f), ``sigmoid`` f^exp/(f^exp + pivot^exp) —
+    all monotone in f, bounded (log excepted), zero at f = 0.
+    NULL features score 0 (ES: a doc without the feature gets no
+    contribution from the clause, it is NOT excluded)."""
+    if fn not in RANK_FEATURE_FNS:
+        raise ValueError(f"unknown rank_feature function {fn!r}")
+    f = F.coalesce(feature.cast("double"), F.lit(0.0))
+    if fn == "saturation":
+        s = f / (f + F.lit(float(pivot)))
+    elif fn == "log":
+        s = F.log(F.lit(float(scaling_factor)) + f)
+    else:
+        fe = F.pow(f, F.lit(float(exponent)))
+        s = fe / (fe + F.lit(float(pivot) ** float(exponent)))
+    return s
+
+
+def bm25_topk_rank_feature(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    features: DataFrame,
+    feature_col: str,
+    boost: float = 1.0,
+    fn: str = "saturation",
+    pivot: float = 1.0,
+    exponent: float = 1.0,
+    scaling_factor: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k of bm25 + boost·S(feature) — the ES rank_feature clause
+    as an additive should-leg over a STATIC per-doc signal (pagerank,
+    url_length, freshness buckets...).  ``features`` carries
+    (conv_id, turn_idx, feature_col); docs missing from it contribute
+    0, exactly like a missing rank_feature field.
+
+    Like the decay scorer this RE-RANKS (the feature applies to every
+    matched doc BEFORE the cut — a post-hoc boost of a bm25 top-k
+    would miss docs whose boosted score overtakes); the feature join
+    is a left join on the scored match set, the feature leg never
+    widens the match set (rank_feature contributes no recall, only
+    ranking — ES's contract)."""
+    from ics_search_engine_spark.operators.packed_index import (
+        decode_matched,
+    )
+    from ics_search_engine_spark.operators.query import (
+        query_weights,
+        score_all,
+    )
+
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if not weights:
+        return empty
+    matched = pidx.index.filter(F.col("term").isin(q_terms))
+    posts = decode_matched(matched)
+    scored = score_all(spark, posts, weights, pidx.avgdl, ["doc_ord"])
+    keyed = pidx.docmap.join(scored, "doc_ord").select(
+        "conv_id", "turn_idx", "score"
+    )
+    s = rank_feature_col(
+        F.col(feature_col), fn, pivot, exponent, scaling_factor
+    )
+    return (
+        keyed.join(
+            features.select("conv_id", "turn_idx", feature_col),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            (F.col("score") + F.lit(float(boost)) * s).alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(k)
+    )

@@ -208,3 +208,95 @@ class TestPhrasePrefix:
             spark, pidx, "machine lear", k=10, max_expansions=1
         ).count()
         assert capped <= full
+
+
+class TestRankFeature:
+    FEATS = {("c0", 0): 5.0, ("c1", 0): 50.0, ("c2", 1): 0.0}
+    # c0/1, c2/0, c3/0 carry NO feature -> contribute 0, stay ranked
+
+    def _features(self, spark):
+        return spark.createDataFrame(
+            [(c, t, f) for (c, t), f in sorted(self.FEATS.items())],
+            "conv_id string, turn_idx int, pagerank double",
+        )
+
+    def test_saturation_matches_transcription(self, spark, setup):
+        from ics_search_engine_spark.operators.funcscore import (
+            bm25_topk_rank_feature,
+        )
+
+        pidx, _ = setup
+        base = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in bm25_topk_packed(
+                spark, pidx, "machine learning", k=10
+            ).collect()
+        }
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in bm25_topk_rank_feature(
+                spark, pidx, "machine learning", self._features(spark),
+                "pagerank", boost=2.0, fn="saturation", pivot=10.0, k=10,
+            ).collect()
+        }
+        assert set(got) == set(base)
+        for d, s in got.items():
+            f = self.FEATS.get(d, 0.0)
+            expect = base[d] + 2.0 * (f / (f + 10.0))
+            assert s == pytest.approx(expect, rel=1e-12)
+
+    def test_missing_feature_scores_plain_bm25(self, spark, setup):
+        from ics_search_engine_spark.operators.funcscore import (
+            bm25_topk_rank_feature,
+        )
+
+        pidx, _ = setup
+        base = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in bm25_topk_packed(
+                spark, pidx, "machine learning", k=10
+            ).collect()
+        }
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in bm25_topk_rank_feature(
+                spark, pidx, "machine learning", self._features(spark),
+                "pagerank", boost=2.0, k=10,
+            ).collect()
+        }
+        unfeat = [d for d in base if d not in self.FEATS]
+        assert unfeat, "fixture should leave some docs featureless"
+        for d in unfeat:
+            assert got[d] == pytest.approx(base[d], rel=1e-15)
+
+    def test_log_and_sigmoid_functions(self, spark):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.funcscore import (
+            rank_feature_col,
+        )
+
+        df = spark.createDataFrame([(4.0,), (None,)], "f double")
+        rows = df.select(
+            rank_feature_col(F.col("f"), "log", scaling_factor=1.0)
+            .alias("lg"),
+            rank_feature_col(
+                F.col("f"), "sigmoid", pivot=8.0, exponent=2.0
+            ).alias("sg"),
+        ).collect()
+        assert rows[0]["lg"] == pytest.approx(math.log(5.0), rel=1e-12)
+        assert rows[0]["sg"] == pytest.approx(
+            16.0 / (16.0 + 64.0), rel=1e-12
+        )
+        assert rows[1]["lg"] == pytest.approx(0.0, abs=1e-15)
+        assert rows[1]["sg"] == 0.0
+
+    def test_unknown_function_raises(self, spark):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.funcscore import (
+            rank_feature_col,
+        )
+
+        with pytest.raises(ValueError):
+            rank_feature_col(F.col("f"), "nope")
