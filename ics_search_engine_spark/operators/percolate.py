@@ -64,6 +64,16 @@ def build_query_index(
     Parsing runs through the Arrow-vectorized query tokenizer on
     executors — a million registered queries never touch the driver.
     """
+    # a duplicated query_id would union two queries' terms under one
+    # id with conflicting n_terms — silently wrong matches, so refuse
+    dup = (
+        queries.groupBy("query_id").count().filter(F.col("count") > 1)
+        .limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate query_id in registered queries: {dup[0]['query_id']}"
+        )
     tok = tokenize_query if do_stem else _tokenize_query_nostem
     terms = queries.select(
         "query_id",

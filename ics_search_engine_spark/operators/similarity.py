@@ -459,6 +459,8 @@ def pq_encode(
 
     @F.pandas_udf("array<int>")
     def _encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: [] is 1-D, can't slice
+            return pd.Series([], dtype=object)
         cb = bc.value
         X = np.array(vecs.tolist(), dtype=np.float64)
         codes = np.empty((len(X), len(cb)), dtype=np.int64)
@@ -501,6 +503,8 @@ def pq_topk_adc(
 
     @F.pandas_udf("double")
     def _adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:  # empty Arrow batch: [] is 1-D, can't .T
+            return pd.Series([], dtype=float)
         t = bc.value
         C = np.array(codes.tolist(), dtype=np.int64)
         d = np.take_along_axis(

@@ -140,3 +140,12 @@ class TestPercolateStreaming:
         )
         q.awaitTermination(timeout=120)
         assert streamed == batch_pairs and len(streamed) > 0
+
+
+class TestValidation:
+    def test_duplicate_query_id_rejected(self, spark):
+        dup = spark.createDataFrame(
+            [(1, "a b"), (1, "c d")], "query_id int, query string"
+        )
+        with pytest.raises(ValueError):
+            build_query_index(spark, dup)

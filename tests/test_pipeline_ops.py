@@ -348,6 +348,20 @@ class TestProductQuantization:
         with pytest.raises(ValueError):
             pq_fit(emb, m=7)  # dim not divisible
 
+    def test_empty_partitions_survive(self, spark, emb, fitted, qvec):
+        """Arrow ships empty batches for empty partitions; the encode
+        and ADC UDFs must not choke on the 1-D empty array."""
+        from ics_search_engine_spark.operators.similarity import (
+            pq_encode,
+            pq_topk_adc,
+        )
+
+        books, _ = fitted
+        sparse = emb.repartition(16).filter("vec_id < 3")
+        coded = pq_encode(sparse, books)
+        rows = pq_topk_adc(coded, books, qvec, k=5).collect()
+        assert {r["vec_id"] for r in rows} == {0, 1, 2}
+
 
 class TestMultimodal:
     def test_decode_features_shape(self, spark):
