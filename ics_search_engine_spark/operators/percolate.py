@@ -142,3 +142,59 @@ def _tokenize_query_nostem(texts):
     return texts.map(
         lambda t: tokenize(t or "", for_query=True, do_stem=False)
     )
+
+
+def percolate_stream(
+    query_index: DataFrame,
+    docs: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    min_match: int | str = "all",
+    do_stem: bool = True,
+) -> DataFrame:
+    """Append-mode streaming percolation: the same match semantics as
+    :func:`percolate`, reformulated WITHOUT aggregation so it runs
+    directly inside ``readStream → writeStream`` in append mode (the
+    batch form's (doc, query) groupBy would demand update/complete
+    mode and state).
+
+    Shape: the query index rolls up to one (query_id, qterms, n_terms)
+    row per query (a tiny batch-side frame), the doc keeps its
+    distinct-term ARRAY, and matching is a broadcast join whose
+    predicate is size(array_intersect(doc_terms, qterms)) ≥ required —
+    stateless per document, exactly-once under any trigger.
+
+    Trade (documented, measured in tools/wave7_bench.py for the sparse
+    form): this evaluates EVERY registered query against every doc
+    (dense), the right shape up to ~10^4 queries; the batch form's
+    term-keyed join only touches queries sharing a term with the doc
+    (sparse) — for larger query sets run THAT inside foreachBatch."""
+    if min_match != "all" and (
+        not isinstance(min_match, int) or min_match < 1
+    ):
+        raise ValueError(
+            f"min_match must be 'all' or a positive int, got {min_match!r}"
+        )
+    tok = tokenize_index if do_stem else tokenize_nostem
+    grouped = query_index.groupBy("query_id", "n_terms").agg(
+        F.sort_array(F.collect_list("term")).alias("qterms")
+    )
+    doc_terms = docs.withColumn(
+        "_doc_terms", F.array_distinct(tok(F.col(text_col)))
+    )
+    if min_match == "all":
+        required = F.col("n_terms")
+    else:
+        required = F.least(F.col("n_terms"), F.lit(int(min_match)))
+    matched = F.size(F.array_intersect("_doc_terms", "qterms"))
+    return (
+        doc_terms.join(
+            F.broadcast(grouped), matched >= required, "inner"
+        )
+        .select(
+            *id_cols,
+            "query_id",
+            matched.alias("matched"),
+            "n_terms",
+        )
+    )

@@ -149,3 +149,67 @@ class TestValidation:
         )
         with pytest.raises(ValueError):
             build_query_index(spark, dup)
+
+
+class TestPercolateStreamNative:
+    def test_append_mode_stream_equals_batch(
+        self, spark, qidx, small_df, corpus_dir
+    ):
+        """percolate_stream runs INSIDE the streaming plan (stream-
+        static broadcast join, no aggregation) — append mode, no
+        foreachBatch — and must produce the batch pair set."""
+        from ics_search_engine_spark.operators.percolate import (
+            percolate_stream,
+        )
+
+        sub = small_df.limit(200).select("conv_id", "turn_idx", "text")
+        src = f"{corpus_dir}/percolate_native_src"
+        sub.write.mode("overwrite").parquet(src)
+
+        batch_pairs = {
+            (r["query_id"], r["conv_id"], r["turn_idx"], r["matched"])
+            for r in percolate(
+                spark, qidx, sub, ["conv_id", "turn_idx"]
+            ).collect()
+        }
+        stream = spark.readStream.schema(sub.schema).parquet(src)
+        alerts = percolate_stream(qidx, stream, ["conv_id", "turn_idx"])
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("percolate_native_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                f"{corpus_dir}/percolate_native_ckpt",
+            )
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        got = {
+            (r["query_id"], r["conv_id"], r["turn_idx"], r["matched"])
+            for r in spark.sql(
+                "SELECT * FROM percolate_native_sink"
+            ).collect()
+        }
+        assert got == batch_pairs and len(got) > 0
+
+    def test_batch_form_parity_and_msm(self, spark, qidx, small_df):
+        from ics_search_engine_spark.operators.percolate import (
+            percolate_stream,
+        )
+
+        sub = small_df.limit(300)
+        for mm in ("all", 2):
+            a = {
+                tuple(r) for r in percolate(
+                    spark, qidx, sub, ["conv_id", "turn_idx"],
+                    min_match=mm,
+                ).collect()
+            }
+            b = {
+                tuple(r) for r in percolate_stream(
+                    qidx, sub, ["conv_id", "turn_idx"], min_match=mm
+                ).collect()
+            }
+            assert a == b
