@@ -260,7 +260,17 @@ def bm25_topk_rank_feature(
     would miss docs whose boosted score overtakes); the feature join
     is a left join on the scored match set, the feature leg never
     widens the match set (rank_feature contributes no recall, only
-    ranking — ES's contract)."""
+    ranking — ES's contract).
+
+    Scale note (shared with the decay scorer's attrs join): joining a
+    corpus-sized feature table at query time shuffles it on the doc
+    key when the match set is too big to broadcast (AQE picks).  At
+    10^12 docs the right design is the dl precedent — denormalize
+    hot static features into the packed payload at build time
+    (functions/codec) or bucket the feature table by the doc key so
+    the join is co-partitioned; the query-time join here is the
+    flexible path for features that change independently of the
+    index."""
     from ics_search_engine_spark.operators.packed_index import (
         decode_matched,
     )
