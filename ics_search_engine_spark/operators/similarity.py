@@ -527,6 +527,7 @@ def pq_topk_rerank(
     n_candidates: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase PQ search: ADC shortlist of ``n_candidates``, then
     EXACT cosine re-rank of the shortlist's true vectors → (id,
@@ -534,10 +535,17 @@ def pq_topk_rerank(
     n_candidates ≥ |table| the shortlist is everything and the result
     is EXACTLY brute force (the gate's configuration, the IVF
     n_probe=all convention).  The rerank join is a broadcast of ≤
-    n_candidates ids against the vector table."""
+    n_candidates ids against the vector table.
+
+    ``vectors``: at scale the code table is stored WITHOUT the float
+    vectors (that compression is the point of PQ) — pass the separate
+    vector table here and only the shortlist's rows of it are ever
+    read (id-pushdown scan); default None reads ``vec_col`` from
+    ``coded`` itself (the small-data convenience)."""
     short = pq_topk_adc(coded, codebooks, qvec, k=n_candidates,
                         id_col=id_col)
-    cand = coded.join(
+    source = coded if vectors is None else vectors
+    cand = source.join(
         F.broadcast(short.select(id_col)), id_col
     )
     return cosine_topk_bruteforce(cand, qvec, k, id_col, vec_col)

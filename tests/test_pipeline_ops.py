@@ -348,6 +348,27 @@ class TestProductQuantization:
         with pytest.raises(ValueError):
             pq_fit(emb, m=7)  # dim not divisible
 
+    def test_rerank_from_separate_vector_table(
+        self, emb, fitted, qvec
+    ):
+        """The at-scale layout: codes stored WITHOUT vectors, exact
+        rerank reading the shortlist's rows from a separate vector
+        table — must equal the convenience single-table path."""
+        from ics_search_engine_spark.operators.similarity import (
+            pq_topk_rerank,
+        )
+
+        books, coded = fitted
+        codes_only = coded.select("vec_id", "pq_codes")
+        got = pq_topk_rerank(
+            codes_only, books, qvec, k=10, n_candidates=60,
+            vectors=emb,
+        ).collect()
+        want = pq_topk_rerank(
+            coded, books, qvec, k=10, n_candidates=60
+        ).collect()
+        assert got == want and len(got) == 10
+
     def test_empty_partitions_survive(self, spark, emb, fitted, qvec):
         """Arrow ships empty batches for empty partitions; the encode
         and ADC UDFs must not choke on the 1-D empty array."""
