@@ -6615,6 +6615,77 @@ ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES combined_fields / BM25F (operators/fields.
+    combined_fields_topk): fields merge into one pseudo-field BEFORE
+    saturation (weighted tf and dl sums, pseudo-df = max over fields —
+    the Lucene CombinedFieldQuery contract) — distinct from both
+    multi_match modes, which saturate per field.  Rounded-order
+    top-20, the fielded gates' convention."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.fields import (
+        FieldedIndex,
+        build_fielded_index,
+        combined_fields_topk,
+    )
+
+    transcripts = _fielded_transcripts(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="gate_combined_idx_")
+    try:
+        build_fielded_index(
+            spark, transcripts, out, ["text", "title"], range_bits=8,
+            stem=False,
+        )
+        fidx = FieldedIndex(spark, out)
+        rows = combined_fields_topk(
+            spark, fidx, " ".join(DOCS_QUERY_TERMS),
+            {"text": 1.0, "title": 2.0}, k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(float(s), 6)) for c, _, s in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, score_r6 double"
+    )
+
+
+_SQL_COMBINED_FIELDS = _SQL_FIELDED_BASE + """
+, dfm AS (
+  SELECT term, max(df) AS df FROM (
+    SELECT * FROM dfs_text UNION ALL SELECT * FROM dfs_title
+  ) GROUP BY term
+),
+tfc AS (
+  SELECT term, doc_id, sum(wtf) AS tfc FROM (
+    SELECT term, doc_id, 1.0 * tf AS wtf FROM posts_text
+    UNION ALL
+    SELECT term, doc_id, 2.0 * tf AS wtf FROM posts_title
+  ) GROUP BY term, doc_id
+),
+dls AS (
+  SELECT doc_id, 1.0 * len(toks) + 2.0 * len(ttoks) AS dlc FROM t
+),
+scored AS (
+  SELECT c.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (c.tfc * 2.2
+                / (c.tfc + 1.2 * (0.25 + 0.75 * l.dlc
+                   / (1.0 * s.avgdl_text + 2.0 * s.avgdl_title)))))
+           AS score
+  FROM tfc c
+  JOIN dfm d USING (term)
+  JOIN dls l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY c.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r6
+FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6726,6 +6797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "federated_boost": q_federated_boost,
     "knn_pq": q_knn_pq,
     "rank_feature_engine": q_rank_feature_engine,
+    "combined_fields_engine": q_combined_fields,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6844,4 +6916,5 @@ ORACLE_SQL: dict[str, str] = {
     "federated_boost": _SQL_FEDERATED,
     "knn_pq": _SQL_KNN_COSINE,
     "rank_feature_engine": _SQL_RANK_FEATURE,
+    "combined_fields_engine": _SQL_COMBINED_FIELDS,
 }

@@ -280,3 +280,118 @@ def multi_match_topk(
         .select("conv_id", "turn_idx", "score")
         .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
     )
+
+
+def combined_fields_topk(
+    spark: SparkSession,
+    fidx: FieldedIndex,
+    query: str,
+    weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """ES combined_fields (Lucene CombinedFieldQuery / BM25F): the
+    fields merge into ONE pseudo-field BEFORE saturation —
+    tf_c(t,d) = Σ_f w_f·tf_f(t,d), dl_c(d) = Σ_f w_f·dl_f(d),
+    avgdl_c = Σ_f w_f·avgdl_f, and BM25 runs once on the combined
+    quantities.  Differs from both multi_match modes: best_fields
+    saturates per field then takes max, cross_fields saturates per
+    field then blends idf — here a term occurring weakly in SEVERAL
+    fields saturates like one strong occurrence, the BM25F idea.
+
+    Contract notes (mirrored by the gate):
+    * pseudo-df(t) = max_f df_f(t) — Lucene's CombinedFieldQuery
+      choice (the union count is not available from per-field stats);
+    * per-field dl comes from each sub-index's docmap (aligned
+      ordinals BY CONSTRUCTION), so docs matching a term in one field
+      still carry every field's length in dl_c;
+    * weights must be ≥ 1 per ES validation (values < 1 would let a
+      multi-field occurrence saturate SLOWER than a single-field one).
+
+    Shape: |fields| matched-postings legs union → one (term, doc)
+    combine → docmap dl joins (doc_ord-keyed, the established docmap
+    join) → deterministic per-doc fold → TakeOrderedAndProject."""
+    for f, w in weights.items():
+        if w < 1.0:
+            raise ValueError(
+                f"combined_fields weight for {f!r} must be >= 1 (ES "
+                f"validation), got {w}"
+            )
+    qtf = _query_qtf(fidx, query)
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not qtf:
+        return empty
+    terms = sorted(qtf)
+    fields = sorted(weights)
+    df_by_field = {f: fidx.sub[f].df_for_terms(terms) for f in fields}
+    df_max = {
+        t: max(df_by_field[f].get(t, 0) for f in fields) for t in terms
+    }
+    w_term = {
+        t: qtf[t] * py_idf(fidx.n_docs, df_max[t])
+        for t in terms
+        if df_max[t] > 0
+    }
+    if not w_term:
+        return empty
+    avgdl_c = 0.0
+    for f in fields:
+        avgdl_c += weights[f] * fidx.sub[f].avgdl
+
+    legs = None
+    for f in fields:
+        part = _field_matches(fidx, f, sorted(w_term)).select(
+            "term",
+            "doc_ord",
+            (F.lit(float(weights[f])) * F.col("tf").cast("double"))
+            .alias("wtf"),
+        )
+        legs = part if legs is None else legs.unionByName(part)
+    tfc = legs.groupBy("term", "doc_ord").agg(F.sum("wtf").alias("tfc"))
+
+    dlc = None
+    for f in fields:
+        d = fidx.sub[f].docmap.select(
+            "doc_ord",
+            (F.lit(float(weights[f])) * F.col("dl").cast("double"))
+            .alias(f"_dl_{f}"),
+        )
+        dlc = d if dlc is None else dlc.join(d, "doc_ord")
+    dl_sum = F.lit(0.0)
+    for f in fields:
+        dl_sum = dl_sum + F.col(f"_dl_{f}")
+    dlc = dlc.select("doc_ord", dl_sum.alias("dlc"))
+
+    w_df = spark.createDataFrame(
+        [(t, w) for t, w in sorted(w_term.items())],
+        "term string, w double",
+    )
+    combined = (
+        tfc.join(dlc, "doc_ord")
+        .join(F.broadcast(w_df), "term")
+        .withColumn(
+            "contrib",
+            F.col("w")
+            * bm25_tfn_col(avgdl_c, tf=F.col("tfc"), dl=F.col("dlc")),
+        )
+        .groupBy("doc_ord")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("term", "contrib"))
+            ).alias("tc")
+        )
+        .select(
+            "doc_ord",
+            F.aggregate(
+                "tc", F.lit(0.0), lambda a, x: a + x["contrib"]
+            ).alias("score"),
+        )
+    )
+    topk = combined.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
+    dm = fidx.primary.docmap.select("doc_ord", "conv_id", "turn_idx")
+    return (
+        dm.join(F.broadcast(topk), "doc_ord")
+        .select("conv_id", "turn_idx", "score")
+        .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+    )

@@ -221,3 +221,123 @@ class TestFieldedServing:
         import pytest as _pt
         with _pt.raises(ValueError):
             srv.multi_match(QUERY, BOOSTS, mode="nope")
+
+
+class TestCombinedFields:
+    def _transcription(self, field_rows, query, weights):
+        """Pure-Python BM25F: weighted tf/dl sums, pseudo-df = max_f,
+        one saturation over combined quantities."""
+        toks_by_field = {
+            f: {
+                (c, t): tokenize(x, for_query=False)
+                for c, t, x in rows
+            }
+            for f, rows in field_rows.items()
+        }
+        docs = sorted(next(iter(toks_by_field.values())))
+        n = len(docs)
+        fields = sorted(weights)
+        qtf = {}
+        for t in tokenize(query, for_query=True):
+            qtf[t] = qtf.get(t, 0) + 1
+        avgdl_c = 0.0
+        for f in fields:
+            sum_dl = sum(len(v) for v in toks_by_field[f].values())
+            avgdl_c += weights[f] * (sum_dl / n)
+        scores = {}
+        for term, q in sorted(qtf.items()):
+            df = max(
+                sum(
+                    1 for d in docs if term in toks_by_field[f][d]
+                )
+                for f in fields
+            )
+            if df == 0:
+                continue
+            w = q * py_idf(n, df)
+            for d in docs:
+                tfc = 0.0
+                for f in fields:
+                    tfc += weights[f] * toks_by_field[f][d].count(term)
+                if tfc == 0.0:
+                    continue
+                dlc = 0.0
+                for f in fields:
+                    dlc += weights[f] * len(toks_by_field[f][d])
+                scores[d] = scores.get(d, 0.0) + w * _tfn(
+                    tfc, dlc, avgdl_c
+                )
+        return scores
+
+    def test_matches_transcription(self, spark, setup):
+        from ics_search_engine_spark.operators.fields import (
+            combined_fields_topk,
+        )
+
+        fidx, field_rows = setup
+        weights = {"text": 1.0, "role": 2.0}
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in combined_fields_topk(
+                spark, fidx, QUERY, weights, k=25
+            ).collect()
+        }
+        expect = self._transcription(field_rows, QUERY, weights)
+        top = sorted(
+            expect.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:25]
+        assert set(got) == {d for d, _ in top}
+        for d, s in top:
+            assert got[d] == pytest.approx(s, rel=1e-12)
+
+    def test_single_field_weight1_is_plain_bm25(self, spark, setup):
+        """One field at weight 1.0 degenerates to the sub-index's own
+        BM25 exactly (tfc=tf, dlc=dl, avgdl_c=avgdl, df_max=df)."""
+        from ics_search_engine_spark.operators.fields import (
+            combined_fields_topk,
+        )
+
+        fidx, _ = setup
+        got = combined_fields_topk(
+            spark, fidx, "machine learning", {"text": 1.0}, k=10
+        ).collect()
+        want = bm25_topk_packed(
+            spark, fidx.sub["text"], "machine learning", k=10
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_differs_from_best_fields(self, spark, setup):
+        """BM25F saturates the COMBINED tf — a term spread across
+        fields must not score like best_fields' per-field max."""
+        from ics_search_engine_spark.operators.fields import (
+            combined_fields_topk,
+        )
+
+        fidx, _ = setup
+        weights = {"text": 1.0, "role": 2.0}
+        cf = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in combined_fields_topk(
+                spark, fidx, QUERY, weights, k=30
+            ).collect()
+        }
+        bf = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in multi_match_topk(
+                spark, fidx, QUERY, weights, k=30, mode="best_fields"
+            ).collect()
+        }
+        common = set(cf) & set(bf)
+        assert common
+        assert any(abs(cf[d] - bf[d]) > 1e-9 for d in common)
+
+    def test_weight_below_one_rejected(self, spark, setup):
+        from ics_search_engine_spark.operators.fields import (
+            combined_fields_topk,
+        )
+
+        fidx, _ = setup
+        with pytest.raises(ValueError):
+            combined_fields_topk(
+                spark, fidx, QUERY, {"text": 0.5}, k=5
+            )
