@@ -6686,6 +6686,72 @@ FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature (operators/funcscore.
+    bm25_topk_distance_feature): bm25 + 1.5·pivot/(pivot + |ts −
+    origin|) over the decay gate's synthetic ts (epoch 2026-01-01 +
+    doc_id%97 days), origin at the corpus max date, pivot 14 days —
+    the additive reciprocal-distance recency clause, re-ranked before
+    the cut.  Docs keep their bm25 when ts is missing (not exercised
+    here — every doc has a ts; the null path is pytest-covered)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.funcscore import (
+        bm25_topk_distance_feature,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        F.date_add(
+            F.to_date(F.lit("2026-01-01")),
+            (F.col("doc_id") % 97).cast("int"),
+        ).cast("timestamp").alias("ts"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_distfeat_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts.drop("ts"), out, range_bits=8,
+            with_positions=False, stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = bm25_topk_distance_feature(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "ts"), "ts",
+            origin="2026-04-07", pivot_days=14.0, boost=1.5, k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(float(s), 6)) for c, _, s in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, score_r6 double"
+    )
+
+
+_SQL_DISTANCE_FEATURE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+bm25 AS (SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id),
+boosted AS (
+  SELECT doc_id,
+         s + 1.5 * ((14.0 * 86400.0)
+             / (14.0 * 86400.0
+                + abs((doc_id % 97) - 96)::DOUBLE * 86400.0)) AS score
+  FROM bm25
+)
+SELECT doc_id, round(score, 6) AS score_r6
+FROM boosted ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6798,6 +6864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq": q_knn_pq,
     "rank_feature_engine": q_rank_feature_engine,
     "combined_fields_engine": q_combined_fields,
+    "distance_feature_engine": q_distance_feature,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6917,4 +6984,5 @@ ORACLE_SQL: dict[str, str] = {
     "knn_pq": _SQL_KNN_COSINE,
     "rank_feature_engine": _SQL_RANK_FEATURE,
     "combined_fields_engine": _SQL_COMBINED_FIELDS,
+    "distance_feature_engine": _SQL_DISTANCE_FEATURE,
 }

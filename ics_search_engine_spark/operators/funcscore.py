@@ -313,3 +313,79 @@ def bm25_topk_rank_feature(
         .orderBy(F.desc("score"), "conv_id", "turn_idx")
         .limit(k)
     )
+
+
+def bm25_topk_distance_feature(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    ts_col: str,
+    origin: str,
+    pivot_days: float,
+    boost: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES distance_feature query over a date field: bm25 +
+    boost·pivot/(pivot + |ts − origin|) — the reciprocal-distance
+    additive clause ES recommends over decay function_score for
+    recency ranking (cheaper, and top-k-prunable in Lucene because
+    the contribution is bounded by ``boost``).  Docs missing the
+    field contribute 0, never excluded — the rank_feature convention.
+
+    Differs from bm25_topk_decay: decay MULTIPLIES (or adds) a
+    gauss/exp/linear curve with an offset plateau; distance_feature
+    is always additive with the single reciprocal shape.  Same
+    re-rank-before-cut plan, same attrs-join scale note
+    (bm25_topk_rank_feature docstring)."""
+    import datetime
+
+    from ics_search_engine_spark.operators.packed_index import (
+        decode_matched,
+    )
+    from ics_search_engine_spark.operators.query import (
+        query_weights,
+        score_all,
+    )
+
+    if pivot_days <= 0:
+        raise ValueError(f"pivot_days must be positive, got {pivot_days}")
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if not weights:
+        return empty
+    matched = pidx.index.filter(F.col("term").isin(q_terms))
+    posts = decode_matched(matched)
+    scored = score_all(spark, posts, weights, pidx.avgdl, ["doc_ord"])
+    keyed = pidx.docmap.join(scored, "doc_ord").select(
+        "conv_id", "turn_idx", "score"
+    )
+    origin_sec = datetime.datetime.fromisoformat(origin).replace(
+        tzinfo=datetime.timezone.utc
+    ).timestamp()
+    pivot_sec = pivot_days * 86400.0
+    dist = F.abs(F.col(ts_col).cast("double") - F.lit(origin_sec))
+    contrib = F.coalesce(
+        F.lit(float(boost)) * (F.lit(pivot_sec) / (F.lit(pivot_sec) + dist)),
+        F.lit(0.0),
+    )
+    return (
+        keyed.join(
+            attrs.select("conv_id", "turn_idx", ts_col),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
+        .select(
+            "conv_id", "turn_idx",
+            (F.col("score") + contrib).alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .limit(k)
+    )

@@ -300,3 +300,77 @@ class TestRankFeature:
 
         with pytest.raises(ValueError):
             rank_feature_col(F.col("f"), "nope")
+
+
+class TestDistanceFeature:
+    def test_matches_transcription(self, spark, setup):
+        from ics_search_engine_spark.operators.funcscore import (
+            bm25_topk_distance_feature,
+        )
+
+        pidx, attrs = setup
+        base = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in bm25_topk_packed(
+                spark, pidx, "machine learning", k=10
+            ).collect()
+        }
+        origin = datetime.datetime.fromisoformat("2026-03-01").replace(
+            tzinfo=datetime.timezone.utc
+        ).timestamp()
+        ts_of = {
+            (r["conv_id"], r["turn_idx"]): r["ts"]
+            .replace(tzinfo=datetime.timezone.utc).timestamp()
+            for r in attrs.collect()
+        }
+        pivot = 14.0 * 86400.0
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in bm25_topk_distance_feature(
+                spark, pidx, "machine learning", attrs, "ts",
+                origin="2026-03-01", pivot_days=14.0, boost=1.5, k=10,
+            ).collect()
+        }
+        assert set(got) == set(base)
+        for d, s in got.items():
+            dist = abs(ts_of[d] - origin)
+            expect = base[d] + 1.5 * (pivot / (pivot + dist))
+            assert s == pytest.approx(expect, rel=1e-12)
+
+    def test_missing_ts_keeps_bm25(self, spark, setup):
+        from ics_search_engine_spark.operators.funcscore import (
+            bm25_topk_distance_feature,
+        )
+
+        pidx, attrs = setup
+        # drop c0's doc-values entirely: its docs must keep plain bm25
+        part = attrs.filter("conv_id != 'c0'")
+        base = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in bm25_topk_packed(
+                spark, pidx, "machine learning", k=10
+            ).collect()
+        }
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["score"]
+            for r in bm25_topk_distance_feature(
+                spark, pidx, "machine learning", part, "ts",
+                origin="2026-03-01", pivot_days=14.0, boost=1.5, k=10,
+            ).collect()
+        }
+        dropped = [d for d in base if d[0] == "c0"]
+        assert dropped
+        for d in dropped:
+            assert got[d] == pytest.approx(base[d], rel=1e-15)
+
+    def test_pivot_validation(self, spark, setup):
+        from ics_search_engine_spark.operators.funcscore import (
+            bm25_topk_distance_feature,
+        )
+
+        pidx, attrs = setup
+        with pytest.raises(ValueError):
+            bm25_topk_distance_feature(
+                spark, pidx, "machine", attrs, "ts",
+                origin="2026-03-01", pivot_days=0.0,
+            )
