@@ -6752,6 +6752,84 @@ FROM boosted ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix (operators/boolquery.
+    match_bool_prefix_topk): 'spark stream wind' → scored Term
+    shoulds for spark/stream plus a constant-score wind* Prefix
+    should, msm 1 — the unordered autocomplete query.  Rounded-order
+    top-20, the engine gates' convention."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.boolquery import (
+        match_bool_prefix_topk,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_mbp_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = match_bool_prefix_topk(
+            spark, pidx, "spark stream wind", k=60, max_expansions=256,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(float(s), 6)) for c, _, s in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, score_r6 double"
+    )
+
+
+_SQL_MATCH_BOOL_PREFIX = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM base),
+tfv AS (
+  SELECT doc_id, dl,
+    len(list_filter(toks, x -> x = 'spark'))  AS tf_spark,
+    len(list_filter(toks, x -> x = 'stream')) AS tf_stream,
+    len(list_filter(toks, x -> x LIKE 'wind%')) AS tf_wind
+  FROM base
+),
+dfs AS (
+  SELECT
+    count(*) FILTER (WHERE tf_spark > 0)  AS df_spark,
+    count(*) FILTER (WHERE tf_stream > 0) AS df_stream
+  FROM tfv
+),
+scored AS (
+  SELECT v.doc_id,
+    CASE WHEN v.tf_spark > 0 THEN
+      {_SQL_BOOL_IDF.format(t='spark')} * {_SQL_BOOL_TFN.format(tf='v.tf_spark')}
+    ELSE 0.0 END
+    + CASE WHEN v.tf_stream > 0 THEN
+      {_SQL_BOOL_IDF.format(t='stream')} * {_SQL_BOOL_TFN.format(tf='v.tf_stream')}
+    ELSE 0.0 END
+    + CASE WHEN v.tf_wind > 0 THEN 1.0 ELSE 0.0 END
+    AS score
+  FROM tfv v CROSS JOIN stats s CROSS JOIN dfs d
+  WHERE ((v.tf_spark > 0)::INT + (v.tf_stream > 0)::INT
+         + (v.tf_wind > 0)::INT) >= 1
+)
+SELECT doc_id, round(score, 6) AS score_r6
+FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6865,6 +6943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_feature_engine": q_rank_feature_engine,
     "combined_fields_engine": q_combined_fields,
     "distance_feature_engine": q_distance_feature,
+    "match_bool_prefix_engine": q_match_bool_prefix,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -6985,4 +7064,5 @@ ORACLE_SQL: dict[str, str] = {
     "rank_feature_engine": _SQL_RANK_FEATURE,
     "combined_fields_engine": _SQL_COMBINED_FIELDS,
     "distance_feature_engine": _SQL_DISTANCE_FEATURE,
+    "match_bool_prefix_engine": _SQL_MATCH_BOOL_PREFIX,
 }

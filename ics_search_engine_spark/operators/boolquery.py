@@ -326,3 +326,50 @@ def bool_topk(
         .limit(k)
     )
     return resolve_topk_keys(pidx, topk)
+
+
+def match_bool_prefix_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    text: str,
+    k: int = 10,
+    minimum_should_match: int | None = None,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """ES match_bool_prefix: analyze the text, make every token but
+    the last a scored Term SHOULD clause and the last a Prefix SHOULD
+    clause (constant-score, Lucene's multi-term rewrite) — the
+    UNORDERED autocomplete query, vs match_phrase_prefix's positional
+    one ("quick brown f" matches docs containing quick and brown
+    anywhere plus any f-prefixed term).
+
+    Analysis conventions shared with phrase_prefix_offsets: the last
+    whitespace token is the prefix (trailing ``*`` stripped,
+    lowercased, NOT stemmed/stop-filtered — it names index terms);
+    earlier tokens take the query analyzer, and tokens the analyzer
+    drops (stop words, len-1 stems) produce NO clause at all — ES's
+    analyzer behavior; a never-matching clause would silently raise
+    an explicit minimum_should_match's bar."""
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    parts = (text or "").lower().split()
+    if not parts:
+        return empty
+    do_stem = pidx.stats.get("stem", True)
+    last = parts[-1].rstrip("*")
+    should: list = []
+    for raw in parts[:-1]:
+        if tokenize(raw, for_query=True, do_stem=do_stem):
+            should.append(Term(raw))
+    import re as _re
+
+    if _re.fullmatch(r"[a-z0-9]+", last or ""):
+        should.append(Prefix(last))
+    if not should:
+        return empty
+    return bool_topk(
+        spark, pidx,
+        Bool(should=should, minimum_should_match=minimum_should_match),
+        k=k, max_expansions=max_expansions,
+    )

@@ -241,3 +241,54 @@ def test_multi_token_term_raises(spark, setup):
     pidx, _ = setup
     with pytest.raises(ValueError):
         bool_topk(spark, pidx, Bool(must=[Term("machine learning")]), k=5)
+
+
+class TestMatchBoolPrefix:
+    def test_composes_terms_plus_prefix(self, spark, setup):
+        """match_bool_prefix('machine lear') ≡ the hand-built Bool of
+        Term('machine') + Prefix('lear') shoulds."""
+        from ics_search_engine_spark.operators.boolquery import (
+            match_bool_prefix_topk,
+        )
+
+        pidx, _ = setup
+        got = match_bool_prefix_topk(
+            spark, pidx, "machine lear", k=15
+        ).collect()
+        want = bool_topk(
+            spark, pidx,
+            Bool(should=[Term("machine"), Prefix("lear")]),
+            k=15,
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert got, "expected matches"
+
+    def test_analyzer_dropped_tokens_make_no_clause(self, spark, setup):
+        """Stop words produce NO clause (not a never-matching one), so
+        an explicit minimum_should_match isn't silently inflated."""
+        from ics_search_engine_spark.operators.boolquery import (
+            match_bool_prefix_topk,
+        )
+
+        pidx, _ = setup
+        with_stop = match_bool_prefix_topk(
+            spark, pidx, "the machine lear", k=15,
+            minimum_should_match=2,
+        ).collect()
+        without = match_bool_prefix_topk(
+            spark, pidx, "machine lear", k=15, minimum_should_match=2
+        ).collect()
+        assert [tuple(r) for r in with_stop] == [tuple(r) for r in without]
+
+    def test_empty_and_bad_prefix(self, spark, setup):
+        from ics_search_engine_spark.operators.boolquery import (
+            match_bool_prefix_topk,
+        )
+
+        pidx, _ = setup
+        assert match_bool_prefix_topk(spark, pidx, "", k=5).count() == 0
+        # non-alnum last fragment: prefix clause dropped, terms remain
+        rows = match_bool_prefix_topk(
+            spark, pidx, "machine ???", k=5
+        ).collect()
+        assert rows, "term clause should still match"
