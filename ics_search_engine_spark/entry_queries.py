@@ -6830,6 +6830,38 @@ FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (operators/similarity.ivfadc_topk): coarse cells + PQ
+    codes + exact rerank composed end-to-end; with n_probe = n_cells
+    and shortlist = |table| it must return EXACTLY the brute-force
+    answer — the family's probe-all convention, same oracle."""
+    from ics_search_engine_spark.operators.similarity import (
+        ivf_centroids,
+        ivfadc_topk,
+        pq_encode,
+        pq_fit,
+        with_ivf_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = ivf_centroids(emb, n_cells=8, iters=3, seed=42)
+    books = pq_fit(emb, m=4, k_cents=8, iters=3, seed=42)
+    coded = pq_encode(
+        with_ivf_cells(emb.filter(F.col("vec_id") != 0), cents), books
+    )
+    n = coded.count()
+    top = ivfadc_topk(
+        coded, cents, books, [float(x) for x in qvec], k=20,
+        n_probe=len(cents), n_candidates=n,
+    )
+    return (
+        top.select("vec_id", F.round("cosine", 6).alias("cosine_r6"))
+        .orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6944,6 +6976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "combined_fields_engine": q_combined_fields,
     "distance_feature_engine": q_distance_feature,
     "match_bool_prefix_engine": q_match_bool_prefix,
+    "knn_ivfadc": q_knn_ivfadc,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7065,4 +7098,5 @@ ORACLE_SQL: dict[str, str] = {
     "combined_fields_engine": _SQL_COMBINED_FIELDS,
     "distance_feature_engine": _SQL_DISTANCE_FEATURE,
     "match_bool_prefix_engine": _SQL_MATCH_BOOL_PREFIX,
+    "knn_ivfadc": _SQL_KNN_COSINE,
 }

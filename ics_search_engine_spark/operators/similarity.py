@@ -549,3 +549,38 @@ def pq_topk_rerank(
         F.broadcast(short.select(id_col)), id_col
     )
     return cosine_topk_bruteforce(cand, qvec, k, id_col, vec_col)
+
+
+def ivfadc_topk(
+    coded_celled: DataFrame,
+    cents: np.ndarray,
+    codebooks: np.ndarray,
+    qvec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, the canonical composition): coarse
+    IVF cells prune the scan to ``n_probe`` partitions, PQ codes rank
+    the survivors by ADC lookup tables, and the ≤ ``n_candidates``
+    shortlist re-ranks with exact cosine → (id, cosine).
+
+    ``coded_celled`` carries BOTH ``ivf_cell`` (with_ivf_cells) and
+    ``pq_codes`` (pq_encode); with the IVF-partitioned layout
+    (write_ivf_partitioned) the cell filter is directory-level
+    partition pruning, so a probe touches n_probe/n_cells of the code
+    table — and the code table is already ~32× smaller than the
+    vectors.  With n_probe = n_cells and n_candidates ≥ |table| this
+    must equal brute force exactly (the gate's configuration); both
+    knobs trade recall for cost independently (pytest-bounded)."""
+    q = np.asarray(qvec, dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+    cand = coded_celled.filter(F.col("ivf_cell").isin(probe))
+    return pq_topk_rerank(
+        cand, codebooks, qvec, k=k, n_candidates=n_candidates,
+        id_col=id_col, vec_col=vec_col, vectors=vectors,
+    )

@@ -369,6 +369,39 @@ class TestProductQuantization:
         ).collect()
         assert got == want and len(got) == 10
 
+    def test_ivfadc_partial_probe_recall(self, emb, fitted, qvec):
+        """The composed IVFADC path at partial probes: the query's own
+        cell is always probed (its centroid is nearest), so vec 7
+        survives, and shortlist-reranked recall stays near the
+        ADC-shortlist ceiling measured above."""
+        from ics_search_engine_spark.operators.similarity import (
+            ivf_centroids,
+            ivfadc_topk,
+            with_ivf_cells,
+        )
+
+        books, coded_all = fitted
+        cents = ivf_centroids(emb, n_cells=8, iters=3, seed=42)
+        coded = with_ivf_cells(coded_all, cents).cache()
+        got = ivfadc_topk(
+            coded, cents, books, qvec, k=10, n_probe=5,
+            n_candidates=50,
+        ).collect()
+        exact = {
+            r["vec_id"]
+            for r in cosine_topk_bruteforce(emb, qvec, k=10).collect()
+        }
+        ids = [r["vec_id"] for r in got]
+        assert ids[0] == 7
+        assert len(exact & set(ids)) >= 5
+        # rerank is exact cosine: scores of returned ids match brute
+        bf = {
+            r["vec_id"]: r["cosine"]
+            for r in cosine_topk_bruteforce(emb, qvec, k=500).collect()
+        }
+        for r in got:
+            assert r["cosine"] == pytest.approx(bf[r["vec_id"]], rel=1e-12)
+
     def test_empty_partitions_survive(self, spark, emb, fitted, qvec):
         """Arrow ships empty batches for empty partitions; the encode
         and ADC UDFs must not choke on the 1-D empty array."""
