@@ -1670,3 +1670,77 @@ class LocalFieldedServer:
             (str(p._conv[i]), int(p._turn[i]), float(scores[i]))
             for i in sel
         ]
+
+
+class LocalPercolator:
+    """In-process percolation — the serving half of
+    operators/percolate: queries registered once, each NEW document
+    matched in microseconds with no Spark session (the single-doc
+    alerting hot path; the Spark operators are the bulk/stream path).
+
+    Same contract as the distributed forms: query-mode tokenization
+    (stop-only queries can never match and are dropped at
+    registration), doc terms are index-mode distinct, required =
+    n_terms for ``min_match="all"`` else min(n_terms, m).  Parity with
+    operators/percolate.percolate is pinned by tests on the same
+    corpus.
+
+    Structure: term → [query ordinal] postings over the registered
+    queries (the same inversion build_query_index performs), so a doc
+    costs O(distinct terms × avg postings) counter bumps, independent
+    of the registry size."""
+
+    def __init__(self, queries: list[tuple], do_stem: bool = True,
+                 min_match="all"):
+        from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+        if min_match != "all" and (
+            not isinstance(min_match, int) or min_match < 1
+        ):
+            raise ValueError(
+                f"min_match must be 'all' or a positive int, got "
+                f"{min_match!r}"
+            )
+        seen = set()
+        for qid, _ in queries:
+            if qid in seen:
+                raise ValueError(f"duplicate query_id: {qid}")
+            seen.add(qid)
+        self._tokenize = tokenize
+        self._do_stem = do_stem
+        self._min_match = min_match
+        self._qids: list = []
+        self._n_terms: list[int] = []
+        self._required: list[int] = []
+        self._postings: dict[str, list[int]] = {}
+        for qid, text in queries:
+            terms = sorted(set(
+                tokenize(text or "", for_query=True, do_stem=do_stem)
+            ))
+            if not terms:
+                continue  # stop-only: can never match
+            ord_ = len(self._qids)
+            self._qids.append(qid)
+            n = len(terms)
+            self._n_terms.append(n)
+            self._required.append(
+                n if min_match == "all" else min(n, int(min_match))
+            )
+            for t in terms:
+                self._postings.setdefault(t, []).append(ord_)
+
+    def percolate(self, text: str) -> list[tuple]:
+        """→ [(query_id, matched, n_terms)] for every registered query
+        the document satisfies, query-registration order."""
+        doc_terms = set(self._tokenize(
+            text or "", for_query=False, do_stem=self._do_stem
+        ))
+        counts: dict[int, int] = {}
+        for t in doc_terms:
+            for o in self._postings.get(t, ()):
+                counts[o] = counts.get(o, 0) + 1
+        return [
+            (self._qids[o], counts[o], self._n_terms[o])
+            for o in sorted(counts)
+            if counts[o] >= self._required[o]
+        ]

@@ -213,3 +213,43 @@ class TestPercolateStreamNative:
                 ).collect()
             }
             assert a == b
+
+
+class TestLocalPercolator:
+    def test_parity_with_spark_path(self, spark, qidx, small_df):
+        from ics_search_engine_spark.serving import LocalPercolator
+
+        sub = small_df.limit(300)
+        rows = [
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in sub.select("conv_id", "turn_idx", "text").collect()
+        ]
+        for mm in ("all", 2):
+            spark_pairs = {
+                (r["query_id"], r["conv_id"], r["turn_idx"],
+                 r["matched"], r["n_terms"])
+                for r in percolate(
+                    spark, qidx, sub, ["conv_id", "turn_idx"],
+                    min_match=mm,
+                ).collect()
+            }
+            local = LocalPercolator(REGISTERED, min_match=mm)
+            local_pairs = {
+                (qid, c, t, m, n)
+                for c, t, text in rows
+                for qid, m, n in local.percolate(text)
+            }
+            assert local_pairs == spark_pairs
+
+    def test_validation(self):
+        from ics_search_engine_spark.serving import LocalPercolator
+
+        with pytest.raises(ValueError):
+            LocalPercolator([(1, "a b"), (1, "c")])
+        with pytest.raises(ValueError):
+            LocalPercolator([(1, "a b")], min_match=0)
+        # stop-only registration drops; nothing ever matches it
+        p = LocalPercolator(REGISTERED)
+        assert all(
+            qid != 3 for qid, _, _ in p.percolate("the and of machine")
+        )
