@@ -6862,6 +6862,96 @@ def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mlt_unlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this with negative examples (operators/mlt, ES
+    ``unlike``): doc 13's term counts subtract from doc 7's before
+    characteristic-term selection, so shared vocabulary loses its
+    pull; the unlike doc stays rankable.  Same scoring tail as the
+    base MLT gate."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.mlt import more_like_this
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_mltun_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = more_like_this(
+            spark, pidx, transcripts, "doc00000007", 0, k=20,
+            max_query_terms=10, unlike=[("doc00000013", 0)],
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(c[3:]), round(float(s), 6)) for c, _, s in rows],
+        "doc_id long, mlt_r6 double",
+    )
+
+
+_SQL_MLT_UNLIKE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+liketf AS (
+  SELECT term, count(*) AS tf FROM (
+    SELECT unnest(toks) AS term FROM t WHERE doc_id = 7
+  ) WHERE term NOT IN ({_SQL_STOP_LIST}) GROUP BY term
+),
+untf AS (
+  SELECT term, count(*) AS tf FROM (
+    SELECT unnest(toks) AS term FROM t WHERE doc_id = 13
+  ) GROUP BY term
+),
+srctf AS (
+  SELECT l.term, l.tf - coalesce(u.tf, 0) AS tf
+  FROM liketf l LEFT JOIN untf u USING (term)
+  WHERE l.tf - coalesce(u.tf, 0) > 0
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) GROUP BY term
+),
+sel AS (
+  SELECT q.term,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS w
+  FROM srctf q JOIN dfs d USING (term) CROSS JOIN stats s
+  ORDER BY round(q.tf * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+             DESC,
+           q.term ASC
+  LIMIT 10
+),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN (SELECT term FROM sel) AND doc_id <> 7
+  GROUP BY term, doc_id
+),
+scored AS (
+  SELECT p.doc_id,
+         sel.w * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+           AS contrib
+  FROM posts p JOIN sel USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS mlt_r6
+FROM scored GROUP BY doc_id
+ORDER BY mlt_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -6977,6 +7067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distance_feature_engine": q_distance_feature,
     "match_bool_prefix_engine": q_match_bool_prefix,
     "knn_ivfadc": q_knn_ivfadc,
+    "mlt_unlike_engine": q_mlt_unlike,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7099,4 +7190,5 @@ ORACLE_SQL: dict[str, str] = {
     "distance_feature_engine": _SQL_DISTANCE_FEATURE,
     "match_bool_prefix_engine": _SQL_MATCH_BOOL_PREFIX,
     "knn_ivfadc": _SQL_KNN_COSINE,
+    "mlt_unlike_engine": _SQL_MLT_UNLIKE,
 }

@@ -53,16 +53,29 @@ def mlt_terms(
     n_docs: int,
     max_query_terms: int = 10,
     do_stem: bool = True,
+    unlike_texts: list[str] | None = None,
 ) -> dict[str, float]:
     """Select the source text's characteristic terms → term -> idf
-    weight.  Pure function shared with the tests' transcription."""
+    weight.  Pure function shared with the tests' transcription.
+
+    ``unlike_texts`` (ES more_like_this ``unlike``): their term
+    counts SUBTRACT from the like text's before selection —
+    tf_eff(t) = max(0, tf_like(t) − Σ tf_unlike(t)) — so vocabulary
+    shared with the negative examples stops looking characteristic
+    (Lucene MoreLikeThis's frequency-decrement behavior, made an
+    explicit deterministic contract); terms driven to 0 drop out
+    entirely."""
     tf: dict[str, int] = {}
     for t in tokenize(text, for_query=True, do_stem=do_stem):
         tf[t] = tf.get(t, 0) + 1
+    for u in unlike_texts or []:
+        for t in tokenize(u, for_query=True, do_stem=do_stem):
+            if t in tf:
+                tf[t] -= 1
     cand = [
         (t, tf[t] * py_idf(n_docs, term_df[t]))
         for t in tf
-        if term_df.get(t, 0) > 0
+        if tf[t] > 0 and term_df.get(t, 0) > 0
     ]
     cand.sort(key=lambda x: (-round(x[1], 6), x[0]))
     return {
@@ -78,9 +91,13 @@ def more_like_this(
     turn_idx: int,
     k: int = 10,
     max_query_terms: int = 10,
+    unlike: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Top-k documents most like (conv_id, turn_idx) →
-    (conv_id, turn_idx, score), source excluded."""
+    (conv_id, turn_idx, score), source excluded.  ``unlike``: doc
+    keys whose texts act as negative examples during term selection
+    (see mlt_terms); the unlike docs themselves stay rankable — ES
+    doesn't exclude them, only their vocabulary's pull."""
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
     )
@@ -97,10 +114,22 @@ def more_like_this(
         return empty
     text = src[0]["text"] or ""
 
+    unlike_texts: list[str] = []
+    if unlike:
+        keys = {(c, int(t)) for c, t in unlike}
+        cond = None
+        for c, t in sorted(keys):
+            leg = (F.col("conv_id") == c) & (F.col("turn_idx") == t)
+            cond = leg if cond is None else (cond | leg)
+        unlike_texts = [
+            r["text"] or ""
+            for r in transcripts.filter(cond).select("text").collect()
+        ]
     probe = sorted(set(tokenize(text, for_query=True, do_stem=do_stem)))
     term_df = pidx.df_for_terms(probe)
     weights = mlt_terms(
-        text, term_df, pidx.n_docs, max_query_terms, do_stem=do_stem
+        text, term_df, pidx.n_docs, max_query_terms, do_stem=do_stem,
+        unlike_texts=unlike_texts,
     )
     if not weights:
         return empty

@@ -96,3 +96,94 @@ class TestMoreLikeThis:
         )
         assert "rare" in w  # tf=1 but high idf beats common tf=2
         assert len(w) == 2
+
+
+def _oracle_mlt_unlike(rows, like, unlike_keys, k=10, max_query_terms=10):
+    idx = oracle.build_index(rows)
+    text = next(t for c, i, t in rows if (c, i) == like)
+    un_texts = [t for c, i, t in rows if (c, i) in set(unlike_keys)]
+    term_df = {t: idx.df(t) for t in idx.postings}
+    weights = mlt_terms(
+        text, term_df, idx.n_docs, max_query_terms,
+        unlike_texts=un_texts,
+    )
+    scores: dict[tuple[str, int], float] = {}
+    for term in sorted(weights):
+        for docid, tf in idx.postings.get(term, {}).items():
+            if docid == like:
+                continue
+            tfn = tf * (oracle.K1 + 1.0) / (
+                tf
+                + oracle.K1
+                * (1.0 - oracle.B + oracle.B * idx.dl[docid] / idx.avgdl)
+            )
+            scores[docid] = scores.get(docid, 0.0) + weights[term] * tfn
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(c, t, s) for (c, t), s in ranked[:k]]
+
+
+class TestMltUnlike:
+    @pytest.fixture(scope="class")
+    def setup(self, spark, small_df, small_rows, corpus_dir):
+        out = f"{corpus_dir}/mlt_unlike_idx"
+        build_packed_index(spark, small_df, out, range_bits=9)
+        return PackedIndex(spark, out), small_rows
+
+    def test_matches_transcription(self, spark, setup, small_df):
+        pidx, rows = setup
+        like = (rows[7][0], rows[7][1])
+        unlike = [(rows[23][0], rows[23][1]), (rows[40][0], rows[40][1])]
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in more_like_this(
+                spark, pidx, small_df, like[0], like[1], k=10,
+                unlike=unlike,
+            ).collect()
+        ]
+        assert got == _oracle_mlt_unlike(rows, like, unlike)
+
+    def test_unlike_changes_selection(self, spark, setup, small_df):
+        """Using the SOURCE ITSELF as the negative example zeroes every
+        effective tf — no characteristic terms survive, empty result;
+        a weaker sanity pin that subtraction actually bites."""
+        pidx, rows = setup
+        like = (rows[7][0], rows[7][1])
+        got = more_like_this(
+            spark, pidx, small_df, like[0], like[1], k=10,
+            unlike=[like],
+        ).collect()
+        assert got == []
+
+    def test_unlike_doc_stays_rankable(self, spark, setup, small_df):
+        """ES contract: unlike docs lose vocabulary pull but are NOT
+        excluded from the result set."""
+        pidx, rows = setup
+        like = (rows[7][0], rows[7][1])
+        base = [
+            (r["conv_id"], r["turn_idx"])
+            for r in more_like_this(
+                spark, pidx, small_df, like[0], like[1], k=50
+            ).collect()
+        ]
+        assert base, "fixture doc should have neighbors"
+        neg = base[0]  # most-similar doc as the negative example
+        after = [
+            (r["conv_id"], r["turn_idx"])
+            for r in more_like_this(
+                spark, pidx, small_df, like[0], like[1], k=50,
+                unlike=[neg],
+            ).collect()
+        ]
+        # not excluded by fiat — the transcription (which never
+        # removes unlike docs) must reproduce the engine exactly
+        assert [(c, t) for c, t in after] == [
+            (c, t) for c, t, _ in _oracle_mlt_unlike(rows, like, [neg], k=50)
+        ]
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in more_like_this(
+                spark, pidx, small_df, like[0], like[1], k=50,
+                unlike=[neg],
+            ).collect()
+        ]
+        assert got == _oracle_mlt_unlike(rows, like, [neg], k=50)
