@@ -6952,6 +6952,38 @@ ORDER BY mlt_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_vector_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted vector-index artifact end-to-end (operators/
+    vector_index.build_vector_index → serving.LocalVectorServer):
+    IVF-partitioned, PQ-coded artifact built with Spark, then EXACT
+    in-process search (pyarrow + numpy, no Spark at query time) must
+    reproduce the brute-force oracle — the serving-tier convention."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.vector_index import (
+        build_vector_index,
+    )
+    from ics_search_engine_spark.serving import LocalVectorServer
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = tempfile.mkdtemp(prefix="gate_vecidx_")
+    try:
+        build_vector_index(
+            spark, emb.filter(F.col("vec_id") != 0), out,
+            n_cells=8, m=4, k_cents=8, iters=3, seed=42,
+        )
+        srv = LocalVectorServer(out)
+        hits = srv.search([float(x) for x in qvec], k=20, exact=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(i), round(c, 6)) for i, c in hits],
+        "vec_id long, cosine_r6 double",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -7068,6 +7100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_bool_prefix_engine": q_match_bool_prefix,
     "knn_ivfadc": q_knn_ivfadc,
     "mlt_unlike_engine": q_mlt_unlike,
+    "vector_index_serve": q_vector_index_serve,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7191,4 +7224,5 @@ ORACLE_SQL: dict[str, str] = {
     "match_bool_prefix_engine": _SQL_MATCH_BOOL_PREFIX,
     "knn_ivfadc": _SQL_KNN_COSINE,
     "mlt_unlike_engine": _SQL_MLT_UNLIKE,
+    "vector_index_serve": _SQL_KNN_COSINE,
 }

@@ -1744,3 +1744,120 @@ class LocalPercolator:
             for o in sorted(counts)
             if counts[o] >= self._required[o]
         ]
+
+
+class LocalVectorServer:
+    """In-process vector search over a build_vector_index artifact
+    (operators/vector_index) — pyarrow + numpy, no Spark at query
+    time: the LocalIndexServer posture for embeddings.
+
+    ``search(qvec, k)`` modes, driven by what the build enabled:
+    * exact=True — brute-force cosine over the loaded vectors
+      (bit-comparable to cosine_topk_bruteforce's math: same double
+      dot/norm, ties by id asc);
+    * exact=False — IVF probe (n_probe nearest cells, when built with
+      cells) → ADC ranking over PQ codes (when built with codes) →
+      exact cosine rerank of the n_candidates shortlist.  Without PQ
+      the probed cells rerank exactly (pure IVF); without IVF the ADC
+      scans all codes (pure PQ).
+
+    Memory note: vectors load once per process (float64 n×d); at
+    code-table-only scale pass ``load_vectors=False`` and serve
+    ADC-only (approx scores, no rerank) — the 32× footprint saving is
+    the artifact's point."""
+
+    def __init__(self, path: str, load_vectors: bool = True):
+        import json as _json
+        import os as _os
+
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        with open(_os.path.join(path, "meta.json")) as f:
+            self.meta = _json.load(f)
+        tbl = _pq.read_table(_os.path.join(path, "vectors.parquet"))
+        cols = set(tbl.column_names)
+        self._ids = _np.asarray(tbl.column(self.meta["id_col"]))
+        self._vecs = None
+        if load_vectors:
+            if self.meta["vec_col"] not in cols:
+                raise ValueError("artifact carries no vector column")
+            self._vecs = _np.array(
+                tbl.column(self.meta["vec_col"]).to_pylist(),
+                dtype=_np.float64,
+            )
+        self._cells = (
+            _np.asarray(tbl.column("ivf_cell"))
+            if "ivf_cell" in cols else None
+        )
+        self._codes = (
+            _np.array(tbl.column("pq_codes").to_pylist(), dtype=_np.int64)
+            if "pq_codes" in cols else None
+        )
+        self._cents = None
+        self._books = None
+        cents_p = _os.path.join(path, "cents.npy")
+        if _os.path.exists(cents_p):
+            self._cents = _np.load(cents_p)
+        books_p = _os.path.join(path, "codebooks.npy")
+        if _os.path.exists(books_p):
+            self._books = _np.load(books_p)
+        if self._vecs is None and self._codes is None:
+            raise ValueError(
+                "load_vectors=False requires a PQ-coded artifact"
+            )
+
+    def _order(self, keys, ids):
+        import numpy as _np
+
+        return _np.lexsort((ids, keys))
+
+    def search(
+        self,
+        qvec,
+        k: int = 10,
+        exact: bool = True,
+        n_probe: int = 4,
+        n_candidates: int = 100,
+    ) -> list[tuple]:
+        """→ [(id, cosine)] score desc, id asc — except the
+        no-vectors ADC-only mode, which returns [(id, approx_d2)]
+        distance ASC (documented: approx, smaller is better)."""
+        import numpy as _np
+
+        q = _np.asarray(qvec, dtype=_np.float64)
+        sel = _np.arange(len(self._ids))
+        if not exact and self._cents is not None:
+            d2 = ((self._cents - q[None, :]) ** 2).sum(axis=1)
+            probe = set(
+                int(c) for c in _np.argsort(d2)[:n_probe]
+            )
+            mask = _np.isin(self._cells, list(probe))
+            sel = sel[mask]
+        if not exact and self._codes is not None:
+            m, kc, dsub = self._books.shape
+            lut = _np.stack([
+                ((self._books[i] - q[i * dsub:(i + 1) * dsub][None, :]) ** 2)
+                .sum(axis=1)
+                for i in range(m)
+            ])
+            d = _np.take_along_axis(
+                lut, self._codes[sel].T, axis=1
+            ).sum(axis=0)
+            if self._vecs is None:
+                order = self._order(d, self._ids[sel])[:k]
+                return [
+                    (self._ids[sel][i].item(), float(d[i]))
+                    for i in order
+                ]
+            short = self._order(d, self._ids[sel])[:n_candidates]
+            sel = sel[short]
+        if self._vecs is None:
+            raise ValueError("exact search requires load_vectors=True")
+        v = self._vecs[sel]
+        qn = float(_np.sqrt(q @ q))
+        cos = (v @ q) / (_np.sqrt((v * v).sum(axis=1)) * qn)
+        order = self._order(-cos, self._ids[sel])[:k]
+        return [
+            (self._ids[sel][i].item(), float(cos[i])) for i in order
+        ]
