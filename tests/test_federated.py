@@ -106,6 +106,27 @@ class TestFederated:
         scores = [r["score"] for r in fed]
         assert scores == sorted(scores, reverse=True)
 
+    def test_concurrent_mode_identical_to_plan_mode(self, spark, setup):
+        """The default coordinator fan-out (threaded leg collects +
+        driver merge) must be row-identical to the single lazy union
+        plan — same rows, same order, same scores, bit-exact."""
+        halves, whole = setup
+        legs = [("a", halves[0], 1.5), ("b", halves[1], 1.0)]
+        for k in (1, 10, 40):
+            conc = [
+                tuple(r)
+                for r in federated_topk(
+                    spark, legs, QUERY, k=k, concurrent=True
+                ).collect()
+            ]
+            plan = [
+                tuple(r)
+                for r in federated_topk(
+                    spark, legs, QUERY, k=k, concurrent=False
+                ).collect()
+            ]
+            assert conc == plan
+
     def test_validation(self, spark, setup):
         halves, whole = setup
         with pytest.raises(ValueError):
