@@ -6984,6 +6984,282 @@ def q_vector_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic geo_point doc values shared by every geo gate: a 0.1°
+# grid spread derived from doc_id with integer arithmetic, so Spark
+# and DuckDB compute BIT-IDENTICAL doubles (int mod → /10.0 → shift).
+_GEO_ORIGIN = (37.77, -122.42)
+
+
+def _geo_attrs(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        ((F.col("doc_id") * 7 % 1600).cast("double") / 10.0 - 80.0)
+        .alias("lat"),
+        ((F.col("doc_id") * 13 % 3600).cast("double") / 10.0 - 180.0)
+        .alias("lon"),
+    )
+
+
+# The same point derivation + haversine in DuckDB form.  The column
+# math mirrors operators/geo.haversine_km op-for-op (radians(Δ)/2,
+# sin·sin + cosφ₁·cosφ₂·sin·sin, 12742·asin(√a)) so the two engines
+# agree to the last ulp before the r6 rounding.
+_SQL_GEO_PTS = """pts AS (
+  SELECT doc_id,
+         ((doc_id * 7 % 1600)::DOUBLE / 10.0 - 80.0) AS lat,
+         ((doc_id * 13 % 3600)::DOUBLE / 10.0 - 180.0) AS lon
+  FROM documents
+),
+dist AS (
+  SELECT doc_id,
+         12742.0 * asin(sqrt(
+           sin(radians(37.77 - lat) / 2.0)
+             * sin(radians(37.77 - lat) / 2.0)
+           + cos(radians(lat)) * cos(radians(37.77))
+             * sin(radians(-122.42 - lon) / 2.0)
+             * sin(radians(-122.42 - lon) / 2.0)
+         )) AS d_km
+  FROM pts
+)"""
+
+
+def q_geo_distance_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance query in filter context (operators/geo.
+    geo_distance_topk): BM25 top-k over matched docs within 7000 km of
+    the origin — surviving scores are EXACTLY the unfiltered BM25
+    scores (filter clauses contribute no score).  Rounded-order
+    top-20, the engine gates' boundary convention."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.geo import geo_distance_topk
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_geodist_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = geo_distance_topk(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), _geo_attrs(docs),
+            "lat", "lon", _GEO_ORIGIN, radius_km=7000.0, k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(float(s), 6)) for c, _, s in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, score_r6 double"
+    )
+
+
+_SQL_GEO_DISTANCE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+bm25 AS (SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id),
+{_SQL_GEO_PTS}
+SELECT b.doc_id, round(b.s, 6) AS score_r6
+FROM bm25 b JOIN dist USING (doc_id)
+WHERE dist.d_km <= 7000.0
+ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_geo_sort_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _geo_distance sort (operators/geo.geo_sort_topk): the 20
+    matched docs nearest the origin, distance ascending — the
+    find-hits-near-me ordering.  Distances rounded to 6 dp; rounded
+    order (dist asc, doc_id asc) is the cut convention."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.geo import geo_sort_topk
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_geosort_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = geo_sort_topk(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), _geo_attrs(docs),
+            "lat", "lon", _GEO_ORIGIN, k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [
+        (int(r["conv_id"][3:]), round(float(r["distance_km"]), 6))
+        for r in rows
+    ]
+    resolved.sort(key=lambda r: (r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, dist_r6 double"
+    )
+
+
+_SQL_GEO_SORT = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+{_SQL_GEO_PTS}
+SELECT m.doc_id, round(d.d_km, 6) AS dist_r6
+FROM matched m JOIN dist d USING (doc_id)
+ORDER BY dist_r6 ASC, doc_id ASC LIMIT 20
+"""
+
+
+def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation (operators/geo.geotile_grid):
+    matched-doc count per zoom-4 web-mercator map tile — the map
+    heat-grid over the hit set.  Pure column math (ln/tan/cos/floor),
+    one hash-agg of |occupied tiles| rows."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.geo import geotile_grid
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_geotile_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        return spark.createDataFrame(
+            geotile_grid(
+                spark, pidx, " ".join(DOCS_QUERY_TERMS),
+                _geo_attrs(docs), "lat", "lon", zoom=4,
+            ).collect(),
+            "tile string, n_docs long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_SQL_GEOTILE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+{_SQL_GEO_PTS},
+tiles AS (
+  SELECT '4/'
+    || greatest(0, least(floor((lon + 180.0) / 360.0 * 16)::BIGINT, 15))
+    || '/'
+    || greatest(0, least(floor(
+         (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+         / 2.0 * 16)::BIGINT, 15))
+    AS tile
+  FROM pts JOIN matched USING (doc_id)
+)
+SELECT tile, count(*) AS n_docs FROM tiles
+GROUP BY tile ORDER BY tile ASC
+"""
+
+
+def q_geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance aggregation (operators/geo.geo_distance_agg):
+    matched-doc count per [from, to) km ring around the origin,
+    overlapping rings double-count (range-agg semantics), empty rings
+    report 0."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.geo import geo_distance_agg
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_georing_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        return spark.createDataFrame(
+            geo_distance_agg(
+                spark, pidx, " ".join(DOCS_QUERY_TERMS),
+                _geo_attrs(docs), "lat", "lon", _GEO_ORIGIN,
+                [(None, 3000.0), (3000.0, 9000.0), (6000.0, None)],
+            ).collect(),
+            "range_ord int, range_key string, n_docs long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_SQL_GEO_RINGS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+{_SQL_GEO_PTS},
+md AS (SELECT d_km FROM dist JOIN matched USING (doc_id)),
+counts AS (
+  SELECT
+    coalesce(sum(CASE WHEN d_km < 3000.0 THEN 1 ELSE 0 END), 0) AS r0,
+    coalesce(sum(CASE WHEN d_km >= 3000.0 AND d_km < 9000.0
+                 THEN 1 ELSE 0 END), 0) AS r1,
+    coalesce(sum(CASE WHEN d_km >= 6000.0 THEN 1 ELSE 0 END), 0) AS r2
+  FROM md
+)
+SELECT 0 AS range_ord, '*-3000' AS range_key, r0 AS n_docs FROM counts
+UNION ALL
+SELECT 1, '3000-9000', r1 FROM counts
+UNION ALL
+SELECT 2, '6000-*', r2 FROM counts
+ORDER BY range_ord
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -7101,6 +7377,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivfadc": q_knn_ivfadc,
     "mlt_unlike_engine": q_mlt_unlike,
     "vector_index_serve": q_vector_index_serve,
+    "geo_distance_engine": q_geo_distance_engine,
+    "geo_sort_engine": q_geo_sort_engine,
+    "geotile_grid_agg": q_geotile_grid,
+    "geo_distance_rings": q_geo_distance_rings,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7225,4 +7505,8 @@ ORACLE_SQL: dict[str, str] = {
     "knn_ivfadc": _SQL_KNN_COSINE,
     "mlt_unlike_engine": _SQL_MLT_UNLIKE,
     "vector_index_serve": _SQL_KNN_COSINE,
+    "geo_distance_engine": _SQL_GEO_DISTANCE,
+    "geo_sort_engine": _SQL_GEO_SORT,
+    "geotile_grid_agg": _SQL_GEOTILE,
+    "geo_distance_rings": _SQL_GEO_RINGS,
 }
