@@ -6984,6 +6984,35 @@ def q_vector_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline token budgeting (operators/textstats.token_counts):
+    per-doc whitespace token count (\\S+ runs) + BPE-ish pre-tokenizer
+    match count (GPT-2-style pattern, RE2-compatible subset) — the
+    numbers a training-data pipeline sizes corpora with."""
+    from ics_search_engine_spark.operators.textstats import token_counts
+
+    docs = _docs(spark, sf_dir).select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    return token_counts(docs).select(
+        F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+_SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+       len(regexp_extract_all(
+         text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+'
+       )) AS bpe_tokens
+FROM documents
+"""
+
+
 # Synthetic geo_point doc values shared by every geo gate: a 0.1°
 # grid spread derived from doc_id with integer arithmetic, so Spark
 # and DuckDB compute BIT-IDENTICAL doubles (int mod → /10.0 → shift).
@@ -7381,6 +7410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_sort_engine": q_geo_sort_engine,
     "geotile_grid_agg": q_geotile_grid,
     "geo_distance_rings": q_geo_distance_rings,
+    "token_counts": q_token_counts,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7509,4 +7539,5 @@ ORACLE_SQL: dict[str, str] = {
     "geo_sort_engine": _SQL_GEO_SORT,
     "geotile_grid_agg": _SQL_GEOTILE,
     "geo_distance_rings": _SQL_GEO_RINGS,
+    "token_counts": _SQL_TOKEN_COUNTS,
 }

@@ -35,6 +35,33 @@ def _toks(c: str = "text") -> Column:
                     lambda x: F.length(x) > 0)
 
 
+# GPT-2-style pre-tokenizer, simplified to the RE2-compatible subset
+# (no lookahead) so the identical pattern runs in Spark's Java regex
+# AND the DuckDB oracle: contraction suffixes, space-prefixed letter
+# runs, space-prefixed digit runs, space-prefixed punctuation runs.
+# Counting these matches approximates a BPE tokenizer's pre-split
+# token count — the budget number an LLM-data pipeline sizes with.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def token_counts(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-turn token budgets → (conv_id, turn_idx, ws_tokens,
+    bpe_tokens): whitespace-separated count (\\S+ runs — no trim/split
+    edge cases on all-whitespace or newline-padded text) and the
+    BPE-ish pre-tokenizer match count.  Both are single regexp passes
+    inside codegen — the 100 TB shape is a map-only scan, no shuffle
+    at all."""
+    return transcripts.select(
+        *DOC_KEY,
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+        ).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("bpe_tokens"),
+    )
+
+
 def detect_language(transcripts: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count marker-word hits per language, pick
     the max (ties + zero-hit → 'und').  Deterministic tie-break by

@@ -229,3 +229,43 @@ class TestSqlSurface:
         assert spark.sql(
             "SELECT size(ics_tokenize_query('the the machine')) AS n"
         ).collect()[0]["n"] == 1  # stop words dropped in query mode
+
+
+class TestTokenCounts:
+    """token_counts vs a Python-re transcription of the same two
+    patterns — the LLM-pipeline budget numbers."""
+
+    CASES = [
+        "Hello, world! It's 42 degrees.",
+        "",
+        "   ",
+        "\n\t\n",
+        "don't stop--now 3.14xyz",
+        "we'll we've we're we'd I'm o'clock",
+        "über-café naïve",  # non-ascii letters land in the punct class
+        "a" * 500 + " " + "9" * 100,
+        "mixed42case UPPER lower 'quoted' (paren)",
+    ]
+
+    def test_matches_python_re(self, spark):
+        import re
+
+        from ics_search_engine_spark.operators.textstats import (
+            BPE_ISH_PATTERN,
+            token_counts,
+        )
+
+        df = spark.createDataFrame(
+            [("c", i, t) for i, t in enumerate(self.CASES)],
+            "conv_id string, turn_idx int, text string",
+        )
+        got = {
+            r["turn_idx"]: (r["ws_tokens"], r["bpe_tokens"])
+            for r in token_counts(df).collect()
+        }
+        pat = re.compile(BPE_ISH_PATTERN)
+        for i, t in enumerate(self.CASES):
+            assert got[i] == (
+                len(re.findall(r"\S+", t)),
+                len(pat.findall(t)),
+            ), f"case {i}: {t[:40]!r}"
