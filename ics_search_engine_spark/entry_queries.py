@@ -6984,6 +6984,70 @@ def q_vector_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_custom_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES similarity settings (operators/query.bm25_topk_params):
+    BM25 with tuned k1=0.9 / b=0.4 (the classic short-field tuning)
+    instead of the reference constants — scores differ from the plain
+    gate by construction; the tuned constants appear verbatim in the
+    oracle SQL.  Rounded-order top-20, the engine gates' convention."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.query import bm25_topk_params
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_customsim_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = bm25_topk_params(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), k=60, k1=0.9, b=0.4,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(float(s), 6)) for c, _, s in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, score_r6 double"
+    )
+
+
+_SQL_CUSTOM_SIM = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (p.tf * 1.9
+                / (p.tf + 0.9 * (0.6 + (0.4 * p.dl) / s.avgdl))))
+           AS score
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r6
+FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline token budgeting (operators/textstats.token_counts):
     per-doc whitespace token count (\\S+ runs) + BPE-ish pre-tokenizer
@@ -7411,6 +7475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geotile_grid_agg": q_geotile_grid,
     "geo_distance_rings": q_geo_distance_rings,
     "token_counts": q_token_counts,
+    "bm25_custom_sim": q_bm25_custom_sim,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7540,4 +7605,5 @@ ORACLE_SQL: dict[str, str] = {
     "geotile_grid_agg": _SQL_GEOTILE,
     "geo_distance_rings": _SQL_GEO_RINGS,
     "token_counts": _SQL_TOKEN_COUNTS,
+    "bm25_custom_sim": _SQL_CUSTOM_SIM,
 }

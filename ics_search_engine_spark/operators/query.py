@@ -37,12 +37,6 @@ from oracle.bm25 import K1, B, idf as py_idf
 from ics_search_engine_spark.operators.index_build import DOC_KEY
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
-# Constants pre-combined in Python so Spark literals carry the exact
-# same double bits the oracle uses.
-_K1P1 = K1 + 1.0
-_ONE_MINUS_B = 1.0 - B
-
-
 def query_weights(query: str, term_df: dict[str, int], n_docs: int,
                   do_stem: bool = True) -> dict[str, float]:
     """term -> qtf * idf, computed in Python (bit-matches oracle)."""
@@ -86,6 +80,8 @@ def bm25_tfn_col(
     avgdl: float,
     tf: F.Column | None = None,
     dl: F.Column | None = None,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> F.Column:
     """The BM25 saturation factor tf*(k1+1) / (tf + k1*((1-b) +
     (b*dl)/avgdl)) with the exact oracle operation order (oracle/bm25.py
@@ -93,18 +89,25 @@ def bm25_tfn_col(
     surface (single-field scoring, fielded multi_match, boolean-query
     leaves) multiplies, so bit-exactness has a single source of truth.
     ``tf``/``dl`` default to the standard posting columns; pass
-    expressions (e.g. a phrase count) to saturate something else."""
+    expressions (e.g. a phrase count) to saturate something else.
+    ``k1``/``b`` default to the reference constants; passing either is
+    the ES similarity-settings tuning knob (derived constants combined
+    in Python so the literals carry exact double bits)."""
+    k1v = K1 if k1 is None else float(k1)
+    bv = B if b is None else float(b)
     tfd = (F.col("tf") if tf is None else tf).cast("double")
     dld = (F.col("dl") if dl is None else dl).cast("double")
-    return (tfd * F.lit(_K1P1)) / (
+    return (tfd * F.lit(k1v + 1.0)) / (
         tfd
-        + F.lit(K1) * (F.lit(_ONE_MINUS_B) + (F.lit(B) * dld) / F.lit(avgdl))
+        + F.lit(k1v) * (F.lit(1.0 - bv) + (F.lit(bv) * dld) / F.lit(avgdl))
     )
 
 
-def bm25_contrib_col(avgdl: float) -> F.Column:
+def bm25_contrib_col(
+    avgdl: float, k1: float | None = None, b: float | None = None
+) -> F.Column:
     """w * tfn — the full per-posting BM25 contribution."""
-    return F.col("w") * bm25_tfn_col(avgdl)
+    return F.col("w") * bm25_tfn_col(avgdl, k1=k1, b=b)
 
 
 def bm25_topk(
@@ -184,6 +187,8 @@ def score_all(
     require_all: int | None = None,
     min_match: int | None = None,
     with_count: bool = False,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> DataFrame:
     """Every matched doc's full score (no top-k truncation) —
     (key_cols..., score[, n_matched]).  The deterministic sorted-term
@@ -199,7 +204,7 @@ def score_all(
     )
     scored = (
         matched.join(F.broadcast(w_df), "term")
-        .withColumn("contrib", bm25_contrib_col(avgdl))
+        .withColumn("contrib", bm25_contrib_col(avgdl, k1=k1, b=b))
         .groupBy(*key_cols)
         .agg(
             F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("tc")
@@ -844,6 +849,50 @@ def bm25_topk_packed(spark: SparkSession, pidx, query: str, k: int = 10
     # doc_ord is the global rank of (conv_id, turn_idx) ascending, so the
     # doc_ord tie-break is EXACTLY the oracle's docID tie-break.
     topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)
+    return resolve_topk_keys(pidx, topk)
+
+
+def bm25_topk_params(
+    spark: SparkSession,
+    pidx,
+    query: str,
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """ES similarity settings: top-k BM25 with TUNED ``k1``/``b``
+    (ES lets an index override the defaults per field — k1≈0.9/b≈0.4
+    is the classic short-field tuning).  Same plan as
+    ``bm25_topk_packed`` (term-IN pushdown → decode → fold →
+    TakeOrderedAndProject), and bit-identical to it when the params
+    are the defaults (tested).
+
+    Scale note: the index's block-max metadata (max_tfn) was computed
+    with the BUILD-TIME constants, so a tuned query scores its match
+    set exhaustively rather than consuming stale WAND upper bounds —
+    the same reopen-to-retune tradeoff ES makes (similarity is an
+    index setting; changing it without reindexing invalidates
+    impacts)."""
+    from ics_search_engine_spark.operators.packed_index import decode_matched
+    from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
+
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(_tok(query, for_query=True, do_stem=do_stem)))
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if not weights:
+        return empty
+    matched = pidx.index.filter(F.col("term").isin(q_terms))
+    posts = decode_matched(matched)
+    scored = score_all(
+        spark, posts, weights, pidx.avgdl, ["doc_ord"], k1=k1, b=b
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
     return resolve_topk_keys(pidx, topk)
 
 
