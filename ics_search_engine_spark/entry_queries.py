@@ -7353,6 +7353,109 @@ ORDER BY range_ord
 """
 
 
+def q_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_centroid aggregation (operators/geo.geo_centroid): mean
+    coordinate of the matched docs' points, rounded to 6 dp (sum order
+    across partitions differs from the oracle only below that)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.geo import geo_centroid
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_geocent_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        row = geo_centroid(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), _geo_attrs(docs),
+            "lat", "lon",
+        ).collect()[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(round(row["lat"], 6), round(row["lon"], 6), row["n_docs"])],
+        "lat_r6 double, lon_r6 double, n_docs long",
+    )
+
+
+_SQL_GEO_CENTROID = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+{_SQL_GEO_PTS}
+SELECT round(avg(lat), 6) AS lat_r6, round(avg(lon), 6) AS lon_r6,
+       count(*) AS n_docs
+FROM pts JOIN matched USING (doc_id)
+"""
+
+
+def q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds aggregation (operators/geo.geo_bounds): the
+    non-wrapping bounding box of the matched docs' points — min/max
+    are exact doubles, no rounding needed."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.geo import geo_bounds
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_geobounds_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        return spark.createDataFrame(
+            geo_bounds(
+                spark, pidx, " ".join(DOCS_QUERY_TERMS),
+                _geo_attrs(docs), "lat", "lon",
+            ).collect(),
+            "top double, left double, bottom double, right double",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_SQL_GEO_BOUNDS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+{_SQL_GEO_PTS}
+SELECT max(lat) AS top, min(lon) AS "left",
+       min(lat) AS bottom, max(lon) AS "right"
+FROM pts JOIN matched USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -7476,6 +7579,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_distance_rings": q_geo_distance_rings,
     "token_counts": q_token_counts,
     "bm25_custom_sim": q_bm25_custom_sim,
+    "geo_centroid_agg": q_geo_centroid,
+    "geo_bounds_agg": q_geo_bounds,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7606,4 +7711,6 @@ ORACLE_SQL: dict[str, str] = {
     "geo_distance_rings": _SQL_GEO_RINGS,
     "token_counts": _SQL_TOKEN_COUNTS,
     "bm25_custom_sim": _SQL_CUSTOM_SIM,
+    "geo_centroid_agg": _SQL_GEO_CENTROID,
+    "geo_bounds_agg": _SQL_GEO_BOUNDS,
 }

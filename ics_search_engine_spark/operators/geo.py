@@ -254,6 +254,58 @@ def geotile_grid(
     )
 
 
+def geo_centroid(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES ``geo_centroid`` aggregation: arithmetic mean of the matched
+    docs' coordinates → one row (lat, lon, n_docs); all-NULL coords
+    with n_docs 0 on an empty match set (ES omits the centroid then).
+    One hash-agg — the cheapest possible rollup."""
+    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
+    return (
+        pidx.docmap.join(docs, "doc_ord")
+        .join(attrs, ["conv_id", "turn_idx"])
+        .agg(
+            F.avg(F.col(lat_col).cast("double")).alias("lat"),
+            F.avg(F.col(lon_col).cast("double")).alias("lon"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def geo_bounds(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES ``geo_bounds`` aggregation: the bounding box of the matched
+    docs' points → one row (top, left, bottom, right) = (max lat,
+    min lon, min lat, max lon); all-NULL on an empty match set.
+    Non-wrapping box (ES's ``wrap_longitude: false`` form — the
+    antimeridian-crossing minimal box is a presentation refinement)."""
+    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
+    return (
+        pidx.docmap.join(docs, "doc_ord")
+        .join(attrs, ["conv_id", "turn_idx"])
+        .agg(
+            F.max(F.col(lat_col).cast("double")).alias("top"),
+            F.min(F.col(lon_col).cast("double")).alias("left"),
+            F.min(F.col(lat_col).cast("double")).alias("bottom"),
+            F.max(F.col(lon_col).cast("double")).alias("right"),
+        )
+    )
+
+
 def geo_distance_agg(
     spark: SparkSession,
     pidx: PackedIndex,

@@ -264,3 +264,44 @@ class TestGeoDistanceAgg:
             ).count()
             == 0
         )
+
+
+class TestGeoCentroidBounds:
+    def test_centroid_matches_mean(self, spark, setup):
+        from ics_search_engine_spark.operators.geo import geo_centroid
+
+        pidx, rows, pts, attrs = setup
+        row = geo_centroid(
+            spark, pidx, QUERY, attrs, "lat", "lon"
+        ).collect()[0]
+        matched = list(_scored(rows, QUERY))
+        assert row["n_docs"] == len(matched)
+        assert row["lat"] == pytest.approx(
+            sum(pts[k][0] for k in matched) / len(matched), abs=1e-9
+        )
+        assert row["lon"] == pytest.approx(
+            sum(pts[k][1] for k in matched) / len(matched), abs=1e-9
+        )
+
+    def test_centroid_empty_match(self, spark, setup):
+        from ics_search_engine_spark.operators.geo import geo_centroid
+
+        pidx, rows, pts, attrs = setup
+        row = geo_centroid(
+            spark, pidx, "zzzqqq", attrs, "lat", "lon"
+        ).collect()[0]
+        assert row["lat"] is None and row["lon"] is None
+        assert row["n_docs"] == 0
+
+    def test_bounds_match_minmax(self, spark, setup):
+        from ics_search_engine_spark.operators.geo import geo_bounds
+
+        pidx, rows, pts, attrs = setup
+        row = geo_bounds(
+            spark, pidx, QUERY, attrs, "lat", "lon"
+        ).collect()[0]
+        matched = list(_scored(rows, QUERY))
+        assert row["top"] == max(pts[k][0] for k in matched)
+        assert row["bottom"] == min(pts[k][0] for k in matched)
+        assert row["left"] == min(pts[k][1] for k in matched)
+        assert row["right"] == max(pts[k][1] for k in matched)
