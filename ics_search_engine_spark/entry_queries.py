@@ -7456,6 +7456,100 @@ FROM pts JOIN matched USING (doc_id)
 """
 
 
+def q_bm25_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _update_by_query under the DuckDB gate (operators/segments.
+    update_by_query): every live doc matching 'vector' is rewritten
+    with appended text and re-ingested as an upsert segment whose
+    supersedes.json shadows the old versions.  Same stats contract as
+    the upsert gate: dead versions vanish from RESULTS exactly, live
+    (v2) docs score with their new tf/dl, collection stats count both
+    versions until compaction — the oracle scores the both-versions
+    corpus and drops dead rows from the ranking."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.segments import (
+        SegmentedIndex,
+        bm25_topk_segmented,
+        update_by_query,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    base = tempfile.mkdtemp(prefix="gate_engine_updq_")
+    try:
+        build_packed_index(
+            spark, transcripts, f"{base}/seg0",
+            range_bits=8, with_positions=False, stem=False,
+        )
+        sidx0 = SegmentedIndex(spark, [f"{base}/seg0"])
+        update_by_query(
+            spark, sidx0, "vector", transcripts,
+            lambda df: df.withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" spark stream spark")),
+            ),
+            f"{base}/seg1",
+            range_bits=8, with_positions=False, stem=False,
+        )
+        sidx = SegmentedIndex(spark, [f"{base}/seg0", f"{base}/seg1"])
+        top = bm25_topk_segmented(
+            spark, sidx, " ".join(DOCS_QUERY_TERMS), k=60,
+            resolve="pushdown",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        top.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_UPDATE_BY_QUERY = """
+WITH raw AS (
+  SELECT doc_id, text, list_contains({toks}, 'vector') AS upd
+  FROM documents
+),
+src AS (
+  SELECT doc_id, upd AS dead, text FROM raw
+  UNION ALL
+  SELECT doc_id, FALSE AS dead, text || ' spark stream spark'
+  FROM raw WHERE upd
+),
+t AS (SELECT doc_id, dead, {toks} AS toks FROM src),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, dead, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, dead, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id, dead
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.dead,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25_r6
+FROM scored WHERE NOT dead
+GROUP BY doc_id, dead
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+""".replace("{toks}", _SQL_TOKS)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -7581,6 +7675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_custom_sim": q_bm25_custom_sim,
     "geo_centroid_agg": q_geo_centroid,
     "geo_bounds_agg": q_geo_bounds,
+    "bm25_update_by_query": q_bm25_update_by_query,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7713,4 +7808,5 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_custom_sim": _SQL_CUSTOM_SIM,
     "geo_centroid_agg": _SQL_GEO_CENTROID,
     "geo_bounds_agg": _SQL_GEO_BOUNDS,
+    "bm25_update_by_query": _SQL_UPDATE_BY_QUERY,
 }

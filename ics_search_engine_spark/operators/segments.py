@@ -128,6 +128,93 @@ def build_upsert_segment(
     return keys
 
 
+def live_matched(
+    spark: SparkSession,
+    sidx: "SegmentedIndex",
+    query: str,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """The LIVE match set of a segmented index → (conv_id, turn_idx):
+    each segment's match set evaluated independently (a doc version
+    lives wholly in one segment), then versions superseded by a newer
+    segment dropped — the shadow-aware front half shared by
+    ``delete_by_query`` and ``update_by_query``, so a key whose live
+    version does not match never enters either verb just because a
+    dead older version did."""
+    from ics_search_engine_spark.operators.facets import matched_docs
+
+    per_seg = []
+    for i, seg in enumerate(sidx.segments):
+        m = matched_docs(spark, seg, query, conjunctive=conjunctive)
+        per_seg.append(
+            seg.docmap.join(m, "doc_ord")
+            .select(*DOC_KEY)
+            .withColumn("seg", F.lit(i))
+        )
+    matched = per_seg[0]
+    for m in per_seg[1:]:
+        matched = matched.unionByName(m)
+    return _apply_shadows(spark, matched, sidx.shadows)
+
+
+def update_by_query(
+    spark: SparkSession,
+    sidx: "SegmentedIndex",
+    query: str,
+    transcripts: DataFrame,
+    transform,
+    out_dir: str,
+    max_docs: int = 100_000,
+    conjunctive: bool = False,
+    **build_kw,
+) -> set[tuple[str, int]]:
+    """Mass update by MATCH SET (the Elasticsearch _update_by_query
+    verb): every live document matching ``query`` is re-read from
+    ``transcripts`` (the source-of-truth doc store — ES reads _source
+    the same way), rewritten by ``transform``, and re-ingested as an
+    upsert segment whose supersedes.json shadows the old versions —
+    the script-per-matched-doc verb expressed as delete-by-term + add,
+    never an in-place mutation.
+
+    ``transform`` is a callable DataFrame → DataFrame over the matched
+    slice of ``transcripts``; it must PRESERVE the (conv_id, turn_idx)
+    keys (ES scripts cannot change _id either — enforced here by a
+    count check, the cheap invariant) and keep a ``text`` column.
+
+    Same contract as upsert: results reflect the new text from the
+    next query on; collection stats (N, avgdl, df) count both versions
+    until ``compact_segments``.  ``max_docs`` bounds the declaration
+    exactly as in ``delete_by_query``.  Returns the declared key set.
+
+    Scale shape: the only driver-resident piece is the declared key
+    set (bounded by ``max_docs``); the rewrite itself is a distributed
+    join (live keys × doc store) + the normal delta-sized packed
+    build.
+    """
+    live = live_matched(spark, sidx, query, conjunctive=conjunctive)
+    n = live.count()
+    if n > max_docs:
+        raise ValueError(
+            f"update_by_query matched {n} docs > max_docs={max_docs}; "
+            "rebuild with the transform applied instead"
+        )
+    if n == 0:
+        return set()
+    delta = transcripts.join(live.select(*DOC_KEY), DOC_KEY)
+    updated = transform(delta)
+    missing = [c for c in (*DOC_KEY, "text") if c not in updated.columns]
+    if missing:
+        raise ValueError(f"transform dropped required columns: {missing}")
+    updated = updated.select(*DOC_KEY, "text")
+    if updated.count() != n:
+        raise ValueError(
+            "transform changed the matched row count — update_by_query "
+            "must preserve (conv_id, turn_idx) keys"
+        )
+    build_kw.setdefault("stem", sidx.segments[0].stats.get("stem", True))
+    return build_upsert_segment(spark, updated, out_dir, **build_kw)
+
+
 def delete_by_query(
     spark: SparkSession,
     sidx: "SegmentedIndex",
@@ -159,23 +246,11 @@ def delete_by_query(
 
     Returns the declared key set.
     """
-    from ics_search_engine_spark.operators.facets import matched_docs
     from ics_search_engine_spark.operators.packed_index import (
         build_packed_index,
     )
 
-    per_seg = []
-    for i, seg in enumerate(sidx.segments):
-        m = matched_docs(spark, seg, query, conjunctive=conjunctive)
-        per_seg.append(
-            seg.docmap.join(m, "doc_ord")
-            .select(*DOC_KEY)
-            .withColumn("seg", F.lit(i))
-        )
-    matched = per_seg[0]
-    for m in per_seg[1:]:
-        matched = matched.unionByName(m)
-    live = _apply_shadows(spark, matched, sidx.shadows)
+    live = live_matched(spark, sidx, query, conjunctive=conjunctive)
     n = live.count()
     if n > max_docs:
         raise ValueError(
