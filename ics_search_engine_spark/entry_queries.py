@@ -7550,6 +7550,63 @@ ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
 """.replace("{toks}", _SQL_TOKS)
 
 
+def q_sampler_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler agg wrapping terms (operators/aggs.sampler_terms):
+    facet counts over the top-100 BEST-SCORING matched docs instead of
+    the full match set — the cut runs in round_scores mode (cut on
+    round(score, 6) with doc-order tie-break) so boundary membership
+    is reproducible across engines; the oracle cuts identically."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.aggs import sampler_terms
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_sampler_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = sampler_terms(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS),
+            transcripts.select("conv_id", "turn_idx", "role"), "role",
+            shard_size=100, round_scores=True,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["role"], r["n_docs"]) for r in rows], "role string, n_docs long"
+    )
+
+
+_SQL_SAMPLER_TERMS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+bm25 AS (SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id),
+sample AS (
+  SELECT doc_id FROM bm25
+  ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 100
+)
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       count(*) AS n_docs
+FROM sample GROUP BY role ORDER BY role ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -7676,6 +7733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_centroid_agg": q_geo_centroid,
     "geo_bounds_agg": q_geo_bounds,
     "bm25_update_by_query": q_bm25_update_by_query,
+    "sampler_terms_agg": q_sampler_terms,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7809,4 +7867,5 @@ ORACLE_SQL: dict[str, str] = {
     "geo_centroid_agg": _SQL_GEO_CENTROID,
     "geo_bounds_agg": _SQL_GEO_BOUNDS,
     "bm25_update_by_query": _SQL_UPDATE_BY_QUERY,
+    "sampler_terms_agg": _SQL_SAMPLER_TERMS,
 }

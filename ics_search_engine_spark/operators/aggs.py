@@ -1115,3 +1115,88 @@ def normalize_buckets(
     else:
         raise ValueError(f"unknown normalize method {method!r}")
     return buckets.withColumn(alias, out)
+
+
+def sampler_matched(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    shard_size: int = 100,
+    max_per_key: int | None = None,
+    key_attrs: DataFrame | None = None,
+    key_col: str | None = None,
+    round_scores: bool = False,
+) -> DataFrame:
+    """ES ``sampler`` / ``diversified_sampler`` front half: the
+    ``shard_size`` BEST-SCORING matched docs → (doc_ord), the sample
+    any sub-aggregation then rolls up instead of the full match set —
+    ES's cut-the-long-tail-of-barely-matching-docs knob.
+
+    ``max_per_key`` + ``key_attrs``/``key_col`` is the diversified
+    form: at most m sample slots per key value (row_number window over
+    score order BEFORE the global cut, exactly ES's de-bias).
+
+    ``round_scores=True`` cuts on round(score, 6) with the doc-order
+    tie-break — the cross-engine-reproducibility mode the DuckDB gate
+    drives (sub-ulp summation-order differences between engines could
+    otherwise flip boundary membership); exact scores are the default.
+
+    Scale: the cut is TakeOrderedAndProject over the scored match set
+    (per-partition heaps, ≤ shard_size rows materialize); the
+    diversified window shuffles once on the key."""
+    scored = scored_matches(spark, pidx, query)
+    s = F.round(F.col("score"), 6) if round_scores else F.col("score")
+    if max_per_key is not None:
+        if key_attrs is None or key_col is None:
+            raise ValueError(
+                "max_per_key requires key_attrs and key_col"
+            )
+        keyed = (
+            pidx.docmap.select("doc_ord", "conv_id", "turn_idx")
+            .join(scored, "doc_ord")
+            .join(key_attrs, ["conv_id", "turn_idx"])
+        )
+        w = Window.partitionBy(key_col).orderBy(
+            s.desc(), F.asc("doc_ord")
+        )
+        scored = (
+            keyed.withColumn("_kr", F.row_number().over(w))
+            .filter(F.col("_kr") <= max_per_key)
+            .select("doc_ord", "score")
+        )
+        s = F.round(F.col("score"), 6) if round_scores else F.col("score")
+    return (
+        scored.orderBy(s.desc(), F.asc("doc_ord"))
+        .limit(shard_size)
+        .select("doc_ord")
+    )
+
+
+def sampler_terms(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    facet_col: str,
+    shard_size: int = 100,
+    max_per_key: int | None = None,
+    key_attrs: DataFrame | None = None,
+    key_col: str | None = None,
+    round_scores: bool = False,
+) -> DataFrame:
+    """``sampler`` (or ``diversified_sampler``) wrapping a ``terms``
+    sub-aggregation — facet counts over the top-``shard_size`` sample
+    → (facet value, n_docs), facet value asc: the canonical ES nesting
+    (what ARE the best hits about, undiluted by the match tail)."""
+    docs = sampler_matched(
+        spark, pidx, query, shard_size,
+        max_per_key=max_per_key, key_attrs=key_attrs, key_col=key_col,
+        round_scores=round_scores,
+    )
+    return (
+        pidx.docmap.join(docs, "doc_ord")
+        .join(attrs, ["conv_id", "turn_idx"])
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.asc(facet_col))
+    )

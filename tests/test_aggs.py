@@ -980,3 +980,88 @@ class TestNormalizeBuckets:
         assert all(r["norm"] == 0.0 for r in got)
         with pytest.raises(ValueError):
             normalize_buckets(const, "v", "nope")
+
+
+class TestSampler:
+    def test_sample_is_topn(self, spark, setup):
+        from ics_search_engine_spark.operators.aggs import sampler_matched
+
+        pidx, rows = setup
+        scores = _oracle_scores(rows, QUERY)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = sampler_matched(spark, pidx, QUERY, shard_size=50)
+        keyed = {
+            (r["conv_id"], r["turn_idx"])
+            for r in pidx.docmap.join(got, "doc_ord").collect()
+        }
+        assert keyed == {k for k, _ in ranked[:50]}
+
+    def test_sampler_terms_matches_transcription(
+        self, spark, setup, small_df
+    ):
+        from ics_search_engine_spark.operators.aggs import sampler_terms
+
+        pidx, rows = setup
+        got = {
+            r["role"]: r["n_docs"]
+            for r in sampler_terms(
+                spark, pidx, QUERY, small_df, "role", shard_size=80
+            ).collect()
+        }
+        scores = _oracle_scores(rows, QUERY)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        role_of = _attr_of(small_df, "role")
+        expect: dict = {}
+        for k, _ in ranked[:80]:
+            expect[role_of[k]] = expect.get(role_of[k], 0) + 1
+        assert got == expect
+
+    def test_diversified_cap_and_transcription(
+        self, spark, setup, small_df
+    ):
+        from ics_search_engine_spark.operators.aggs import (
+            sampler_matched,
+            sampler_terms,
+        )
+
+        pidx, rows = setup
+        m = 3
+        scores = _oracle_scores(rows, QUERY)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        role_of = _attr_of(small_df, "role")
+        seen: dict = {}
+        sample = []
+        for k, _ in ranked:
+            if seen.get(role_of[k], 0) < m:
+                seen[role_of[k]] = seen.get(role_of[k], 0) + 1
+                sample.append(k)
+            if len(sample) == 10:
+                break
+        got = sampler_matched(
+            spark, pidx, QUERY, shard_size=10,
+            max_per_key=m, key_attrs=small_df, key_col="role",
+        )
+        keyed = {
+            (r["conv_id"], r["turn_idx"])
+            for r in pidx.docmap.join(got, "doc_ord").collect()
+        }
+        assert keyed == set(sample)
+        counts = sampler_terms(
+            spark, pidx, QUERY, small_df, "role", shard_size=10,
+            max_per_key=m, key_attrs=small_df, key_col="role",
+        ).collect()
+        assert all(r["n_docs"] <= m for r in counts)
+        with pytest.raises(ValueError):
+            sampler_matched(spark, pidx, QUERY, 10, max_per_key=2)
+
+    def test_oversized_sample_is_full_match_set(self, spark, setup):
+        from ics_search_engine_spark.operators.aggs import sampler_matched
+
+        pidx, rows = setup
+        n_matched = len(_oracle_scores(rows, QUERY))
+        assert (
+            sampler_matched(
+                spark, pidx, QUERY, shard_size=n_matched + 1000
+            ).count()
+            == n_matched
+        )
