@@ -7607,6 +7607,82 @@ FROM sample GROUP BY role ORDER BY role ASC
 """
 
 
+def q_intervals_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals query (operators/intervals.intervals_topk):
+    AllOf([spark, join], ordered, max_gaps=3) under MINIMAL-interval
+    semantics — an interval counts only if no other match is contained
+    in it.  The oracle reproduces minimality relationally: for each
+    left position a, b(a) = first 'join' after a; per distinct b keep
+    the largest a (the only containment possible when b(a) is
+    monotone); gaps = b − a − 1 filter after minimalization."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.intervals import (
+        AllOf,
+        Term,
+        intervals_topk,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_intervals_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = intervals_topk(
+            spark, pidx,
+            AllOf([Term("spark"), Term("join")], ordered=True,
+                  max_gaps=3),
+            k=20,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(c[3:]), int(m)) for c, _, m in rows],
+        "doc_id long, match_count long",
+    )
+
+
+_SQL_INTERVALS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'spark') AS p0,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'join')  AS p1
+  FROM t
+),
+pr AS (
+  SELECT doc_id, unnest(p0) AS a, p1 FROM p
+  WHERE len(p0) > 0 AND len(p1) > 0
+),
+cand AS (
+  SELECT doc_id, a, list_min(list_filter(p1, b -> b > a)) AS b FROM pr
+),
+minimal AS (
+  SELECT doc_id, max(a) AS a, b FROM cand
+  WHERE b IS NOT NULL GROUP BY doc_id, b
+),
+m AS (
+  SELECT doc_id, count(*)::BIGINT AS match_count FROM minimal
+  WHERE b - a - 1 <= 3 GROUP BY doc_id
+)
+SELECT doc_id, match_count FROM m WHERE match_count > 0
+ORDER BY match_count DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -7734,6 +7810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_bounds_agg": q_geo_bounds,
     "bm25_update_by_query": q_bm25_update_by_query,
     "sampler_terms_agg": q_sampler_terms,
+    "intervals_engine": q_intervals_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7868,4 +7945,5 @@ ORACLE_SQL: dict[str, str] = {
     "geo_bounds_agg": _SQL_GEO_BOUNDS,
     "bm25_update_by_query": _SQL_UPDATE_BY_QUERY,
     "sampler_terms_agg": _SQL_SAMPLER_TERMS,
+    "intervals_engine": _SQL_INTERVALS,
 }

@@ -1,0 +1,203 @@
+"""Intervals combinator algebra (operators/intervals.py) vs an
+exhaustive brute-force transcription of minimal-interval semantics,
+plus the Spark end-to-end path vs per-doc kernel counts."""
+
+import random
+
+import pytest
+
+from oracle import bm25 as oracle
+from ics_search_engine_spark.operators.intervals import (
+    AllOf,
+    AnyOf,
+    Term,
+    count_intervals,
+    intervals_topk,
+    match_source,
+    tree_terms,
+)
+from ics_search_engine_spark.operators.packed_index import (
+    PackedIndex,
+    build_packed_index,
+)
+
+
+# ---------------------------------------------------------- brute force
+def _exact_spans(node, pos):
+    """All (start, end, best_w) spans node matches EXACTLY (before
+    minimalization), by exhaustive choice enumeration."""
+    if isinstance(node, Term):
+        return {(p, p): 1 for p in pos.get(node.term, [])}
+    if isinstance(node, AnyOf):
+        out: dict = {}
+        for s in node.sources:
+            for span, w in _exact_spans(s, pos).items():
+                out[span] = max(out.get(span, 0), w)
+        return out
+    subs = [_exact_spans(s, pos) for s in node.sources]
+    if any(not s for s in subs):
+        return {}
+    out = {}
+
+    def rec(i, chosen):
+        if i == len(subs):
+            if node.ordered:
+                prev_end = None
+                for (s, e), _ in chosen:
+                    if prev_end is not None and s <= prev_end:
+                        return
+                    prev_end = e
+            lo = min(s for (s, _), _ in chosen)
+            hi = max(e for (_, e), _ in chosen)
+            w = sum(w for _, w in chosen)
+            out[(lo, hi)] = max(out.get((lo, hi), 0), w)
+            return
+        for span, w in subs[i].items():
+            rec(i + 1, chosen + [(span, w)])
+
+    rec(0, [])
+    return out
+
+
+def brute_count(node, pos):
+    spans = _exact_spans(node, pos)
+    # per start keep smallest end (same-start containment), max w tie
+    by_start: dict = {}
+    for (s, e), w in spans.items():
+        cur = by_start.get(s)
+        if cur is None or e < cur[0] or (e == cur[0] and w > cur[1]):
+            by_start[s] = (e, w)
+    minimal = []
+    items = sorted((s, e, w) for s, (e, w) in by_start.items())
+    for i, (s, e, w) in enumerate(items):
+        if any(
+            s2 > s and e2 <= e for (s2, e2, _) in items[i + 1:]
+        ):
+            continue
+        minimal.append((s, e, w))
+    if isinstance(node, AllOf) and node.max_gaps is not None:
+        minimal = [
+            (s, e, w)
+            for s, e, w in minimal
+            if max(0, (e - s + 1) - w) <= node.max_gaps
+        ]
+    return len(minimal)
+
+
+def _rand_pos(rng, n_terms=3, max_pos=12):
+    return {
+        f"t{i}": sorted(
+            rng.sample(range(max_pos), rng.randint(0, 4))
+        )
+        for i in range(n_terms)
+    }
+
+
+class TestKernelVsBruteForce:
+    def _check(self, node, rng, n=300):
+        for trial in range(n):
+            pos = _rand_pos(rng)
+            got = count_intervals(node, pos)
+            want = brute_count(node, pos)
+            assert got == want, f"trial {trial}: {pos} got={got} want={want}"
+
+    def test_unordered_allof(self):
+        rng = random.Random(42)
+        self._check(AllOf([Term("t0"), Term("t1"), Term("t2")]), rng)
+
+    def test_ordered_allof(self):
+        rng = random.Random(43)
+        self._check(
+            AllOf([Term("t0"), Term("t1"), Term("t2")], ordered=True), rng
+        )
+
+    def test_max_gaps(self):
+        rng = random.Random(44)
+        self._check(
+            AllOf([Term("t0"), Term("t1")], ordered=True, max_gaps=2), rng
+        )
+        self._check(
+            AllOf([Term("t0"), Term("t1")], max_gaps=1), rng
+        )
+
+    def test_anyof_of_allofs(self):
+        rng = random.Random(45)
+        node = AnyOf([
+            AllOf([Term("t0"), Term("t1")], ordered=True),
+            Term("t2"),
+        ])
+        self._check(node, rng)
+
+    def test_nested_allof(self):
+        rng = random.Random(46)
+        node = AllOf(
+            [AnyOf([Term("t0"), Term("t1")]), Term("t2")],
+            ordered=True, max_gaps=3,
+        )
+        self._check(node, rng)
+
+    def test_empty_and_missing(self):
+        assert count_intervals(Term("t0"), {}) == 0
+        assert count_intervals(
+            AllOf([Term("t0"), Term("t1")]), {"t0": [1]}
+        ) == 0
+        assert count_intervals(
+            AnyOf([Term("t0"), Term("t1")]), {"t1": [3, 7]}
+        ) == 2
+
+
+class TestMatchSource:
+    def test_tokenizes_query_mode(self):
+        node = match_source("the machine learning", ordered=True)
+        assert isinstance(node, AllOf) and node.ordered
+        assert tree_terms(node) == {"machin", "learn"}
+
+    def test_single_and_empty(self):
+        assert match_source("machine") == Term("machin")
+        assert match_source("the of and") is None
+
+
+@pytest.fixture(scope="module")
+def setup(spark, small_df, small_rows, corpus_dir):
+    out = f"{corpus_dir}/intervals_idx"
+    build_packed_index(spark, small_df, out, range_bits=9,
+                       with_positions=True)
+    return PackedIndex(spark, out), small_rows
+
+
+class TestIntervalsTopk:
+    def test_matches_kernel_over_oracle_positions(self, spark, setup):
+        pidx, rows = setup
+        node = AllOf(
+            [Term("machin"), Term("learn")], ordered=False, max_gaps=4
+        )
+        got = intervals_topk(spark, pidx, node, k=2000).collect()
+        idx = oracle.build_index(rows)
+        expect = {}
+        for docid in idx.dl:
+            pos = {
+                t: idx.positions.get(t, {}).get(docid, [])
+                for t in ("machin", "learn")
+            }
+            pos = {t: p for t, p in pos.items() if p}
+            c = count_intervals(node, pos)
+            if c > 0:
+                expect[docid] = c
+        assert {(r[0], r[1]): r[2] for r in got} == expect
+        counts = [r[2] for r in got]
+        assert counts == sorted(counts, reverse=True)
+
+    def test_positionless_index_raises(
+        self, spark, small_df, corpus_dir
+    ):
+        out = f"{corpus_dir}/intervals_nopos"
+        build_packed_index(spark, small_df, out, range_bits=9,
+                           with_positions=False)
+        with pytest.raises(ValueError, match="positional"):
+            intervals_topk(
+                spark, PackedIndex(spark, out), Term("machin")
+            )
+
+    def test_none_and_empty_tree(self, spark, setup):
+        pidx, rows = setup
+        assert intervals_topk(spark, pidx, None).count() == 0
