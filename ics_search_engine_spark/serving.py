@@ -875,6 +875,77 @@ class LocalIndexServer:
             mask &= hi > lo
         return self._rank_counts(*self._count_by_doc(anchor_keys, mask), k)
 
+    def search_intervals(self, node, k: int = 10
+                         ) -> list[tuple[str, int, int]]:
+        """Intervals-query serving → [(conv_id, turn_idx,
+        match_count)], identical to operators/intervals.intervals_topk
+        (same kernel: the tree algebra in count_intervals runs per
+        candidate doc).  Candidates are docs holding ≥1 tree term —
+        the kernel zero-counts docs missing a required term; a
+        root-level AllOf of Term leaves narrows candidates to the
+        intersection first (the common case costs |smallest df|
+        evaluations, not the union)."""
+        from ics_search_engine_spark.operators.intervals import (
+            AllOf,
+            Term,
+            count_intervals,
+            tree_terms,
+        )
+
+        if node is None:
+            return []
+        terms = sorted(tree_terms(node))
+        if not terms:
+            return []
+        # per term: doc array + per-doc position lists (split on doc
+        # boundaries of the sorted composite keys)
+        per_term: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+        for t in terms:
+            keys = self._position_keys(t)
+            docs = keys >> 32
+            uniq, starts = np.unique(docs, return_index=True)
+            per_term[t] = (
+                uniq,
+                np.split(keys & 0xFFFFFFFF, starts[1:]),
+            )
+        if isinstance(node, AllOf) and all(
+            isinstance(s, Term) for s in node.sources
+        ):
+            cand = None
+            for t in terms:
+                cand = (
+                    per_term[t][0]
+                    if cand is None
+                    else np.intersect1d(cand, per_term[t][0])
+                )
+        else:
+            cand = np.unique(
+                np.concatenate([per_term[t][0] for t in terms])
+            )
+        out_docs, out_counts = [], []
+        # per-term doc→slot probes, vectorized over all candidates
+        slot = {
+            t: np.searchsorted(per_term[t][0], cand) for t in terms
+        }
+        for i, d in enumerate(cand):
+            pos = {}
+            for t in terms:
+                uniq, plists = per_term[t]
+                j = slot[t][i]
+                if j < uniq.size and uniq[j] == d:
+                    pos[t] = plists[j].tolist()
+            c = count_intervals(node, pos)
+            if c > 0:
+                out_docs.append(int(d))
+                out_counts.append(c)
+        if not out_docs:
+            return []
+        return self._rank_counts(
+            np.asarray(out_docs, dtype=np.int64),
+            np.asarray(out_counts, dtype=np.int64),
+            k,
+        )
+
     def search_near_ordered(self, query: str, window: int, k: int = 10
                             ) -> list[tuple[str, int, int]]:
         """Ordered-proximity serving → [(conv_id, turn_idx,
@@ -1314,6 +1385,13 @@ class LocalSegmentedServer:
         return self._merge_counts(
             [s.search_near_ordered(query, window, f) for s in self.servers],
             k,
+        )
+
+    def search_intervals(self, node, k: int = 10
+                         ) -> list[tuple[str, int, int]]:
+        f = k + len(self.shadows)
+        return self._merge_counts(
+            [s.search_intervals(node, f) for s in self.servers], k
         )
 
     def _global_df(self) -> dict[str, int]:

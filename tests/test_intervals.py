@@ -201,3 +201,33 @@ class TestIntervalsTopk:
     def test_none_and_empty_tree(self, spark, setup):
         pidx, rows = setup
         assert intervals_topk(spark, pidx, None).count() == 0
+
+
+class TestServingIntervals:
+    def test_serving_identical_to_spark(self, spark, setup, corpus_dir):
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        pidx, rows = setup
+        srv = LocalIndexServer(f"{corpus_dir}/intervals_idx")
+        for node in (
+            AllOf([Term("machin"), Term("learn")], max_gaps=4),
+            AllOf([Term("machin"), Term("learn")], ordered=True),
+            AnyOf([
+                AllOf([Term("machin"), Term("learn")], ordered=True),
+                Term("model"),
+            ]),
+            Term("machin"),
+        ):
+            got = srv.search_intervals(node, k=30)
+            want = [
+                tuple(r)
+                for r in intervals_topk(spark, pidx, node, k=30).collect()
+            ]
+            assert got == want, node
+
+    def test_serving_empty(self, spark, setup, corpus_dir):
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        srv = LocalIndexServer(f"{corpus_dir}/intervals_idx")
+        assert srv.search_intervals(None) == []
+        assert srv.search_intervals(Term("zzzqqq")) == []
