@@ -170,3 +170,89 @@ def resolve_alias(store: str, alias: str) -> list[str]:
     if alias not in aliases:
         raise KeyError(f"unknown alias: {alias}")
     return aliases[alias]
+
+
+def open_pit(sidx) -> list[str]:
+    """ES point-in-time (PIT): pin the CURRENT segment set of a
+    ``SegmentedIndex`` → an immutable path list.
+
+    Segments are immutable once ready-marked, so a PIT is pure
+    metadata: queries built over ``SegmentedIndex(spark, pit)`` keep
+    seeing exactly this state — later upserts, deletes, and streamed
+    segments land as NEW directories that the pinned list never
+    includes (a compaction may REPLACE directories, so hold PITs only
+    across query sessions, or snapshot with ``create_snapshot`` for
+    durability — a PIT is the zero-copy, zero-validation fast path; a
+    snapshot is the checksummed durable form of the same idea).
+
+    Use with scroll (operators/query.scroll_pages): ES requires a PIT
+    for consistent deep scrolls for the same reason — each page must
+    rank against the same doc set and the same collection stats.
+    """
+    return [s.path for s in sidx.segments]
+
+
+def reindex(
+    spark,
+    transcripts,
+    out_dir: str,
+    query: str | None = None,
+    sidx=None,
+    transform=None,
+    conjunctive: bool = False,
+    **build_kw,
+) -> dict:
+    """ES ``_reindex``: rebuild documents into a FRESH index with new
+    settings, optionally filtered by a search query and rewritten by a
+    script → the new index's stats dict.
+
+    ES reindex streams ``_source`` docs from a source index into a
+    destination index with its own mappings/settings.  This engine's
+    source-of-truth doc store is the transcripts table (the packed
+    index stores no text — same reason update_by_query re-reads
+    _source), so:
+
+    * ``transcripts`` — the doc store to read from (conv_id, turn_idx,
+      text).
+    * ``query`` + ``sidx`` — optional source filter: only docs whose
+      LIVE version in ``sidx`` matches ``query`` are copied
+      (shadow/tombstone-aware via live_matched, so a doc matched only
+      by a dead superseded version is not copied).
+    * ``transform`` — optional DataFrame → DataFrame script over the
+      selected docs (must preserve keys and ``text``, like
+      update_by_query).
+    * ``**build_kw`` — the DESTINATION settings: range_bits,
+      with_positions, stem, index_partitions — the whole point of the
+      verb is changing these without touching the source.
+
+    Scale shape: one distributed join (live keys × doc store) plus the
+    normal fused single-shuffle packed build; nothing collects on the
+    driver.  Contrast with ``compact_segments``, which rewrites the
+    SAME settings from the index's own postings without the doc store.
+    """
+    src = transcripts
+    if query is not None:
+        if sidx is None:
+            raise ValueError("query filter requires sidx (the source index)")
+        from ics_search_engine_spark.operators.segments import live_matched
+
+        keys = live_matched(spark, sidx, query, conjunctive=conjunctive)
+        # no forced broadcast: a reindex filter can match most of the
+        # corpus, so the join strategy is AQE's call (broadcast when the
+        # matched-key side turns out small, shuffle join otherwise)
+        src = transcripts.join(
+            keys.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"]
+        )
+    if transform is not None:
+        src = transform(src)
+        missing = [
+            c for c in ("conv_id", "turn_idx", "text")
+            if c not in src.columns
+        ]
+        if missing:
+            raise ValueError(f"transform dropped required columns: {missing}")
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+
+    return build_packed_index(spark, src, out_dir, **build_kw)

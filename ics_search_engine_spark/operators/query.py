@@ -926,3 +926,57 @@ def profile_terms(spark: SparkSession, pidx, query: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+def scroll_pages(
+    spark: SparkSession,
+    idx,
+    query: str,
+    page_size: int = 10,
+    max_pages: int | None = None,
+):
+    """ES scroll: iterate the FULL ranking of ``query`` in
+    ``page_size`` chunks — a generator yielding one list of collected
+    Rows (conv_id, turn_idx, score) per page, exhausting when a page
+    comes back short.
+
+    ``idx`` is a PackedIndex or a SegmentedIndex; for a consistent
+    scroll over a live LSM index, pin the segment set first
+    (``SegmentedIndex(spark, open_pit(live_sidx))`` —
+    operators/lifecycle.open_pit), exactly the reason ES requires a
+    point-in-time for scrolls: every page must rank against the same
+    doc set and collection stats.
+
+    Statelessness is the scale story: each page is an independent
+    bounded job driven by the previous page's last row as a
+    search_after cursor (bm25_topk_after / bm25_topk_segmented(after=)),
+    so there is no server-side scroll context to pin on any executor,
+    any page can be retried, and page N costs the same as page 1 —
+    never a LIMIT N·k + skip."""
+    from ics_search_engine_spark.operators.segments import (
+        SegmentedIndex,
+        bm25_topk_segmented,
+    )
+
+    pages = 0
+    cursor: tuple[float, str, int] | None = None
+    segmented = isinstance(idx, SegmentedIndex)
+    while max_pages is None or pages < max_pages:
+        if segmented:
+            page = bm25_topk_segmented(
+                spark, idx, query, k=page_size, after=cursor
+            ).collect()
+        elif cursor is None:
+            page = bm25_topk_packed(spark, idx, query, k=page_size).collect()
+        else:
+            page = bm25_topk_after(
+                spark, idx, query, cursor, k=page_size
+            ).collect()
+        if not page:
+            return
+        yield page
+        pages += 1
+        if len(page) < page_size:
+            return
+        last = page[-1]
+        cursor = (float(last["score"]), last["conv_id"], int(last["turn_idx"]))

@@ -364,12 +364,22 @@ def _segment_shard_scorer(
     rbs: dict[int, int],
     avgdl: float,
     fetch: int,
+    ceiling: float | None = None,
 ):
     """THE segment shard-scoring kernel, shared by the single- and
     multi-query paths: decode each (term, payload) once, accumulate
     every query's scores in ascending term order (oracle bit-parity)
     into a dense per-shard array, emit each query's local top-``fetch``
-    as (query_id, seg, doc_ord, score)."""
+    as (query_id, seg, doc_ord, score).
+
+    ``ceiling`` (search_after cursor support): when set, rows scoring
+    ABOVE it are dropped before the top-``fetch`` cut — they rank
+    before the cursor, so keeping them would let already-served rows
+    consume candidate slots and silently starve a deep page.  Rows
+    scoring EXACTLY the ceiling are ALL emitted (uncut): the cursor
+    tie-break needs (conv_id, turn_idx), which only resolution knows,
+    so the boundary tie class must survive to the resolver — the same
+    exposure as _bounded_winners' boundary re-fetch."""
     import numpy as np
     import pandas as pd
 
@@ -400,8 +410,17 @@ def _segment_shard_scorer(
             ti = np.flatnonzero(touched)
             if ti.size == 0:
                 continue
-            order = np.lexsort((ti, -scores[ti]))[:fetch]
-            sel = ti[order]
+            if ceiling is not None:
+                ti = ti[scores[ti] <= ceiling]
+                if ti.size == 0:
+                    continue
+                eq = ti[scores[ti] == ceiling]
+                lt = ti[scores[ti] < ceiling]
+                order = np.lexsort((lt, -scores[lt]))[:fetch]
+                sel = np.concatenate([eq, lt[order]])
+            else:
+                order = np.lexsort((ti, -scores[ti]))[:fetch]
+                sel = ti[order]
             out_q.extend([qid] * len(sel))
             out_seg.extend([seg] * len(sel))
             out_o.extend((sel + base).tolist())
@@ -480,9 +499,22 @@ def bm25_topk_segmented(
     k: int = 10,
     deletes: set[tuple[str, int]] | None = None,
     resolve: str = "join",
+    after: tuple[float, str, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 across all segments → (conv_id, turn_idx, score),
     bit-identical to querying one index built over the union (tested).
+
+    ``after``: search_after cursor ``(score, conv_id, turn_idx)`` — the
+    last row of the previous page; returns the next ``k`` rows strictly
+    after it in the engine's total order (score desc, conv_id, turn_idx),
+    exactly like operators/query.bm25_topk_after on a single index.
+    Cursor depth never inflates the plan: the shard kernel drops
+    rows scoring above the cursor BEFORE its local top-``fetch`` cut
+    (``ceiling``), so served rows cannot starve deep pages, and the
+    boundary tie class (score == cursor score) is resolved in full so
+    the (conv_id, turn_idx) tie-break is exact mid-tie.  Combined with
+    a pinned segment list (operators/lifecycle.open_pit) this is the ES
+    PIT + search_after scroll over the LSM index.
 
     ONE Spark job regardless of segment count (tested): matched index
     rows from every segment union into a single plan tagged with the
@@ -532,8 +564,10 @@ def bm25_topk_segmented(
     fetch = k + (len(deletes) if deletes else 0) + len(shadows)
     # range_bits may differ per segment (pre-compaction mixtures)
     rbs = {i: int(s.stats["range_bits"]) for i, s in enumerate(sidx.segments)}
+    ceiling = float(after[0]) if after is not None else None
     scorer = _segment_shard_scorer(
-        [("q", sorted(weights.items()))], rbs, sidx.avgdl, fetch
+        [("q", sorted(weights.items()))], rbs, sidx.avgdl, fetch,
+        ceiling=ceiling,
     )
     winners = (
         _matched_union(sidx, q_terms)
@@ -551,7 +585,16 @@ def bm25_topk_segmented(
         # be resolved); (2) per-segment doc_ord IN (...) point lookup.
         # The 10^12-doc mode: no docmap is ever scanned in full.
         K = k + (len(deletes) if deletes else 0) + len(shadows)
-        cand = _bounded_winners(winners, K)
+        if after is not None:
+            # boundary tie class in full (tie-break needs keys), plus a
+            # bounded fetch of the strictly-below class — two bounded
+            # jobs, mirroring _bounded_winners' re-fetch guarantee
+            cand = winners.filter(F.col("score") == ceiling).collect()
+            cand += _bounded_winners(
+                winners.filter(F.col("score") < ceiling), K
+            )
+        else:
+            cand = _bounded_winners(winners, K)
         dmap = _pushdown_lookup(
             sidx, {(int(r["seg"]), int(r["doc_ord"])) for r in cand}
         )
@@ -571,6 +614,13 @@ def bm25_topk_segmented(
         rows = [r[1:] for r in rows]
         if deletes:
             rows = [r for r in rows if (r[0], r[1]) not in deletes]
+        if after is not None:
+            _, c_a, t_a = after
+            rows = [
+                r for r in rows
+                if r[2] < ceiling
+                or (r[0], r[1]) > (c_a, int(t_a))
+            ]
         rows.sort(key=lambda t: (-t[2], t[0], t[1]))
         rows = rows[:k]
         if not rows:
@@ -592,6 +642,21 @@ def bm25_topk_segmented(
             sorted(deletes), "conv_id string, turn_idx int"
         )
         resolved = resolved.join(F.broadcast(del_df), DOC_KEY, "left_anti")
+    if after is not None:
+        _, c_a, t_a = after
+        resolved = resolved.filter(
+            (F.col("score") < ceiling)
+            | (
+                (F.col("score") == ceiling)
+                & (
+                    (F.col("conv_id") > c_a)
+                    | (
+                        (F.col("conv_id") == c_a)
+                        & (F.col("turn_idx") > int(t_a))
+                    )
+                )
+            )
+        )
     # exact-score ties across segments break on docID, like the oracle
     return resolved.orderBy(
         F.desc("score"), "conv_id", "turn_idx"

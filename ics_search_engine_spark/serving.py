@@ -273,6 +273,14 @@ class LocalIndexServer:
             return []
         return self.score_after_with(weights, after, k)
 
+    def scroll(self, query: str, page_size: int = 10, max_pages=None):
+        """ES scroll at the serving tier: generator of full-ranking
+        pages, each a list of (conv_id, turn_idx, score) — stateless
+        search_after chaining (operators/query.scroll_pages' in-process
+        twin; pages are tested identical to the Spark generator)."""
+        yield from _scroll_via(self.search, self.search_after,
+                               query, page_size, max_pages)
+
     def score_after_with(
         self,
         weights: dict[str, float],
@@ -1326,6 +1334,14 @@ class LocalSegmentedServer:
             merged = [r for r in merged if (r[0], r[1]) not in deletes]
         return merged[:k]
 
+    def scroll(self, query: str, page_size: int = 10, max_pages=None):
+        """Scroll over the segment set (see LocalIndexServer.scroll);
+        the server's segment list is already a pinned snapshot — it
+        was fixed at construction — so every scroll is PIT-consistent
+        by construction."""
+        yield from _scroll_via(self.search, self.search_after,
+                               query, page_size, max_pages)
+
     def _merge_scored(
         self, per_segment: list[list[tuple[str, int, float]]], k: int
     ) -> list[tuple[str, int, float]]:
@@ -1939,3 +1955,23 @@ class LocalVectorServer:
         return [
             (self._ids[sel][i].item(), float(cos[i])) for i in order
         ]
+
+
+def _scroll_via(search_fn, after_fn, query, page_size, max_pages):
+    """Shared scroll driver: page 1 via search, then stateless
+    search_after chaining until a short page."""
+    pages = 0
+    cursor = None
+    while max_pages is None or pages < max_pages:
+        if cursor is None:
+            page = search_fn(query, k=page_size)
+        else:
+            page = after_fn(query, cursor, k=page_size)
+        if not page:
+            return
+        yield page
+        pages += 1
+        if len(page) < page_size:
+            return
+        last = page[-1]
+        cursor = (float(last[2]), last[0], int(last[1]))

@@ -135,3 +135,91 @@ class TestAliases:
         assert len(load_aliases(store)) == 2
         with pytest.raises(KeyError):
             resolve_alias(store, "nope")
+
+
+class TestReindex:
+    def test_reindex_changes_settings_keeps_ranking(
+        self, spark, small_df, corpus_dir
+    ):
+        from ics_search_engine_spark.operators.lifecycle import reindex
+        from ics_search_engine_spark.operators.packed_index import PackedIndex
+        from ics_search_engine_spark.operators.query import bm25_topk_packed
+
+        src_dir = f"{corpus_dir}/reidx_src"
+        dst_dir = f"{corpus_dir}/reidx_dst"
+        build_packed_index(spark, small_df, src_dir, range_bits=8,
+                           with_positions=True)
+        stats = reindex(spark, small_df, dst_dir, range_bits=4,
+                        with_positions=False)
+        assert stats["range_bits"] == 4
+        src = PackedIndex(spark, src_dir)
+        dst = PackedIndex(spark, dst_dir)
+        assert [
+            tuple(r) for r in bm25_topk_packed(spark, dst, Q, k=15).collect()
+        ] == [
+            tuple(r) for r in bm25_topk_packed(spark, src, Q, k=15).collect()
+        ]
+
+    def test_reindex_query_filter_copies_live_matches_only(
+        self, spark, small_df, corpus_dir
+    ):
+        from ics_search_engine_spark.operators.lifecycle import reindex
+        from ics_search_engine_spark.operators.packed_index import PackedIndex
+        from ics_search_engine_spark.operators.segments import live_matched
+
+        base = f"{corpus_dir}/reidx_filter"
+        build_packed_index(spark, small_df, f"{base}/seg0", range_bits=8)
+        sidx = SegmentedIndex(spark, [f"{base}/seg0"])
+        live = {
+            (r["conv_id"], r["turn_idx"])
+            for r in live_matched(spark, sidx, Q).collect()
+        }
+        assert live
+        reindex(spark, small_df, f"{base}/dst", query=Q, sidx=sidx,
+                range_bits=8)
+        dst = PackedIndex(spark, f"{base}/dst")
+        copied = {
+            (r["conv_id"], r["turn_idx"]) for r in dst.docmap.collect()
+        }
+        assert copied == live
+
+    def test_reindex_transform_rewrites_docs(
+        self, spark, small_df, corpus_dir
+    ):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.lifecycle import reindex
+        from ics_search_engine_spark.operators.packed_index import PackedIndex
+
+        dst = f"{corpus_dir}/reidx_xform"
+        reindex(
+            spark, small_df, dst,
+            transform=lambda df: df.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" zyxmarker"))
+            ),
+            range_bits=8,
+        )
+        pidx = PackedIndex(spark, dst)
+        # every doc now contains the marker term
+        assert pidx.df_for_terms(["zyxmark"]).get("zyxmark", 0) == \
+            pidx.n_docs or pidx.df_for_terms(["zyxmarker"]).get(
+                "zyxmarker", 0) == pidx.n_docs
+
+    def test_reindex_transform_must_keep_columns(
+        self, spark, small_df, corpus_dir
+    ):
+        from ics_search_engine_spark.operators.lifecycle import reindex
+
+        with pytest.raises(ValueError, match="required columns"):
+            reindex(
+                spark, small_df, f"{corpus_dir}/reidx_bad",
+                transform=lambda df: df.drop("text"),
+            )
+
+    def test_reindex_query_without_sidx_raises(
+        self, spark, small_df, corpus_dir
+    ):
+        from ics_search_engine_spark.operators.lifecycle import reindex
+
+        with pytest.raises(ValueError, match="sidx"):
+            reindex(spark, small_df, f"{corpus_dir}/reidx_noq", query=Q)

@@ -152,3 +152,185 @@ class TestSegmentedPagination:
         after = (p1[-1][2], p1[-1][0], p1[-1][1])
         assert seg_srv.search_after(QUERY, after, k=6) == \
             full_srv.search_after(QUERY, after, k=6)
+
+
+class TestSegmentedAfter:
+    @pytest.fixture(scope="class")
+    def segs(self, spark, small_df, corpus_dir):
+        from ics_search_engine_spark.operators.segments import SegmentedIndex
+
+        base = f"{corpus_dir}/after_segs"
+        seg_dirs = []
+        for i in range(2):
+            d = f"{base}/seg{i}"
+            build_packed_index(
+                spark, small_df.filter(F.crc32("conv_id") % 2 == i), d,
+                range_bits=8,
+            )
+            seg_dirs.append(d)
+        return SegmentedIndex(spark, seg_dirs)
+
+    @pytest.mark.parametrize("mode", ["join", "pushdown"])
+    def test_chain_reconstructs_full_ranking(self, spark, segs, mode):
+        from ics_search_engine_spark.operators.segments import (
+            bm25_topk_segmented,
+        )
+
+        full = [
+            tuple(r)
+            for r in bm25_topk_segmented(
+                spark, segs, QUERY, k=40, resolve=mode
+            ).collect()
+        ]
+        paged = page_chain(
+            lambda k: [
+                tuple(r)
+                for r in bm25_topk_segmented(
+                    spark, segs, QUERY, k=k, resolve=mode
+                ).collect()
+            ],
+            lambda after, k: [
+                tuple(r)
+                for r in bm25_topk_segmented(
+                    spark, segs, QUERY, k=k, resolve=mode, after=after
+                ).collect()
+            ],
+            page=8, n_pages=5,
+        )
+        assert paged == full
+
+    @pytest.mark.parametrize("mode", ["join", "pushdown"])
+    def test_mid_tie_resume_segmented(self, spark, corpus_dir, mode):
+        from ics_search_engine_spark.operators.segments import (
+            SegmentedIndex,
+            bm25_topk_segmented,
+        )
+
+        rows = [(f"conv{i:04d}", 0, "alpha beta gamma") for i in range(12)]
+        rows += [(f"conv{i:04d}", 1, "alpha delta") for i in range(12)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        base = f"{corpus_dir}/after_tie_{mode}"
+        dirs = []
+        for i in range(2):
+            d = f"{base}/seg{i}"
+            build_packed_index(
+                spark, df.filter(F.crc32("conv_id") % 2 == i), d,
+                range_bits=4,
+            )
+            dirs.append(d)
+        sidx = SegmentedIndex(spark, dirs)
+        full = [
+            tuple(r)
+            for r in bm25_topk_segmented(
+                spark, sidx, "alpha", k=24, resolve=mode
+            ).collect()
+        ]
+        assert len(full) == 24
+        # boundary at 5 sits inside the 12-way tie group
+        last = full[4]
+        p2 = [
+            tuple(r)
+            for r in bm25_topk_segmented(
+                spark, sidx, "alpha", k=19, resolve=mode,
+                after=(last[2], last[0], last[1]),
+            ).collect()
+        ]
+        assert full[:5] + p2 == full
+
+
+class TestScroll:
+    def test_scroll_pages_packed_exhausts_ranking(self, spark, setup):
+        from ics_search_engine_spark.operators.query import scroll_pages
+
+        pidx, _ = setup
+        full = [
+            tuple(r)
+            for r in bm25_topk_packed(spark, pidx, QUERY, k=10_000).collect()
+        ]
+        paged = [
+            tuple(r)
+            for page in scroll_pages(spark, pidx, QUERY, page_size=9)
+            for r in page
+        ]
+        assert paged == full
+
+    def test_scroll_pages_segmented_equals_compacted(
+        self, spark, small_df, corpus_dir, setup
+    ):
+        from ics_search_engine_spark.operators.query import scroll_pages
+        from ics_search_engine_spark.operators.segments import SegmentedIndex
+
+        pidx, _ = setup
+        base = f"{corpus_dir}/scroll_segs"
+        dirs = []
+        for i in range(2):
+            d = f"{base}/seg{i}"
+            build_packed_index(
+                spark, small_df.filter(F.crc32("conv_id") % 2 == i), d,
+                range_bits=8,
+            )
+            dirs.append(d)
+        sidx = SegmentedIndex(spark, dirs)
+        seg_pages = [
+            [tuple(r) for r in page]
+            for page in scroll_pages(spark, sidx, QUERY, page_size=7,
+                                     max_pages=4)
+        ]
+        packed_pages = [
+            [tuple(r) for r in page]
+            for page in scroll_pages(spark, pidx, QUERY, page_size=7,
+                                     max_pages=4)
+        ]
+        assert seg_pages == packed_pages
+
+    def test_serving_scroll_equals_spark_scroll(self, spark, setup):
+        from ics_search_engine_spark.operators.query import scroll_pages
+
+        pidx, srv = setup
+        spark_pages = [
+            [tuple(r) for r in page]
+            for page in scroll_pages(spark, pidx, QUERY, page_size=6,
+                                     max_pages=3)
+        ]
+        srv_pages = list(srv.scroll(QUERY, page_size=6, max_pages=3))
+        assert srv_pages == spark_pages
+
+    def test_pit_isolates_scroll_from_upserts(
+        self, spark, small_df, corpus_dir
+    ):
+        from ics_search_engine_spark.operators.lifecycle import open_pit
+        from ics_search_engine_spark.operators.segments import (
+            SegmentedIndex,
+            bm25_topk_segmented,
+            build_upsert_segment,
+        )
+
+        base = f"{corpus_dir}/pit_segs"
+        build_packed_index(spark, small_df, f"{base}/seg0", range_bits=8)
+        live = SegmentedIndex(spark, [f"{base}/seg0"])
+        pit = open_pit(live)
+        before = [
+            tuple(r)
+            for r in bm25_topk_segmented(spark, live, QUERY, k=10).collect()
+        ]
+        # upsert rewrites the current top hit's text to stop matching
+        top_c, top_t, _ = before[0]
+        delta = spark.createDataFrame(
+            [(top_c, int(top_t), "unrelated replacement text")],
+            "conv_id string, turn_idx int, text string",
+        )
+        build_upsert_segment(spark, delta, f"{base}/seg1", range_bits=8)
+        live2 = SegmentedIndex(spark, [f"{base}/seg0", f"{base}/seg1"])
+        after_live = [
+            tuple(r)
+            for r in bm25_topk_segmented(spark, live2, QUERY, k=10).collect()
+        ]
+        assert (top_c, top_t) not in {(c, t) for c, t, _ in after_live}
+        # the PIT-pinned view still sees the pre-upsert state, bit-exact
+        pinned = SegmentedIndex(spark, pit)
+        assert [
+            tuple(r)
+            for r in bm25_topk_segmented(spark, pinned, QUERY, k=10).collect()
+        ] == before
