@@ -7683,6 +7683,243 @@ ORDER BY match_count DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_script_score_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score (operators/scripting.bm25_topk_script): the
+    relevance score replaced by the SQL expression
+    ``_score * (1.0 + weight)`` over a per-doc doc-value (doc_id % 7).
+    The script compiles to a Catalyst expression over the exhaustive
+    exact match-set scores, so the products must be bit-identical to
+    the relational recompute; the gate over-fetches 60 and reports the
+    rounded-order top 20 (the page2/top20 convention)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.scripting import bm25_topk_script
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    attrs = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        (F.col("doc_id") % 7).cast("double").alias("weight"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_script_idx_")
+    try:
+        top = bm25_topk_script(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs,
+            "_score * (1.0 + weight)", k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        top, "conv_id string, turn_idx int, score double"
+    )
+    return (
+        out_df.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("script_r6"),
+        )
+        .orderBy(F.desc("script_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_SCRIPT_SCORE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+perdoc AS (SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id)
+SELECT doc_id, round(s * (1.0 + (doc_id % 7)), 6) AS script_r6
+FROM perdoc
+ORDER BY script_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_bm25_reindex_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _reindex (operators/lifecycle.reindex) under the gate: copy
+    only the docs matching the fixed query from a source index into a
+    FRESH destination index, then rank the same query against the
+    destination — whose collection statistics (N, avgdl, df) are now
+    those of the FILTERED sub-corpus, which is exactly what
+    distinguishes this from querying the source.  The oracle recomputes
+    BM25 relationally over the sub-corpus of docs containing >= 1 query
+    term (live_matched's disjunctive match set on a single segment)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.lifecycle import reindex
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.segments import SegmentedIndex
+    from ics_search_engine_spark.operators.wand import bm25_topk_wand
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    query = " ".join(DOCS_QUERY_TERMS)
+    src = tempfile.mkdtemp(prefix="gate_reidx_src_")
+    dst = tempfile.mkdtemp(prefix="gate_reidx_dst_")
+    try:
+        build_packed_index(
+            spark, transcripts, src, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        sidx = SegmentedIndex(spark, [src])
+        reindex(
+            spark, transcripts, dst, query=query, sidx=sidx,
+            range_bits=8, with_positions=False, stem=False,
+        )
+        top = bm25_topk_wand(
+            spark, PackedIndex(spark, dst), query, k=60
+        ).collect()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        top, "conv_id string, turn_idx int, score double"
+    )
+    return (
+        out_df.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_BM25_REINDEX = f"""
+WITH t0 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+t AS (
+  SELECT * FROM t0
+  WHERE list_has_any(toks, ['spark', 'stream', 'window', 'join'])
+),
+{_SQL_BM25_CTES}
+perdoc AS (SELECT doc_id, round(sum(contrib), 6) AS bm25_r6 FROM scored
+           GROUP BY doc_id)
+SELECT doc_id, bm25_r6 FROM perdoc
+ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_bm25_scroll_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scroll (operators/query.scroll_pages): three chained
+    page_size=10 pages over the packed index must reconstruct the
+    oracle's exact-rank rows 1..30 with no skip or repeat across the
+    two cursor handoffs — each page an independent bounded job, no
+    scroll context."""
+    import shutil
+
+    from ics_search_engine_spark.operators.query import scroll_pages
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_scroll_idx_")
+    try:
+        rows = [
+            r
+            for page in scroll_pages(
+                spark, pidx, " ".join(DOCS_QUERY_TERMS), page_size=10,
+                max_pages=3,
+            )
+            for r in page
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, score double"
+    )
+    return (
+        out_df.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+    )
+
+
+_SQL_BM25_SCROLL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+ranked AS (
+  SELECT doc_id, sum(contrib) AS s,
+         row_number() OVER (ORDER BY sum(contrib) DESC, doc_id ASC) AS rn
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25_r6
+FROM ranked WHERE rn <= 30
+ORDER BY bm25_r6 DESC, doc_id ASC
+"""
+
+
+def q_seg_after_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_after on the SEGMENTED path (operators/segments.
+    bm25_topk_segmented(after=)): page 2 of a two-segment LSM index
+    must equal the oracle's exact-rank rows 21..40 — gates the shard
+    kernel's cursor ceiling (served rows dropped before the local
+    top-fetch cut) and the full boundary-tie resolution.  Oracle shared
+    with bm25_page2_engine: the segmented ranking is defined to be
+    bit-identical to one index over the union."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.segments import (
+        SegmentedIndex,
+        bm25_topk_segmented,
+    )
+
+    docs = _docs(spark, sf_dir)
+    query = " ".join(DOCS_QUERY_TERMS)
+    base = tempfile.mkdtemp(prefix="gate_segafter_")
+    try:
+        for i in range(2):
+            build_packed_index(
+                spark,
+                docs.filter(F.col("doc_id") % 2 == i).select(
+                    F.format_string("doc%08d", F.col("doc_id")).alias(
+                        "conv_id"
+                    ),
+                    F.lit(0).cast("int").alias("turn_idx"),
+                    F.col("text"),
+                ),
+                f"{base}/seg{i}", range_bits=8, with_positions=False,
+                stem=False,
+            )
+        sidx = SegmentedIndex(spark, [f"{base}/seg0", f"{base}/seg1"])
+        page1 = bm25_topk_segmented(spark, sidx, query, k=20).collect()
+        last = page1[-1]
+        page2 = bm25_topk_segmented(
+            spark, sidx, query, k=20,
+            after=(last["score"], last["conv_id"], last["turn_idx"]),
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        page2, "conv_id string, turn_idx int, score double"
+    )
+    return (
+        out_df.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -7811,6 +8048,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_update_by_query": q_bm25_update_by_query,
     "sampler_terms_agg": q_sampler_terms,
     "intervals_engine": q_intervals_engine,
+    "script_score_engine": q_script_score_engine,
+    "bm25_reindex_engine": q_bm25_reindex_engine,
+    "bm25_scroll_engine": q_bm25_scroll_engine,
+    "seg_after_engine": q_seg_after_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -7946,4 +8187,10 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_update_by_query": _SQL_UPDATE_BY_QUERY,
     "sampler_terms_agg": _SQL_SAMPLER_TERMS,
     "intervals_engine": _SQL_INTERVALS,
+    "script_score_engine": _SQL_SCRIPT_SCORE,
+    "bm25_reindex_engine": _SQL_BM25_REINDEX,
+    "bm25_scroll_engine": _SQL_BM25_SCROLL,
+    # the segmented ranking is defined bit-identical to one index over
+    # the union, so page 2 shares the packed page-2 oracle
+    "seg_after_engine": _SQL_BM25_PAGE2,
 }
