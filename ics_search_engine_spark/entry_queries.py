@@ -7920,6 +7920,284 @@ def q_seg_after_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_sliced_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sliced scroll (operators/slices.bm25_topk_sliced): slice 1
+    of 3 of the fixed query's ranking.  Slice membership is doc_ord %
+    n_slices, and in the gate corpus doc_ord == doc_id (dense docIDs
+    in key order), so the oracle is the shared BM25 CTE restricted to
+    doc_id % 3 = 1 — gating the slicing predicate AND the docID-order
+    docmap property it leans on."""
+    import shutil
+
+    from ics_search_engine_spark.operators.slices import bm25_topk_sliced
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_sliced_idx_")
+    try:
+        rows = bm25_topk_sliced(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), 1, 3, k=20
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, score double"
+    )
+    return (
+        out_df.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round(F.col("score"), 6).alias("bm25_r6"),
+        )
+        .orderBy(F.desc("bm25_r6"), F.asc("doc_id"))
+    )
+
+
+_SQL_BM25_SLICED = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+ranked AS (
+  SELECT doc_id, sum(contrib) AS s FROM scored
+  WHERE doc_id % 3 = 1 GROUP BY doc_id
+  ORDER BY s DESC, doc_id ASC LIMIT 20
+)
+SELECT doc_id, round(s, 6) AS bm25_r6 FROM ranked
+ORDER BY bm25_r6 DESC, doc_id ASC
+"""
+
+
+def q_terms_enum_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _terms_enum (operators/query.terms_enum): the first 15 index
+    terms with prefix 's', with df — a TERM-DICTIONARY read whose
+    oracle recomputes the dictionary (distinct analyzed terms) and the
+    df counts relationally, gating the dictionary contents and the
+    n_postings metadata the verb sums."""
+    import shutil
+
+    from ics_search_engine_spark.operators.query import terms_enum
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_tenum_idx_")
+    try:
+        rows = terms_enum(spark, pidx, "s", size=15, with_df=True).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["term"], int(r["df"])) for r in rows], "term string, df long"
+    ).orderBy("term")
+
+
+_SQL_TERMS_ENUM = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+posts AS (
+  SELECT term, doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term LIKE 's%' GROUP BY term, doc_id
+)
+SELECT term, count(*)::BIGINT AS df FROM posts
+GROUP BY term ORDER BY term LIMIT 15
+"""
+
+
+def q_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg (operators/aggs.
+    cumulative_cardinality), EXACT via the first-seen identity —
+    distinct users ever seen per event-day, over the events table.
+    The oracle recomputes first_seen = min(day) per user and the
+    running count; ES's HLL-union approximation is the documented
+    contrast (SURVEY round-3 deltas)."""
+    from ics_search_engine_spark.operators.aggs import (
+        cumulative_cardinality,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    return cumulative_cardinality(rows, "day", ["user_id"]).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_keys").cast("long").alias("new_users"),
+        F.col("cum_cardinality").cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
+_SQL_CUM_CARDINALITY = """
+WITH rows_ AS (
+  SELECT date_trunc('day', ts) AS day, user_id FROM events
+),
+first_seen AS (
+  SELECT user_id, min(day) AS day FROM rows_ GROUP BY user_id
+),
+per_bucket AS (
+  SELECT day, count(*)::BIGINT AS new_users FROM first_seen GROUP BY day
+),
+buckets AS (SELECT DISTINCT day FROM rows_)
+SELECT strftime(b.day, '%Y-%m-%d') AS day,
+       coalesce(p.new_users, 0)::BIGINT AS new_users,
+       sum(coalesce(p.new_users, 0)) OVER (
+         ORDER BY b.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS cum_users
+FROM buckets b LEFT JOIN per_bucket p USING (day)
+ORDER BY day
+"""
+
+
+def q_bucket_script_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script pipeline agg (operators/aggs.bucket_script):
+    per doc-length-histogram bucket, the share of the running total —
+    a script over TWO sibling metrics (n_docs, the cumulative_sum) in
+    the engine's SQL-expression script convention; gap_policy defaults
+    to skip (no NULLs here, the division guard is the nullif)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import (
+        bucket_script,
+        cumulative_sum,
+        histogram,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    attrs = transcripts.select(
+        "conv_id", "turn_idx", F.length("text").alias("nchars")
+    )
+    out, pidx = _agg_gate_index(spark, transcripts, "gate_bscript_idx_")
+    try:
+        histo = histogram(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "nchars", 200
+        )
+        res = bucket_script(
+            cumulative_sum(histo, "bucket_lo", "n_docs"),
+            "n_docs / nullif(cum, 0) * 100.0",
+            "pct_of_running",
+        ).select(
+            F.col("bucket_lo").cast("long").alias("bucket_lo"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("pct_of_running", 6).alias("pct_r6"),
+        ).orderBy("bucket_lo").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        res, "bucket_lo long, n_docs long, pct_r6 double"
+    ).orderBy("bucket_lo")
+
+
+_SQL_BUCKET_SCRIPT = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+matched AS (SELECT DISTINCT doc_id FROM posts),
+histo AS (
+  SELECT (length(d.text) // 200) * 200 AS bucket_lo,
+         count(*)::BIGINT AS n_docs
+  FROM matched m JOIN documents d USING (doc_id)
+  GROUP BY 1
+),
+cum AS (
+  SELECT bucket_lo, n_docs,
+         sum(n_docs) OVER (
+           ORDER BY bucket_lo
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM histo
+)
+SELECT bucket_lo, n_docs,
+       round(n_docs / nullif(cum, 0) * 100.0, 6) AS pct_r6
+FROM cum ORDER BY bucket_lo
+"""
+
+
+def q_intervals_filter_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals filter rules (operators/intervals.Filtered):
+    ordered spark..join minimal intervals NOT CONTAINING any 'stream'
+    position.  The oracle extends the intervals_engine construction
+    with a NOT EXISTS over the excluded term's positions inside each
+    minimal [a, b] — filtering after minimalization, the Lucene wrap
+    order the kernel pins."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.intervals import (
+        AllOf,
+        Filtered,
+        Term,
+        intervals_topk,
+    )
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_ivfilter_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        node = Filtered(
+            AllOf([Term("spark"), Term("join")], ordered=True),
+            "not_containing",
+            Term("stream"),
+        )
+        rows = intervals_topk(spark, pidx, node, k=20).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(c[3:]), int(m)) for c, _, m in rows],
+        "doc_id long, match_count long",
+    )
+
+
+_SQL_INTERVALS_FILTER = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'spark') AS p0,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'join')  AS p1,
+         list_filter(range(1, len(toks)+1), i -> toks[i] = 'stream') AS px
+  FROM t
+),
+pr AS (
+  SELECT doc_id, unnest(p0) AS a, p1, px FROM p
+  WHERE len(p0) > 0 AND len(p1) > 0
+),
+cand AS (
+  SELECT doc_id, a, list_min(list_filter(p1, b -> b > a)) AS b, px FROM pr
+),
+minimal AS (
+  SELECT doc_id, max(a) AS a, b, any_value(px) AS px FROM cand
+  WHERE b IS NOT NULL GROUP BY doc_id, b
+),
+kept AS (
+  SELECT doc_id FROM minimal
+  WHERE len(list_filter(px, x -> x >= a AND x <= b)) = 0
+),
+m AS (
+  SELECT doc_id, count(*)::BIGINT AS match_count FROM kept GROUP BY doc_id
+)
+SELECT doc_id, match_count FROM m
+ORDER BY match_count DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -8052,6 +8330,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_reindex_engine": q_bm25_reindex_engine,
     "bm25_scroll_engine": q_bm25_scroll_engine,
     "seg_after_engine": q_seg_after_engine,
+    "bm25_sliced_engine": q_bm25_sliced_engine,
+    "terms_enum_engine": q_terms_enum_engine,
+    "cumulative_cardinality_agg": q_cumulative_cardinality,
+    "bucket_script_agg": q_bucket_script_agg,
+    "intervals_filter_engine": q_intervals_filter_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8193,4 +8476,9 @@ ORACLE_SQL: dict[str, str] = {
     # the segmented ranking is defined bit-identical to one index over
     # the union, so page 2 shares the packed page-2 oracle
     "seg_after_engine": _SQL_BM25_PAGE2,
+    "bm25_sliced_engine": _SQL_BM25_SLICED,
+    "terms_enum_engine": _SQL_TERMS_ENUM,
+    "cumulative_cardinality_agg": _SQL_CUM_CARDINALITY,
+    "bucket_script_agg": _SQL_BUCKET_SCRIPT,
+    "intervals_filter_engine": _SQL_INTERVALS_FILTER,
 }

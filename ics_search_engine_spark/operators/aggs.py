@@ -678,6 +678,72 @@ def bucket_selector(buckets: DataFrame, predicate: F.Column) -> DataFrame:
     return buckets.filter(predicate)
 
 
+def bucket_script(buckets: DataFrame, script: str, alias: str,
+                  gap_policy: str = "skip") -> DataFrame:
+    """ES bucket_script pipeline aggregation: a computed per-bucket
+    metric from a script over the bucket's sibling metrics.  The
+    script language is Spark SQL expression syntax — the engine's one
+    scripting convention (operators/scripting): the expression
+    compiles to a Catalyst column, codegen-evaluated over the
+    bucket-count-sized frame, never a Python interpreter.
+
+    ``gap_policy``: ES's missing-data knob — 'skip' DROPS buckets
+    where the script yields NULL (a referenced metric was missing /
+    a division had no value), 'insert_zeros' keeps them with 0 (ES
+    coerces missing inputs to zero; the post-hoc coalesce is
+    equivalent for the arithmetic scripts the verb exists for)."""
+    if gap_policy not in ("skip", "insert_zeros"):
+        raise ValueError(f"unknown gap_policy: {gap_policy!r}")
+    out = buckets.withColumn(alias, F.expr(script))
+    if gap_policy == "skip":
+        return out.filter(F.col(alias).isNotNull())
+    return out.withColumn(
+        alias, F.coalesce(F.col(alias), F.lit(0).cast("double"))
+    )
+
+
+def cumulative_cardinality(
+    rows: DataFrame,
+    bucket_col: str,
+    key_cols: list[str],
+    alias: str = "cum_cardinality",
+) -> DataFrame:
+    """ES cumulative_cardinality pipeline aggregation: per bucket, the
+    number of DISTINCT keys seen in that bucket or any earlier one →
+    (bucket_col, new_keys, alias) in bucket order.  ES layers this on
+    per-bucket HyperLogLog sketches and warns the union is
+    approximate; this form is EXACT, via the first-seen identity:
+
+        cum_cardinality(b) = |{k : first_bucket(k) <= b}|
+
+    so the plan is one groupBy(key).min(bucket) (map-side partial agg,
+    key-count-sized), one groupBy(bucket).count() down to bucket
+    grain, and the standard bucket-frame cumulative window — the
+    corpus is never re-scanned per bucket and nothing quadratic or
+    sketchy happens.  ``new_keys`` (first appearances per bucket) is
+    ES's derived ``incremental`` value, emitted for free.
+
+    Buckets where no key first appears still emit a row (carrying the
+    running total) as long as ANY row fell in them — the bucket frame
+    is rows' distinct buckets, the parent-histogram convention."""
+    first_seen = rows.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias(bucket_col)
+    )
+    per_bucket = first_seen.groupBy(bucket_col).agg(
+        F.count("*").alias("new_keys")
+    )
+    buckets = rows.select(bucket_col).distinct()
+    w = Window.orderBy(F.asc(bucket_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.join(per_bucket, bucket_col, "left")
+        .withColumn("new_keys", F.coalesce("new_keys", F.lit(0)))
+        .withColumn(alias, F.sum("new_keys").over(w))
+        .orderBy(bucket_col)
+    )
+
+
 def composite_buckets(
     spark: SparkSession,
     pidx: PackedIndex,

@@ -26,6 +26,15 @@ Semantics pinned here:
 * ``match_source(text, ...)`` builds an AllOf of Term leaves via
   query-mode tokenization (stop words drop; a single surviving term
   degenerates to that Term; zero terms match nothing);
+* ``Filtered(source, rule, reference)`` is the ES ``filter`` rule
+  family (containing / not_containing / contained_by /
+  not_contained_by / overlapping / not_overlapping / before / after):
+  source intervals surviving a relational test against the
+  reference's — applied AFTER source minimalization (the max_gaps
+  wrap order), no re-minimalization needed (subsets of
+  containment-free sets stay containment-free), and each existence
+  test is one bisect because minimal lists have strictly ascending
+  starts AND ends;
 * match_count(doc) = number of surviving minimal intervals; ranking
   (match_count desc, docID asc) — the phrase/near convention.
 
@@ -79,6 +88,44 @@ class AnyOf:
         object.__setattr__(self, "sources", tuple(sources))
 
 
+FILTER_RULES = (
+    "containing", "not_containing",
+    "contained_by", "not_contained_by",
+    "overlapping", "not_overlapping",
+    "before", "after",
+)
+
+
+@dataclass(frozen=True)
+class Filtered:
+    """The ES ``intervals.filter`` rule family (Lucene's interval
+    filters): keep the SOURCE's minimal intervals standing in
+    ``rule`` relation to the REFERENCE's — containing /
+    not_containing (a reference match [does not] sit inside the
+    source interval), contained_by / not_contained_by, overlapping /
+    not_overlapping, before / after (the source interval ends before
+    some reference start / starts after some reference end).
+
+    Filtering wraps the MINIMALIZED source (the max_gaps order — a
+    candidate killed by minimality does not resurrect), and the
+    survivors need no re-minimalization: a subset of a
+    containment-free set is containment-free.  The ``script`` rule is
+    deliberately absent — the engine's script language is SQL column
+    expressions (operators/scripting) and interval endpoints are not
+    doc values."""
+
+    source: object
+    rule: str
+    reference: object
+
+    def __post_init__(self):
+        if self.rule not in FILTER_RULES:
+            raise ValueError(
+                f"unknown intervals filter rule {self.rule!r}; "
+                f"expected one of {FILTER_RULES}"
+            )
+
+
 def match_source(
     text: str,
     ordered: bool = False,
@@ -102,6 +149,8 @@ def tree_terms(node) -> set[str]:
         return set()
     if isinstance(node, Term):
         return {node.term}
+    if isinstance(node, Filtered):
+        return tree_terms(node.source) | tree_terms(node.reference)
     return set().union(*(tree_terms(s) for s in node.sources))
 
 
@@ -133,11 +182,64 @@ def _minimalize(ivs: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
     return out
 
 
+def _apply_filter(
+    src: list[tuple[int, int, int]],
+    rule: str,
+    ref: list[tuple[int, int, int]],
+) -> list[tuple[int, int, int]]:
+    """Keep the source intervals standing in ``rule`` relation to the
+    reference set.  Both lists are MINIMAL, so starts AND ends are
+    strictly ascending — each existence test collapses to one bisect:
+
+    * a reference inside [s, e] exists iff the FIRST ref starting
+      >= s (its end is the smallest among those) ends <= e;
+    * a reference containing [s, e] exists iff the LAST ref starting
+      <= s (its end is the largest among those) ends >= e;
+    * an overlapping reference exists iff the FIRST ref ending >= s
+      starts <= e;
+    * before: some ref starts after e  <=>  e < last ref start;
+    * after: some ref ends before s    <=>  s > first ref end.
+    """
+    if not src:
+        return src
+    if not ref:
+        return [] if rule in (
+            "containing", "contained_by", "overlapping", "before", "after"
+        ) else list(src)
+    from bisect import bisect_left, bisect_right
+
+    starts = [r[0] for r in ref]
+    ends = [r[1] for r in ref]
+
+    def hit(s: int, e: int) -> bool:
+        if rule in ("containing", "not_containing"):
+            i = bisect_left(starts, s)
+            return i < len(ref) and ends[i] <= e
+        if rule in ("contained_by", "not_contained_by"):
+            i = bisect_right(starts, s) - 1
+            return i >= 0 and ends[i] >= e
+        if rule in ("overlapping", "not_overlapping"):
+            i = bisect_left(ends, s)
+            return i < len(ref) and starts[i] <= e
+        if rule == "before":
+            return e < starts[-1]
+        return s > ends[0]  # after
+
+    want = not rule.startswith("not_")
+    return [(s, e, w) for s, e, w in src if hit(s, e) == want]
+
+
 def _eval_tree(node, pos: dict[str, list[int]]) -> list[tuple[int, int, int]]:
     """Minimal intervals of ``node`` over one doc's term positions →
     [(start, end, sum_sub_widths)], start-ascending."""
     if isinstance(node, Term):
         return [(p, p, 1) for p in pos.get(node.term, [])]
+    if isinstance(node, Filtered):
+        return _apply_filter(
+            _eval_tree(node.source, pos),
+            node.rule,
+            _eval_tree(node.reference, pos),
+        )
     if isinstance(node, AnyOf):
         merged: list[tuple[int, int, int]] = []
         for s in node.sources:

@@ -928,6 +928,47 @@ def profile_terms(spark: SparkSession, pidx, query: str) -> DataFrame:
     )
 
 
+def terms_enum(
+    spark: SparkSession,
+    pidx,
+    prefix: str,
+    size: int = 10,
+    with_df: bool = False,
+) -> DataFrame:
+    """ES ``_terms_enum``: the first ``size`` index terms starting
+    with ``prefix``, term-ascending — the low-latency autocomplete
+    verb that reads the TERM DICTIONARY, never any posting.  →
+    (term) or, with ``with_df``, (term, df); ES's API returns bare
+    terms, the df variant is the engine's term-dictionary bonus.
+
+    The prefix is normalized through the index's own analyzer
+    convention (lowercased; and stemming does NOT apply — ES matches
+    the raw indexed terms, so a prefix is matched literally against
+    the dictionary, which here holds post-analysis terms).
+
+    Plan shape: metadata-only — a StringStartsWith filter on the
+    term column (parquet min/max + dictionary pushdown), the payload
+    column never read, distinct over the ≤ n_shards rows per matching
+    term, TakeOrderedAndProject for the size cut.  At 10^12 docs this
+    touches only the term-dictionary stripes of the matching prefix
+    range."""
+    _ = spark  # uniform verb signature; pidx carries the session
+    p = prefix.lower()
+    if not p:
+        raise ValueError("terms_enum requires a non-empty prefix")
+    matching = pidx.index.filter(F.col("term").startswith(p))
+    if with_df:
+        return (
+            matching.groupBy("term")
+            .agg(F.sum("n_postings").alias("df"))
+            .orderBy("term")
+            .limit(size)
+        )
+    return (
+        matching.select("term").distinct().orderBy("term").limit(size)
+    )
+
+
 def scroll_pages(
     spark: SparkSession,
     idx,

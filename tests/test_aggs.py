@@ -6,10 +6,12 @@ import pytest
 from oracle import bm25 as oracle
 from ics_search_engine_spark.operators.aggs import (
     adjacency_matrix,
+    bucket_script,
     bucket_selector,
     bucket_sort,
     cardinality,
     composite_buckets,
+    cumulative_cardinality,
     cumulative_sum,
     derivative,
     filters_agg,
@@ -650,6 +652,87 @@ class TestPipelineAggs:
             else:
                 assert r["deriv"] == r["n_docs"] - prev
             prev = r["n_docs"]
+
+    def test_bucket_script(self, spark, setup, len_attrs):
+        pidx, _ = setup
+        histo = cumulative_sum(
+            histogram(spark, pidx, QUERY, len_attrs, "nchars", 50),
+            "bucket_lo", "n_docs",
+        )
+        out = bucket_script(
+            histo, "n_docs / cum * 100.0", "pct_of_running"
+        ).collect()
+        for r in out:
+            assert r["pct_of_running"] == pytest.approx(
+                r["n_docs"] / r["cum"] * 100.0
+            )
+
+    def test_bucket_script_gap_policy(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10.0, 2.0), (2, 20.0, 0.0), (3, None, 4.0)],
+            "b int, num double, den double",
+        )
+        script = "num / nullif(den, 0.0)"
+        skipped = bucket_script(df, script, "ratio").collect()
+        assert [(r["b"], r["ratio"]) for r in skipped] == [(1, 5.0)]
+        zeros = bucket_script(
+            df, script, "ratio", gap_policy="insert_zeros"
+        ).collect()
+        assert {r["b"]: r["ratio"] for r in zeros} == {
+            1: 5.0, 2: 0.0, 3: 0.0,
+        }
+        with pytest.raises(ValueError, match="gap_policy"):
+            bucket_script(df, script, "ratio", gap_policy="drop")
+
+
+class TestCumulativeCardinality:
+    ROWS = [
+        # (bucket, user) — u1 first in 1, u2 first in 1, u3 first in 3;
+        # bucket 2 has rows but no first appearance
+        (1, "u1"), (1, "u2"), (2, "u1"), (2, "u2"),
+        (3, "u3"), (3, "u1"), (5, "u2"),
+    ]
+
+    def test_exact_first_seen(self, spark):
+        rows = spark.createDataFrame(self.ROWS, "b int, user string")
+        out = cumulative_cardinality(rows, "b", ["user"]).collect()
+        got = [(r["b"], r["new_keys"], r["cum_cardinality"]) for r in out]
+        assert got == [(1, 2, 2), (2, 0, 2), (3, 1, 3), (5, 0, 3)]
+
+    def test_matches_python_recompute(self, spark):
+        import random
+
+        rng = random.Random(7)
+        data = [
+            (rng.randint(0, 9), f"u{rng.randint(0, 19)}")
+            for _ in range(400)
+        ]
+        rows = spark.createDataFrame(data, "b int, user string")
+        out = cumulative_cardinality(rows, "b", ["user"]).collect()
+        seen: set = set()
+        expect = []
+        by_bucket: dict = {}
+        for b, u in data:
+            by_bucket.setdefault(b, set()).add(u)
+        for b in sorted(by_bucket):
+            new = {u for u in by_bucket[b] if u not in seen}
+            seen |= by_bucket[b]
+            expect.append((b, len(new), len(seen)))
+        assert [
+            (r["b"], r["new_keys"], r["cum_cardinality"]) for r in out
+        ] == expect
+
+    def test_composite_key(self, spark):
+        rows = spark.createDataFrame(
+            [(1, "a", 0), (1, "a", 1), (2, "a", 0), (2, "b", 0)],
+            "b int, conv string, turn int",
+        )
+        out = cumulative_cardinality(
+            rows, "b", ["conv", "turn"]
+        ).collect()
+        assert [
+            (r["b"], r["new_keys"], r["cum_cardinality"]) for r in out
+        ] == [(1, 2, 2), (2, 1, 3)]
 
 
 def _quantile_cont(vals, q):

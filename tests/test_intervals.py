@@ -8,8 +8,10 @@ import pytest
 
 from oracle import bm25 as oracle
 from ics_search_engine_spark.operators.intervals import (
+    FILTER_RULES,
     AllOf,
     AnyOf,
+    Filtered,
     Term,
     count_intervals,
     intervals_topk,
@@ -28,6 +30,10 @@ def _exact_spans(node, pos):
     minimalization), by exhaustive choice enumeration."""
     if isinstance(node, Term):
         return {(p, p): 1 for p in pos.get(node.term, [])}
+    if isinstance(node, Filtered):
+        # a filter applies to the MINIMALIZED source, so a nested
+        # Filtered contributes its final (filtered) interval set
+        return {(s, e): w for s, e, w in brute_minimal(node, pos)}
     if isinstance(node, AnyOf):
         out: dict = {}
         for s in node.sources:
@@ -59,7 +65,38 @@ def _exact_spans(node, pos):
     return out
 
 
-def brute_count(node, pos):
+def _naive_relation(s, e, rs, re, rule):
+    """The textbook definition of each filter relation, no sweeps."""
+    base = rule.removeprefix("not_")
+    if base == "containing":
+        hit = rs >= s and re <= e
+    elif base == "contained_by":
+        hit = rs <= s and re >= e
+    elif base == "overlapping":
+        hit = rs <= e and re >= s
+    elif base == "before":
+        hit = e < rs
+    else:  # after
+        hit = s > re
+    return hit
+
+
+def brute_minimal(node, pos):
+    """Minimal-interval list of ``node``, by exhaustive enumeration +
+    naive O(n^2) filtering — the independent transcription the kernel
+    is checked against."""
+    if isinstance(node, Filtered):
+        src = brute_minimal(node.source, pos)
+        ref = brute_minimal(node.reference, pos)
+        want = not node.rule.startswith("not_")
+        return [
+            (s, e, w)
+            for s, e, w in src
+            if any(
+                _naive_relation(s, e, rs, re, node.rule)
+                for rs, re, _ in ref
+            ) == want
+        ]
     spans = _exact_spans(node, pos)
     # per start keep smallest end (same-start containment), max w tie
     by_start: dict = {}
@@ -81,7 +118,11 @@ def brute_count(node, pos):
             for s, e, w in minimal
             if max(0, (e - s + 1) - w) <= node.max_gaps
         ]
-    return len(minimal)
+    return minimal
+
+
+def brute_count(node, pos):
+    return len(brute_minimal(node, pos))
 
 
 def _rand_pos(rng, n_terms=3, max_pos=12):
@@ -145,6 +186,57 @@ class TestKernelVsBruteForce:
             AnyOf([Term("t0"), Term("t1")]), {"t1": [3, 7]}
         ) == 2
 
+    @pytest.mark.parametrize("rule", FILTER_RULES)
+    def test_filter_rules_vs_brute(self, rule):
+        rng = random.Random(hash(rule) % (2**31))
+        node = Filtered(
+            AllOf([Term("t0"), Term("t1")], ordered=True),
+            rule,
+            Term("t2"),
+        )
+        self._check(node, rng)
+
+    @pytest.mark.parametrize("rule", FILTER_RULES)
+    def test_filter_compound_reference_vs_brute(self, rule):
+        rng = random.Random(hash(rule) % (2**31) + 1)
+        node = Filtered(
+            Term("t0"),
+            rule,
+            AllOf([Term("t1"), Term("t2")]),
+        )
+        self._check(node, rng, n=200)
+
+    def test_filter_nested_in_allof_vs_brute(self):
+        rng = random.Random(47)
+        node = AllOf(
+            [
+                Filtered(Term("t0"), "not_overlapping", Term("t1")),
+                Term("t2"),
+            ],
+            ordered=True,
+        )
+        self._check(node, rng, n=200)
+
+    def test_filter_empty_reference_semantics(self):
+        pos = {"t0": [1, 5]}
+        src = Term("t0")
+        # positive rules need a reference interval to relate to
+        for rule in ("containing", "contained_by", "overlapping",
+                     "before", "after"):
+            assert count_intervals(Filtered(src, rule, Term("tz")), pos) == 0
+        # negative rules are vacuously satisfied
+        for rule in ("not_containing", "not_contained_by",
+                     "not_overlapping"):
+            assert count_intervals(Filtered(src, rule, Term("tz")), pos) == 2
+
+    def test_unknown_rule_raises(self):
+        with pytest.raises(ValueError, match="unknown intervals filter"):
+            Filtered(Term("a"), "inside", Term("b"))
+
+    def test_tree_terms_includes_reference(self):
+        node = Filtered(Term("a"), "not_containing", Term("b"))
+        assert tree_terms(node) == {"a", "b"}
+
 
 class TestMatchSource:
     def test_tokenizes_query_mode(self):
@@ -202,6 +294,27 @@ class TestIntervalsTopk:
         pidx, rows = setup
         assert intervals_topk(spark, pidx, None).count() == 0
 
+    def test_filtered_end_to_end(self, spark, setup):
+        pidx, rows = setup
+        node = Filtered(
+            AllOf([Term("machin"), Term("learn")], ordered=True),
+            "not_containing",
+            Term("model"),
+        )
+        got = intervals_topk(spark, pidx, node, k=2000).collect()
+        idx = oracle.build_index(rows)
+        expect = {}
+        for docid in idx.dl:
+            pos = {
+                t: idx.positions.get(t, {}).get(docid, [])
+                for t in ("machin", "learn", "model")
+            }
+            pos = {t: p for t, p in pos.items() if p}
+            c = count_intervals(node, pos)
+            if c > 0:
+                expect[docid] = c
+        assert {(r[0], r[1]): r[2] for r in got} == expect
+
 
 class TestServingIntervals:
     def test_serving_identical_to_spark(self, spark, setup, corpus_dir):
@@ -217,6 +330,11 @@ class TestServingIntervals:
                 Term("model"),
             ]),
             Term("machin"),
+            Filtered(
+                AllOf([Term("machin"), Term("learn")]),
+                "not_containing", Term("model"),
+            ),
+            Filtered(Term("machin"), "before", Term("learn")),
         ):
             got = srv.search_intervals(node, k=30)
             want = [

@@ -312,6 +312,51 @@ class TestProfile:
         assert profile_terms(spark, pidx, "zz").count() == 0
 
 
+class TestTermsEnum:
+    def test_prefix_pushdown_metadata_only(self, spark, pidx):
+        from ics_search_engine_spark.operators.query import terms_enum
+
+        df = terms_enum(spark, pidx, "ma", size=10)
+        plan = _plan(df, "formatted")
+        read_schema = [
+            line for line in plan.splitlines() if "ReadSchema" in line
+        ]
+        assert read_schema and "payload" not in read_schema[0]
+        assert "StartsWith" in plan  # prefix reaches the scan
+
+    def test_matches_dictionary(self, spark, pidx):
+        from ics_search_engine_spark.operators.query import terms_enum
+
+        got = [r["term"] for r in
+               terms_enum(spark, pidx, "MA", size=5).collect()]
+        vocab = sorted({
+            r["term"]
+            for r in pidx.index.select("term").distinct().collect()
+            if r["term"].startswith("ma")
+        })
+        assert got == vocab[:5]
+        assert len(got) <= 5
+
+    def test_with_df_counts(self, spark, pidx):
+        from ics_search_engine_spark.operators.query import terms_enum
+
+        rows = terms_enum(spark, pidx, "ma", size=3, with_df=True).collect()
+        for r in rows:
+            assert r["df"] == pidx.df_for_terms([r["term"]])[r["term"]]
+
+    def test_empty_prefix_rejected(self, spark, pidx):
+        from ics_search_engine_spark.operators.query import terms_enum
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="non-empty"):
+            terms_enum(spark, pidx, "")
+
+    def test_no_match_prefix(self, spark, pidx):
+        from ics_search_engine_spark.operators.query import terms_enum
+
+        assert terms_enum(spark, pidx, "zzzzq", size=5).count() == 0
+
+
 class TestPercolatePlan:
     def test_broadcast_join_and_partial_agg(self, spark, small_df):
         """Percolation's 100 TB shape: query index broadcast (docs
