@@ -357,6 +357,27 @@ class TestTermsEnum:
         assert terms_enum(spark, pidx, "zzzzq", size=5).count() == 0
 
 
+class TestSlicedPlan:
+    def test_slice_predicate_adds_no_exchange(self, spark, pidx):
+        """The slice filter is a pure row predicate on the scored
+        frame: the sliced plan must have exactly as many Exchanges as
+        the unsliced score-all path (bm25_topk_params rides the same
+        score_all + TakeOrderedAndProject geometry) and still end in
+        TakeOrderedAndProject."""
+        from ics_search_engine_spark.operators.query import (
+            bm25_topk_params,
+        )
+        from ics_search_engine_spark.operators.slices import (
+            bm25_topk_sliced,
+        )
+
+        q = "machine learning"
+        sliced = _plan(bm25_topk_sliced(spark, pidx, q, 1, 4, k=10))
+        plain = _plan(bm25_topk_params(spark, pidx, q, k=10))
+        assert sliced.count("Exchange") == plain.count("Exchange"), sliced
+        assert "TakeOrderedAndProject" in sliced
+
+
 class TestPercolatePlan:
     def test_broadcast_join_and_partial_agg(self, spark, small_df):
         """Percolation's 100 TB shape: query index broadcast (docs
