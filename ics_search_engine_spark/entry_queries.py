@@ -8198,6 +8198,71 @@ ORDER BY match_count DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_rollup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rollup job + rollup_search (operators/rollup): events rolled
+    up ONCE at 1 h grain, then a DAILY histogram of value by
+    event_type answered exclusively from the rollup artifact.  The
+    oracle aggregates the RAW events directly — the gate pins the
+    exactness guarantee that justifies pre-aggregation at 100 TB
+    (decomposable state re-aggregates losslessly; avg derives from
+    sum/count at search time)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.rollup import (
+        build_rollup,
+        rollup_search,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        # integer cents so every piece of decomposable state is exact —
+        # the float summation-order boundary (x.xxxxx5) cannot bite
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    d = tempfile.mkdtemp(prefix="gate_rollup_")
+    try:
+        build_rollup(events, d, "ts", 3600, ["event_type"], ["cents"])
+        res = rollup_search(
+            spark, d, 86400, ["event_type"],
+            [("cents", f) for f in ("sum", "count", "min", "max", "avg")],
+        ).select(
+            F.col("bucket_start").cast("long").alias("bucket_start"),
+            "event_type",
+            F.col("cents_sum").cast("long").alias("cents_sum"),
+            F.col("cents_count").cast("long").alias("n_events"),
+            F.col("cents_min").cast("long").alias("cents_min"),
+            F.col("cents_max").cast("long").alias("cents_max"),
+            F.round(F.col("cents_avg") / 100.0, 6).alias("value_avg_r6"),
+        ).orderBy("bucket_start", "event_type").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        res,
+        "bucket_start long, event_type string, cents_sum long, "
+        "n_events long, cents_min long, cents_max long, "
+        "value_avg_r6 double",
+    ).orderBy("bucket_start", "event_type")
+
+
+_SQL_ROLLUP_SEARCH = """
+WITH ev AS (
+  SELECT *, round(value * 100, 0)::BIGINT AS cents FROM events
+)
+SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS bucket_start,
+       event_type,
+       sum(cents)::BIGINT AS cents_sum,
+       count(cents)::BIGINT AS n_events,
+       min(cents)::BIGINT AS cents_min,
+       max(cents)::BIGINT AS cents_max,
+       round((sum(cents)::DOUBLE / count(cents)) / 100.0, 6)
+         AS value_avg_r6
+FROM ev
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -8335,6 +8400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cumulative_cardinality_agg": q_cumulative_cardinality,
     "bucket_script_agg": q_bucket_script_agg,
     "intervals_filter_engine": q_intervals_filter_engine,
+    "rollup_search_agg": q_rollup_search,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8481,4 +8547,5 @@ ORACLE_SQL: dict[str, str] = {
     "cumulative_cardinality_agg": _SQL_CUM_CARDINALITY,
     "bucket_script_agg": _SQL_BUCKET_SCRIPT,
     "intervals_filter_engine": _SQL_INTERVALS_FILTER,
+    "rollup_search_agg": _SQL_ROLLUP_SEARCH,
 }

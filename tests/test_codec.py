@@ -110,7 +110,9 @@ def test_compression_is_real():
 @given(st.lists(posting_lists(), min_size=1, max_size=4))
 @settings(
     max_examples=25, deadline=None,
-    suppress_health_check=[HealthCheck.data_too_large],
+    # too_slow: generation speed is host-window-dependent (this suite
+    # shares the box with Spark jobs); the property is what matters
+    suppress_health_check=[HealthCheck.data_too_large, HealthCheck.too_slow],
 )
 def test_batched_pack_matches_per_group(groups):
     """pack_postings_batched over concatenated groups is byte-identical
