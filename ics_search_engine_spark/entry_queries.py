@@ -8263,6 +8263,103 @@ ORDER BY bucket_start, event_type
 """
 
 
+def q_transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES latest transform (operators/transforms.transform_latest):
+    each user's most recent event — row_number over (ts desc, event_id
+    asc), the explicit deterministic tie-break.  The entity-centric
+    distillation a 100 TB event log feeds into feature stores."""
+    from ics_search_engine_spark.operators.transforms import (
+        transform_latest,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transform_latest(
+        events, ["user_id"], "ts", "event_id"
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "event_type",
+    ).orderBy("user_id")
+
+
+_SQL_TRANSFORM_LATEST = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+       floor(epoch(ts))::BIGINT AS ts_epoch, event_type
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id ASC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pivot transform (operators/transforms.transform_pivot +
+    pivot_features): per-user decomposable state built INCREMENTALLY —
+    the event log split in half, each half pivoted separately, states
+    merged (merge_pivot_states), features derived at read time.  The
+    oracle aggregates the raw log directly, so the gate pins the
+    incremental == one-shot exactness claim end-to-end.  Metrics ride
+    integer cents so every merge is order-free."""
+    from ics_search_engine_spark.operators.transforms import (
+        merge_pivot_states,
+        pivot_features,
+        transform_pivot,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    half_a = events.where(F.col("event_id") % 2 == 0)
+    half_b = events.where(F.col("event_id") % 2 == 1)
+    keys = ["user_id"]
+    state = merge_pivot_states(
+        transform_pivot(half_a, keys, ["cents"], "ts"),
+        transform_pivot(half_b, keys, ["cents"], "ts"),
+        keys,
+    )
+    return pivot_features(state, ["cents"]).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("cents__sum").cast("long").alias("cents_sum"),
+        F.col("cents__min").cast("long").alias("cents_min"),
+        F.col("cents__max").cast("long").alias("cents_max"),
+        F.unix_timestamp("first_ts").cast("long").alias("first_epoch"),
+        F.unix_timestamp("last_ts").cast("long").alias("last_epoch"),
+        F.round("cents_avg", 6).alias("cents_avg_r6"),
+        F.round("cents_var", 4).alias("cents_var_r4"),
+    ).orderBy("user_id")
+
+
+_SQL_TRANSFORM_PIVOT = """
+WITH ev AS (
+  SELECT *, round(value * 100, 0)::BIGINT AS cents FROM events
+)
+SELECT user_id::BIGINT AS user_id,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS cents_sum,
+       min(cents)::BIGINT AS cents_min,
+       max(cents)::BIGINT AS cents_max,
+       floor(epoch(min(ts)))::BIGINT AS first_epoch,
+       floor(epoch(max(ts)))::BIGINT AS last_epoch,
+       round(sum(cents)::DOUBLE / count(cents), 6) AS cents_avg_r6,
+       round(
+         greatest(
+           sum(cents * cents)::DOUBLE / count(cents)
+             - (sum(cents)::DOUBLE / count(cents))
+               * (sum(cents)::DOUBLE / count(cents)),
+           0.0
+         ), 4
+       ) AS cents_var_r4
+FROM ev
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -8401,6 +8498,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucket_script_agg": q_bucket_script_agg,
     "intervals_filter_engine": q_intervals_filter_engine,
     "rollup_search_agg": q_rollup_search,
+    "transform_latest": q_transform_latest,
+    "transform_pivot": q_transform_pivot,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8548,4 +8647,6 @@ ORACLE_SQL: dict[str, str] = {
     "bucket_script_agg": _SQL_BUCKET_SCRIPT,
     "intervals_filter_engine": _SQL_INTERVALS_FILTER,
     "rollup_search_agg": _SQL_ROLLUP_SEARCH,
+    "transform_latest": _SQL_TRANSFORM_LATEST,
+    "transform_pivot": _SQL_TRANSFORM_PIVOT,
 }
