@@ -8360,6 +8360,162 @@ ORDER BY user_id
 """
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval (operators/rankeval): three rated requests ranked
+    by the packed engine in ONE bm25_topk_multi job, scored with
+    precision/recall/MRR/DCG/NDCG @10 under graded judgments the
+    oracle can recompute — rating = number of distinct request terms a
+    doc contains, judged only for doc_id % 3 != 0 so the
+    unlabeled-as-irrelevant path (n_unrated) is load-bearing."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.rankeval import rank_eval
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    requests = {
+        "q1": "spark stream",
+        "q2": "window join",
+        "q3": "stream window join",
+    }
+    # graded judgments: rating = |request terms present in the doc|,
+    # restricted to doc_id % 3 != 0 (retrieved-but-unjudged docs must
+    # exist for the unlabeled path)
+    toks = docs.select(
+        "doc_id", F.array_distinct(toks_col()).alias("terms")
+    ).filter(F.col("doc_id") % 3 != 0)
+    req_rows = [(qid, t) for qid, q in requests.items()
+                for t in sorted(set(q.split()))]
+    req_df = spark.createDataFrame(req_rows, "query_id string, term string")
+    ratings = (
+        toks.select("doc_id", F.explode("terms").alias("term"))
+        .join(F.broadcast(req_df), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("int").alias("rating"))
+        .select(
+            "query_id",
+            F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            "rating",
+        )
+    )
+    out = tempfile.mkdtemp(prefix="gate_rankeval_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = rank_eval(
+            spark, pidx, requests, ratings, k=10, relevant_threshold=1
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        rows,
+        "query_id string, precision double, recall double, mrr double, "
+        "dcg double, ndcg double, err double, n_unrated int",
+    )
+    return res.select(
+        "query_id",
+        F.round("precision", 9).alias("precision_r9"),
+        F.round("recall", 9).alias("recall_r9"),
+        F.round("mrr", 9).alias("mrr_r9"),
+        F.round("dcg", 9).alias("dcg_r9"),
+        F.round("ndcg", 9).alias("ndcg_r9"),
+        "n_unrated",
+    ).orderBy("query_id")
+
+
+_SQL_RANK_EVAL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+reqs(qid, term) AS (VALUES
+  ('q1','spark'),('q1','stream'),
+  ('q2','join'),('q2','window'),
+  ('q3','join'),('q3','stream'),('q3','window')),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN (SELECT DISTINCT term FROM reqs)
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT r.qid, p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) JOIN reqs r USING (term)
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY sum(contrib) DESC, doc_id ASC
+         ) AS rn
+  FROM scored GROUP BY qid, doc_id
+),
+topk AS (SELECT * FROM ranked WHERE rn <= 10),
+presence AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t
+  ) WHERE term IN (SELECT DISTINCT term FROM reqs)
+),
+ratings AS (
+  SELECT r.qid, p.doc_id, count(*)::INT AS rating
+  FROM reqs r JOIN presence p USING (term)
+  WHERE p.doc_id % 3 <> 0
+  GROUP BY r.qid, p.doc_id
+),
+hit AS (
+  SELECT k.qid, k.rn, coalesce(g.rating, 0) AS rating,
+         g.rating IS NULL AS unrated
+  FROM topk k LEFT JOIN ratings g
+    ON k.qid = g.qid AND k.doc_id = g.doc_id
+),
+per AS (
+  SELECT qid,
+         count(*) AS retrieved,
+         count(*) FILTER (WHERE rating >= 1) AS rel_ret,
+         min(rn) FILTER (WHERE rating >= 1) AS first_rel,
+         sum((pow(2, rating) - 1) / log2(rn + 1)) AS dcg,
+         count(*) FILTER (WHERE unrated) AS n_unrated
+  FROM hit GROUP BY qid
+),
+tot AS (
+  SELECT qid, count(*) FILTER (WHERE rating >= 1) AS n_rel
+  FROM ratings GROUP BY qid
+),
+ideal AS (
+  SELECT qid, sum((pow(2, rating) - 1) / log2(irn + 1)) AS idcg FROM (
+    SELECT qid, rating, row_number() OVER (
+      PARTITION BY qid ORDER BY rating DESC
+    ) AS irn
+    FROM ratings
+  ) WHERE irn <= 10 GROUP BY qid
+)
+SELECT p.qid AS query_id,
+       round(p.rel_ret::DOUBLE / p.retrieved, 9) AS precision_r9,
+       round(p.rel_ret::DOUBLE / t2.n_rel, 9) AS recall_r9,
+       round(coalesce(1.0 / p.first_rel, 0.0), 9) AS mrr_r9,
+       round(p.dcg, 9) AS dcg_r9,
+       round(p.dcg / i.idcg, 9) AS ndcg_r9,
+       p.n_unrated::INT AS n_unrated
+FROM per p JOIN tot t2 USING (qid) JOIN ideal i ON i.qid = p.qid
+ORDER BY query_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -8500,6 +8656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_search_agg": q_rollup_search,
     "transform_latest": q_transform_latest,
     "transform_pivot": q_transform_pivot,
+    "rank_eval_metrics": q_rank_eval,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8649,4 +8806,5 @@ ORACLE_SQL: dict[str, str] = {
     "rollup_search_agg": _SQL_ROLLUP_SEARCH,
     "transform_latest": _SQL_TRANSFORM_LATEST,
     "transform_pivot": _SQL_TRANSFORM_PIVOT,
+    "rank_eval_metrics": _SQL_RANK_EVAL,
 }
