@@ -8604,6 +8604,359 @@ ORDER BY query_id, rank
 """
 
 
+def _gate_index(spark, docs, tmp_prefix):
+    """Build the gates' standard stem-free packed index over the
+    documents table → (tempdir, PackedIndex)."""
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix=tmp_prefix)
+    build_packed_index(
+        spark, transcripts, out, range_bits=8, with_positions=False,
+        stem=False,
+    )
+    return out, PackedIndex(spark, out)
+
+
+def q_count_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _count (operators/facets.count_matches): match-set size with
+    no ranking — disjunctive, conjunctive, and minimum_should_match=2
+    forms in one gate (3 rows)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.facets import count_matches
+
+    docs = _docs(spark, sf_dir)
+    out, pidx = _gate_index(spark, docs, "gate_count_idx_")
+    q = " ".join(DOCS_QUERY_TERMS)
+    try:
+        rows = []
+        for mode, kw in (
+            ("any", {}),
+            ("all", {"conjunctive": True}),
+            ("msm2", {"min_match": 2}),
+        ):
+            n = count_matches(spark, pidx, q, **kw).collect()[0][
+                "n_matches"
+            ]
+            rows.append((mode, int(n)))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "mode string, n_matches long").orderBy(
+        "mode"
+    )
+
+
+_SQL_COUNT_MATCHES = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id, count(DISTINCT term) AS nt FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY doc_id
+)
+SELECT 'all' AS mode, count(*)::BIGINT AS n_matches FROM m WHERE nt = 4
+UNION ALL
+SELECT 'any', count(*)::BIGINT FROM m
+UNION ALL
+SELECT 'msm2', count(*)::BIGINT FROM m WHERE nt >= 2
+ORDER BY mode
+"""
+
+
+def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field sort (operators/querydsl.sort_by_field_topk): the
+    query in pure filter context, top-20 by a synthesized ts date
+    DESC with missing-last semantics (doc_id % 11 == 0 has no ts) and
+    the doc-key tie-break; no scores computed."""
+    import shutil
+
+    from ics_search_engine_spark.operators.querydsl import (
+        sort_by_field_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out, pidx = _gate_index(spark, docs, "gate_sortf_idx_")
+    attrs = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(
+            F.col("doc_id") % 11 != 0,
+            F.date_add(
+                F.to_date(F.lit("2026-01-01")),
+                (F.col("doc_id") % 97).cast("int"),
+            ),
+        ).alias("d"),
+    )
+    try:
+        rows = sort_by_field_topk(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "d",
+            ascending=False, k=20,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(r["conv_id"][3:]),
+                r["d"].strftime("%Y-%m-%d") if r["d"] else None,
+            )
+            for r in rows
+        ],
+        "doc_id long, d string",
+    )
+
+
+_SQL_SORT_BY_FIELD = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 <> 0
+              THEN strftime(DATE '2026-01-01' + (doc_id % 97)::INT,
+                            '%Y-%m-%d')
+         END AS d
+  FROM m
+)
+SELECT doc_id, d FROM v
+ORDER BY d DESC NULLS LAST, doc_id ASC LIMIT 20
+"""
+
+
+def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES missing aggregation (operators/aggs.missing_agg): matched
+    docs lacking the ts doc value — NULL (doc_id % 11 == 0) or absent
+    from the attrs frame entirely (doc_id % 13 == 0 rows withheld)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import missing_agg
+
+    docs = _docs(spark, sf_dir)
+    out, pidx = _gate_index(spark, docs, "gate_missing_idx_")
+    attrs = docs.filter(F.col("doc_id") % 13 != 0).select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.when(
+            F.col("doc_id") % 11 != 0,
+            F.date_add(
+                F.to_date(F.lit("2026-01-01")),
+                (F.col("doc_id") % 97).cast("int"),
+            ),
+        ).alias("d"),
+    )
+    try:
+        n = missing_agg(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "d"
+        ).collect()[0]["n_missing"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame([(int(n),)], "n_missing long")
+
+
+_SQL_MISSING_AGG = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+)
+SELECT count(*)::BIGINT AS n_missing FROM m
+WHERE doc_id % 11 = 0 OR doc_id % 13 = 0
+"""
+
+
+def q_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn (operators/aggs.moving_fn): moving MAX of the
+    doc-length histogram's bucket counts over the 3 PRECEDING buckets
+    (shift=0 — ES's exclusive-of-current default; the head bucket's
+    empty window yields NULL)."""
+    from ics_search_engine_spark.operators.aggs import moving_fn
+
+    buckets = (
+        _docs(spark, sf_dir)
+        .select((F.size(toks_col()) - F.size(toks_col()) % 10).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        moving_fn(buckets, "b", "n", 3, "array_max(_window)", alias="mx")
+        .select("b", "n", F.col("mx").cast("long").alias("mx"))
+        .orderBy("b")
+    )
+
+
+_SQL_MOVING_FN = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+h AS (
+  SELECT len(toks) - len(toks) % 10 AS b, count(*) AS n
+  FROM t GROUP BY b
+)
+SELECT b::INT AS b, n::BIGINT AS n,
+       max(n) OVER (ORDER BY b ASC
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)::BIGINT
+         AS mx
+FROM h ORDER BY b
+"""
+
+
+def q_terms_shard_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED terms aggregation (operators/aggs.terms_agg):
+    per-shard top-shard_size reports merged with ES's
+    doc_count_error_upper_bound algebra.  shard_size=2 over a 5-value
+    category (doc_id % 5) forces every shard to under-report, so the
+    oracle replays the whole protocol — shard = doc_id >> 8 (the
+    docID-order docmap property the sliced gate also pins), per-shard
+    rank cut, saturation rule, per-value bound."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import terms_agg
+
+    docs = _docs(spark, sf_dir)
+    out, pidx = _gate_index(spark, docs, "gate_terms_idx_")
+    attrs = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.format_string("cat%d", F.col("doc_id") % 5).alias("cat"),
+    )
+    try:
+        res = terms_agg(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs, "cat",
+            size=5, shard_size=2,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        res, "value string, doc_count long, doc_count_error_upper_bound long"
+    ).orderBy(F.desc("doc_count"), F.asc("value"))
+
+
+_SQL_TERMS_SHARD = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+keyed AS (
+  SELECT doc_id // 256 AS shard, 'cat' || (doc_id % 5)::VARCHAR AS cat
+  FROM m
+),
+per_shard AS (
+  SELECT shard, cat, count(*) AS cnt FROM keyed GROUP BY shard, cat
+),
+reported AS (
+  SELECT * FROM (
+    SELECT shard, cat, cnt, row_number() OVER (
+      PARTITION BY shard ORDER BY cnt DESC, cat ASC
+    ) AS rn FROM per_shard
+  ) WHERE rn <= 2
+),
+shard_err AS (
+  SELECT shard,
+         CASE WHEN count(*) >= 2 THEN min(cnt) ELSE 0 END AS contrib
+  FROM reported GROUP BY shard
+),
+total AS (SELECT sum(contrib) AS total_contrib FROM shard_err)
+SELECT r.cat AS value,
+       sum(r.cnt)::BIGINT AS doc_count,
+       (any_value(total.total_contrib) - sum(e.contrib))::BIGINT
+         AS doc_count_error_upper_bound
+FROM reported r JOIN shard_err e USING (shard) CROSS JOIN total
+GROUP BY r.cat
+ORDER BY doc_count DESC, value ASC LIMIT 5
+"""
+
+
+def q_analyze_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze (operators/analyze): the analysis chain run
+    distributed with positions — one row per surviving token of the
+    first 40 docs (stem-free variant so the oracle can replay the
+    chain; offsets are pytest-gated since SQL can't see them)."""
+    from ics_search_engine_spark.operators.analyze import analyze
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return analyze(docs.select("doc_id", "text"), "text", do_stem=False) \
+        .select("doc_id", "position", "token") \
+        .orderBy("doc_id", "position")
+
+
+_SQL_ANALYZE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+           WHERE doc_id < 40)
+SELECT doc_id,
+       (generate_subscripts(toks, 1) - 1)::INT AS position,
+       unnest(toks) AS token
+FROM t
+ORDER BY doc_id, position
+"""
+
+
+def q_spell_missing_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-suggester suggest_mode='missing' (operators/spell.
+    suggest_terms): an in-dictionary probe returns itself (its own df,
+    dist 0) WITHOUT a correction scan; an OOV probe gets the standard
+    (dist asc, df desc, term asc) best match."""
+    import shutil
+
+    from ics_search_engine_spark.operators.spell import suggest_terms
+
+    docs = _docs(spark, sf_dir)
+    out, pidx = _gate_index(spark, docs, "gate_spellmiss_idx_")
+    try:
+        rows = suggest_terms(
+            spark, pidx, ["spark", "sparkk", "streem"], max_dist=2,
+            mode="missing",
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "token string, suggestion string, dist int, df long"
+    ).orderBy("token")
+
+
+_SQL_SPELL_MISSING = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) GROUP BY term
+),
+probes(token) AS (VALUES ('spark'),('sparkk'),('streem')),
+oov AS (
+  SELECT p.token, d.term AS suggestion,
+         levenshtein(d.term, p.token)::INT AS dist, d.df::BIGINT AS df,
+         row_number() OVER (
+           PARTITION BY p.token
+           ORDER BY levenshtein(d.term, p.token) ASC, d.df DESC,
+                    d.term ASC
+         ) AS rn
+  FROM probes p CROSS JOIN dict d
+  WHERE levenshtein(d.term, p.token) <= 2
+    AND p.token NOT IN (SELECT term FROM dict)
+)
+SELECT p.token, coalesce(o.suggestion, d2.term, p.token) AS suggestion,
+       CASE WHEN d2.term IS NOT NULL THEN 0 ELSE o.dist END AS dist,
+       coalesce(d2.df, o.df)::BIGINT AS df
+FROM probes p
+LEFT JOIN dict d2 ON d2.term = p.token
+LEFT JOIN (SELECT * FROM oov WHERE rn = 1) o ON o.token = p.token
+ORDER BY p.token
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -8746,6 +9099,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_pivot": q_transform_pivot,
     "rank_eval_metrics": q_rank_eval,
     "msearch_engine": q_msearch_engine,
+    "count_matches_engine": q_count_matches,
+    "sort_by_field_engine": q_sort_by_field,
+    "missing_count_agg": q_missing_agg,
+    "moving_fn_agg": q_moving_fn,
+    "terms_shard_agg": q_terms_shard_agg,
+    "analyze_api": q_analyze_api,
+    "spell_missing_mode": q_spell_missing_mode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -8897,4 +9257,11 @@ ORACLE_SQL: dict[str, str] = {
     "transform_pivot": _SQL_TRANSFORM_PIVOT,
     "rank_eval_metrics": _SQL_RANK_EVAL,
     "msearch_engine": _SQL_MSEARCH,
+    "count_matches_engine": _SQL_COUNT_MATCHES,
+    "sort_by_field_engine": _SQL_SORT_BY_FIELD,
+    "missing_count_agg": _SQL_MISSING_AGG,
+    "moving_fn_agg": _SQL_MOVING_FN,
+    "terms_shard_agg": _SQL_TERMS_SHARD,
+    "analyze_api": _SQL_ANALYZE,
+    "spell_missing_mode": _SQL_SPELL_MISSING,
 }

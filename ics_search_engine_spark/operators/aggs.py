@@ -1266,3 +1266,168 @@ def sampler_terms(
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.asc(facet_col))
     )
+
+
+def missing_agg(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    value_col: str,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES ``missing`` aggregation: matched docs that LACK the doc
+    value — NULL in ``attrs.<value_col>`` or absent from ``attrs``
+    entirely (ES counts both: the field bucket is built from docs that
+    have the field; missing is the complement) → ONE row
+    (n_missing long).
+
+    The attrs join is LEFT (unlike the sibling aggregations' inner
+    ``_matched_attrs``) because absence IS the signal here."""
+    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
+    keyed = (
+        pidx.docmap.join(docs, "doc_ord")
+        .select("conv_id", "turn_idx")
+        .join(
+            attrs.select("conv_id", "turn_idx", value_col),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
+    )
+    return keyed.agg(
+        F.count(F.when(F.col(value_col).isNull(), 1))
+        .cast("long")
+        .alias("n_missing")
+    )
+
+
+def moving_fn(
+    buckets: DataFrame,
+    order_col: str,
+    value_col: str,
+    window: int,
+    script: str,
+    alias: str = "mfn",
+    shift: int = 0,
+) -> DataFrame:
+    """ES ``moving_fn`` pipeline aggregation: an arbitrary function of
+    a sliding window of sibling-bucket metric values.  The script is a
+    Spark SQL expression over the array column ``_window`` (the
+    engine's one scripting convention, operators/scripting.py) — e.g.
+    ``array_max(_window)``, ``array_min(_window)``,
+    ``aggregate(_window, 0D, (a, x) -> a + x)`` — compiled by Catalyst,
+    never a Python UDF.
+
+    Window semantics pinned to ES: with ``shift=0`` (default) the
+    window holds the ``window`` buckets BEFORE the current one
+    (exclusive — ES's moving_fn default, unlike moving_avg's
+    inclusive trailing window); each +1 of ``shift`` slides the window
+    one bucket rightward, so ``shift=1`` includes the current bucket.
+    Head windows hold what exists; an EMPTY window gives whatever the
+    script yields on an empty array (array_max → NULL, ES's null
+    bucket).  Bucket-frame-sized input, same single-window note as
+    cumulative_sum."""
+    w = Window.orderBy(F.asc(order_col)).rowsBetween(
+        -window + shift, shift - 1
+    )
+    return (
+        buckets.withColumn(
+            "_window", F.collect_list(F.col(value_col)).over(w)
+        )
+        .withColumn(alias, F.expr(script))
+        .drop("_window")
+    )
+
+
+def terms_agg(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    facet_col: str,
+    size: int = 10,
+    shard_size: int | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """The ES ``terms`` aggregation with its DISTRIBUTED semantics made
+    explicit: each shard reports only its local top-``shard_size``
+    values, the coordinator sums what was reported, and every result
+    carries ``doc_count_error_upper_bound`` — the worst-case count
+    mass a value could have lost to shards that didn't report it.
+    facet_counts is the exact (and exact-only) sibling; THIS is what
+    "terms agg" means on a real cluster, where shipping every
+    (shard, value) pair for a high-cardinality field is the thing you
+    cannot do.
+
+    Shards are the engine's native doc ranges (doc_ord >>
+    range_bits) — the same physical partitioning every other
+    distributed path uses.  Per ES:
+
+    * ``shard_size`` defaults to ``size * 1.5 + 10``;
+    * a shard's error contribution is the count of the LAST (smallest)
+      value it returned — but only if it returned a full
+      ``shard_size`` list (an exhausted shard hides nothing);
+    * for each reported value, the bound sums the contributions of
+      exactly the shards that did NOT report it.
+
+    → (value, doc_count, doc_count_error_upper_bound), top ``size`` by
+    (doc_count desc, value asc).  With ``shard_size`` ≥ the field
+    cardinality every shard is exhaustive: counts equal the exact
+    facet counts and every bound is 0 (the gate's criterion).
+
+    Scale: per-(shard, value) partial counts → per-shard window cut at
+    shard_size (each shard's sort is over ITS values only) → one
+    candidate-sized rollup.  Nothing driver-side, no global sort of
+    the value space.
+    """
+    if shard_size is None:
+        shard_size = int(size * 1.5 + 10)
+    range_bits = pidx.stats["range_bits"]
+    docs = matched_docs(spark, pidx, query, conjunctive=conjunctive)
+    keyed = (
+        pidx.docmap.join(docs, "doc_ord")
+        .select(
+            F.shiftright(F.col("doc_ord"), range_bits).alias("shard"),
+            "conv_id",
+            "turn_idx",
+        )
+        .join(attrs.select("conv_id", "turn_idx", facet_col),
+              ["conv_id", "turn_idx"])
+        .filter(F.col(facet_col).isNotNull())
+    )
+    per_shard = keyed.groupBy("shard", facet_col).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("cnt"), F.asc(facet_col)
+    )
+    reported = per_shard.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shard_size
+    )
+    # a shard hides mass only if its report was cut at shard_size;
+    # its per-value bound is then its smallest reported count
+    shard_err = reported.groupBy("shard").agg(
+        F.when(F.count("*") >= shard_size, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .alias("contrib")
+    )
+    total = shard_err.agg(F.sum("contrib").alias("total_contrib"))
+    merged = (
+        reported.join(shard_err, "shard")
+        .groupBy(facet_col)
+        .agg(
+            F.sum("cnt").alias("doc_count"),
+            F.sum("contrib").alias("covered"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(facet_col).alias("value"),
+            F.col("doc_count").cast("long").alias("doc_count"),
+            (F.col("total_contrib") - F.col("covered"))
+            .cast("long")
+            .alias("doc_count_error_upper_bound"),
+        )
+    )
+    return merged.orderBy(
+        F.desc("doc_count"), F.asc("value")
+    ).limit(size)

@@ -40,9 +40,12 @@ def matched_docs(
     pidx: PackedIndex,
     query: str,
     conjunctive: bool = False,
+    min_match: int | None = None,
 ) -> DataFrame:
     """The query's match set as (doc_ord) rows — the shared front half
-    of faceting and any other whole-match-set analytics."""
+    of faceting and any other whole-match-set analytics.
+    ``min_match=m`` keeps docs matching ≥ m distinct query terms (the
+    minimum_should_match knob in match-set form)."""
     do_stem = pidx.stats.get("stem", True)
     q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
     if not q_terms:
@@ -54,7 +57,28 @@ def matched_docs(
     )
     if conjunctive:
         per_doc = per_doc.filter(F.col("n_terms") == len(q_terms))
+    elif min_match is not None:
+        per_doc = per_doc.filter(F.col("n_terms") >= min_match)
     return per_doc.select("doc_ord")
+
+
+def count_matches(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    conjunctive: bool = False,
+    min_match: int | None = None,
+) -> DataFrame:
+    """The ES ``_count`` API: how many docs match, no ranking, no hits
+    → ONE row (n_matches long).  Cheaper than any top-k: the scoring
+    fold, the docmap join, and the winner resolution all disappear —
+    just term-IN pushdown → decode → per-doc distinct-term rollup →
+    count.  (ES serves _count from the same Lucene structures minus
+    the collector; same idea.)"""
+    docs = matched_docs(
+        spark, pidx, query, conjunctive=conjunctive, min_match=min_match
+    )
+    return docs.agg(F.count("*").cast("long").alias("n_matches"))
 
 
 def date_histogram(

@@ -142,20 +142,10 @@ def set_alias(store: str, alias: str, segment_paths: list[str]) -> None:
     lock (fcntl on <store>.lock), so concurrent set_alias calls on one
     store cannot drop each other's update (the load-modify-replace
     race); readers never block."""
-    import fcntl
+    def put(aliases):
+        aliases[alias] = [os.path.abspath(p) for p in segment_paths]
 
-    lock_path = store + ".lock"
-    with open(lock_path, "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        try:
-            aliases = load_aliases(store)
-            aliases[alias] = [os.path.abspath(p) for p in segment_paths]
-            tmp = f"{store}.{os.getpid()}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(aliases, f)
-            os.replace(tmp, store)
-        finally:
-            fcntl.flock(lock, fcntl.LOCK_UN)
+    _update_aliases(store, put)
 
 
 def load_aliases(store: str) -> dict[str, list[str]]:
@@ -256,3 +246,122 @@ def reindex(
     )
 
     return build_packed_index(spark, src, out_dir, **build_kw)
+
+
+# ---------------------------------------------------------------- rollover
+#
+# ES index-lifecycle rollover over the LSM segment model: an "index
+# family" is two aliases in one store —
+#
+#   <name>        the READ alias: every live generation's segments
+#   <name>@write  the WRITE alias: the ACTIVE generation's segments
+#
+# plus a generation counter (<name>@gen).  New segments register into
+# both; `rollover` checks the ACTIVE generation against the caller's
+# conditions (max_docs / max_segments / max_bytes — the ES trio minus
+# max_age, which needs a clock this engine takes as input) and, when
+# any is met, atomically resets the write alias to a fresh empty
+# generation.  Readers always query the read alias, so a rollover is
+# invisible to search — exactly ES's contract, where the rolled-over
+# index keeps serving reads while writes move to the new one.
+#
+# Why this matters at 100 TB: compaction cost grows with generation
+# size.  Rollover bounds the segment set that size-tiered compaction
+# (operators/segments.pick_compaction) ever has to consider, the same
+# role ILM plays for Lucene shards.
+
+
+def _update_aliases(store: str, fn) -> None:
+    """Apply ``fn(aliases_dict)`` under the store's writer lock with an
+    atomic replace — the multi-key form of set_alias (one lock, one
+    rename, so composite updates like rollover can't interleave)."""
+    import fcntl
+
+    lock_path = store + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            aliases = load_aliases(store)
+            fn(aliases)
+            tmp = f"{store}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(aliases, f)
+            os.replace(tmp, store)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def register_segment(store: str, name: str, seg_path: str) -> None:
+    """Land a new ready segment in index family ``name``: it becomes
+    visible to readers (read alias) AND counts toward the active
+    generation's rollover conditions (write alias)."""
+    p = os.path.abspath(seg_path)
+
+    def add(aliases):
+        for key in (name, f"{name}@write"):
+            cur = aliases.setdefault(key, [])
+            if p not in cur:
+                cur.append(p)
+        aliases.setdefault(f"{name}@gen", ["1"])
+
+    _update_aliases(store, add)
+
+
+def generation_stats(paths: list[str]) -> dict:
+    """(n_docs, n_segments, bytes) of a segment-path list, from each
+    segment's stats.json + on-disk footprint.  n_docs counts every
+    stored doc version (shadowed versions included — they occupy
+    compaction work, which is what rollover bounds)."""
+    n_docs = 0
+    n_bytes = 0
+    for p in paths:
+        with open(os.path.join(p, "stats.json")) as f:
+            n_docs += json.load(f)["n_docs"]
+        for d in _walk_files(p):
+            n_bytes += d["size"]
+    return {"n_docs": n_docs, "n_segments": len(paths), "bytes": n_bytes}
+
+
+def rollover(
+    store: str,
+    name: str,
+    max_docs: int | None = None,
+    max_segments: int | None = None,
+    max_bytes: int | None = None,
+) -> dict:
+    """ES ``_rollover``: evaluate the ACTIVE generation against the
+    conditions; when any is met, reset the write alias to an empty new
+    generation (read alias untouched) → a report dict::
+
+        {"rolled": bool, "generation": int,
+         "conditions": {"max_docs": bool, ...}, "stats": {...}}
+
+    Condition evaluation and the alias swap run under ONE writer lock,
+    so two concurrent rollovers cannot both fire on the same
+    generation (the second sees the already-reset write alias)."""
+    if max_docs is None and max_segments is None and max_bytes is None:
+        raise ValueError("rollover needs at least one condition")
+    report = {}
+
+    def step(aliases):
+        write = aliases.get(f"{name}@write", [])
+        gen = int(aliases.get(f"{name}@gen", ["1"])[0])
+        stats = generation_stats(write)
+        conds = {}
+        if max_docs is not None:
+            conds["max_docs"] = stats["n_docs"] >= max_docs
+        if max_segments is not None:
+            conds["max_segments"] = stats["n_segments"] >= max_segments
+        if max_bytes is not None:
+            conds["max_bytes"] = stats["bytes"] >= max_bytes
+        rolled = any(conds.values())
+        if rolled:
+            aliases[f"{name}@write"] = []
+            gen += 1
+            aliases[f"{name}@gen"] = [str(gen)]
+        report.update(
+            rolled=rolled, generation=gen, conditions=conds, stats=stats
+        )
+
+    _update_aliases(store, step)
+    return report

@@ -169,3 +169,53 @@ def terms_set_topk(
         .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
         .limit(k)
     )
+
+
+def sort_by_field_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    sort_col: str,
+    ascending: bool = False,
+    k: int = 10,
+    conjunctive: bool = False,
+    min_match: int | None = None,
+    missing: str = "last",
+) -> DataFrame:
+    """ES field sort (``"sort": [{"ts": "desc"}]``): the query is pure
+    FILTER context — relevance never computes — and the top-k cut runs
+    on a doc-value column → (conv_id, turn_idx, <sort_col>).
+
+    Semantics pinned to ES:
+    * docs missing the sort value (NULL, or absent from ``attrs``) sort
+      per ``missing`` — "last" (default, ES's ``_last``) or "first";
+    * ties break on the engine's stable doc key (conv_id, turn_idx) so
+      pagination over equal values is deterministic (ES needs an
+      explicit ``_doc`` tie-breaker for the same reason);
+    * scores are NOT returned — ES sets them null under a field sort
+      unless track_scores is on; the scored form is one
+      ``scored_matches`` join away.
+
+    Scale: the scoring fold disappears entirely — match set (term-IN
+    pushdown → per-doc rollup) → docmap join → LEFT join of the
+    doc-value column → TakeOrderedAndProject.  The sort ships k rows
+    per partition, never the match set."""
+    docs = matched_docs(
+        spark, pidx, query, conjunctive=conjunctive, min_match=min_match
+    )
+    keyed = (
+        pidx.docmap.select("doc_ord", "conv_id", "turn_idx")
+        .join(docs, "doc_ord")
+        .join(attrs.select("conv_id", "turn_idx", sort_col),
+              ["conv_id", "turn_idx"], "left")
+    )
+    v = F.col(sort_col)
+    primary = F.asc_nulls_last(v) if ascending else F.desc_nulls_last(v)
+    if missing == "first":
+        primary = F.asc_nulls_first(v) if ascending else F.desc_nulls_first(v)
+    return (
+        keyed.select("conv_id", "turn_idx", sort_col)
+        .orderBy(primary, F.asc("conv_id"), F.asc("turn_idx"))
+        .limit(k)
+    )

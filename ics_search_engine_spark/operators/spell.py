@@ -44,33 +44,68 @@ def suggest_terms(
     pidx: PackedIndex,
     probes: list[str],
     max_dist: int = 2,
+    mode: str = "always",
 ) -> DataFrame:
     """Best dictionary match per probe → DataFrame(token, suggestion,
     dist, df) ordered by token; unmatched probes keep themselves with
     null dist/df.  ONE job: a union of per-probe top-1 branches (each
-    a TakeOrderedAndProject over the vocabulary-sized term_stats)."""
+    a TakeOrderedAndProject over the vocabulary-sized term_stats).
+
+    ``mode`` is ES's term-suggester ``suggest_mode``:
+
+    * ``"always"`` (default): every probe gets its best match — a
+      probe that IS a dictionary term matches itself at dist 0, which
+      did_you_mean reads as "no correction";
+    * ``"missing"``: only probes ABSENT from the dictionary are
+      corrected; in-dictionary probes return themselves (dist 0, own
+      df) without scanning for alternatives — the cheap default real
+      deployments use;
+    * ``"popular"``: a suggestion must be a DIFFERENT term with
+      strictly HIGHER df than the probe's own (0 for OOV probes) —
+      ES's "suggest only terms that occur more frequently".
+
+    The mode probes' own dfs come from one metadata point lookup
+    (df_for_terms), not a second vocabulary scan."""
     out_schema = "token string, suggestion string, dist int, df long"
     uniq = sorted(set(probes))
     if not uniq:
         return spark.createDataFrame([], out_schema)
+    own_df: dict[str, int] = {}
+    if mode in ("missing", "popular"):
+        own_df = pidx.df_for_terms(uniq)
+    self_rows: list[tuple] = []
     branches = None
     for p in uniq:
-        b = (
-            pidx.term_stats.select(
-                F.lit(p).alias("token"),
-                F.col("term").alias("suggestion"),
-                F.levenshtein(F.col("term"), F.lit(p)).alias("dist"),
-                F.col("df").cast("long").alias("df"),
+        if mode == "missing" and own_df.get(p, 0) > 0:
+            self_rows.append((p, p, 0, int(own_df[p])))
+            continue
+        b = pidx.term_stats.select(
+            F.lit(p).alias("token"),
+            F.col("term").alias("suggestion"),
+            F.levenshtein(F.col("term"), F.lit(p)).alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        ).filter(F.col("dist") <= max_dist)
+        if mode == "popular":
+            b = b.filter(
+                (F.col("dist") >= 1)
+                & (F.col("df") > int(own_df.get(p, 0)))
             )
-            .filter(F.col("dist") <= max_dist)
-            .orderBy(F.asc("dist"), F.desc("df"), F.asc("suggestion"))
-            .limit(1)
-        )
+        b = b.orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("suggestion")
+        ).limit(1)
         branches = b if branches is None else branches.unionByName(b)
+    if branches is None:
+        rows = self_rows + [
+            (p, p, None, None) for p in uniq
+            if p not in {r[0] for r in self_rows}
+        ]
+        return spark.createDataFrame(sorted(rows), out_schema)
     hits = {
         r["token"]: (r["suggestion"], int(r["dist"]), int(r["df"]))
         for r in branches.collect()
     }
+    for p, s, d, df_ in self_rows:
+        hits[p] = (s, d, df_)
     rows = [
         (p, *hits[p]) if p in hits else (p, p, None, None) for p in uniq
     ]
