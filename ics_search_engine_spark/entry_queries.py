@@ -8957,6 +8957,53 @@ ORDER BY p.token
 """
 
 
+def q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted_metric (operators/aggs.scripted_metric): map script
+    'doc_id % 7 + length of the category string' per matched doc,
+    reduce 'sum' per category bucket — both as Catalyst SQL
+    expressions, integer-exact so the gate hashes cleanly."""
+    import shutil
+
+    from ics_search_engine_spark.operators.aggs import scripted_metric
+
+    docs = _docs(spark, sf_dir)
+    out, pidx = _gate_index(spark, docs, "gate_scripted_idx_")
+    attrs = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("doc_id"),
+        F.format_string("cat%d", F.col("doc_id") % 3).alias("cat"),
+    )
+    try:
+        rows = scripted_metric(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), attrs,
+            map_script="doc_id % 7 + length(cat)",
+            reduce_script="sum(_mapped)",
+            bucket_col="cat",
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["cat"], int(r["value"])) for r in rows],
+        "cat string, value long",
+    ).orderBy("cat")
+
+
+_SQL_SCRIPTED_METRIC = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+),
+k AS (
+  SELECT doc_id, 'cat' || (doc_id % 3)::VARCHAR AS cat FROM m
+)
+SELECT cat, sum(doc_id % 7 + length(cat))::BIGINT AS value
+FROM k GROUP BY cat ORDER BY cat
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -9106,6 +9153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "terms_shard_agg": q_terms_shard_agg,
     "analyze_api": q_analyze_api,
     "spell_missing_mode": q_spell_missing_mode,
+    "scripted_metric_agg": q_scripted_metric,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9264,4 +9312,5 @@ ORACLE_SQL: dict[str, str] = {
     "terms_shard_agg": _SQL_TERMS_SHARD,
     "analyze_api": _SQL_ANALYZE,
     "spell_missing_mode": _SQL_SPELL_MISSING,
+    "scripted_metric_agg": _SQL_SCRIPTED_METRIC,
 }

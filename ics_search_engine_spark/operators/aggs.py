@@ -1431,3 +1431,38 @@ def terms_agg(
     return merged.orderBy(
         F.desc("doc_count"), F.asc("value")
     ).limit(size)
+
+
+def scripted_metric(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    query: str,
+    attrs: DataFrame,
+    map_script: str,
+    reduce_script: str,
+    bucket_col: str | None = None,
+    alias: str = "value",
+    conjunctive: bool = False,
+) -> DataFrame:
+    """ES ``scripted_metric`` aggregation in the engine's one scripting
+    convention (Spark SQL expressions → Catalyst,
+    operators/scripting.py): ``map_script`` evaluates per matched doc
+    over its doc-value columns into ``_mapped``; ``reduce_script`` is
+    an aggregate expression over ``_mapped`` (e.g. ``sum(_mapped)``,
+    ``max(_mapped)``, ``count_if(_mapped > 0)``) → one row, or one per
+    ``bucket_col``.
+
+    ES's init/combine stages don't exist here BY DESIGN: they are
+    Painless's manual reimplementation of what a declarative aggregate
+    already is — Spark's hash aggregate runs the partial (combine)
+    phase map-side automatically for decomposable reduce expressions,
+    which is exactly the property ES asks scripted_metric authors to
+    hand-guarantee.  A reduce that isn't decomposable still computes
+    correctly (Catalyst plans it), it just shuffles more.
+    """
+    keyed = _matched_attrs(spark, pidx, query, attrs, conjunctive)
+    mapped = keyed.withColumn("_mapped", F.expr(map_script))
+    agg = F.expr(reduce_script).alias(alias)
+    if bucket_col is None:
+        return mapped.agg(agg)
+    return mapped.groupBy(bucket_col).agg(agg).orderBy(F.asc(bucket_col))

@@ -281,3 +281,41 @@ class TestSuggestModes:
         ).collect()[0]
         assert got["suggestion"] == "machine"
         assert got["dist"] is None and got["df"] is None
+
+
+class TestScriptedMetric:
+    def test_sum_reduce_matches_match_stats(self, spark, pidx, attrs):
+        from ics_search_engine_spark.operators.aggs import (
+            match_stats,
+            scripted_metric,
+        )
+
+        got = scripted_metric(
+            spark, pidx, QUERY, attrs.filter(F.col("v").isNotNull()),
+            map_script="v", reduce_script="sum(_mapped)",
+        ).collect()[0]["value"]
+        want = match_stats(
+            spark, pidx, QUERY, attrs.filter(F.col("v").isNotNull()), "v"
+        ).collect()[0]["sum_v"]
+        assert got == want
+
+    def test_nontrivial_map_and_bucketed_reduce(self, spark, pidx, attrs):
+        from ics_search_engine_spark.operators.aggs import scripted_metric
+
+        rows = scripted_metric(
+            spark, pidx, QUERY, attrs,
+            map_script="CASE WHEN v IS NULL THEN 0 ELSE v * v END",
+            reduce_script="max(_mapped)",
+            bucket_col="cat", alias="mx",
+        ).collect()
+        # python recompute over the joined frame
+        joined = (
+            pidx.docmap.join(matched_docs(spark, pidx, QUERY), "doc_ord")
+            .join(attrs, ["conv_id", "turn_idx"])
+            .collect()
+        )
+        want: dict = {}
+        for r in joined:
+            m = 0 if r["v"] is None else r["v"] * r["v"]
+            want[r["cat"]] = max(want.get(r["cat"], 0), m)
+        assert {r["cat"]: r["mx"] for r in rows} == want
