@@ -9004,6 +9004,132 @@ FROM k GROUP BY cat ORDER BY cat
 """
 
 
+def q_explain_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain (operators/query.explain_doc): the full BM25
+    ingredient breakdown for ONE targeted doc — the smallest doc
+    matching all four gate terms, chosen identically by both engines —
+    with the doc's bit-parity folded score on every row."""
+    import shutil
+
+    from ics_search_engine_spark.operators.facets import matched_docs
+    from ics_search_engine_spark.operators.query import explain_doc
+
+    docs = _docs(spark, sf_dir)
+    out, pidx = _gate_index(spark, docs, "gate_explaindoc_idx_")
+    q = " ".join(DOCS_QUERY_TERMS)
+    try:
+        target = (
+            matched_docs(spark, pidx, q, conjunctive=True)
+            .agg(F.min("doc_ord").alias("o"))
+            .collect()[0]["o"]
+        )
+        rows = explain_doc(
+            spark, pidx, q, f"doc{int(target):08d}", 0
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["term"], r["tf"], r["dl"], r["df"],
+                round(r["w"], 9), round(r["contrib"], 9),
+                round(r["score"], 6),
+            )
+            for r in rows
+        ],
+        "term string, tf int, dl int, df long, w_r9 double, "
+        "contrib_r9 double, score_r6 double",
+    ).orderBy("term")
+
+
+_SQL_EXPLAIN_DOC = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+target AS (
+  SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id FROM posts GROUP BY doc_id HAVING count(*) = 4
+  )
+),
+rows_ AS (
+  SELECT p.term, p.tf::INT AS tf, p.dl::INT AS dl, d.df::BIGINT AS df,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) AS w,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+           AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  WHERE p.doc_id = (SELECT doc_id FROM target)
+)
+SELECT term, tf, dl, df, round(w, 9) AS w_r9,
+       round(contrib, 9) AS contrib_r9,
+       round((SELECT sum(contrib) FROM rows_), 6) AS score_r6
+FROM rows_ ORDER BY term
+"""
+
+
+def q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _field_caps (operators/fields.field_caps): per-field stats
+    of a two-field fielded index (text, source) — n_docs/sum_dl from
+    each sub-index's stats.json, n_terms from one metadata-only
+    dictionary count; the oracle recomputes all three from per-field
+    tokenization."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.fields import (
+        FieldedIndex,
+        build_fielded_index,
+        field_caps,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "text",
+        "source",
+    )
+    out = tempfile.mkdtemp(prefix="gate_fieldcaps_idx_")
+    try:
+        build_fielded_index(
+            spark, transcripts, out, ["text", "source"], range_bits=8,
+            stem=False,
+        )
+        rows = field_caps(FieldedIndex(spark, out)).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["field"], r["n_docs"], r["sum_dl"], r["n_terms"]) for r in rows],
+        "field string, n_docs long, sum_dl long, n_terms long",
+    ).orderBy("field")
+
+
+_SQL_FIELD_CAPS = """
+WITH tx AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), x -> length(x) > 1) AS toks
+  FROM documents
+),
+sx AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(source, '')),
+                     '[^a-z0-9]+'), x -> length(x) > 1) AS toks
+  FROM documents
+)
+SELECT 'source' AS field, count(*)::BIGINT AS n_docs,
+       sum(len(toks))::BIGINT AS sum_dl,
+       (SELECT count(DISTINCT term) FROM (
+          SELECT unnest(toks) AS term FROM sx))::BIGINT AS n_terms
+FROM sx
+UNION ALL
+SELECT 'text', count(*)::BIGINT, sum(len(toks))::BIGINT,
+       (SELECT count(DISTINCT term) FROM (
+          SELECT unnest(toks) AS term FROM tx))::BIGINT
+FROM tx
+ORDER BY field
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -9154,6 +9280,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analyze_api": q_analyze_api,
     "spell_missing_mode": q_spell_missing_mode,
     "scripted_metric_agg": q_scripted_metric,
+    "explain_doc_engine": q_explain_doc,
+    "field_caps_engine": q_field_caps,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9313,4 +9441,6 @@ ORACLE_SQL: dict[str, str] = {
     "analyze_api": _SQL_ANALYZE,
     "spell_missing_mode": _SQL_SPELL_MISSING,
     "scripted_metric_agg": _SQL_SCRIPTED_METRIC,
+    "explain_doc_engine": _SQL_EXPLAIN_DOC,
+    "field_caps_engine": _SQL_FIELD_CAPS,
 }

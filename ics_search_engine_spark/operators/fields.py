@@ -395,3 +395,36 @@ def combined_fields_topk(
         .select("conv_id", "turn_idx", "score")
         .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
     )
+
+
+def field_caps(fidx: FieldedIndex) -> DataFrame:
+    """The ES ``_field_caps`` API over a fielded index: per-field
+    capability/statistics row →
+
+        (field, searchable, n_docs, sum_dl, n_terms)
+
+    ``searchable`` is always true here (every built sub-index is
+    queryable); n_docs/sum_dl come from each sub-index's stats.json
+    (zero jobs), n_terms is one metadata-only count over the field's
+    term dictionary (the payload column is never read).  Fields are
+    O(schema), so the result is a handful of rows regardless of corpus
+    size — ES's _field_caps is the same shape (it reads per-field
+    metadata from segment headers, not postings)."""
+    rows = []
+    for field in fidx.manifest["fields"]:
+        sub = fidx.sub[field]
+        n_terms = sub.term_stats.count()
+        rows.append(
+            (
+                field,
+                True,
+                int(sub.stats["n_docs"]),
+                int(sub.stats["sum_dl"]),
+                int(n_terms),
+            )
+        )
+    return fidx.spark.createDataFrame(
+        rows,
+        "field string, searchable boolean, n_docs long, sum_dl long, "
+        "n_terms long",
+    ).orderBy("field")

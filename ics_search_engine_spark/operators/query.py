@@ -819,6 +819,85 @@ def bm25_explain(spark: SparkSession, pidx, query: str, k: int = 10
     )
 
 
+def explain_doc(
+    spark: SparkSession,
+    pidx,
+    query: str,
+    conv_id: str,
+    turn_idx: int,
+) -> DataFrame:
+    """The ES ``_explain`` API: why does THIS doc score what it scores
+    for this query — one row per matched term with every BM25
+    ingredient → (term, tf, dl, df, w, contrib, score), whether or not
+    the doc would reach any top-k (the difference from bm25_explain,
+    which explains winners).  A doc matching no query term returns 0
+    rows (ES: "no matching term").
+
+    Score parity: ``score`` folds the contribs in ascending-term order
+    — the engine's one accumulation order — so it is bit-identical to
+    what every ranked path would assign this doc.
+
+    Plan: ONE docmap point lookup (conv/turn pushdown) resolves
+    doc_ord; the posting decode then touches only the query terms'
+    rows in the doc's OWN shard (term-IN AND shard_id pushdown — a
+    single doc can never need another shard, the layout guarantee);
+    the per-doc filter and the ≤ |terms|-row annotate follow.  Nothing
+    scales with the corpus."""
+    from ics_search_engine_spark.operators.packed_index import decode_matched
+    from ics_search_engine_spark.textproc.tokenizer import tokenize as _tok
+
+    do_stem = pidx.stats.get("stem", True)
+    q_terms = sorted(set(_tok(query, for_query=True, do_stem=do_stem)))
+    empty = spark.createDataFrame(
+        [],
+        "term string, tf int, dl int, df long, w double, contrib double, "
+        "score double",
+    )
+    if not q_terms:
+        return empty
+    term_df = pidx.df_for_terms(q_terms)
+    weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
+    if not weights:
+        return empty
+    target = (
+        pidx.docmap.filter(
+            (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
+        )
+        .select("doc_ord")
+        .collect()
+    )
+    if not target:
+        raise KeyError(f"unknown doc: ({conv_id!r}, {turn_idx})")
+    doc_ord = int(target[0]["doc_ord"])
+    shard = doc_ord >> pidx.stats["range_bits"]
+    matched = pidx.index.filter(
+        F.col("term").isin(sorted(weights)) & (F.col("shard_id") == shard)
+    )
+    posts = decode_matched(matched).filter(F.col("doc_ord") == doc_ord)
+    wdf = spark.createDataFrame(
+        [(t, w, term_df[t]) for t, w in weights.items()],
+        "term string, w double, df long",
+    )
+    rows = posts.join(F.broadcast(wdf), "term").withColumn(
+        "contrib", bm25_contrib_col(pidx.avgdl)
+    )
+    # ascending-term fold for the bit-exact per-doc score
+    folded = rows.groupBy("doc_ord").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("term", "contrib"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    return (
+        rows.join(F.broadcast(folded), "doc_ord")
+        .select("term", "tf", "dl", "df", "w", "contrib", "score")
+        .orderBy("term")
+    )
+
+
 def bm25_topk_packed(spark: SparkSession, pidx, query: str, k: int = 10
                      ) -> DataFrame:
     """Top-k BM25 over a persisted PackedIndex → (conv_id, turn_idx,
