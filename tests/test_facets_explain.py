@@ -153,3 +153,100 @@ class TestExplain:
         out = bm25_explain(spark, pidx, "machine machine", k=3).collect()
         for r in out:
             assert r["w"] == 2 * oracle.idf(idx.n_docs, idx.df("machin"))
+
+
+QUERY = "machine learning model"
+
+
+class TestExplainDoc:
+    """operators/query.explain_doc — the doc-targeted _explain."""
+
+    def test_matches_bm25_explain_for_a_winner(self, spark, setup):
+        from ics_search_engine_spark.operators.query import (
+            bm25_explain,
+            explain_doc,
+        )
+
+        pidx, _ = setup
+        win = bm25_explain(spark, pidx, QUERY, k=1).collect()
+        assert win
+        conv, turn = win[0]["conv_id"], win[0]["turn_idx"]
+        got = explain_doc(spark, pidx, QUERY, conv, turn).collect()
+        want = {
+            r["term"]: (r["tf"], r["dl"], r["df"], r["w"], r["contrib"],
+                        r["score"])
+            for r in win
+        }
+        assert {
+            r["term"]: (r["tf"], r["dl"], r["df"], r["w"], r["contrib"],
+                        r["score"])
+            for r in got
+        } == want
+
+    def test_score_is_contrib_fold(self, spark, setup):
+        from ics_search_engine_spark.operators.query import (
+            bm25_topk_packed,
+            explain_doc,
+        )
+
+        pidx, _ = setup
+        top = bm25_topk_packed(spark, pidx, QUERY, k=3).collect()
+        for t in top:
+            rows = explain_doc(
+                spark, pidx, QUERY, t["conv_id"], t["turn_idx"]
+            ).collect()
+            # the engine's ascending-term fold, replayed
+            acc = 0.0
+            for r in sorted(rows, key=lambda r: r["term"]):
+                acc += r["contrib"]
+            assert acc == t["score"]          # bit-identical
+            assert rows[0]["score"] == t["score"]
+
+    def test_non_matching_doc_is_empty(self, spark, setup):
+        from ics_search_engine_spark.operators.query import explain_doc
+
+        pidx, rows = setup
+        # find a doc containing none of the query's stems
+        from ics_search_engine_spark.textproc.tokenizer import tokenize
+        q_stems = set(tokenize(QUERY, for_query=True))
+        target = next(
+            (c, t) for c, t, text in rows
+            if not q_stems & set(tokenize(text))
+        )
+        assert explain_doc(spark, pidx, QUERY, *target).count() == 0
+
+    def test_unknown_doc_raises(self, spark, setup):
+        from ics_search_engine_spark.operators.query import explain_doc
+
+        pidx, _ = setup
+        import pytest as _pt
+        with _pt.raises(KeyError):
+            explain_doc(spark, pidx, QUERY, "no-such-conv", 999)
+
+
+class TestFieldCaps:
+    def test_caps_match_subindex_truth(self, spark, small_df, corpus_dir):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.fields import (
+            FieldedIndex,
+            build_fielded_index,
+            field_caps,
+        )
+
+        src = small_df.withColumn(
+            "role",
+            F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant"),
+        )
+        out = f"{corpus_dir}/fieldcaps_idx"
+        build_fielded_index(spark, src, out, ["text", "role"], range_bits=8)
+        fidx = FieldedIndex(spark, out)
+        got = {r["field"]: r for r in field_caps(fidx).collect()}
+        assert set(got) == {"text", "role"}
+        for f, sub in fidx.sub.items():
+            assert got[f]["n_docs"] == sub.stats["n_docs"]
+            assert got[f]["sum_dl"] == sub.stats["sum_dl"]
+            assert got[f]["n_terms"] == sub.term_stats.count()
+            assert got[f]["searchable"] is True
+        # role field: vocabulary is exactly the two role stems
+        assert got["role"]["n_terms"] == 2
