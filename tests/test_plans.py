@@ -398,3 +398,51 @@ class TestPercolatePlan:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "partial_count" in plan, plan[:3000]
+
+
+class TestWave12Plans:
+    def test_explain_doc_pushes_term_and_shard(self, spark, pidx):
+        """explain_doc's decode must scan ONE shard's rows for the
+        query terms only — both predicates at the parquet scan."""
+        shard = 0
+        df = pidx.index.filter(
+            F.col("term").isin(["machin", "learn"])
+            & (F.col("shard_id") == shard)
+        )
+        plan = _plan(df, "formatted")
+        assert "PushedFilters" in plan
+        assert "In(term" in plan
+        assert "EqualTo(shard_id" in plan, plan[:2000]
+
+    def test_sort_by_field_is_take_ordered(self, spark, pidx):
+        """The field sort never sorts the match set globally: the k
+        cut must be TakeOrderedAndProject, and no BM25 scoring fold
+        (no aggregate over contributions) appears in the plan."""
+        from ics_search_engine_spark.operators.querydsl import (
+            sort_by_field_topk,
+        )
+
+        attrs = pidx.docmap.select(
+            "conv_id", "turn_idx", (F.col("turn_idx") * 3).alias("v")
+        )
+        df = sort_by_field_topk(
+            spark, pidx, "machine learning", attrs, "v", k=10
+        )
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan
+
+    def test_terms_agg_partial_counts_before_shuffle(self, spark, pidx):
+        """The per-(shard, value) count must keep map-side partial
+        aggregation — the property that bounds what a hot value ships."""
+        from ics_search_engine_spark.operators.aggs import terms_agg
+
+        attrs = pidx.docmap.select(
+            "conv_id", "turn_idx",
+            F.format_string("c%d", F.col("turn_idx") % 5).alias("cat"),
+        )
+        df = terms_agg(
+            spark, pidx, "machine learning", attrs, "cat", size=5,
+            shard_size=2,
+        )
+        plan = _plan(df)
+        assert "partial_count" in plan or "partial count" in plan.lower()
