@@ -105,8 +105,20 @@ def merge_pivot_states(
             f"state schemas differ: {sorted(a.columns)} vs "
             f"{sorted(b.columns)}"
         )
+    return merge_pivot_state_frame(a.unionByName(b), entity_cols).select(
+        *a.columns  # restore the canonical column order
+    )
+
+
+def merge_pivot_state_frame(
+    states: DataFrame, entity_cols: list[str]
+) -> DataFrame:
+    """The N-way form of :func:`merge_pivot_states`: one frame holding
+    ANY number of stacked pivot states (e.g. every micro-batch's state
+    read back from a stream sink) collapses to one state row per
+    entity in a single hash aggregation."""
     aggs = []
-    for c in a.columns:
+    for c in states.columns:
         if c in entity_cols:
             continue
         if c.endswith(("__min",)) or c == "first_ts":
@@ -115,12 +127,7 @@ def merge_pivot_states(
             aggs.append(F.max(c).alias(c))
         else:  # n_events, __sum, __count, __sumsq — additive
             aggs.append(F.sum(c).alias(c))
-    return (
-        a.unionByName(b)
-        .groupBy(*entity_cols)
-        .agg(*aggs)
-        .select(*a.columns)  # restore the canonical column order
-    )
+    return states.groupBy(*entity_cols).agg(*aggs)
 
 
 def pivot_features(state: DataFrame, metric_cols: list[str]) -> DataFrame:

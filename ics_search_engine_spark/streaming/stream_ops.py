@@ -308,3 +308,63 @@ def list_ready_segments(out_dir: str) -> list[str]:
         if m and os.path.exists(f"{out_dir}/{name}/_SEGMENT_READY"):
             out.append((int(m.group(1)), f"{out_dir}/{name}"))
     return [p for _, p in sorted(out)]
+
+
+def transform_pivot_stream(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    entity_cols: list[str],
+    metric_cols: list[str],
+    ts_col: str | None = None,
+) -> DataStreamWriter:
+    """ES CONTINUOUS transform (transform with ``sync``): the event
+    stream's per-entity pivot state maintained incrementally — each
+    micro-batch aggregates ONLY its own rows to decomposable state
+    (operators/transforms.transform_pivot) and lands it under
+    ``state/stream_batch=<id>``; :func:`read_pivot_state` collapses
+    the accumulated states to the current entity table in one hash
+    aggregation.
+
+    This is the LSM design applied to aggregation state: per-batch
+    work is O(batch), the unbounded event history is never rescanned,
+    and the merge is exact because every piece of state is
+    decomposable (the merge_pivot_states guarantee — streamed ≡
+    one-shot, tested).  Idempotence matches incremental_postings: the
+    sink path embeds the batchId and overwrites atomically, so a
+    re-delivered batch after restart converges to the same files.
+
+    vs ``applyInPandasWithState``: keeping state in executor memory
+    would bound the entity cardinality by cluster RAM and lose it on
+    restart; parquet-backed decomposable state scales with storage and
+    doubles as the transform's checkpoint — the trade ES itself makes
+    (transform checkpoints live in an index, not the heap)."""
+    from ics_search_engine_spark.operators.transforms import transform_pivot
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = transform_pivot(batch_df, entity_cols, metric_cols, ts_col)
+        state.write.mode("overwrite").parquet(
+            f"{out_dir}/state/stream_batch={batch_id}"
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def read_pivot_state(
+    spark, out_dir: str, entity_cols: list[str]
+) -> DataFrame:
+    """Current entity state of a :func:`transform_pivot_stream` sink:
+    every batch's state stacked (partition discovery over
+    stream_batch=*) and collapsed by one union-aggregation.  A
+    maintenance job can compact old batch directories into one by
+    writing THIS frame back — same move as segment compaction."""
+    from ics_search_engine_spark.operators.transforms import (
+        merge_pivot_state_frame,
+    )
+
+    states = spark.read.parquet(f"{out_dir}/state").drop("stream_batch")
+    return merge_pivot_state_frame(states, entity_cols)

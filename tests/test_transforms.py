@@ -137,3 +137,95 @@ class TestPivotIncremental:
         )
         assert plan.count("Exchange") == 1  # map-side partial + one shuffle
         assert "partial_" in plan.lower() or "partial" in plan
+
+
+class TestContinuousTransform:
+    """transform_pivot_stream: streamed per-batch state ≡ one-shot
+    pivot on the same events — the ES continuous-transform guarantee."""
+
+    def test_streamed_state_equals_one_shot(self, spark, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.transforms import (
+            pivot_features,
+            transform_pivot,
+        )
+        from ics_search_engine_spark.streaming.stream_ops import (
+            read_pivot_state,
+            transform_pivot_stream,
+        )
+
+        src = str(tmp_path / "ev_src")
+        os.makedirs(src)
+        events = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).withColumn(
+            "cents", F.round(F.col("value") * 100, 0).cast("long")
+        )
+        tbl = events.toArrow() if hasattr(events, "toArrow") else None
+        if tbl is None:  # older pyspark: go through pandas
+            import pyarrow as pa
+
+            tbl = pa.Table.from_pandas(events.toPandas())
+        n = tbl.num_rows
+        pq.write_table(tbl.slice(0, n // 3), f"{src}/f0.parquet")
+        pq.write_table(tbl.slice(n // 3, n // 3), f"{src}/f1.parquet")
+        pq.write_table(tbl.slice(2 * (n // 3)), f"{src}/f2.parquet")
+
+        batch_df = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "tx")
+        q = (
+            transform_pivot_stream(
+                stream, out, str(tmp_path / "ckpt"),
+                ["user_id"], ["cents"], ts_col="ts",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        # at least two batch state dirs materialized
+        dirs = os.listdir(f"{out}/state")
+        assert len([d for d in dirs if d.startswith("stream_batch=")]) >= 2
+
+        got = {
+            r["user_id"]: (
+                r["n_events"], r["cents__sum"], r["cents__min"],
+                r["cents__max"], r["first_ts"], r["last_ts"],
+            )
+            for r in read_pivot_state(spark, out, ["user_id"]).collect()
+        }
+        want = {
+            r["user_id"]: (
+                r["n_events"], r["cents__sum"], r["cents__min"],
+                r["cents__max"], r["first_ts"], r["last_ts"],
+            )
+            for r in transform_pivot(
+                batch_df, ["user_id"], ["cents"], ts_col="ts"
+            ).collect()
+        }
+        assert got == want
+
+        # derived features agree too (integer state -> exact)
+        gf = {
+            r["user_id"]: (r["cents_avg"], r["cents_var"])
+            for r in pivot_features(
+                read_pivot_state(spark, out, ["user_id"]), ["cents"]
+            ).collect()
+        }
+        wf = {
+            r["user_id"]: (r["cents_avg"], r["cents_var"])
+            for r in pivot_features(
+                transform_pivot(batch_df, ["user_id"], ["cents"], "ts"),
+                ["cents"],
+            ).collect()
+        }
+        assert gf == wf
