@@ -311,12 +311,18 @@ def generation_stats(paths: list[str]) -> dict:
     """(n_docs, n_segments, bytes) of a segment-path list, from each
     segment's stats.json + on-disk footprint.  n_docs counts every
     stored doc version (shadowed versions included — they occupy
-    compaction work, which is what rollover bounds)."""
+    compaction work, which is what rollover bounds).  A directory
+    without stats.json (a bare metadata drop-in — every engine-built
+    segment has one, including delete_by_query's empty tombstones)
+    counts 0 docs; its bytes and segment slot still tally — it is
+    still compaction work."""
     n_docs = 0
     n_bytes = 0
     for p in paths:
-        with open(os.path.join(p, "stats.json")) as f:
-            n_docs += json.load(f)["n_docs"]
+        stats_path = os.path.join(p, "stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                n_docs += json.load(f)["n_docs"]
         for d in _walk_files(p):
             n_bytes += d["size"]
     return {"n_docs": n_docs, "n_segments": len(paths), "bytes": n_bytes}

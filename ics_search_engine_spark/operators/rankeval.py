@@ -73,6 +73,10 @@ def rank_eval(
     Requests whose queries match nothing (or tokenize to nothing)
     still appear, with all metrics 0 and n_unrated 0 — an eval run
     must surface dead queries, not drop them.
+
+    ``ratings`` must hold at most ONE row per (query_id, conv_id,
+    turn_idx) — the ES request shape; a duplicate judgment would fan
+    out the hit join and double-count its doc.
     """
     hits = bm25_topk_multi(spark, pidx, requests, k=k)
     return rank_eval_hits(
