@@ -9130,6 +9130,66 @@ ORDER BY field
 """
 
 
+def q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max (operators/querydsl.dis_max_topk): two clauses,
+    tie_breaker 0.3 — best clause + 0.3 x the other; the oracle pivots
+    per-clause BM25 sums and replays max + tb*(sum-max)."""
+    import shutil
+
+    from ics_search_engine_spark.operators.querydsl import dis_max_topk
+
+    docs = _docs(spark, sf_dir)
+    out, pidx = _gate_index(spark, docs, "gate_dismax_idx_")
+    try:
+        rows = dis_max_topk(
+            spark, pidx, ["spark stream", "window join"],
+            tie_breaker=0.3, k=20,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, score double"
+    ).select(
+        F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("dismax_r6"),
+    ).orderBy(F.desc("dismax_r6"), F.asc("doc_id"))
+
+
+_SQL_DIS_MAX = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+reqs(qid, term) AS (VALUES
+  ('q1','spark'),('q1','stream'),
+  ('q2','join'),('q2','window')),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN (SELECT DISTINCT term FROM reqs)
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT r.qid, p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN dfs d USING (term) JOIN reqs r USING (term)
+  CROSS JOIN stats s
+),
+per_clause AS (
+  SELECT doc_id,
+         coalesce(sum(contrib) FILTER (WHERE qid = 'q1'), 0.0) AS s1,
+         coalesce(sum(contrib) FILTER (WHERE qid = 'q2'), 0.0) AS s2
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       round(greatest(s1, s2)
+             + 0.3 * (s1 + s2 - greatest(s1, s2)), 6) AS dismax_r6
+FROM per_clause
+ORDER BY dismax_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -9282,6 +9342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scripted_metric_agg": q_scripted_metric,
     "explain_doc_engine": q_explain_doc,
     "field_caps_engine": q_field_caps,
+    "dis_max_engine": q_dis_max,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9443,4 +9504,5 @@ ORACLE_SQL: dict[str, str] = {
     "scripted_metric_agg": _SQL_SCRIPTED_METRIC,
     "explain_doc_engine": _SQL_EXPLAIN_DOC,
     "field_caps_engine": _SQL_FIELD_CAPS,
+    "dis_max_engine": _SQL_DIS_MAX,
 }

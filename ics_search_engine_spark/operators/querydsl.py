@@ -219,3 +219,62 @@ def sort_by_field_topk(
         .orderBy(primary, F.asc("conv_id"), F.asc("turn_idx"))
         .limit(k)
     )
+
+
+def dis_max_topk(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    queries: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+) -> DataFrame:
+    """The Lucene/ES ``dis_max`` query over arbitrary sub-queries: a
+    doc matching several clauses scores its BEST clause, plus
+    ``tie_breaker`` × each other matching clause →
+    (conv_id, turn_idx, score) top-k.  tie_breaker=0 is pure
+    disjunction-max (the "don't double-count near-synonymous clauses"
+    verb); tie_breaker=1 degenerates to a should-sum.
+
+    multi_match best_fields is dis_max over FIELDS of one query
+    (operators/fields.py); this is dis_max over QUERIES of one field —
+    the other half of Lucene's DisjunctionMaxQuery usage.
+
+    Determinism: each clause scores with the engine's standard fold
+    (bit-identical to its own bm25_topk_packed); clauses combine as
+    FULL OUTER joins in caller order, so the combine expression adds
+    a FIXED sequence of ≤ |clauses| terms — no shuffle-order float
+    drift.  Empty/stop-only clauses contribute nothing (dropped); all
+    clauses empty → empty result.
+
+    Plan: one scored frame per clause (each a term-IN pushdown +
+    fold), |clauses|−1 outer joins on doc_ord (match-set-sized,
+    co-keyed), one combine projection, TakeOrderedAndProject, winner
+    resolution by docmap join.  Clause count is O(query), not
+    O(corpus)."""
+    legs = []
+    for i, q in enumerate(queries):
+        s = scored_matches(spark, pidx, q).select(
+            "doc_ord", F.col("score").alias(f"_s{i}")
+        )
+        legs.append(s)
+    if not legs:
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.join(b, "doc_ord", "full_outer"), legs)
+    cols = [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(legs))]
+    best = cols[0] if len(cols) == 1 else F.greatest(*cols)
+    total = cols[0]
+    for c in cols[1:]:  # fixed caller order — deterministic additions
+        total = total + c
+    combined = best + F.lit(float(tie_breaker)) * (total - best)
+    scored = merged.select("doc_ord", combined.alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
+    return (
+        pidx.docmap.select("doc_ord", "conv_id", "turn_idx")
+        .join(F.broadcast(topk), "doc_ord")
+        .select("conv_id", "turn_idx", "score")
+        .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+    )

@@ -149,3 +149,80 @@ class TestRandomScore:
             spark, pidx, POS, seed=1, k=10**6, mode="multiply"
         ).collect()
         assert len(got) == n_all
+
+
+class TestDisMax:
+    CLAUSES = ["machine learning", "data model"]
+
+    def test_single_clause_equals_plain_bm25(self, spark, setup):
+        from ics_search_engine_spark.operators.query import bm25_topk_packed
+        from ics_search_engine_spark.operators.querydsl import dis_max_topk
+
+        pidx, _ = setup
+        got = [
+            tuple(r)
+            for r in dis_max_topk(spark, pidx, [POS], k=10).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in bm25_topk_packed(spark, pidx, POS, k=10).collect()
+        ]
+        assert got == want  # bit-identical
+
+    def _clause_scores(self, spark, pidx):
+        from ics_search_engine_spark.operators.aggs import scored_matches
+
+        per = []
+        for q in self.CLAUSES:
+            per.append({
+                r["doc_ord"]: r["score"]
+                for r in scored_matches(spark, pidx, q).collect()
+            })
+        return per
+
+    def test_tb0_is_pure_max(self, spark, setup):
+        from ics_search_engine_spark.operators.querydsl import dis_max_topk
+
+        pidx, _ = setup
+        per = self._clause_scores(spark, pidx)
+        want_by_ord = {
+            o: max(per[0].get(o, 0.0), per[1].get(o, 0.0))
+            for o in set(per[0]) | set(per[1])
+        }
+        got = dis_max_topk(
+            spark, pidx, self.CLAUSES, tie_breaker=0.0, k=15
+        ).collect()
+        ordmap = {
+            (r["conv_id"], r["turn_idx"]): r["doc_ord"]
+            for r in pidx.docmap.collect()
+        }
+        for r in got:
+            o = ordmap[(r["conv_id"], r["turn_idx"])]
+            assert r["score"] == want_by_ord[o]  # exact: max picks one fold
+
+    def test_tb1_is_should_sum(self, spark, setup):
+        from ics_search_engine_spark.operators.querydsl import dis_max_topk
+
+        pidx, _ = setup
+        per = self._clause_scores(spark, pidx)
+        got = dis_max_topk(
+            spark, pidx, self.CLAUSES, tie_breaker=1.0, k=15
+        ).collect()
+        ordmap = {
+            (r["conv_id"], r["turn_idx"]): r["doc_ord"]
+            for r in pidx.docmap.collect()
+        }
+        for r in got:
+            o = ordmap[(r["conv_id"], r["turn_idx"])]
+            s1, s2 = per[0].get(o, 0.0), per[1].get(o, 0.0)
+            want = max(s1, s2) + 1.0 * (s1 + s2 - max(s1, s2))
+            assert r["score"] == pytest.approx(want, abs=0)
+
+    def test_empty_and_stop_only_clauses(self, spark, setup):
+        from ics_search_engine_spark.operators.querydsl import dis_max_topk
+
+        pidx, _ = setup
+        assert dis_max_topk(spark, pidx, [], k=5).count() == 0
+        # a stop-only clause contributes nothing but doesn't break
+        got = dis_max_topk(spark, pidx, [POS, "the of"], k=5).collect()
+        assert len(got) == 5
