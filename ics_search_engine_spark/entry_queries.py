@@ -9190,6 +9190,35 @@ ORDER BY dismax_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_mget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mget (operators/query.mget): four keys fetched in one job,
+    caller order preserved, one deliberately absent (found=false)."""
+    from ics_search_engine_spark.operators.query import mget
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "text",
+    )
+    keys = [("doc00000017", 0), ("doc00000005", 0),
+            ("doc99999999", 0), ("doc00000042", 0)]
+    return mget(spark, transcripts, keys).select(
+        "req_order", "conv_id", "found", "text"
+    )
+
+
+_SQL_MGET = """
+WITH reqs(req_order, conv_id, doc_id) AS (VALUES
+  (0, 'doc00000017', 17), (1, 'doc00000005', 5),
+  (2, 'doc99999999', 99999999), (3, 'doc00000042', 42))
+SELECT r.req_order::INT AS req_order, r.conv_id,
+       d.text IS NOT NULL AS found, d.text
+FROM reqs r LEFT JOIN documents d ON d.doc_id = r.doc_id
+ORDER BY req_order
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -9343,6 +9372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explain_doc_engine": q_explain_doc,
     "field_caps_engine": q_field_caps,
     "dis_max_engine": q_dis_max,
+    "mget_engine": q_mget,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9505,4 +9535,5 @@ ORACLE_SQL: dict[str, str] = {
     "explain_doc_engine": _SQL_EXPLAIN_DOC,
     "field_caps_engine": _SQL_FIELD_CAPS,
     "dis_max_engine": _SQL_DIS_MAX,
+    "mget_engine": _SQL_MGET,
 }

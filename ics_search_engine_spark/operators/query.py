@@ -898,6 +898,40 @@ def explain_doc(
     )
 
 
+def mget(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    keys: list[tuple[str, int]],
+) -> DataFrame:
+    """The ES ``_mget`` API: fetch many stored docs by key in ONE job →
+    (req_order, conv_id, turn_idx, found, text) in the CALLER'S key
+    order, with ``found=false`` rows (text NULL) for keys the store
+    lacks — ES reports misses, it doesn't drop them.
+
+    Plan: ``conv_id IN (...)`` reaches the parquet scan (row-group
+    min/max skip — the point-lookup discipline every resolve path
+    here uses), then a broadcast left join from the driver-sized key
+    list pins exact (conv, turn) pairs and the request order.  Cost
+    is O(|keys|) rows shipped regardless of corpus size."""
+    kdf = spark.createDataFrame(
+        [(i, c, t) for i, (c, t) in enumerate(keys)],
+        "req_order int, conv_id string, turn_idx int",
+    )
+    convs = sorted({c for c, _ in keys})
+    hits = transcripts.filter(F.col("conv_id").isin(convs)).select(
+        "conv_id", "turn_idx", "text"
+    )
+    return (
+        F.broadcast(kdf)
+        .join(hits, ["conv_id", "turn_idx"], "left")
+        .select(
+            "req_order", "conv_id", "turn_idx",
+            F.col("text").isNotNull().alias("found"), "text",
+        )
+        .orderBy("req_order")
+    )
+
+
 def bm25_topk_packed(spark: SparkSession, pidx, query: str, k: int = 10
                      ) -> DataFrame:
     """Top-k BM25 over a persisted PackedIndex → (conv_id, turn_idx,
