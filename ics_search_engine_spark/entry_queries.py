@@ -9133,7 +9133,9 @@ ORDER BY field
 def q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES dis_max (operators/querydsl.dis_max_topk): two clauses,
     tie_breaker 0.3 — best clause + 0.3 x the other; the oracle pivots
-    per-clause BM25 sums and replays max + tb*(sum-max)."""
+    per-clause BM25 sums and replays max + tb*(sum-max).  Boundary
+    discipline: over-fetch an exact-score superset (k=60), then cut
+    the displayed 20 on ROUNDED order like the oracle does."""
     import shutil
 
     from ics_search_engine_spark.operators.querydsl import dis_max_topk
@@ -9143,7 +9145,7 @@ def q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         rows = dis_max_topk(
             spark, pidx, ["spark stream", "window join"],
-            tie_breaker=0.3, k=20,
+            tie_breaker=0.3, k=60,
         ).collect()
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -9152,7 +9154,7 @@ def q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
         F.round(F.col("score"), 6).alias("dismax_r6"),
-    ).orderBy(F.desc("dismax_r6"), F.asc("doc_id"))
+    ).orderBy(F.desc("dismax_r6"), F.asc("doc_id")).limit(20)
 
 
 _SQL_DIS_MAX = f"""
