@@ -345,6 +345,48 @@ class LocalIndexServer:
                 mask[i] = True
         return mask
 
+    def count(
+        self,
+        query: str,
+        conjunctive: bool = False,
+        min_match: int | None = None,
+        allowed=None,
+    ) -> int:
+        """ES _count at the serving tier: match-set size, no ranking —
+        the in-process twin of operators/facets.count_matches (same
+        semantics for conjunctive / min_match / filter; tested
+        identical).  One decode pass over the query terms' postings,
+        no score emission survives."""
+        do_stem = self.stats.get("stem", True)
+        q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+        if not q_terms:
+            return 0
+        present = [t for t in q_terms if t in self.df]
+        if conjunctive:
+            if min_match is not None:
+                raise ValueError(
+                    "conjunctive and min_match are mutually exclusive"
+                )
+            if len(present) < len(q_terms):
+                return 0
+            require_all, min_match = len(present), None
+        else:
+            require_all = None
+            if min_match is not None and min_match <= 1:
+                min_match = None
+            if min_match is not None and len(present) < min_match:
+                return 0
+        weights = {t: 1.0 for t in present}
+        if not weights:
+            return 0
+        _, touched = self._dense_scores(
+            weights, self.stats["avgdl"], require_all=require_all,
+            min_match=min_match,
+        )
+        if allowed is not None:
+            touched &= self._allowed_mask(allowed)
+        return int(touched.sum())
+
     def score_with(
         self,
         weights: dict[str, float],

@@ -319,3 +319,32 @@ class TestScriptedMetric:
             m = 0 if r["v"] is None else r["v"] * r["v"]
             want[r["cat"]] = max(want.get(r["cat"], 0), m)
         assert {r["cat"]: r["mx"] for r in rows} == want
+
+
+class TestServingCount:
+    def test_serving_count_matches_spark(self, spark, pidx):
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        srv = LocalIndexServer(pidx.path)
+        for kw in ({}, {"conjunctive": True}, {"min_match": 2}):
+            want = count_matches(spark, pidx, QUERY, **kw).collect()[0][
+                "n_matches"
+            ]
+            assert srv.count(QUERY, **kw) == want, kw
+        assert srv.count("the of") == 0
+        assert srv.count("zzqqxxnope") == 0
+
+    def test_serving_count_with_filter(self, spark, pidx):
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        srv = LocalIndexServer(pidx.path)
+        keys = [
+            (r["conv_id"], r["turn_idx"])
+            for r in pidx.docmap.limit(200).collect()
+        ]
+        got = srv.count(QUERY, allowed=keys)
+        docs = pidx.docmap.join(
+            matched_docs(spark, pidx, QUERY), "doc_ord"
+        ).select("conv_id", "turn_idx").collect()
+        want = sum(1 for r in docs if (r["conv_id"], r["turn_idx"]) in set(keys))
+        assert got == want
