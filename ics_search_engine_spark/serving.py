@@ -1384,6 +1384,83 @@ class LocalSegmentedServer:
         yield from _scroll_via(self.search, self.search_after,
                                query, page_size, max_pages)
 
+    def _shadow_ords(self, i: int) -> np.ndarray:
+        """doc_ords in segment ``i`` whose keys are shadowed by a NEWER
+        segment (their versions there are dead) — memoized per segment;
+        one O(n_docs_i) membership pass over the (few) shadow keys."""
+        cache = getattr(self, "_shadow_ord_cache", None)
+        if cache is None:
+            cache = self._shadow_ord_cache = {}
+        if i not in cache:
+            dead = [k for k, newest in self.shadows.items() if newest > i]
+            if not dead:
+                cache[i] = np.empty(0, dtype=np.int64)
+            else:
+                s = self.servers[i]
+                conv = np.asarray(s._conv)
+                cand = np.flatnonzero(
+                    np.isin(conv, np.array([c for c, _ in dead], dtype=object))
+                )
+                dead_set = set(dead)
+                cache[i] = np.array(
+                    [
+                        o for o in cand
+                        if (str(conv[o]), int(s._turn[o])) in dead_set
+                    ],
+                    dtype=np.int64,
+                )
+        return cache[i]
+
+    def count(
+        self,
+        query: str,
+        conjunctive: bool = False,
+        min_match: int | None = None,
+    ) -> int:
+        """ES _count over the LSM: live matched docs across all
+        segments — per-segment membership pass with the SAME per-doc
+        semantics as search (conjunctive / min_match count distinct
+        query terms inside the doc's own segment, which holds its
+        whole token stream), minus versions shadowed by a newer
+        segment's declarations (the _merge_scored liveness rule).
+        Identical to count_matches over an equivalent compacted index
+        (tested)."""
+        do_stem = self.stem
+        q_terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
+        if not q_terms:
+            return 0
+        gdf = self._global_df()
+        present = [t for t in q_terms if t in gdf]
+        require_all = None
+        if conjunctive:
+            if min_match is not None:
+                raise ValueError(
+                    "conjunctive and min_match are mutually exclusive"
+                )
+            if len(present) < len(q_terms):
+                return 0
+            require_all = len(present)
+        elif min_match is not None:
+            if min_match <= 1:
+                min_match = None
+            elif len(present) < min_match:
+                return 0
+        if not present:
+            return 0
+        weights = {t: 1.0 for t in present}
+        total = 0
+        for i, s in enumerate(self.servers):
+            _, touched = s._dense_scores(
+                weights, self.avgdl, require_all=require_all,
+                min_match=min_match,
+            )
+            dead = self._shadow_ords(i)
+            if dead.size:
+                touched = touched.copy()
+                touched[dead] = False
+            total += int(touched.sum())
+        return total
+
     def _merge_scored(
         self, per_segment: list[list[tuple[str, int, float]]], k: int
     ) -> list[tuple[str, int, float]]:

@@ -348,3 +348,51 @@ class TestServingCount:
         ).select("conv_id", "turn_idx").collect()
         want = sum(1 for r in docs if (r["conv_id"], r["turn_idx"]) in set(keys))
         assert got == want
+
+
+class TestSegmentedCount:
+    def test_lsm_count_equals_latest_wins_rebuild(
+        self, spark, small_rows, corpus_dir
+    ):
+        from ics_search_engine_spark.operators.segments import (
+            build_upsert_segment,
+        )
+        from ics_search_engine_spark.serving import (
+            LocalIndexServer,
+            LocalSegmentedServer,
+        )
+
+        rows = small_rows[:300]
+        half = len(rows) // 2
+        segs = []
+        for i, part in enumerate((rows[:half], rows[half:])):
+            df = spark.createDataFrame(
+                part, "conv_id string, turn_idx int, text string"
+            )
+            p = f"{corpus_dir}/segcount_seg{i}"
+            build_packed_index(spark, df, p, range_bits=8)
+            segs.append(p)
+        # upsert: rewrite 5 docs so their match status flips
+        updated = [
+            (c, t, "machine learning " + txt) for c, t, txt in rows[:5]
+        ]
+        up = spark.createDataFrame(
+            updated, "conv_id string, turn_idx int, text string"
+        )
+        p_up = f"{corpus_dir}/segcount_up"
+        build_upsert_segment(spark, up, p_up, range_bits=8)
+        srv = LocalSegmentedServer(segs + [p_up])
+
+        latest = {(c, t): txt for c, t, txt in rows}
+        latest.update({(c, t): txt for c, t, txt in updated})
+        flat = spark.createDataFrame(
+            [(c, t, txt) for (c, t), txt in sorted(latest.items())],
+            "conv_id string, turn_idx int, text string",
+        )
+        p_flat = f"{corpus_dir}/segcount_flat"
+        build_packed_index(spark, flat, p_flat, range_bits=8)
+        flat_srv = LocalIndexServer(p_flat)
+
+        for kw in ({}, {"conjunctive": True}, {"min_match": 2}):
+            assert srv.count(QUERY, **kw) == flat_srv.count(QUERY, **kw), kw
+        assert srv.count("the of") == 0
