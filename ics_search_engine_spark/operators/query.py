@@ -910,8 +910,11 @@ def mget(
 
     Plan: ``conv_id IN (...)`` reaches the parquet scan (row-group
     min/max skip — the point-lookup discipline every resolve path
-    here uses), then a broadcast left join from the driver-sized key
-    list pins exact (conv, turn) pairs and the request order.  Cost
+    here uses), then a left join from the driver-sized key list pins
+    exact (conv, turn) pairs and the request order.  The probe side is
+    already IN-filtered to ≤ |keys| conversations, so both join inputs
+    are O(|keys|) — Spark cannot broadcast the preserved side of an
+    outer join, and with inputs this small it doesn't need to.  Cost
     is O(|keys|) rows shipped regardless of corpus size."""
     kdf = spark.createDataFrame(
         [(i, c, t) for i, (c, t) in enumerate(keys)],
@@ -922,8 +925,7 @@ def mget(
         "conv_id", "turn_idx", "text"
     )
     return (
-        F.broadcast(kdf)
-        .join(hits, ["conv_id", "turn_idx"], "left")
+        kdf.join(F.broadcast(hits), ["conv_id", "turn_idx"], "left")
         .select(
             "req_order", "conv_id", "turn_idx",
             F.col("text").isNotNull().alias("found"), "text",
