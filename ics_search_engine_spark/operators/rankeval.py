@@ -119,8 +119,10 @@ def rank_eval_hits(
 
     rel = F.col("rating") >= relevant_threshold
     gain = F.pow(F.lit(2.0), F.col("rating")) - F.lit(1.0)
-    # ERR stopping probability; max_relevance caps R at 1 (a hit rated
-    # AT the cap is a certain stop, ES's convention)
+    # ERR stopping probability R = (2^g - 1) / 2^g_max — at the cap
+    # R = 1 - 2^-g_max (near-certain, never certain).  Ratings are
+    # expected <= max_relevance (the Chapelle formula's domain; a
+    # larger rating would push R past 1).
     r_stop = gain / F.lit(float(2 ** max_relevance))
     per = rated.groupBy("query_id").agg(
         F.count("*").alias("retrieved"),
