@@ -9221,6 +9221,102 @@ ORDER BY req_order
 """
 
 
+def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL ``sequence`` (operators/eql.sequence_matches): per user, the
+    funnel view -> click -> purchase within 6 hours, greedy
+    earliest-completion per anchor.  The oracle is the generated SQL
+    mirror of the same window construction."""
+    from ics_search_engine_spark.operators.eql import sequence_matches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    et = F.col("event_type")
+    return sequence_matches(
+        ev,
+        by="user_id",
+        stages=[et == "view", et == "click", et == "purchase"],
+        order_col="ts",
+        id_col="event_id",
+        maxspan_s=6 * 3600,
+    )
+
+
+from ics_search_engine_spark.operators.eql import (  # noqa: E402
+    sequence_matches_sql as _seq_sql,
+)
+
+_SQL_EQL_SEQUENCE = _seq_sql(
+    "events",
+    by="user_id",
+    stage_preds=[
+        "event_type = 'view'",
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+    ],
+    order_col="ts",
+    id_col="event_id",
+    maxspan_s=6 * 3600,
+)
+
+
+def q_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text (operators/aggs.categorize_text): masked
+    8-token-prefix pattern buckets over the documents table."""
+    from ics_search_engine_spark.operators.aggs import categorize_text
+
+    return categorize_text(_docs(spark, sf_dir), "text", "doc_id", 8)
+
+
+_SQL_CATEGORIZE_TEXT = """
+SELECT category, count(*) AS n_docs, min(doc_id) AS example_id FROM (
+  SELECT doc_id, array_to_string(
+    list_transform(
+      (list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   t -> len(t) > 1))[1:8],
+      t -> CASE WHEN regexp_matches(t, '[0-9]') THEN '#' ELSE t END),
+    ' ') AS category
+  FROM documents)
+GROUP BY category ORDER BY n_docs DESC, category ASC
+"""
+
+
+def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point (operators/aggs.change_point): strongest
+    standardized mean shift over the hourly event-count series."""
+    from ics_search_engine_spark.operators.aggs import change_point
+
+    buckets = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return change_point(buckets, "hour", "n_events")
+
+
+_SQL_CHANGE_POINT = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*)::DOUBLE AS v
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT hour, v,
+         sum(v) OVER (ORDER BY hour) AS cum,
+         row_number() OVER (ORDER BY hour) AS i,
+         count(*) OVER () AS n,
+         sum(v) OVER () AS tot
+  FROM b
+)
+SELECT hour,
+       round(abs(cum / i - (tot - cum) / (n - i))
+             * sqrt(i::DOUBLE * (n - i) / n), 6) AS stat_r6,
+       round(cum / i, 6) AS mean_before_r6,
+       round((tot - cum) / (n - i), 6) AS mean_after_r6,
+       CASE WHEN (tot - cum) / (n - i) > cum / i
+            THEN 'spike_up' ELSE 'spike_down' END AS direction
+FROM c WHERE i < n
+ORDER BY stat_r6 DESC, hour ASC LIMIT 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -9375,6 +9471,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "field_caps_engine": q_field_caps,
     "dis_max_engine": q_dis_max,
     "mget_engine": q_mget,
+    "eql_sequence": q_eql_sequence,
+    "categorize_text_agg": q_categorize_text,
+    "change_point_agg": q_change_point,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9538,4 +9637,7 @@ ORACLE_SQL: dict[str, str] = {
     "field_caps_engine": _SQL_FIELD_CAPS,
     "dis_max_engine": _SQL_DIS_MAX,
     "mget_engine": _SQL_MGET,
+    "eql_sequence": _SQL_EQL_SEQUENCE,
+    "categorize_text_agg": _SQL_CATEGORIZE_TEXT,
+    "change_point_agg": _SQL_CHANGE_POINT,
 }

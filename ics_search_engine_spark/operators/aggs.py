@@ -1466,3 +1466,104 @@ def scripted_metric(
     if bucket_col is None:
         return mapped.agg(agg)
     return mapped.groupBy(bucket_col).agg(agg).orderBy(F.asc(bucket_col))
+
+
+def categorize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 8,
+) -> DataFrame:
+    """ES ``categorize_text``: cluster semi-structured messages (log
+    lines, tool outputs, templated turns) into pattern buckets.
+
+    ES runs a drain-like token tree with similarity thresholds; that
+    algorithm is input-order-dependent, so this engine uses a
+    DETERMINISTIC category key instead (a pure function of each text,
+    documented here as the contract): lowercase reference tokenization
+    (split on non-alphanumeric, drop length<2 tokens), keep the first
+    ``max_tokens`` tokens, and mask every digit-bearing token as ``#``
+    — ES's own output masks variable parts the same way.  Texts sharing
+    a masked prefix land in one category.
+
+    Output: (category, n_docs, example_id = min id) ordered by
+    (n_docs desc, category) — bucket count is vocabulary-of-patterns
+    sized.  Scale: one Catalyst projection + one hash agg (map-side
+    partial), no UDF, no shuffle beyond the single groupBy.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: F.length(x) > 1,
+    )
+    key = F.array_join(
+        F.transform(
+            F.slice(toks, 1, max_tokens),
+            lambda t: F.when(t.rlike("[0-9]"), F.lit("#")).otherwise(t),
+        ),
+        " ",
+    )
+    return (
+        docs.select(key.alias("category"), F.col(id_col))
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("example_id"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("category"))
+    )
+
+
+def change_point(
+    buckets: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """ES ``change_point`` (step-change flavor): find the split of an
+    ordered bucket series that maximizes the standardized mean shift
+
+        stat = |mean_left - mean_right| * sqrt(n_left*n_right/n)
+
+    — the first step of binary segmentation / a two-sample z numerator
+    (the classic CUSUM-equivalent form).  Ties (and FP noise) break on
+    the ROUNDED stat (6 dp) then the earliest bucket, so the winner is
+    engine-independent.
+
+    Input is an already-aggregated bucket series (|buckets| rows —
+    date_histogram output, NOT the corpus), so everything here is
+    result-set-sized: one window pass for the prefix sums + one
+    TakeOrdered(1).  Output: one row
+    (<order_col>, stat_r6, mean_before_r6, mean_after_r6, direction).
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = F.col(value_col).cast("double")
+    cur = (
+        buckets.select(F.col(order_col), v.alias("_v"))
+        .withColumn("_cum", F.sum("_v").over(w))
+        .withColumn("_i", F.row_number().over(Window.orderBy(order_col)))
+    )
+    tot = buckets.agg(
+        F.sum(v).alias("_tot"), F.count("*").alias("_n")
+    )
+    cand = cur.crossJoin(F.broadcast(tot)).filter(
+        F.col("_i") < F.col("_n")
+    )
+    mean_l = F.col("_cum") / F.col("_i")
+    mean_r = (F.col("_tot") - F.col("_cum")) / (F.col("_n") - F.col("_i"))
+    stat = F.abs(mean_l - mean_r) * F.sqrt(
+        F.col("_i") * (F.col("_n") - F.col("_i")) / F.col("_n")
+    )
+    return (
+        cand.select(
+            F.col(order_col),
+            F.round(stat, 6).alias("stat_r6"),
+            F.round(mean_l, 6).alias("mean_before_r6"),
+            F.round(mean_r, 6).alias("mean_after_r6"),
+            F.when(mean_r > mean_l, F.lit("spike_up"))
+            .otherwise(F.lit("spike_down"))
+            .alias("direction"),
+        )
+        .orderBy(F.desc("stat_r6"), F.asc(order_col))
+        .limit(1)
+    )

@@ -1,0 +1,173 @@
+"""EQL-style sequence queries over event / transcript streams.
+
+The reference engine indexes isolated documents and cannot ask the
+questions a multi-turn corpus invites: "find conversations where the
+user asked, the assistant called a tool, and the user asked AGAIN",
+or over a clickstream, "view then cart then purchase within an hour".
+Elastic ships this as EQL ``sequence`` queries; Flink as CEP.  This
+module is that verb, Spark-first.
+
+Semantics (deterministic, documented — the SQL oracle mirrors them
+exactly):
+
+* events are totally ordered inside each ``by`` key by
+  ``(order_col, id_col)`` — the id column breaks timestamp ties, so
+  matching never depends on partition layout;
+* every event matching ``stages[0]`` is an anchor;
+* stage ``i+1`` matches the EARLIEST event strictly after the stage-i
+  event (same key) satisfying ``stages[i+1]`` — greedy
+  earliest-completion, i.e. Flink CEP's "skip to next" strategy.  A
+  greedy chain that dead-ends does NOT backtrack to a later stage-i
+  candidate (EQL's state machine behaves the same way for its head
+  event; we apply it at every stage so the result is a pure function
+  of the event set);
+* ``maxspan`` (seconds) bounds last.ts - first.ts, like EQL's
+  ``with maxspan``.
+
+Scale contract: ONE window pass computes, for every event, the
+earliest following match of each later stage — a single exchange on
+the ``by`` key + one sort, all ``n_stages - 1`` window expressions
+sharing the same WindowExec.  Chaining then reads the stage-(i+1)
+pointer AT the stage-i row via a 1:1 equi-join on (key, rn) — the
+join can't fan out (rn is unique per key) and its right side is
+pre-filtered to rows that match the stage, so a dense key (a user
+with thousands of 'view's) never produces a cross product the way a
+naive per-stage theta-join would.  Driver sees nothing; the result is
+anchor-sized.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def sequence_matches(
+    events: DataFrame,
+    by: str,
+    stages: list[Column],
+    order_col: str = "ts",
+    id_col: str = "event_id",
+    maxspan_s: float | None = None,
+) -> DataFrame:
+    """Match ``stages`` (boolean Columns over the event schema) as an
+    in-order sequence per ``by`` key → one row per completed anchor:
+
+        (<by>, ts_1, id_1, ..., ts_n, id_n)
+
+    ordered deterministically by (<by>, ts_1, id_1).
+    """
+    n = len(stages)
+    if n < 2:
+        raise ValueError("a sequence needs at least two stages")
+
+    base = events.select(
+        F.col(by).alias("k"),
+        F.col(order_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        *[s.alias(f"f{i + 1}") for i, s in enumerate(stages)],
+    )
+    wo = Window.partitionBy("k").orderBy("ts", "id")
+    base = base.withColumn("rn", F.row_number().over(wo))
+    # earliest FOLLOWING row matching stage i, for every row — one
+    # WindowExec serves all stages (same partitioning + ordering)
+    wf = wo.rowsBetween(1, Window.unboundedFollowing)
+    for i in range(2, n + 1):
+        base = base.withColumn(
+            f"nx{i}",
+            F.min(F.when(F.col(f"f{i}"), F.col("rn"))).over(wf),
+        )
+    base = base.cache()
+
+    seq = base.filter(F.col("f1")).select(
+        "k",
+        F.col("ts").alias("ts_1"),
+        F.col("id").alias("id_1"),
+        F.col("nx2").alias("_want"),
+    )
+    for i in range(2, n + 1):
+        # resolve the rn pointer: 1:1 join (rn unique per key); the
+        # right side keeps only stage-i rows — that's where every
+        # valid pointer lands, so this is a filter, not a fan-out
+        right_cols = ["k", F.col("rn").alias("_want"),
+                      F.col("ts").alias(f"ts_{i}"),
+                      F.col("id").alias(f"id_{i}")]
+        if i < n:
+            right_cols.append(F.col(f"nx{i + 1}").alias("_next"))
+        right = base.filter(F.col(f"f{i}")).select(*right_cols)
+        seq = seq.join(right, ["k", "_want"]).drop("_want")
+        if i < n:
+            seq = seq.withColumnRenamed("_next", "_want")
+
+    if maxspan_s is not None:
+        # exact integer microseconds (matches the oracle's epoch_us);
+        # session tz is UTC so the ntz->ltz cast is identity
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        span = us(F.col(f"ts_{n}")) - us(F.col("ts_1"))
+        seq = seq.filter(span <= int(maxspan_s * 1_000_000))
+
+    out_cols = [F.col("k").alias(by)]
+    for i in range(1, n + 1):
+        out_cols += [F.col(f"ts_{i}"), F.col(f"id_{i}")]
+    return seq.select(*out_cols).orderBy(by, "ts_1", "id_1")
+
+
+def sequence_matches_sql(
+    table: str,
+    by: str,
+    stage_preds: list[str],
+    order_col: str = "ts",
+    id_col: str = "event_id",
+    maxspan_s: float | None = None,
+    select: str | None = None,
+) -> str:
+    """The ANSI-SQL mirror of :func:`sequence_matches` (same window
+    construction, same greedy pointer chase) for DuckDB oracles.
+    ``stage_preds`` are SQL boolean expressions over ``table``."""
+    n = len(stage_preds)
+    flag_cols = ",\n    ".join(
+        f"({p}) AS f{i + 1}" for i, p in enumerate(stage_preds)
+    )
+    nx_cols = ",\n    ".join(
+        f"min(CASE WHEN f{i} THEN rn END) OVER "
+        f"(PARTITION BY k ORDER BY ts, id "
+        f"ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx{i}"
+        for i in range(2, n + 1)
+    )
+    sql = f"""WITH ev AS (
+  SELECT {by} AS k, {order_col} AS ts, {id_col} AS id,
+    {flag_cols},
+    row_number() OVER (PARTITION BY {by} ORDER BY {order_col}, {id_col})
+      AS rn
+  FROM {table}
+),
+ptr AS (
+  SELECT *,
+    {nx_cols}
+  FROM ev
+),
+s1 AS (
+  SELECT k, ts AS ts_1, id AS id_1, nx2 AS want FROM ptr WHERE f1
+)"""
+    prev = "s1"
+    for i in range(2, n + 1):
+        nxt = f", r.nx{i + 1} AS want" if i < n else ""
+        sql += f""",
+s{i} AS (
+  SELECT {prev}.* EXCLUDE (want), r.ts AS ts_{i}, r.id AS id_{i}{nxt}
+  FROM {prev} JOIN ptr r ON r.k = {prev}.k AND r.rn = {prev}.want
+  WHERE r.f{i}
+)"""
+        prev = f"s{i}"
+    span = (
+        f"WHERE epoch_us(ts_{n}) - epoch_us(ts_1) "
+        f"<= {int(maxspan_s * 1_000_000)}"
+        if maxspan_s is not None
+        else ""
+    )
+    cols = select or (
+        f"k AS {by}, "
+        + ", ".join(f"ts_{i}, id_{i}" for i in range(1, n + 1))
+    )
+    sql += f"\nSELECT {cols} FROM {prev} {span} ORDER BY {by}, ts_1, id_1"
+    return sql

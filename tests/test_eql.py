@@ -1,0 +1,259 @@
+"""EQL sequence matching + categorize_text + change_point semantics.
+
+The gate (`eql_sequence` etc. in CORRECTNESS) proves Spark/DuckDB
+parity at sf0.01; these tests pin the SEMANTICS on hand-built event
+sets where the right answer is computed by eye, plus a brute-force
+reference for the greedy chain on random data.
+"""
+
+import datetime as dt
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from ics_search_engine_spark.operators.aggs import categorize_text, change_point
+from ics_search_engine_spark.operators.eql import sequence_matches
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(spark, rows):
+    """rows: (event_id, user, type, seconds-offset)."""
+    return spark.createDataFrame(
+        [
+            (i, u, t, T0 + dt.timedelta(seconds=s))
+            for (i, u, t, s) in rows
+        ],
+        "event_id long, user_id string, event_type string, ts timestamp",
+    )
+
+
+def _seq(spark, rows, types, maxspan_s=None):
+    ev = _ev(spark, rows)
+    stages = [F.col("event_type") == t for t in types]
+    return sequence_matches(
+        ev, by="user_id", stages=stages, maxspan_s=maxspan_s
+    ).collect()
+
+
+class TestSequenceMatches:
+    def test_basic_funnel(self, spark):
+        rows = [
+            (1, "u1", "view", 0),
+            (2, "u1", "click", 10),
+            (3, "u1", "buy", 20),
+            (4, "u2", "view", 0),
+            (5, "u2", "buy", 10),  # no click -> no match
+        ]
+        out = _seq(spark, rows, ["view", "click", "buy"])
+        assert len(out) == 1
+        r = out[0]
+        assert (r["user_id"], r["id_1"], r["id_2"], r["id_3"]) == (
+            "u1", 1, 2, 3,
+        )
+
+    def test_greedy_earliest_completion(self, spark):
+        # two clicks after the view: the EARLIEST click wins, even
+        # though the later one also completes
+        rows = [
+            (1, "u", "view", 0),
+            (2, "u", "click", 5),
+            (3, "u", "click", 8),
+            (4, "u", "buy", 9),
+        ]
+        out = _seq(spark, rows, ["view", "click", "buy"])
+        assert len(out) == 1
+        assert out[0]["id_2"] == 2
+
+    def test_no_backtracking_on_dead_end(self, spark):
+        # greedy stage-2 pointer (earliest click) has no following
+        # buy INSIDE maxspan; a later click would have completed, but
+        # the chain does not backtrack — documented semantics
+        rows = [
+            (1, "u", "view", 0),
+            (2, "u", "click", 5),
+            (3, "u", "buy", 100),
+            (4, "u", "click", 99),
+        ]
+        out = _seq(spark, rows, ["view", "click", "buy"], maxspan_s=50)
+        assert out == []
+
+    def test_every_anchor_matches(self, spark):
+        # two views share the same click+buy completion: one row per
+        # anchor (EQL emits per-head-event sequences the same way)
+        rows = [
+            (1, "u", "view", 0),
+            (2, "u", "view", 1),
+            (3, "u", "click", 2),
+            (4, "u", "buy", 3),
+        ]
+        out = _seq(spark, rows, ["view", "click", "buy"])
+        assert [r["id_1"] for r in out] == [1, 2]
+        assert {(r["id_2"], r["id_3"]) for r in out} == {(3, 4)}
+
+    def test_maxspan_boundary_inclusive(self, spark):
+        rows = [
+            (1, "u", "a", 0),
+            (2, "u", "b", 60),
+        ]
+        assert len(_seq(spark, rows, ["a", "b"], maxspan_s=60)) == 1
+        assert len(_seq(spark, rows, ["a", "b"], maxspan_s=59)) == 0
+
+    def test_timestamp_tie_breaks_on_id(self, spark):
+        # same ts for both candidate stage-2 events: lower event_id is
+        # "earlier" by the documented total order
+        rows = [
+            (1, "u", "a", 0),
+            (9, "u", "b", 5),
+            (3, "u", "b", 5),
+        ]
+        out = _seq(spark, rows, ["a", "b"])
+        assert len(out) == 1
+        assert out[0]["id_2"] == 3
+
+    def test_strictly_after(self, spark):
+        # an event can't match two stages of the same chain, and a
+        # stage-2 event at the SAME (ts, id) as stage 1 is not "after"
+        rows = [(1, "u", "ab", 0)]
+        ev = _ev(spark, rows)
+        both = F.col("event_type") == "ab"
+        out = sequence_matches(ev, by="user_id", stages=[both, both])
+        assert out.count() == 0
+
+    def test_matches_bruteforce_reference(self, spark):
+        """Randomized: greedy chain vs a per-key python reference."""
+        rng = random.Random(7)
+        rows = []
+        for i in range(300):
+            rows.append(
+                (i, f"u{rng.randrange(8)}", rng.choice("abc"), i)
+            )
+
+        def brute():
+            per_key = {}
+            for (i, u, t, s) in rows:
+                per_key.setdefault(u, []).append((s, i, t))
+            matches = []
+            for u, evs in per_key.items():
+                evs.sort()
+                for j, (s, i, t) in enumerate(evs):
+                    if t != "a":
+                        continue
+                    chain = [(s, i)]
+                    pos = j
+                    ok = True
+                    for want in ("b", "c"):
+                        nxt = next(
+                            (
+                                (s2, i2)
+                                for (s2, i2, t2) in evs[pos + 1 :]
+                                if t2 == want
+                            ),
+                            None,
+                        )
+                        if nxt is None:
+                            ok = False
+                            break
+                        chain.append(nxt)
+                        pos = next(
+                            k
+                            for k, e in enumerate(evs)
+                            if (e[0], e[1]) == nxt
+                        )
+                    if ok:
+                        matches.append(
+                            (u, chain[0][1], chain[1][1], chain[2][1])
+                        )
+            return sorted(matches)
+
+        out = _seq(spark, rows, ["a", "b", "c"])
+        got = sorted(
+            (r["user_id"], r["id_1"], r["id_2"], r["id_3"]) for r in out
+        )
+        assert got == brute()
+
+    def test_requires_two_stages(self, spark):
+        with pytest.raises(ValueError):
+            sequence_matches(
+                _ev(spark, [(1, "u", "a", 0)]),
+                by="user_id",
+                stages=[F.col("event_type") == "a"],
+            )
+
+
+class TestCategorizeText:
+    def _run(self, spark, texts, **kw):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return {
+            r["category"]: (r["n_docs"], r["example_id"])
+            for r in categorize_text(df, **kw).collect()
+        }
+
+    def test_digit_masking_buckets_log_lines(self, spark):
+        cats = self._run(
+            spark,
+            [
+                "error 42 on node17 retrying",
+                "error 77 on node99 retrying",
+                "startup complete",
+            ],
+        )
+        assert cats == {
+            "error # on # retrying": (2, 0),
+            "startup complete": (1, 2),
+        }
+
+    def test_len1_tokens_drop_before_masking(self, spark):
+        # reference tokenization drops len<2 tokens FIRST, so a
+        # single-digit value vanishes rather than masking to '#'
+        cats = self._run(spark, ["error 7 retrying"])
+        assert cats == {"error retrying": (1, 0)}
+
+    def test_token_limit_and_short_token_drop(self, spark):
+        # 'a' dropped (len<2); only first 2 tokens kept
+        cats = self._run(
+            spark, ["a bb cc dd", "bb cc zz"], max_tokens=2
+        )
+        assert cats == {"bb cc": (2, 0)}
+
+    def test_case_and_punct_folding(self, spark):
+        cats = self._run(spark, ["GET /api/users", "get api users"])
+        assert cats == {"get api users": (2, 0)}
+
+
+class TestChangePoint:
+    def _series(self, spark, values):
+        rows = [
+            (T0 + dt.timedelta(hours=i), float(v))
+            for i, v in enumerate(values)
+        ]
+        return spark.createDataFrame(rows, "hour timestamp, v double")
+
+    def test_step_up_found_at_boundary(self, spark):
+        df = self._series(spark, [10, 10, 10, 10, 50, 50, 50, 50])
+        r = change_point(df, "hour", "v").collect()[0]
+        # split after index 4 (1-based i=4): last low bucket
+        assert r["hour"] == T0 + dt.timedelta(hours=3)
+        assert r["direction"] == "spike_up"
+        assert r["mean_before_r6"] == 10.0
+        assert r["mean_after_r6"] == 50.0
+        # stat = 40 * sqrt(4*4/8)
+        assert r["stat_r6"] == pytest.approx(40 * (16 / 8) ** 0.5)
+
+    def test_step_down_direction(self, spark):
+        df = self._series(spark, [9, 9, 9, 1, 1, 1])
+        r = change_point(df, "hour", "v").collect()[0]
+        assert r["direction"] == "spike_down"
+        assert r["hour"] == T0 + dt.timedelta(hours=2)
+
+    def test_tie_breaks_on_earliest_bucket(self, spark):
+        # symmetric series: both splits score identically after
+        # rounding; earliest hour must win deterministically
+        df = self._series(spark, [0, 5, 0])
+        r = change_point(df, "hour", "v").collect()
+        assert len(r) == 1
+        assert r[0]["hour"] == T0
