@@ -70,14 +70,19 @@ def sequence_matches(
     wo = Window.partitionBy("k").orderBy("ts", "id")
     base = base.withColumn("rn", F.row_number().over(wo))
     # earliest FOLLOWING row matching stage i, for every row — one
-    # WindowExec serves all stages (same partitioning + ordering)
+    # WindowExec serves all stages (same partitioning + ordering;
+    # emitted in a single projection so Catalyst plans ONE Window
+    # node, not a chain — plan-audited in tests/test_plans.py)
     wf = wo.rowsBetween(1, Window.unboundedFollowing)
-    for i in range(2, n + 1):
-        base = base.withColumn(
-            f"nx{i}",
-            F.min(F.when(F.col(f"f{i}"), F.col("rn"))).over(wf),
-        )
-    base = base.cache()
+    base = base.select(
+        "*",
+        *[
+            F.min(F.when(F.col(f"f{i}"), F.col("rn")))
+            .over(wf)
+            .alias(f"nx{i}")
+            for i in range(2, n + 1)
+        ],
+    ).cache()
 
     seq = base.filter(F.col("f1")).select(
         "k",

@@ -446,3 +446,41 @@ class TestWave12Plans:
         )
         plan = _plan(df)
         assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+class TestEqlPlan:
+    def test_one_shared_window_and_one_event_exchange(self, spark):
+        """The sequence matcher's scale contract: exactly TWO Window
+        nodes over ONE sort of the event set — row_number, then a
+        single WindowExec carrying every stage's next-match pointer
+        (not one Window per stage), so adding stages never adds
+        passes.  The chain joins reuse the cached window output."""
+        import datetime as dt
+
+        from ics_search_engine_spark.operators.eql import sequence_matches
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (i, f"u{i % 3}", "abc"[i % 3], t0 + dt.timedelta(seconds=i))
+                for i in range(30)
+            ],
+            "event_id long, user_id string, event_type string, ts timestamp",
+        )
+        et = F.col("event_type")
+        out = sequence_matches(
+            ev,
+            by="user_id",
+            stages=[et == "a", et == "b", et == "c"],
+            maxspan_s=60,
+        )
+        try:
+            plan = _plan(out, "formatted")
+            windows = [
+                ln for ln in plan.splitlines()
+                if ln.strip().startswith("(") and ") Window" in ln
+            ]
+            assert len(windows) == 2, plan[:3000]
+        finally:
+            # sequence_matches caches its window output; drop it
+            spark.catalog.clearCache()
