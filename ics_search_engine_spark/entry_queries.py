@@ -9317,6 +9317,34 @@ ORDER BY stat_r6 DESC, hour ASC LIMIT 1
 """
 
 
+def q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL pipe (operators/esql.esql_query): WHERE -> EVAL -> STATS
+    BY -> SORT -> LIMIT compiled to one Catalyst plan.  Integer-cents
+    sum keeps float shuffle-order out of the compare."""
+    from ics_search_engine_spark.operators.esql import esql_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pipe = """FROM events
+| WHERE event_type == "error" AND value > 50
+| EVAL hour = DATE_TRUNC(1 hour, ts), cents = CAST(ROUND(value * 100) AS LONG)
+| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id), total_cents = SUM(cents) BY hour
+| SORT n DESC, hour ASC
+| LIMIT 20"""
+    return esql_query(spark, pipe, {"events": ev})
+
+
+_SQL_ESQL_STATS = """
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) AS n,
+       count(DISTINCT user_id) AS users,
+       sum(round(value * 100)::BIGINT) AS total_cents
+FROM events
+WHERE event_type = 'error' AND value > 50
+GROUP BY 1
+ORDER BY n DESC, hour ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -9474,6 +9502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eql_sequence": q_eql_sequence,
     "categorize_text_agg": q_categorize_text,
     "change_point_agg": q_change_point,
+    "esql_stats": q_esql_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9640,4 +9669,5 @@ ORACLE_SQL: dict[str, str] = {
     "eql_sequence": _SQL_EQL_SEQUENCE,
     "categorize_text_agg": _SQL_CATEGORIZE_TEXT,
     "change_point_agg": _SQL_CHANGE_POINT,
+    "esql_stats": _SQL_ESQL_STATS,
 }

@@ -1,0 +1,398 @@
+"""ES|QL-lite: Elastic's piped query language, compiled to Catalyst.
+
+The reference engine answers one fixed query shape
+(/root/reference/search/search.py — tokenize, look up, rank); Elastic's
+modern answer to "let users compose analytics" is ES|QL:
+
+    FROM events
+    | WHERE event_type == "error"
+    | EVAL hour = DATE_TRUNC(1 hour, ts)
+    | STATS n = COUNT(*), users = COUNT_DISTINCT(user_id) BY hour
+    | SORT n DESC
+    | LIMIT 10
+
+This module is that surface, Spark-first: the pipeline is PARSED (a
+real tokenizer that respects strings and parentheses — not a
+str.split), each command becomes one declarative DataFrame
+transformation, and the whole pipe compiles to a single Catalyst plan
+— filters still push down to the scan, STATS keeps map-side partial
+aggregation, SORT+LIMIT becomes TakeOrderedAndProject.  Nothing
+executes at parse time and the driver never sees rows, so a pipe over
+a 100 TB table plans exactly like the hand-written DataFrame program.
+
+Scalar expressions inside commands are Spark-SQL expressions plus a
+compat shim for the ES|QL spellings that differ (`==`, `!=` on
+strings, `DATE_TRUNC(1 hour, ts)`, `LIKE "wildcard*"`); the supported
+command surface is FROM, WHERE, EVAL, STATS..BY, SORT, LIMIT, KEEP,
+DROP, RENAME..AS, MV_EXPAND, DISSECT, and ROW.  Unknown commands
+raise with the offending pipe segment.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class EsqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- lexing
+
+
+def split_pipes(query: str) -> list[str]:
+    """Split on top-level ``|`` only — pipes inside single/double
+    quotes or parentheses belong to expressions."""
+    parts, buf, depth, quote = [], [], 0, None
+    for ch in query:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "|" and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if quote or depth:
+        raise EsqlError(f"unterminated {'string' if quote else 'parens'}")
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def split_commas(s: str) -> list[str]:
+    """Top-level comma split (same quoting/paren rules)."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+# ------------------------------------------------------ expression shim
+
+_DATE_TRUNC = re.compile(
+    r"DATE_TRUNC\s*\(\s*(\d+)\s+"
+    r"(millisecond|second|minute|hour|day|week|month|quarter|year)s?"
+    r"\s*,",
+    re.IGNORECASE,
+)
+
+
+def _shim_expr(expr: str) -> str:
+    """ES|QL spellings → Spark SQL.  Conservative, token-aware for the
+    operators; string literals pass through untouched."""
+    # protect string literals from operator rewriting
+    lits: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    s = re.sub(r"\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'", stash, expr)
+    s = s.replace("==", "=")
+    # ES|QL DATE_TRUNC(1 hour, ts) -> date_trunc('hour', ts); only the
+    # 1-unit form is supported (multi-unit needs bucketing: use EVAL
+    # with window arithmetic instead)
+    s = _DATE_TRUNC.sub(lambda m: f"date_trunc('{m.group(2).lower()}',", s)
+
+    def unstash(m: re.Match) -> str:
+        return lits[int(m.group(1))]
+
+    s = re.sub(r"\x00(\d+)\x00", unstash, s)
+    # ES|QL string equality uses double quotes; Spark SQL wants single
+    s = re.sub(
+        r"\"((?:[^\"\\]|\\.)*)\"",
+        lambda m: "'" + m.group(1).replace("'", "\\'") + "'",
+        s,
+    )
+    # LIKE "a*b?" (ES|QL wildcard) -> Spark LIKE with %/_
+    def wc(m: re.Match) -> str:
+        pat = m.group(1).replace("%", "\\%").replace("_", "\\_")
+        pat = pat.replace("*", "%").replace("?", "_")
+        return f"LIKE '{pat}'"
+
+    s = re.sub(r"LIKE\s+'((?:[^'\\]|\\.)*)'", wc, s, flags=re.IGNORECASE)
+    return s
+
+
+_AGG_FNS = {
+    "count": "count",
+    "count_distinct": "count_distinct",
+    "sum": "sum",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "median": "median",
+    "percentile": "percentile",
+    "values": "values",
+}
+
+
+def _agg_expr(spec: str) -> tuple[str, str]:
+    """``name = FUNC(args)`` or bare ``FUNC(args)`` → (alias, spark
+    sql agg expr)."""
+    m = re.match(r"^\s*([A-Za-z_][\w.]*)\s*=\s*(.+)$", spec, re.DOTALL)
+    if m:
+        alias, call = m.group(1), m.group(2).strip()
+    else:
+        alias, call = None, spec.strip()
+    cm = re.match(r"^([A-Za-z_]\w*)\s*\((.*)\)$", call, re.DOTALL)
+    if not cm:
+        raise EsqlError(f"STATS expects FUNC(...) aggregates, got {spec!r}")
+    fn, args = cm.group(1).lower(), cm.group(2).strip()
+    if fn not in _AGG_FNS:
+        raise EsqlError(
+            f"unsupported STATS function {cm.group(1)!r} "
+            f"(supported: {sorted(_AGG_FNS)})"
+        )
+    if fn == "count" and args in ("", "*"):
+        sql = "count(*)"
+    elif fn == "count_distinct":
+        sql = f"count(DISTINCT {_shim_expr(args)})"
+    elif fn == "percentile":
+        parts = split_commas(args)
+        if len(parts) != 2:
+            raise EsqlError("PERCENTILE(field, p) takes two args")
+        # ES|QL percentiles are 0-100; Spark percentile() takes 0-1
+        sql = (
+            f"percentile({_shim_expr(parts[0])}, "
+            f"({_shim_expr(parts[1])}) / 100.0)"
+        )
+    elif fn == "values":
+        # ES|QL VALUES: the set of values; deterministic sorted form
+        sql = f"sort_array(collect_set({_shim_expr(args)}))"
+    else:
+        sql = f"{fn}({_shim_expr(args)})"
+    if alias is None:
+        alias = re.sub(r"\W+", "_", call.strip()).strip("_").lower()
+    return alias, sql
+
+
+# ------------------------------------------------------------- commands
+
+
+def _cmd_where(df: DataFrame, body: str) -> DataFrame:
+    return df.filter(F.expr(_shim_expr(body)))
+
+
+def _cmd_eval(df: DataFrame, body: str) -> DataFrame:
+    # sequential: a later EVAL item may reference an earlier one (the
+    # ES|QL contract); an existing name is replaced in place
+    for item in split_commas(body):
+        m = re.match(r"^([A-Za-z_][\w.]*)\s*=\s*(.+)$", item, re.DOTALL)
+        if not m:
+            raise EsqlError(f"EVAL expects name = expr, got {item!r}")
+        name, e = m.group(1), F.expr(_shim_expr(m.group(2)))
+        df = df.withColumn(name, e)
+    return df
+
+
+def _cmd_stats(df: DataFrame, body: str) -> DataFrame:
+    m = re.split(r"\bBY\b", body, maxsplit=1, flags=re.IGNORECASE)
+    aggs = [_agg_expr(a) for a in split_commas(m[0])]
+    agg_cols = [F.expr(sql).alias(alias) for alias, sql in aggs]
+    if len(m) == 1:
+        return df.agg(*agg_cols)
+    keys = []
+    for kspec in split_commas(m[1]):
+        km = re.match(r"^([A-Za-z_][\w.]*)\s*=\s*(.+)$", kspec, re.DOTALL)
+        if km:
+            keys.append(F.expr(_shim_expr(km.group(2))).alias(km.group(1)))
+        else:
+            keys.append(F.expr(_shim_expr(kspec)))
+    return df.groupBy(*keys).agg(*agg_cols)
+
+
+def _cmd_sort(df: DataFrame, body: str) -> DataFrame:
+    orders = []
+    for item in split_commas(body):
+        m = re.match(
+            r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        col = F.expr(_shim_expr(m.group(1).strip()))
+        desc = (m.group(2) or "ASC").upper() == "DESC"
+        nulls = (m.group(3) or ("LAST" if desc else "FIRST")).upper()
+        if desc:
+            col = col.desc_nulls_first() if nulls == "FIRST" else col.desc_nulls_last()
+        else:
+            col = col.asc_nulls_first() if nulls == "FIRST" else col.asc_nulls_last()
+        orders.append(col)
+    return df.orderBy(*orders)
+
+
+def _cmd_keep(df: DataFrame, body: str) -> DataFrame:
+    want = [c.strip() for c in split_commas(body)]
+    missing = [c for c in want if c not in df.columns]
+    if missing:
+        raise EsqlError(f"KEEP: unknown columns {missing}")
+    return df.select(*want)
+
+
+def _cmd_drop(df: DataFrame, body: str) -> DataFrame:
+    return df.drop(*[c.strip() for c in split_commas(body)])
+
+
+def _cmd_rename(df: DataFrame, body: str) -> DataFrame:
+    for item in split_commas(body):
+        m = re.match(
+            r"^([A-Za-z_][\w.]*)\s+AS\s+([A-Za-z_][\w.]*)$",
+            item.strip(),
+            re.IGNORECASE,
+        )
+        if not m:
+            raise EsqlError(f"RENAME expects old AS new, got {item!r}")
+        df = df.withColumnRenamed(m.group(1), m.group(2))
+    return df
+
+
+def _cmd_mv_expand(df: DataFrame, body: str) -> DataFrame:
+    col = body.strip()
+    if col not in df.columns:
+        raise EsqlError(f"MV_EXPAND: unknown column {col!r}")
+    return df.withColumn(col, F.explode(col))
+
+
+_DISSECT_TOKEN = re.compile(r"%\{(\??)([\w.]*)\}")
+
+
+def dissect_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """ES dissect pattern → (anchored regex, captured key names).
+    ``%{key}`` captures lazily, ``%{}``/``%{?skip}`` match without
+    capturing; everything between tokens is literal."""
+    keys: list[str] = []
+    out: list[str] = []
+    pos = 0
+    for m in _DISSECT_TOKEN.finditer(pattern):
+        out.append(re.escape(pattern[pos : m.start()]))
+        skip, name = m.group(1), m.group(2)
+        if skip or not name:
+            out.append(r"(?:.*?)")
+        else:
+            keys.append(name)
+            out.append(r"(.*?)")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    # final lazy capture must still reach end-of-string
+    return "^" + "".join(out) + "$", keys
+
+
+def _cmd_dissect(df: DataFrame, body: str) -> DataFrame:
+    m = re.match(
+        r"^([A-Za-z_][\w.]*)\s+\"((?:[^\"\\]|\\.)*)\"\s*$", body.strip()
+    )
+    if not m:
+        raise EsqlError(f'DISSECT expects: DISSECT col "pattern", got {body!r}')
+    col, pattern = m.group(1), m.group(2)
+    rx, keys = dissect_to_regex(pattern)
+    out = df
+    for i, k in enumerate(keys, start=1):
+        extracted = F.regexp_extract(F.col(col), rx, i)
+        # non-matching rows get NULL (dissect semantics), not ''
+        out = out.withColumn(
+            k, F.when(F.col(col).rlike(rx), extracted)
+        )
+    return out
+
+
+def _cmd_limit(df: DataFrame, body: str) -> DataFrame:
+    try:
+        n = int(body.strip())
+    except ValueError:
+        raise EsqlError(f"LIMIT expects an integer, got {body!r}") from None
+    return df.limit(n)
+
+
+_COMMANDS = {
+    "WHERE": _cmd_where,
+    "EVAL": _cmd_eval,
+    "STATS": _cmd_stats,
+    "SORT": _cmd_sort,
+    "KEEP": _cmd_keep,
+    "DROP": _cmd_drop,
+    "RENAME": _cmd_rename,
+    "MV_EXPAND": _cmd_mv_expand,
+    "DISSECT": _cmd_dissect,
+    "LIMIT": _cmd_limit,
+}
+
+
+# ------------------------------------------------------------- pipeline
+
+
+def esql_query(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Compile an ES|QL pipe into one DataFrame (nothing executes
+    here).  ``FROM name`` resolves through ``tables`` first, then the
+    session catalog; ``ROW a = 1, b = "x"`` builds a literal row."""
+    parts = split_pipes(query)
+    if not parts:
+        raise EsqlError("empty query")
+    head = parts[0]
+    hm = re.match(r"^(FROM|ROW)\b\s*(.*)$", head, re.IGNORECASE | re.DOTALL)
+    if not hm:
+        raise EsqlError(f"query must start with FROM or ROW, got {head!r}")
+    if hm.group(1).upper() == "FROM":
+        names = [t.strip() for t in split_commas(hm.group(2))]
+        dfs = []
+        for t in names:
+            if tables and t in tables:
+                dfs.append(tables[t])
+            else:
+                dfs.append(spark.table(t))
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+    else:
+        exprs = []
+        for item in split_commas(hm.group(2)):
+            m = re.match(r"^([A-Za-z_][\w.]*)\s*=\s*(.+)$", item, re.DOTALL)
+            if not m:
+                raise EsqlError(f"ROW expects name = literal, got {item!r}")
+            exprs.append(F.expr(_shim_expr(m.group(2))).alias(m.group(1)))
+        df = spark.range(1).select(*exprs)
+
+    for seg in parts[1:]:
+        cm = re.match(r"^([A-Za-z_]+)\b\s*(.*)$", seg, re.DOTALL)
+        if not cm or cm.group(1).upper() not in _COMMANDS:
+            raise EsqlError(f"unsupported command in segment {seg!r}")
+        df = _COMMANDS[cm.group(1).upper()](df, cm.group(2).strip())
+    return df

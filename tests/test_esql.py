@@ -1,0 +1,231 @@
+"""ES|QL-lite compiler: lexer, expression shim, every command, and
+composed pipes.  The gate (`esql_stats`) proves Spark/DuckDB parity on
+the full pipe at sf0.01; these tests pin each command's semantics."""
+
+import datetime as dt
+
+import pytest
+
+from ics_search_engine_spark.operators.esql import (
+    EsqlError,
+    dissect_to_regex,
+    esql_query,
+    split_commas,
+    split_pipes,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        (i, f"u{i % 4}", ["view", "click", "error"][i % 3],
+         float(10 * i % 70), T0 + dt.timedelta(minutes=17 * i))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id string, event_type string,"
+        " value double, ts timestamp",
+    )
+
+
+def run(spark, ev, pipe):
+    return esql_query(spark, pipe, {"events": ev})
+
+
+class TestLexer:
+    def test_pipe_inside_string_is_literal(self):
+        parts = split_pipes('FROM t | WHERE a == "x|y" | LIMIT 1')
+        assert len(parts) == 3
+        assert parts[1] == 'WHERE a == "x|y"'
+
+    def test_pipe_inside_parens_is_literal(self):
+        # no function actually uses |, but the lexer must not split
+        parts = split_pipes("FROM t | EVAL x = f(a | b)")
+        assert len(parts) == 2
+
+    def test_unterminated_string_raises(self):
+        with pytest.raises(EsqlError):
+            split_pipes('FROM t | WHERE a == "x')
+
+    def test_commas_inside_calls(self):
+        assert split_commas("a = f(x, y), b = 2") == ["a = f(x, y)", "b = 2"]
+
+
+class TestCommands:
+    def test_where_and_keep(self, spark, ev):
+        out = run(
+            spark, ev,
+            'FROM events | WHERE event_type == "error" | KEEP event_id',
+        )
+        assert out.columns == ["event_id"]
+        assert out.count() == 20
+
+    def test_eval_sequential_reference(self, spark, ev):
+        out = run(
+            spark, ev,
+            "FROM events | EVAL a = value * 2, b = a + 1"
+            " | WHERE event_id == 3 | KEEP a, b",
+        ).collect()[0]
+        assert (out["a"], out["b"]) == (60.0, 61.0)
+
+    def test_eval_replaces_existing_column(self, spark, ev):
+        out = run(
+            spark, ev,
+            "FROM events | EVAL value = 0 | STATS s = SUM(value)",
+        ).collect()[0]
+        assert out["s"] == 0
+
+    def test_stats_global_and_by(self, spark, ev):
+        tot = run(spark, ev, "FROM events | STATS n = COUNT(*)").collect()
+        assert tot[0]["n"] == 60
+        by = run(
+            spark, ev,
+            "FROM events | STATS n = COUNT(*) BY event_type | SORT event_type",
+        ).collect()
+        assert [(r["event_type"], r["n"]) for r in by] == [
+            ("click", 20), ("error", 20), ("view", 20),
+        ]
+
+    def test_stats_by_computed_key(self, spark, ev):
+        out = run(
+            spark, ev,
+            "FROM events | STATS n = COUNT(*) BY day = DATE_TRUNC(1 day, ts)"
+            " | SORT day | LIMIT 1",
+        ).collect()[0]
+        assert out["day"] == T0
+        # 17-minute cadence: all 60 events land inside day one
+        assert out["n"] == 60
+
+    def test_percentile_is_0_to_100(self, spark, ev):
+        out = run(
+            spark, ev,
+            "FROM events | STATS m = PERCENTILE(value, 50), md = MEDIAN(value)",
+        ).collect()[0]
+        assert out["m"] == out["md"]
+
+    def test_values_is_sorted_set(self, spark, ev):
+        out = run(
+            spark, ev, "FROM events | STATS t = VALUES(event_type)"
+        ).collect()[0]
+        assert out["t"] == ["click", "error", "view"]
+
+    def test_sort_desc_and_limit(self, spark, ev):
+        out = run(
+            spark, ev,
+            "FROM events | SORT value DESC, event_id ASC | LIMIT 3"
+            " | KEEP event_id",
+        ).collect()
+        # value = 10*i % 70 -> max 60 at i=6,13,20,...; id asc ties
+        assert [r["event_id"] for r in out] == [6, 13, 20]
+
+    def test_rename_and_drop(self, spark, ev):
+        out = run(
+            spark, ev,
+            "FROM events | RENAME value AS v | DROP ts, user_id"
+            " | LIMIT 1",
+        )
+        assert "v" in out.columns and "value" not in out.columns
+        assert "ts" not in out.columns
+
+    def test_mv_expand(self, spark):
+        df = esql_query(
+            spark,
+            'ROW id = 1 | EVAL tags = SPLIT("a,b,c", ",") | MV_EXPAND tags',
+        )
+        assert [r["tags"] for r in df.collect()] == ["a", "b", "c"]
+
+    def test_row_literal(self, spark):
+        r = esql_query(spark, 'ROW a = 1 + 1, b = "x"').collect()[0]
+        assert (r["a"], r["b"]) == (2, "x")
+
+    def test_from_union_two_tables(self, spark, ev):
+        out = esql_query(
+            spark,
+            "FROM a, b | STATS n = COUNT(*)",
+            {"a": ev, "b": ev},
+        ).collect()[0]
+        assert out["n"] == 120
+
+
+class TestDissect:
+    def test_pattern_to_regex(self):
+        rx, keys = dissect_to_regex("%{a} - %{?skip} %{b}")
+        assert keys == ["a", "b"]
+        import re
+
+        m = re.match(rx, "x - y z")
+        assert m.groups() == ("x", "z")
+
+    def test_dissect_command(self, spark):
+        out = esql_query(
+            spark,
+            'ROW msg = "GET /u 200" | DISSECT msg "%{verb} %{path} %{code}"'
+            " | KEEP verb, path, code",
+        ).collect()[0]
+        assert tuple(out) == ("GET", "/u", "200")
+
+    def test_dissect_nonmatch_is_null(self, spark):
+        out = esql_query(
+            spark,
+            'ROW msg = "nospace" | DISSECT msg "%{a} %{b}" | KEEP a, b',
+        ).collect()[0]
+        assert out["a"] is None and out["b"] is None
+
+
+class TestShim:
+    def test_double_eq_and_string_literal(self, spark, ev):
+        n = run(
+            spark, ev, 'FROM events | WHERE event_type == "view"'
+        ).count()
+        assert n == 20
+
+    def test_eq_inside_string_untouched(self, spark):
+        r = esql_query(spark, 'ROW s = "a == b"').collect()[0]
+        assert r["s"] == "a == b"
+
+    def test_like_wildcards(self, spark, ev):
+        n = run(
+            spark, ev, 'FROM events | WHERE event_type LIKE "cl*"'
+        ).count()
+        assert n == 20
+        n1 = run(
+            spark, ev, 'FROM events | WHERE event_type LIKE "vie?"'
+        ).count()
+        assert n1 == 20
+
+    def test_like_escapes_percent_literal(self, spark):
+        out = esql_query(
+            spark,
+            'ROW s = "100%" | WHERE s LIKE "100%"',
+        ).collect()
+        # the % is LITERAL in ES|QL (only * and ? are wildcards)
+        assert len(out) == 1
+        out2 = esql_query(
+            spark, 'ROW s = "100x" | WHERE s LIKE "100%"'
+        ).collect()
+        assert out2 == []
+
+
+class TestErrors:
+    def test_unknown_command(self, spark, ev):
+        with pytest.raises(EsqlError, match="unsupported command"):
+            run(spark, ev, "FROM events | FROBNICATE x")
+
+    def test_keep_unknown_column(self, spark, ev):
+        with pytest.raises(EsqlError, match="unknown columns"):
+            run(spark, ev, "FROM events | KEEP nope")
+
+    def test_unsupported_agg(self, spark, ev):
+        with pytest.raises(EsqlError, match="unsupported STATS function"):
+            run(spark, ev, "FROM events | STATS x = MODE(value)")
+
+    def test_must_start_with_from(self, spark, ev):
+        with pytest.raises(EsqlError, match="must start with"):
+            run(spark, ev, "WHERE x == 1")
+
+    def test_bad_limit(self, spark, ev):
+        with pytest.raises(EsqlError, match="LIMIT"):
+            run(spark, ev, "FROM events | LIMIT ten")

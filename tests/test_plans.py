@@ -484,3 +484,26 @@ class TestEqlPlan:
         finally:
             # sequence_matches caches its window output; drop it
             spark.catalog.clearCache()
+
+
+class TestEsqlPlan:
+    def test_pipe_compiles_to_pushed_down_single_plan(self, spark):
+        """The ES|QL compiler's whole point: the pipe must plan like
+        the hand-written DataFrame program — WHERE reaches the parquet
+        scan as PushedFilters, STATS keeps map-side partial
+        aggregation, SORT+LIMIT is TakeOrderedAndProject."""
+        from ics_search_engine_spark.operators.esql import esql_query
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        pipe = """FROM events
+| WHERE event_type == "error" AND value > 50
+| STATS n = COUNT(*) BY event_type
+| SORT n DESC
+| LIMIT 5"""
+        df = esql_query(spark, pipe, {"events": ev})
+        plan = _plan(df, "formatted")
+        assert "PushedFilters" in plan
+        assert "EqualTo(event_type,error)" in plan, plan[:2500]
+        assert "GreaterThan(value,50" in plan
+        assert "partial_count" in plan
+        assert "TakeOrderedAndProject" in plan
