@@ -9345,6 +9345,149 @@ ORDER BY n DESC, hour ASC LIMIT 20
 """
 
 
+def q_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets (operators/aggs.frequent_item_sets):
+    exact Apriori over per-document distinct-token baskets, support
+    >= 5%, itemsets up to size 3.  Items emitted space-joined so the
+    compare is string-typed."""
+    from ics_search_engine_spark.operators.aggs import frequent_item_sets
+
+    tx = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("txn_id"),
+        F.explode(F.array_distinct(toks_col())).alias("item"),
+    )
+    return frequent_item_sets(tx, min_support=0.05, max_size=3).select(
+        F.array_join("items", " ").alias("items_str"),
+        "n_txns",
+        "support",
+    )
+
+
+_SQL_FREQUENT_ITEM_SETS = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS i
+  FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM t),
+l1 AS (
+  SELECT i, count(*) AS c FROM t GROUP BY i
+  HAVING count(*) >= (SELECT 0.05 * n FROM n)
+),
+tf AS (SELECT t.doc_id, t.i FROM t JOIN l1 USING (i)),
+pd AS (
+  SELECT a.doc_id, a.i AS i1, b.i AS i2
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.i < b.i
+),
+l2 AS (
+  SELECT i1, i2, count(*) AS c FROM pd GROUP BY i1, i2
+  HAVING count(*) >= (SELECT 0.05 * n FROM n)
+),
+pdf AS (SELECT pd.* FROM pd JOIN l2 USING (i1, i2)),
+td AS (
+  SELECT pdf.doc_id, i1, i2, c.i AS i3
+  FROM pdf JOIN tf c ON c.doc_id = pdf.doc_id AND c.i > pdf.i2
+),
+l3 AS (
+  SELECT i1, i2, i3, count(*) AS c FROM td GROUP BY i1, i2, i3
+  HAVING count(*) >= (SELECT 0.05 * n FROM n)
+),
+u AS (
+  SELECT 1 AS sz, i AS items_str, c FROM l1
+  UNION ALL
+  SELECT 2, i1 || ' ' || i2, c FROM l2
+  UNION ALL
+  SELECT 3, i1 || ' ' || i2 || ' ' || i3, c FROM l3
+)
+SELECT items_str, c AS n_txns,
+       round(c / (SELECT n::DOUBLE FROM n), 6) AS support
+FROM u ORDER BY sz, c DESC, items_str
+"""
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_count_ks_test (operators/aggs.bucket_count_ks_test):
+    KS D between the hourly error-count and view-count series."""
+    from ics_search_engine_spark.operators.aggs import bucket_count_ks_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("fg"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("bg"),
+    )
+    return bucket_count_ks_test(buckets, "hour", "fg", "bg")
+
+
+_SQL_KS_TEST = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         count(*) FILTER (WHERE event_type = 'error')::DOUBLE AS fg,
+         count(*) FILTER (WHERE event_type = 'view')::DOUBLE AS bg
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT hour,
+         sum(fg) OVER (ORDER BY hour) AS cfg,
+         sum(bg) OVER (ORDER BY hour) AS cbg,
+         sum(fg) OVER () AS tfg,
+         sum(bg) OVER () AS tbg
+  FROM b
+)
+SELECT hour AS at, round(abs(cfg / tfg - cbg / tbg), 6) AS d_stat_r6
+FROM c ORDER BY d_stat_r6 DESC, at ASC LIMIT 1
+"""
+
+
+def q_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_correlation (operators/aggs.bucket_correlation):
+    Pearson r between hourly event count and hourly integer-cents sum."""
+    from ics_search_engine_spark.operators.aggs import bucket_correlation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return bucket_correlation(buckets, "n", "cents")
+
+
+_SQL_BUCKET_CORRELATION = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+         sum(round(value * 100)::BIGINT) AS cents
+  FROM events GROUP BY 1
+)
+SELECT round(corr(n::DOUBLE, cents::DOUBLE), 6) AS correlation_r6,
+       count(*) AS n_buckets
+FROM b
+"""
+
+
+def q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram (operators/aggs.
+    variable_width_histogram): 8 equal-frequency buckets over value."""
+    from ics_search_engine_spark.operators.aggs import (
+        variable_width_histogram,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return variable_width_histogram(ev, "value", 8)
+
+
+_SQL_VARIABLE_WIDTH_HISTOGRAM = """
+WITH t AS (
+  SELECT ntile(8) OVER (ORDER BY value) AS bucket, value
+  FROM events
+)
+SELECT bucket, count(*) AS n_values,
+       min(value) AS min_value, max(value) AS max_value
+FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -9503,6 +9646,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "categorize_text_agg": q_categorize_text,
     "change_point_agg": q_change_point,
     "esql_stats": q_esql_stats,
+    "frequent_item_sets_agg": q_frequent_item_sets,
+    "ks_test_agg": q_ks_test,
+    "bucket_correlation_agg": q_bucket_correlation,
+    "variable_width_histo": q_variable_width_histogram,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9670,4 +9817,8 @@ ORACLE_SQL: dict[str, str] = {
     "categorize_text_agg": _SQL_CATEGORIZE_TEXT,
     "change_point_agg": _SQL_CHANGE_POINT,
     "esql_stats": _SQL_ESQL_STATS,
+    "frequent_item_sets_agg": _SQL_FREQUENT_ITEM_SETS,
+    "ks_test_agg": _SQL_KS_TEST,
+    "bucket_correlation_agg": _SQL_BUCKET_CORRELATION,
+    "variable_width_histo": _SQL_VARIABLE_WIDTH_HISTOGRAM,
 }

@@ -1567,3 +1567,176 @@ def change_point(
         .orderBy(F.desc("stat_r6"), F.asc(order_col))
         .limit(1)
     )
+
+
+def frequent_item_sets(
+    tx: DataFrame,
+    min_support: float,
+    max_size: int = 3,
+    txn_col: str = "txn_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """ES ``frequent_item_sets``: itemsets of size 1..max_size whose
+    support (fraction of transactions containing EVERY item) is >=
+    ``min_support``.  ES mines with a sampled Eclat; this engine runs
+    exact Apriori as relational levels — the classic result that
+    level k's candidates can only extend level k-1's survivors:
+
+    * L1 = one hash agg over (item);
+    * Lk = the per-transaction frequent-item table self-joined k-1
+      times with ``item_(i) < item_(i+1)`` (canonical order kills
+      permutations), grouped and support-filtered.
+
+    Every join key includes the transaction id, so the shuffle is by
+    txn and the blow-up per transaction is C(f, k) where f is the
+    count of FREQUENT items in that transaction — min_support prunes
+    f before any pair is ever materialized.  Output: (items
+    array<string> sorted, n_txns, support rounded 6dp), ordered by
+    (size, -n_txns, items).
+    """
+    if not 0.0 < min_support <= 1.0:
+        raise ValueError("min_support must be in (0, 1]")
+    if max_size < 1:
+        raise ValueError("max_size must be >= 1")
+    tx = tx.select(
+        F.col(txn_col).alias("t"), F.col(item_col).alias("i")
+    ).distinct()
+    n_txns = tx.select("t").distinct().count()
+    floor = n_txns * min_support
+
+    l1 = (
+        tx.groupBy("i")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= floor)
+    )
+    out = l1.select(
+        F.array("i").alias("items"), F.col("n").alias("n_txns")
+    )
+    # per-txn table restricted to frequent items (Apriori prune)
+    txf = tx.join(F.broadcast(l1.select("i")), "i").select("t", "i")
+
+    level = txf.select("t", F.array("i").alias("items"), F.col("i").alias("last"))
+    for _ in range(2, max_size + 1):
+        ext = level.join(
+            txf.withColumnRenamed("i", "nxt"), "t"
+        ).filter(F.col("nxt") > F.col("last"))
+        level = ext.select(
+            "t",
+            F.array_append("items", F.col("nxt")).alias("items"),
+            F.col("nxt").alias("last"),
+        )
+        sets = (
+            level.groupBy("items")
+            .agg(F.count("*").alias("n_txns"))
+            .filter(F.col("n_txns") >= floor)
+        )
+        # Apriori: only transactions' itemsets that survived extend on
+        level = level.join(F.broadcast(sets.select("items")), "items")
+        out = out.unionByName(sets)
+
+    return (
+        out.select(
+            "items",
+            "n_txns",
+            F.round(F.col("n_txns") / F.lit(n_txns), 6).alias("support"),
+        )
+        .orderBy(
+            F.size("items"), F.desc("n_txns"), F.asc("items")
+        )
+    )
+
+
+def bucket_count_ks_test(
+    buckets: DataFrame,
+    order_col: str,
+    fg_col: str,
+    bg_col: str,
+) -> DataFrame:
+    """ES ``bucket_count_ks_test`` (two-sample flavor): the
+    Kolmogorov-Smirnov D statistic between two bucket-count series
+    over the same ordered buckets — D = max |CDF_fg - CDF_bg| with
+    each CDF the running fraction of that series' total.  Input is an
+    aggregated bucket frame, so the whole computation is
+    result-set-sized: one window pass + one global max.  Output: one
+    row (d_stat_r6, at = first bucket attaining the max).
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fg = F.col(fg_col).cast("double")
+    bg = F.col(bg_col).cast("double")
+    cum = buckets.select(
+        F.col(order_col),
+        F.sum(fg).over(w).alias("cfg"),
+        F.sum(bg).over(w).alias("cbg"),
+    )
+    tot = buckets.agg(
+        F.sum(fg).alias("tfg"), F.sum(bg).alias("tbg")
+    )
+    d = F.abs(F.col("cfg") / F.col("tfg") - F.col("cbg") / F.col("tbg"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(F.col(order_col).alias("at"), F.round(d, 6).alias("d_stat_r6"))
+        .orderBy(F.desc("d_stat_r6"), F.asc("at"))
+        .limit(1)
+    )
+
+
+def bucket_correlation(
+    buckets: DataFrame,
+    value_col: str,
+    indicator_col: str,
+) -> DataFrame:
+    """ES ``bucket_correlation``: Pearson correlation between a bucket
+    metric and a caller-supplied indicator series carried on the same
+    frame — Pearson r from one-pass co-moments (map-side partial),
+    spelled covar_pop / (stddev_pop * stddev_pop) with try_divide so
+    a zero-variance series yields NULL (the ES answer) instead of an
+    ANSI divide-by-zero.  Output: one row (correlation_r6, n_buckets).
+    """
+    x = F.col(value_col).cast("double")
+    y = F.col(indicator_col).cast("double")
+    return buckets.agg(
+        F.round(
+            F.try_divide(
+                F.covar_pop(x, y), F.stddev_pop(x) * F.stddev_pop(y)
+            ),
+            6,
+        ).alias("correlation_r6"),
+        F.count("*").alias("n_buckets"),
+    )
+
+
+def variable_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """ES ``variable_width_histogram``: buckets sized by the data, not
+    a fixed interval.  ES clusters greedily (input-order-dependent);
+    this engine's deterministic contract is equal-frequency buckets —
+    ``ntile(n)`` over the value order (ties broken by value only, so
+    equal values always land in adjacent tiles deterministically).
+    Output per bucket: (bucket 1-based, n_values, min, max) — like
+    ES's (doc_count, min, max, centroid) surface minus the centroid
+    (mean of a float column is shuffle-order-dependent; callers who
+    want it can aggregate it themselves at their own rounding).
+
+    One window pass (a global sort — the agg is defined by the total
+    value order, same cost class as percentile_cont) + one hash agg.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    v = F.col(value_col).cast("double")
+    w = Window.orderBy(F.col("_v"))
+    return (
+        df.select(v.alias("_v"))
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -34,6 +34,12 @@ pre-filtered to rows that match the stage, so a dense key (a user
 with thousands of 'view's) never produces a cross product the way a
 naive per-stage theta-join would.  Driver sees nothing; the result is
 anchor-sized.
+
+The windowed event relation is consumed by every chain join (left
+side + n-1 right sides), so it is persisted once (MEMORY_AND_DISK —
+spills, never OOMs) instead of recomputed per branch; at corpus
+scales where even spilled materialization is unwanted, write the
+window output to a table first and chain over that (same plan shape).
 """
 
 from __future__ import annotations
