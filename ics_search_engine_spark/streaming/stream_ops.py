@@ -368,3 +368,185 @@ def read_pivot_state(
 
     states = spark.read.parquet(f"{out_dir}/state").drop("stream_batch")
     return merge_pivot_state_frame(states, entity_cols)
+
+
+def sequence_matches_stream(
+    events_stream: DataFrame,
+    by: str,
+    stages: list,
+    order_col: str = "ts",
+    id_col: str = "event_id",
+    maxspan_s: float = 3600.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming EQL — the CEP twin of ``operators.eql.
+    sequence_matches``, emitting EXACTLY the batch rows (same greedy
+    earliest-completion semantics, same schema) whose decision horizon
+    the watermark has passed.
+
+    Why this is decidable with bounded state: an anchor at event time
+    t is fully determined by events in (t, t + maxspan] — the greedy
+    pointer for each stage is the EARLIEST following match, so if that
+    pointer were outside the horizon the final span would exceed
+    maxspan and the batch result drops the anchor anyway.  Hence:
+
+    * an anchor is FINAL once watermark > t + maxspan (every event
+      that could influence it has arrived or is droppably late);
+    * an event is DEAD once watermark > ts + maxspan (every anchor it
+      could serve is decided) — so per-key state is exactly the events
+      inside one maxspan horizon, independent of stream length.
+
+    maxspan is therefore REQUIRED here (unbounded sequences are not
+    finitely decidable on a stream).  State per key: three parallel
+    arrays (ts micros, id, stage-flag bitmask).  An event-time timeout
+    re-arms at (last event + maxspan), so quiet keys flush without new
+    data.  Stream ≡ batch is asserted in tests/test_streaming.py.
+
+    Events matching NO stage are filtered out before the stateful op
+    (they can be neither anchors nor chain members) — a big state/
+    shuffle win when matches are sparse, with one visible consequence:
+    the watermark advances only on stage-matching events.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    n = len(stages)
+    if n < 2:
+        raise ValueError("a sequence needs at least two stages")
+    if n > 62:
+        raise ValueError("at most 62 stages (flag bitmask)")
+    if maxspan_s is None or maxspan_s <= 0:
+        raise ValueError("streaming sequences require a positive maxspan_s")
+    maxspan_us = int(maxspan_s * 1_000_000)
+
+    out_fields = [StructField(by, StringType())]
+    for i in range(1, n + 1):
+        out_fields.append(StructField(f"ts_{i}", TimestampType()))
+        out_fields.append(StructField(f"id_{i}", LongType()))
+    out_type = StructType(out_fields)
+    state_type = StructType(
+        [
+            StructField("ev_ts", ArrayType(LongType())),
+            StructField("ev_id", ArrayType(LongType())),
+            StructField("ev_fl", ArrayType(LongType())),
+        ]
+    )
+
+    def match(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            s_ts, s_id, s_fl = state.get
+            ts = list(s_ts)
+            ids = list(s_id)
+            fls = list(s_fl)
+        else:
+            ts, ids, fls = [], [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                t_us = (
+                    pdf["ts"].astype("datetime64[ns]").astype("int64")
+                    // 1000
+                )
+                ts.extend(int(v) for v in t_us)
+                ids.extend(int(v) for v in pdf["id"])
+                fls.extend(int(v) for v in pdf["fl"])
+        if not ts:
+            state.remove()
+            return
+
+        order = sorted(range(len(ts)), key=lambda j: (ts[j], ids[j]))
+        ts = [ts[j] for j in order]
+        ids = [ids[j] for j in order]
+        fls = [fls[j] for j in order]
+        m = len(ts)
+        w_us = state.getCurrentWatermarkMs() * 1000
+
+        # nxt[s][j] = first index >= j matching stage s (one backward
+        # scan per stage over the bounded buffer)
+        nxt = [[m] * (m + 1) for _ in range(n + 1)]
+        for s in range(1, n + 1):
+            bit = 1 << (s - 1)
+            row = nxt[s]
+            for j in range(m - 1, -1, -1):
+                row[j] = j if (fls[j] & bit) else row[j + 1]
+
+        out = {by: []}
+        for i in range(1, n + 1):
+            out[f"ts_{i}"] = []
+            out[f"id_{i}"] = []
+        keep_from = 0
+        for j in range(m):
+            if ts[j] + maxspan_us >= w_us:
+                keep_from = j
+                break
+            keep_from = j + 1
+        # decide anchors strictly below the horizon
+        for j in range(keep_from):
+            if not (fls[j] & 1):
+                continue
+            cur = j
+            ok = True
+            for s in range(2, n + 1):
+                cur = nxt[s][cur + 1]
+                if cur >= m or ts[cur] - ts[j] > maxspan_us:
+                    ok = False
+                    break
+            if ok:
+                out[by].append(key[0])
+                chain = [j]
+                cur = j
+                for s in range(2, n + 1):
+                    cur = nxt[s][cur + 1]
+                    chain.append(cur)
+                for i, cj in enumerate(chain, start=1):
+                    out[f"ts_{i}"].append(np.datetime64(ts[cj], "us"))
+                    out[f"id_{i}"].append(ids[cj])
+
+        ts2, ids2, fls2 = ts[keep_from:], ids[keep_from:], fls[keep_from:]
+        if ts2:
+            state.update((ts2, ids2, fls2))
+            # flush horizon: strictly after the newest undecided
+            # anchor's decision point (timeout ts must exceed the
+            # current watermark)
+            arm_ms = max(
+                (ts2[-1] + maxspan_us) // 1000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(arm_ms)
+        else:
+            state.remove()
+        if out[by]:
+            yield pd.DataFrame(out)
+
+    flag = None
+    for i, stage in enumerate(stages):
+        bit = F.when(stage, F.lit(1 << i)).otherwise(F.lit(0))
+        flag = bit if flag is None else flag + bit
+    prepared = (
+        events_stream.select(
+            F.col(by).alias("k"),
+            F.col(order_col).cast("timestamp").alias("ts"),
+            F.col(id_col).cast("long").alias("id"),
+            flag.cast("long").alias("fl"),
+        )
+        .filter(F.col("fl") > 0)
+        .withWatermark("ts", watermark)
+    )
+    return prepared.groupBy("k").applyInPandasWithState(
+        match,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -481,3 +481,137 @@ class TestStreamedPositionalServing:
             ]
             assert got == want, query
             assert srv.search(query, k=10) == want, query
+
+
+class TestSequenceMatchesStream:
+    """Streaming EQL ≡ batch EQL on the watermark-closed region."""
+
+    def _events_table(self):
+        import pyarrow as pa
+        import random
+
+        rng = random.Random(5)
+        base = 1_700_000_000_000_000  # epoch micros
+        minute = 60_000_000
+        rows = []
+        for i in range(240):
+            rows.append(
+                (
+                    i,
+                    f"u{rng.randrange(6)}",
+                    rng.choice(["view", "click", "buy", "noise"]),
+                    base + i * minute,
+                )
+            )
+        # ticker: far-future stage-matching event on its own key so the
+        # final watermark passes every real anchor's decision horizon
+        # (non-matching events are filtered before the watermark)
+        rows.append((9999, "ticker", "view", base + 100_000 * minute))
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.string()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            }
+        )
+
+    def test_stream_equals_batch(self, spark, stream_dirs):
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        from ics_search_engine_spark.operators.eql import sequence_matches
+        from ics_search_engine_spark.streaming.stream_ops import (
+            sequence_matches_stream,
+        )
+
+        tbl = self._events_table()
+        src = f"{stream_dirs}/eql_src"
+        os.makedirs(src, exist_ok=True)
+        # three mtime-ordered files -> three micro-batches, watermark
+        # advancing across them; the last holds the ticker
+        pq.write_table(tbl.slice(0, 120), f"{src}/f0.parquet")
+        _time.sleep(1.1)
+        pq.write_table(tbl.slice(120, 120), f"{src}/f1.parquet")
+        _time.sleep(1.1)
+        pq.write_table(tbl.slice(240), f"{src}/f2.parquet")
+
+        schema = spark.read.parquet(src).schema
+        et = F.col("event_type")
+        stages = [et == "view", et == "click", et == "buy"]
+        maxspan = 30 * 60.0
+
+        ckpt = f"{stream_dirs}/eql_ckpt"
+
+        def run(name):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = sequence_matches_stream(
+                stream,
+                by="user_id",
+                stages=stages,
+                maxspan_s=maxspan,
+                watermark="10 minutes",
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return spark.sql(
+                f"select * from {name} where user_id != 'ticker'"
+            ).collect()
+
+        got = run("eql_stream_1")
+        if not got:
+            # feed one more ticker if the final no-data batch didn't
+            # fire timeouts (same pattern as TestAssembleConversations)
+            import pyarrow as pa
+
+            _time.sleep(1.1)
+            extra = self._events_table().slice(240)
+            extra = extra.set_column(
+                0, "event_id", pa.array([10000], pa.int64())
+            ).set_column(
+                3,
+                "ts",
+                pa.array([1_700_000_000_000_000 + 200_000 * 60_000_000],
+                         pa.timestamp("us")),
+            )
+            pq.write_table(extra, f"{src}/f3.parquet")
+            got = run("eql_stream_2")
+
+        batch = sequence_matches(
+            spark.read.parquet(src).filter(F.col("user_id") != "ticker"),
+            by="user_id",
+            stages=stages,
+            maxspan_s=maxspan,
+        ).collect()
+        assert len(batch) > 0, "test corpus produced no sequences"
+
+        key = lambda r: (  # noqa: E731
+            r["user_id"], r["ts_1"], r["id_1"], r["ts_2"], r["id_2"],
+            r["ts_3"], r["id_3"],
+        )
+        assert sorted(map(key, got)) == sorted(map(key, batch))
+
+    def test_requires_maxspan(self, spark):
+        from ics_search_engine_spark.streaming.stream_ops import (
+            sequence_matches_stream,
+        )
+
+        with pytest.raises(ValueError, match="maxspan"):
+            sequence_matches_stream(
+                spark.readStream.format("rate").load(),
+                by="value",
+                stages=[F.lit(True), F.lit(True)],
+                maxspan_s=None,
+            )
