@@ -9258,6 +9258,39 @@ _SQL_EQL_SEQUENCE = _seq_sql(
 )
 
 
+def q_eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL ``sequence ... until`` (operators/eql.sequence_matches with
+    until): the same funnel, expired by an intervening error event."""
+    from ics_search_engine_spark.operators.eql import sequence_matches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    et = F.col("event_type")
+    return sequence_matches(
+        ev,
+        by="user_id",
+        stages=[et == "view", et == "click", et == "purchase"],
+        order_col="ts",
+        id_col="event_id",
+        maxspan_s=6 * 3600,
+        until=et == "error",
+    )
+
+
+_SQL_EQL_UNTIL = _seq_sql(
+    "events",
+    by="user_id",
+    stage_preds=[
+        "event_type = 'view'",
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+    ],
+    order_col="ts",
+    id_col="event_id",
+    maxspan_s=6 * 3600,
+    until_pred="event_type = 'error'",
+)
+
+
 def q_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES categorize_text (operators/aggs.categorize_text): masked
     8-token-prefix pattern buckets over the documents table."""
@@ -9643,6 +9676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dis_max_engine": q_dis_max,
     "mget_engine": q_mget,
     "eql_sequence": q_eql_sequence,
+    "eql_until": q_eql_until,
     "categorize_text_agg": q_categorize_text,
     "change_point_agg": q_change_point,
     "esql_stats": q_esql_stats,
@@ -9814,6 +9848,7 @@ ORACLE_SQL: dict[str, str] = {
     "dis_max_engine": _SQL_DIS_MAX,
     "mget_engine": _SQL_MGET,
     "eql_sequence": _SQL_EQL_SEQUENCE,
+    "eql_until": _SQL_EQL_UNTIL,
     "categorize_text_agg": _SQL_CATEGORIZE_TEXT,
     "change_point_agg": _SQL_CHANGE_POINT,
     "esql_stats": _SQL_ESQL_STATS,

@@ -55,6 +55,7 @@ def sequence_matches(
     order_col: str = "ts",
     id_col: str = "event_id",
     maxspan_s: float | None = None,
+    until: Column | None = None,
 ) -> DataFrame:
     """Match ``stages`` (boolean Columns over the event schema) as an
     in-order sequence per ``by`` key → one row per completed anchor:
@@ -62,6 +63,13 @@ def sequence_matches(
         (<by>, ts_1, id_1, ..., ts_n, id_n)
 
     ordered deterministically by (<by>, ts_1, id_1).
+
+    ``until`` is EQL's expiry clause: a pending sequence dies when an
+    until-event occurs, so an anchor only emits if the first
+    until-event after it comes AFTER the completing event (an event
+    matching both the final stage and ``until`` completes — the
+    sequence finishes before the expiry is considered).  Costs one
+    more expression in the same shared WindowExec, nothing else.
     """
     n = len(stages)
     if n < 2:
@@ -72,6 +80,7 @@ def sequence_matches(
         F.col(order_col).alias("ts"),
         F.col(id_col).alias("id"),
         *[s.alias(f"f{i + 1}") for i, s in enumerate(stages)],
+        *([until.alias("fu")] if until is not None else []),
     )
     wo = Window.partitionBy("k").orderBy("ts", "id")
     base = base.withColumn("rn", F.row_number().over(wo))
@@ -88,12 +97,18 @@ def sequence_matches(
             .alias(f"nx{i}")
             for i in range(2, n + 1)
         ],
+        *(
+            [F.min(F.when(F.col("fu"), F.col("rn"))).over(wf).alias("nxu")]
+            if until is not None
+            else []
+        ),
     ).cache()
 
     seq = base.filter(F.col("f1")).select(
         "k",
         F.col("ts").alias("ts_1"),
         F.col("id").alias("id_1"),
+        *([F.col("nxu").alias("_until_rn")] if until is not None else []),
         F.col("nx2").alias("_want"),
     )
     for i in range(2, n + 1):
@@ -105,10 +120,18 @@ def sequence_matches(
                       F.col("id").alias(f"id_{i}")]
         if i < n:
             right_cols.append(F.col(f"nx{i + 1}").alias("_next"))
+        elif until is not None:
+            right_cols.append(F.col("rn").alias("_rn_last"))
         right = base.filter(F.col(f"f{i}")).select(*right_cols)
         seq = seq.join(right, ["k", "_want"]).drop("_want")
         if i < n:
             seq = seq.withColumnRenamed("_next", "_want")
+
+    if until is not None:
+        seq = seq.filter(
+            F.col("_until_rn").isNull()
+            | (F.col("_until_rn") >= F.col("_rn_last"))
+        )
 
     if maxspan_s is not None:
         # exact integer microseconds (matches the oracle's epoch_us);
@@ -131,20 +154,31 @@ def sequence_matches_sql(
     id_col: str = "event_id",
     maxspan_s: float | None = None,
     select: str | None = None,
+    until_pred: str | None = None,
 ) -> str:
     """The ANSI-SQL mirror of :func:`sequence_matches` (same window
-    construction, same greedy pointer chase) for DuckDB oracles.
-    ``stage_preds`` are SQL boolean expressions over ``table``."""
+    construction, same greedy pointer chase, same until-expiry rule)
+    for DuckDB oracles.  ``stage_preds`` / ``until_pred`` are SQL
+    boolean expressions over ``table``."""
     n = len(stage_preds)
     flag_cols = ",\n    ".join(
         f"({p}) AS f{i + 1}" for i, p in enumerate(stage_preds)
     )
+    if until_pred is not None:
+        flag_cols += f",\n    ({until_pred}) AS fu"
+    wspec = (
+        "(PARTITION BY k ORDER BY ts, id "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    )
     nx_cols = ",\n    ".join(
-        f"min(CASE WHEN f{i} THEN rn END) OVER "
-        f"(PARTITION BY k ORDER BY ts, id "
-        f"ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx{i}"
+        f"min(CASE WHEN f{i} THEN rn END) OVER {wspec} AS nx{i}"
         for i in range(2, n + 1)
     )
+    if until_pred is not None:
+        nx_cols += (
+            f",\n    min(CASE WHEN fu THEN rn END) OVER {wspec} AS nxu"
+        )
+    u1 = ", nxu AS until_rn" if until_pred is not None else ""
     sql = f"""WITH ev AS (
   SELECT {by} AS k, {order_col} AS ts, {id_col} AS id,
     {flag_cols},
@@ -158,11 +192,16 @@ ptr AS (
   FROM ev
 ),
 s1 AS (
-  SELECT k, ts AS ts_1, id AS id_1, nx2 AS want FROM ptr WHERE f1
+  SELECT k, ts AS ts_1, id AS id_1{u1}, nx2 AS want FROM ptr WHERE f1
 )"""
     prev = "s1"
     for i in range(2, n + 1):
-        nxt = f", r.nx{i + 1} AS want" if i < n else ""
+        if i < n:
+            nxt = f", r.nx{i + 1} AS want"
+        elif until_pred is not None:
+            nxt = ", r.rn AS rn_last"
+        else:
+            nxt = ""
         sql += f""",
 s{i} AS (
   SELECT {prev}.* EXCLUDE (want), r.ts AS ts_{i}, r.id AS id_{i}{nxt}
@@ -170,12 +209,15 @@ s{i} AS (
   WHERE r.f{i}
 )"""
         prev = f"s{i}"
-    span = (
-        f"WHERE epoch_us(ts_{n}) - epoch_us(ts_1) "
-        f"<= {int(maxspan_s * 1_000_000)}"
-        if maxspan_s is not None
-        else ""
-    )
+    conds = []
+    if until_pred is not None:
+        conds.append("(until_rn IS NULL OR until_rn >= rn_last)")
+    if maxspan_s is not None:
+        conds.append(
+            f"epoch_us(ts_{n}) - epoch_us(ts_1) "
+            f"<= {int(maxspan_s * 1_000_000)}"
+        )
+    span = f"WHERE {' AND '.join(conds)}" if conds else ""
     cols = select or (
         f"k AS {by}, "
         + ", ".join(f"ts_{i}, id_{i}" for i in range(1, n + 1))

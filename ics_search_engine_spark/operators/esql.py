@@ -24,8 +24,8 @@ Scalar expressions inside commands are Spark-SQL expressions plus a
 compat shim for the ES|QL spellings that differ (`==`, `!=` on
 strings, `DATE_TRUNC(1 hour, ts)`, `LIKE "wildcard*"`); the supported
 command surface is FROM, WHERE, EVAL, STATS..BY, SORT, LIMIT, KEEP,
-DROP, RENAME..AS, MV_EXPAND, DISSECT, and ROW.  Unknown commands
-raise with the offending pipe segment.
+DROP, RENAME..AS, MV_EXPAND, DISSECT, GROK, ENRICH..ON..WITH, and
+ROW.  Unknown commands raise with the offending pipe segment.
 """
 
 from __future__ import annotations
@@ -330,12 +330,136 @@ def _cmd_dissect(df: DataFrame, body: str) -> DataFrame:
     return out
 
 
+# grok base patterns (the commonly-used subset; composite patterns
+# like COMBINEDAPACHELOG are compositions callers can inline)
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN|ERROR|FATAL",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}"
+                         r"(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+}
+_GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+_GROK_TYPES = {"int": "long", "long": "long", "float": "double",
+               "double": "double"}
+
+
+def grok_to_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """Grok pattern → (regex, [(capture name, cast type or None)]).
+    ``%{SYNTAX:name}`` captures, ``%{SYNTAX}`` matches anonymously,
+    ``%{SYNTAX:name:int}`` casts.  Literal text between tokens is
+    escaped."""
+    caps: list[tuple[str, str | None]] = []
+    out: list[str] = []
+    pos = 0
+    for m in _GROK_TOKEN.finditer(pattern):
+        out.append(re.escape(pattern[pos : m.start()]))
+        syntax, name, typ = m.group(1), m.group(2), m.group(3)
+        if syntax not in _GROK_PATTERNS:
+            raise EsqlError(
+                f"unknown grok pattern %{{{syntax}}} "
+                f"(supported: {sorted(_GROK_PATTERNS)})"
+            )
+        body = _GROK_PATTERNS[syntax]
+        if name:
+            if typ is not None and typ not in _GROK_TYPES:
+                raise EsqlError(f"unknown grok cast type {typ!r}")
+            caps.append((name, _GROK_TYPES.get(typ or "")))
+            out.append(f"({body})")
+        else:
+            out.append(f"(?:{body})")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    return "^" + "".join(out) + "$", caps
+
+
+def _cmd_grok(df: DataFrame, body: str) -> DataFrame:
+    m = re.match(
+        r"^([A-Za-z_][\w.]*)\s+\"((?:[^\"\\]|\\.)*)\"\s*$", body.strip()
+    )
+    if not m:
+        raise EsqlError(f'GROK expects: GROK col "pattern", got {body!r}')
+    col, pattern = m.group(1), m.group(2)
+    rx, caps = grok_to_regex(pattern)
+    matched = F.col(col).rlike(rx)
+    for i, (name, typ) in enumerate(caps, start=1):
+        e = F.when(matched, F.regexp_extract(F.col(col), rx, i))
+        if typ is not None:
+            e = e.cast(typ)
+        df = df.withColumn(name, e)
+    return df
+
+
 def _cmd_limit(df: DataFrame, body: str) -> DataFrame:
     try:
         n = int(body.strip())
     except ValueError:
         raise EsqlError(f"LIMIT expects an integer, got {body!r}") from None
     return df.limit(n)
+
+
+def _cmd_enrich(
+    df: DataFrame, body: str, enrich: dict | None
+) -> DataFrame:
+    """``ENRICH policy ON field [WITH a, b = src_b]`` — ES|QL's lookup
+    join.  The policy table is BROADCAST (enrich indexes are dimension
+    -sized by construction), the join is a left join on the match
+    field, and only the requested fields land (all non-key fields
+    without WITH) — so the plan is one BroadcastHashJoin, no shuffle
+    of the big side."""
+    m = re.match(
+        r"^(\w+)\s+ON\s+([A-Za-z_][\w.]*)(?:\s+WITH\s+(.+))?$",
+        body.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise EsqlError(
+            f"ENRICH expects: ENRICH policy ON field [WITH ...], got {body!r}"
+        )
+    policy, on, with_clause = m.group(1), m.group(2), m.group(3)
+    if not enrich or policy not in enrich:
+        raise EsqlError(
+            f"unknown enrich policy {policy!r} "
+            f"(available: {sorted(enrich or {})})"
+        )
+    pol_df, match_field = enrich[policy]
+    picks: list[tuple[str, str]] = []  # (out name, policy column)
+    if with_clause:
+        for item in split_commas(with_clause):
+            am = re.match(
+                r"^([A-Za-z_][\w.]*)\s*(?:=\s*([A-Za-z_][\w.]*))?$",
+                item.strip(),
+            )
+            if not am:
+                raise EsqlError(f"ENRICH WITH expects name [= src], got {item!r}")
+            picks.append((am.group(1), am.group(2) or am.group(1)))
+    else:
+        picks = [
+            (c, c) for c in pol_df.columns if c != match_field
+        ]
+    missing = [src for _, src in picks if src not in pol_df.columns]
+    if missing:
+        raise EsqlError(f"ENRICH: policy lacks columns {missing}")
+    right = pol_df.select(
+        F.col(match_field).alias("__enrich_key"),
+        *[F.col(src).alias(out) for out, src in picks],
+    )
+    return (
+        df.join(
+            F.broadcast(right),
+            df[on] == right["__enrich_key"],
+            "left",
+        )
+        .drop("__enrich_key")
+    )
 
 
 _COMMANDS = {
@@ -348,6 +472,7 @@ _COMMANDS = {
     "RENAME": _cmd_rename,
     "MV_EXPAND": _cmd_mv_expand,
     "DISSECT": _cmd_dissect,
+    "GROK": _cmd_grok,
     "LIMIT": _cmd_limit,
 }
 
@@ -359,10 +484,13 @@ def esql_query(
     spark: SparkSession,
     query: str,
     tables: dict[str, DataFrame] | None = None,
+    enrich: dict[str, tuple[DataFrame, str]] | None = None,
 ) -> DataFrame:
     """Compile an ES|QL pipe into one DataFrame (nothing executes
     here).  ``FROM name`` resolves through ``tables`` first, then the
-    session catalog; ``ROW a = 1, b = "x"`` builds a literal row."""
+    session catalog; ``ROW a = 1, b = "x"`` builds a literal row;
+    ``enrich`` maps policy name -> (dimension DataFrame, match
+    field) for the ENRICH command."""
     parts = split_pipes(query)
     if not parts:
         raise EsqlError("empty query")
@@ -392,7 +520,11 @@ def esql_query(
 
     for seg in parts[1:]:
         cm = re.match(r"^([A-Za-z_]+)\b\s*(.*)$", seg, re.DOTALL)
-        if not cm or cm.group(1).upper() not in _COMMANDS:
+        cmd = cm.group(1).upper() if cm else ""
+        if cmd == "ENRICH":
+            df = _cmd_enrich(df, cm.group(2).strip(), enrich)
+        elif cmd in _COMMANDS:
+            df = _COMMANDS[cmd](df, cm.group(2).strip())
+        else:
             raise EsqlError(f"unsupported command in segment {seg!r}")
-        df = _COMMANDS[cm.group(1).upper()](df, cm.group(2).strip())
     return df

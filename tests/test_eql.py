@@ -173,6 +173,60 @@ class TestSequenceMatches:
         )
         assert got == brute()
 
+    def test_until_kills_pending_sequence(self, spark):
+        rows = [
+            (1, "u", "view", 0),
+            (2, "u", "err", 5),   # expires the pending sequence
+            (3, "u", "click", 10),
+            (4, "u", "buy", 20),
+            (5, "v", "view", 0),  # clean key still matches
+            (6, "v", "click", 10),
+            (7, "v", "buy", 20),
+        ]
+        ev = _ev(spark, rows)
+        et = F.col("event_type")
+        out = sequence_matches(
+            ev,
+            by="user_id",
+            stages=[et == "view", et == "click", et == "buy"],
+            until=et == "err",
+        ).collect()
+        assert [r["user_id"] for r in out] == ["v"]
+
+    def test_until_after_completion_is_harmless(self, spark):
+        rows = [
+            (1, "u", "view", 0),
+            (2, "u", "click", 5),
+            (3, "u", "buy", 10),
+            (4, "u", "err", 15),  # after the completing event
+        ]
+        ev = _ev(spark, rows)
+        et = F.col("event_type")
+        out = sequence_matches(
+            ev,
+            by="user_id",
+            stages=[et == "view", et == "click", et == "buy"],
+            until=et == "err",
+        ).collect()
+        assert len(out) == 1
+
+    def test_until_on_completing_event_still_completes(self, spark):
+        # documented tie rule: an event matching the final stage AND
+        # until completes the sequence (finish before expiry)
+        rows = [
+            (1, "u", "view", 0),
+            (2, "u", "buy_err", 5),
+        ]
+        ev = _ev(spark, rows)
+        et = F.col("event_type")
+        out = sequence_matches(
+            ev,
+            by="user_id",
+            stages=[et == "view", et.contains("buy")],
+            until=et.contains("err"),
+        ).collect()
+        assert len(out) == 1
+
     def test_requires_two_stages(self, spark):
         with pytest.raises(ValueError):
             sequence_matches(

@@ -229,3 +229,82 @@ class TestErrors:
     def test_bad_limit(self, spark, ev):
         with pytest.raises(EsqlError, match="LIMIT"):
             run(spark, ev, "FROM events | LIMIT ten")
+
+
+class TestGrok:
+    def test_typed_captures(self, spark):
+        out = esql_query(
+            spark,
+            'ROW line = "ERROR 42 took 1.5 ms"'
+            ' | GROK line "%{LOGLEVEL:lvl} %{INT:code:int} took'
+            ' %{NUMBER:ms:float} ms"'
+            " | KEEP lvl, code, ms",
+        ).collect()[0]
+        assert (out["lvl"], out["code"], out["ms"]) == ("ERROR", 42, 1.5)
+        assert isinstance(out["code"], int)
+
+    def test_anonymous_pattern_and_nonmatch(self, spark):
+        df = esql_query(
+            spark,
+            'ROW line = "no digits here"'
+            ' | GROK line "%{WORD:w} %{INT:n:int}%{GREEDYDATA}"',
+        ).collect()[0]
+        assert df["w"] is None and df["n"] is None
+
+    def test_unknown_pattern_raises(self, spark):
+        with pytest.raises(EsqlError, match="unknown grok pattern"):
+            esql_query(spark, 'ROW x = "a" | GROK x "%{NOPE:y}"')
+
+
+class TestEnrich:
+    def test_lookup_join_with_defaults(self, spark, ev):
+        dim = spark.createDataFrame(
+            [("view", "read", 1), ("click", "act", 2)],
+            "etype string, kind string, weight int",
+        )
+        out = esql_query(
+            spark,
+            "FROM events | ENRICH types ON event_type"
+            " | STATS n = COUNT(*) BY kind | SORT kind NULLS LAST",
+            {"events": ev},
+            enrich={"types": (dim, "etype")},
+        ).collect()
+        assert [(r["kind"], r["n"]) for r in out] == [
+            ("act", 20), ("read", 20), (None, 20),
+        ]
+
+    def test_with_rename_subset(self, spark, ev):
+        dim = spark.createDataFrame(
+            [("view", "read", 1)], "etype string, kind string, w int"
+        )
+        out = esql_query(
+            spark,
+            "FROM events | ENRICH t ON event_type WITH k = kind | LIMIT 1",
+            {"events": ev},
+            enrich={"t": (dim, "etype")},
+        )
+        assert "k" in out.columns and "w" not in out.columns
+
+    def test_unknown_policy(self, spark, ev):
+        with pytest.raises(EsqlError, match="unknown enrich policy"):
+            esql_query(
+                spark, "FROM events | ENRICH nope ON event_type",
+                {"events": ev},
+            )
+
+    def test_broadcast_in_plan(self, spark, ev):
+        dim = spark.createDataFrame(
+            [("view", "read")], "etype string, kind string"
+        )
+        df = esql_query(
+            spark,
+            "FROM events | ENRICH t ON event_type",
+            {"events": ev},
+            enrich={"t": (dim, "etype")},
+        )
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        assert "BroadcastHashJoin" in buf.getvalue()
