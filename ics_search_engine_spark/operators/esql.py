@@ -112,9 +112,36 @@ _DATE_TRUNC = re.compile(
 )
 
 
+_MATCH_FN = re.compile(
+    r"\bMATCH\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*\"((?:[^\"\\]|\\.)*)\"\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _shim_match(s: str) -> str:
+    """ES|QL ``MATCH(field, "query")`` → the engine's analyzer:
+    query text is tokenized DRIVER-SIDE with the reference query
+    analyzer (stop words dropped, stemmed) and the predicate becomes
+    ``arrays_overlap(ics_tokenize(field), array(...))`` — OR
+    semantics over analyzed terms, exactly ES's default ``match``.
+    Requires functions.sqlreg registration (esql_query does it
+    lazily when a pipe uses MATCH)."""
+    from ics_search_engine_spark.textproc.tokenizer import tokenize
+
+    def sub(m: re.Match) -> str:
+        terms = tokenize(m.group(2), for_query=True)
+        if not terms:
+            return "FALSE"
+        arr = ", ".join("'" + t.replace("'", "\\'") + "'" for t in terms)
+        return f"arrays_overlap(ics_tokenize({m.group(1)}), array({arr}))"
+
+    return _MATCH_FN.sub(sub, s)
+
+
 def _shim_expr(expr: str) -> str:
     """ES|QL spellings → Spark SQL.  Conservative, token-aware for the
     operators; string literals pass through untouched."""
+    expr = _shim_match(expr)
     # protect string literals from operator rewriting
     lits: list[str] = []
 
@@ -494,6 +521,14 @@ def esql_query(
     parts = split_pipes(query)
     if not parts:
         raise EsqlError("empty query")
+    if re.search(r"\bMATCH\s*\(", query, re.IGNORECASE):
+        # MATCH compiles to the engine's ics_tokenize UDF — make sure
+        # it exists in this session (idempotent)
+        from ics_search_engine_spark.functions.sqlreg import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
     head = parts[0]
     hm = re.match(r"^(FROM|ROW)\b\s*(.*)$", head, re.IGNORECASE | re.DOTALL)
     if not hm:

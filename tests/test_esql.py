@@ -308,3 +308,35 @@ class TestEnrich:
         with contextlib.redirect_stdout(buf):
             df.explain()
         assert "BroadcastHashJoin" in buf.getvalue()
+
+
+class TestMatch:
+    def test_match_uses_engine_analyzer(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "machine learning models"),
+                (1, "the learner machines well"),  # stems to machin/learn.. no
+                (2, "nothing relevant"),
+            ],
+            "doc_id long, text string",
+        )
+        # 'machines' stems to 'machin' like the query term; match is
+        # OR-semantics over analyzed terms
+        out = esql_query(
+            spark,
+            'FROM docs | WHERE MATCH(text, "machine") | KEEP doc_id'
+            " | SORT doc_id",
+            {"docs": docs},
+        ).collect()
+        assert [r["doc_id"] for r in out] == [0, 1]
+
+    def test_match_stopword_only_query_is_false(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "the and of")], "doc_id long, text string"
+        )
+        out = esql_query(
+            spark,
+            'FROM docs | WHERE MATCH(text, "the and")',
+            {"docs": docs},
+        ).collect()
+        assert out == []
