@@ -9276,6 +9276,35 @@ def q_eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eql_forbid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL per-gap negation (operators/eql.sequence_matches with
+    forbid): view then purchase with NO error strictly between."""
+    from ics_search_engine_spark.operators.eql import sequence_matches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    et = F.col("event_type")
+    return sequence_matches(
+        ev,
+        by="user_id",
+        stages=[et == "view", et == "purchase"],
+        order_col="ts",
+        id_col="event_id",
+        maxspan_s=2 * 3600,
+        forbid={1: et == "error"},
+    )
+
+
+_SQL_EQL_FORBID = _seq_sql(
+    "events",
+    by="user_id",
+    stage_preds=["event_type = 'view'", "event_type = 'purchase'"],
+    order_col="ts",
+    id_col="event_id",
+    maxspan_s=2 * 3600,
+    forbid_preds={1: "event_type = 'error'"},
+)
+
+
 _SQL_EQL_UNTIL = _seq_sql(
     "events",
     by="user_id",
@@ -9677,6 +9706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mget_engine": q_mget,
     "eql_sequence": q_eql_sequence,
     "eql_until": q_eql_until,
+    "eql_forbid": q_eql_forbid,
     "categorize_text_agg": q_categorize_text,
     "change_point_agg": q_change_point,
     "esql_stats": q_esql_stats,
@@ -9849,6 +9879,7 @@ ORACLE_SQL: dict[str, str] = {
     "mget_engine": _SQL_MGET,
     "eql_sequence": _SQL_EQL_SEQUENCE,
     "eql_until": _SQL_EQL_UNTIL,
+    "eql_forbid": _SQL_EQL_FORBID,
     "categorize_text_agg": _SQL_CATEGORIZE_TEXT,
     "change_point_agg": _SQL_CHANGE_POINT,
     "esql_stats": _SQL_ESQL_STATS,

@@ -56,6 +56,7 @@ def sequence_matches(
     id_col: str = "event_id",
     maxspan_s: float | None = None,
     until: Column | None = None,
+    forbid: dict[int, Column] | None = None,
 ) -> DataFrame:
     """Match ``stages`` (boolean Columns over the event schema) as an
     in-order sequence per ``by`` key → one row per completed anchor:
@@ -70,10 +71,20 @@ def sequence_matches(
     matching both the final stage and ``until`` completes — the
     sequence finishes before the expiry is considered).  Costs one
     more expression in the same shared WindowExec, nothing else.
+
+    ``forbid`` is per-gap negation (Flink CEP's notFollowedBy):
+    ``{i: predicate}`` invalidates a match when an event satisfying
+    the predicate lies STRICTLY between the stage-i and stage-(i+1)
+    events — "view then purchase with no error in between".  Each
+    entry is one more expression in the shared WindowExec plus a
+    filter on the corresponding chain join.
     """
     n = len(stages)
     if n < 2:
         raise ValueError("a sequence needs at least two stages")
+    forbid = forbid or {}
+    if any(i < 1 or i >= n for i in forbid):
+        raise ValueError(f"forbid keys must be gap indexes 1..{n - 1}")
 
     base = events.select(
         F.col(by).alias("k"),
@@ -81,6 +92,7 @@ def sequence_matches(
         F.col(id_col).alias("id"),
         *[s.alias(f"f{i + 1}") for i, s in enumerate(stages)],
         *([until.alias("fu")] if until is not None else []),
+        *[p.alias(f"fb{i}") for i, p in forbid.items()],
     )
     wo = Window.partitionBy("k").orderBy("ts", "id")
     base = base.withColumn("rn", F.row_number().over(wo))
@@ -102,6 +114,12 @@ def sequence_matches(
             if until is not None
             else []
         ),
+        *[
+            F.min(F.when(F.col(f"fb{i}"), F.col("rn")))
+            .over(wf)
+            .alias(f"nf{i}")
+            for i in forbid
+        ],
     ).cache()
 
     seq = base.filter(F.col("f1")).select(
@@ -109,6 +127,7 @@ def sequence_matches(
         F.col("ts").alias("ts_1"),
         F.col("id").alias("id_1"),
         *([F.col("nxu").alias("_until_rn")] if until is not None else []),
+        *([F.col("nf1").alias("_nf1")] if 1 in forbid else []),
         F.col("nx2").alias("_want"),
     )
     for i in range(2, n + 1):
@@ -120,10 +139,20 @@ def sequence_matches(
                       F.col("id").alias(f"id_{i}")]
         if i < n:
             right_cols.append(F.col(f"nx{i + 1}").alias("_next"))
+            if i in forbid:
+                right_cols.append(F.col(f"nf{i}").alias(f"_nf{i}"))
         elif until is not None:
             right_cols.append(F.col("rn").alias("_rn_last"))
         right = base.filter(F.col(f"f{i}")).select(*right_cols)
-        seq = seq.join(right, ["k", "_want"]).drop("_want")
+        seq = seq.join(right, ["k", "_want"])
+        if (i - 1) in forbid:
+            # no forbidden event strictly between stage i-1 and stage
+            # i: the first one after stage i-1 must be at/after rn_i
+            seq = seq.filter(
+                F.col(f"_nf{i - 1}").isNull()
+                | (F.col(f"_nf{i - 1}") >= F.col("_want"))
+            ).drop(f"_nf{i - 1}")
+        seq = seq.drop("_want")
         if i < n:
             seq = seq.withColumnRenamed("_next", "_want")
 
@@ -155,17 +184,22 @@ def sequence_matches_sql(
     maxspan_s: float | None = None,
     select: str | None = None,
     until_pred: str | None = None,
+    forbid_preds: dict[int, str] | None = None,
 ) -> str:
     """The ANSI-SQL mirror of :func:`sequence_matches` (same window
-    construction, same greedy pointer chase, same until-expiry rule)
-    for DuckDB oracles.  ``stage_preds`` / ``until_pred`` are SQL
-    boolean expressions over ``table``."""
+    construction, same greedy pointer chase, same until-expiry and
+    per-gap forbid rules) for DuckDB oracles.  ``stage_preds`` /
+    ``until_pred`` / ``forbid_preds`` are SQL boolean expressions
+    over ``table``."""
     n = len(stage_preds)
+    forbid_preds = forbid_preds or {}
     flag_cols = ",\n    ".join(
         f"({p}) AS f{i + 1}" for i, p in enumerate(stage_preds)
     )
     if until_pred is not None:
         flag_cols += f",\n    ({until_pred}) AS fu"
+    for i, p in forbid_preds.items():
+        flag_cols += f",\n    ({p}) AS fb{i}"
     wspec = (
         "(PARTITION BY k ORDER BY ts, id "
         "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
@@ -178,7 +212,13 @@ def sequence_matches_sql(
         nx_cols += (
             f",\n    min(CASE WHEN fu THEN rn END) OVER {wspec} AS nxu"
         )
+    for i in forbid_preds:
+        nx_cols += (
+            f",\n    min(CASE WHEN fb{i} THEN rn END) OVER {wspec} AS nf{i}"
+        )
     u1 = ", nxu AS until_rn" if until_pred is not None else ""
+    if 1 in forbid_preds:
+        u1 += ", nf1"
     sql = f"""WITH ev AS (
   SELECT {by} AS k, {order_col} AS ts, {id_col} AS id,
     {flag_cols},
@@ -198,15 +238,23 @@ s1 AS (
     for i in range(2, n + 1):
         if i < n:
             nxt = f", r.nx{i + 1} AS want"
+            if i in forbid_preds:
+                nxt += f", r.nf{i}"
         elif until_pred is not None:
             nxt = ", r.rn AS rn_last"
         else:
             nxt = ""
+        gap = (
+            f"\n    AND ({prev}.nf{i - 1} IS NULL"
+            f" OR {prev}.nf{i - 1} >= r.rn)"
+            if (i - 1) in forbid_preds
+            else ""
+        )
         sql += f""",
 s{i} AS (
   SELECT {prev}.* EXCLUDE (want), r.ts AS ts_{i}, r.id AS id_{i}{nxt}
   FROM {prev} JOIN ptr r ON r.k = {prev}.k AND r.rn = {prev}.want
-  WHERE r.f{i}
+  WHERE r.f{i}{gap}
 )"""
         prev = f"s{i}"
     conds = []

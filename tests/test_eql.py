@@ -227,6 +227,73 @@ class TestSequenceMatches:
         ).collect()
         assert len(out) == 1
 
+    def test_forbid_kills_match_with_event_in_gap(self, spark):
+        rows = [
+            (1, "u", "view", 0),
+            (2, "u", "err", 5),
+            (3, "u", "buy", 10),
+            (4, "v", "view", 0),
+            (5, "v", "buy", 10),
+            (6, "v", "err", 20),  # after completion: harmless
+        ]
+        ev = _ev(spark, rows)
+        et = F.col("event_type")
+        out = sequence_matches(
+            ev,
+            by="user_id",
+            stages=[et == "view", et == "buy"],
+            forbid={1: et == "err"},
+        ).collect()
+        assert [r["user_id"] for r in out] == ["v"]
+
+    def test_forbid_is_per_gap_not_global(self, spark):
+        # err between stages 2 and 3 only; forbidding gap 1 leaves
+        # the match alive, forbidding gap 2 kills it
+        rows = [
+            (1, "u", "a", 0),
+            (2, "u", "b", 5),
+            (3, "u", "err", 7),
+            (4, "u", "c", 10),
+        ]
+        ev = _ev(spark, rows)
+        et = F.col("event_type")
+        stages = [et == "a", et == "b", et == "c"]
+        alive = sequence_matches(
+            ev, by="user_id", stages=stages, forbid={1: et == "err"}
+        ).count()
+        dead = sequence_matches(
+            ev, by="user_id", stages=stages, forbid={2: et == "err"}
+        ).count()
+        assert (alive, dead) == (1, 0)
+
+    def test_forbid_strictly_between(self, spark):
+        # the stage event itself matching the forbid predicate does
+        # not kill the match ("between" is strict)
+        rows = [
+            (1, "u", "a", 0),
+            (2, "u", "b_err", 5),
+        ]
+        ev = _ev(spark, rows)
+        et = F.col("event_type")
+        out = sequence_matches(
+            ev,
+            by="user_id",
+            stages=[et == "a", et.contains("b")],
+            forbid={1: et.contains("err")},
+        ).count()
+        assert out == 1
+
+    def test_forbid_bad_gap_raises(self, spark):
+        ev = _ev(spark, [(1, "u", "a", 0)])
+        et = F.col("event_type")
+        with pytest.raises(ValueError, match="gap indexes"):
+            sequence_matches(
+                ev,
+                by="user_id",
+                stages=[et == "a", et == "b"],
+                forbid={2: et == "x"},
+            )
+
     def test_requires_two_stages(self, spark):
         with pytest.raises(ValueError):
             sequence_matches(
