@@ -190,13 +190,19 @@ _AGG_FNS = {
 
 
 def _agg_expr(spec: str) -> tuple[str, str]:
-    """``name = FUNC(args)`` or bare ``FUNC(args)`` → (alias, spark
-    sql agg expr)."""
+    """``name = FUNC(args) [WHERE cond]`` or bare ``FUNC(args)`` →
+    (alias, spark sql agg expr).  The trailing WHERE is ES|QL's
+    per-aggregate filter, compiled to SQL's ``FILTER (WHERE ...)`` —
+    still one pass, still map-side partial."""
     m = re.match(r"^\s*([A-Za-z_][\w.]*)\s*=\s*(.+)$", spec, re.DOTALL)
     if m:
         alias, call = m.group(1), m.group(2).strip()
     else:
         alias, call = None, spec.strip()
+    filt = None
+    wm = re.match(r"^(.*\))\s+WHERE\s+(.+)$", call, re.DOTALL | re.IGNORECASE)
+    if wm:
+        call, filt = wm.group(1).strip(), wm.group(2).strip()
     cm = re.match(r"^([A-Za-z_]\w*)\s*\((.*)\)$", call, re.DOTALL)
     if not cm:
         raise EsqlError(f"STATS expects FUNC(...) aggregates, got {spec!r}")
@@ -224,6 +230,8 @@ def _agg_expr(spec: str) -> tuple[str, str]:
         sql = f"sort_array(collect_set({_shim_expr(args)}))"
     else:
         sql = f"{fn}({_shim_expr(args)})"
+    if filt is not None:
+        sql = f"{sql} FILTER (WHERE {_shim_expr(filt)})"
     if alias is None:
         alias = re.sub(r"\W+", "_", call.strip()).strip("_").lower()
     return alias, sql

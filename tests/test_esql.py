@@ -340,3 +340,27 @@ class TestMatch:
             {"docs": docs},
         ).collect()
         assert out == []
+
+
+class TestStatsWhere:
+    def test_per_agg_filter(self, spark, ev):
+        out = run(
+            spark, ev,
+            'FROM events | STATS total = COUNT(*),'
+            ' errs = COUNT(*) WHERE event_type == "error",'
+            ' err_val = SUM(value) WHERE event_type == "error"',
+        ).collect()[0]
+        assert out["total"] == 60
+        assert out["errs"] == 20
+        # value=10i%70 over i=2,5,8,...,59 (event_type error at i%3==2)
+        expect = sum(10 * i % 70 for i in range(60) if i % 3 == 2)
+        assert out["err_val"] == float(expect)
+
+    def test_filter_with_by(self, spark, ev):
+        out = run(
+            spark, ev,
+            "FROM events | STATS big = COUNT(*) WHERE value > 30"
+            " BY event_type | SORT event_type",
+        ).collect()
+        assert [r["event_type"] for r in out] == ["click", "error", "view"]
+        assert all(0 < r["big"] < 20 for r in out)
