@@ -9276,6 +9276,38 @@ def q_eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.ngram_contamination):
+    trigram overlap between the corpus and a 1-in-25 'benchmark'
+    slice of it, reported at min_shared=3."""
+    from ics_search_engine_spark.operators.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return ngram_contamination(docs, bench, n=3, min_shared=3)
+
+
+_SQL_NGRAM_CONTAMINATION = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> {_sql_md5_32("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+         ))) AS h
+  FROM t WHERE len(toks) >= 3
+)
+SELECT d.doc_id AS doc_id, b.bench_id, count(*) AS n_shared
+FROM g d
+JOIN (SELECT doc_id AS bench_id, h FROM g WHERE doc_id % 25 = 0) b
+  ON d.h = b.h
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY n_shared DESC, doc_id, bench_id
+"""
+
+
 def q_eql_forbid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQL per-gap negation (operators/eql.sequence_matches with
     forbid): view then purchase with NO error strictly between."""
@@ -9707,6 +9739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eql_sequence": q_eql_sequence,
     "eql_until": q_eql_until,
     "eql_forbid": q_eql_forbid,
+    "ngram_contamination": q_ngram_contamination,
     "categorize_text_agg": q_categorize_text,
     "change_point_agg": q_change_point,
     "esql_stats": q_esql_stats,
@@ -9880,6 +9913,7 @@ ORACLE_SQL: dict[str, str] = {
     "eql_sequence": _SQL_EQL_SEQUENCE,
     "eql_until": _SQL_EQL_UNTIL,
     "eql_forbid": _SQL_EQL_FORBID,
+    "ngram_contamination": _SQL_NGRAM_CONTAMINATION,
     "categorize_text_agg": _SQL_CATEGORIZE_TEXT,
     "change_point_agg": _SQL_CHANGE_POINT,
     "esql_stats": _SQL_ESQL_STATS,

@@ -314,3 +314,77 @@ def ngram_jaccard_pairs(
         "a_conv_id", "a_turn_idx", "b_conv_id", "b_turn_idx",
         jac.alias("jaccard"),
     ).filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def _shingle_hashes(text_col: str, n: int) -> Column:
+    """Distinct 32-bit md5 hashes of n-token shingles (reference
+    tokenization: lowercase, split non-alphanumeric, drop len<2) —
+    the same hash family as rolling_fingerprint / minhash."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: F.length(x) > 1,
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, i + j + 1) for j in range(n)],
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: which training documents share
+    n-token shingles with an evaluation set?  The standard LLM-corpus
+    hygiene pass (e.g. GPT-3's 13-gram dedup against benchmarks) —
+    reference engine has no analog; this is training-pipeline
+    tooling over the same shingle family as the near-dup operators.
+
+    Dataflow: distinct shingle hashes explode on BOTH sides; the
+    benchmark side (eval sets are dimension-sized by definition) is
+    BROADCAST, so the corpus side never shuffles for the join — the
+    only exchange is the (doc, bench) partial-aggregated count.
+    Output: (doc_id, bench_id, n_shared) with n_shared >= min_shared,
+    ordered (n_shared desc, doc_id, bench_id).  A doc appearing in
+    both tables reports itself maximally contaminated — by design
+    (that IS the leak).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingle_hashes(text_col, n)).alias("h"),
+    )
+    bg = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(_shingle_hashes(bench_text_col, n)).alias("h"),
+    )
+    return (
+        dg.join(F.broadcast(bg), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy(F.desc("n_shared"), F.asc("doc_id"), F.asc("bench_id"))
+    )

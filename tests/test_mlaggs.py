@@ -168,3 +168,63 @@ class TestVariableWidthHistogram:
         df = spark.createDataFrame([(1.0,)], "v double")
         with pytest.raises(ValueError):
             variable_width_histogram(df, "v", 0)
+
+
+class TestNgramContamination:
+    def test_hand_case(self, spark):
+        from ics_search_engine_spark.operators.dedup import (
+            ngram_contamination,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over dogs"),
+                (1, "quick brown fox somewhere else entirely"),
+                (2, "nothing in common at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "quick brown fox jumps high")],
+            "bench_id long, text string",
+        )
+        out = ngram_contamination(docs, bench, n=3, min_shared=1).collect()
+        got = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in out}
+        # tokens drop nothing here (all len>=2, lowercase);
+        # doc0 shares 'quick brown fox' + 'brown fox jumps';
+        # doc1 shares 'quick brown fox'; doc2 nothing
+        assert got == {(0, 100): 2, (1, 100): 1}
+
+    def test_short_docs_produce_no_shingles(self, spark):
+        from ics_search_engine_spark.operators.dedup import (
+            ngram_contamination,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "too short")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(1, "too short")], "bench_id long, text string"
+        )
+        assert (
+            ngram_contamination(docs, bench, n=3, min_shared=1).count() == 0
+        )
+
+    def test_min_shared_threshold(self, spark):
+        from ics_search_engine_spark.operators.dedup import (
+            ngram_contamination,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "aa bb cc dd ee")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(1, "aa bb cc dd zz")], "bench_id long, text string"
+        )
+        # shares 'aa bb cc' and 'bb cc dd' = 2 shingles
+        assert (
+            ngram_contamination(docs, bench, n=3, min_shared=3).count() == 0
+        )
+        assert (
+            ngram_contamination(docs, bench, n=3, min_shared=2).count() == 1
+        )
