@@ -9582,6 +9582,142 @@ FROM t GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/datapipe.
+    pack_sequences): the corpus as one token stream in doc_id order,
+    cut into 512-token training windows; per-window packing report.
+    The global prefix-sum is the docmap two-phase shape — one range
+    shuffle, O(partitions) driver longs, NO single-partition window."""
+    from ics_search_engine_spark.operators.datapipe import (
+        chunk_stats,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(toks_col()).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, capacity=512)
+    return chunk_stats(packed, capacity=512).orderBy("chunk_id")
+
+
+_SQL_PACK_CHUNKS = f"""
+WITH t AS (SELECT doc_id, len({_SQL_TOKS}) AS n FROM documents),
+o AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) - n AS off FROM t),
+p AS (SELECT off // 512 AS chunk_id, n,
+             CASE WHEN off % 512 + n > 512 THEN 1 ELSE 0 END AS sp
+      FROM o)
+SELECT chunk_id, count(*) AS n_docs, sum(n) AS n_tokens,
+       sum(sp) AS n_spanning, round(sum(n) / 512.0, 6) AS fill_r6
+FROM p GROUP BY chunk_id ORDER BY chunk_id
+"""
+
+
+# per-stratum sampling rates for the gate; thresholds derive from the
+# SAME int(frac * 2^32) expression on both sides
+_SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-rate stratified sampling (operators/datapipe.
+    stratified_sample): per-language keep rates, md5-threshold
+    decision — a single Filter, no shuffle; a row's fate is stable
+    under corpus growth."""
+    from ics_search_engine_spark.operators.datapipe import stratified_sample
+
+    return (
+        stratified_sample(
+            _docs(spark, sf_dir), "doc_id", _SAMPLE_FRACS, strata_col="lang"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_sql_md5_32("doc_id::VARCHAR")} < CASE lang
+    WHEN 'de' THEN {int(_SAMPLE_FRACS["de"] * (1 << 32))}
+    WHEN 'en' THEN {int(_SAMPLE_FRACS["en"] * (1 << 32))}
+    WHEN 'fr' THEN {int(_SAMPLE_FRACS["fr"] * (1 << 32))}
+    ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion data mixing (operators/datapipe.mix_sources):
+    downsample to a 3:1 en:de mix, as large as the scarcest side
+    allows — integer-ratio math, deterministic hash-rank selection."""
+    from ics_search_engine_spark.operators.datapipe import mix_sources
+
+    return (
+        mix_sources(_docs(spark, sf_dir), "lang", {"en": 3, "de": 1}, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_MIX_SOURCES = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n,
+         CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 1 END AS p
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+),
+u AS (SELECT min(n // p) AS u FROM c),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_md5_32("doc_id::VARCHAR")}, doc_id) AS rk
+  FROM documents WHERE lang IN ('en', 'de')
+)
+SELECT doc_id, lang FROM r, u
+WHERE rk <= (CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 1 END) * u.u
+ORDER BY doc_id
+"""
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline attrition report (operators/datapipe.
+    filter_funnel): three ordered quality gates; each row is charged
+    to the FIRST stage it fails.  One projection + one tiny agg."""
+    from ics_search_engine_spark.operators.datapipe import filter_funnel
+
+    docs = _docs(spark, sf_dir).withColumn("n_toks", F.size(toks_col()))
+    return filter_funnel(
+        docs,
+        [
+            ("min_tokens", F.col("n_toks") >= 10),
+            ("known_lang", F.col("lang").isin("en", "de", "es", "fr")),
+            ("short_enough", F.col("n_chars") <= 400),
+        ],
+    ).orderBy("stage_idx")
+
+
+_SQL_FILTER_FUNNEL = f"""
+WITH f AS (
+  SELECT CASE
+    WHEN NOT (len({_SQL_TOKS}) >= 10) THEN 0
+    WHEN NOT (lang IN ('en', 'de', 'es', 'fr')) THEN 1
+    WHEN NOT (n_chars <= 400) THEN 2
+    ELSE 3 END AS fail
+  FROM documents),
+d AS (SELECT fail, count(*) AS n FROM f GROUP BY fail),
+st AS (SELECT * FROM (VALUES (0, 'min_tokens'), (1, 'known_lang'),
+                             (2, 'short_enough')) AS v(stage_idx, stage_name)),
+j AS (SELECT st.stage_idx, st.stage_name, coalesce(d.n, 0) AS dropped
+      FROM st LEFT JOIN d ON d.fail = st.stage_idx),
+k AS (SELECT stage_idx, stage_name, dropped,
+        (SELECT count(*) FROM documents)
+        - coalesce(sum(dropped) OVER (ORDER BY stage_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+      FROM j)
+SELECT stage_idx, stage_name, n_in, n_in - dropped AS n_kept,
+       dropped AS n_dropped
+FROM k ORDER BY stage_idx
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -9747,6 +9883,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_test_agg": q_ks_test,
     "bucket_correlation_agg": q_bucket_correlation,
     "variable_width_histo": q_variable_width_histogram,
+    "pack_chunks": q_pack_chunks,
+    "stratified_sample": q_stratified_sample,
+    "mix_sources": q_mix_sources,
+    "filter_funnel": q_filter_funnel,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -9921,4 +10061,8 @@ ORACLE_SQL: dict[str, str] = {
     "ks_test_agg": _SQL_KS_TEST,
     "bucket_correlation_agg": _SQL_BUCKET_CORRELATION,
     "variable_width_histo": _SQL_VARIABLE_WIDTH_HISTOGRAM,
+    "pack_chunks": _SQL_PACK_CHUNKS,
+    "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+    "mix_sources": _SQL_MIX_SOURCES,
+    "filter_funnel": _SQL_FILTER_FUNNEL,
 }

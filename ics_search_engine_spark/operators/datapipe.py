@@ -1,0 +1,313 @@
+"""Training-data pipeline operators: sequence packing, deterministic
+sampling, source mixing, and filter-funnel accounting.
+
+These are the dataset-preparation verbs a large-scale LLM training
+pipeline runs over a cleaned corpus — downstream of the dedup /
+quality / language-ID family (operators/dedup.py, textstats.py) and
+upstream of the trainer.  None exists in the reference engine (its
+corpus prep stops at crawl + index, /root/reference/indexer.py); they
+are first-class here per the build brief's training-pipeline mandate.
+
+Every operator is deterministic (a pure function of the data — the
+same discipline as docmap.assign_doc_ordinals; no Math.random, no
+mutable counters), and every randomized-in-spirit choice (sampling,
+mixing) is driven by the md5-based 32-bit hash that the DuckDB gates
+reproduce bit-for-bit (entry_queries.md5_32).
+
+Scale notes per operator:
+
+* ``pack_sequences`` needs a GLOBAL token prefix-sum in corpus order.
+  A ``sum() OVER (ORDER BY ...)`` window collapses to one partition —
+  unusable at 10^12 turns — so it reuses the docmap two-phase shape:
+  range-shuffle on the order key, per-partition token SUBTOTALS to the
+  driver (O(partitions) longs), then a mapInPandas local cumsum with
+  the partition's exclusive offset added.  One shuffle total.
+* ``stratified_sample`` / ``sample_quota`` / ``mix_sources`` are one
+  filter (rate form — no shuffle at all, fully pushdown-friendly) or
+  one per-stratum window (quota form — shuffles on the stratum key;
+  strata are few and balanced by construction, and the window's sort
+  is per-stratum, never global).
+* ``filter_funnel`` is a single scan + one tiny agg: the per-row
+  first-failing-stage index folds all predicates in one projection,
+  so adding stages never adds passes over the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+HASH_SPACE = 1 << 32  # md5_32 range
+
+
+def md5_32(col: Column) -> Column:
+    """First 8 hex digits of md5 as a long in [0, 2^32) — identical in
+    DuckDB as ``('0x' || substr(md5(x), 1, 8))::BIGINT`` (the same
+    convention as entry_queries.md5_32, repeated here so the operator
+    module has no import edge into the gate module)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# --------------------------------------------------------------- packing
+
+
+def _with_global_offset(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = exclusive global prefix-sum of ``value_col``
+    in ascending ``order_cols`` order.  Two-phase (range shuffle +
+    per-partition subtotal collect + local cumsum): the driver sees one
+    long per partition, never rows.  Deterministic: the offset is a
+    rank-like pure function of the data, independent of the range
+    partitioner's sampled boundaries."""
+    order_cols = list(order_cols)
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *order_cols)
+    else:
+        ranged = df.repartitionByRange(*order_cols)
+    ranged = ranged.sortWithinPartitions(*order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+
+    subtotals = {
+        r["_pid"]: r["s"]
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += int(subtotals[pid] or 0)
+
+    out_schema = with_pid.drop("_pid").schema.add(out_col, "long")
+
+    def add_off(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = None
+        running = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            vals = pdf[value_col].astype("int64")
+            # exclusive prefix: shift the cumsum right by one element
+            cs = vals.cumsum()
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[out_col] = base + running + cs - vals
+            running += int(cs.iloc[-1])
+            yield pdf
+
+    return with_pid.mapInPandas(add_off, schema=out_schema)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    tokens_col: str = "n_tokens",
+    order_cols: Sequence[str] = ("doc_id",),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out as one
+    token stream in ``order_cols`` order and cut it into training
+    windows of exactly ``capacity`` tokens (the standard LLM-pretraining
+    packing — documents span chunk boundaries rather than padding).
+
+    Returns the input plus:
+      * ``token_offset``  — the doc's first token's global position;
+      * ``chunk_id``      — the window holding that first token;
+      * ``chunk_pos``     — position within the window;
+      * ``spans_boundary``— true iff the doc crosses into chunk_id+1
+                            (or further: a doc longer than capacity).
+
+    Deterministic and cluster-size-independent: offsets are ranks.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    out = _with_global_offset(
+        docs, order_cols, tokens_col, out_col="token_offset",
+        num_partitions=num_partitions,
+    )
+    off = F.col("token_offset")
+    return (
+        out.withColumn("chunk_id", (off / capacity).cast("long"))
+        .withColumn("chunk_pos", off % capacity)
+        .withColumn(
+            "spans_boundary",
+            (F.col("chunk_pos") + F.col(tokens_col)) > capacity,
+        )
+    )
+
+
+def chunk_stats(packed: DataFrame, capacity: int,
+                tokens_col: str = "n_tokens") -> DataFrame:
+    """Per-chunk packing report over ``pack_sequences`` output:
+    docs starting in the chunk, tokens contributed by those docs
+    (spill into later chunks counts here — Σ n_tokens is preserved),
+    and the chunk's nominal fill ratio vs capacity."""
+    return (
+        packed.groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tokens_col).alias("n_tokens"),
+            F.sum(F.col("spans_boundary").cast("int")).alias("n_spanning"),
+        )
+        .withColumn(
+            "fill_r6",
+            F.round(F.col("n_tokens") / F.lit(float(capacity)), 6),
+        )
+    )
+
+
+# -------------------------------------------------------------- sampling
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | float,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic rate-based sampling: keep a row iff
+    ``md5_32(key) < floor(fraction * 2^32)``, with the fraction chosen
+    per stratum when ``fractions`` is a dict (strata absent from the
+    dict are dropped — rate 0).
+
+    The decision is a pure function of the row's key — stable across
+    runs, cluster sizes, AND corpus growth (a row's fate never changes
+    when other rows are added, unlike rank-based quota sampling).
+    Plan shape: a single Filter over the scan — no shuffle, and the
+    hash predicate sits behind any pushed column pruning."""
+    h = md5_32(F.col(key_col).cast("string"))
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("strata_col required with per-stratum fractions")
+        thr = None
+        for value, frac in sorted(fractions.items()):
+            t = int(frac * HASH_SPACE)
+            cond = F.col(strata_col) == value
+            thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        thr = thr.otherwise(F.lit(0))
+    else:
+        thr = F.lit(int(float(fractions) * HASH_SPACE))
+    return df.filter(h < thr)
+
+
+def sample_quota(
+    df: DataFrame,
+    key_col: str,
+    n_per_stratum: int,
+    strata_cols: Sequence[str],
+) -> DataFrame:
+    """Exactly-n-per-stratum sampling: rank rows within each stratum by
+    (md5_32(key), key) and keep rank <= n.  The hash order is a
+    deterministic shuffle of each stratum; the key tiebreak pins hash
+    collisions.  One exchange on the stratum key; the sort is
+    per-stratum."""
+    from pyspark.sql.window import Window
+
+    h = md5_32(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    parts: dict[str, int],
+    key_col: str,
+) -> DataFrame:
+    """Exact-proportion source mixing: downsample so the output contains
+    sources in the integer ratio ``parts`` (e.g. {'web': 5, 'wiki': 1}),
+    as large as the scarcest source allows.
+
+    take_s = parts[s] * U  with  U = min_s floor(n_s / parts[s]) —
+    pure integer math, so the oracle reproduces counts exactly (no
+    float-boundary rounding).  Within each source the kept rows are the
+    ``take_s`` smallest by (md5_32(key), key): a deterministic uniform
+    subsample.  Sources absent from ``parts`` are dropped.
+
+    Cost: one tiny count agg (collect of |sources| rows) + one
+    per-source window — the same shuffle count as sample_quota.
+    """
+    if not parts or any(p <= 0 for p in parts.values()):
+        raise ValueError("parts must be positive integers per kept source")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.filter(F.col(source_col).isin(list(parts)))
+        .groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    u = min(counts.get(s, 0) // p for s, p in parts.items())
+    takes = {s: p * u for s, p in parts.items()}
+
+    from pyspark.sql.window import Window
+
+    h = md5_32(F.col(key_col).cast("string"))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(key_col).asc())
+    quota = None
+    for s, t in sorted(takes.items()):
+        cond = F.col(source_col) == s
+        quota = F.when(cond, t) if quota is None else quota.when(cond, t)
+    quota = quota.otherwise(F.lit(0))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def filter_funnel(
+    docs: DataFrame,
+    stages: Sequence[tuple[str, Column]],
+) -> DataFrame:
+    """Sequential filter-pipeline accounting: apply named predicates in
+    order and report, per stage, how many rows entered, survived, and
+    were dropped THERE (a row is charged to the FIRST stage it fails —
+    the attrition semantics of a real cleaning pipeline report).
+
+    One projection computes each row's first-failing stage index; one
+    small groupBy turns that into the report.  Returns
+    (stage_idx, stage_name, n_in, n_kept, n_dropped) ordered by stage.
+    """
+    if not stages:
+        raise ValueError("filter_funnel needs at least one stage")
+    fail_idx = F.lit(len(stages))
+    for i in range(len(stages) - 1, -1, -1):
+        fail_idx = F.when(~stages[i][1], F.lit(i)).otherwise(fail_idx)
+    per_stage = (
+        docs.select(fail_idx.alias("_fail"))
+        .groupBy("_fail")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    dropped_at = {int(r["_fail"]): r["n"] for r in per_stage}
+    total = sum(dropped_at.values())
+    rows = []
+    n_in = total
+    for i, (name, _) in enumerate(stages):
+        d = dropped_at.get(i, 0)
+        rows.append((i, name, n_in, n_in - d, d))
+        n_in -= d
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "stage_idx int, stage_name string, n_in long, n_kept long, "
+        "n_dropped long",
+    )

@@ -1,0 +1,169 @@
+"""Training-data pipeline operators (operators/datapipe)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ics_search_engine_spark.operators.datapipe import (
+    HASH_SPACE,
+    chunk_stats,
+    filter_funnel,
+    mix_sources,
+    pack_sequences,
+    sample_quota,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """120 docs with deterministic token counts, 3 sources, 2 langs."""
+    rows = [
+        (
+            i,
+            ["src_a", "src_b", "src_c"][i % 3],
+            ["en", "de"][i % 2],
+            (i * 37) % 90 + 10,  # n_tokens in [10, 99]
+        )
+        for i in range(120)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_tokens long"
+    ).repartition(7)
+
+
+class TestPackSequences:
+    def test_offsets_are_exclusive_prefix_sums(self, docs):
+        out = pack_sequences(docs, capacity=256).orderBy("doc_id").collect()
+        acc = 0
+        for r in out:
+            assert r["token_offset"] == acc
+            assert r["chunk_id"] == acc // 256
+            assert r["chunk_pos"] == acc % 256
+            assert r["spans_boundary"] == (acc % 256 + r["n_tokens"] > 256)
+            acc += r["n_tokens"]
+
+    def test_partition_count_invariance(self, docs):
+        a = pack_sequences(docs, 256, num_partitions=2).orderBy("doc_id")
+        b = pack_sequences(docs, 256, num_partitions=9).orderBy("doc_id")
+        assert [r.asDict() for r in a.collect()] == [
+            r.asDict() for r in b.collect()
+        ]
+
+    def test_chunk_stats_preserve_token_mass(self, docs):
+        packed = pack_sequences(docs, capacity=256)
+        stats = chunk_stats(packed, capacity=256)
+        total = docs.agg(F.sum("n_tokens")).first()[0]
+        got = stats.agg(
+            F.sum("n_tokens"), F.sum("n_docs"), F.max("chunk_id")
+        ).first()
+        assert got[0] == total
+        assert got[1] == 120
+        assert got[2] == (total - 1) // 256 or got[2] >= 0
+
+    def test_no_single_partition_exchange(self, docs):
+        plan = pack_sequences(docs, 256)._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "rangepartitioning" in plan.lower()
+
+    def test_bad_capacity(self, docs):
+        with pytest.raises(ValueError):
+            pack_sequences(docs, 0)
+
+
+class TestStratifiedSample:
+    def test_rate_nesting_and_determinism(self, docs):
+        lo = stratified_sample(docs, "doc_id", 0.2)
+        hi = stratified_sample(docs, "doc_id", 0.6)
+        lo_ids = {r["doc_id"] for r in lo.collect()}
+        hi_ids = {r["doc_id"] for r in hi.collect()}
+        assert lo_ids <= hi_ids  # thresholds nest
+        assert lo_ids == {r["doc_id"] for r in lo.collect()}  # stable
+        assert 0 < len(lo_ids) < len(hi_ids) < 120
+
+    def test_per_stratum_rates_drop_unlisted(self, docs):
+        out = stratified_sample(
+            docs, "doc_id", {"en": 1.0, "de": 0.3}, strata_col="lang"
+        )
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_lang.get("en") == 60  # rate 1.0 keeps all
+        assert 0 < by_lang.get("de", 0) < 60
+
+    def test_requires_strata_col_for_dict(self, docs):
+        with pytest.raises(ValueError):
+            stratified_sample(docs, "doc_id", {"en": 0.5})
+
+    def test_growth_stability(self, spark, docs):
+        """A row's fate is independent of the rest of the corpus."""
+        kept_small = {
+            r["doc_id"]
+            for r in stratified_sample(
+                docs.filter("doc_id < 40"), "doc_id", 0.5
+            ).collect()
+        }
+        kept_full = {
+            r["doc_id"]
+            for r in stratified_sample(docs, "doc_id", 0.5).collect()
+        }
+        assert kept_small == {i for i in kept_full if i < 40}
+
+
+class TestSampleQuota:
+    def test_exact_counts(self, docs):
+        out = sample_quota(docs, "doc_id", 7, ["source", "lang"])
+        counts = out.groupBy("source", "lang").agg(F.count("*").alias("n"))
+        assert all(r["n"] == 7 for r in counts.collect())
+        assert counts.count() == 6
+
+    def test_deterministic(self, docs):
+        a = {r["doc_id"] for r in sample_quota(docs, "doc_id", 5, ["source"]).collect()}
+        b = {r["doc_id"] for r in sample_quota(docs, "doc_id", 5, ["source"]).collect()}
+        assert a == b and len(a) == 15
+
+
+class TestMixSources:
+    def test_exact_ratio_scarcest_bound(self, docs):
+        # 40 docs per source; parts 3:1 -> U = min(40//3, 40//1) = 13
+        out = mix_sources(docs, "source", {"src_a": 3, "src_b": 1}, "doc_id")
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"src_a": 39, "src_b": 13}
+
+    def test_drops_unlisted_sources(self, docs):
+        out = mix_sources(docs, "source", {"src_a": 1}, "doc_id")
+        assert out.filter(F.col("source") != "src_a").count() == 0
+
+    def test_bad_parts(self, docs):
+        with pytest.raises(ValueError):
+            mix_sources(docs, "source", {"src_a": 0}, "doc_id")
+        with pytest.raises(ValueError):
+            mix_sources(docs, "source", {}, "doc_id")
+
+
+class TestFilterFunnel:
+    def test_attrition_chain(self, docs):
+        stages = [
+            ("long_enough", F.col("n_tokens") >= 30),
+            ("english", F.col("lang") == "en"),
+            ("src_ab", F.col("source") != "src_c"),
+        ]
+        rep = {r["stage_name"]: r.asDict() for r in filter_funnel(docs, stages).collect()}
+        # manual chain
+        s1 = docs.filter(stages[0][1])
+        s2 = s1.filter(stages[1][1])
+        s3 = s2.filter(stages[2][1])
+        assert rep["long_enough"]["n_in"] == 120
+        assert rep["long_enough"]["n_kept"] == s1.count()
+        assert rep["english"]["n_in"] == s1.count()
+        assert rep["english"]["n_kept"] == s2.count()
+        assert rep["src_ab"]["n_kept"] == s3.count()
+        for r in rep.values():
+            assert r["n_in"] - r["n_kept"] == r["n_dropped"]
+
+    def test_empty_stages_rejected(self, docs):
+        with pytest.raises(ValueError):
+            filter_funnel(docs, [])
