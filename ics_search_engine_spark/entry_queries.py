@@ -9582,6 +9582,93 @@ FROM t GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL INLINESTATS (operators/esql._cmd_inlinestats): join the
+    per-user average back to every event, keep rows above it, count
+    by type — one window exchange, no self-join."""
+    from ics_search_engine_spark.operators.esql import esql_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pipe = """FROM events
+| INLINESTATS user_avg = AVG(value) BY user_id
+| WHERE value > user_avg
+| STATS n = COUNT(*) BY event_type
+| SORT event_type ASC"""
+    return esql_query(spark, pipe, {"events": ev})
+
+
+_SQL_ESQL_INLINESTATS = """
+WITH t AS (
+  SELECT event_type, value,
+         avg(value) OVER (PARTITION BY user_id) AS user_avg
+  FROM events
+)
+SELECT event_type, count(*) AS n FROM t
+WHERE value > user_avg
+GROUP BY event_type ORDER BY event_type ASC
+"""
+
+
+def q_esql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL LOOKUP JOIN (operators/esql._cmd_lookup_join): documents
+    against a per-language dimension (built from the same table), the
+    lookup side broadcast."""
+    from ics_search_engine_spark.operators.esql import esql_query
+
+    docs = _docs(spark, sf_dir)
+    dim = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    pipe = """FROM documents
+| LOOKUP JOIN lang_dim ON lang
+| WHERE n_chars > 200
+| STATS n = COUNT(*), lang_docs = MAX(lang_docs) BY lang
+| SORT lang ASC"""
+    return esql_query(spark, pipe, {"documents": docs, "lang_dim": dim})
+
+
+_SQL_ESQL_LOOKUP = """
+WITH dim AS (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang)
+SELECT d.lang AS lang, count(*) AS n, max(dim.lang_docs) AS lang_docs
+FROM documents d LEFT JOIN dim ON d.lang = dim.lang
+WHERE d.n_chars > 200
+GROUP BY d.lang ORDER BY d.lang ASC
+"""
+
+
+def q_esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL SAMPLE, deterministic BY form (operators/esql.
+    _cmd_sample): md5-threshold row sampling — the datapipe sampling
+    convention, reproducible in the oracle."""
+    from ics_search_engine_spark.operators.esql import esql_query
+
+    docs = _docs(spark, sf_dir)
+    pipe = """FROM documents
+| SAMPLE 0.3 BY doc_id
+| STATS n = COUNT(*) BY lang
+| SORT lang ASC"""
+    return esql_query(spark, pipe, {"documents": docs})
+
+
+_SQL_ESQL_SAMPLE = f"""
+SELECT lang, count(*) AS n FROM documents
+WHERE {_sql_md5_32("doc_id::VARCHAR")} < {int(0.3 * (1 << 32))}
+GROUP BY lang ORDER BY lang ASC
+"""
+
+
+def q_esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CHANGE_POINT command (operators/esql._cmd_change_point):
+    the hourly-count series built and analyzed in one pipe; shares
+    the change_point kernel, so the agg gate's oracle applies."""
+    from ics_search_engine_spark.operators.esql import esql_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pipe = """FROM events
+| EVAL hour = DATE_TRUNC(1 hour, ts)
+| STATS n_events = COUNT(*) BY hour
+| CHANGE_POINT n_events ON hour"""
+    return esql_query(spark, pipe, {"events": ev})
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/datapipe.
     pack_sequences): the corpus as one token stream in doc_id order,
@@ -9887,6 +9974,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
     "filter_funnel": q_filter_funnel,
+    "esql_inlinestats": q_esql_inlinestats,
+    "esql_lookup": q_esql_lookup,
+    "esql_sample": q_esql_sample,
+    "esql_change_point": q_esql_change_point,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10065,4 +10156,9 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "mix_sources": _SQL_MIX_SOURCES,
     "filter_funnel": _SQL_FILTER_FUNNEL,
+    "esql_inlinestats": _SQL_ESQL_INLINESTATS,
+    "esql_lookup": _SQL_ESQL_LOOKUP,
+    "esql_sample": _SQL_ESQL_SAMPLE,
+    # the command shares the change_point kernel and bucket prep
+    "esql_change_point": _SQL_CHANGE_POINT,
 }

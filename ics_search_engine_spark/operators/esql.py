@@ -24,8 +24,9 @@ Scalar expressions inside commands are Spark-SQL expressions plus a
 compat shim for the ES|QL spellings that differ (`==`, `!=` on
 strings, `DATE_TRUNC(1 hour, ts)`, `LIKE "wildcard*"`); the supported
 command surface is FROM, WHERE, EVAL, STATS..BY, SORT, LIMIT, KEEP,
-DROP, RENAME..AS, MV_EXPAND, DISSECT, GROK, ENRICH..ON..WITH, and
-ROW.  Unknown commands raise with the offending pipe segment.
+DROP, RENAME..AS, MV_EXPAND, DISSECT, GROK, ENRICH..ON..WITH,
+INLINESTATS..BY, LOOKUP JOIN..ON, SAMPLE, CHANGE_POINT..ON, and ROW.
+Unknown commands raise with the offending pipe segment.
 """
 
 from __future__ import annotations
@@ -497,6 +498,118 @@ def _cmd_enrich(
     )
 
 
+def _cmd_inlinestats(df: DataFrame, body: str) -> DataFrame:
+    """``INLINESTATS name = FUNC(x), ... [BY keys]`` — ES|QL's
+    join-the-aggregate-back form: every input row survives and gains
+    the group's aggregate columns.
+
+    Plan shape: with BY keys it is ONE window exchange on the keys
+    (partial aggregation doesn't apply to windows, but the shuffle is
+    the same one a STATS-then-self-join would pay — minus the join).
+    WITHOUT keys a global window would collapse to a single partition,
+    so that form instead broadcasts the one-row global aggregate and
+    cross-joins it — no shuffle of the big side at all."""
+    from pyspark.sql.window import Window
+
+    m = re.split(r"\bBY\b", body, maxsplit=1, flags=re.IGNORECASE)
+    aggs = [_agg_expr(a) for a in split_commas(m[0])]
+    for _, sql in aggs:
+        if "FILTER (WHERE" in sql:
+            raise EsqlError(
+                "INLINESTATS does not support per-aggregate WHERE"
+            )
+    if len(m) == 1:
+        one = df.agg(*[F.expr(sql).alias(alias) for alias, sql in aggs])
+        return df.crossJoin(F.broadcast(one))
+    keys = [k.strip() for k in split_commas(m[1])]
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise EsqlError(f"INLINESTATS BY: unknown columns {missing}")
+    w = Window.partitionBy(*keys)
+    for alias, sql in aggs:
+        df = df.withColumn(alias, F.expr(sql).over(w))
+    return df
+
+
+def _cmd_lookup_join(
+    df: DataFrame, body: str, tables: dict | None
+) -> DataFrame:
+    """``LOOKUP JOIN table ON field`` — left join against a lookup
+    table on the shared field name; the lookup side's columns are
+    added, OVERWRITING same-named input columns (the ES|QL contract).
+    Lookup indexes are dimension-sized by contract, so the plan is one
+    BroadcastHashJoin — the big side never shuffles."""
+    m = re.match(
+        r"^([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_][\w.]*)\s*$",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise EsqlError(
+            f"LOOKUP JOIN expects: LOOKUP JOIN table ON field, got {body!r}"
+        )
+    name, on = m.group(1), m.group(2)
+    if tables and name in tables:
+        right = tables[name]
+    else:
+        right = df.sparkSession.table(name)
+    if on not in df.columns or on not in right.columns:
+        raise EsqlError(f"LOOKUP JOIN: {on!r} must exist on both sides")
+    clobbered = [c for c in right.columns if c != on and c in df.columns]
+    return df.drop(*clobbered).join(F.broadcast(right), on, "left")
+
+
+def _cmd_sample(df: DataFrame, body: str) -> DataFrame:
+    """``SAMPLE p`` — Bernoulli row sample at probability p (Spark's
+    sample, fixed seed).  Extension: ``SAMPLE p BY col`` makes the
+    decision a pure md5-hash function of ``col`` — deterministic
+    across runs, cluster sizes, and corpus growth (the datapipe
+    sampling convention), and the form the correctness gate uses."""
+    m = re.match(
+        r"^([0-9.]+)(?:\s+BY\s+([A-Za-z_][\w.]*))?\s*$",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise EsqlError(f"SAMPLE expects: SAMPLE p [BY col], got {body!r}")
+    p = float(m.group(1))
+    if not 0.0 <= p <= 1.0:
+        raise EsqlError(f"SAMPLE probability must be in [0, 1], got {p}")
+    if m.group(2):
+        from ics_search_engine_spark.operators.datapipe import (
+            HASH_SPACE,
+            md5_32,
+        )
+
+        return df.filter(
+            md5_32(F.col(m.group(2)).cast("string"))
+            < F.lit(int(p * HASH_SPACE))
+        )
+    return df.sample(fraction=p, seed=0)
+
+
+def _cmd_change_point(df: DataFrame, body: str) -> DataFrame:
+    """``CHANGE_POINT value ON key`` — detect the strongest
+    standardized mean shift in the (key-ordered) value series; shares
+    the kernel with operators/aggs.change_point."""
+    from ics_search_engine_spark.operators.aggs import change_point
+
+    m = re.match(
+        r"^([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_][\w.]*)\s*$",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise EsqlError(
+            f"CHANGE_POINT expects: CHANGE_POINT value ON key, got {body!r}"
+        )
+    value, key = m.group(1), m.group(2)
+    missing = [c for c in (value, key) if c not in df.columns]
+    if missing:
+        raise EsqlError(f"CHANGE_POINT: unknown columns {missing}")
+    return change_point(df, key, value)
+
+
 _COMMANDS = {
     "WHERE": _cmd_where,
     "EVAL": _cmd_eval,
@@ -509,6 +622,9 @@ _COMMANDS = {
     "DISSECT": _cmd_dissect,
     "GROK": _cmd_grok,
     "LIMIT": _cmd_limit,
+    "INLINESTATS": _cmd_inlinestats,
+    "SAMPLE": _cmd_sample,
+    "CHANGE_POINT": _cmd_change_point,
 }
 
 
@@ -566,6 +682,12 @@ def esql_query(
         cmd = cm.group(1).upper() if cm else ""
         if cmd == "ENRICH":
             df = _cmd_enrich(df, cm.group(2).strip(), enrich)
+        elif cmd == "LOOKUP":
+            jm = re.match(r"^JOIN\b\s*(.*)$", cm.group(2).strip(),
+                          re.IGNORECASE | re.DOTALL)
+            if not jm:
+                raise EsqlError(f"expected LOOKUP JOIN, got {seg!r}")
+            df = _cmd_lookup_join(df, jm.group(1).strip(), tables)
         elif cmd in _COMMANDS:
             df = _COMMANDS[cmd](df, cm.group(2).strip())
         else:

@@ -364,3 +364,127 @@ class TestStatsWhere:
         ).collect()
         assert [r["event_type"] for r in out] == ["click", "error", "view"]
         assert all(0 < r["big"] < 20 for r in out)
+
+
+class TestInlinestats:
+    def test_by_keys_joins_aggregate_back(self, spark, ev):
+        out = run(
+            spark, ev,
+            "FROM events | INLINESTATS user_avg = AVG(value) BY user_id"
+            " | WHERE value > user_avg | STATS n = COUNT(*)",
+        ).collect()
+        # manual: rows strictly above their user's mean
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        manual = (
+            ev.withColumn(
+                "ua", F.avg("value").over(Window.partitionBy("user_id"))
+            )
+            .filter(F.col("value") > F.col("ua"))
+            .count()
+        )
+        assert out[0]["n"] == manual > 0
+
+    def test_global_form_broadcasts_not_single_partition(self, spark, ev):
+        df = run(spark, ev, "FROM events | INLINESTATS m = MAX(value)")
+        assert df.count() == 60
+        assert df.filter("value = m").count() > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # no global Window over all rows; the one-row aggregate is
+        # broadcast (its own SinglePartition exchange sees only the
+        # map-side partials — one row per partition)
+        assert "Window" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "partial_max" in plan
+
+    def test_rejects_per_agg_where(self, spark, ev):
+        with pytest.raises(EsqlError, match="per-aggregate"):
+            run(
+                spark, ev,
+                'FROM events | INLINESTATS n = COUNT(*)'
+                ' WHERE event_type == "view" BY user_id',
+            )
+
+    def test_unknown_by_column(self, spark, ev):
+        with pytest.raises(EsqlError, match="unknown columns"):
+            run(spark, ev, "FROM events | INLINESTATS n = COUNT(*) BY nope")
+
+
+class TestLookupJoin:
+    def test_adds_and_overwrites(self, spark, ev):
+        dim = spark.createDataFrame(
+            [("u0", "gold", -1.0), ("u1", "silver", -2.0)],
+            "user_id string, tier string, value double",
+        )
+        out = esql_query(
+            spark,
+            "FROM events | LOOKUP JOIN users ON user_id"
+            " | STATS n = COUNT(*) BY tier",
+            {"events": ev, "users": dim},
+        ).collect()
+        by_tier = {r["tier"]: r["n"] for r in out}
+        assert by_tier["gold"] == 15 and by_tier["silver"] == 15
+        assert by_tier[None] == 30  # u2/u3 unmatched -> left join
+        # same-named non-key column is OVERWRITTEN by the lookup side
+        vals = esql_query(
+            spark,
+            'FROM events | LOOKUP JOIN users ON user_id'
+            ' | WHERE user_id == "u0" | KEEP value',
+            {"events": ev, "users": dim},
+        ).collect()
+        assert {r["value"] for r in vals} == {-1.0}
+
+    def test_is_broadcast(self, spark, ev):
+        dim = spark.createDataFrame([("u0", "x")], "user_id string, t string")
+        df = esql_query(
+            spark, "FROM events | LOOKUP JOIN d ON user_id",
+            {"events": ev, "d": dim},
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_missing_field_raises(self, spark, ev):
+        dim = spark.createDataFrame([("x",)], "other string")
+        with pytest.raises(EsqlError, match="both sides"):
+            esql_query(
+                spark, "FROM events | LOOKUP JOIN d ON user_id",
+                {"events": ev, "d": dim},
+            )
+
+
+class TestSample:
+    def test_by_form_is_deterministic_and_nested(self, spark, ev):
+        a = run(spark, ev, "FROM events | SAMPLE 0.3 BY event_id")
+        b = run(spark, ev, "FROM events | SAMPLE 0.3 BY event_id")
+        wide = run(spark, ev, "FROM events | SAMPLE 0.8 BY event_id")
+        ids = {r["event_id"] for r in a.collect()}
+        assert ids == {r["event_id"] for r in b.collect()}
+        assert ids <= {r["event_id"] for r in wide.collect()}
+        assert 0 < len(ids) < 60
+
+    def test_bad_probability(self, spark, ev):
+        with pytest.raises(EsqlError, match="probability"):
+            run(spark, ev, "FROM events | SAMPLE 1.5")
+
+
+class TestChangePointCmd:
+    def test_matches_aggs_kernel(self, spark, ev):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.aggs import change_point
+
+        buckets = ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count("*").alias("n"))
+        direct = change_point(buckets, "hour", "n").collect()
+        piped = run(
+            spark, ev,
+            "FROM events | EVAL hour = DATE_TRUNC(1 hour, ts)"
+            " | STATS n = COUNT(*) BY hour | CHANGE_POINT n ON hour",
+        ).collect()
+        assert [r.asDict() for r in piped] == [r.asDict() for r in direct]
+
+    def test_unknown_columns(self, spark, ev):
+        with pytest.raises(EsqlError, match="unknown columns"):
+            run(spark, ev, "FROM events | CHANGE_POINT nope ON ts")
