@@ -9582,6 +9582,108 @@ FROM t GROUP BY bucket ORDER BY bucket
 """
 
 
+# the textstats ops tokenize with len > 0 (every token counts toward
+# a likelihood / a gram), unlike the reference analyzer's len > 1
+_SQL_TOKS0 = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> length(x) > 0)"
+)
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (operators/textstats.
+    repetition_signals): line-dup fractions (pure per-row Catalyst)
+    plus top-2-gram and duplicated-5-gram char fractions (doc-grain
+    exchanges only)."""
+    from ics_search_engine_spark.operators.textstats import (
+        repetition_signals,
+    )
+
+    return repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_SQL_REPETITION_SIGNALS = f"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS ls
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ls) AS n_lines,
+    round(CASE WHEN len(ls) > 0 THEN
+      (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) ELSE 0 END, 6)
+      AS dup_line_frac_r6,
+    round(CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) > 0 THEN
+      (list_sum(list_transform(ls, x -> length(x)))
+       - list_sum(list_transform(list_distinct(ls), x -> length(x))))::DOUBLE
+      / list_sum(list_transform(ls, x -> length(x))) ELSE 0 END, 6)
+      AS dup_line_char_frac_r6,
+    round(CASE WHEN len(ls) > 0 THEN
+      len(list_filter(ls, x -> regexp_matches(x, '^\\s*[-*•]')))::DOUBLE
+      / len(ls) ELSE 0 END, 6) AS bullet_line_frac_r6,
+    round(CASE WHEN len(ls) > 0 THEN
+      len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+      / len(ls) ELSE 0 END, 6) AS ellipsis_line_frac_r6
+  FROM lines
+),
+t AS (SELECT doc_id, {_SQL_TOKS0} AS toks FROM documents),
+g2 AS (
+  SELECT doc_id, g, count(*) AS c, max(length(g)) AS gl FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      i -> toks[i] || ' ' || toks[i+1])) AS g
+    FROM t WHERE len(toks) >= 2)
+  GROUP BY doc_id, g
+),
+top2 AS (
+  SELECT doc_id, round(max(c * gl)::DOUBLE / sum(c * gl), 6) AS v
+  FROM g2 GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, g, count(*) AS c, max(length(g)) AS gl FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+           || toks[i+3] || ' ' || toks[i+4])) AS g
+    FROM t WHERE len(toks) >= 5)
+  GROUP BY doc_id, g
+),
+dup5 AS (
+  SELECT doc_id,
+    round(sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END)::DOUBLE
+          / sum(c * gl), 6) AS v
+  FROM g5 GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id, b.n_lines, b.dup_line_frac_r6,
+       b.dup_line_char_frac_r6, b.bullet_line_frac_r6,
+       b.ellipsis_line_frac_r6,
+       coalesce(top2.v, 0.0) AS top_gram_char_frac_r6,
+       coalesce(dup5.v, 0.0) AS dup_gram_char_frac_r6
+FROM base b
+LEFT JOIN top2 ON b.doc_id = top2.doc_id
+LEFT JOIN dup5 ON b.doc_id = dup5.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy (operators/textstats.
+    unigram_logprob): per-doc mean negative log-likelihood under the
+    corpus's own unigram model."""
+    from ics_search_engine_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_SQL_UNIGRAM_NLL = f"""
+WITH t AS (SELECT doc_id, unnest({_SQL_TOKS0}) AS term FROM documents),
+m AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS total FROM t)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(tf / total)), 6) AS mean_nll_r6
+FROM t JOIN m USING (term) CROSS JOIN n
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL INLINESTATS (operators/esql._cmd_inlinestats): join the
     per-user average back to every event, keep rows above it, count
@@ -9978,6 +10080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
     "esql_change_point": q_esql_change_point,
+    "repetition_signals": q_repetition_signals,
+    "unigram_nll": q_unigram_nll,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10161,4 +10265,6 @@ ORACLE_SQL: dict[str, str] = {
     "esql_sample": _SQL_ESQL_SAMPLE,
     # the command shares the change_point kernel and bucket prep
     "esql_change_point": _SQL_CHANGE_POINT,
+    "repetition_signals": _SQL_REPETITION_SIGNALS,
+    "unigram_nll": _SQL_UNIGRAM_NLL,
 }

@@ -132,6 +132,139 @@ def quality_filter(
     return transcripts.join(keep, DOC_KEY, "left_semi")
 
 
+def _grams(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams (empty when the doc is shorter
+    than n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Within-document repetition signals, the published
+    Gopher-rules family (Rae et al. 2021, §A1.1 'repetitious text'):
+
+    line grain (pure per-row Catalyst — no shuffle):
+      * ``n_lines``, ``dup_line_frac_r6``   — repeated-line fraction;
+      * ``dup_line_char_frac_r6``           — chars in repeats beyond
+                                              each line's first copy;
+      * ``bullet_line_frac_r6``             — lines starting -, *, •;
+      * ``ellipsis_line_frac_r6``           — lines ending ... / …;
+
+    n-gram grain (explode → per-(doc, gram) count → per-doc fold; two
+    exchanges, both on the doc grain — scales linearly):
+      * ``top_gram_char_frac_r6`` — max_g c(g)·|g| / Σ_g c(g)·|g| over
+        ``top_n``-grams (the most-frequent-n-gram char fraction);
+      * ``dup_gram_char_frac_r6`` — Σ_{c(g)≥2} c(g)·|g| / Σ_g c(g)·|g|
+        over ``dup_n``-grams (the duplicated-n-gram char fraction).
+
+    Exact weighted-by-chars formulas are pinned here (the paper leaves
+    position-union details open); short docs (< n tokens) score 0.
+    """
+    toks = _toks(text_col)
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0
+    )
+    nl = F.size(lines)
+    dl_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dd_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
+    )
+    bullets = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    ellipsis = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    safe = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(0.0), 6
+    )
+    base = docs.select(
+        id_col,
+        nl.alias("n_lines"),
+        safe(nl - F.size(F.array_distinct(lines)), nl).alias(
+            "dup_line_frac_r6"
+        ),
+        safe(dl_chars - dd_chars, dl_chars).alias("dup_line_char_frac_r6"),
+        safe(bullets, nl).alias("bullet_line_frac_r6"),
+        safe(ellipsis, nl).alias("ellipsis_line_frac_r6"),
+    )
+
+    def gram_frac(n: int, dup_only: bool, out: str) -> DataFrame:
+        per_gram = (
+            docs.select(
+                id_col, F.explode(_grams(_toks(text_col), n)).alias("g")
+            )
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"), F.max(F.length("g")).alias("gl"))
+        )
+        w = F.col("c") * F.col("gl")
+        num = (
+            F.sum(F.when(F.col("c") >= 2, w).otherwise(F.lit(0)))
+            if dup_only
+            else F.max(w)
+        )
+        return per_gram.groupBy(id_col).agg(
+            F.round(
+                num.cast("double") / F.sum(w).cast("double"), 6
+            ).alias(out)
+        )
+
+    top = gram_frac(top_n, dup_only=False, out="top_gram_char_frac_r6")
+    dup = gram_frac(dup_n, dup_only=True, out="dup_gram_char_frac_r6")
+    return (
+        base.join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .fillna(
+            0.0, subset=["top_gram_char_frac_r6", "dup_gram_char_frac_r6"]
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood under the
+    corpus's own unigram distribution — the CCNet-style LM quality
+    proxy (Wenzek et al. 2020 score documents by LM perplexity; with
+    no external LM in-sandbox, the corpus unigram model is the
+    deterministic stand-in): low = made of common words, high = rare/
+    noisy vocabulary.
+
+    nll(d) = (1/|d|) Σ_{token t in d} -ln( tf_corpus(t) / N )
+
+    Plan: one explode + one (term) agg for the model, one broadcast-
+    free join back on term, one (doc) agg — every key is either the
+    term or the doc, so it scales like the postings build itself.
+    Empty docs are dropped (no tokens → no likelihood).
+    """
+    tok = docs.select(id_col, F.explode(_toks(text_col)).alias("term"))
+    model = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    n_total = tok.count()
+    scored = tok.join(model, "term").select(
+        id_col,
+        (-F.log(F.col("tf").cast("double") / F.lit(float(n_total)))).alias(
+            "nll"
+        ),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("mean_nll_r6"),
+    )
+
+
 def rolling_fingerprint(transcripts: DataFrame, n: int = 3) -> DataFrame:
     """Min 32-bit hash over n-token shingles per turn (rolling-hash
     document fingerprint; shared family with entry_queries

@@ -980,3 +980,104 @@ class TestBoostedBM25:
         for r in boosted:
             if (r[0], r[1]) != target:
                 assert plain_scores.get((r[0], r[1]), r[2]) == r[2]
+
+
+class TestRepetitionSignals:
+    def test_line_signals(self, spark):
+        from ics_search_engine_spark.operators.textstats import (
+            repetition_signals,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta\nalpha beta\ngamma delta"),
+                (2, "- item one\n- item two\nwait for it...\nplain"),
+                (3, "unique words only here now"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+        # doc 1: 3 lines, one duplicate line (second 'alpha beta')
+        assert out[1]["n_lines"] == 3
+        assert out[1]["dup_line_frac_r6"] == round(1 / 3, 6)
+        # chars: 10 + 10 + 11 = 31 total, 10 beyond-first-copy
+        assert out[1]["dup_line_char_frac_r6"] == round(10 / 31, 6)
+        # doc 2: 2 of 4 bullet lines, 1 ellipsis line
+        assert out[2]["bullet_line_frac_r6"] == 0.5
+        assert out[2]["ellipsis_line_frac_r6"] == 0.25
+        # doc 3: single line, nothing repeated
+        assert out[3]["dup_line_frac_r6"] == 0.0
+
+    def test_gram_signals(self, spark):
+        from ics_search_engine_spark.operators.textstats import (
+            repetition_signals,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),     # 2-grams: 'a b'x3, 'b a'x2
+                (2, "one two three four"),  # all 2-grams unique
+                (3, "x"),               # shorter than n -> 0.0
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+        # doc 1: weights c*len -> 'a b': 3*3=9, 'b a': 2*3=6; top=9/15
+        assert out[1]["top_gram_char_frac_r6"] == round(9 / 15, 6)
+        # 'one two'(7) 'two three'(9) 'three four'(10): max 10 of 26
+        assert out[2]["top_gram_char_frac_r6"] == round(10 / 26, 6)
+        assert out[3]["top_gram_char_frac_r6"] == 0.0
+        assert out[3]["dup_gram_char_frac_r6"] == 0.0
+
+    def test_dup_gram_five(self, spark):
+        from ics_search_engine_spark.operators.textstats import (
+            repetition_signals,
+        )
+
+        # 'a b c d e' repeated: the 5-gram 'a b c d e' occurs twice
+        docs = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], "doc_id long, text string"
+        )
+        r = repetition_signals(docs).collect()[0]
+        assert r["dup_gram_char_frac_r6"] > 0.0
+        # and a no-repeat doc scores 0
+        docs2 = spark.createDataFrame(
+            [(1, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        assert repetition_signals(docs2).collect()[0][
+            "dup_gram_char_frac_r6"
+        ] == 0.0
+
+
+class TestUnigramLogprob:
+    def test_matches_manual_model(self, spark):
+        import math
+
+        from ics_search_engine_spark.operators.textstats import (
+            unigram_logprob,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the the cat"), (2, "the dog"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in unigram_logprob(docs).collect()}
+        # corpus: the x3, cat x1, dog x1 -> N=5
+        n = 5.0
+        d1 = (2 * -math.log(3 / n) + -math.log(1 / n)) / 3
+        d2 = (-math.log(3 / n) + -math.log(1 / n)) / 2
+        assert out[1]["mean_nll_r6"] == round(d1, 6)
+        assert out[2]["mean_nll_r6"] == round(d2, 6)
+        assert out[1]["n_tokens"] == 3
+        assert 3 not in out  # empty doc dropped
+
+    def test_common_scores_below_rare(self, spark):
+        from ics_search_engine_spark.operators.textstats import (
+            unigram_logprob,
+        )
+
+        rows = [(i, "common words here") for i in range(20)]
+        rows.append((99, "zyx qwv jkl"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["mean_nll_r6"] for r in unigram_logprob(docs).collect()}
+        assert out[99] > out[0]
