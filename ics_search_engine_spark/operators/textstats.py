@@ -245,19 +245,27 @@ def unigram_logprob(
 
     nll(d) = (1/|d|) Σ_{token t in d} -ln( tf_corpus(t) / N )
 
-    Plan: one explode + one (term) agg for the model, one broadcast-
-    free join back on term, one (doc) agg — every key is either the
-    term or the doc, so it scales like the postings build itself.
-    Empty docs are dropped (no tokens → no likelihood).
+    Plan: one explode + one (term) agg for the model, a join back on
+    term, one (doc) agg — every key is either the term or the doc, so
+    it scales like the postings build itself.  Fully lazy: the corpus
+    total rides in as a broadcast one-row frame (no eager count), and
+    the model's exchange is shared between the join branch and the
+    total branch (ReusedExchange), so the corpus is tokenized exactly
+    twice per run, never three times.  Empty docs are dropped (no
+    tokens → no likelihood).
     """
     tok = docs.select(id_col, F.explode(_toks(text_col)).alias("term"))
     model = tok.groupBy("term").agg(F.count("*").alias("tf"))
-    n_total = tok.count()
-    scored = tok.join(model, "term").select(
-        id_col,
-        (-F.log(F.col("tf").cast("double") / F.lit(float(n_total)))).alias(
-            "nll"
-        ),
+    totals = model.agg(F.sum("tf").cast("double").alias("_total"))
+    scored = (
+        tok.join(model, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (-F.log(F.col("tf").cast("double") / F.col("_total"))).alias(
+                "nll"
+            ),
+        )
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
