@@ -9684,6 +9684,75 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_mix_sources_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted mixing with upsampling (operators/datapipe.
+    mix_sources_budget): 2:1 de:zh at a 300-row budget — both sides
+    upsample across epochs, the fractional epoch chosen by hash
+    rank."""
+    from ics_search_engine_spark.operators.datapipe import (
+        mix_sources_budget,
+    )
+
+    return (
+        mix_sources_budget(
+            _docs(spark, sf_dir), "lang", {"de": 2, "zh": 1}, "doc_id", 300
+        )
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+_SQL_MIX_SOURCES_EPOCHS = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IN ('de', 'zh') GROUP BY lang
+),
+p AS (
+  SELECT lang, n,
+         (CASE lang WHEN 'de' THEN 2 WHEN 'zh' THEN 1 END) * 100 AS take
+  FROM c
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_md5_32("doc_id::VARCHAR")}, doc_id) AS rk
+  FROM documents WHERE lang IN ('de', 'zh')
+),
+j AS (
+  SELECT r.doc_id, r.lang,
+         p.take // p.n AS fe, p.take % p.n AS rem, r.rk
+  FROM r JOIN p USING (lang)
+)
+SELECT doc_id, lang,
+       unnest(range(0, fe + CASE WHEN rk <= rem THEN 1 ELSE 0 END)) AS epoch
+FROM j ORDER BY doc_id, epoch
+"""
+
+
+def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing bin packing (operators/datapipe.pack_bins):
+    whole-document training bins at capacity 256 over 8 hash buckets.
+    FFD is not SQL-expressible, so no oracle — the driver's rows-only
+    check plus the pytest invariants (capacity respected, determinism,
+    fill >= sequential packing) carry correctness."""
+    from ics_search_engine_spark.operators.datapipe import pack_bins
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(toks_col()).alias("n_tokens")
+    )
+    return (
+        pack_bins(docs, capacity=256, n_buckets=8)
+        .groupBy("bucket", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+        )
+        .orderBy("bin_id")
+    )
+
+
 def q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL INLINESTATS (operators/esql._cmd_inlinestats): join the
     per-user average back to every event, keep rows above it, count
@@ -10082,6 +10151,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_change_point": q_esql_change_point,
     "repetition_signals": q_repetition_signals,
     "unigram_nll": q_unigram_nll,
+    "mix_sources_epochs": q_mix_sources_epochs,
+    "pack_bins_ffd": q_pack_bins_ffd,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10267,4 +10338,7 @@ ORACLE_SQL: dict[str, str] = {
     "esql_change_point": _SQL_CHANGE_POINT,
     "repetition_signals": _SQL_REPETITION_SIGNALS,
     "unigram_nll": _SQL_UNIGRAM_NLL,
+    "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
+    # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
+    # design; invariants are pytest-pinned (tests/test_datapipe.py)
 }

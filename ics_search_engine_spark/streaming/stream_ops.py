@@ -187,6 +187,40 @@ def assemble_conversations(
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival of each
+    distinct ``text_col`` payload (keyed by md5), drop re-arrivals —
+    the ingest-side half of the batch exact-dedup pass
+    (operators/dedup.exact_duplicates).
+
+    State is BOUNDED by the watermark: on a stream this uses
+    ``dropDuplicatesWithinWatermark``, so a hash's state entry is
+    evicted once the watermark passes its event time + the watermark
+    delay.  The honest trade (documented, tested): a duplicate
+    re-arriving AFTER eviction passes through — streaming dedup
+    guarantees uniqueness within the watermark horizon only; the
+    periodic batch dedup pass over the accumulated segments remains
+    the global guarantee, exactly like the LSM compaction relationship.
+    On a batch frame the same call degrades to plain dropDuplicates
+    (global, exact) so one function serves both plans.
+    """
+    d = docs.withColumn("_text_md5", F.md5(F.col(text_col))).withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    if d.isStreaming:
+        out = d.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_text_md5"]
+        )
+    else:
+        out = d.dropDuplicates(["_text_md5"])
+    return out.drop("_text_md5")
+
+
 def incremental_postings(
     transcripts_stream: DataFrame,
     out_dir: str,

@@ -167,3 +167,123 @@ class TestFilterFunnel:
     def test_empty_stages_rejected(self, docs):
         with pytest.raises(ValueError):
             filter_funnel(docs, [])
+
+
+class TestMixSourcesBudget:
+    def test_exact_counts_with_upsampling(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            mix_sources_budget,
+        )
+
+        # 40 docs per source; parts 3:1, budget 160 -> unit 40,
+        # src_a take 120 (3 epochs), src_b take 40 (1 epoch)
+        out = mix_sources_budget(
+            docs, "source", {"src_a": 3, "src_b": 1}, "doc_id", 160
+        )
+        counts = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"src_a": 120, "src_b": 40}
+        # every src_a row appears exactly 3 times (epochs 0, 1, 2)
+        per_doc = (
+            out.filter("source = 'src_a'")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("c"), F.sort_array(F.collect_list("epoch")).alias("es"))
+            .collect()
+        )
+        assert all(r["c"] == 3 and r["es"] == [0, 1, 2] for r in per_doc)
+
+    def test_fractional_epoch_by_hash_rank(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            mix_sources_budget,
+        )
+
+        # take = 100 over 40 docs -> 2 full epochs + 20 extra copies
+        out = mix_sources_budget(docs, "source", {"src_a": 1}, "doc_id", 100)
+        per_doc = {
+            r["doc_id"]: r["c"]
+            for r in out.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+        }
+        assert sorted(per_doc.values()).count(3) == 20
+        assert sorted(per_doc.values()).count(2) == 20
+        # deterministic: same call -> same extra-copy set
+        again = {
+            r["doc_id"]: r["c"]
+            for r in mix_sources_budget(docs, "source", {"src_a": 1}, "doc_id", 100)
+            .groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+        }
+        assert per_doc == again
+
+    def test_validation(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            mix_sources_budget,
+        )
+
+        with pytest.raises(ValueError):
+            mix_sources_budget(docs, "source", {"src_a": 0}, "doc_id", 10)
+        with pytest.raises(ValueError):
+            mix_sources_budget(docs, "source", {"src_a": 1}, "doc_id", 0)
+
+
+class TestPackBins:
+    def test_capacity_respected_and_deterministic(self, docs):
+        from ics_search_engine_spark.operators.datapipe import pack_bins
+
+        out = pack_bins(docs, capacity=128, n_buckets=4)
+        fills = (
+            out.filter(~F.col("oversize"))
+            .groupBy("bin_id")
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        )
+        assert fills and all(r["t"] <= 128 for r in fills)
+        a = sorted(
+            (r["doc_id"], r["bin_id"]) for r in out.collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["bin_id"])
+            for r in pack_bins(docs, capacity=128, n_buckets=4).collect()
+        )
+        assert a == b
+
+    def test_oversize_flagged_own_bin(self, spark):
+        from ics_search_engine_spark.operators.datapipe import pack_bins
+
+        df = spark.createDataFrame(
+            [(1, 500), (2, 50), (3, 60)], "doc_id long, n_tokens long"
+        )
+        out = {r["doc_id"]: r.asDict() for r in pack_bins(df, 100, n_buckets=1).collect()}
+        assert out[1]["oversize"] is True
+        assert out[2]["oversize"] is False
+        # the oversize bin holds only that doc
+        assert out[1]["bin_id"] not in (out[2]["bin_id"], out[3]["bin_id"])
+
+    def test_ffd_beats_sequential_fill(self, spark):
+        """FFD's fill factor >= naive arrival-order packing on a
+        fragmentation-prone size mix."""
+        from ics_search_engine_spark.operators.datapipe import pack_bins
+
+        rows = [(i, [60, 50, 45, 35][i % 4]) for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        n_bins = (
+            pack_bins(df, 100, n_buckets=1)
+            .select("bin_id").distinct().count()
+        )
+        # naive sequential: fill in doc_id order
+        cap, bins, room = 100, 0, 0
+        for _, t in rows:
+            if room >= t:
+                room -= t
+            else:
+                bins += 1
+                room = cap - t
+        assert n_bins <= bins
+
+    def test_bad_args(self, docs):
+        from ics_search_engine_spark.operators.datapipe import pack_bins
+
+        with pytest.raises(ValueError):
+            pack_bins(docs, 0)
+        with pytest.raises(ValueError):
+            pack_bins(docs, 100, n_buckets=0)

@@ -615,3 +615,61 @@ class TestSequenceMatchesStream:
                 stages=[F.lit(True), F.lit(True)],
                 maxspan_s=None,
             )
+
+
+class TestDedupStream:
+    def test_stream_equals_batch_on_hash_set(self, spark, stream_dirs):
+        """Streamed dedup keeps exactly one row per distinct text (all
+        duplicates here arrive within the watermark horizon), matching
+        batch dropDuplicates on the kept-hash SET (the chosen
+        representative row may differ)."""
+        import datetime as dt
+
+        from ics_search_engine_spark.streaming.stream_ops import dedup_stream
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (f"c{i}", 0, ["alpha text", "beta text", "gamma text"][i % 3],
+             t0 + dt.timedelta(minutes=i))
+            for i in range(30)
+        ]
+        src = f"{stream_dirs}/dedup_src"
+        ckpt = f"{stream_dirs}/dedup_ckpt"
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string, ts timestamp"
+        ).write.mode("overwrite").parquet(src)
+
+        batch = spark.read.parquet(src)
+        sdf = spark.readStream.schema(batch.schema).parquet(src)
+        q = (
+            dedup_stream(sdf)
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.sql("select * from dedup_out")
+        got = {r["text"] for r in streamed.collect()}
+        want = {
+            r["text"] for r in dedup_stream(batch).collect()
+        }
+        assert got == want == {"alpha text", "beta text", "gamma text"}
+        assert streamed.count() == 3
+
+    def test_batch_form_is_global_exact(self, spark):
+        from ics_search_engine_spark.streaming.stream_ops import dedup_stream
+
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("a", 0, "same", t0), ("b", 0, "same", t0 + dt.timedelta(days=400)),
+             ("c", 0, "other", t0)],
+            "conv_id string, turn_idx int, text string, ts timestamp",
+        )
+        out = dedup_stream(df)
+        assert out.count() == 2  # batch path ignores the horizon
+        assert "_text_md5" not in out.columns
