@@ -9753,6 +9753,101 @@ def q_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup (operators/dedup.dedup_lines_corpus):
+    docs recast as 3-line texts (source / lang / text prefix) so
+    cross-document duplicate lines abound; first occurrence by
+    (doc_id, line_idx) wins, documents reassemble from survivors."""
+    from ics_search_engine_spark.operators.dedup import dedup_lines_corpus
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("source"), F.col("lang"), F.substring("text", 1, 80)
+        ).alias("text"),
+    )
+    return dedup_lines_corpus(docs).orderBy("doc_id")
+
+
+_SQL_DEDUP_LINES = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(source || chr(10) || lang || chr(10)
+                      || substr(text, 1, 80), chr(10)) AS ls
+  FROM documents
+),
+l AS (
+  SELECT doc_id, i, ls FROM (
+    SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM d)
+),
+x AS (
+  SELECT doc_id, i - 1 AS line_idx, ls[i] AS line FROM l
+  WHERE length(ls[i]) > 0
+),
+k AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id, line_idx) = 1 AS keep
+  FROM x
+)
+SELECT doc_id, count(*) AS n_lines,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_lines_kept,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY line_idx), '') AS text_clean
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/textstats.scrub_pii): per-category
+    counts + tagged replacement over docs salted with one email and
+    one IPv4 each (the base corpus is PII-free, so the salt makes the
+    parity non-trivial; zero counts for secret/phone are part of it).
+    """
+    from ics_search_engine_spark.operators.textstats import scrub_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.0."),
+            F.col("doc_id") % 256,
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs).select(
+        "doc_id", "n_email", "n_ip", "n_secret", "n_phone", "text_clean"
+    ).orderBy("doc_id")
+
+
+_SQL_SCRUB_PII = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7' AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+    AS n_email,
+  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+    AS n_ip,
+  len(regexp_extract_all(t, '\b[0-9a-f]{32,}\b')) AS n_secret,
+  len(regexp_extract_all(t, '\+\d{9,15}\b')) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b[0-9a-f]{32,}\b', '<SECRET>', 'g'),
+    '\+\d{9,15}\b', '<PHONE>', 'g') AS text_clean
+FROM d ORDER BY doc_id
+"""
+
+
 def q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL INLINESTATS (operators/esql._cmd_inlinestats): join the
     per-user average back to every event, keep rows above it, count
@@ -10153,6 +10248,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_nll": q_unigram_nll,
     "mix_sources_epochs": q_mix_sources_epochs,
     "pack_bins_ffd": q_pack_bins_ffd,
+    "dedup_lines": q_dedup_lines,
+    "scrub_pii": q_scrub_pii,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10341,4 +10438,6 @@ ORACLE_SQL: dict[str, str] = {
     "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
     # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
     # design; invariants are pytest-pinned (tests/test_datapipe.py)
+    "dedup_lines": _SQL_DEDUP_LINES,
+    "scrub_pii": _SQL_SCRUB_PII,
 }

@@ -388,3 +388,65 @@ def ngram_contamination(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy(F.desc("n_shared"), F.asc("doc_id"), F.asc("bench_id"))
     )
+
+
+def dedup_lines_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style GLOBAL line deduplication (Raffel et al. 2020, §2.2:
+    'we discarded all but one of any three-sentence span occurring more
+    than once' — the widely-used line-grain variant): across the whole
+    corpus, keep only the FIRST occurrence of each distinct non-empty
+    line and reassemble documents from their surviving lines.
+
+    'First' is deterministic: the occurrence with the smallest
+    (id, line_idx).  This is cross-document dedup at the line grain —
+    the within-document signals live in textstats.repetition_signals,
+    and whole-document dedup in exact_dedup/minhash_lsh_pairs.
+
+    Plan: posexplode lines → ONE exchange on the line hash (the
+    keep/drop decision is a per-hash window, state never leaves the
+    executor) → per-doc reassembly (second exchange, doc grain).
+    Returns (id, n_lines, n_lines_kept, text_clean) — documents whose
+    every line was seen earlier come back with n_lines_kept = 0 and an
+    empty string (the caller's funnel decides their fate).
+    """
+    from pyspark.sql.window import Window
+
+    lines = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0
+            )
+        ).alias("line_idx", "line"),
+    )
+    w = Window.partitionBy(F.md5("line")).orderBy(id_col, "line_idx")
+    kept = (
+        lines.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_keep", F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_keep").cast("int")).alias("n_lines_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("line_idx", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+        )
+    )

@@ -364,3 +364,41 @@ def term_cooccurrence(
     return pairs.select(
         "t1", "t2", "n_pair", pmi.alias("pmi")
     ).orderBy(F.desc("pmi"), "t1", "t2")
+
+
+# PII patterns, ordered; RE2-compatible (no lookarounds) so the SAME
+# pattern strings run in Spark's Java regex and the DuckDB oracle
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("secret", r"\b[0-9a-f]{32,}\b", "<SECRET>"),
+    ("phone", r"\+\d{9,15}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Corpus-hygiene PII/secret scrubbing: replace emails, IPv4
+    addresses, long hex tokens (API keys / hashes), and international
+    phone numbers with typed placeholder tags, and count each category
+    (counts measured on the ORIGINAL text, replacements applied
+    sequentially in pattern order).
+
+    Pure per-row Catalyst (regexp_count + chained regexp_replace) —
+    whole-stage codegen, no shuffle, rides the scan like every other
+    map-shaped hygiene verb.  Patterns are deliberately lookaround-free
+    so the identical strings run under Java regex and RE2-family
+    engines (the DuckDB gate).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = docs
+    scrubbed = F.col(text_col)
+    for name, rx, tag in pats:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(rx))
+        )
+        scrubbed = F.regexp_replace(scrubbed, rx, tag)
+    return out.withColumn(f"{text_col}_clean", scrubbed)

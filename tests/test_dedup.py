@@ -152,3 +152,61 @@ class TestMinhashAndNgram:
         assert ("a", "b") in keys
         assert abs(keys[("a", "b")] - 7 / 9) < 1e-12
         assert all(k == ("a", "b") for k in keys)
+
+
+class TestDedupLinesCorpus:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from ics_search_engine_spark.operators.dedup import (
+            dedup_lines_corpus,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "shared header\nunique one\ncommon footer"),
+                (2, "shared header\nunique two\ncommon footer"),
+                (3, "shared header\ncommon footer"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in dedup_lines_corpus(docs).collect()
+        }
+        assert out[1]["n_lines"] == 3 and out[1]["n_lines_kept"] == 3
+        assert out[1]["text_clean"] == "shared header\nunique one\ncommon footer"
+        # doc 2 loses both shared lines (doc 1 owns them), keeps its own
+        assert out[2]["n_lines_kept"] == 1
+        assert out[2]["text_clean"] == "unique two"
+        # doc 3 is nothing but already-seen lines
+        assert out[3]["n_lines_kept"] == 0
+        assert out[3]["text_clean"] == ""
+
+    def test_within_doc_duplicate_also_collapses(self, spark):
+        from ics_search_engine_spark.operators.dedup import (
+            dedup_lines_corpus,
+        )
+
+        docs = spark.createDataFrame(
+            [(7, "same\nsame\nother")], "doc_id long, text string"
+        )
+        r = dedup_lines_corpus(docs).collect()[0]
+        assert r["n_lines"] == 3 and r["n_lines_kept"] == 2
+        assert r["text_clean"] == "same\nother"
+
+    def test_deterministic(self, spark):
+        from ics_search_engine_spark.operators.dedup import (
+            dedup_lines_corpus,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"line{i % 5}\nline{(i + 1) % 5}") for i in range(40)],
+            "doc_id long, text string",
+        ).repartition(6)
+        a = sorted(r.asDict().items() for r in dedup_lines_corpus(docs).collect())
+        b = sorted(r.asDict().items() for r in dedup_lines_corpus(docs).collect())
+        assert a == b
+        # exactly 5 distinct lines survive corpus-wide
+        total_kept = sum(
+            r["n_lines_kept"] for r in dedup_lines_corpus(docs).collect()
+        )
+        assert total_kept == 5

@@ -1081,3 +1081,39 @@ class TestUnigramLogprob:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         out = {r["doc_id"]: r["mean_nll_r6"] for r in unigram_logprob(docs).collect()}
         assert out[99] > out[0]
+
+
+class TestScrubPii:
+    def test_counts_and_replacements(self, spark):
+        from ics_search_engine_spark.operators.textstats import scrub_pii
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@test.org or admin@a.co thanks"),
+                (2, "server 10.0.0.1 key deadbeefdeadbeefdeadbeefdeadbeef"),
+                (3, "call +14155550123 now"),
+                (4, "clean text, nothing here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in scrub_pii(docs).collect()}
+        assert out[1]["n_email"] == 2
+        assert out[1]["text_clean"] == "mail me at <EMAIL> or <EMAIL> thanks"
+        assert out[2]["n_ip"] == 1 and out[2]["n_secret"] == 1
+        assert out[2]["text_clean"] == "server <IP> key <SECRET>"
+        assert out[3]["n_phone"] == 1
+        assert out[3]["text_clean"] == "call <PHONE> now"
+        assert out[4]["text_clean"] == out[4]["text"]
+        assert all(
+            out[4][f"n_{c}"] == 0 for c in ("email", "ip", "secret", "phone")
+        )
+
+    def test_original_columns_preserved(self, spark):
+        from ics_search_engine_spark.operators.textstats import scrub_pii
+
+        docs = spark.createDataFrame(
+            [(1, "a@b.io", "en")], "doc_id long, text string, lang string"
+        )
+        out = scrub_pii(docs).collect()[0]
+        assert out["lang"] == "en" and out["text"] == "a@b.io"
+        assert out["text_clean"] == "<EMAIL>"
