@@ -9848,6 +9848,40 @@ FROM d ORDER BY doc_id
 """
 
 
+# fixed deterministic weights for the classifier-scoring gate — the
+# SAME list renders into the Spark plan and the SQL literal
+_CLF_DIM = 64
+_CLF_W = [((i * 37) % 21 - 10) / 10.0 for i in range(_CLF_DIM)]
+_CLF_B = -0.05
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-feature quality scoring (operators/
+    classifier.score_quality): sigmoid(w·x + b) folded over the token
+    array in one codegen'd projection — gated with a FIXED weight
+    vector so DuckDB replays the whole distributed scoring path
+    (the fit is pytest-pinned: deterministic, capped collect)."""
+    from ics_search_engine_spark.operators.classifier import score_quality
+
+    return score_quality(_docs(spark, sf_dir), _CLF_W, _CLF_B).orderBy(
+        "doc_id"
+    )
+
+
+_SQL_CLASSIFIER_SCORE = f"""
+WITH w AS (SELECT [{", ".join(str(x) for x in _CLF_W)}]::DOUBLE[] AS wv),
+t AS (SELECT doc_id, {_SQL_TOKS0} AS toks FROM documents)
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-(
+    CASE WHEN len(toks) > 0 THEN
+      list_sum(list_transform(toks,
+        x -> wv[((('0x' || substr(md5(x), 1, 8))::BIGINT % {_CLF_DIM}) + 1)::INT]))
+      / len(toks)
+    ELSE 0.0 END + ({_CLF_B})))), 6) AS score_r6
+FROM t, w ORDER BY doc_id
+"""
+
+
 def q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL INLINESTATS (operators/esql._cmd_inlinestats): join the
     per-user average back to every event, keep rows above it, count
@@ -10250,6 +10284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_bins_ffd": q_pack_bins_ffd,
     "dedup_lines": q_dedup_lines,
     "scrub_pii": q_scrub_pii,
+    "classifier_score": q_classifier_score,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10440,4 +10475,5 @@ ORACLE_SQL: dict[str, str] = {
     # design; invariants are pytest-pinned (tests/test_datapipe.py)
     "dedup_lines": _SQL_DEDUP_LINES,
     "scrub_pii": _SQL_SCRUB_PII,
+    "classifier_score": _SQL_CLASSIFIER_SCORE,
 }
