@@ -18,10 +18,11 @@ Scale notes per operator:
 
 * ``pack_sequences`` needs a GLOBAL token prefix-sum in corpus order.
   A ``sum() OVER (ORDER BY ...)`` window collapses to one partition —
-  unusable at 10^12 turns — so it reuses the docmap two-phase shape:
+  unusable at 10^12 turns — so it uses the docmap two-phase shape:
   range-shuffle on the order key, per-partition token SUBTOTALS to the
-  driver (O(partitions) longs), then a mapInPandas local cumsum with
-  the partition's exclusive offset added.  One shuffle total.
+  driver (O(partitions) longs), then a PER-RANGE window cumsum plus
+  broadcast offsets — all JVM-side (see _with_global_offset for the
+  measured mapInPandas-vs-window comparison).
 * ``stratified_sample`` / ``sample_quota`` / ``mix_sources`` are one
   filter (rate form — no shuffle at all, fully pushdown-friendly) or
   one per-stratum window (quota form — shuffles on the stratum key;
@@ -472,3 +473,104 @@ def filter_funnel(
         "stage_idx int, stage_name string, n_in long, n_kept long, "
         "n_dropped long",
     )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    capacity: int = 2048,
+    min_tokens: int = 10,
+    langs: Sequence[str] | None = None,
+    mix_parts: dict[str, int] | None = None,
+    scrub: bool = True,
+    line_dedup: bool = True,
+    report: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The whole corpus-preparation pipeline in one call — raw
+    (doc_id, text, lang, source) documents to packed training chunks:
+
+      1. PII scrubbing            (textstats.scrub_pii)
+      2. global line dedup        (dedup.dedup_lines_corpus)
+      3. exact document dedup     (md5 text, min doc_id keeps)
+      4. quality gates            (min token count, language whitelist)
+      5. source mixing            (mix_sources, optional)
+      6. sequence packing         (pack_sequences, concat-and-chunk)
+
+    Returns (packed, report): ``packed`` is the surviving documents
+    with ``n_tokens, token_offset, chunk_id, chunk_pos,
+    spans_boundary``; ``report`` is a (stage, n_in, n_kept, n_dropped)
+    attrition frame (None when ``report=False`` — each report row
+    costs one count job over a cached intermediate; disable for pure
+    throughput runs).
+
+    Every stage is the individually-gated operator — this function
+    owns only the composition order and the accounting.
+    """
+    from ics_search_engine_spark.operators.dedup import dedup_lines_corpus
+    from ics_search_engine_spark.operators.textstats import scrub_pii
+
+    spark = docs.sparkSession
+    stages: list[tuple[str, int, int]] = []
+    cur = docs
+    n_in = cur.count() if report else -1
+
+    def account(name: str, nxt: DataFrame) -> DataFrame:
+        nonlocal n_in
+        if report:
+            nxt = nxt.persist()
+            n_out = nxt.count()
+            stages.append((name, n_in, n_out))
+            n_in = n_out
+        return nxt
+
+    if scrub:
+        cur = account(
+            "scrub_pii",
+            scrub_pii(cur).drop("text").withColumnRenamed(
+                "text_clean", "text"
+            ),
+        )
+    if line_dedup:
+        deduped = dedup_lines_corpus(cur).filter(F.col("n_lines_kept") > 0)
+        cur = account(
+            "line_dedup",
+            cur.drop("text").join(
+                deduped.select(
+                    "doc_id", F.col("text_clean").alias("text")
+                ),
+                "doc_id",
+            ),
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    cur = account(
+        "exact_dedup",
+        cur.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    cur = cur.withColumn("n_tokens", F.size(toks))
+    quality = F.col("n_tokens") >= min_tokens
+    if langs is not None:
+        quality = quality & F.col("lang").isin(*langs)
+    cur = account("quality_gates", cur.filter(quality))
+    if mix_parts:
+        cur = account(
+            "mix_sources", mix_sources(cur, "source", mix_parts, "doc_id")
+        )
+    packed = pack_sequences(cur, capacity=capacity, order_cols=("doc_id",))
+    rep = None
+    if report:
+        rep = spark.createDataFrame(
+            [
+                (i, name, a, b, a - b)
+                for i, (name, a, b) in enumerate(stages)
+            ],
+            "stage_idx int, stage_name string, n_in long, n_kept long, "
+            "n_dropped long",
+        )
+    return packed, rep

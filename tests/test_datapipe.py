@@ -287,3 +287,71 @@ class TestPackBins:
             pack_bins(docs, 0)
         with pytest.raises(ValueError):
             pack_bins(docs, 100, n_buckets=0)
+
+
+class TestPrepareCorpus:
+    def test_end_to_end(self, spark):
+        from ics_search_engine_spark.operators.datapipe import prepare_corpus
+
+        rows = []
+        for i in range(40):
+            rows.append((i, f"the quick brown fox number {i} runs far and "
+                            f"fast across the wide field today", "en", "web"))
+        # exact duplicates of doc 0's text
+        for i in range(40, 44):
+            rows.append((i, rows[0][1], "en", "web"))
+        # PII-bearing
+        rows.append((50, "email me at a@b.io " + rows[1][1], "en", "wiki"))
+        # wrong language
+        rows.append((51, "der hund läuft über das weite feld " * 3, "de", "web"))
+        # too short
+        rows.append((52, "tiny", "en", "web"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        packed, rep = prepare_corpus(
+            docs, capacity=128, min_tokens=8, langs=("en",)
+        )
+        r = {x["stage_name"]: x.asDict() for x in rep.collect()}
+        assert r["scrub_pii"]["n_in"] == 47 and r["scrub_pii"]["n_dropped"] == 0
+        # line dedup collapses the 4 exact copies of doc 0's (single) line
+        assert r["line_dedup"]["n_dropped"] == 4
+        assert r["exact_dedup"]["n_dropped"] == 0  # already line-deduped
+        assert r["quality_gates"]["n_dropped"] == 2  # lang + short
+        out = packed.collect()
+        assert len(out) == 41
+        assert all("chunk_id" in x.asDict() for x in out)
+        # scrubbed text made it through the chain
+        t50 = [x for x in out if x["doc_id"] == 50][0]
+        assert "<EMAIL>" in t50["text"] and "a@b.io" not in t50["text"]
+        # offsets form a valid packing
+        acc = 0
+        for x in sorted(out, key=lambda x: x["doc_id"]):
+            assert x["token_offset"] == acc
+            acc += x["n_tokens"]
+
+    def test_no_report_skips_counts(self, spark):
+        from ics_search_engine_spark.operators.datapipe import prepare_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine", "en", "w")],
+            "doc_id long, text string, lang string, source string",
+        )
+        packed, rep = prepare_corpus(docs, capacity=64, min_tokens=2,
+                                     report=False)
+        assert rep is None and packed.count() == 1
+
+    def test_mixing_stage(self, spark):
+        from ics_search_engine_spark.operators.datapipe import prepare_corpus
+
+        rows = [(i, f"w{i} common words appear here in every doc {i}",
+                 "en", ["a", "b"][i % 2]) for i in range(40)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        packed, rep = prepare_corpus(
+            docs, capacity=64, min_tokens=3, mix_parts={"a": 1, "b": 1}
+        )
+        assert packed.count() == 40  # balanced already
+        srcs = {r["source"] for r in packed.collect()}
+        assert srcs == {"a", "b"}
