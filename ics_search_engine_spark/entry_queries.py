@@ -9882,6 +9882,56 @@ FROM t, w ORDER BY doc_id
 """
 
 
+def q_retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES retriever-tree API (operators/hybrid.retriever_topk): a
+    NESTED tree — rrf(linear([bm25, cosine], 0.7/0.3, window 30),
+    bm25, window 40) — every child bounded to its rank window before
+    fusion, fused scores rounded before ranks so the oracle's rank
+    boundaries agree."""
+    from ics_search_engine_spark.operators.hybrid import (
+        Leg,
+        LinearRetriever,
+        RrfRetriever,
+        retriever_topk,
+    )
+
+    bm = Leg(_bm25_leg(spark, sf_dir, 50), "bm25_r6")
+    cs = Leg(_cosine_leg(spark, sf_dir, 50), "cosine_r6")
+    inner = LinearRetriever([bm, cs], weights=[0.7, 0.3],
+                            rank_window_size=30)
+    tree = RrfRetriever([inner, bm], rank_constant=60,
+                        rank_window_size=40)
+    return retriever_topk(tree, k=15)
+
+
+_SQL_RETRIEVER_TREE = _SQL_HYBRID_LEGS + """
+, bmw AS (SELECT doc_id, bm25_r6 FROM bm WHERE r <= 30),
+csw AS (SELECT doc_id, cosine_r6 FROM cs WHERE r <= 30),
+bmx AS (SELECT min(bm25_r6) AS mn, max(bm25_r6) AS mx FROM bmw),
+csx AS (SELECT min(cosine_r6) AS mn, max(cosine_r6) AS mx FROM csw),
+bmn AS (SELECT doc_id, CASE WHEN bmx.mx = bmx.mn THEN 1.0
+          ELSE (bm25_r6 - bmx.mn) / (bmx.mx - bmx.mn) END AS n0
+        FROM bmw, bmx),
+csn AS (SELECT doc_id, CASE WHEN csx.mx = csx.mn THEN 1.0
+          ELSE (cosine_r6 - csx.mn) / (csx.mx - csx.mn) END AS n1
+        FROM csw, csx),
+lin AS (SELECT coalesce(bmn.doc_id, csn.doc_id) AS doc_id,
+               round(coalesce(n0 * 0.7, 0.0) + coalesce(n1 * 0.3, 0.0), 9)
+                 AS score
+        FROM bmn FULL OUTER JOIN csn ON bmn.doc_id = csn.doc_id),
+linr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         FROM lin),
+c1 AS (SELECT doc_id, r FROM linr WHERE r <= 40),
+c2 AS (SELECT doc_id, r FROM bm WHERE r <= 40),
+f AS (SELECT coalesce(c1.doc_id, c2.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60.0 + c1.r), 0.0)
+                   + coalesce(1.0 / (60.0 + c2.r), 0.0), 9) AS score
+      FROM c1 FULL OUTER JOIN c2 ON c1.doc_id = c2.doc_id)
+SELECT doc_id, score FROM f ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
 def q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL INLINESTATS (operators/esql._cmd_inlinestats): join the
     per-user average back to every event, keep rows above it, count
@@ -10285,6 +10335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lines": q_dedup_lines,
     "scrub_pii": q_scrub_pii,
     "classifier_score": q_classifier_score,
+    "retriever_tree": q_retriever_tree,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10476,4 +10527,5 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_lines": _SQL_DEDUP_LINES,
     "scrub_pii": _SQL_SCRUB_PII,
     "classifier_score": _SQL_CLASSIFIER_SCORE,
+    "retriever_tree": _SQL_RETRIEVER_TREE,
 }

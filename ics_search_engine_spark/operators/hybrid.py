@@ -166,3 +166,99 @@ def linear_fuse(
     fused = reduce(lambda a, b: a + b, terms)
     keep = ([query_col] if query_col else []) + [id_col]
     return merged.select(*keep, fused.alias(out_col))
+
+
+# ------------------------------------------------------- retriever trees
+#
+# The ES retriever API (8.14+): a search is a TREE of retrievers —
+# leaves produce candidate lists (standard/BM25, knn, ...), inner nodes
+# fuse their children (rrf, linear), each child bounded to its
+# rank_window_size before fusion.  Here a leaf is ANY bounded
+# (id, score) DataFrame — the engine's bm25_topk_* / cosine_topk_* /
+# lmd_topk outputs all qualify — so the tree composes every retriever
+# in the repo without this module knowing about indexes.
+#
+# Cross-engine determinism: fused scores are rounded (round_digits)
+# BEFORE any rank is assigned over them, so nested rank boundaries
+# agree with the DuckDB oracle (the module-wide rounded-rank-key
+# convention).
+
+
+class Retriever:
+    """Marker base for retriever-tree nodes."""
+
+
+class Leg(Retriever):
+    """Leaf: a bounded (id, score) candidate frame from any retriever."""
+
+    def __init__(self, df: DataFrame, score_col: str = "score"):
+        self.df = df
+        self.score_col = score_col
+
+
+class RrfRetriever(Retriever):
+    def __init__(self, retrievers: list[Retriever],
+                 rank_constant: int = 60, rank_window_size: int = 100):
+        self.retrievers = retrievers
+        self.rank_constant = rank_constant
+        self.rank_window_size = rank_window_size
+
+
+class LinearRetriever(Retriever):
+    def __init__(self, retrievers: list[Retriever], weights: list[float],
+                 rank_window_size: int = 100):
+        if len(weights) != len(retrievers):
+            raise ValueError("one weight per child retriever")
+        self.retrievers = retrievers
+        self.weights = weights
+        self.rank_window_size = rank_window_size
+
+
+def _eval_node(
+    node: Retriever, id_col: str, round_digits: int
+) -> tuple[DataFrame, str]:
+    if isinstance(node, Leg):
+        return node.df, node.score_col
+    if not isinstance(node, (RrfRetriever, LinearRetriever)):
+        raise TypeError(f"not a Retriever node: {node!r}")
+    bounded = []
+    score_cols = []
+    for child in node.retrievers:
+        df, sc = _eval_node(child, id_col, round_digits)
+        ranked = add_rank(df, sc, id_col)
+        bounded.append(
+            ranked.filter(F.col("rank") <= node.rank_window_size)
+        )
+        score_cols.append(sc)
+    if isinstance(node, RrfRetriever):
+        fused = rrf_fuse(bounded, id_col, k=node.rank_constant)
+        out_col = "rrf"
+    else:
+        fused = linear_fuse(
+            bounded, node.weights, id_col, score_cols=score_cols
+        )
+        out_col = "fused"
+    rounded = fused.select(
+        id_col, F.round(out_col, round_digits).alias("score")
+    )
+    return rounded, "score"
+
+
+def retriever_topk(
+    node: Retriever,
+    k: int,
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Evaluate a retriever tree → top-k (id, score), score = the root
+    fusion value rounded to ``round_digits`` (ties break id ASC).
+    Every fusion input is bounded by its node's rank_window_size, so
+    the whole tree is O(Σ windows) rows after the leaves — the leaves
+    themselves are top-N retriever outputs (TakeOrderedAndProject /
+    ANN shortlists), never corpus-sized."""
+    df, sc = _eval_node(node, id_col, round_digits)
+    return (
+        df.orderBy(F.desc(sc), F.asc(id_col))
+        .limit(k)
+        .withColumnRenamed(sc, "score")
+    )

@@ -163,3 +163,92 @@ class TestFusedGateShapes:
         rows = out.collect()
         assert 0 < len(rows) <= 20
         assert all(0.0 <= r["fused_r9"] <= 1.0 for r in rows)
+
+
+class TestRetrieverTree:
+    @pytest.fixture(scope="class")
+    def legs(self, spark):
+        bm = spark.createDataFrame(
+            [(i, round(10.0 - i * 0.5, 6)) for i in range(12)],
+            "doc_id long, bm double",
+        )
+        cs = spark.createDataFrame(
+            [(i + 6, round(1.0 - i * 0.05, 6)) for i in range(12)],
+            "doc_id long, cs double",
+        )
+        return bm, cs
+
+    def test_flat_rrf_matches_rrf_fuse(self, legs):
+        from ics_search_engine_spark.operators.hybrid import (
+            Leg,
+            RrfRetriever,
+            add_rank,
+            retriever_topk,
+            rrf_fuse,
+        )
+
+        bm, cs = legs
+        tree = RrfRetriever([Leg(bm, "bm"), Leg(cs, "cs")],
+                            rank_constant=60, rank_window_size=100)
+        got = retriever_topk(tree, k=10).collect()
+        manual = rrf_fuse(
+            [add_rank(bm, "bm", "doc_id"), add_rank(cs, "cs", "doc_id")],
+            "doc_id", k=60,
+        )
+        want = (
+            manual.select("doc_id", F.round("rrf", 9).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+        )
+        assert got == want
+
+    def test_window_bounds_each_child(self, legs):
+        from ics_search_engine_spark.operators.hybrid import (
+            Leg,
+            RrfRetriever,
+            retriever_topk,
+        )
+
+        bm, cs = legs
+        tree = RrfRetriever([Leg(bm, "bm"), Leg(cs, "cs")],
+                            rank_window_size=3)
+        ids = {r["doc_id"] for r in retriever_topk(tree, k=50).collect()}
+        # only each leg's top-3 can appear: bm -> 0,1,2; cs -> 6,7,8
+        assert ids == {0, 1, 2, 6, 7, 8}
+
+    def test_nested_linear_in_rrf(self, legs):
+        from ics_search_engine_spark.operators.hybrid import (
+            Leg,
+            LinearRetriever,
+            RrfRetriever,
+            retriever_topk,
+        )
+
+        bm, cs = legs
+        inner = LinearRetriever([Leg(bm, "bm"), Leg(cs, "cs")],
+                                weights=[0.7, 0.3], rank_window_size=8)
+        tree = RrfRetriever([inner, Leg(bm, "bm")], rank_window_size=10)
+        out = retriever_topk(tree, k=5).collect()
+        assert len(out) == 5
+        assert out == sorted(out, key=lambda r: (-r["score"], r["doc_id"]))
+        # doc 0: rank 1 in BOTH children (top linear fused + top bm)
+        assert out[0]["doc_id"] == 0
+        assert out[0]["score"] == pytest.approx(2 / 61, abs=1e-9)
+
+    def test_weight_arity_checked(self, legs):
+        from ics_search_engine_spark.operators.hybrid import (
+            Leg,
+            LinearRetriever,
+        )
+
+        bm, cs = legs
+        with pytest.raises(ValueError, match="one weight per child"):
+            LinearRetriever([Leg(bm, "bm"), Leg(cs, "cs")], weights=[1.0])
+
+    def test_non_retriever_rejected(self, legs):
+        from ics_search_engine_spark.operators.hybrid import (
+            RrfRetriever,
+            retriever_topk,
+        )
+
+        with pytest.raises(TypeError, match="not a Retriever"):
+            retriever_topk(RrfRetriever(["nope"]), k=3)
