@@ -130,6 +130,43 @@ def schema_from_arrow(schema: pa.Schema) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+_ICE_TO_ARROW = {
+    "string": pa.string(),
+    "int": pa.int32(),
+    "long": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "boolean": pa.bool_(),
+    "binary": pa.binary(),
+    "date": pa.date32(),
+    "timestamp": pa.timestamp("us"),
+    "timestamptz": pa.timestamp("us", tz="UTC"),
+}
+
+
+def arrow_schema_from_iceberg(ice_schema: dict) -> pa.Schema:
+    """Iceberg struct schema → Arrow schema (the writer's primitive +
+    list subset).  Used by the read path to reconcile files written
+    under OLDER schemas: reading with the target schema fills columns
+    a file predates with nulls."""
+    fields = []
+    for f in ice_schema["fields"]:
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list":
+            at = pa.list_(_ICE_TO_ARROW[t["element"]])
+        else:
+            at = _ICE_TO_ARROW[t]
+        fields.append(pa.field(f["name"], at, nullable=not f["required"]))
+    return pa.schema(fields)
+
+
+def _type_key(t: Any) -> Any:
+    """Schema-comparison key for a field type (ignores assigned ids)."""
+    if isinstance(t, dict) and t.get("type") == "list":
+        return ("list", t["element"])
+    return t
+
+
 def _last_column_id(schema: dict) -> int:
     last = 0
     for f in schema["fields"]:
@@ -448,17 +485,56 @@ def commit(
 
     prev = load_metadata(table)
     ice_schema = schema_from_arrow(arrow_schema)
+    all_schemas = [ice_schema]
     if prev is not None:
         cur = next(
             s for s in prev["schemas"] if s["schema-id"] == prev["current-schema-id"]
         )
-        if [f["name"] for f in cur["fields"]] != [f["name"] for f in ice_schema["fields"]]:
+        cur_names = [f["name"] for f in cur["fields"]]
+        new_names = [f["name"] for f in ice_schema["fields"]]
+        # existing columns must keep their exact types (type promotion
+        # is out of scope for this writer — loud, not silent)
+        cur_types = {f["name"]: _type_key(f["type"]) for f in cur["fields"]}
+        for f in ice_schema["fields"]:
+            if f["name"] in cur_types and _type_key(f["type"]) != cur_types[f["name"]]:
+                raise ValueError(
+                    f"type change on column {f['name']!r} is out of scope "
+                    f"for this writer: {cur_types[f['name']]} vs "
+                    f"{_type_key(f['type'])}"
+                )
+        if new_names == cur_names:
+            ice_schema = cur  # keep the committed field-ids stable
+            all_schemas = prev["schemas"]
+        elif new_names[: len(cur_names)] == cur_names:
+            # ADDITIVE schema evolution (the Iceberg add-column verb):
+            # existing fields keep their committed ids; appended fields
+            # get fresh ids after last-column-id; added columns are
+            # optional by spec (old files have no values for them).
+            next_id = prev["last-column-id"] + 1
+            added = []
+            for f in ice_schema["fields"][len(cur_names):]:
+                nf = dict(f)
+                nf["id"] = next_id
+                nf["required"] = False
+                next_id += 1
+                if isinstance(nf["type"], dict):  # list: fresh element id
+                    nt = dict(nf["type"])
+                    nt["element-id"] = next_id
+                    next_id += 1
+                    nf["type"] = nt
+                added.append(nf)
+            ice_schema = {
+                "type": "struct",
+                "schema-id": max(s["schema-id"] for s in prev["schemas"]) + 1,
+                "fields": list(cur["fields"]) + added,
+            }
+            all_schemas = prev["schemas"] + [ice_schema]
+        else:
             raise ValueError(
-                "schema evolution is out of scope for this writer: "
-                f"{[f['name'] for f in cur['fields']]} vs "
-                f"{[f['name'] for f in ice_schema['fields']]}"
+                "only ADDITIVE schema evolution is supported (drop/"
+                f"rename/reorder are out of scope): {cur_names} vs "
+                f"{new_names}"
             )
-        ice_schema = cur  # keep the committed field-ids stable
 
     seq = (prev["last-sequence-number"] + 1) if prev else 1
     snap_id = int.from_bytes(os.urandom(8), "big") >> 1  # positive long
@@ -564,9 +640,9 @@ def commit(
         "location": os.path.abspath(table),
         "last-sequence-number": seq,
         "last-updated-ms": _now_ms(),
-        "last-column-id": _last_column_id(ice_schema),
+        "last-column-id": max(_last_column_id(s) for s in all_schemas),
         "current-schema-id": ice_schema["schema-id"],
-        "schemas": [ice_schema],
+        "schemas": all_schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999,  # spec: partition field ids start at 1000
@@ -673,9 +749,13 @@ class IcebergMetaTable:
                 f"only format-version 2 supported, got {meta.get('format-version')}"
             )
         self.metadata = meta
-        self.schema = next(
-            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
-        )
+
+        def _schema_by_id(schema_id: int) -> dict:
+            return next(
+                s for s in meta["schemas"] if s["schema-id"] == schema_id
+            )
+
+        self.schema = _schema_by_id(meta["current-schema-id"])
         sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
         if sid is None:
             self.snapshot = None
@@ -687,6 +767,10 @@ class IcebergMetaTable:
             )
         except StopIteration:
             raise ValueError(f"snapshot {sid} not in {table}") from None
+        # time travel reads the table AS IT WAS: the snapshot's own
+        # schema (spec: snapshot.schema-id), not the current one
+        if self.snapshot.get("schema-id") is not None:
+            self.schema = _schema_by_id(self.snapshot["schema-id"])
         self._files = self._load_files()
 
     @property
@@ -758,9 +842,16 @@ class IcebergMetaTable:
         """Materialize the snapshot with pyarrow — the serving tier's
         read path when the artifacts are Iceberg tables."""
         paths = self.file_paths()
+        target = arrow_schema_from_iceberg(self.schema)
         if not paths:
-            # empty snapshot: synthesize an empty table with the schema
-            return pa.table({})
+            # empty snapshot: an empty table with the snapshot's schema
+            return target.empty_table()
         import pyarrow.dataset as ds
 
-        return ds.dataset(paths, format="parquet").to_table(columns=columns)
+        # reading with the snapshot's schema reconciles files written
+        # under OLDER schemas: columns a file predates come back null
+        # (name-based reconciliation is exact here because this writer
+        # only ever evolves schemas additively — no renames)
+        return ds.dataset(paths, format="parquet", schema=target).to_table(
+            columns=columns
+        )

@@ -488,3 +488,106 @@ def test_engine_on_iceberg_bit_identical(spark, tmp_path, small_df):
     # and the index tables really are Iceberg
     assert catalog.is_iceberg_layout(str(tmp_path / "idx_iceberg" / "index"))
     assert not catalog.is_iceberg_layout(str(tmp_path / "idx_parquet" / "index"))
+
+
+class TestSchemaEvolution:
+    def _base(self, tmp_path):
+        tbl = str(tmp_path / "evo")
+        t1 = pa.table(
+            {"term": ["a", "b"], "doc_ord": pa.array([1, 2], pa.int64())}
+        )
+        f1 = _mk_files(tbl, "c1", [t1])
+        m1 = im.commit(tbl, f1, t1.schema, "append")
+        return tbl, t1, f1, m1
+
+    def test_add_column_appends_schema_with_fresh_ids(self, tmp_path):
+        tbl, t1, f1, m1 = self._base(tmp_path)
+        t2 = pa.table(
+            {
+                "term": ["c"],
+                "doc_ord": pa.array([3], pa.int64()),
+                "lang": ["en"],
+            }
+        )
+        f2 = _mk_files(tbl, "c2", [t2])
+        m2 = im.commit(tbl, f2, t2.schema, "append")
+        assert len(m2["schemas"]) == 2
+        assert m2["current-schema-id"] == 1
+        cur = next(s for s in m2["schemas"] if s["schema-id"] == 1)
+        old = next(s for s in m2["schemas"] if s["schema-id"] == 0)
+        # existing fields keep their committed ids
+        assert [f["id"] for f in cur["fields"][:2]] == [
+            f["id"] for f in old["fields"]
+        ]
+        # the added field gets a FRESH id past the old last-column-id
+        assert cur["fields"][2]["id"] == m1["last-column-id"] + 1
+        assert cur["fields"][2]["required"] is False
+        assert m2["last-column-id"] == m1["last-column-id"] + 1
+
+    def test_old_files_read_null_under_new_schema(self, tmp_path):
+        tbl, t1, f1, m1 = self._base(tmp_path)
+        t2 = pa.table(
+            {
+                "term": ["c"],
+                "doc_ord": pa.array([3], pa.int64()),
+                "lang": ["en"],
+            }
+        )
+        _f2 = _mk_files(tbl, "c2", [t2])
+        im.commit(tbl, _f2, t2.schema, "append")
+        got = im.IcebergMetaTable(tbl).to_arrow().sort_by("doc_ord")
+        assert got.column_names == ["term", "doc_ord", "lang"]
+        assert got.column("lang").to_pylist() == [None, None, "en"]
+        assert got.column("term").to_pylist() == ["a", "b", "c"]
+
+    def test_time_travel_reads_the_old_shape(self, tmp_path):
+        tbl, t1, f1, m1 = self._base(tmp_path)
+        t2 = pa.table(
+            {
+                "term": ["c"],
+                "doc_ord": pa.array([3], pa.int64()),
+                "lang": ["en"],
+            }
+        )
+        _f2 = _mk_files(tbl, "c2", [t2])
+        im.commit(tbl, _f2, t2.schema, "append")
+        old = im.IcebergMetaTable(tbl, snapshot_id=m1["current-snapshot-id"])
+        got = old.to_arrow()
+        assert got.column_names == ["term", "doc_ord"]  # pre-evolution shape
+        assert got.num_rows == 2
+
+    def test_rejects_rename_reorder_typechange(self, tmp_path):
+        tbl, t1, f1, m1 = self._base(tmp_path)
+        bad_rename = pa.table(
+            {"word": ["x"], "doc_ord": pa.array([9], pa.int64())}
+        )
+        with pytest.raises(ValueError, match="ADDITIVE"):
+            im.commit(tbl, _mk_files(tbl, "r", [bad_rename]),
+                      bad_rename.schema, "append")
+        bad_reorder = pa.table(
+            {"doc_ord": pa.array([9], pa.int64()), "term": ["x"]}
+        )
+        with pytest.raises(ValueError, match="ADDITIVE"):
+            im.commit(tbl, _mk_files(tbl, "o", [bad_reorder]),
+                      bad_reorder.schema, "append")
+        bad_type = pa.table(
+            {"term": ["x"], "doc_ord": pa.array([9], pa.int32())}
+        )
+        with pytest.raises(ValueError, match="type change"):
+            im.commit(tbl, _mk_files(tbl, "t", [bad_type]),
+                      bad_type.schema, "append")
+
+    def test_prune_still_works_across_mixed_schemas(self, tmp_path):
+        tbl, t1, f1, m1 = self._base(tmp_path)
+        t2 = pa.table(
+            {
+                "term": ["zebra"],
+                "doc_ord": pa.array([30], pa.int64()),
+                "lang": ["en"],
+            }
+        )
+        _f2 = _mk_files(tbl, "c2", [t2])
+        im.commit(tbl, _f2, t2.schema, "append")
+        cur = im.IcebergMetaTable(tbl)
+        kept = cur.prune_files("doc_ord", [30])
+        assert len(kept) == 1 and kept[0].record_count == 1
