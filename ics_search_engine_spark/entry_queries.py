@@ -9882,6 +9882,46 @@ FROM t, w ORDER BY doc_id
 """
 
 
+def q_esql_fork_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FORK/FUSE (operators/esql._cmd_fork/_cmd_fuse): two
+    branch sub-pipes over events, rrf-combined by event_id — the
+    9.x branch-and-fuse verbs as one Catalyst plan."""
+    from ics_search_engine_spark.operators.esql import esql_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pipe = """FROM events
+| FORK ( WHERE event_type == "view" | SORT value DESC, event_id ASC | LIMIT 20 )
+       ( WHERE value > 30 | SORT value DESC, event_id ASC | LIMIT 20 )
+| FUSE event_id BY value"""
+    fused = esql_query(spark, pipe, {"events": ev})
+    return (
+        fused.select(
+            "event_id",
+            F.round("fused", 9).alias("fused_r9"),
+            "n_forks",
+        )
+        .orderBy(F.desc("fused_r9"), F.asc("event_id"))
+        .limit(12)
+    )
+
+
+_SQL_ESQL_FORK_FUSE = """
+WITH l1 AS (SELECT event_id, value FROM events WHERE event_type = 'view'
+            ORDER BY value DESC, event_id ASC LIMIT 20),
+l2 AS (SELECT event_id, value FROM events WHERE value > 30
+       ORDER BY value DESC, event_id ASC LIMIT 20),
+r1 AS (SELECT event_id, row_number()
+         OVER (ORDER BY value DESC, event_id ASC) AS r FROM l1),
+r2 AS (SELECT event_id, row_number()
+         OVER (ORDER BY value DESC, event_id ASC) AS r FROM l2),
+u AS (SELECT event_id, r FROM r1 UNION ALL SELECT event_id, r FROM r2)
+SELECT event_id, round(sum(1.0 / (60.0 + r)), 9) AS fused_r9,
+       count(*) AS n_forks
+FROM u GROUP BY event_id
+ORDER BY fused_r9 DESC, event_id ASC LIMIT 12
+"""
+
+
 def q_retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES retriever-tree API (operators/hybrid.retriever_topk): a
     NESTED tree — rrf(linear([bm25, cosine], 0.7/0.3, window 30),
@@ -10336,6 +10376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_pii": q_scrub_pii,
     "classifier_score": q_classifier_score,
     "retriever_tree": q_retriever_tree,
+    "esql_fork_fuse": q_esql_fork_fuse,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10528,4 +10569,5 @@ ORACLE_SQL: dict[str, str] = {
     "scrub_pii": _SQL_SCRUB_PII,
     "classifier_score": _SQL_CLASSIFIER_SCORE,
     "retriever_tree": _SQL_RETRIEVER_TREE,
+    "esql_fork_fuse": _SQL_ESQL_FORK_FUSE,
 }

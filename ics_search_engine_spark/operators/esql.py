@@ -25,7 +25,8 @@ compat shim for the ES|QL spellings that differ (`==`, `!=` on
 strings, `DATE_TRUNC(1 hour, ts)`, `LIKE "wildcard*"`); the supported
 command surface is FROM, WHERE, EVAL, STATS..BY, SORT, LIMIT, KEEP,
 DROP, RENAME..AS, MV_EXPAND, DISSECT, GROK, ENRICH..ON..WITH,
-INLINESTATS..BY, LOOKUP JOIN..ON, SAMPLE, CHANGE_POINT..ON, and ROW.
+INLINESTATS..BY, LOOKUP JOIN..ON, SAMPLE, CHANGE_POINT..ON,
+FORK (branch sub-pipes) / FUSE (rrf-combine the branches), and ROW.
 Unknown commands raise with the offending pipe segment.
 """
 
@@ -678,18 +679,131 @@ def esql_query(
         df = spark.range(1).select(*exprs)
 
     for seg in parts[1:]:
-        cm = re.match(r"^([A-Za-z_]+)\b\s*(.*)$", seg, re.DOTALL)
-        cmd = cm.group(1).upper() if cm else ""
-        if cmd == "ENRICH":
-            df = _cmd_enrich(df, cm.group(2).strip(), enrich)
-        elif cmd == "LOOKUP":
-            jm = re.match(r"^JOIN\b\s*(.*)$", cm.group(2).strip(),
-                          re.IGNORECASE | re.DOTALL)
-            if not jm:
-                raise EsqlError(f"expected LOOKUP JOIN, got {seg!r}")
-            df = _cmd_lookup_join(df, jm.group(1).strip(), tables)
-        elif cmd in _COMMANDS:
-            df = _COMMANDS[cmd](df, cm.group(2).strip())
-        else:
-            raise EsqlError(f"unsupported command in segment {seg!r}")
+        df = _apply_segment(df, seg, tables, enrich)
     return df
+
+
+def _apply_segment(
+    df: DataFrame,
+    seg: str,
+    tables: dict | None,
+    enrich: dict | None,
+) -> DataFrame:
+    """Dispatch one pipe segment — shared by the top-level pipe and
+    FORK branches."""
+    cm = re.match(r"^([A-Za-z_]+)\b\s*(.*)$", seg, re.DOTALL)
+    cmd = cm.group(1).upper() if cm else ""
+    if cmd == "ENRICH":
+        return _cmd_enrich(df, cm.group(2).strip(), enrich)
+    if cmd == "LOOKUP":
+        jm = re.match(r"^JOIN\b\s*(.*)$", cm.group(2).strip(),
+                      re.IGNORECASE | re.DOTALL)
+        if not jm:
+            raise EsqlError(f"expected LOOKUP JOIN, got {seg!r}")
+        return _cmd_lookup_join(df, jm.group(1).strip(), tables)
+    if cmd == "FORK":
+        return _cmd_fork(df, cm.group(2).strip(), tables, enrich)
+    if cmd == "FUSE":
+        return _cmd_fuse(df, cm.group(2).strip())
+    if cmd in _COMMANDS:
+        return _COMMANDS[cmd](df, cm.group(2).strip())
+    raise EsqlError(f"unsupported command in segment {seg!r}")
+
+
+def _split_parens(body: str) -> list[str]:
+    """Split ``( ... ) ( ... )`` into branch strings (quote-aware)."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in body:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            if depth > 0:
+                buf.append(ch)
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+        elif ch.strip():
+            raise EsqlError(
+                f"FORK expects only parenthesized branches, got {body!r}"
+            )
+    if depth != 0 or quote:
+        raise EsqlError("unterminated FORK branch")
+    return out
+
+
+def _cmd_fork(
+    df: DataFrame, body: str, tables: dict | None, enrich: dict | None
+) -> DataFrame:
+    """``FORK ( sub | pipe ) ( sub | pipe ) ...`` — ES|QL 9's branch
+    verb: each parenthesized sub-pipe runs on the INPUT frame, rows
+    gain ``_fork`` = "fork1", "fork2", ... and the branches union
+    (by name, missing columns null).  Catalyst still sees ONE plan —
+    branches share the scan subtree, so a fork is never N re-reads
+    declared at this layer."""
+    branches = _split_parens(body)
+    if len(branches) < 2:
+        raise EsqlError("FORK needs at least two branches")
+    outs = []
+    for i, br in enumerate(branches, start=1):
+        b = df
+        for seg in split_pipes(br):
+            b = _apply_segment(b, seg, tables, enrich)
+        outs.append(b.withColumn("_fork", F.lit(f"fork{i}")))
+    merged = outs[0]
+    for other in outs[1:]:
+        merged = merged.unionByName(other, allowMissingColumns=True)
+    return merged
+
+
+def _cmd_fuse(df: DataFrame, body: str) -> DataFrame:
+    """``FUSE key_col BY score_col [WITH rank_constant]`` — rrf-combine
+    FORK branches: within each ``_fork`` leg rows rank by (score DESC,
+    key ASC), then legs fuse as Σ 1/(rank_constant + rank) per key.
+
+    Adaptation note (documented delta from ES): ES's FUSE keys on the
+    implicit ``_id``/``_score`` metadata columns; these frames carry no
+    hidden metadata, so the key and score columns are explicit."""
+    from pyspark.sql.window import Window
+
+    m = re.match(
+        r"^([A-Za-z_][\w.]*)\s+BY\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+WITH\s+(\d+))?\s*$",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise EsqlError(
+            f"FUSE expects: FUSE key_col BY score_col [WITH k], got {body!r}"
+        )
+    key, score, k = m.group(1), m.group(2), int(m.group(3) or 60)
+    if "_fork" not in df.columns:
+        raise EsqlError("FUSE requires a preceding FORK")
+    missing = [c for c in (key, score) if c not in df.columns]
+    if missing:
+        raise EsqlError(f"FUSE: unknown columns {missing}")
+    w = Window.partitionBy("_fork").orderBy(
+        F.desc(score), F.asc(key)
+    )
+    ranked = df.withColumn("_r", F.row_number().over(w))
+    return (
+        ranked.groupBy(key)
+        .agg(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("_r"))).alias(
+                "fused"
+            ),
+            F.count("*").alias("n_forks"),
+        )
+    )

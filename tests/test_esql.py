@@ -488,3 +488,76 @@ class TestChangePointCmd:
     def test_unknown_columns(self, spark, ev):
         with pytest.raises(EsqlError, match="unknown columns"):
             run(spark, ev, "FROM events | CHANGE_POINT nope ON ts")
+
+
+class TestForkFuse:
+    def test_fork_unions_with_fork_tag(self, spark, ev):
+        out = run(
+            spark, ev,
+            'FROM events'
+            ' | FORK ( WHERE event_type == "view" | LIMIT 100 )'
+            '        ( WHERE event_type == "click" | LIMIT 100 )',
+        )
+        rows = out.collect()
+        tags = {r["_fork"] for r in rows}
+        assert tags == {"fork1", "fork2"}
+        assert all(
+            (r["_fork"] == "fork1") == (r["event_type"] == "view")
+            for r in rows
+        )
+
+    def test_fork_branches_may_diverge_in_columns(self, spark, ev):
+        out = run(
+            spark, ev,
+            "FROM events"
+            " | FORK ( EVAL a = value * 2 | LIMIT 5 )"
+            "        ( EVAL b = value + 1 | LIMIT 5 )",
+        ).collect()
+        f1 = [r for r in out if r["_fork"] == "fork1"]
+        f2 = [r for r in out if r["_fork"] == "fork2"]
+        assert all(r["b"] is None for r in f1)
+        assert all(r["a"] is None for r in f2)
+
+    def test_fuse_matches_manual_rrf(self, spark, ev):
+        piped = run(
+            spark, ev,
+            'FROM events'
+            ' | FORK ( WHERE event_type == "view" | SORT value DESC,'
+            ' event_id ASC | LIMIT 10 )'
+            '        ( WHERE value > 30 | SORT value DESC, event_id ASC'
+            ' | LIMIT 10 )'
+            " | FUSE event_id BY value"
+            " | SORT fused DESC, event_id ASC | LIMIT 5",
+        ).collect()
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.hybrid import (
+            add_rank,
+            rrf_fuse,
+        )
+
+        l1 = (ev.filter("event_type = 'view'")
+              .orderBy(F.desc("value"), F.asc("event_id")).limit(10))
+        l2 = (ev.filter("value > 30")
+              .orderBy(F.desc("value"), F.asc("event_id")).limit(10))
+        manual = rrf_fuse(
+            [add_rank(l1, "value", "event_id"),
+             add_rank(l2, "value", "event_id")],
+            "event_id", k=60,
+        )
+        want = {r["event_id"]: r["rrf"] for r in manual.collect()}
+        assert len(piped) == 5
+        for r in piped:
+            assert r["fused"] == pytest.approx(want[r["event_id"]], abs=1e-12)
+
+    def test_fuse_requires_fork(self, spark, ev):
+        with pytest.raises(EsqlError, match="requires a preceding FORK"):
+            run(spark, ev, "FROM events | FUSE event_id BY value")
+
+    def test_fork_needs_two_branches(self, spark, ev):
+        with pytest.raises(EsqlError, match="at least two"):
+            run(spark, ev, "FROM events | FORK ( LIMIT 3 )")
+
+    def test_fork_rejects_bare_text(self, spark, ev):
+        with pytest.raises(EsqlError, match="parenthesized"):
+            run(spark, ev, "FROM events | FORK WHERE x ( LIMIT 3 )")
