@@ -9922,6 +9922,57 @@ ORDER BY fused_r9 DESC, event_id ASC LIMIT 12
 """
 
 
+_SPLIT_TEST_FRAC = 0.04
+
+
+def q_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/test split (operators/dedup.
+    decontaminated_split): hash-rate test assignment, then every
+    train doc sharing >= 3 distinct trigram shingles with any test
+    doc is dropped before the split frame is returned."""
+    from ics_search_engine_spark.operators.dedup import (
+        decontaminated_split,
+    )
+
+    return (
+        decontaminated_split(
+            _docs(spark, sf_dir), test_frac=_SPLIT_TEST_FRAC,
+            n=3, min_shared=3,
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DECONTAMINATED_SPLIT = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         {_sql_md5_32("doc_id::VARCHAR")}
+           < {int(_SPLIT_TEST_FRAC * (1 << 32))} AS is_test
+  FROM documents
+),
+t AS (SELECT doc_id, is_test, {_SQL_TOKS} AS toks FROM s),
+g AS (
+  SELECT doc_id, is_test,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> {_sql_md5_32("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+         ))) AS h
+  FROM t WHERE len(toks) >= 3
+),
+cont AS (
+  SELECT d.doc_id FROM g d
+  JOIN (SELECT doc_id, h FROM g WHERE is_test) b ON d.h = b.h
+  WHERE NOT d.is_test
+  GROUP BY d.doc_id, b.doc_id HAVING count(*) >= 3
+)
+SELECT doc_id, CASE WHEN is_test THEN 'test' ELSE 'train' END AS split
+FROM s
+WHERE is_test OR doc_id NOT IN (SELECT DISTINCT doc_id FROM cont)
+ORDER BY doc_id
+"""
+
+
 def q_retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES retriever-tree API (operators/hybrid.retriever_topk): a
     NESTED tree — rrf(linear([bm25, cosine], 0.7/0.3, window 30),
@@ -10377,6 +10428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score": q_classifier_score,
     "retriever_tree": q_retriever_tree,
     "esql_fork_fuse": q_esql_fork_fuse,
+    "decontaminated_split": q_decontaminated_split,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10570,4 +10622,5 @@ ORACLE_SQL: dict[str, str] = {
     "classifier_score": _SQL_CLASSIFIER_SCORE,
     "retriever_tree": _SQL_RETRIEVER_TREE,
     "esql_fork_fuse": _SQL_ESQL_FORK_FUSE,
+    "decontaminated_split": _SQL_DECONTAMINATED_SPLIT,
 }

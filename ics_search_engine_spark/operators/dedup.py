@@ -450,3 +450,51 @@ def dedup_lines_corpus(
             ).alias("text_clean"),
         )
     )
+
+
+def decontaminated_split(
+    docs: DataFrame,
+    test_frac: float = 0.02,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Contamination-safe train/test split: assign each document to
+    the test side by deterministic hash rate (md5_32(id) < frac·2³²,
+    the datapipe sampling convention — stable under corpus growth),
+    then DROP from the train side every document sharing >=
+    ``min_shared`` distinct n-token shingles with ANY test document
+    (the ngram_contamination pass, test side broadcast).
+
+    The eval-leak guard a real pretraining pipeline runs before
+    training: without it, near-copies of held-out data leak into
+    train and inflate eval.  Returns the surviving rows with a
+    ``split`` column ('train' | 'test'); contaminated train docs are
+    the rows you LOSE — count them via the frame's complement if the
+    attrition number matters (or run ngram_contamination directly).
+    """
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError("test_frac must be in (0, 1)")
+    thr = int(test_frac * (1 << 32))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    test = docs.filter(h < thr)
+    train = docs.filter(~(h < thr))
+    cont = (
+        ngram_contamination(
+            train,
+            test.select(F.col(id_col).alias("bench_id"), text_col),
+            n=n,
+            min_shared=min_shared,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    clean_train = train.join(cont, id_col, "left_anti")
+    return clean_train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test"))
+    )

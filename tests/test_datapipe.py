@@ -355,3 +355,52 @@ class TestPrepareCorpus:
         assert packed.count() == 40  # balanced already
         srcs = {r["source"] for r in packed.collect()}
         assert srcs == {"a", "b"}
+
+
+class TestPackPropertyBased:
+    """Hypothesis: pack_sequences' distributed offsets equal a plain
+    python prefix sum on ANY input (sizes, duplicates of n_tokens,
+    ragged partitioning)."""
+
+    def test_random_corpora_match_python_prefix_sum(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(
+            st.lists(
+                st.integers(min_value=0, max_value=5000),
+                min_size=1,
+                max_size=120,
+            ),
+            st.integers(min_value=1, max_value=4096),
+            st.integers(min_value=1, max_value=9),
+        )
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def check(tokens, capacity, nparts):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(tokens)],
+                "doc_id long, n_tokens long",
+            ).repartition(nparts)
+            got = {
+                r["doc_id"]: (
+                    r["token_offset"], r["chunk_id"], r["chunk_pos"],
+                    r["spans_boundary"],
+                )
+                for r in pack_sequences(
+                    df, capacity, num_partitions=min(nparts, 4)
+                ).collect()
+            }
+            acc = 0
+            for i, t in enumerate(tokens):
+                want = (
+                    acc, acc // capacity, acc % capacity,
+                    acc % capacity + t > capacity,
+                )
+                assert got[i] == want, (i, got[i], want)
+                acc += t
+
+        check()

@@ -210,3 +210,68 @@ class TestDedupLinesCorpus:
             r["n_lines_kept"] for r in dedup_lines_corpus(docs).collect()
         )
         assert total_kept == 5
+
+
+class TestDecontaminatedSplit:
+    def test_leaky_train_docs_dropped(self, spark):
+        from ics_search_engine_spark.operators.dedup import (
+            decontaminated_split,
+        )
+
+        # find an id that hashes into a 20% test bucket, then plant a
+        # near-copy under an id that doesn't
+        rows = [
+            (i, f"w{i}a w{i}b w{i}c w{i}d unique only words {i}")
+            for i in range(50)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        base = decontaminated_split(docs, test_frac=0.2)
+        split = {r["doc_id"]: r["split"] for r in base.collect()}
+        test_ids = [d for d, s in split.items() if s == "test"]
+        train_ids = [d for d, s in split.items() if s == "train"]
+        assert test_ids and train_ids
+        # plant: a train-side id carrying a test doc's exact text
+        leak_src = test_ids[0]
+        leak_text = rows[leak_src][1]
+        planted = spark.createDataFrame(
+            rows + [(1000 + train_ids[0], leak_text)],
+            "doc_id long, text string",
+        )
+        out = decontaminated_split(planted, test_frac=0.2)
+        got = {r["doc_id"]: r["split"] for r in out.collect()}
+        planted_id = 1000 + train_ids[0]
+        if planted_id in got:
+            # it may itself hash to test; then it's kept as test
+            assert got[planted_id] == "test"
+        else:
+            assert planted_id not in got  # dropped as contaminated
+        # untouched originals keep their split
+        for d in train_ids[:5]:
+            assert got[d] == "train"
+
+    def test_split_is_hash_stable(self, spark):
+        from ics_search_engine_spark.operators.dedup import (
+            decontaminated_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"x{i} y{i} z{i} q{i}") for i in range(60)],
+            "doc_id long, text string",
+        )
+        a = {(r["doc_id"], r["split"]) for r in
+             decontaminated_split(docs, 0.1).collect()}
+        b = {(r["doc_id"], r["split"]) for r in
+             decontaminated_split(docs, 0.1).collect()}
+        assert a == b
+        assert {s for _, s in a} == {"train", "test"}
+
+    def test_bad_frac(self, spark):
+        from ics_search_engine_spark.operators.dedup import (
+            decontaminated_split,
+        )
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            decontaminated_split(docs, 0.0)

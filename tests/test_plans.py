@@ -507,3 +507,81 @@ class TestEsqlPlan:
         assert "GreaterThan(value,50" in plan
         assert "partial_count" in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestDatapipePlans:
+    """100x-readiness audits for the training-pipeline verbs: the
+    shuffle counts and pushdown shapes the scale claims rest on."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, f"src{i % 3}", ["en", "de"][i % 2],
+                 f"alpha beta w{i} gamma delta text {i}", (i * 7) % 90 + 10)
+                for i in range(200)]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, source string, lang string, text string,"
+            " n_tokens long",
+        )  # no repartition: the audits assert the OPERATORS add no shuffle
+
+    def test_stratified_sample_is_filter_only(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            stratified_sample,
+        )
+
+        plan = _plan(stratified_sample(docs, "doc_id", 0.3))
+        assert "Exchange" not in plan, plan  # a pure Filter — no shuffle
+
+    def test_scrub_pii_is_projection_only(self, docs):
+        from ics_search_engine_spark.operators.textstats import scrub_pii
+
+        plan = _plan(scrub_pii(docs))
+        assert "Exchange" not in plan, plan
+
+    def test_classifier_score_is_projection_only(self, docs):
+        from ics_search_engine_spark.operators.classifier import (
+            score_quality,
+        )
+
+        plan = _plan(score_quality(docs, [0.1] * 16, 0.0))
+        assert "Exchange" not in plan, plan
+
+    def test_mix_sources_single_stratum_exchange(self, docs):
+        from ics_search_engine_spark.operators.datapipe import mix_sources
+
+        plan = _plan(mix_sources(docs, "source", {"src0": 1, "src1": 1},
+                                 "doc_id"))
+        # one hash exchange on the stratum key feeds the rank window
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_pack_sequences_no_single_partition_window(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            pack_sequences,
+        )
+
+        plan = _plan(pack_sequences(docs, 256))
+        assert "rangepartitioning" in plan.lower(), plan
+        # the window partitions by the range id — never SinglePartition
+        for ln in plan.splitlines():
+            if "Window" in ln or "window" in ln.split("(")[0]:
+                assert "SinglePartition" not in ln, plan
+
+    def test_dedup_lines_two_data_exchanges(self, docs):
+        from ics_search_engine_spark.operators.dedup import (
+            dedup_lines_corpus,
+        )
+
+        plan = _plan(dedup_lines_corpus(docs))
+        # line-hash window + doc-grain reassembly; partial aggregation
+        # may add a same-key exchange but nothing else
+        assert 2 <= plan.count("Exchange hashpartitioning") <= 3, plan
+
+    def test_unigram_nll_reuses_model_exchange(self, docs):
+        from ics_search_engine_spark.operators.textstats import (
+            unigram_logprob,
+        )
+
+        df = unigram_logprob(docs)
+        df.collect()  # exchange reuse is finalized by AQE at runtime
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan
