@@ -9973,6 +9973,77 @@ ORDER BY doc_id
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semdedup): embedding-space
+    near-dup removal within clusters.  The base table has no natural
+    near-dups (max in-cell cosine 0.44), so the gate salts it with
+    exact copies of a 1-in-25 slice under ids +10000 (same id%8 cell
+    by construction) — every copy must drop, every original survive.
+    The gate pins the pair-join + min-id-keeper logic with a
+    deterministic cell; semantic-cluster quality is pytest territory."""
+    from ics_search_engine_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    extra = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    salted = emb.unionByName(extra).withColumn(
+        "cell", (F.col("vec_id") % 8).cast("int")
+    )
+    return (
+        semdedup(salted, threshold=0.9, cell_col="cell")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+_SQL_SEMDEDUP = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+e AS (SELECT vec_id, v, (vec_id % 8)::INT AS c FROM base),
+losers AS (
+  SELECT DISTINCT b.vec_id FROM e a JOIN e b
+    ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.9
+)
+SELECT vec_id FROM e
+WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+ORDER BY vec_id
+"""
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary (operators/textstats.corpus_report): the
+    one-row corpus release numbers, exact-dup-rate variant for oracle
+    parity (the approx form is the 10^12-row default)."""
+    from ics_search_engine_spark.operators.textstats import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir), exact_dup_rate=True)
+
+
+_SQL_CORPUS_REPORT = r"""
+SELECT count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '\S+'))) AS total_ws_tokens,
+       round(avg(len(regexp_extract_all(text, '\S+'))), 6)
+         AS mean_ws_tokens_r6,
+       min(len(regexp_extract_all(text, '\S+'))) AS min_ws_tokens,
+       max(len(regexp_extract_all(text, '\S+'))) AS max_ws_tokens,
+       round(1.0 - count(DISTINCT md5(text)) / count(*)::DOUBLE, 4)
+         AS dup_rate_r4,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources
+FROM documents
+"""
+
+
 def q_retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES retriever-tree API (operators/hybrid.retriever_topk): a
     NESTED tree — rrf(linear([bm25, cosine], 0.7/0.3, window 30),
@@ -10429,6 +10500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retriever_tree": q_retriever_tree,
     "esql_fork_fuse": q_esql_fork_fuse,
     "decontaminated_split": q_decontaminated_split,
+    "semdedup": q_semdedup,
+    "corpus_report": q_corpus_report,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10623,4 +10696,6 @@ ORACLE_SQL: dict[str, str] = {
     "retriever_tree": _SQL_RETRIEVER_TREE,
     "esql_fork_fuse": _SQL_ESQL_FORK_FUSE,
     "decontaminated_split": _SQL_DECONTAMINATED_SPLIT,
+    "semdedup": _SQL_SEMDEDUP,
+    "corpus_report": _SQL_CORPUS_REPORT,
 }

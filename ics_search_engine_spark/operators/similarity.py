@@ -584,3 +584,73 @@ def ivfadc_topk(
         cand, codebooks, qvec, k=k, n_candidates=n_candidates,
         id_col=id_col, vec_col=vec_col, vectors=vectors,
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings and dropping near-identical members WITHIN
+    each cluster — the embedding-space analog of the lexical near-dup
+    family, catching paraphrases MinHash can't.
+
+    1. cluster: k-means cells (ivf_centroids — capped driver fit), or
+       any caller-provided ``cell_col`` (the gate uses a deterministic
+       one so DuckDB can replay the pair logic);
+    2. pair: within-cell self-join on (a.id < b.id) with exact cosine
+       >= threshold — the join is CELL-BOUNDED: cost Σ|cell|², with
+       n_cells the knob that keeps cells shuffle-partition-sized at
+       scale (the paper's own trick; cross-cell near-dups are the
+       documented recall loss);
+    3. keep: min-id member of each near-dup pair survives — the same
+       deterministic keeper rule as simhash_dedup/exact_dedup.
+
+    Returns the surviving rows of ``emb`` (original columns).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    out_cols = emb.columns
+    if cell_col is None:
+        cents = ivf_centroids(
+            emb, n_cells=n_cells, iters=iters, seed=seed, vec_col=vec_col
+        )
+        celled = with_ivf_cells(emb, cents, vec_col=vec_col)
+        cell_col = "ivf_cell"
+    else:
+        celled = emb
+    a = celled.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = celled.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    # element-wise double casts (the module's cross-engine convention:
+    # float32 values are exact in double, so this matches the oracle's
+    # DOUBLE[] math bit-for-bit)
+    dot = F.aggregate(
+        F.zip_with(
+            "_va", "_vb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    losers = (
+        a.join(b, "_cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(cos, 9) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return emb.join(losers, id_col, "left_anti").select(*out_cols)

@@ -402,3 +402,44 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, rx, tag)
     return out.withColumn(f"{text_col}_clean", scrubbed)
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    source_col: str | None = "source",
+    exact_dup_rate: bool = False,
+) -> DataFrame:
+    """Dataset-card summary: one row of the numbers a corpus release
+    documents — doc count, token totals (whitespace grain), length
+    distribution, exact-duplicate rate, language/source cardinalities.
+    One scan + one global agg (all sub-aggregates decomposable, so
+    map-side partials do the work); the duplicate rate rides the same
+    pass as approx_count_distinct over the text hash (HLL — the scale
+    default; ``exact_dup_rate=True`` swaps in an exact distinct for
+    oracle parity / small corpora)."""
+    ws = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(ws).alias("total_ws_tokens"),
+        F.round(F.avg(ws), 6).alias("mean_ws_tokens_r6"),
+        F.min(ws).alias("min_ws_tokens"),
+        F.max(ws).alias("max_ws_tokens"),
+        F.round(
+            F.lit(1.0)
+            - (
+                F.countDistinct(F.md5(text_col))
+                if exact_dup_rate
+                else F.approx_count_distinct(F.md5(text_col))
+            )
+            / F.count("*").cast("double"),
+            4,
+        ).alias("dup_rate_r4" if exact_dup_rate else "approx_dup_rate_r4"),
+    ]
+    if lang_col is not None and lang_col in docs.columns:
+        aggs.append(F.countDistinct(lang_col).alias("n_langs"))
+    if source_col is not None and source_col in docs.columns:
+        aggs.append(F.countDistinct(source_col).alias("n_sources"))
+    return docs.select("*", ws.alias("_ws")).agg(*aggs)

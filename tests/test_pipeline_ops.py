@@ -1117,3 +1117,79 @@ class TestScrubPii:
         out = scrub_pii(docs).collect()[0]
         assert out["lang"] == "en" and out["text"] == "a@b.io"
         assert out["text_clean"] == "<EMAIL>"
+
+
+class TestSemDedup:
+    def test_drops_within_cell_near_identicals(self, spark):
+        from ics_search_engine_spark.operators.similarity import semdedup
+
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(20, 8).astype("float32")
+        rows = [(i, base[i].tolist()) for i in range(20)]
+        # near-copies of vec 3 and vec 7 (tiny perturbation)
+        rows.append((100, (base[3] * 1.0001).tolist()))
+        rows.append((101, (base[7] * 0.9999).tolist()))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        kept = {r["vec_id"] for r in semdedup(emb, threshold=0.99,
+                                              n_cells=4, seed=5).collect()}
+        assert 3 in kept and 7 in kept          # min-id keeper
+        assert 100 not in kept and 101 not in kept
+        assert len(kept) == 20
+
+    def test_explicit_cell_col_and_determinism(self, spark):
+        from ics_search_engine_spark.operators.similarity import semdedup
+
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.001], 0),   # near-dup of 1, same cell
+            (3, [1.0, 0.0], 1),     # identical to 1 but OTHER cell: kept
+            (4, [0.0, 1.0], 0),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, cell int"
+        )
+        kept = {r["vec_id"] for r in semdedup(emb, threshold=0.999,
+                                              cell_col="cell").collect()}
+        assert kept == {1, 3, 4}  # 2 dropped; 3 survives across cells
+        again = {r["vec_id"] for r in semdedup(emb, threshold=0.999,
+                                               cell_col="cell").collect()}
+        assert kept == again
+
+    def test_threshold_validation(self, spark):
+        from ics_search_engine_spark.operators.similarity import semdedup
+
+        emb = spark.createDataFrame([(1, [1.0])],
+                                    "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            semdedup(emb, threshold=0.0)
+
+
+class TestCorpusReport:
+    def test_one_row_summary(self, spark):
+        from ics_search_engine_spark.operators.textstats import corpus_report
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c", "en", "web"),
+                (2, "a b c", "en", "wiki"),   # exact dup text
+                (3, "d e", "de", "web"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        r = corpus_report(docs).collect()[0]
+        assert r["n_docs"] == 3
+        assert r["total_ws_tokens"] == 8
+        assert r["min_ws_tokens"] == 2 and r["max_ws_tokens"] == 3
+        assert r["n_langs"] == 2 and r["n_sources"] == 2
+        assert r["approx_dup_rate_r4"] > 0.0  # one dup of three
+
+    def test_columns_optional(self, spark):
+        from ics_search_engine_spark.operators.textstats import corpus_report
+
+        docs = spark.createDataFrame(
+            [(1, "x y")], "doc_id long, text string"
+        )
+        r = corpus_report(docs).collect()[0]
+        assert "n_langs" not in r.asDict()
