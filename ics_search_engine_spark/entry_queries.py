@@ -10044,6 +10044,52 @@ FROM documents
 """
 
 
+def q_script_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-script composition (operators/textstats.script_ratios):
+    per-doc Latin/CJK/Cyrillic/Arabic/digit char fractions.  The base
+    corpus is all-Latin, so every 7th doc is salted with CJK text to
+    make the unicode-range parity non-trivial."""
+    from ics_search_engine_spark.operators.textstats import script_ratios
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" 机器学习很有用"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_ratios(docs).orderBy("doc_id")
+
+
+_SQL_SCRIPT_RATIOS = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text || CASE WHEN doc_id % 7 = 0
+                        THEN ' 机器学习很有用' ELSE '' END,
+                        '\s', '', 'g') AS t
+  FROM documents
+)
+SELECT doc_id, length(t) AS n_chars_nospace,
+  round(CASE WHEN length(t) > 0 THEN
+    length(regexp_replace(t, '[^A-Za-z]', '', 'g'))::DOUBLE / length(t)
+    ELSE 0 END, 6) AS latin_r6,
+  round(CASE WHEN length(t) > 0 THEN
+    length(regexp_replace(t, '[^一-鿿]', '', 'g'))::DOUBLE / length(t)
+    ELSE 0 END, 6) AS cjk_r6,
+  round(CASE WHEN length(t) > 0 THEN
+    length(regexp_replace(t, '[^Ѐ-ӿ]', '', 'g'))::DOUBLE / length(t)
+    ELSE 0 END, 6) AS cyrillic_r6,
+  round(CASE WHEN length(t) > 0 THEN
+    length(regexp_replace(t, '[^؀-ۿ]', '', 'g'))::DOUBLE / length(t)
+    ELSE 0 END, 6) AS arabic_r6,
+  round(CASE WHEN length(t) > 0 THEN
+    length(regexp_replace(t, '[^0-9]', '', 'g'))::DOUBLE / length(t)
+    ELSE 0 END, 6) AS digit_r6
+FROM d ORDER BY doc_id
+"""
+
+
 def q_retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES retriever-tree API (operators/hybrid.retriever_topk): a
     NESTED tree — rrf(linear([bm25, cosine], 0.7/0.3, window 30),
@@ -10502,6 +10548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminated_split": q_decontaminated_split,
     "semdedup": q_semdedup,
     "corpus_report": q_corpus_report,
+    "script_ratios": q_script_ratios,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10698,4 +10745,5 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminated_split": _SQL_DECONTAMINATED_SPLIT,
     "semdedup": _SQL_SEMDEDUP,
     "corpus_report": _SQL_CORPUS_REPORT,
+    "script_ratios": _SQL_SCRIPT_RATIOS,
 }

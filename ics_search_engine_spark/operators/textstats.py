@@ -443,3 +443,79 @@ def corpus_report(
     if source_col is not None and source_col in docs.columns:
         aggs.append(F.countDistinct(source_col).alias("n_sources"))
     return docs.select("*", ws.alias("_ws")).agg(*aggs)
+
+
+def script_ratios(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document writing-script composition: the fraction of
+    non-space characters in Latin, CJK, Cyrillic, and Arabic ranges
+    (plus digits).  The zeroth language-ID signal — marker-word voting
+    (detect_language) can only separate languages that share the Latin
+    script; script ratios separate everything else first.  Pure
+    regexp_replace length arithmetic inside codegen — no shuffle."""
+    chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+
+    def ratio(cls: str, name: str):
+        kept = F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), r"\s", ""),
+                f"[^{cls}]",
+                "",
+            )
+        )
+        return F.round(
+            F.when(chars > 0, kept.cast("double") / chars).otherwise(0.0), 6
+        ).alias(name)
+
+    return docs.select(
+        id_col,
+        chars.alias("n_chars_nospace"),
+        ratio("A-Za-z", "latin_r6"),
+        ratio("一-鿿", "cjk_r6"),
+        ratio("Ѐ-ӿ", "cyrillic_r6"),
+        ratio("؀-ۿ", "arabic_r6"),
+        ratio("0-9", "digit_r6"),
+    )
+
+
+# script → language shortcut for the non-Latin scripts the corpus
+# carries; marker voting only makes sense within the Latin script
+_SCRIPT_LANGS = [("cjk_r6", "zh"), ("cyrillic_r6", "ru"), ("arabic_r6", "ar")]
+
+
+def detect_language_scripted(
+    transcripts: DataFrame,
+    text_col: str = "text",
+    script_threshold: float = 0.3,
+) -> DataFrame:
+    """Language ID with a script pre-pass: if >= ``script_threshold``
+    of a row's non-space characters are CJK/Cyrillic/Arabic the row is
+    labeled zh/ru/ar directly; otherwise the Latin marker-word vote
+    (detect_language) decides.  Same no-shuffle projection shape."""
+    chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+
+    def frac(cls: str):
+        kept = F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), r"\s", ""),
+                f"[^{cls}]",
+                "",
+            )
+        )
+        return F.when(chars > 0, kept.cast("double") / chars).otherwise(0.0)
+
+    voted = detect_language(transcripts, text_col)
+    pred = None
+    for cls, lang in [
+        ("一-鿿", "zh"),
+        ("Ѐ-ӿ", "ru"),
+        ("؀-ۿ", "ar"),
+    ]:
+        cond = frac(cls) >= script_threshold
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return voted.withColumn(
+        "lang_pred", pred.otherwise(F.col("lang_pred"))
+    )

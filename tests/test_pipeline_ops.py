@@ -1193,3 +1193,44 @@ class TestCorpusReport:
         )
         r = corpus_report(docs).collect()[0]
         assert "n_langs" not in r.asDict()
+
+
+class TestScriptRatios:
+    def test_ratios_and_scripted_langid(self, spark):
+        from ics_search_engine_spark.operators.textstats import (
+            detect_language_scripted,
+            script_ratios,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and it is not here"),
+                (2, "机器学习是人工智能的一个分支 真的很有用"),
+                (3, "машинное обучение это раздел искусственного интеллекта"),
+                (4, "التعلم الآلي هو فرع من الذكاء الاصطناعي"),
+                (5, "mixed 机器 text with some 学习 cjk"),
+                (6, ""),
+            ],
+            "doc_id long, text string",
+        )
+        r = {x["doc_id"]: x.asDict() for x in script_ratios(docs).collect()}
+        assert r[1]["latin_r6"] > 0.9 and r[1]["cjk_r6"] == 0.0
+        assert r[2]["cjk_r6"] > 0.9
+        assert r[3]["cyrillic_r6"] > 0.9
+        assert r[4]["arabic_r6"] > 0.9
+        assert 0.1 < r[5]["cjk_r6"] < 0.5
+        assert r[6]["n_chars_nospace"] == 0 and r[6]["latin_r6"] == 0.0
+
+        import pyspark.sql.functions as F
+
+        docs2 = docs.withColumnRenamed("doc_id", "conv_id").withColumn(
+            "turn_idx", F.lit(0)
+        )
+        langs = {
+            x["conv_id"]: x["lang_pred"]
+            for x in detect_language_scripted(docs2).collect()
+        }
+        assert langs[1] == "en"
+        assert langs[2] == "zh"
+        assert langs[3] == "ru"
+        assert langs[4] == "ar"
