@@ -10090,6 +10090,19 @@ FROM d ORDER BY doc_id
 """
 
 
+def q_eql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL text frontend (operators/eql.eql_text_query): the same
+    view->click->purchase funnel as gate eql_sequence, but parsed from
+    EQL text — so it shares that gate's generated SQL oracle."""
+    from ics_search_engine_spark.operators.eql import eql_text_query
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eql_text_query(
+        ev,
+        "sequence by user_id with maxspan=21600s [view] [click] [purchase]",
+    )
+
+
 def q_retriever_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES retriever-tree API (operators/hybrid.retriever_topk): a
     NESTED tree — rrf(linear([bm25, cosine], 0.7/0.3, window 30),
@@ -10549,6 +10562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "corpus_report": q_corpus_report,
     "script_ratios": q_script_ratios,
+    "eql_text": q_eql_text,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -10746,4 +10760,6 @@ ORACLE_SQL: dict[str, str] = {
     "semdedup": _SQL_SEMDEDUP,
     "corpus_report": _SQL_CORPUS_REPORT,
     "script_ratios": _SQL_SCRIPT_RATIOS,
+    # the text frontend compiles to the same engine call as eql_sequence
+    "eql_text": _SQL_EQL_SEQUENCE,
 }

@@ -44,6 +44,8 @@ window output to a table first and chain over that (same plan shape).
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -272,3 +274,167 @@ s{i} AS (
     )
     sql += f"\nSELECT {cols} FROM {prev} {span} ORDER BY {by}, ts_1, id_1"
     return sql
+
+
+class EqlParseError(ValueError):
+    pass
+
+
+_MAXSPAN_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0,
+                  "d": 86400.0}
+
+
+def _split_blocks(body: str) -> list[tuple[bool, str]]:
+    """Scan ``[...]`` blocks (quote-aware), each optionally prefixed
+    with ``!`` (EQL missing-event negation) → [(negated, content)]."""
+    out: list[tuple[bool, str]] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch.isspace():
+            i += 1
+            continue
+        neg = False
+        if ch == "!":
+            neg = True
+            i += 1
+            while i < n and body[i].isspace():
+                i += 1
+            if i >= n or body[i] != "[":
+                raise EqlParseError("'!' must prefix a [...] block")
+            ch = body[i]
+        if ch != "[":
+            raise EqlParseError(
+                f"expected '[' at {body[i:i+20]!r} in sequence body"
+            )
+        depth, quote = 0, None
+        j = i
+        while j < n:
+            c = body[j]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in "\"'":
+                quote = c
+            elif c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise EqlParseError("unterminated [...] block")
+        out.append((neg, body[i + 1 : j].strip()))
+        i = j + 1
+    return out
+
+
+def _block_pred(content: str, category_col: str) -> Column:
+    """``category [where condition]`` → boolean Column.  ``any`` (or
+    ``*``) matches every event; the condition reuses the ES|QL
+    expression shim (==, double-quoted strings, wildcard LIKE)."""
+    from ics_search_engine_spark.operators.esql import _shim_expr
+
+    m = re.match(
+        r"^([\w.*]+)(?:\s+where\s+(.+))?$", content.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise EqlParseError(f"bad event block: [{content}]")
+    cat, cond = m.group(1), m.group(2)
+    pred = None
+    if cat not in ("any", "*"):
+        pred = F.col(category_col) == cat
+    if cond:
+        c = F.expr(_shim_expr(cond))
+        pred = c if pred is None else (pred & c)
+    if pred is None:
+        return F.lit(True)  # bare [any]: every event matches
+    return pred
+
+
+def eql_text_query(
+    events: DataFrame,
+    query: str,
+    category_col: str = "event_type",
+    order_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """EQL text frontend over the CEP engine: parse
+
+        sequence by <f1[, f2]> [with maxspan=<N><ms|s|m|h|d>]
+          [cat1 where cond] ![forbidden] [cat2] ...
+          [until [cat where cond]]
+
+    into a ``sequence_matches`` call (``![...]`` between stages is the
+    missing-event negation → per-gap forbid).  A plain single block
+    ``cat where cond`` is the degenerate one-event query — a filter.
+    Multiple ``by`` fields are joined into a synthesized ``_by`` key
+    column (the engine keys sequences on one column).
+    """
+    q = query.strip()
+    hm = re.match(
+        r"^sequence(?:\s+by\s+([\w.,\s]+?))?"
+        r"(?:\s+with\s+maxspan\s*=\s*(\d+)(ms|s|m|h|d))?\s*(\[.*)$",
+        q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not hm:
+        # single-event form: "category where condition"
+        if "[" in q or q.lower().startswith("sequence"):
+            raise EqlParseError(f"cannot parse EQL query: {query!r}")
+        return events.filter(_block_pred(q, category_col))
+    by_raw, span_n, span_u, body = (
+        hm.group(1), hm.group(2), hm.group(3), hm.group(4),
+    )
+    if not by_raw:
+        raise EqlParseError("sequence requires a by field")
+    by_fields = [f.strip() for f in by_raw.split(",") if f.strip()]
+    maxspan_s = (
+        int(span_n) * _MAXSPAN_UNITS[span_u.lower()] if span_n else None
+    )
+
+    until_pred = None
+    um = re.search(r"\buntil\s*(\[.*)$", body, re.IGNORECASE | re.DOTALL)
+    if um:
+        ub = _split_blocks(um.group(1))
+        if len(ub) != 1 or ub[0][0]:
+            raise EqlParseError("until takes exactly one [...] block")
+        until_pred = _block_pred(ub[0][1], category_col)
+        body = body[: um.start()]
+
+    blocks = _split_blocks(body)
+    stages: list[Column] = []
+    forbid: dict[int, Column] = {}
+    for neg, content in blocks:
+        pred = _block_pred(content, category_col)
+        if neg:
+            if not stages:
+                raise EqlParseError("![...] cannot precede the first stage")
+            gap = len(stages)  # forbidden between stage len(stages)-1 and next
+            if gap in forbid:
+                raise EqlParseError("one ![...] per gap")
+            forbid[gap] = pred
+        else:
+            stages.append(pred)
+    if len(stages) < 2:
+        raise EqlParseError("sequence needs at least two event blocks")
+    if max(forbid, default=0) >= len(stages):
+        raise EqlParseError("![...] must sit between two stages")
+
+    df = events
+    by = by_fields[0]
+    if len(by_fields) > 1:
+        df = df.withColumn("_by", F.concat_ws("\x00", *by_fields))
+        by = "_by"
+    return sequence_matches(
+        df,
+        by=by,
+        stages=stages,
+        order_col=order_col,
+        id_col=id_col,
+        maxspan_s=maxspan_s,
+        until=until_pred,
+        forbid=forbid or None,
+    )

@@ -378,3 +378,118 @@ class TestChangePoint:
         r = change_point(df, "hour", "v").collect()
         assert len(r) == 1
         assert r[0]["hour"] == T0
+
+
+class TestEqlTextFrontend:
+    @pytest.fixture(scope="class")
+    def ev(self, spark):
+        rows = [
+            (i, f"u{i % 5}",
+             ["view", "click", "purchase", "error"][i % 4],
+             float(10 * i % 70),
+             T0 + dt.timedelta(minutes=11 * i))
+            for i in range(80)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, user_id string, event_type string,"
+            " value double, ts timestamp",
+        )
+
+    def test_text_equals_programmatic(self, spark, ev):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.eql import (
+            eql_text_query,
+            sequence_matches,
+        )
+
+        et = F.col("event_type")
+        want = sequence_matches(
+            ev, by="user_id",
+            stages=[et == "view", et == "click", et == "purchase"],
+            maxspan_s=6 * 3600,
+        ).collect()
+        got = eql_text_query(
+            ev,
+            "sequence by user_id with maxspan=6h"
+            " [view] [click] [purchase]",
+        ).collect()
+        assert got == want and len(got) > 0
+
+    def test_where_condition_and_until(self, spark, ev):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.eql import (
+            eql_text_query,
+            sequence_matches,
+        )
+
+        et = F.col("event_type")
+        want = sequence_matches(
+            ev, by="user_id",
+            stages=[(et == "view") & F.expr("value > 10"), et == "purchase"],
+            maxspan_s=2 * 3600,
+            until=et == "error",
+        ).collect()
+        got = eql_text_query(
+            ev,
+            'sequence by user_id with maxspan=2h'
+            ' [view where value > 10] [purchase] until [error]',
+        ).collect()
+        assert got == want
+
+    def test_missing_event_negation(self, spark, ev):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.eql import (
+            eql_text_query,
+            sequence_matches,
+        )
+
+        et = F.col("event_type")
+        want = sequence_matches(
+            ev, by="user_id",
+            stages=[et == "view", et == "purchase"],
+            maxspan_s=2 * 3600,
+            forbid={1: et == "error"},
+        ).collect()
+        got = eql_text_query(
+            ev,
+            "sequence by user_id with maxspan=2h"
+            " [view] ![error] [purchase]",
+        ).collect()
+        assert got == want
+
+    def test_single_event_form(self, spark, ev):
+        from ics_search_engine_spark.operators.eql import eql_text_query
+
+        got = eql_text_query(ev, 'view where value > 50')
+        assert got.count() == ev.filter(
+            "event_type = 'view' AND value > 50"
+        ).count()
+
+    def test_multi_by_synthesizes_key(self, spark, ev):
+        from ics_search_engine_spark.operators.eql import eql_text_query
+
+        got = eql_text_query(
+            ev,
+            "sequence by user_id, event_type with maxspan=6h [any] [any]",
+        )
+        assert got.count() >= 0  # parses and plans
+
+    def test_parse_errors(self, spark, ev):
+        from ics_search_engine_spark.operators.eql import (
+            EqlParseError,
+            eql_text_query,
+        )
+
+        for bad in [
+            "sequence [view] [click]",               # no by
+            "sequence by u with maxspan=6h [view]",  # one stage
+            "sequence by u [view] ![e]",             # trailing negation
+            "sequence by u ![e] [view] [click]",     # leading negation
+            "sequence by u [view] [click] until [a] until [b]",
+        ]:
+            with pytest.raises(EqlParseError):
+                eql_text_query(ev, bad.replace(" u ", " user_id "))
