@@ -185,7 +185,8 @@ def resumable_build(
         # docmap is 1 row/doc vs ~dl rows/doc of postings.  Below ~4M
         # docs the (DOC_KEY, doc_ord) side fits a broadcast comfortably
         # and skips a full shuffle of the postings; beyond that Spark
-        # picks SMJ (at 10^12 docs you'd bucket both sides instead).
+        # picks SMJ (at 10^12 docs you'd bucket both sides instead —
+        # implemented + plan-audited in sources/bucketed.py).
         dm_side = docmap.select(*DOC_KEY, "doc_ord")
         n_docs_known = stats.get("n_docs", 0)
         do_bcast = (

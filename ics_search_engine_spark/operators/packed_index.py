@@ -237,7 +237,8 @@ def build_packed_index(
             json.dump(stats, f)
 
         # below ~4M docs the ordinal map broadcasts and the join adds
-        # no shuffle (at 10^12 docs: bucket both sides instead)
+        # no shuffle (at 10^12 docs: bucket both sides instead —
+        # implemented + plan-audited in sources/bucketed.py)
         dm_side = docmap.select(*DOC_KEY, "doc_ord")
         if n_docs < 4_000_000:
             dm_side = F.broadcast(dm_side)
