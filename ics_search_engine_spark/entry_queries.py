@@ -10376,6 +10376,60 @@ FROM k ORDER BY stage_idx
 """
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup groups via distributed connected components
+    (operators/components.connected_components — alternating
+    large-star/small-star, Kiveris et al. SoCC'14).  The gate builds a
+    deterministic chain-heavy edge set over doc_ids (runs of ordinal
+    neighbors bridged every 31 ids) so the oracle's recursive-CTE
+    reachability has real multi-hop components to close; the operator
+    itself is property-tested against union-find on random graphs in
+    tests/test_components.py."""
+    from ics_search_engine_spark.operators.components import assign_components
+
+    ids = _docs(spark, sf_dir).select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    run_edges = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.doc_id") % 7 < 3),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    bridge_edges = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 13)
+        & (F.col("a.doc_id") % 31 == 0),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    edges = run_edges.unionByName(bridge_edges)
+    return (
+        assign_components(ids, edges, node_col="doc_id")
+        .select("doc_id", "root")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_NEAR_DUP_COMPONENTS = """
+WITH RECURSIVE
+d AS (SELECT doc_id FROM documents),
+e0 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 7 < 3
+  UNION ALL
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 13
+  WHERE a.doc_id % 31 = 0
+),
+e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+cc AS (
+  SELECT doc_id AS node, doc_id AS root FROM d
+  UNION
+  SELECT e.v AS node, cc.root FROM cc JOIN e ON e.u = cc.node
+)
+SELECT node AS doc_id, min(root) AS root
+FROM cc GROUP BY node ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -10545,6 +10599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
     "filter_funnel": q_filter_funnel,
+    "near_dup_components": q_near_dup_components,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -10741,6 +10796,7 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": _SQL_STRATIFIED_SAMPLE,
     "mix_sources": _SQL_MIX_SOURCES,
     "filter_funnel": _SQL_FILTER_FUNNEL,
+    "near_dup_components": _SQL_NEAR_DUP_COMPONENTS,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
