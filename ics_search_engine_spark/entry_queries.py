@@ -10430,6 +10430,60 @@ FROM cc GROUP BY node ORDER BY doc_id
 """
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding tier
+    (operators/similarity.quantize_int8): per-vector symmetric scale =
+    max|x|/127, codes = round(x/scale) — pure Catalyst array math, the
+    Lucene/faiss SQ8 scheme.  Exact transform, exact oracle."""
+    from ics_search_engine_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        quantize_int8(emb)
+        .select("vec_id", "q_scale", "q_codes")
+        .orderBy("vec_id")
+    )
+
+
+_SQL_QUANTIZE_INT8 = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+  FROM embeddings
+)
+SELECT vec_id,
+  CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS q_scale,
+  list_transform(
+    v, x -> CASE WHEN mx > 0 THEN round(x / (mx / 127.0))::TINYINT
+                 ELSE 0::TINYINT END) AS q_codes
+FROM e ORDER BY vec_id
+"""
+
+
+def q_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-shortlist + exact-rerank kNN (operators/similarity.
+    cosine_topk_int8_rerank): with the candidate set covering the
+    table, the rerank must reproduce exact brute-force cosine — the
+    same oracle as knn_cosine.  Sibling-gate boundary discipline:
+    over-fetch the exact superset, cut on rounded order."""
+    from ics_search_engine_spark.operators.similarity import (
+        cosine_topk_int8_rerank,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    coded = quantize_int8(emb.filter(F.col("vec_id") != 0))
+    over = cosine_topk_int8_rerank(
+        coded, [float(x) for x in qvec], k=25, n_candidates=10_000
+    )
+    return (
+        over.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine_r6"))
+        .orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -10600,6 +10654,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_sources": q_mix_sources,
     "filter_funnel": q_filter_funnel,
     "near_dup_components": q_near_dup_components,
+    "quantize_int8": q_quantize_int8,
+    "knn_int8_rerank": q_knn_int8_rerank,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -10797,6 +10853,8 @@ ORACLE_SQL: dict[str, str] = {
     "mix_sources": _SQL_MIX_SOURCES,
     "filter_funnel": _SQL_FILTER_FUNNEL,
     "near_dup_components": _SQL_NEAR_DUP_COMPONENTS,
+    "quantize_int8": _SQL_QUANTIZE_INT8,
+    "knn_int8_rerank": _SQL_KNN_COSINE,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

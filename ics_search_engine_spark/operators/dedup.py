@@ -17,9 +17,12 @@ Scale notes:
   the degenerate identical-text bucket case; AQE skew-join handles
   residual bucket imbalance;
 * exact hamming / Jaccard verification runs only on candidate pairs;
-* connected components for transitive groups would need an iterative
-  join loop; like the reference (pairwise vs kept set), we use
-  keeper = min docID over DIRECT neighbors, applied in one pass.
+* keeper = min docID over DIRECT neighbors, applied in one pass, is
+  this module's default (mirrors the reference's pairwise-vs-kept-set
+  shape); for TRANSITIVE groups use operators/components.py
+  (alternating large/small-star connected components) —
+  ``transitive_dedup(transcripts, pairs)`` accepts any pair frame
+  produced here.
 """
 
 from __future__ import annotations

@@ -654,3 +654,111 @@ def semdedup(
         .distinct()
     )
     return emb.join(losers, id_col, "left_anti").select(*out_cols)
+
+
+# Scalar int8 quantization — the hot-tier compression between raw
+# floats (4 bytes/dim) and PQ codes (sub-byte/dim): 1 byte/dim plus
+# one scale per vector, ~4× smaller scans with far less distortion
+# than PQ.  The per-vector symmetric scheme (scale = max|x|/127,
+# code = round(x/scale)) is the standard used by Lucene/Elasticsearch
+# int8_hnsw and faiss SQ8 — public designs.  Everything here is pure
+# Catalyst (transform/aggregate over array columns): no UDF, stays in
+# whole-stage codegen, and the quantized scan reads 1/4 the bytes of
+# the float tier — at 10^12 vectors that is the difference between a
+# memory-bandwidth-bound shortlist pass and a disk-bound one.
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append ``q_scale`` (double) and ``q_codes`` (array<tinyint>):
+    per-vector symmetric int8 quantization.  A zero vector gets
+    scale 0 and all-zero codes (dequantizes exactly back to zero).
+    Dequantization is ``code * q_scale`` per element."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(0.0))
+    emb = emb.withColumn("q_scale", scale)
+    codes = F.transform(
+        v,
+        lambda x: F.when(
+            F.col("q_scale") > 0, F.round(x / F.col("q_scale"), 0)
+        ).otherwise(F.lit(0.0)).cast("tinyint"),
+    )
+    return emb.withColumn("q_codes", codes)
+
+
+def _int8_query(qvec: list[float]) -> tuple[float, list[int]]:
+    q = np.asarray(qvec, dtype=np.float64)
+    mx = float(np.max(np.abs(q))) if len(q) else 0.0
+    if mx <= 0:
+        return 0.0, [0] * len(q)
+    scale = mx / 127.0
+    return scale, [int(x) for x in np.round(q / scale)]
+
+
+def cosine_topk_int8(
+    coded: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k reading ONLY the int8 tier (codes +
+    scale; the float column is never touched): both sides dequantize
+    implicitly through their scales, which cancel in cosine except for
+    rounding error.  → (id, approx_cosine) desc, TakeOrderedAndProject.
+
+    Approximate BY DESIGN (≤ ~0.4% per-element distortion at int8);
+    recall is pytest-bounded and :func:`cosine_topk_int8_rerank` gives
+    the exact-on-shortlist contract."""
+    q_scale, q_codes = _int8_query(qvec)
+    qc = F.array(*[F.lit(int(c)) for c in q_codes])
+    # integer dot of the code arrays; scales & norms restore cosine
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_codes"), qc,
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    d_norm = F.sqrt(
+        F.aggregate(
+            F.col("q_codes"), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    q_norm = float(np.sqrt(sum(c * c for c in q_codes))) or 1.0
+    cos = F.when(
+        d_norm > 0, dot / (d_norm * F.lit(q_norm))
+    ).otherwise(F.lit(0.0))
+    return (
+        coded.select(F.col(id_col), cos.alias("approx_cosine"))
+        .orderBy(F.desc("approx_cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_int8_rerank(
+    coded: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-tier search: int8 shortlist of ``n_candidates`` (reads only
+    codes), then exact float cosine on the shortlist — the same
+    shortlist-then-rerank contract as :func:`pq_topk_rerank`.  With
+    ``n_candidates`` ≥ |table| the result equals
+    :func:`cosine_topk_bruteforce` bit-for-bit (the rerank IS the
+    brute force then).  The candidate join is broadcast: n_candidates
+    rows against the full table.  Keep ``n_candidates`` proportionate
+    — the shortlist is a TakeOrderedAndProject whose bounded queue is
+    sized by it (an absurd value like 10^9 allocates that queue; if
+    you want the whole table, call cosine_topk_bruteforce)."""
+    from pyspark.sql.functions import broadcast
+
+    short = cosine_topk_int8(
+        coded, qvec, k=n_candidates, id_col=id_col
+    ).select(id_col)
+    cand = coded.join(broadcast(short), id_col)
+    return cosine_topk_bruteforce(cand, qvec, k, id_col=id_col, vec_col=vec_col)
