@@ -108,6 +108,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """→ (node, root) for every node that appears in ``edges``, where
     root is the MINIMUM node id of its connected component (roots map
@@ -126,10 +127,13 @@ def connected_components(
     )
     e = _canon(edges, src, dst).localCheckpoint(eager=True)
     prev = _checksum(e)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
+            if stats is not None:
+                stats["rounds"] = rounds
+                stats["final_edges"] = cur[0]
             break
         prev = cur
     else:

@@ -2007,6 +2007,10 @@ class LocalVectorServer:
             _np.array(tbl.column("pq_codes").to_pylist(), dtype=_np.int64)
             if "pq_codes" in cols else None
         )
+        self._q8 = (
+            _np.array(tbl.column("q_codes").to_pylist(), dtype=_np.float64)
+            if "q_codes" in cols else None
+        )
         self._cents = None
         self._books = None
         cents_p = _os.path.join(path, "cents.npy")
@@ -2015,15 +2019,31 @@ class LocalVectorServer:
         books_p = _os.path.join(path, "codebooks.npy")
         if _os.path.exists(books_p):
             self._books = _np.load(books_p)
-        if self._vecs is None and self._codes is None:
+        if self._vecs is None and self._codes is None and self._q8 is None:
             raise ValueError(
-                "load_vectors=False requires a PQ-coded artifact"
+                "load_vectors=False requires a PQ- or int8-coded artifact"
             )
 
     def _order(self, keys, ids):
         import numpy as _np
 
         return _np.lexsort((ids, keys))
+
+    def _int8_shortlist(self, q, sel, n):
+        """Approx cosine from the int8 tier (codes only; per-vector
+        scales cancel in cosine) → indices into sel of the top-n by
+        (approx desc, id asc) — the numpy twin of
+        operators/similarity.cosine_topk_int8."""
+        import numpy as _np
+
+        mx = float(_np.max(_np.abs(q))) if len(q) else 0.0
+        qc = _np.round(q / (mx / 127.0)) if mx > 0 else _np.zeros_like(q)
+        C = self._q8[sel]
+        dn = _np.sqrt((C * C).sum(axis=1))
+        qn = float(_np.sqrt(qc @ qc)) or 1.0
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            cos = _np.where(dn > 0, (C @ qc) / (dn * qn), 0.0)
+        return self._order(-cos, self._ids[sel])[:n], cos
 
     def search(
         self,
@@ -2032,14 +2052,29 @@ class LocalVectorServer:
         exact: bool = True,
         n_probe: int = 4,
         n_candidates: int = 100,
+        tier: str | None = None,
     ) -> list[tuple]:
         """→ [(id, cosine)] score desc, id asc — except the
         no-vectors ADC-only mode, which returns [(id, approx_d2)]
-        distance ASC (documented: approx, smaller is better)."""
+        distance ASC (documented: approx, smaller is better), and the
+        no-vectors int8 mode, which returns [(id, approx_cosine)]
+        desc.
+
+        ``tier`` picks the approximate scorer when the artifact
+        carries more than one: "pq" (default when PQ codes exist) or
+        "int8" (default when only the int8 tier exists)."""
         import numpy as _np
 
         q = _np.asarray(qvec, dtype=_np.float64)
         sel = _np.arange(len(self._ids))
+        if tier not in (None, "pq", "int8"):
+            raise ValueError(f"unknown tier: {tier}")
+        if tier == "pq" and self._codes is None:
+            raise ValueError("artifact carries no PQ codes")
+        if tier == "int8" and self._q8 is None:
+            raise ValueError("artifact carries no int8 tier")
+        if tier is None:
+            tier = "pq" if self._codes is not None else "int8"
         if not exact and self._cents is not None:
             d2 = ((self._cents - q[None, :]) ** 2).sum(axis=1)
             probe = set(
@@ -2047,7 +2082,15 @@ class LocalVectorServer:
             )
             mask = _np.isin(self._cells, list(probe))
             sel = sel[mask]
-        if not exact and self._codes is not None:
+        if not exact and tier == "int8" and self._q8 is not None:
+            order, cos = self._int8_shortlist(q, sel, n_candidates)
+            if self._vecs is None:
+                top = order[:k]
+                return [
+                    (self._ids[sel][i].item(), float(cos[i])) for i in top
+                ]
+            sel = sel[order]
+        elif not exact and self._codes is not None:
             m, kc, dsub = self._books.shape
             lut = _np.stack([
                 ((self._books[i] - q[i * dsub:(i + 1) * dsub][None, :]) ** 2)

@@ -101,3 +101,76 @@ def test_shortlist_plan_never_reads_float_column(spark, coded, qvec, corpus_dir)
     ).executedPlan().toString()
     assert "embedding" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+class TestInt8Artifact:
+    @pytest.fixture(scope="class")
+    def art(self, spark, emb, corpus_dir):
+        from ics_search_engine_spark.operators.vector_index import (
+            build_vector_index,
+        )
+
+        out = f"{corpus_dir}/vec_idx_int8"
+        meta = build_vector_index(spark, emb, out, int8=True)
+        return out, meta
+
+    def test_meta_records_tier(self, art):
+        assert art[1]["int8"] is True
+
+    def test_serve_exact_equals_bruteforce(self, art, emb, qvec):
+        from ics_search_engine_spark.serving import LocalVectorServer
+
+        srv = LocalVectorServer(art[0])
+        got = srv.search(qvec, k=10, exact=True)
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in cosine_topk_bruteforce(emb, qvec, 10).collect()
+        ]
+        assert [(i, pytest.approx(c)) for i, c in want] == got
+
+    def test_serve_int8_full_candidates_equals_exact(self, art, qvec):
+        from ics_search_engine_spark.serving import LocalVectorServer
+
+        srv = LocalVectorServer(art[0])
+        exact = srv.search(qvec, k=10, exact=True)
+        approx = srv.search(
+            qvec, k=10, exact=False, n_candidates=10**6
+        )
+        assert approx == exact  # full shortlist → rerank IS exact
+
+    def test_serve_codes_only_mode(self, art, qvec):
+        from ics_search_engine_spark.serving import LocalVectorServer
+
+        srv = LocalVectorServer(art[0], load_vectors=False)
+        full = LocalVectorServer(art[0])
+        top10 = {i for i, _ in full.search(qvec, k=10, exact=True)}
+        approx = srv.search(qvec, k=50, exact=False)
+        assert len(top10 & {i for i, _ in approx}) >= 9
+        scores = [s for _, s in approx]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_tier_validation(self, art, qvec):
+        from ics_search_engine_spark.serving import LocalVectorServer
+
+        srv = LocalVectorServer(art[0])
+        with pytest.raises(ValueError, match="no PQ codes"):
+            srv.search(qvec, exact=False, tier="pq")
+        with pytest.raises(ValueError, match="unknown tier"):
+            srv.search(qvec, exact=False, tier="fp4")
+
+    def test_mixed_artifact_tier_selection(self, spark, emb, corpus_dir, qvec):
+        from ics_search_engine_spark.operators.vector_index import (
+            build_vector_index,
+        )
+        from ics_search_engine_spark.serving import LocalVectorServer
+
+        out = f"{corpus_dir}/vec_idx_both"
+        build_vector_index(spark, emb, out, m=8, k_cents=16, int8=True)
+        srv = LocalVectorServer(out)
+        exact = srv.search(qvec, k=10, exact=True)
+        # int8 tier on a full shortlist reranks to exact; PQ default
+        # path still works (approx — just has to run and rank sanely)
+        assert srv.search(qvec, k=10, exact=False, tier="int8",
+                          n_candidates=10**6) == exact
+        pq = srv.search(qvec, k=10, exact=False, n_candidates=10**6)
+        assert pq == exact  # PQ full-shortlist rerank is exact too
