@@ -10484,6 +10484,49 @@ def q_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shuffled_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (operators/datapipe.
+    shuffle_deterministic / shuffled_head): epoch-seeded total order
+    by md5(key#seed).  The gate verifies the permutation's prefix —
+    head-20 with the order key exposed, a TakeOrderedAndProject."""
+    from ics_search_engine_spark.operators.datapipe import shuffled_head
+
+    return shuffled_head(_docs(spark, sf_dir), 20, seed=7)
+
+
+_SQL_SHUFFLED_HEAD = """
+SELECT doc_id, md5(doc_id::VARCHAR || '#' || '7') AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 20
+"""
+
+
+def q_curriculum_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/datapipe.curriculum_order):
+    easy→hard by fixed-width difficulty bucket (n_chars/50), shuffled
+    within buckets by the seeded md5 key.  Head-20 with bucket + key
+    exposed verifies the composite order's prefix."""
+    from ics_search_engine_spark.operators.datapipe import curriculum_order
+
+    ordered = curriculum_order(
+        _docs(spark, sf_dir), "n_chars", bucket_width=50.0, seed=3
+    )
+    key = F.md5(F.concat_ws("#", F.col("doc_id"), F.lit("3")))
+    return (
+        ordered.select(
+            "doc_id", "difficulty_bucket", key.alias("shuffle_key")
+        )
+        .orderBy("difficulty_bucket", "shuffle_key")
+        .limit(20)
+    )
+
+
+_SQL_CURRICULUM_HEAD = """
+SELECT doc_id, floor(n_chars / 50.0)::BIGINT AS difficulty_bucket,
+       md5(doc_id::VARCHAR || '#' || '3') AS shuffle_key
+FROM documents ORDER BY difficulty_bucket, shuffle_key LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -10656,6 +10699,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_components": q_near_dup_components,
     "quantize_int8": q_quantize_int8,
     "knn_int8_rerank": q_knn_int8_rerank,
+    "shuffled_head": q_shuffled_head,
+    "curriculum_head": q_curriculum_head,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -10855,6 +10900,8 @@ ORACLE_SQL: dict[str, str] = {
     "near_dup_components": _SQL_NEAR_DUP_COMPONENTS,
     "quantize_int8": _SQL_QUANTIZE_INT8,
     "knn_int8_rerank": _SQL_KNN_COSINE,
+    "shuffled_head": _SQL_SHUFFLED_HEAD,
+    "curriculum_head": _SQL_CURRICULUM_HEAD,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

@@ -574,3 +574,75 @@ def prepare_corpus(
             "n_dropped long",
         )
     return packed, rep
+
+
+# --------------------------------------------- shuffling / curriculum
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 0,
+) -> DataFrame:
+    """Global deterministic shuffle: total order by
+    md5(key₁#…#keyₙ#seed) — the standard pre-training corpus shuffle
+    (every epoch reshuffles by bumping ``seed``; the order is a pure
+    function of the keys, so re-runs and resumed jobs see the same
+    permutation).
+
+    Scale shape: Spark executes the orderBy as a RANGE-partitioned
+    distributed sort (sampled boundaries → per-partition sorts), the
+    same mechanics as a 100 TB terasort — there is no global window
+    and no single-partition stage, and the hash key spreads uniformly
+    so range partitions balance by construction."""
+    key = F.md5(
+        F.concat_ws("#", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+    )
+    return df.orderBy(key.alias("_shuffle_key"))
+
+
+def shuffled_head(
+    df: DataFrame,
+    n: int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 0,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """First ``n`` rows of the deterministic shuffle order, with the
+    order key exposed — a TakeOrderedAndProject, not a full sort:
+    the verifiable (and cheaply computable) prefix of the permutation
+    that :func:`shuffle_deterministic` defines."""
+    key = F.md5(
+        F.concat_ws("#", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+    )
+    return (
+        df.select(*keep_cols, key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(n)
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty_col: str,
+    bucket_width: float,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 0,
+) -> DataFrame:
+    """Curriculum ordering: easy→hard by difficulty BUCKET, shuffled
+    within each bucket (the standard curriculum-learning data order —
+    strictly sorting by raw difficulty would feed the model
+    near-duplicate difficulty neighborhoods; bucketing + intra-bucket
+    shuffle keeps the curriculum while preserving local diversity).
+
+    ``difficulty_bucket = floor(difficulty / bucket_width)`` — a fixed
+    width rather than ntile() because ntile is a single-partition
+    global window; a fixed-width bucket is a pure projection, and the
+    composite sort stays a distributed range sort."""
+    bucket = F.floor(F.col(difficulty_col) / F.lit(bucket_width)).cast("long")
+    key = F.md5(
+        F.concat_ws("#", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+    )
+    return df.withColumn("difficulty_bucket", bucket).orderBy(
+        "difficulty_bucket", key.alias("_shuffle_key")
+    )

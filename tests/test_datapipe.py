@@ -404,3 +404,70 @@ class TestPackPropertyBased:
                 acc += t
 
         check()
+
+
+class TestShuffleCurriculum:
+    def test_shuffle_is_deterministic_and_total(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            shuffle_deterministic,
+        )
+
+        a = [r["doc_id"] for r in shuffle_deterministic(docs).collect()]
+        b = [r["doc_id"] for r in shuffle_deterministic(docs).collect()]
+        assert a == b
+        assert sorted(a) == list(range(120))  # a permutation
+        assert a != sorted(a)  # ... that actually shuffles
+
+    def test_epoch_seed_changes_permutation(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            shuffle_deterministic,
+        )
+
+        e0 = [r["doc_id"] for r in shuffle_deterministic(docs, seed=0).collect()]
+        e1 = [r["doc_id"] for r in shuffle_deterministic(docs, seed=1).collect()]
+        assert e0 != e1 and sorted(e0) == sorted(e1)
+
+    def test_shuffle_plan_is_range_sort_no_window(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            shuffle_deterministic,
+        )
+
+        plan = shuffle_deterministic(docs)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "rangepartitioning" in plan
+        assert "Window" not in plan  # no single-partition rank stage
+
+    def test_head_is_take_ordered(self, docs):
+        from ics_search_engine_spark.operators.datapipe import shuffled_head
+
+        df = shuffled_head(docs, 5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        rows = df.collect()
+        keys = [r["shuffle_key"] for r in rows]
+        assert keys == sorted(keys) and len(rows) == 5
+
+    def test_head_agrees_with_full_shuffle_prefix(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            shuffle_deterministic,
+            shuffled_head,
+        )
+
+        full = [r["doc_id"] for r in shuffle_deterministic(docs).collect()]
+        head = [r["doc_id"] for r in shuffled_head(docs, 7).collect()]
+        assert head == full[:7]
+
+    def test_curriculum_buckets_ascend_and_shuffle_within(self, docs):
+        from ics_search_engine_spark.operators.datapipe import (
+            curriculum_order,
+        )
+
+        rows = curriculum_order(
+            docs, "n_tokens", bucket_width=20.0
+        ).collect()
+        buckets = [r["difficulty_bucket"] for r in rows]
+        assert buckets == sorted(buckets)  # easy → hard
+        # within the first bucket the raw difficulty must NOT be
+        # monotone (intra-bucket shuffle, not a difficulty sort)
+        first = [r["n_tokens"] for r in rows if r["difficulty_bucket"] == buckets[0]]
+        assert len(first) > 3 and first != sorted(first)
