@@ -483,6 +483,8 @@ def prepare_corpus(
     mix_parts: dict[str, int] | None = None,
     scrub: bool = True,
     line_dedup: bool = True,
+    near_dedup: bool = False,
+    near_jaccard: float = 0.7,
     report: bool = True,
 ) -> tuple[DataFrame, DataFrame | None]:
     """The whole corpus-preparation pipeline in one call — raw
@@ -491,6 +493,11 @@ def prepare_corpus(
       1. PII scrubbing            (textstats.scrub_pii)
       2. global line dedup        (dedup.dedup_lines_corpus)
       3. exact document dedup     (md5 text, min doc_id keeps)
+      3b. transitive near-dedup   (optional: MinHash-LSH pairs →
+                                   connected components → keep the
+                                   component-min doc_id; off by
+                                   default because it adds the CC
+                                   iteration — a few extra shuffles)
       4. quality gates            (min token count, language whitelist)
       5. source mixing            (mix_sources, optional)
       6. sequence packing         (pack_sequences, concat-and-chunk)
@@ -549,6 +556,26 @@ def prepare_corpus(
         .filter(F.col("_rk") == 1)
         .drop("_rk"),
     )
+    if near_dedup:
+        from ics_search_engine_spark.operators.components import (
+            assign_components,
+        )
+        from ics_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+        tr = cur.select(
+            F.format_string("d%018d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            "text",
+        )
+        pairs = minhash_lsh_pairs(tr, jaccard_threshold=near_jaccard)
+        to_id = lambda c: F.substring(F.col(c), 2, 18).cast("long")  # noqa: E731
+        edges = pairs.select(
+            to_id("a_conv_id").alias("src"), to_id("b_conv_id").alias("dst")
+        )
+        keeps = assign_components(
+            cur.select("doc_id"), edges, node_col="doc_id"
+        ).filter(F.col("doc_id") == F.col("root")).select("doc_id")
+        cur = account("near_dedup", cur.join(keeps, "doc_id", "left_semi"))
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
         lambda x: F.length(x) > 0,

@@ -471,3 +471,34 @@ class TestShuffleCurriculum:
         # monotone (intra-bucket shuffle, not a difficulty sort)
         first = [r["n_tokens"] for r in rows if r["difficulty_bucket"] == buckets[0]]
         assert len(first) > 3 and first != sorted(first)
+
+
+class TestPrepareNearDedup:
+    def test_near_dedup_stage_drops_transitive_chain(self, spark):
+        from ics_search_engine_spark.operators.datapipe import prepare_corpus
+
+        base = (
+            "the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning without fail for many years now"
+        )
+        rows = [
+            (0, base, "en", "src_a"),
+            # near-dup chain: each step mutates a couple of tokens
+            (1, base.replace("morning", "evening"), "en", "src_a"),
+            (2, base.replace("morning", "evening").replace("quick", "slow"),
+             "en", "src_a"),
+            (3, "completely different text about spark structured "
+                "streaming watermarks and stateful aggregation semantics",
+             "en", "src_b"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        packed, rep = prepare_corpus(
+            docs, capacity=64, min_tokens=3, near_dedup=True,
+            scrub=False, line_dedup=False,
+        )
+        kept = {r["doc_id"] for r in packed.select("doc_id").collect()}
+        assert kept == {0, 3}  # chain 0-1-2 collapses to its min
+        stages = {r["stage_name"]: r for r in rep.collect()}
+        assert stages["near_dedup"]["n_dropped"] == 2
