@@ -10527,6 +10527,59 @@ FROM documents ORDER BY difficulty_bucket, shuffle_key LIMIT 20
 """
 
 
+def q_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantization (operators/similarity.
+    quantize_binary): sign bits packed into 32-bit words — the 32×
+    compression rung (ES BBQ / faiss binary design).  Exact packing
+    transform, exact oracle (the SQL mirrors the shift-sum per word)."""
+    from ics_search_engine_spark.operators.similarity import quantize_binary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        quantize_binary(emb).select("vec_id", "b_codes").orderBy("vec_id")
+    )
+
+
+# testdata embeddings are 64-dim → exactly two 32-bit words
+_SQL_QUANTIZE_BINARY = (
+    "SELECT vec_id, ["
+    + ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN embedding[{32 * w + j + 1}] > 0"
+            f" THEN {1 << j} ELSE 0 END"
+            for j in range(32)
+        )
+        + ")::BIGINT"
+        for w in range(2)
+    )
+    + "] AS b_codes FROM embeddings ORDER BY vec_id"
+)
+
+
+def q_knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-shortlist + exact-rerank kNN (operators/similarity.
+    cosine_topk_binary_rerank): full-table shortlist ⇒ must reproduce
+    brute-force cosine — the knn_cosine oracle, same sibling-gate
+    boundary discipline as knn_int8_rerank."""
+    from ics_search_engine_spark.operators.similarity import (
+        cosine_topk_binary_rerank,
+        quantize_binary,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    coded = quantize_binary(emb.filter(F.col("vec_id") != 0))
+    over = cosine_topk_binary_rerank(
+        coded, [float(x) for x in qvec], k=25, n_candidates=10_000
+    )
+    return (
+        over.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine_r6"))
+        .orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -10701,6 +10754,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_int8_rerank": q_knn_int8_rerank,
     "shuffled_head": q_shuffled_head,
     "curriculum_head": q_curriculum_head,
+    "quantize_binary": q_quantize_binary,
+    "knn_binary_rerank": q_knn_binary_rerank,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -10902,6 +10957,8 @@ ORACLE_SQL: dict[str, str] = {
     "knn_int8_rerank": _SQL_KNN_COSINE,
     "shuffled_head": _SQL_SHUFFLED_HEAD,
     "curriculum_head": _SQL_CURRICULUM_HEAD,
+    "quantize_binary": _SQL_QUANTIZE_BINARY,
+    "knn_binary_rerank": _SQL_KNN_COSINE,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

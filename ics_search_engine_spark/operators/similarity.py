@@ -762,3 +762,106 @@ def cosine_topk_int8_rerank(
     ).select(id_col)
     cand = coded.join(broadcast(short), id_col)
     return cosine_topk_bruteforce(cand, qvec, k, id_col=id_col, vec_col=vec_col)
+
+
+# Binary (1-bit) quantization — the 32× compression rung below int8:
+# one sign bit per dimension packed into 32-bit words, distance =
+# popcount(xor).  The public design behind Elasticsearch's BBQ /
+# faiss binary indexes: for mean-centered data sign agreement tracks
+# angle (the same Goemans-Williamson fact the sign-LSH bucketer above
+# uses), so hamming ASC orders like cosine DESC, well enough for a
+# shortlist that an exact rerank then fixes.  Pure Catalyst: packing
+# is a per-word sum of shifted sign bits, distance is
+# bit_count(xor) — both whole-stage-codegen'd, no UDF.
+# ---------------------------------------------------------------------------
+
+
+def _bin_words(dim: int) -> int:
+    return (dim + 31) // 32
+
+
+def quantize_binary(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append ``b_codes`` (array<int> of 32-bit words, little-endian
+    bit order: bit j of word w is sign(x[32w+j]) > 0).  Dim is read
+    from the first row (static packing layout, like pq_fit)."""
+    first = emb.select(vec_col).first()
+    if first is None:
+        return emb.withColumn(
+            "b_codes", F.array().cast("array<bigint>")
+        )
+    dim = len(first[0])
+    v = F.col(vec_col)
+    words = []
+    for w in range(_bin_words(dim)):
+        bits = [
+            F.when(
+                F.element_at(v, 32 * w + j + 1).cast("double") > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j in range(min(32, dim - 32 * w))
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        # bigint words: bit 31 (value 2^31) overflows a signed int
+        words.append(acc.cast("long"))
+    return emb.withColumn("b_codes", F.array(*words))
+
+
+def _query_bin_words(qvec: list[float]) -> list[int]:
+    words = []
+    for w in range(_bin_words(len(qvec))):
+        word = 0
+        for j in range(min(32, len(qvec) - 32 * w)):
+            if qvec[32 * w + j] > 0:
+                word |= 1 << j
+        words.append(word)
+    return words
+
+
+def hamming_topk_binary(
+    coded: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate neighbor shortlist from the binary tier alone:
+    → (id, hamming) ASC (sign-agreement distance; smaller ≈ closer in
+    angle).  Reads 1 bit/dim — at 10^12 vectors this tier fits where
+    nothing else does.  Approximate BY DESIGN; compose with
+    :func:`cosine_topk_binary_rerank` for exactness on a shortlist."""
+    qwords = _query_bin_words(qvec)
+    qc = F.array(*[F.lit(int(w)) for w in qwords])
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("b_codes"), qc,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    return (
+        coded.select(F.col(id_col), ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_binary_rerank(
+    coded: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_candidates: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary shortlist → exact float cosine rerank (the
+    pq_topk_rerank / cosine_topk_int8_rerank contract at 1 bit/dim):
+    with ``n_candidates`` ≥ |table| the result equals
+    :func:`cosine_topk_bruteforce` bit-for-bit."""
+    from pyspark.sql.functions import broadcast
+
+    short = hamming_topk_binary(
+        coded, qvec, k=n_candidates, id_col=id_col
+    ).select(id_col)
+    cand = coded.join(broadcast(short), id_col)
+    return cosine_topk_bruteforce(cand, qvec, k, id_col=id_col, vec_col=vec_col)
