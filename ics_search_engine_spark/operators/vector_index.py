@@ -31,6 +31,7 @@ from ics_search_engine_spark.operators.similarity import (
     ivf_centroids,
     pq_encode,
     pq_fit,
+    quantize_binary,
     quantize_int8,
     with_ivf_cells,
 )
@@ -48,13 +49,16 @@ def build_vector_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     int8: bool = False,
+    binary: bool = False,
 ) -> dict:
     """Fit (optional) coarse cells and PQ codebooks, encode, persist.
     ``n_cells=0`` skips IVF (single partition, brute/ADC scans);
     ``m=0`` skips PQ (exact vectors only); ``int8=True`` additionally
     persists the scalar-quantized tier (q_scale + q_codes, 1 byte/dim
     — similarity.quantize_int8), the middle ground between raw floats
-    and PQ codes.  Returns the meta dict."""
+    and PQ codes; ``binary=True`` persists the 1-bit sign-packed tier
+    (b_codes — similarity.quantize_binary, 32× compression).
+    Returns the meta dict."""
     first = emb.select(vec_col).first()
     if first is None:
         raise ValueError("cannot build a vector index on an empty table")
@@ -77,6 +81,8 @@ def build_vector_index(
         out = pq_encode(out, books, vec_col=vec_col)
     if int8:
         out = quantize_int8(out, vec_col=vec_col)
+    if binary:
+        out = quantize_binary(out, vec_col=vec_col)
     writer = out.write.mode("overwrite")
     if n_cells > 0:
         writer = writer.partitionBy("ivf_cell")
@@ -91,6 +97,7 @@ def build_vector_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "int8": bool(int8),
+        "binary": bool(binary),
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)

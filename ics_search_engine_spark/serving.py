@@ -2011,6 +2011,14 @@ class LocalVectorServer:
             _np.array(tbl.column("q_codes").to_pylist(), dtype=_np.float64)
             if "q_codes" in cols else None
         )
+        self._bin = (
+            _np.array(tbl.column("b_codes").to_pylist(), dtype=_np.uint32)
+            if "b_codes" in cols else None
+        )
+        # 16-bit popcount table (numpy<2 has no bitwise_count)
+        self._pop16 = _np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=_np.uint8
+        ) if self._bin is not None else None
         self._cents = None
         self._books = None
         cents_p = _os.path.join(path, "cents.npy")
@@ -2019,9 +2027,11 @@ class LocalVectorServer:
         books_p = _os.path.join(path, "codebooks.npy")
         if _os.path.exists(books_p):
             self._books = _np.load(books_p)
-        if self._vecs is None and self._codes is None and self._q8 is None:
+        if (self._vecs is None and self._codes is None
+                and self._q8 is None and self._bin is None):
             raise ValueError(
-                "load_vectors=False requires a PQ- or int8-coded artifact"
+                "load_vectors=False requires a PQ-, int8- or binary-"
+                "coded artifact"
             )
 
     def _order(self, keys, ids):
@@ -2045,6 +2055,30 @@ class LocalVectorServer:
             cos = _np.where(dn > 0, (C @ qc) / (dn * qn), 0.0)
         return self._order(-cos, self._ids[sel])[:n], cos
 
+    def _binary_shortlist(self, q, sel, n):
+        """Hamming distance from the 1-bit tier (popcount of xor via
+        the 16-bit table) → top-n indices into sel by (hamming asc,
+        id asc) — the numpy twin of operators/similarity.
+        hamming_topk_binary."""
+        import numpy as _np
+
+        # sign-pack the query (same layout as similarity._query_bin_words;
+        # repeated locally so serving keeps zero operator imports)
+        words = []
+        for w in range((len(q) + 31) // 32):
+            word = 0
+            for j in range(min(32, len(q) - 32 * w)):
+                if q[32 * w + j] > 0:
+                    word |= 1 << j
+            words.append(word)
+        qw = _np.array(words, dtype=_np.uint32)
+        x = self._bin[sel] ^ qw[None, :]
+        ham = (
+            self._pop16[x & 0xFFFF].astype(_np.int64)
+            + self._pop16[x >> 16].astype(_np.int64)
+        ).sum(axis=1)
+        return self._order(ham, self._ids[sel])[:n], ham
+
     def search(
         self,
         qvec,
@@ -2061,20 +2095,27 @@ class LocalVectorServer:
         desc.
 
         ``tier`` picks the approximate scorer when the artifact
-        carries more than one: "pq" (default when PQ codes exist) or
-        "int8" (default when only the int8 tier exists)."""
+        carries more than one: "pq", "int8" or "binary" (default:
+        first of pq / int8 / binary the artifact carries); the
+        no-vectors binary mode returns [(id, hamming)] distance ASC."""
         import numpy as _np
 
         q = _np.asarray(qvec, dtype=_np.float64)
         sel = _np.arange(len(self._ids))
-        if tier not in (None, "pq", "int8"):
+        if tier not in (None, "pq", "int8", "binary"):
             raise ValueError(f"unknown tier: {tier}")
         if tier == "pq" and self._codes is None:
             raise ValueError("artifact carries no PQ codes")
         if tier == "int8" and self._q8 is None:
             raise ValueError("artifact carries no int8 tier")
+        if tier == "binary" and self._bin is None:
+            raise ValueError("artifact carries no binary tier")
         if tier is None:
-            tier = "pq" if self._codes is not None else "int8"
+            tier = (
+                "pq" if self._codes is not None
+                else "int8" if self._q8 is not None
+                else "binary"
+            )
         if not exact and self._cents is not None:
             d2 = ((self._cents - q[None, :]) ** 2).sum(axis=1)
             probe = set(
@@ -2088,6 +2129,14 @@ class LocalVectorServer:
                 top = order[:k]
                 return [
                     (self._ids[sel][i].item(), float(cos[i])) for i in top
+                ]
+            sel = sel[order]
+        elif not exact and tier == "binary" and self._bin is not None:
+            order, ham = self._binary_shortlist(q, sel, n_candidates)
+            if self._vecs is None:
+                top = order[:k]
+                return [
+                    (self._ids[sel][i].item(), int(ham[i])) for i in top
                 ]
             sel = sel[order]
         elif not exact and self._codes is not None:

@@ -75,3 +75,46 @@ def test_shortlist_recall_measured(emb, coded, qvec):
     top10 = {r["vec_id"] for r in cosine_topk_bruteforce(emb, qvec, 10).collect()}
     short = {r["vec_id"] for r in hamming_topk_binary(coded, qvec, 100).collect()}
     assert len(top10 & short) >= 6
+
+
+class TestBinaryArtifact:
+    @pytest.fixture(scope="class")
+    def art(self, spark, emb, corpus_dir):
+        from ics_search_engine_spark.operators.vector_index import (
+            build_vector_index,
+        )
+
+        out = f"{corpus_dir}/vec_idx_bin"
+        meta = build_vector_index(spark, emb, out, binary=True)
+        return out, meta
+
+    def test_meta_records_tier(self, art):
+        assert art[1]["binary"] is True
+
+    def test_serve_binary_full_candidates_equals_exact(self, art, qvec):
+        from ics_search_engine_spark.serving import LocalVectorServer
+
+        srv = LocalVectorServer(art[0])
+        exact = srv.search(qvec, k=10, exact=True)
+        approx = srv.search(
+            qvec, k=10, exact=False, tier="binary", n_candidates=10**6
+        )
+        assert approx == exact
+
+    def test_serve_hamming_matches_spark_op(self, art, coded, qvec):
+        from ics_search_engine_spark.serving import LocalVectorServer
+
+        srv = LocalVectorServer(art[0], load_vectors=False)
+        got = srv.search(qvec, k=8, exact=False, tier="binary")
+        want = [
+            (r["vec_id"], r["hamming"])
+            for r in hamming_topk_binary(coded, qvec, 8).collect()
+        ]
+        assert got == want
+
+    def test_tier_validation(self, art, qvec):
+        from ics_search_engine_spark.serving import LocalVectorServer
+
+        srv = LocalVectorServer(art[0])
+        with pytest.raises(ValueError, match="no int8 tier"):
+            srv.search(qvec, exact=False, tier="int8")
