@@ -10580,6 +10580,63 @@ def q_knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late interaction (operators/multivector):
+    docs and query become 4×16-dim token bags by deterministic
+    slicing; score = Σ over query tokens of the best doc-token dot.
+    Top-20, sibling-gate rounding discipline."""
+    from ics_search_engine_spark.operators.multivector import (
+        maxsim_rerank,
+        split_embedding,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qvecs = [[float(x) for x in qvec[i * 16:(i + 1) * 16]] for i in range(4)]
+    docs = split_embedding(emb.filter(F.col("vec_id") != 0), n_tokens=4)
+    over = maxsim_rerank(docs, qvecs, k=25)
+    return (
+        over.select("vec_id", F.round(F.col("maxsim"), 6).alias("maxsim_r6"))
+        .orderBy(F.desc("maxsim_r6"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+_SQL_MAXSIM_RERANK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0
+),
+s AS (
+  SELECT vec_id,
+    greatest(
+      list_dot_product(list_slice(v, 1, 16),  list_slice(q.qv, 1, 16)),
+      list_dot_product(list_slice(v, 17, 32), list_slice(q.qv, 1, 16)),
+      list_dot_product(list_slice(v, 33, 48), list_slice(q.qv, 1, 16)),
+      list_dot_product(list_slice(v, 49, 64), list_slice(q.qv, 1, 16)))
+    + greatest(
+      list_dot_product(list_slice(v, 1, 16),  list_slice(q.qv, 17, 32)),
+      list_dot_product(list_slice(v, 17, 32), list_slice(q.qv, 17, 32)),
+      list_dot_product(list_slice(v, 33, 48), list_slice(q.qv, 17, 32)),
+      list_dot_product(list_slice(v, 49, 64), list_slice(q.qv, 17, 32)))
+    + greatest(
+      list_dot_product(list_slice(v, 1, 16),  list_slice(q.qv, 33, 48)),
+      list_dot_product(list_slice(v, 17, 32), list_slice(q.qv, 33, 48)),
+      list_dot_product(list_slice(v, 33, 48), list_slice(q.qv, 33, 48)),
+      list_dot_product(list_slice(v, 49, 64), list_slice(q.qv, 33, 48)))
+    + greatest(
+      list_dot_product(list_slice(v, 1, 16),  list_slice(q.qv, 49, 64)),
+      list_dot_product(list_slice(v, 17, 32), list_slice(q.qv, 49, 64)),
+      list_dot_product(list_slice(v, 33, 48), list_slice(q.qv, 49, 64)),
+      list_dot_product(list_slice(v, 49, 64), list_slice(q.qv, 49, 64)))
+    AS ms
+  FROM d CROSS JOIN q
+)
+SELECT vec_id, round(ms, 6) AS maxsim_r6
+FROM s ORDER BY maxsim_r6 DESC, vec_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -10756,6 +10813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_head": q_curriculum_head,
     "quantize_binary": q_quantize_binary,
     "knn_binary_rerank": q_knn_binary_rerank,
+    "maxsim_rerank": q_maxsim_rerank,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -10959,6 +11017,7 @@ ORACLE_SQL: dict[str, str] = {
     "curriculum_head": _SQL_CURRICULUM_HEAD,
     "quantize_binary": _SQL_QUANTIZE_BINARY,
     "knn_binary_rerank": _SQL_KNN_COSINE,
+    "maxsim_rerank": _SQL_MAXSIM_RERANK,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
