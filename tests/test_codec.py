@@ -61,7 +61,8 @@ def posting_lists(draw):
 
 
 @given(posting_lists())
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large, HealthCheck.too_slow])
 def test_pack_roundtrip_with_positions(pl):
     doc_ords, tfs, dls, positions = pl
     buf = pack_postings(doc_ords, tfs, dls, positions)
@@ -75,7 +76,8 @@ def test_pack_roundtrip_with_positions(pl):
 
 
 @given(posting_lists())
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large, HealthCheck.too_slow])
 def test_pack_skip_positions(pl):
     doc_ords, tfs, dls, positions = pl
     buf = pack_postings(doc_ords, tfs, dls, positions)
