@@ -10637,6 +10637,58 @@ FROM s ORDER BY maxsim_r6 DESC, vec_id ASC LIMIT 20
 """
 
 
+def q_sparse_vector_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector / SPLADE-family retrieval (operators/
+    sparsevec): docs expand to impact postings weight = 1 + ln(tf)
+    (the deterministic log-saturation stand-in for a learned
+    expansion), the query is a term→weight map, score = Σ qw·dw over
+    overlapping tokens via the sorted-term fold.  Gated exact (no
+    pruning); the prune+rescore path is pytest-covered (approximate
+    set by design).  Top-20, sibling-gate rounding discipline."""
+    from ics_search_engine_spark.operators.sparsevec import (
+        sparse_postings,
+        sparse_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    posts = sparse_postings(transcripts, stem=False)
+    qw = {"spark": 1.8, "stream": 1.2, "window": 0.7, "join": 0.4}
+    top = sparse_topk(spark, posts, qw, k=20)
+    return (
+        top.select(
+            F.substring("conv_id", 4, 8).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score_r6"),
+        )
+        .orderBy(F.desc("score_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_SPARSE_VECTOR = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+qw(term, w) AS (
+  VALUES ('spark', 1.8), ('stream', 1.2), ('window', 0.7), ('join', 0.4)
+),
+scored AS (
+  SELECT p.doc_id, sum(q.w * (1.0 + ln(p.tf))) AS score
+  FROM posts p JOIN qw q USING (term) GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r6
+FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -10814,6 +10866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_binary": q_quantize_binary,
     "knn_binary_rerank": q_knn_binary_rerank,
     "maxsim_rerank": q_maxsim_rerank,
+    "sparse_vector_engine": q_sparse_vector_engine,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11018,6 +11071,7 @@ ORACLE_SQL: dict[str, str] = {
     "quantize_binary": _SQL_QUANTIZE_BINARY,
     "knn_binary_rerank": _SQL_KNN_COSINE,
     "maxsim_rerank": _SQL_MAXSIM_RERANK,
+    "sparse_vector_engine": _SQL_SPARSE_VECTOR,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
