@@ -10689,6 +10689,80 @@ FROM scored ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_ltr_rescore_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR rescore (operators/ltr): exact BM25 top-100 window, feature
+    extraction (bm25, matched-term count, dl/avgdl, max tf) from the
+    same single postings decode, linear model re-rank in-plan.
+    Rounded-order top-20, the engine gates' boundary convention."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.ltr import ltr_rescore
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    model = {
+        "bm25": 1.0, "matched": 0.5, "dl_ratio": -0.25,
+        "max_tf": 0.05, "bias": 0.1,
+    }
+    out = tempfile.mkdtemp(prefix="gate_ltr_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = ltr_rescore(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), model, k=60,
+            window=100,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(float(s), 6)) for c, _, s in rows]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, score_r6 double"
+    )
+
+
+_SQL_LTR_RESCORE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+feats AS (
+  SELECT p.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (p.tf * 2.2
+                / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))))
+           AS bm25,
+         count(*) AS matched,
+         any_value(p.dl) / any_value(s.avgdl) AS dl_ratio,
+         max(p.tf) AS max_tf
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+win AS (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+  FROM feats
+),
+ltr AS (
+  SELECT doc_id,
+         round(0.1 + 1.0 * bm25 + 0.5 * matched
+               - 0.25 * dl_ratio + 0.05 * max_tf, 6) AS score_r6
+  FROM win WHERE rn <= 100
+)
+SELECT doc_id, score_r6
+FROM ltr ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -10867,6 +10941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_binary_rerank": q_knn_binary_rerank,
     "maxsim_rerank": q_maxsim_rerank,
     "sparse_vector_engine": q_sparse_vector_engine,
+    "ltr_rescore_engine": q_ltr_rescore_engine,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11072,6 +11147,7 @@ ORACLE_SQL: dict[str, str] = {
     "knn_binary_rerank": _SQL_KNN_COSINE,
     "maxsim_rerank": _SQL_MAXSIM_RERANK,
     "sparse_vector_engine": _SQL_SPARSE_VECTOR,
+    "ltr_rescore_engine": _SQL_LTR_RESCORE,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
