@@ -10763,6 +10763,98 @@ FROM ltr ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search template (operators/templates): the mustache source
+
+        {"query": "{{#strict}}+{{/strict}}{{main}} {{extra}}{{^extra}}
+         stream{{/extra}}{{#boosts}} {{term}}^{{w}}{{/boosts}}",
+         "k": {{k}}}
+
+    rendered with {strict: true, main: spark, boosts: [{term: join,
+    w: 2}], k: 60} — exercising truthy section, variable, inverted-
+    section default, and a LIST section — yields '+spark stream
+    join^2' through the stored-template registry and the qlang engine.
+    Oracle replays the rendered query relationally (required spark,
+    join boosted ×2).  Rounded-order top-20."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.templates import TemplateRegistry
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    source = (
+        '{"query": "{{#strict}}+{{/strict}}{{main}} '
+        "{{extra}}{{^extra}}stream{{/extra}}"
+        '{{#boosts}} {{term}}^{{w}}{{/boosts}}", "k": {{k}}}'
+    )
+    params = {
+        "strict": True, "main": "spark",
+        "boosts": [{"term": "join", "w": 2}], "k": 60,
+    }
+    out = tempfile.mkdtemp(prefix="gate_tmpl_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        reg = TemplateRegistry()
+        reg.put("docs_search", source)
+        top = reg.search(spark, pidx, "docs_search", params).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, bm25_r6 double"
+    )
+
+
+# rendered query '+spark stream join^2': spark required (weight 1),
+# stream optional (1), join optional boosted (2); df over full vocab
+_SQL_SEARCH_TEMPLATE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+alldfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','join') GROUP BY term
+),
+qterms AS (
+  SELECT term, df,
+         CASE WHEN term = 'join' THEN 2.0 ELSE 1.0 END AS mult
+  FROM alldfs
+),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','join')
+  GROUP BY term, doc_id
+),
+scored AS (
+  SELECT p.doc_id,
+         q.mult * ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts p JOIN qterms q USING (term) CROSS JOIN stats s
+),
+cand AS (SELECT doc_id FROM t WHERE list_contains(toks, 'spark'))
+SELECT s.doc_id, round(sum(s.contrib), 6) AS bm25_r6
+FROM scored s JOIN cand c USING (doc_id)
+GROUP BY s.doc_id
+ORDER BY bm25_r6 DESC, s.doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -10942,6 +11034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxsim_rerank": q_maxsim_rerank,
     "sparse_vector_engine": q_sparse_vector_engine,
     "ltr_rescore_engine": q_ltr_rescore_engine,
+    "search_template": q_search_template,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11148,6 +11241,7 @@ ORACLE_SQL: dict[str, str] = {
     "maxsim_rerank": _SQL_MAXSIM_RERANK,
     "sparse_vector_engine": _SQL_SPARSE_VECTOR,
     "ltr_rescore_engine": _SQL_LTR_RESCORE,
+    "search_template": _SQL_SEARCH_TEMPLATE,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
