@@ -10855,6 +10855,98 @@ ORDER BY bm25_r6 DESC, s.doc_id ASC LIMIT 20
 """
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (operators/datapipe.cap_per_key): keep
+    at most 5 docs per source, best-first by (n_chars desc, doc_id
+    asc) — the crawl-curation 'no host dominates the mix' rule."""
+    from ics_search_engine_spark.operators.datapipe import cap_per_key
+
+    capped = cap_per_key(
+        _docs(spark, sf_dir), ["source"], 5,
+        [F.desc("n_chars"), F.asc("doc_id")],
+    )
+    return capped.select("source", "doc_id", "n_chars").orderBy(
+        "source", "doc_id"
+    )
+
+
+_SQL_DOMAIN_CAP = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY source, doc_id
+"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-rule filter (operators/textstats.c4_line_rules): docs
+    recast as multi-line pages with a punctuation-less heading, a body
+    sentence, a 'javascript' boilerplate line, and (every 13th / 29th
+    doc) a lorem-ipsum / brace line — exercising each line rule and
+    both document-level drops.  min_words=5, min_lines=1."""
+    from ics_search_engine_spark.operators.textstats import c4_line_rules
+
+    nl = F.lit("\n")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("Heading without terminal punctuation"), nl,
+            F.substring("text", 1, 120), F.lit("."), nl,
+            F.lit("Please enable javascript to continue reading."),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(nl, F.lit("lorem ipsum dolor sit amet.")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 29 == 0,
+                F.concat(nl, F.lit("braces { in code lines confuse parsers.")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_line_rules(docs, min_words=5, min_lines=1).orderBy("doc_id")
+
+
+_SQL_C4_LINE_FILTER = """
+WITH d AS (
+  SELECT doc_id,
+         'Heading without terminal punctuation' || chr(10)
+         || substr(text, 1, 120) || '.' || chr(10)
+         || 'Please enable javascript to continue reading.'
+         || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 29 = 0
+                 THEN chr(10) || 'braces { in code lines confuse parsers.'
+                 ELSE '' END AS text
+  FROM documents
+),
+ls AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+                     x -> length(x) > 0) AS lines
+  FROM d
+),
+ok AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+             right(trim(l), 1) IN ('.', '!', '?', '"')
+             AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+             AND NOT contains(lower(trim(l)), 'javascript')) AS keptl
+  FROM ls
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(keptl) AS n_lines_kept,
+       array_to_string(keptl, chr(10)) AS text_clean,
+       (NOT contains(lower(text), 'lorem ipsum'))
+       AND (NOT contains(text, '{'))
+       AND len(keptl) >= 1 AS kept
+FROM ok ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11035,6 +11127,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparse_vector_engine": q_sparse_vector_engine,
     "ltr_rescore_engine": q_ltr_rescore_engine,
     "search_template": q_search_template,
+    "domain_cap": q_domain_cap,
+    "c4_line_filter": q_c4_line_filter,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11242,6 +11336,8 @@ ORACLE_SQL: dict[str, str] = {
     "sparse_vector_engine": _SQL_SPARSE_VECTOR,
     "ltr_rescore_engine": _SQL_LTR_RESCORE,
     "search_template": _SQL_SEARCH_TEMPLATE,
+    "domain_cap": _SQL_DOMAIN_CAP,
+    "c4_line_filter": _SQL_C4_LINE_FILTER,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

@@ -673,3 +673,48 @@ def curriculum_order(
     return df.withColumn("difficulty_bucket", bucket).orderBy(
         "difficulty_bucket", key.alias("_shuffle_key")
     )
+
+
+# --------------------------------------------------- per-key capping
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    cap: int,
+    order_by: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key — the per-domain frequency
+    cap of web-corpus curation (a handful of boilerplate-heavy hosts
+    otherwise dominate a crawl; C4/Gopher-style pipelines cap docs
+    per registered domain before mixing).
+
+    ``order_by`` decides WHICH rows survive (default: the key columns
+    themselves — arbitrary-but-deterministic); pass e.g.
+    ``[F.desc("quality"), F.asc("doc_id")]`` to keep the best.  The
+    order must be total per key (tie-broken) for determinism — the
+    caller owns that, same contract as every top-k surface here.
+
+    Scale: one hash exchange on the key, then a per-key sort +
+    row_number.  A pathological head key (10⁹ rows in one domain)
+    makes that key's sort one task; AQE's skew handling does not split
+    window partitions, so for crawl-shaped domain skew pre-prune with
+    a SALTED local cap first — row_number over (key, salt) keeps
+    ≤ cap per (key, salt) and bounds the head key's post-shuffle rows
+    at cap·n_salts before this exact pass (the global best-``cap``
+    rows are each best-``cap`` within their own salt bucket, the
+    standard top-k-merge argument).  That pre-pass is the caller's
+    one-liner with this same function:
+    ``cap_per_key(df.withColumn("_salt", F.pmod(F.hash(*ids), 64)),
+    [*key_cols, "_salt"], cap, order_by)``."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap={cap} must be >= 1")
+    order = list(order_by) if order_by else [F.asc(c) for c in key_cols]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -519,3 +519,61 @@ def detect_language_scripted(
     return voted.withColumn(
         "lang_pred", pred.otherwise(F.col("lang_pred"))
     )
+
+
+# ------------------------------------------------- C4 line-rule filter
+
+
+def c4_line_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4's line-level quality rules (Raffel et al. 2020, §2.2 —
+    distinct from the three-sentence-span DEDUP, which lives in
+    dedup.dedup_lines_corpus):
+
+    * keep only lines ending in a terminal punctuation mark
+      (``.``, ``!``, ``?``, ``"``),
+    * keep only lines with ≥ ``min_words`` words,
+    * drop any line containing the word "javascript" (case-
+      insensitive),
+    * drop the whole DOCUMENT if it contains "lorem ipsum" (case-
+      insensitive) or a ``{`` (code), or if fewer than ``min_lines``
+      lines survive.
+
+    Returns every input doc as (id, n_lines, n_lines_kept, text_clean,
+    kept boolean) — surviving text reassembled from surviving lines in
+    order, ``kept`` the document-level verdict — so a filter_funnel
+    stage can account attrition before dropping.
+
+    Scale: pure Catalyst projection (split → filter → array ops), no
+    UDF, no shuffle — a map-only stage at any corpus size.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0
+    )
+
+    def line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        return (
+            F.substring(t, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(F.split(t, r"\s+")) >= min_words)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept_lines = F.filter(lines, line_ok)
+    doc_bad = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    return docs.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        F.size(kept_lines).alias("n_lines_kept"),
+        F.concat_ws("\n", kept_lines).alias("text_clean"),
+        (
+            ~doc_bad & (F.size(kept_lines) >= min_lines)
+        ).alias("kept"),
+    )
