@@ -10947,6 +10947,57 @@ FROM ok ORDER BY doc_id
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE encode (operators/bpe.bpe_encode) with a FIXED
+    five-merge table — th, th+e, i+n, a+n, e+</w> — so the oracle can
+    replay it: sequential in-learned-order merge application over
+    space-joined symbol strings is equivalent to the greedy
+    lowest-rank-first encode (merging two symbols never creates an
+    occurrence of an earlier-learned pair — new pairs all involve the
+    new symbol).  Output: top-30 (token, cnt).  The data-dependent
+    FIT is pytest-pinned against an independent reference
+    implementation (tests/test_bpe.py)."""
+    from ics_search_engine_spark.operators.bpe import (
+        bpe_encode,
+        bpe_token_stats,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+              ("e", "</w>")]
+    enc = bpe_encode(_docs(spark, sf_dir), merges)
+    return bpe_token_stats(enc, k=30)
+
+
+_SQL_BPE_ENCODE = """
+WITH w AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> length(x) > 0)) AS word
+  FROM documents
+),
+sym AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
+  FROM w
+),
+merged AS (
+  SELECT replace(replace(replace(replace(replace(s,
+           ' t h ', ' th '),
+           ' th e ', ' the '),
+           ' i n ', ' in '),
+           ' a n ', ' an '),
+           ' e </w> ', ' e</w> ') AS s
+  FROM sym
+),
+toks AS (
+  SELECT unnest(list_filter(string_split(s, ' '),
+                            x -> length(x) > 0)) AS token
+  FROM merged
+)
+SELECT token, count(*) AS cnt FROM toks
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 30
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11129,6 +11180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_template": q_search_template,
     "domain_cap": q_domain_cap,
     "c4_line_filter": q_c4_line_filter,
+    "bpe_encode": q_bpe_encode,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11338,6 +11390,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_template": _SQL_SEARCH_TEMPLATE,
     "domain_cap": _SQL_DOMAIN_CAP,
     "c4_line_filter": _SQL_C4_LINE_FILTER,
+    "bpe_encode": _SQL_BPE_ENCODE,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
