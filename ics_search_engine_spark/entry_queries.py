@@ -10998,6 +10998,56 @@ GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 30
 """
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption (datapipe.span_corruption): deterministic
+    md5-block masking, stride=8 / span_len=3 / keep_mod=3 (12.5%
+    nominal mask rate) — (inputs, targets) example pairs with
+    <extra_id_k> sentinels, pure Catalyst.  Oracle replays the
+    closed-form block-membership rule with DuckDB list lambdas."""
+    from ics_search_engine_spark.operators.datapipe import span_corruption
+
+    return span_corruption(
+        _docs(spark, sf_dir), stride=8, span_len=3, keep_mod=3
+    ).orderBy("doc_id")
+
+
+_SQL_SPAN_CORRUPTION = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         list_filter(range(0, len(toks), 8),
+           s -> ('0x' || substr(md5(doc_id::VARCHAR || '#'
+                                     || s::VARCHAR), 1, 8))::BIGINT
+                % 3 = 0) AS starts
+  FROM t
+),
+io AS (
+  SELECT doc_id, toks, starts,
+    list_filter(
+      list_transform(range(0, len(toks)),
+        p -> CASE
+          WHEN (p % 8) < 3 AND list_contains(starts, p - (p % 8))
+          THEN CASE WHEN p % 8 = 0
+               THEN '<extra_id_'
+                    || (list_position(starts, p) - 1)::VARCHAR || '>'
+               ELSE NULL END
+          ELSE toks[p + 1] END),
+      x -> x IS NOT NULL) AS inputs_l,
+    flatten(list_transform(starts,
+      s -> list_prepend(
+             '<extra_id_'
+             || (list_position(starts, s) - 1)::VARCHAR || '>',
+             list_slice(toks, s + 1, s + 3))))
+    || ['<extra_id_' || len(starts)::VARCHAR || '>'] AS targets_l
+  FROM st
+)
+SELECT doc_id, len(toks) AS n_tokens, len(starts) AS n_spans,
+       array_to_string(inputs_l, ' ') AS inputs,
+       array_to_string(targets_l, ' ') AS targets
+FROM io ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11181,6 +11231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "c4_line_filter": q_c4_line_filter,
     "bpe_encode": q_bpe_encode,
+    "span_corruption": q_span_corruption,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11391,6 +11442,7 @@ ORACLE_SQL: dict[str, str] = {
     "domain_cap": _SQL_DOMAIN_CAP,
     "c4_line_filter": _SQL_C4_LINE_FILTER,
     "bpe_encode": _SQL_BPE_ENCODE,
+    "span_corruption": _SQL_SPAN_CORRUPTION,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

@@ -718,3 +718,107 @@ def cap_per_key(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+# ------------------------------------------- span corruption (T5-style)
+
+
+def span_corruption(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stride: int = 8,
+    span_len: int = 3,
+    keep_mod: int = 3,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, §3.1.4): mask
+    token spans, emit (inputs, targets) where inputs replace each
+    masked span with a sentinel ``<extra_id_k>`` and targets list each
+    sentinel followed by the tokens it hides, closed by a final
+    sentinel — the denoising pre-training objective's example shape.
+
+    Span placement is DETERMINISTIC (resume/re-run safe, oracle-
+    checkable — the same discipline as every sampler here): the token
+    stream is cut into ``stride``-sized blocks, and a block starting
+    at position s masks its first ``span_len`` tokens iff
+    ``md5_32(id || '#' || s) % keep_mod == 0`` — mask rate =
+    span_len/stride/keep_mod.  ``span_len < stride`` keeps spans
+    non-overlapping BY CONSTRUCTION, so membership is the closed-form
+    ``(p % stride < span_len) AND block_qualifies(p - p % stride)`` —
+    no interval search.  Randomized T5 masking would swap the md5
+    rule for a seeded hash; every downstream shape is unchanged.
+
+    Pure Catalyst (transform/filter/slice over the token array — no
+    UDF, no shuffle; map-only at any scale).  Returns
+    (id, n_tokens, n_spans, inputs, targets) with space-joined
+    strings."""
+    if not 0 < span_len < stride:
+        raise ValueError(
+            f"need 0 < span_len({span_len}) < stride({stride})"
+        )
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                "[^a-z0-9]+"),
+        lambda x: F.length(x) > 1,
+    )
+    sid = F.col(id_col).cast("string")
+
+    def qual(s: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(sid, F.lit("#"), s.cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        return h % keep_mod == 0
+
+    def sentinel(k: Column) -> Column:
+        return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+
+    d = docs.select(id_col, toks.alias("toks"))
+    n = F.size("toks")
+    starts = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(0), n - 1, F.lit(stride)), lambda s: qual(s)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    d = d.withColumn("starts", starts)
+
+    def is_start(i: Column) -> Column:
+        return F.array_position(F.col("starts"), i) > 0
+
+    def masked(i: Column) -> Column:
+        return (i % stride < span_len) & is_start(i - (i % stride))
+
+    inputs = F.filter(
+        F.transform(
+            "toks",
+            lambda x, i: F.when(
+                masked(i) & (i % stride == 0),
+                sentinel(F.array_position(F.col("starts"), i) - 1),
+            ).when(masked(i), F.lit(None)).otherwise(x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    targets = F.concat(
+        F.flatten(
+            F.transform(
+                "starts",
+                lambda s: F.concat(
+                    F.array(
+                        sentinel(F.array_position(F.col("starts"), s) - 1)
+                    ),
+                    F.slice(F.col("toks"), s + 1, span_len),
+                ),
+            )
+        ),
+        F.array(sentinel(F.size("starts"))),
+    )
+    return d.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.size("starts").alias("n_spans"),
+        F.concat_ws(" ", inputs).alias("inputs"),
+        F.concat_ws(" ", targets).alias("targets"),
+    )
