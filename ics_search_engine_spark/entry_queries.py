@@ -11048,6 +11048,84 @@ FROM io ORDER BY doc_id
 """
 
 
+def q_hybrid_sparse_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-sparse leg composed into the retriever-tree API
+    (operators/hybrid × operators/sparsevec): rrf(bm25 top-50,
+    sparse_vector top-50) — a Leg is ANY bounded (id, score) frame, so
+    the sparse retriever plugs in with zero glue.  Sparse-leg boundary
+    rounded before selection (sibling-gate convention)."""
+    from ics_search_engine_spark.operators.hybrid import (
+        Leg,
+        RrfRetriever,
+        retriever_topk,
+    )
+    from ics_search_engine_spark.operators.sparsevec import (
+        sparse_postings,
+        sparse_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    posts = sparse_postings(
+        docs.select("doc_id", "text"), stem=False, key_cols=["doc_id"]
+    )
+    qw = {"spark": 1.8, "stream": 1.2, "window": 0.7, "join": 0.4}
+    rows = sparse_topk(spark, posts, qw, k=60, key_cols=["doc_id"]).collect()
+    lst = sorted(
+        [(int(d), round(float(s), 6)) for d, s in rows],
+        key=lambda r: (-r[1], r[0]),
+    )[:50]
+    sp_leg = spark.createDataFrame(lst, "doc_id long, sparse_r6 double")
+    tree = RrfRetriever(
+        [
+            Leg(_bm25_leg(spark, sf_dir, 50), "bm25_r6"),
+            Leg(sp_leg, "sparse_r6"),
+        ],
+        rank_constant=60,
+        rank_window_size=50,
+    )
+    return retriever_topk(tree, k=20).select(
+        "doc_id", F.col("score").alias("rrf_r9")
+    )
+
+
+_SQL_HYBRID_SPARSE_RRF = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+bmtop AS (
+  SELECT doc_id, round(sum(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         ), 6) AS bm25_r6
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY doc_id ORDER BY bm25_r6 DESC, doc_id ASC LIMIT 50
+),
+qw(term, w) AS (
+  VALUES ('spark', 1.8), ('stream', 1.2), ('window', 0.7), ('join', 0.4)
+),
+sptop AS (
+  SELECT p.doc_id, round(sum(q.w * (1.0 + ln(p.tf))), 6) AS sparse_r6
+  FROM posts p JOIN qw q USING (term)
+  GROUP BY p.doc_id ORDER BY sparse_r6 DESC, doc_id ASC LIMIT 50
+),
+bm AS (SELECT doc_id, row_number()
+         OVER (ORDER BY bm25_r6 DESC, doc_id ASC) AS r FROM bmtop),
+sp AS (SELECT doc_id, row_number()
+         OVER (ORDER BY sparse_r6 DESC, doc_id ASC) AS r FROM sptop)
+SELECT coalesce(bm.doc_id, sp.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60.0 + bm.r), 0.0)
+             + coalesce(1.0 / (60.0 + sp.r), 0.0), 9) AS rrf_r9
+FROM bm FULL OUTER JOIN sp ON bm.doc_id = sp.doc_id
+ORDER BY rrf_r9 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11232,6 +11310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "bpe_encode": q_bpe_encode,
     "span_corruption": q_span_corruption,
+    "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11443,6 +11522,7 @@ ORACLE_SQL: dict[str, str] = {
     "c4_line_filter": _SQL_C4_LINE_FILTER,
     "bpe_encode": _SQL_BPE_ENCODE,
     "span_corruption": _SQL_SPAN_CORRUPTION,
+    "hybrid_sparse_rrf": _SQL_HYBRID_SPARSE_RRF,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

@@ -53,6 +53,7 @@ def sparse_postings(
     transcripts: DataFrame,
     stem: bool = False,
     key_cols: list[str] | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """(term, *key_cols, weight double) impact postings under the
     deterministic ``log_saturation`` expansion: weight = 1 + ln(tf).
@@ -61,7 +62,18 @@ def sparse_postings(
     vocabulary; the stem-free engine tokenizer is the oracle-parity
     choice (same contract as build_packed_index(stem=False))."""
     key_cols = list(key_cols or DOC_KEY)
-    toks = tokenized(transcripts, stem=stem)
+    if key_cols == DOC_KEY and text_col == "text":
+        toks = tokenized(transcripts, stem=stem)
+    else:
+        from ics_search_engine_spark.functions.udfs import (
+            tokenize_index,
+            tokenize_nostem,
+        )
+
+        tok = tokenize_index if stem else tokenize_nostem
+        toks = transcripts.select(
+            *key_cols, tok(F.col(text_col)).alias("tokens")
+        )
     return (
         toks.select(*key_cols, F.explode("tokens").alias("term"))
         .groupBy("term", *key_cols)
@@ -126,12 +138,11 @@ def sparse_topk(
     """
     key_cols = list(key_cols or DOC_KEY)
     if not qweights:
-        schema = ", ".join(
-            ["conv_id string", "turn_idx int"]
-            if key_cols == DOC_KEY
-            else [f"{c} string" for c in key_cols]
+        return (
+            postings.select(*key_cols)
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
         )
-        return spark.createDataFrame([], schema + ", score double")
     order = [F.desc("score"), *[F.asc(c) for c in key_cols]]
 
     def matched_for(weights: dict[str, float]) -> DataFrame:
