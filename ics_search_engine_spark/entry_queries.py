@@ -11126,6 +11126,42 @@ ORDER BY rrf_r9 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_sparse_vector_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned-sparse SERVING tier (serving.LocalSparseServer):
+    Spark builds the term-sorted impact artifact, a Spark-free
+    pyarrow+numpy process answers the query — reduceat fold in the
+    same ascending-term order as the distributed path, so the same
+    oracle gates both (shared SQL with sparse_vector_engine)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.sparsevec import (
+        sparse_postings,
+        write_sparse_artifact,
+    )
+    from ics_search_engine_spark.serving import LocalSparseServer
+
+    docs = _docs(spark, sf_dir)
+    qw = {"spark": 1.8, "stream": 1.2, "window": 0.7, "join": 0.4}
+    out = tempfile.mkdtemp(prefix="gate_sparse_srv_")
+    try:
+        write_sparse_artifact(
+            sparse_postings(
+                docs.select("doc_id", "text"), stem=False,
+                key_cols=["doc_id"],
+            ),
+            out,
+        )
+        srv = LocalSparseServer(out, key_cols=("doc_id",))
+        rows = srv.search(qw, k=20)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in rows],
+        "doc_id long, score_r6 double",
+    ).orderBy(F.desc("score_r6"), F.asc("doc_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11311,6 +11347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "span_corruption": q_span_corruption,
     "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
+    "sparse_vector_serve": q_sparse_vector_serve,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11523,6 +11560,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_encode": _SQL_BPE_ENCODE,
     "span_corruption": _SQL_SPAN_CORRUPTION,
     "hybrid_sparse_rrf": _SQL_HYBRID_SPARSE_RRF,
+    "sparse_vector_serve": _SQL_SPARSE_VECTOR,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

@@ -2186,3 +2186,98 @@ def _scroll_via(search_fn, after_fn, query, page_size, max_pages):
             return
         last = page[-1]
         cursor = (float(last[2]), last[0], int(last[1]))
+
+
+class LocalSparseServer:
+    """In-process learned-sparse retrieval over a
+    sparsevec.write_sparse_artifact directory — pyarrow + numpy, no
+    Spark at query time: the LocalIndexServer posture for impact
+    postings (ES serves sparse_vector from the same inverted index as
+    BM25; so does this engine).
+
+    The artifact is term-sorted parquet, so the per-query read pushes
+    ``term IN (query terms)`` down to row-group statistics — a query
+    touches its own terms' row groups, never the corpus.  Scores are
+    bit-identical to operators/sparsevec.sparse_topk (tested): the
+    per-doc fold sums contributions in ascending-term order via
+    ``np.add.reduceat`` over a (key..., term)-mergesorted frame — the
+    same left-to-right order as the Spark sorted-term fold.
+
+    ``search(qweights, k, weight_threshold, rescore_window)`` mirrors
+    sparse_topk's prune contract: high-weight query tokens build the
+    shortlist, ALL tokens rescore it (exact scores, window-bounded
+    set)."""
+
+    def __init__(self, path: str, key_cols: tuple = ("conv_id", "turn_idx")):
+        self.path = path
+        self.key_cols = list(key_cols)
+
+    def _matched(self, terms: list[str]):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        return pq.read_table(
+            self.path,
+            columns=["term", *self.key_cols, "weight"],
+            filters=pc.field("term").isin(terms),
+        )
+
+    def _fold(self, tbl, qw: dict[str, float], k: int | None):
+        """(key..., term)-sorted reduceat fold → top-k [(keys..., score)]."""
+        import pandas as pd
+
+        pdf = tbl.to_pandas()
+        if len(pdf) == 0:
+            return []
+        pdf["contrib"] = pdf["weight"].to_numpy() * pdf["term"].map(qw).to_numpy()
+        pdf = pdf.sort_values(
+            [*self.key_cols, "term"], kind="mergesort", ignore_index=True
+        )
+        keys = pdf[self.key_cols]
+        # boundary where ANY key column changes vs previous row
+        change = np.zeros(len(pdf), dtype=bool)
+        change[0] = True
+        for c in self.key_cols:
+            vals = keys[c].to_numpy()
+            change[1:] |= vals[1:] != vals[:-1]
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(pdf["contrib"].to_numpy(), starts)
+        rows = [
+            (*(keys.iloc[s][c] for c in self.key_cols), float(v))
+            for s, v in zip(starts, sums)
+        ]
+        rows.sort(key=lambda r: (-r[-1], r[:-1]))
+        return rows if k is None else rows[:k]
+
+    def search(
+        self,
+        qweights: dict[str, float],
+        k: int = 10,
+        weight_threshold: float | None = None,
+        rescore_window: int | None = None,
+    ) -> list[tuple]:
+        if not qweights:
+            return []
+        if weight_threshold is None:
+            return self._fold(self._matched(sorted(qweights)), qweights, k)
+        if not 0.0 < weight_threshold <= 1.0:
+            raise ValueError(
+                f"weight_threshold={weight_threshold} not in (0, 1]"
+            )
+        cut = weight_threshold * max(qweights.values())
+        head = {t: w for t, w in qweights.items() if w >= cut}
+        window = max(k, rescore_window or k)
+        short = self._fold(self._matched(sorted(head)), head, window)
+        allowed = {r[:-1] for r in short}
+        full = self._matched(sorted(qweights))
+        pdf = full.to_pandas()
+        mask = [
+            tuple(row) in allowed
+            for row in pdf[self.key_cols].itertuples(index=False)
+        ]
+        import pyarrow as pa
+
+        return self._fold(
+            pa.Table.from_pandas(pdf[mask], preserve_index=False),
+            qweights, k,
+        )

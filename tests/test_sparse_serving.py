@@ -1,0 +1,70 @@
+"""LocalSparseServer ≡ sparse_topk, bit-for-bit, on the same artifact."""
+
+import pytest
+
+from ics_search_engine_spark.operators.sparsevec import (
+    sparse_postings,
+    sparse_topk,
+    write_sparse_artifact,
+)
+from ics_search_engine_spark.serving import LocalSparseServer
+
+QW = {"the": 0.3, "you": 1.1, "tool": 1.7, "error": 2.0}
+
+
+@pytest.fixture(scope="module")
+def artifact(spark, tiny_rows, corpus_dir):
+    df = spark.createDataFrame(
+        tiny_rows, "conv_id string, turn_idx int, text string"
+    )
+    path = f"{corpus_dir}/sparse_serve"
+    write_sparse_artifact(sparse_postings(df, stem=False), path)
+    return path
+
+
+def spark_rows(spark, artifact, **kw):
+    posts = spark.read.parquet(artifact)
+    return [
+        (r.conv_id, r.turn_idx, r.score)
+        for r in sparse_topk(spark, posts, QW, **kw).collect()
+    ]
+
+
+def test_exact_bit_identical(spark, artifact):
+    srv = LocalSparseServer(artifact)
+    got = [(c, int(t), s) for c, t, s in srv.search(QW, k=15)]
+    want = spark_rows(spark, artifact, k=15)
+    assert got == want  # exact float equality — same fold order
+
+
+def test_pruned_bit_identical(spark, artifact):
+    srv = LocalSparseServer(artifact)
+    got = [
+        (c, int(t), s)
+        for c, t, s in srv.search(
+            QW, k=10, weight_threshold=0.5, rescore_window=20
+        )
+    ]
+    want = spark_rows(
+        spark, artifact, k=10, weight_threshold=0.5, rescore_window=20
+    )
+    assert got == want
+
+
+def test_empty_and_absent(artifact):
+    srv = LocalSparseServer(artifact)
+    assert srv.search({}, k=5) == []
+    assert srv.search({"zzqx": 1.0}, k=5) == []
+    with pytest.raises(ValueError):
+        srv.search(QW, k=5, weight_threshold=2.0)
+
+
+def test_latency_smoke(artifact):
+    import time
+
+    srv = LocalSparseServer(artifact)
+    srv.search(QW, k=10)  # warm the OS cache
+    t0 = time.time()
+    for _ in range(5):
+        srv.search(QW, k=10)
+    assert (time.time() - t0) / 5 < 0.5  # generous; typical ~ms
