@@ -11162,6 +11162,95 @@ def q_sparse_vector_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("score_r6"), F.asc("doc_id"))
 
 
+def q_shuffle_resume_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable dataloader cursor (datapipe.shuffle_page): page 2 of
+    the deterministic epoch permutation, fetched as 'strictly after
+    page 1's last shuffle_key' — search_after on the md5 order.  The
+    oracle reads the same page as OFFSET 25 (md5 keys are unique, so
+    cursor and offset agree)."""
+    from ics_search_engine_spark.operators.datapipe import shuffle_page
+
+    docs = _docs(spark, sf_dir)
+    page1 = shuffle_page(docs, 25, seed=3).collect()
+    after = page1[-1]["shuffle_key"]
+    return shuffle_page(docs, 25, after_key=after, seed=3).orderBy(
+        "shuffle_key"
+    )
+
+
+_SQL_SHUFFLE_RESUME_PAGE = """
+SELECT doc_id, md5(doc_id::VARCHAR || '#3') AS shuffle_key
+FROM documents
+ORDER BY shuffle_key LIMIT 25 OFFSET 25
+"""
+
+
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report (operators/bpe × documents.lang):
+    tokens-per-word by language under the fixed five-merge BPE of the
+    bpe_encode gate — the vocabulary-audit view a multilingual
+    pipeline checks before committing to a tokenizer."""
+    from ics_search_engine_spark.operators.bpe import bpe_encode
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+              ("e", "</w>")]
+    docs = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    enc = bpe_encode(docs, merges)
+    joined = enc.join(
+        docs.select("doc_id", "lang", F.size(words).alias("n_words")),
+        "doc_id",
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility_r6",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_BPE_FERTILITY = """
+WITH w AS (
+  SELECT lang, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> length(x) > 0)) AS word
+  FROM documents
+),
+sym AS (
+  SELECT lang,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
+  FROM w
+),
+merged AS (
+  SELECT lang, replace(replace(replace(replace(replace(s,
+           ' t h ', ' th '),
+           ' th e ', ' the '),
+           ' i n ', ' in '),
+           ' a n ', ' an '),
+           ' e </w> ', ' e</w> ') AS s
+  FROM sym
+),
+cnt AS (
+  SELECT lang,
+         len(list_filter(string_split(s, ' '),
+                         x -> length(x) > 0)) AS ntok
+  FROM merged
+)
+SELECT lang, count(*) AS n_words, sum(ntok) AS n_tokens,
+       round(sum(ntok)::DOUBLE / count(*), 6) AS fertility_r6
+FROM cnt GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11348,6 +11437,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_corruption": q_span_corruption,
     "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
     "sparse_vector_serve": q_sparse_vector_serve,
+    "shuffle_resume_page": q_shuffle_resume_page,
+    "bpe_fertility_by_lang": q_bpe_fertility_by_lang,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11561,6 +11652,8 @@ ORACLE_SQL: dict[str, str] = {
     "span_corruption": _SQL_SPAN_CORRUPTION,
     "hybrid_sparse_rrf": _SQL_HYBRID_SPARSE_RRF,
     "sparse_vector_serve": _SQL_SPARSE_VECTOR,
+    "shuffle_resume_page": _SQL_SHUFFLE_RESUME_PAGE,
+    "bpe_fertility_by_lang": _SQL_BPE_FERTILITY,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

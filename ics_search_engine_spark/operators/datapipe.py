@@ -822,3 +822,34 @@ def span_corruption(
         F.concat_ws(" ", inputs).alias("inputs"),
         F.concat_ws(" ", targets).alias("targets"),
     )
+
+
+def shuffle_page(
+    df: DataFrame,
+    n: int,
+    after_key: str | None = None,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    seed: int = 0,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Next ``n`` rows of the deterministic epoch shuffle STRICTLY
+    after ``after_key`` — search_after pagination on the permutation
+    that shuffle_deterministic defines, i.e. a RESUMABLE dataloader
+    cursor: a trainer that died at step k restarts with the last
+    consumed row's shuffle_key and reads on, no offset scan, no state
+    file beyond one string.
+
+    Plan shape: the key-range predicate filters BEFORE the
+    TakeOrderedAndProject, so a resume deep into the epoch costs the
+    same as page one (the md5 key is uniform — a cursor at quantile q
+    prunes ~q of all rows at the scan-adjacent filter; with the key
+    materialized to a sorted column/partition layout it becomes a
+    pushed parquet predicate).  Keys are md5-unique per row, so
+    'strictly after' is total — pages never overlap or skip."""
+    key = F.md5(
+        F.concat_ws("#", *[F.col(c) for c in key_cols], F.lit(str(seed)))
+    )
+    sel = df.select(*keep_cols, key.alias("shuffle_key"))
+    if after_key is not None:
+        sel = sel.filter(F.col("shuffle_key") > after_key)
+    return sel.orderBy("shuffle_key").limit(n)

@@ -502,3 +502,47 @@ class TestPrepareNearDedup:
         assert kept == {0, 3}  # chain 0-1-2 collapses to its min
         stages = {r["stage_name"]: r for r in rep.collect()}
         assert stages["near_dedup"]["n_dropped"] == 2
+
+
+class TestShufflePage:
+    def test_pages_tile_the_permutation(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            shuffle_deterministic,
+            shuffle_page,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(97)], "doc_id long"
+        )
+        full = [
+            r["doc_id"]
+            for r in shuffle_deterministic(docs, seed=5).collect()
+        ]
+        paged, after = [], None
+        while True:
+            rows = shuffle_page(
+                docs, 20, after_key=after, seed=5
+            ).collect()
+            if not rows:
+                break
+            paged.extend(r["doc_id"] for r in rows)
+            after = rows[-1]["shuffle_key"]
+        assert paged == full  # no overlap, no skip, same order
+
+    def test_resume_independent_of_page_size(self, spark):
+        from ics_search_engine_spark.operators.datapipe import shuffle_page
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(60)], "doc_id long"
+        )
+        p1 = shuffle_page(docs, 30, seed=1).collect()
+        tail_via_cursor = [
+            r["doc_id"]
+            for r in shuffle_page(
+                docs, 30, after_key=p1[-1]["shuffle_key"], seed=1
+            ).collect()
+        ]
+        whole = [
+            r["doc_id"] for r in shuffle_page(docs, 60, seed=1).collect()
+        ]
+        assert tail_via_cursor == whole[30:]

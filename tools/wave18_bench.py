@@ -70,6 +70,11 @@ def main() -> None:
             (F.col("doc_id") * doc_copies + F.col("copy")).alias("doc_id"),
             "text", "source", "n_chars",
         )
+        # the sf file is ONE parquet row group and crossJoin preserves
+        # the probe side's partitioning — repartition or every map-only
+        # stage below is a single task (see wave19_bench)
+        .repartition(4 * cpus)
+        .persist()
     )
     n_docs = docs.count()
     out: dict = {"n_docs": n_docs, "cpus": cpus, "sf_dir": SF_DIR}

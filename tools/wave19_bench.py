@@ -62,6 +62,12 @@ def main() -> None:
             (F.col("doc_id") * doc_copies + F.col("copy")).alias("doc_id"),
             "text",
         )
+        # the sf file is ONE parquet row group and crossJoin preserves
+        # the probe side's partitioning — without this every map-only
+        # verb below runs as a single task and "scaling" measures the
+        # scheduler floor, not the operator
+        .repartition(4 * cpus)
+        .persist()
     )
     n_docs = docs.count()
     out: dict = {"n_docs": n_docs, "cpus": cpus, "n_merges": n_merges}
