@@ -11251,6 +11251,67 @@ FROM cnt GROUP BY lang ORDER BY lang
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG sliding-window chunking (datapipe.chunk_documents): 40-token
+    windows every 30 tokens (overlap 10), short tail kept, offsets
+    carried — map-only Catalyst explode."""
+    from ics_search_engine_spark.operators.datapipe import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), size=40, overlap=10
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_SQL_DOC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 30)) AS tok_start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, (tok_start // 30) AS chunk_idx, tok_start,
+       len(list_slice(toks, tok_start + 1, tok_start + 40))
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, tok_start + 1, tok_start + 40),
+                       ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (datapipe.fim_transform): PSM
+    reordering <PRE> p <SUF> s <MID> m with md5-derived cut points
+    1 ≤ c1 < c2 ≤ n; docs under 8 tokens pass through unmasked."""
+    from ics_search_engine_spark.operators.datapipe import fim_transform
+
+    return fim_transform(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_SQL_FIM_TRANSFORM = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         ({_sql_md5_32("doc_id::VARCHAR || '#fim1'")}
+          % (len(toks) - 1) + 1) AS c1
+  FROM t
+),
+c2t AS (
+  SELECT doc_id, toks, n, c1,
+         (c1 + {_sql_md5_32("doc_id::VARCHAR || '#fim2'")}
+               % (n - c1) + 1) AS c2
+  FROM c
+)
+SELECT doc_id, n AS n_tokens, n >= 8 AS fim_applied,
+       CASE WHEN n >= 8 THEN c1 END AS c1,
+       CASE WHEN n >= 8 THEN c2 END AS c2,
+       CASE WHEN n >= 8 THEN array_to_string(
+         ['<PRE>'] || list_slice(toks, 1, c1)
+         || ['<SUF>'] || list_slice(toks, c2 + 1, n)
+         || ['<MID>'] || list_slice(toks, c1 + 1, c2), ' ')
+       ELSE array_to_string(toks, ' ') END AS psm
+FROM c2t ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11439,6 +11500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparse_vector_serve": q_sparse_vector_serve,
     "shuffle_resume_page": q_shuffle_resume_page,
     "bpe_fertility_by_lang": q_bpe_fertility_by_lang,
+    "doc_chunks": q_doc_chunks,
+    "fim_transform": q_fim_transform,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11654,6 +11717,8 @@ ORACLE_SQL: dict[str, str] = {
     "sparse_vector_serve": _SQL_SPARSE_VECTOR,
     "shuffle_resume_page": _SQL_SHUFFLE_RESUME_PAGE,
     "bpe_fertility_by_lang": _SQL_BPE_FERTILITY,
+    "doc_chunks": _SQL_DOC_CHUNKS,
+    "fim_transform": _SQL_FIM_TRANSFORM,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

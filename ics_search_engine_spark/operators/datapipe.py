@@ -853,3 +853,115 @@ def shuffle_page(
     if after_key is not None:
         sel = sel.filter(F.col("shuffle_key") > after_key)
     return sel.orderBy("shuffle_key").limit(n)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-pipeline
+    verb: cut each document's token stream into windows of ``size``
+    tokens starting every ``size - overlap`` tokens, each chunk
+    carrying its token offset so retrieval hits map back into the
+    source.  The LAST window may be short (no padding); a document
+    shorter than ``size`` yields exactly one chunk; an empty document
+    yields none.
+
+    Pure Catalyst: tokens once, then sequence-of-starts × slice — a
+    map-only explode, no UDF, no shuffle.  Output: (id, chunk_idx,
+    tok_start, n_chunk_tokens, chunk_text)."""
+    if size <= 0 or not 0 <= overlap < size:
+        raise ValueError(
+            f"need size({size}) > 0 and 0 <= overlap({overlap}) < size"
+        )
+    stride = size - overlap
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                "[^a-z0-9]+"),
+        lambda x: F.length(x) > 1,
+    )
+    d = docs.select(id_col, toks.alias("toks"))
+    n = F.size("toks")
+    # last start: the largest multiple of stride < n (short tail chunk
+    # allowed); a start at p >= n would be empty — sequence bound is
+    # n-1 so that never happens
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = d.select(
+        id_col,
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "tok_start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("tok_start") + 1, size)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "tok_start",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def fim_transform(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022): split each
+    document's token stream at two deterministic cut points into
+    (prefix, middle, suffix) and emit the PSM re-ordering
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — the code-model
+    pre-training objective that teaches infilling.
+
+    Cuts are md5-derived (resume/re-run safe, oracle-checkable):
+    c1 = h1 % (n-1) + 1 and c2 = c1 + h2 % (n - c1) + 1 with
+    h_i = md5_32(id '#fim' i), guaranteeing 1 ≤ c1 < c2 ≤ n — prefix
+    is never empty, middle may reach the end, suffix may be empty
+    (matching the paper's uniform two-point split posture).  Documents
+    under ``min_tokens`` pass through unmasked (fim_applied=false,
+    psm = the plain token stream) — the standard FIM-rate carve-out
+    for tiny examples.
+
+    Pure Catalyst slices — map-only.  Output: (id, n_tokens,
+    fim_applied, c1, c2, psm)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                "[^a-z0-9]+"),
+        lambda x: F.length(x) > 1,
+    )
+    d = docs.select(id_col, toks.alias("toks"))
+    n = F.size("toks")
+    sid = F.col(id_col).cast("string")
+
+    def h(salt: str) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(sid, F.lit(salt))), 1, 8), 16, 10
+        ).cast("long")
+
+    c1 = (h("#fim1") % (n - 1) + 1).cast("int")
+    c2 = (c1 + (h("#fim2") % (n - c1)) + 1).cast("int")
+    apply_fim = n >= min_tokens
+    prefix = F.slice(F.col("toks"), 1, c1)
+    middle = F.slice(F.col("toks"), c1 + 1, c2 - c1)
+    suffix = F.slice(F.col("toks"), c2 + 1, n - c2)
+    psm = F.when(
+        apply_fim,
+        F.concat(
+            F.array(F.lit("<PRE>")), prefix,
+            F.array(F.lit("<SUF>")), suffix,
+            F.array(F.lit("<MID>")), middle,
+        ),
+    ).otherwise(F.col("toks"))
+    return d.select(
+        id_col,
+        n.alias("n_tokens"),
+        apply_fim.alias("fim_applied"),
+        F.when(apply_fim, c1).alias("c1"),
+        F.when(apply_fim, c2).alias("c2"),
+        F.concat_ws(" ", psm).alias("psm"),
+    )

@@ -112,3 +112,84 @@ class TestC4LineRules:
         for r in out.values():
             assert r.n_lines == 0 and r.n_lines_kept == 0 and not r.kept
             assert r.text_clean == ""
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            chunk_documents,
+        )
+
+        text = " ".join(f"tok{i:02d}" for i in range(25))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_documents(df, size=10, overlap=4).collect()
+        assert [(r.chunk_idx, r.tok_start, r.n_chunk_tokens)
+                for r in rows] == [(0, 0, 10), (1, 6, 10), (2, 12, 10),
+                                   (3, 18, 7), (4, 24, 1)]
+        # consecutive chunks share exactly `overlap` tokens
+        a, b = rows[0].chunk_text.split(), rows[1].chunk_text.split()
+        assert a[-4:] == b[:4]
+
+    def test_short_and_empty_docs(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(df, size=10, overlap=0).collect()
+        assert len(rows) == 1 and rows[0].doc_id == 1
+        assert rows[0].n_chunk_tokens == 2
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from ics_search_engine_spark.operators.datapipe import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            chunk_documents(df, size=0)
+        with _pytest.raises(ValueError):
+            chunk_documents(df, size=5, overlap=5)
+
+
+class TestFimTransform:
+    def test_psm_reconstructs_document(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            fim_transform,
+        )
+
+        texts = [
+            (i, " ".join(f"tok{i}x{j:02d}" for j in range(12)))
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        for r in fim_transform(df).collect():
+            assert r.fim_applied
+            assert 1 <= r.c1 < r.c2 <= r.n_tokens
+            parts = r.psm.split(" ")
+            ip, isuf, imid = (parts.index("<PRE>"), parts.index("<SUF>"),
+                              parts.index("<MID>"))
+            assert (ip, isuf - 1 - ip) == (0, r.c1)  # prefix len == c1
+            pre = parts[1:isuf]
+            suf = parts[isuf + 1 : imid]
+            mid = parts[imid + 1 :]
+            assert pre + mid + suf == dict(texts)[r.doc_id].split(" ")
+
+    def test_small_docs_pass_through(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            fim_transform,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in fim_transform(df).collect()}
+        assert not rows[1].fim_applied and rows[1].psm == "alpha beta gamma"
+        assert rows[1].c1 is None and rows[1].c2 is None
+        assert rows[2].n_tokens == 0 and rows[2].psm == ""
