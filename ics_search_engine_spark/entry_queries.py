@@ -11312,6 +11312,79 @@ FROM c2t ORDER BY doc_id
 """
 
 
+def q_query_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query rules (operators/queryrules.rules_topk): a ruleset
+    whose criteria fire on the request metadata — pin docs 3 and 7 on
+    'stream' in the query, exclude 5 and 7 on 'join' (exclusion beats
+    the pin for 7, ES precedence) — over the packed organic ranking.
+    Pinned rows carry NULL score.  Rounded-order top-20."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.queryrules import (
+        Criterion,
+        Rule,
+        rules_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    rules = [
+        Rule("pin-on-stream", "pinned",
+             [Criterion("contains", "user_query", ("stream",))],
+             [("doc00000003", 0), ("doc00000007", 0)]),
+        Rule("block-on-join", "exclude",
+             [Criterion("contains", "user_query", ("join",))],
+             [("doc00000005", 0), ("doc00000007", 0)]),
+    ]
+    out = tempfile.mkdtemp(prefix="gate_qrules_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        rows = rules_topk(
+            spark, pidx, " ".join(DOCS_QUERY_TERMS), rules, k=60
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    pins = [(int(c[3:]), None, True) for c, _, s, p in map(tuple, rows) if p]
+    organic = sorted(
+        [
+            (int(c[3:]), round(float(s), 6), False)
+            for c, _, s, p in map(tuple, rows) if not p
+        ],
+        key=lambda r: (-r[1], r[0]),
+    )
+    return spark.createDataFrame(
+        (pins + organic)[:20], "doc_id long, score_r6 double, pinned boolean"
+    )
+
+
+_SQL_QUERY_RULES = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+{_SQL_BM25_CTES}
+org AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score_r6, false AS pinned
+  FROM scored WHERE doc_id NOT IN (3, 5, 7)
+  GROUP BY doc_id ORDER BY score_r6 DESC, doc_id ASC LIMIT 19
+)
+SELECT doc_id, NULL::DOUBLE AS score_r6, true AS pinned
+FROM (VALUES (3)) p(doc_id)
+UNION ALL
+SELECT doc_id, score_r6, pinned FROM org
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11502,6 +11575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_fertility_by_lang": q_bpe_fertility_by_lang,
     "doc_chunks": q_doc_chunks,
     "fim_transform": q_fim_transform,
+    "query_rules_engine": q_query_rules_engine,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11719,6 +11793,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_fertility_by_lang": _SQL_BPE_FERTILITY,
     "doc_chunks": _SQL_DOC_CHUNKS,
     "fim_transform": _SQL_FIM_TRANSFORM,
+    "query_rules_engine": _SQL_QUERY_RULES,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
