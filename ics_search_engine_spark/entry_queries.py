@@ -11385,6 +11385,63 @@ SELECT doc_id, score_r6, pinned FROM org
 """
 
 
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest pipeline (operators/ingest.run_pipeline): dissect a
+    synthesized log line, convert the id capture, uppercase, gsub the
+    source name, set a constant, and parse a date — six processors
+    compiled into ONE Catalyst projection (plan-tested map-only in
+    tests/test_ingest.py)."""
+    from ics_search_engine_spark.operators.ingest import run_pipeline
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("source"), F.col("doc_id").cast("string"),
+            F.col("lang"),
+        ).alias("log"),
+        F.concat(
+            F.lit("2026-01-"),
+            F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        ).alias("dt"),
+    )
+    out = run_pipeline(
+        docs,
+        [
+            {"dissect": {"field": "log",
+                         "pattern": "%{src} %{id} %{lg}"}},
+            {"convert": {"field": "id", "type": "long",
+                         "target_field": "id_num"}},
+            {"uppercase": {"field": "lg", "target_field": "lg_up"}},
+            {"gsub": {"field": "src", "pattern": "^src",
+                      "replacement": "source-"}},
+            {"set": {"field": "env", "value": "prod"}},
+            {"date": {"field": "dt", "formats": ["yyyy-MM-dd"],
+                      "target_field": "ts"}},
+        ],
+    )
+    return out.select(
+        "doc_id", "src", "id_num", "lg_up", "env", "ts"
+    ).orderBy("doc_id")
+
+
+_SQL_INGEST_PIPELINE = """
+WITH d AS (
+  SELECT doc_id,
+         source || ' ' || doc_id::VARCHAR || ' ' || lang AS log,
+         '2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS dt
+  FROM documents
+),
+parts AS (SELECT doc_id, string_split(log, ' ') AS p, dt FROM d)
+SELECT doc_id,
+       regexp_replace(p[1], '^src', 'source-') AS src,
+       p[2]::BIGINT AS id_num,
+       upper(p[3]) AS lg_up,
+       'prod' AS env,
+       strptime(dt, '%Y-%m-%d') AS ts
+FROM parts ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11576,6 +11633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "fim_transform": q_fim_transform,
     "query_rules_engine": q_query_rules_engine,
+    "ingest_pipeline": q_ingest_pipeline,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11794,6 +11852,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_chunks": _SQL_DOC_CHUNKS,
     "fim_transform": _SQL_FIM_TRANSFORM,
     "query_rules_engine": _SQL_QUERY_RULES,
+    "ingest_pipeline": _SQL_INGEST_PIPELINE,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
