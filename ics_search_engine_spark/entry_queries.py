@@ -11442,6 +11442,57 @@ FROM parts ORDER BY doc_id
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring removal (dedup.exact_substring_dedup,
+    Lee et al. 2022 at the token-8-gram grain): every repeated 8-token
+    span keeps its globally first occurrence (min id·10⁶+pos packed
+    key — a map-side partial agg, deliberately not a per-gram window);
+    later occurrences' tokens are cut.  ~970 duplicated grams exist in
+    the sf0.01 corpus, so the gate exercises real coverage merging."""
+    from ics_search_engine_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    return exact_substring_dedup(
+        _docs(spark, sf_dir), l=8
+    ).orderBy("doc_id")
+
+
+_SQL_SUBSTRING_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, p,
+         md5(array_to_string(list_slice(toks, p + 1, p + 8), ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 8 + 1)) AS p
+        FROM t WHERE len(toks) >= 8)
+),
+firsts AS (
+  SELECT h, min(doc_id * 1000000 + p) AS first_key, count(*) AS occ
+  FROM g GROUP BY h
+),
+dups AS (
+  SELECT g.doc_id, list_sort(list(g.p)) AS starts
+  FROM g JOIN firsts USING (h)
+  WHERE firsts.occ > 1 AND g.doc_id * 1000000 + g.p != firsts.first_key
+  GROUP BY g.doc_id
+),
+o AS (
+  SELECT t.doc_id, toks, coalesce(starts, []) AS starts
+  FROM t LEFT JOIN dups USING (doc_id)
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(toks) - len(kept) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS text_dedup
+FROM (
+  SELECT doc_id, toks,
+         [toks[p + 1] FOR p IN range(0, len(toks))
+          IF len(list_filter(starts, s -> p >= s AND p < s + 8)) = 0]
+           AS kept
+  FROM o
+) ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11634,6 +11685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fim_transform": q_fim_transform,
     "query_rules_engine": q_query_rules_engine,
     "ingest_pipeline": q_ingest_pipeline,
+    "substring_dedup": q_substring_dedup,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11853,6 +11905,7 @@ ORACLE_SQL: dict[str, str] = {
     "fim_transform": _SQL_FIM_TRANSFORM,
     "query_rules_engine": _SQL_QUERY_RULES,
     "ingest_pipeline": _SQL_INGEST_PIPELINE,
+    "substring_dedup": _SQL_SUBSTRING_DEDUP,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

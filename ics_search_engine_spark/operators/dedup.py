@@ -501,3 +501,87 @@ def decontaminated_split(
     return clean_train.withColumn("split", F.lit("train")).unionByName(
         test.withColumn("split", F.lit("test"))
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    l: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at the
+    token-``l``-gram grain: any span of ``l`` consecutive tokens that
+    occurs more than once in the corpus keeps exactly its globally
+    FIRST occurrence; every other occurrence's tokens are cut from
+    their documents.  The paper builds a corpus suffix array; the
+    distributed re-expression is rolling ``l``-gram keys + a
+    first-occurrence aggregation — same keep-one semantics at the
+    chosen grain, no suffix array, no driver state.
+
+    "First" is the minimum of ``id·10⁶ + pos`` (documented packed
+    key — ids are corpus ordinals and positions are bounded by
+    maximum document length, so the packed order IS (id, pos)
+    lexicographic; one integer min makes the aggregation a cheap
+    map-side partial agg instead of a per-gram window, which is what
+    survives a boilerplate gram occurring 10⁹ times).
+
+    Plan: grams via transform+posexplode (map-only) → ONE exchange on
+    the gram hash for the min-agg → join back (gram-grain, pruned to
+    duplicated grams) → per-doc start-list agg (doc-grain exchange) →
+    covered-position rebuild as nested array lambdas.  Output:
+    (id, n_tokens, n_removed, text_dedup) for every input doc.
+    """
+    if l < 2:
+        raise ValueError(f"l={l} must be >= 2")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                "[^a-z0-9]+"),
+        lambda x: F.length(x) > 1,
+    )
+    t = docs.select(id_col, toks.alias("toks"))
+    n = F.size("toks")
+    grams = t.filter(n >= l).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - l),
+                lambda p: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("toks"), p + 1, l))
+                ),
+            )
+        ).alias("p", "h"),
+    )
+    key = F.col(id_col) * F.lit(1_000_000) + F.col("p")
+    keyed = grams.withColumn("fk", key)
+    firsts = keyed.groupBy("h").agg(
+        F.min("fk").alias("first_key"), F.count("*").alias("occ")
+    )
+    dup_starts = (
+        keyed.join(
+            firsts.filter(F.col("occ") > 1).select("h", "first_key"), "h"
+        )
+        .filter(F.col("fk") != F.col("first_key"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("p")).alias("starts"))
+    )
+    out = t.join(dup_starts, id_col, "left").withColumn(
+        "starts",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+    )
+    covered = lambda p: F.exists(  # noqa: E731
+        F.col("starts"), lambda s: (p >= s) & (p < s + l)
+    )
+    kept = F.filter(
+        F.transform(
+            "toks",
+            lambda x, i: F.when(~covered(i), x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return out.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_dedup"),
+    )

@@ -275,3 +275,63 @@ class TestDecontaminatedSplit:
 
         with _pt.raises(ValueError):
             decontaminated_split(docs, 0.0)
+
+
+class TestExactSubstringDedup:
+    def run(self, spark, texts, l=4):
+        from ics_search_engine_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        return {
+            r.doc_id: r for r in exact_substring_dedup(df, l=l).collect()
+        }
+
+    def test_duplicated_span_removed_keep_first(self, spark):
+        shared = "alpha bravo charlie delta"
+        out = self.run(
+            spark,
+            [
+                f"unique00 unique01 {shared} unique02",
+                f"other00 {shared} other01 other02",
+            ],
+            l=4,
+        )
+        # doc 0 holds the first occurrence -> untouched
+        assert out[0].n_removed == 0
+        assert shared in out[0].text_dedup
+        # doc 1's copy of the 4-gram is cut, the rest survives
+        assert out[1].n_removed == 4
+        assert out[1].text_dedup == "other00 other01 other02"
+
+    def test_overlapping_dup_grams_merge_coverage(self, spark):
+        shared = "alpha bravo charlie delta echo"  # two overlapping 4-grams
+        out = self.run(
+            spark, [f"{shared} zz00", f"yy00 {shared} yy01"], l=4
+        )
+        assert out[1].n_removed == 5  # union of [1,5) and [2,6) = 5 toks
+        assert out[1].text_dedup == "yy00 yy01"
+
+    def test_within_doc_repetition(self, spark):
+        out = self.run(
+            spark, ["alpha bravo charlie delta xx00 alpha bravo charlie delta"],
+            l=4,
+        )
+        assert out[0].n_removed == 4  # second in-doc occurrence cut
+        assert out[0].text_dedup == "alpha bravo charlie delta xx00"
+
+    def test_short_docs_untouched_and_validation(self, spark):
+        import pytest as _pytest
+
+        out = self.run(spark, ["alpha bravo", ""], l=4)
+        assert out[0].n_removed == 0 and out[1].n_tokens == 0
+        from ics_search_engine_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            exact_substring_dedup(df, l=1)
