@@ -11493,6 +11493,84 @@ FROM (
 """
 
 
+def q_semantic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES semantic_text retrieval shape (datapipe.chunk_documents ×
+    sparsevec.sparse_scores): documents chunk into 40-token windows
+    (overlap 10), each chunk scores against the sparse query, a
+    document's score is its BEST chunk (the nested-field max rollup) —
+    top-20 docs with the winning chunk index."""
+    from ics_search_engine_spark.operators.datapipe import chunk_documents
+    from ics_search_engine_spark.operators.sparsevec import (
+        sparse_postings,
+        sparse_scores,
+    )
+
+    chunks = chunk_documents(_docs(spark, sf_dir), size=40, overlap=10)
+    posts = sparse_postings(
+        chunks, stem=False, key_cols=["doc_id", "chunk_idx"],
+        text_col="chunk_text",
+    )
+    qw = {"spark": 1.8, "stream": 1.2, "window": 0.7, "join": 0.4}
+    per_chunk = sparse_scores(
+        spark, posts, qw, key_cols=["doc_id", "chunk_idx"]
+    )
+    best = (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.round("score", 6).alias("score_r6"),
+                    (-F.col("chunk_idx")).alias("neg_idx"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.col("b.score_r6").alias("score_r6"),
+            (-F.col("b.neg_idx")).cast("int").alias("best_chunk"),
+        )
+    )
+    return (
+        best.orderBy(F.desc("score_r6"), F.asc("doc_id")).limit(20)
+    )
+
+
+# chunk tokens: doc toks sliced [s+1, s+40] every 30; chunk tf from the
+# slice; doc score = max chunk score, best_chunk = SMALLEST idx at max
+_SQL_SEMANTIC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+ch AS (
+  SELECT doc_id, (tok_start // 30) AS chunk_idx,
+         list_slice(toks, tok_start + 1, tok_start + 40) AS ctoks
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 30)) AS tok_start
+        FROM t WHERE len(toks) > 0)
+),
+posts AS (
+  SELECT term, doc_id, chunk_idx, count(*) AS tf FROM (
+    SELECT doc_id, chunk_idx, unnest(ctoks) AS term FROM ch
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id, chunk_idx
+),
+qw(term, w) AS (
+  VALUES ('spark', 1.8), ('stream', 1.2), ('window', 0.7), ('join', 0.4)
+),
+chunk_scores AS (
+  SELECT doc_id, chunk_idx,
+         round(sum(q.w * (1.0 + ln(p.tf))), 6) AS score_r6
+  FROM posts p JOIN qw q USING (term) GROUP BY doc_id, chunk_idx
+),
+best AS (
+  SELECT doc_id, score_r6, chunk_idx AS best_chunk,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_r6 DESC, chunk_idx ASC) AS rn
+  FROM chunk_scores
+)
+SELECT doc_id, score_r6, best_chunk
+FROM best WHERE rn = 1
+ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11686,6 +11764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "query_rules_engine": q_query_rules_engine,
     "ingest_pipeline": q_ingest_pipeline,
     "substring_dedup": q_substring_dedup,
+    "semantic_chunks": q_semantic_chunks,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11906,6 +11985,7 @@ ORACLE_SQL: dict[str, str] = {
     "query_rules_engine": _SQL_QUERY_RULES,
     "ingest_pipeline": _SQL_INGEST_PIPELINE,
     "substring_dedup": _SQL_SUBSTRING_DEDUP,
+    "semantic_chunks": _SQL_SEMANTIC_CHUNKS,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

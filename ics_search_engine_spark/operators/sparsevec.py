@@ -116,6 +116,34 @@ def _fold_score(
     )
 
 
+def sparse_scores(
+    spark: SparkSession,
+    postings: DataFrame,
+    qweights: dict[str, float],
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Every matched key's full score (no top-k cut) — the untruncated
+    front half of sparse_topk, for callers that aggregate scores to a
+    coarser grain before ranking (e.g. semantic_text's max-chunk-per-
+    document rollup)."""
+    key_cols = list(key_cols or DOC_KEY)
+    if not qweights:
+        return (
+            postings.select(*key_cols)
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+        )
+    w_df = spark.createDataFrame(
+        sorted(qweights.items()), "term string, qw double"
+    )
+    matched = (
+        postings.filter(F.col("term").isin(sorted(qweights)))
+        .join(F.broadcast(w_df), "term")
+        .withColumn("contrib", F.col("qw") * F.col("weight"))
+    )
+    return _fold_score(matched, key_cols)
+
+
 def sparse_topk(
     spark: SparkSession,
     postings: DataFrame,
