@@ -855,3 +855,137 @@ class IcebergMetaTable:
         return ds.dataset(paths, format="parquet", schema=target).to_table(
             columns=columns
         )
+
+
+def expire_snapshots(
+    table: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    delete_files: bool = True,
+) -> tuple[dict, dict]:
+    """Iceberg snapshot expiration (the ``expireSnapshots`` table
+    maintenance verb): drop snapshots outside the retention policy
+    from table metadata and physically delete every file reachable
+    ONLY from dropped snapshots — data files, manifests, and the
+    dropped snapshots' manifest lists.  The current snapshot is always
+    retained (spec behavior).  Policy: ``keep_last=N`` retains the N
+    most recent snapshots; ``older_than_ms`` retains snapshots at or
+    after the cutoff; giving both retains the union.
+
+    Reachability is computed from the RETAINED snapshots' manifest
+    lists, so a file shared by an expired and a live snapshot (the
+    normal append-lineage case) is never touched — the same GC rule
+    real Iceberg applies.  Publishes a new metadata version through
+    the same O_EXCL + version-hint protocol as ``commit`` (concurrent
+    writers raise CommitConflict, never corrupt).
+
+    Returns (new_metadata, report) where report counts dropped
+    snapshots and deleted data/manifest files."""
+    if keep_last is None and older_than_ms is None:
+        raise ValueError("need keep_last and/or older_than_ms")
+    if keep_last is not None and keep_last < 1:
+        raise ValueError(f"keep_last={keep_last} must be >= 1")
+    meta = load_metadata(table)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {table}")
+    snaps = meta["snapshots"]
+    retained_ids = {meta["current-snapshot-id"]}
+    if keep_last is not None:
+        retained_ids.update(s["snapshot-id"] for s in snaps[-keep_last:])
+    if older_than_ms is not None:
+        retained_ids.update(
+            s["snapshot-id"] for s in snaps
+            if s["timestamp-ms"] >= older_than_ms
+        )
+    expired = [s for s in snaps if s["snapshot-id"] not in retained_ids]
+    report = {
+        "expired_snapshots": len(expired),
+        "deleted_data_files": 0,
+        "deleted_manifests": 0,
+        "deleted_manifest_lists": 0,
+    }
+    if not expired:
+        return meta, report
+
+    def _snapshot_files(snap: dict) -> tuple[set, set]:
+        mlist = _rebase(snap["manifest-list"], table)
+        manifests = set()
+        data = set()
+        for rec in _read_manifest_list_records(mlist, table):
+            mpath = _rebase(rec["manifest_path"], table)
+            manifests.add(os.path.abspath(mpath))
+            for fi in _read_manifest_data_files(mpath, table):
+                data.add(os.path.abspath(fi))
+        return manifests, data
+
+    live_manifests: set = set()
+    live_data: set = set()
+    for s in snaps:
+        if s["snapshot-id"] in retained_ids:
+            m, d = _snapshot_files(s)
+            live_manifests |= m
+            live_data |= d
+    dead_manifests: set = set()
+    dead_data: set = set()
+    for s in expired:
+        m, d = _snapshot_files(s)
+        dead_manifests |= m - live_manifests
+        dead_data |= d - live_data
+
+    if delete_files:
+        for p in sorted(dead_data):
+            if os.path.exists(p):
+                os.remove(p)
+                report["deleted_data_files"] += 1
+        for p in sorted(dead_manifests):
+            if os.path.exists(p):
+                os.remove(p)
+                report["deleted_manifests"] += 1
+        for s in expired:
+            p = _rebase(s["manifest-list"], table)
+            if os.path.exists(p):
+                os.remove(p)
+                report["deleted_manifest_lists"] += 1
+
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [
+        s for s in snaps if s["snapshot-id"] in retained_ids
+    ]
+    new_meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in retained_ids
+    ]
+    new_meta["last-updated-ms"] = _now_ms()
+    version = _read_version_hint(table) + 1
+    new_meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": meta["last-updated-ms"],
+            "metadata-file": os.path.join(
+                _meta_dir(table), f"v{version - 1}.metadata.json"
+            ),
+        }
+    ]
+    target = os.path.join(_meta_dir(table), f"v{version}.metadata.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"{target} was claimed by a concurrent commit; retry on "
+            "fresh table state"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(new_meta, f, indent=1)
+    hint_tmp = os.path.join(_meta_dir(table), ".version-hint.text.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(_meta_dir(table), "version-hint.text"))
+    return new_meta, report
+
+
+def _read_manifest_data_files(mpath: str, table: str) -> list[str]:
+    """All data-file paths a manifest references, ANY entry status —
+    the conservative reachability set for GC (a DELETED-status entry
+    still names a path; treating it as referenced can only retain too
+    much, never delete a live file)."""
+    _, entries, _ = avro_io.read_container(mpath)
+    return [_rebase(e["data_file"]["file_path"], table) for e in entries]

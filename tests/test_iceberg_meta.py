@@ -591,3 +591,82 @@ class TestSchemaEvolution:
         cur = im.IcebergMetaTable(tbl)
         kept = cur.prune_files("doc_ord", [30])
         assert len(kept) == 1 and kept[0].record_count == 1
+
+
+# ---------------------------------------------------------------------------
+# expire_snapshots: retention, GC reachability, metadata protocol
+# ---------------------------------------------------------------------------
+
+
+class TestExpireSnapshots:
+    def _table(self, tmp_path, n_commits=4):
+        table = str(tmp_path / "exp_tbl")
+        os.makedirs(f"{table}/data", exist_ok=True)
+        for i in range(n_commits):
+            p = f"{table}/data/f{i}.parquet"
+            pq.write_table(
+                pa.table({"id": pa.array([i], pa.int64())}), p
+            )
+            im.commit(
+                table, [p], pa.schema([("id", pa.int64())]),
+                operation="append",
+            )
+        return table
+
+    def test_keep_last_drops_and_gc(self, tmp_path):
+        table = self._table(tmp_path, 4)
+        meta, rep = im.expire_snapshots(table, keep_last=2)
+        assert rep["expired_snapshots"] == 2
+        assert len(meta["snapshots"]) == 2
+        # append lineage: every data file is still reachable from the
+        # newest snapshot's carried-forward manifests -> NO data file
+        # may be deleted
+        assert rep["deleted_data_files"] == 0
+        assert rep["deleted_manifest_lists"] == 2
+        for i in range(4):
+            assert os.path.exists(f"{table}/data/f{i}.parquet")
+        # reload honors the new metadata version
+        t = im.IcebergMetaTable(table)
+        assert t.record_count() == 4
+        assert len(t.snapshots) == 2
+
+    def test_overwrite_lineage_gc_deletes_orphans(self, tmp_path):
+        table = str(tmp_path / "ow_tbl")
+        os.makedirs(f"{table}/data", exist_ok=True)
+        schema = pa.schema([("id", pa.int64())])
+        for i in range(3):
+            p = f"{table}/data/f{i}.parquet"
+            pq.write_table(pa.table({"id": pa.array([i], pa.int64())}), p)
+            # each OVERWRITE replaces the live set: old files become
+            # unreachable once their snapshots expire
+            im.commit(table, [p], schema, operation="overwrite")
+        meta, rep = im.expire_snapshots(table, keep_last=1)
+        assert rep["expired_snapshots"] == 2
+        assert rep["deleted_data_files"] == 2
+        assert not os.path.exists(f"{table}/data/f0.parquet")
+        assert not os.path.exists(f"{table}/data/f1.parquet")
+        assert os.path.exists(f"{table}/data/f2.parquet")
+        assert im.IcebergMetaTable(table).record_count() == 1
+
+    def test_current_always_retained_and_noop(self, tmp_path):
+        table = self._table(tmp_path, 2)
+        meta, rep = im.expire_snapshots(table, keep_last=10)
+        assert rep["expired_snapshots"] == 0
+        meta2, _ = im.expire_snapshots(table, older_than_ms=0)
+        assert len(meta2["snapshots"]) == 2  # nothing older than epoch 0
+
+    def test_time_travel_to_expired_snapshot_fails(self, tmp_path):
+        table = self._table(tmp_path, 3)
+        old = im.IcebergMetaTable(table).snapshots[0]["snapshot-id"]
+        im.expire_snapshots(table, keep_last=1)
+        with pytest.raises(Exception):
+            im.IcebergMetaTable(table, snapshot_id=old)
+
+    def test_validation(self, tmp_path):
+        table = self._table(tmp_path, 1)
+        with pytest.raises(ValueError):
+            im.expire_snapshots(table)
+        with pytest.raises(ValueError):
+            im.expire_snapshots(table, keep_last=0)
+        with pytest.raises(FileNotFoundError):
+            im.expire_snapshots(str(tmp_path / "nope"), keep_last=1)
