@@ -485,13 +485,24 @@ def prepare_corpus(
     line_dedup: bool = True,
     near_dedup: bool = False,
     near_jaccard: float = 0.7,
+    c4_rules: bool = False,
+    c4_min_words: int = 5,
+    c4_min_lines: int = 1,
+    substring_dedup_l: int | None = None,
+    domain_cap: int | None = None,
     report: bool = True,
 ) -> tuple[DataFrame, DataFrame | None]:
     """The whole corpus-preparation pipeline in one call — raw
     (doc_id, text, lang, source) documents to packed training chunks:
 
+      0. C4 line rules            (optional: textstats.c4_line_rules —
+                                   terminal punct / min words /
+                                   boilerplate line + doc drops)
       1. PII scrubbing            (textstats.scrub_pii)
       2. global line dedup        (dedup.dedup_lines_corpus)
+      2b. substring dedup         (optional: dedup.
+                                   exact_substring_dedup at the given
+                                   l-gram grain, keep-first)
       3. exact document dedup     (md5 text, min doc_id keeps)
       3b. transitive near-dedup   (optional: MinHash-LSH pairs →
                                    connected components → keep the
@@ -499,6 +510,8 @@ def prepare_corpus(
                                    default because it adds the CC
                                    iteration — a few extra shuffles)
       4. quality gates            (min token count, language whitelist)
+      4b. per-domain cap          (optional: cap_per_key on source,
+                                   best-first by n_tokens)
       5. source mixing            (mix_sources, optional)
       6. sequence packing         (pack_sequences, concat-and-chunk)
 
@@ -529,6 +542,23 @@ def prepare_corpus(
             n_in = n_out
         return nxt
 
+    if c4_rules:
+        from ics_search_engine_spark.operators.textstats import (
+            c4_line_rules,
+        )
+
+        # pipeline default min_lines=1 (the operator's C4-authentic 3
+        # assumes web pages; packed-corpus docs are often one line)
+        ruled = c4_line_rules(
+            cur, min_words=c4_min_words, min_lines=c4_min_lines
+        ).filter("kept")
+        cur = account(
+            "c4_rules",
+            cur.drop("text").join(
+                ruled.select("doc_id", F.col("text_clean").alias("text")),
+                "doc_id",
+            ),
+        )
     if scrub:
         cur = account(
             "scrub_pii",
@@ -546,6 +576,19 @@ def prepare_corpus(
                 ),
                 "doc_id",
             ),
+        )
+    if substring_dedup_l:
+        from ics_search_engine_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        cut = exact_substring_dedup(cur, l=substring_dedup_l)
+        cur = account(
+            "substring_dedup",
+            cur.drop("text").join(
+                cut.select("doc_id", F.col("text_dedup").alias("text")),
+                "doc_id",
+            ).filter(F.length("text") > 0),
         )
     from pyspark.sql.window import Window
 
@@ -585,6 +628,14 @@ def prepare_corpus(
     if langs is not None:
         quality = quality & F.col("lang").isin(*langs)
     cur = account("quality_gates", cur.filter(quality))
+    if domain_cap:
+        cur = account(
+            "domain_cap",
+            cap_per_key(
+                cur, ["source"], domain_cap,
+                [F.desc("n_tokens"), F.asc("doc_id")],
+            ),
+        )
     if mix_parts:
         cur = account(
             "mix_sources", mix_sources(cur, "source", mix_parts, "doc_id")

@@ -546,3 +546,52 @@ class TestShufflePage:
             r["doc_id"] for r in shuffle_page(docs, 60, seed=1).collect()
         ]
         assert tail_via_cursor == whole[30:]
+
+
+class TestPrepareCorpusNewStages:
+    def test_c4_substring_domaincap_stages(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            prepare_corpus,
+        )
+
+        shared = " ".join(f"shared{i:02d}" for i in range(8))
+
+        def good(i):
+            # every token doc-unique: no accidental cross-doc 8-grams
+            return " ".join(f"g{i}w{j:02d}" for j in range(12)) + "."
+
+        rows = [
+            # doc 0: survives everything (first occurrence of `shared`)
+            (0, good(0) + "\n" + shared + " tail00 tail01 tail02.",
+             "en", "s0"),
+            # doc 1: same shared 8-gram -> substring-cut (line rules
+            # keep both lines: they end in '.' via the shared line's
+            # period and have >= 5 words)
+            (1, good(1) + "\n" + shared + " other00 other01 other02.",
+             "en", "s0"),
+            # doc 2: killed by C4 (lorem ipsum)
+            (2, good(2) + "\nthis page is lorem ipsum filler content "
+             "now.", "en", "s1"),
+            # docs 3-6: same source, compete under domain_cap=2
+            *[(i, good(i) + f" extra{i:02d} " + " ".join(
+                f"w{i}x{j:02d}" for j in range(i)) + ".", "en", "s2")
+              for i in range(3, 7)],
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        packed, rep = prepare_corpus(
+            docs, capacity=64, min_tokens=5,
+            scrub=False, line_dedup=False,
+            c4_rules=True, substring_dedup_l=8, domain_cap=2,
+        )
+        stages = {r.stage_name: r for r in rep.collect()}
+        assert stages["c4_rules"].n_dropped == 1          # doc 2
+        assert stages["substring_dedup"].n_dropped == 0   # cut, not drop
+        assert stages["domain_cap"].n_dropped == 2        # 4 -> 2 in s2
+        kept = {r.doc_id for r in packed.select("doc_id").collect()}
+        assert 2 not in kept
+        assert len(kept & {3, 4, 5, 6}) == 2
+        # doc 1 lost its shared span but kept its own tail
+        t1 = {r.doc_id: r.n_tokens for r in packed.collect()}
+        assert t1[1] < t1[0]
