@@ -6,7 +6,8 @@ multi-executor clusters").
     spark-submit --py-files /tmp/ics_search_engine_spark_pyfiles.zip \
         tools/submit_prepare.py <input_parquet> <out_dir> \
         [--capacity N] [--min-tokens N] [--langs en,de] \
-        [--mix src=parts,...] [--no-scrub] [--no-line-dedup] [--no-report]
+        [--mix src=parts,...] [--no-scrub] [--no-line-dedup] [--no-report] \\
+        [--near-dedup] [--c4-rules] [--substring-dedup-l N] [--domain-cap N]
 
 Writes the packed corpus to ``<out_dir>/packed`` (parquet, partitioned
 by nothing — chunk_id is a column, range-clustered by construction)
@@ -35,6 +36,14 @@ def main() -> None:
     ap.add_argument("--no-scrub", action="store_true")
     ap.add_argument("--no-line-dedup", action="store_true")
     ap.add_argument("--no-report", action="store_true")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="transitive MinHash-LSH near-dedup stage")
+    ap.add_argument("--c4-rules", action="store_true",
+                    help="C4 line-rule filter stage")
+    ap.add_argument("--substring-dedup-l", type=int, default=None,
+                    help="exact substring dedup at this l-gram grain")
+    ap.add_argument("--domain-cap", type=int, default=None,
+                    help="keep at most N docs per source")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,6 +68,10 @@ def main() -> None:
         mix_parts=mix,
         scrub=not args.no_scrub,
         line_dedup=not args.no_line_dedup,
+        near_dedup=args.near_dedup,
+        c4_rules=args.c4_rules,
+        substring_dedup_l=args.substring_dedup_l,
+        domain_cap=args.domain_cap,
         report=not args.no_report,
     )
     packed = packed.persist()
