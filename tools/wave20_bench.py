@@ -47,9 +47,15 @@ def main() -> None:
     from ics_search_engine_spark.operators.ingest import run_pipeline
     from ics_search_engine_spark.session import get_spark
 
+    # 8x over-partitioned shuffles: the gram explode makes ~100 rows
+    # per doc, so cpus-sized shuffle partitions hold 10^7+ string rows
+    # each and THRASH (measured: 32 cores SLOWER than 8 at
+    # shuffle_partitions=cpus — concurrent oversize partitions
+    # exceeded memory and spilled); 8x cuts per-partition footprint
+    # below spill and restores scaling
     spark = get_spark(
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=8 * cpus,
         extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
