@@ -640,3 +640,86 @@ class TestBucketedJoin:
             write_bucketed(small_df, "t_x", 0, "conv_id")
         with pytest.raises(ValueError):
             write_bucketed(small_df, "t_x", 4)
+
+
+class TestWave18Plans:
+    """Plan audits for the wave-18..22 operators: the shapes claimed
+    in their docstrings, checked in the optimizer's output."""
+
+    def test_sparse_topk_broadcasts_weights_and_takes_ordered(self, spark):
+        from ics_search_engine_spark.operators.sparsevec import (
+            sparse_postings,
+            sparse_topk,
+        )
+
+        df = spark.createDataFrame(
+            [("c0", 0, "alpha beta gamma"), ("c1", 0, "beta gamma delta")],
+            "conv_id string, turn_idx int, text string",
+        )
+        posts = sparse_postings(df, stem=False)
+        plan = _plan(sparse_topk(spark, posts, {"beta": 1.0, "gamma": 0.5}))
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_map_only_verbs_have_no_exchange(self, spark):
+        """span_corruption / fim_transform / c4_line_rules are claimed
+        map-only — no Exchange may appear anywhere in their plans."""
+        from ics_search_engine_spark.operators.datapipe import (
+            fim_transform,
+            span_corruption,
+        )
+        from ics_search_engine_spark.operators.textstats import (
+            c4_line_rules,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        for out in (
+            span_corruption(docs),
+            fim_transform(docs),
+            c4_line_rules(docs),
+        ):
+            assert "Exchange" not in _plan(out)
+
+    def test_chunk_documents_map_only(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            chunk_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        assert "Exchange" not in _plan(chunk_documents(docs, size=2))
+
+    def test_cap_per_key_single_exchange(self, spark):
+        from ics_search_engine_spark.operators.datapipe import cap_per_key
+
+        docs = spark.createDataFrame(
+            [(0, "s0"), (1, "s0")], "doc_id long, source string"
+        )
+        plan = _plan(cap_per_key(docs, ["source"], 1))
+        assert plan.count("Exchange") == 1, plan
+
+    def test_substring_dedup_no_window(self, spark):
+        """The first-occurrence rule must be an aggregation (partial
+        map-side), never a per-gram Window sort."""
+        from ics_search_engine_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        plan = _plan(exact_substring_dedup(docs, l=2))
+        assert "Window" not in plan
+        assert "HashAggregate" in plan
+
+    def test_ltr_single_decode_take_ordered(self, spark, pidx):
+        from ics_search_engine_spark.operators.ltr import ltr_features
+
+        plan = _plan(ltr_features(spark, pidx, "machine learning"))
+        assert "TakeOrderedAndProject" in plan
+        # one decode: exactly one Arrow eval of the payload decoder
+        assert plan.count("MapInPandas") <= 1
