@@ -11571,6 +11571,55 @@ ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk document-mask manifest (datapipe.chunk_manifest over
+    pack_sequences, capacity 512): every training window's occupying
+    docs with in-window [start, end) spans — segments exploded to rows
+    for the cross-engine compare.  Oracle rebuilds the same spans from
+    a window prefix-sum."""
+    from ics_search_engine_spark.operators.datapipe import (
+        chunk_manifest,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(toks_col()).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, capacity=512)
+    man = chunk_manifest(packed, 512)
+    return (
+        man.select("chunk_id", F.explode("segments").alias("s"))
+        .select(
+            "chunk_id",
+            F.col("s.doc").alias("doc_id"),
+            F.col("s.start").alias("seg_start"),
+            F.col("s.end").alias("seg_end"),
+        )
+        .orderBy("chunk_id", "seg_start")
+    )
+
+
+_SQL_CHUNK_MANIFEST = f"""
+WITH t AS (SELECT doc_id, len({_SQL_TOKS}) AS n FROM documents),
+o AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+),
+spans AS (
+  SELECT doc_id, n, off,
+         unnest(range((off // 512)::BIGINT,
+                      ((off + n - 1) // 512 + 1)::BIGINT)) AS chunk_id
+  FROM o WHERE n > 0
+)
+SELECT chunk_id, doc_id,
+       greatest(off, chunk_id * 512) - chunk_id * 512 AS seg_start,
+       least(off + n, (chunk_id + 1) * 512) - chunk_id * 512 AS seg_end
+FROM spans ORDER BY chunk_id, seg_start
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11765,6 +11814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_pipeline": q_ingest_pipeline,
     "substring_dedup": q_substring_dedup,
     "semantic_chunks": q_semantic_chunks,
+    "chunk_manifest": q_chunk_manifest,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -11986,6 +12036,7 @@ ORACLE_SQL: dict[str, str] = {
     "ingest_pipeline": _SQL_INGEST_PIPELINE,
     "substring_dedup": _SQL_SUBSTRING_DEDUP,
     "semantic_chunks": _SQL_SEMANTIC_CHUNKS,
+    "chunk_manifest": _SQL_CHUNK_MANIFEST,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

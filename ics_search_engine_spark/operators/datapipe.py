@@ -1016,3 +1016,69 @@ def fim_transform(
         F.when(apply_fim, c2).alias("c2"),
         F.concat_ws(" ", psm).alias("psm"),
     )
+
+
+def chunk_manifest(
+    packed: DataFrame,
+    capacity: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-chunk document map over ``pack_sequences`` output — the
+    attention-mask manifest a trainer consumes: for every training
+    window, which documents occupy it and at what in-window token
+    spans (so cross-document attention can be masked at chunk
+    boundaries — the packing-with-document-masking recipe).
+
+    A document starting at global offset o with n tokens occupies
+    chunks ⌊o/cap⌋ … ⌊(o+n−1)/cap⌋; its span inside chunk c is
+    [max(o, c·cap) − c·cap, min(o+n, (c+1)·cap) − c·cap).  One
+    explode over that (usually length-1) chunk range, one doc-grain →
+    chunk-grain exchange, no window.  Output: (chunk_id, n_docs,
+    n_tokens, segments array<struct<doc, start, end>>) with segments
+    sorted by start — ``end`` exclusive; a full chunk has
+    Σ(end−start) = capacity (the last chunk may be short)."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    off = F.col("token_offset")
+    n = F.col(tokens_col).cast("long")
+    first = F.floor(off / capacity).cast("long")
+    last = F.floor((off + n - 1) / capacity).cast("long")
+    rows = packed.filter(n > 0).select(
+        F.col(id_col).alias("doc"),
+        off.alias("o"),
+        n.alias("n"),
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    cstart = F.col("chunk_id") * capacity
+    seg_start = F.greatest(F.col("o"), cstart) - cstart
+    seg_end = (
+        F.least(F.col("o") + F.col("n"), cstart + capacity) - cstart
+    )
+    return (
+        rows.select(
+            "chunk_id",
+            F.struct(
+                seg_start.cast("long").alias("start"),
+                seg_end.cast("long").alias("end"),
+                F.col("doc"),
+            ).alias("seg"),
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum(F.col("seg.end") - F.col("seg.start")).alias("n_tokens"),
+            F.sort_array(F.collect_list("seg")).alias("segments"),
+        )
+        .select(
+            "chunk_id", "n_docs", "n_tokens",
+            F.transform(
+                "segments",
+                lambda s: F.struct(
+                    s["doc"].alias("doc"),
+                    s["start"].alias("start"),
+                    s["end"].alias("end"),
+                ),
+            ).alias("segments"),
+        )
+    )

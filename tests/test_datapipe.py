@@ -595,3 +595,55 @@ class TestPrepareCorpusNewStages:
         # doc 1 lost its shared span but kept its own tail
         t1 = {r.doc_id: r.n_tokens for r in packed.collect()}
         assert t1[1] < t1[0]
+
+
+class TestChunkManifest:
+    def test_segments_tile_chunks_exactly(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            chunk_manifest,
+            pack_sequences,
+        )
+
+        rows = [(i, 7 + (i * 13) % 40) for i in range(50)]
+        docs = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+        cap = 64
+        packed = pack_sequences(docs, capacity=cap)
+        man = {r.chunk_id: r for r in chunk_manifest(packed, cap).collect()}
+        total = sum(n for _, n in rows)
+        n_chunks = (total + cap - 1) // cap
+        assert set(man) == set(range(n_chunks))
+        # within each chunk: contiguous, non-overlapping, full
+        for cid, r in man.items():
+            segs = [(s["start"], s["end"], s["doc"]) for s in r.segments]
+            assert segs[0][0] == 0
+            for (s1, e1, _), (s2, e2, _) in zip(segs, segs[1:]):
+                assert e1 == s2  # contiguous, no gap or overlap
+            want_end = cap if cid < n_chunks - 1 else total - cap * cid
+            assert segs[-1][1] == want_end
+            assert r.n_tokens == want_end
+        # every doc's spans across chunks sum to its n_tokens
+        per_doc: dict[int, int] = {}
+        for r in man.values():
+            for s in r.segments:
+                per_doc[s["doc"]] = per_doc.get(s["doc"], 0) + (
+                    s["end"] - s["start"]
+                )
+        assert per_doc == dict(rows)
+
+    def test_long_doc_spans_many_chunks(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            chunk_manifest,
+            pack_sequences,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, 10), (1, 300), (2, 10)], "doc_id long, n_tokens int"
+        )
+        packed = pack_sequences(docs, capacity=64)
+        man = chunk_manifest(packed, 64).collect()
+        spans1 = [
+            (r.chunk_id, s["start"], s["end"])
+            for r in man for s in r.segments if s["doc"] == 1
+        ]
+        assert len(spans1) == 5  # 300 tokens from offset 10 -> chunks 0..4
+        assert sum(e - s for _, s, e in spans1) == 300
