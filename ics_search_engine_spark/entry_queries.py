@@ -11620,6 +11620,55 @@ FROM spans ORDER BY chunk_id, seg_start
 """
 
 
+def q_sparse_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit impact-quantized sparse tier (sparsevec.
+    quantize_sparse_postings): per-term linear codes against the term
+    max, scoring runs UNCHANGED on the dequantized column — the gate
+    replays quantize→dequantize→score relationally.  Top-20, sibling
+    rounding discipline."""
+    from ics_search_engine_spark.operators.sparsevec import (
+        quantize_sparse_postings,
+        sparse_postings,
+        sparse_topk,
+    )
+
+    docs = _docs(spark, sf_dir)
+    posts = sparse_postings(
+        docs.select("doc_id", "text"), stem=False, key_cols=["doc_id"]
+    )
+    q = quantize_sparse_postings(posts, bits=8, key_cols=["doc_id"])
+    qw = {"spark": 1.8, "stream": 1.2, "window": 0.7, "join": 0.4}
+    top = sparse_topk(spark, q, qw, k=20, key_cols=["doc_id"])
+    return (
+        top.select("doc_id", F.round("score", 6).alias("score_r6"))
+        .orderBy(F.desc("score_r6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_SQL_SPARSE_QUANTIZED = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+posts AS (
+  SELECT term, doc_id, 1.0 + ln(count(*)) AS dw FROM (
+    SELECT doc_id, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream','window','join')
+  GROUP BY term, doc_id
+),
+scales AS (SELECT term, max(dw) AS mx FROM posts GROUP BY term),
+deq AS (
+  SELECT p.term, p.doc_id,
+         round(p.dw / s.mx * 255) * s.mx / 255 AS w
+  FROM posts p JOIN scales s USING (term)
+),
+qw(term, q) AS (
+  VALUES ('spark', 1.8), ('stream', 1.2), ('window', 0.7), ('join', 0.4)
+)
+SELECT d.doc_id, round(sum(qw.q * d.w), 6) AS score_r6
+FROM deq d JOIN qw USING (term)
+GROUP BY d.doc_id ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11815,6 +11864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "semantic_chunks": q_semantic_chunks,
     "chunk_manifest": q_chunk_manifest,
+    "sparse_quantized": q_sparse_quantized,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -12037,6 +12087,7 @@ ORACLE_SQL: dict[str, str] = {
     "substring_dedup": _SQL_SUBSTRING_DEDUP,
     "semantic_chunks": _SQL_SEMANTIC_CHUNKS,
     "chunk_manifest": _SQL_CHUNK_MANIFEST,
+    "sparse_quantized": _SQL_SPARSE_QUANTIZED,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

@@ -201,3 +201,43 @@ def sparse_topk(
         F.broadcast(shortlist), key_cols, "left_semi"
     )
     return _fold_score(full, key_cols).orderBy(*order).limit(k)
+
+
+def quantize_sparse_postings(
+    postings: DataFrame,
+    bits: int = 8,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Impact quantization (the Lucene freq-norm impact / ES
+    sparse-tier trick): per TERM, weights map linearly onto
+    ``[0, 2^bits - 1]`` integer codes against that term's max weight —
+    an 8× byte cut vs float64 with a per-term relative error bound of
+    mx/(2^bits − 1)/2, and (because codes are small ints) the doorway
+    to impact-sorted early termination.
+
+    Returns (term, *key, code int, weight double) where ``weight`` is
+    the DEQUANTIZED value ``code·mx/(2^bits−1)`` — downstream scoring
+    (sparse_topk/sparse_scores) runs unchanged on the quantized tier,
+    so exact-vs-quantized is a one-line A/B.  The per-term scale rides
+    every row rather than a side table ONLY in the returned frame; a
+    persisted artifact stores codes + a term→mx table (write both —
+    ``write_sparse_artifact`` on this frame keeps the dequantized
+    column and is still term-sorted/pushdown-pruned).
+
+    One window-free pass: per-term max is a partial-agg groupBy
+    broadcast back onto the postings (terms table is vocabulary-sized
+    — the same join shape as the query-weight join)."""
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits={bits} out of range [1, 16]")
+    key_cols = list(key_cols or DOC_KEY)
+    levels = float((1 << bits) - 1)
+    scales = postings.groupBy("term").agg(F.max("weight").alias("mx"))
+    q = (
+        postings.join(scales, "term")
+        .withColumn(
+            "code",
+            F.round(F.col("weight") / F.col("mx") * levels).cast("int"),
+        )
+        .withColumn("weight", F.col("code") * F.col("mx") / F.lit(levels))
+    )
+    return q.select("term", *key_cols, "code", "weight")

@@ -136,3 +136,57 @@ def test_artifact_roundtrip_pushdown(spark, posts, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "term" in plan
+
+
+class TestQuantizedTier:
+    def test_error_bound_and_recall(self, spark, posts):
+        from ics_search_engine_spark.operators.sparsevec import (
+            quantize_sparse_postings,
+        )
+
+        q = quantize_sparse_postings(posts, bits=8)
+        joined = (
+            posts.withColumnRenamed("weight", "w_exact")
+            .join(
+                q.select("term", "conv_id", "turn_idx",
+                         F.col("weight").alias("w_q")),
+                ["term", "conv_id", "turn_idx"],
+            )
+            .join(
+                posts.groupBy("term").agg(F.max("weight").alias("mx")),
+                "term",
+            )
+        )
+        bad = joined.filter(
+            F.abs(F.col("w_exact") - F.col("w_q"))
+            > F.col("mx") / 255.0 / 2.0 + 1e-12
+        )
+        assert bad.count() == 0  # per-term half-step error bound
+        exact = {
+            (r.conv_id, r.turn_idx)
+            for r in sparse_topk(spark, posts, QW, k=10).collect()
+        }
+        quant = {
+            (r.conv_id, r.turn_idx)
+            for r in sparse_topk(spark, q, QW, k=10).collect()
+        }
+        assert len(exact & quant) >= 8  # 8-bit barely moves the top
+
+    def test_codes_in_range_and_validation(self, spark, posts):
+        import pytest as _pytest
+
+        from ics_search_engine_spark.operators.sparsevec import (
+            quantize_sparse_postings,
+        )
+
+        q = quantize_sparse_postings(posts, bits=4)
+        mm = q.agg(F.min("code"), F.max("code")).first()
+        assert mm[0] >= 0 and mm[1] <= 15
+        # every term's max-weight posting hits the top code
+        tops = (
+            q.groupBy("term").agg(F.max("code").alias("c"))
+            .filter(F.col("c") != 15)
+        )
+        assert tops.count() == 0
+        with _pytest.raises(ValueError):
+            quantize_sparse_postings(posts, bits=0)
