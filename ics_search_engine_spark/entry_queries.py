@@ -11669,6 +11669,43 @@ GROUP BY d.doc_id ORDER BY score_r6 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_sparse_maxscore_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAAT MaxScore early termination in the sparse serving tier
+    (serving.LocalSparseMaxScore): per-term upper bounds close
+    candidate admission once the tail terms cannot lift a new doc
+    into the top-k; survivors refold ascending-term, so results are
+    bit-identical to the exhaustive path — the same oracle gates
+    both (shared SQL with sparse_vector_engine)."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.sparsevec import (
+        sparse_postings,
+        write_sparse_artifact,
+    )
+    from ics_search_engine_spark.serving import LocalSparseMaxScore
+
+    docs = _docs(spark, sf_dir)
+    qw = {"spark": 1.8, "stream": 1.2, "window": 0.7, "join": 0.4}
+    out = tempfile.mkdtemp(prefix="gate_sparse_ms_")
+    try:
+        write_sparse_artifact(
+            sparse_postings(
+                docs.select("doc_id", "text"), stem=False,
+                key_cols=["doc_id"],
+            ),
+            out,
+        )
+        srv = LocalSparseMaxScore(out, key_cols=("doc_id",))
+        rows = srv.search_maxscore(qw, k=20)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in rows],
+        "doc_id long, score_r6 double",
+    ).orderBy(F.desc("score_r6"), F.asc("doc_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11865,6 +11902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_chunks": q_semantic_chunks,
     "chunk_manifest": q_chunk_manifest,
     "sparse_quantized": q_sparse_quantized,
+    "sparse_maxscore_serve": q_sparse_maxscore_serve,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -12088,6 +12126,7 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_chunks": _SQL_SEMANTIC_CHUNKS,
     "chunk_manifest": _SQL_CHUNK_MANIFEST,
     "sparse_quantized": _SQL_SPARSE_QUANTIZED,
+    "sparse_maxscore_serve": _SQL_SPARSE_VECTOR,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

@@ -2281,3 +2281,106 @@ class LocalSparseServer:
             pa.Table.from_pandas(pdf[mask], preserve_index=False),
             qweights, k,
         )
+
+
+class LocalSparseMaxScore(LocalSparseServer):
+    """TAAT MaxScore early termination over the sparse artifact — the
+    impact-postings analog of the packed index's block-max WAND
+    (serving module docstring): per-term upper bounds prune work, the
+    RESULT stays exactly the exhaustive top-k.
+
+    Term-at-a-time MaxScore (Turtle & Flood 1995): process query terms
+    in DESCENDING max-contribution order (ub_t = qw_t · max weight of
+    t's postings — read from parquet row-group statistics, no payload
+    decode).  After the accumulator holds k candidates, a term whose
+    remaining-UB sum ``Σ_{t' from t} ub_{t'}`` cannot lift a NEW doc
+    past the current k-th partial score stops ADMITTING new docs —
+    its postings only update docs already in the accumulator (the
+    non-candidates provably cannot reach the top-k: their final score
+    ≤ remaining-UB sum < θ ≤ their needed bar).  Final scores of
+    surviving candidates are the full fold, so ranking and floats are
+    IDENTICAL to the exhaustive path (tested), with fewer accumulator
+    insertions — and, when a tail term's postings are only needed for
+    an already-small candidate set, a semi-join-sized read instead of
+    a full posting list.
+
+    ``stats`` (optional dict) receives counters: terms_processed,
+    postings_seen, postings_admitted, terms_update_only.
+    """
+
+    def search_maxscore(
+        self,
+        qweights: dict[str, float],
+        k: int = 10,
+        stats: dict | None = None,
+    ) -> list[tuple]:
+        import pandas as pd
+
+        if not qweights:
+            return []
+        # per-term ub from the artifact (term-pruned read of the
+        # weight column only; max() per term)
+        tbl = self._matched(sorted(qweights))
+        pdf = tbl.to_pandas()
+        if len(pdf) == 0:
+            return []
+        mx = pdf.groupby("term")["weight"].max()
+        order = sorted(
+            (t for t in qweights if t in mx.index),
+            key=lambda t: (-qweights[t] * mx[t], t),
+        )
+        ubs = [qweights[t] * float(mx[t]) for t in order]
+        suffix = [0.0] * (len(ubs) + 1)
+        for i in range(len(ubs) - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + ubs[i]
+
+        acc: dict[tuple, list] = {}  # key -> [partial, terms-seen]
+        n_seen = n_admit = n_upd_only = 0
+        by_term = dict(tuple(g) for g in pdf.groupby("term"))
+        for i, t in enumerate(order):
+            g = by_term[t]
+            keys = list(
+                zip(*(g[c].tolist() for c in self.key_cols))
+            )
+            ws = g["weight"].tolist()
+            n_seen += len(keys)
+            # admission closes when k candidates exist AND a brand-new
+            # doc's best possible score (all remaining terms at max)
+            # cannot beat the current k-th PARTIAL (partials only grow)
+            if len(acc) >= k:
+                theta = sorted((v[0] for v in acc.values()),
+                               reverse=True)[k - 1]
+                # strict <: a doc first seen here ends STRICTLY below
+                # the k-th candidate's final score, so not even the
+                # key-asc tie-break could admit it.  (>= keeps the
+                # exact-tie case, where tie-break order matters.)
+                admit = suffix[i] >= theta
+            else:
+                admit = True
+            if not admit:
+                n_upd_only += 1
+            qw = qweights[t]
+            for key, w in zip(keys, ws):
+                if key in acc:
+                    acc[key][0] += qw * w
+                    acc[key][1].append((t, qw * w))
+                elif admit:
+                    acc[key] = [qw * w, [(t, qw * w)]]
+                    n_admit += 1
+        if stats is not None:
+            stats.update(
+                terms_processed=len(order),
+                postings_seen=n_seen,
+                postings_admitted=n_admit,
+                terms_update_only=n_upd_only,
+            )
+        # exact final scores: refold each candidate ascending-term so
+        # floats match the exhaustive/Spark fold bit-for-bit
+        rows = []
+        for key, (_, parts) in acc.items():
+            s = 0.0
+            for _, c in sorted(parts):
+                s += c
+            rows.append((*key, s))
+        rows.sort(key=lambda r: (-r[-1], r[:-1]))
+        return rows[:k]

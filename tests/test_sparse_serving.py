@@ -68,3 +68,52 @@ def test_latency_smoke(artifact):
     for _ in range(5):
         srv.search(QW, k=10)
     assert (time.time() - t0) / 5 < 0.5  # generous; typical ~ms
+
+
+class TestMaxScore:
+    def test_bit_identical_to_exhaustive(self, spark, artifact):
+        from ics_search_engine_spark.serving import LocalSparseMaxScore
+
+        srv = LocalSparseMaxScore(artifact)
+        stats: dict = {}
+        got = srv.search_maxscore(QW, k=5, stats=stats)
+        want = srv.search(QW, k=5)
+        assert [(c, int(t), s) for c, t, s in got] == [
+            (c, int(t), s) for c, t, s in want
+        ]
+        assert stats["terms_processed"] == len(
+            [t for t in QW]
+        ) or stats["terms_processed"] <= len(QW)
+
+    def test_pruning_actually_bites(self, spark, tmp_path):
+        """A heavy head term + rare tail terms: after the head fills
+        the accumulator, low-impact terms must go update-only."""
+        from ics_search_engine_spark.operators.sparsevec import (
+            sparse_postings,
+            write_sparse_artifact,
+        )
+        from ics_search_engine_spark.serving import LocalSparseMaxScore
+
+        rows = [(f"c{i:03d}", 0,
+                 "common " * (20 - (i % 17)) + ("rareterm " if i < 3 else "")
+                 + f"fill{i:03d} pads")
+                for i in range(120)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        path = str(tmp_path / "ms_idx")
+        write_sparse_artifact(sparse_postings(df, stem=False), path)
+        srv = LocalSparseMaxScore(path)
+        qw = {"common": 3.0, "rareterm": 0.05, "pads": 0.01}
+        stats: dict = {}
+        got = srv.search_maxscore(qw, k=5, stats=stats)
+        assert stats["terms_update_only"] >= 1
+        assert got == srv.search(qw, k=5)
+
+    def test_small_k_and_edge_cases(self, spark, artifact):
+        from ics_search_engine_spark.serving import LocalSparseMaxScore
+
+        srv = LocalSparseMaxScore(artifact)
+        assert srv.search_maxscore({}, k=3) == []
+        assert srv.search_maxscore({"zzqx": 1.0}, k=3) == []
+        assert srv.search_maxscore(QW, k=1)[0] == srv.search(QW, k=1)[0]
