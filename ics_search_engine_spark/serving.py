@@ -2384,3 +2384,75 @@ class LocalSparseMaxScore(LocalSparseServer):
             rows.append((*key, s))
         rows.sort(key=lambda r: (-r[-1], r[:-1]))
         return rows[:k]
+
+
+class LocalSparsePackedServer:
+    """Hot-path sparse serving: the artifact loads ONCE into per-term
+    numpy posting arrays (doc-ordinal + weight), and a query is pure
+    vectorized accumulation into a dense score array — the same
+    packed/numpy posture as LocalIndexServer, for the sparse tier.
+
+    Load time: one pyarrow read + a sorted key factorization (ordinal
+    ascending == key ascending, so ordinal order IS the tie-break).
+    Query: for each query term in ASCENDING term order,
+    ``dense[ords] += qw·weights`` (postings are unique per (term, doc)
+    — no scatter-add collision), then one lexsort top-k.  Per-doc
+    accumulation order is therefore ascending-term — the SAME order as
+    the Spark sorted-term fold and the reduceat server, so scores are
+    bit-identical to both (tested).
+
+    This is the serving posture the wave-24 bench notes call for: the
+    pandas-dict servers above are the readable reference
+    implementations the gates pin; this one is the ms-range hot path.
+    Memory: O(total postings) int32+float64 — the per-shard serving
+    budget, sharded exactly like LocalIndexServer at corpus scale."""
+
+    def __init__(self, path: str, key_cols: tuple = ("conv_id", "turn_idx")):
+        from ics_search_engine_spark.sources.catalog import read_arrow_table
+
+        self.key_cols = list(key_cols)
+        tbl = read_arrow_table(path, columns=["term", *self.key_cols,
+                                              "weight"])
+        pdf = tbl.to_pandas()
+        keys = list(pdf[self.key_cols].itertuples(index=False, name=None))
+        uniq = sorted(set(keys))
+        ord_of = {kk: i for i, kk in enumerate(uniq)}
+        self._keys = uniq
+        ords = np.fromiter(
+            (ord_of[kk] for kk in keys), dtype=np.int64, count=len(keys)
+        )
+        ws = pdf["weight"].to_numpy(dtype=np.float64)
+        self.postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        terms = pdf["term"].to_numpy()
+        order = np.argsort(terms, kind="stable")
+        terms_s, ords_s, ws_s = terms[order], ords[order], ws[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], terms_s[1:] != terms_s[:-1]))
+        )
+        for s, e in zip(bounds, list(bounds[1:]) + [len(terms_s)]):
+            self.postings[terms_s[s]] = (ords_s[s:e], ws_s[s:e])
+
+    @property
+    def n_docs(self) -> int:
+        return len(self._keys)
+
+    def search(self, qweights: dict[str, float], k: int = 10) -> list[tuple]:
+        if not qweights:
+            return []
+        dense = np.zeros(len(self._keys), dtype=np.float64)
+        seen = np.zeros(len(self._keys), dtype=bool)
+        hit = False
+        for t in sorted(qweights):
+            p = self.postings.get(t)
+            if p is None:
+                continue
+            hit = True
+            ords, ws = p
+            dense[ords] += qweights[t] * ws
+            seen[ords] = True
+        if not hit:
+            return []
+        cand = np.flatnonzero(seen)
+        scores = dense[cand]
+        top = np.lexsort((cand, -scores))[:k]
+        return [(*self._keys[cand[i]], float(scores[i])) for i in top]

@@ -117,3 +117,28 @@ class TestMaxScore:
         assert srv.search_maxscore({}, k=3) == []
         assert srv.search_maxscore({"zzqx": 1.0}, k=3) == []
         assert srv.search_maxscore(QW, k=1)[0] == srv.search(QW, k=1)[0]
+
+
+class TestPackedSparseServer:
+    def test_bit_identical_to_reference_and_spark(self, spark, artifact):
+        from ics_search_engine_spark.serving import LocalSparsePackedServer
+
+        srv = LocalSparsePackedServer(artifact)
+        ref = LocalSparseServer(artifact)
+        got = [(c, int(t), s) for c, t, s in srv.search(QW, k=15)]
+        assert got == [(c, int(t), s) for c, t, s in ref.search(QW, k=15)]
+        assert got == spark_rows(spark, artifact, k=15)
+
+    def test_edges_and_latency(self, artifact):
+        import time
+
+        from ics_search_engine_spark.serving import LocalSparsePackedServer
+
+        srv = LocalSparsePackedServer(artifact)
+        assert srv.search({}, k=3) == []
+        assert srv.search({"zzqx": 1.0}, k=3) == []
+        srv.search(QW, k=10)
+        t0 = time.time()
+        for _ in range(20):
+            srv.search(QW, k=10)
+        assert (time.time() - t0) / 20 < 0.05  # hot path: ms-range

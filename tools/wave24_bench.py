@@ -79,8 +79,13 @@ def main() -> None:
     )
     out["quant_build_s"] = round(time.time() - t0, 4)
 
+    from ics_search_engine_spark.serving import LocalSparsePackedServer
+
     srv = LocalSparseMaxScore(f"{tmp}/exact", key_cols=("doc_id",))
     srv_q = LocalSparseMaxScore(f"{tmp}/quant", key_cols=("doc_id",))
+    t0 = time.time()
+    srv_p = LocalSparsePackedServer(f"{tmp}/exact", key_cols=("doc_id",))
+    out["packed_load_s"] = round(time.time() - t0, 4)
 
     HEAD = {"spark": 1.8, "stream": 1.2, "window": 0.7, "join": 0.4}
     TAIL = {"spark": 3.0, "the": 0.05, "with": 0.03, "for": 0.02,
@@ -96,6 +101,12 @@ def main() -> None:
         )
         out[f"{name}_maxscore_stats"] = stats
         out[f"{name}_quant_p50_s"] = _p50(lambda: srv_q.search(qw, k=10))
+        out[f"{name}_packed_p50_s"] = _p50(
+            lambda: srv_p.search(qw, k=10), n=21
+        )
+        assert [d for d, _ in srv_p.search(qw, k=10)] == [
+            d for d, _ in srv.search(qw, k=10)
+        ]
         exact_ids = [d for d, _ in srv.search(qw, k=10)]
         quant_ids = [d for d, _ in srv_q.search(qw, k=10)]
         out[f"{name}_quant_overlap10"] = len(
