@@ -11706,6 +11706,41 @@ def q_sparse_maxscore_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("score_r6"), F.asc("doc_id"))
 
 
+def q_sparse_packed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed numpy sparse hot path (serving.
+    LocalSparsePackedServer): dense vectorized accumulation in
+    ascending-term order — bit-identical to the fold servers and the
+    Spark path, so the same oracle gates all four."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.sparsevec import (
+        sparse_postings,
+        write_sparse_artifact,
+    )
+    from ics_search_engine_spark.serving import LocalSparsePackedServer
+
+    docs = _docs(spark, sf_dir)
+    qw = {"spark": 1.8, "stream": 1.2, "window": 0.7, "join": 0.4}
+    out = tempfile.mkdtemp(prefix="gate_sparse_pk_")
+    try:
+        write_sparse_artifact(
+            sparse_postings(
+                docs.select("doc_id", "text"), stem=False,
+                key_cols=["doc_id"],
+            ),
+            out,
+        )
+        srv = LocalSparsePackedServer(out, key_cols=("doc_id",))
+        rows = srv.search(qw, k=20)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 6)) for d, s in rows],
+        "doc_id long, score_r6 double",
+    ).orderBy(F.desc("score_r6"), F.asc("doc_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11903,6 +11938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_manifest": q_chunk_manifest,
     "sparse_quantized": q_sparse_quantized,
     "sparse_maxscore_serve": q_sparse_maxscore_serve,
+    "sparse_packed_serve": q_sparse_packed_serve,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -12127,6 +12163,7 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_manifest": _SQL_CHUNK_MANIFEST,
     "sparse_quantized": _SQL_SPARSE_QUANTIZED,
     "sparse_maxscore_serve": _SQL_SPARSE_VECTOR,
+    "sparse_packed_serve": _SQL_SPARSE_VECTOR,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
