@@ -2224,8 +2224,6 @@ class LocalSparseServer:
 
     def _fold(self, tbl, qw: dict[str, float], k: int | None):
         """(key..., term)-sorted reduceat fold → top-k [(keys..., score)]."""
-        import pandas as pd
-
         pdf = tbl.to_pandas()
         if len(pdf) == 0:
             return []
@@ -2314,8 +2312,6 @@ class LocalSparseMaxScore(LocalSparseServer):
         k: int = 10,
         stats: dict | None = None,
     ) -> list[tuple]:
-        import pandas as pd
-
         if not qweights:
             return []
         # per-term ub from the artifact (term-pruned read of the
