@@ -11741,6 +11741,107 @@ def q_sparse_packed_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("score_r6"), F.asc("doc_id"))
 
 
+def q_search_application(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Search Application (operators/searchapp): stored template
+    '+{{main}} {{extra}}' + a ruleset (pin doc 3 when the RENDERED
+    query contains 'stream', exclude doc 5) behind one named endpoint
+    — the full server-side policy chain, client sends only params.
+    Rounded-order top-20; pinned row carries NULL score."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.queryrules import (
+        Criterion,
+        Rule,
+    )
+    from ics_search_engine_spark.operators.searchapp import (
+        SearchApplication,
+        SearchAppRegistry,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_sapp_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=True,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        reg = SearchAppRegistry()
+        reg.put(SearchApplication(
+            "docs-app",
+            '{"query": "+{{main}} {{extra}}", "k": 10}',
+            rules=[
+                Rule("pin", "pinned",
+                     [Criterion("contains", "user_query", ("stream",))],
+                     [("doc00000003", 0)]),
+                Rule("block", "exclude", [Criterion("always")],
+                     [("doc00000005", 0)]),
+            ],
+        ))
+        rows = reg.search(
+            spark, pidx, "docs-app",
+            {"main": "spark", "extra": "stream"}, k=60,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    pins = [(int(c[3:]), None, True) for c, _, s, p in map(tuple, rows) if p]
+    organic = sorted(
+        [
+            (int(c[3:]), round(float(s), 6), False)
+            for c, _, s, p in map(tuple, rows) if not p
+        ],
+        key=lambda r: (-r[1], r[0]),
+    )
+    return spark.createDataFrame(
+        (pins + organic)[:20], "doc_id long, score_r6 double, pinned boolean"
+    )
+
+
+# rendered '+spark stream': spark required + scores, stream optional;
+# rules: pin 3 (query contains 'stream'), exclude 5; df over full vocab
+_SQL_SEARCH_APPLICATION = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+posts AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+  ) WHERE term IN ('spark','stream')
+  GROUP BY term, doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+           AS contrib
+  FROM posts p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+cand AS (
+  SELECT doc_id FROM t
+  WHERE list_contains(toks, 'spark') AND doc_id NOT IN (3, 5)
+),
+org AS (
+  SELECT s.doc_id, round(sum(s.contrib), 6) AS score_r6, false AS pinned
+  FROM scored s JOIN cand c USING (doc_id)
+  GROUP BY s.doc_id ORDER BY score_r6 DESC, s.doc_id ASC LIMIT 19
+)
+SELECT doc_id, NULL::DOUBLE AS score_r6, true AS pinned
+FROM (VALUES (3)) p(doc_id)
+UNION ALL
+SELECT doc_id, score_r6, pinned FROM org
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11939,6 +12040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparse_quantized": q_sparse_quantized,
     "sparse_maxscore_serve": q_sparse_maxscore_serve,
     "sparse_packed_serve": q_sparse_packed_serve,
+    "search_application": q_search_application,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -12164,6 +12266,7 @@ ORACLE_SQL: dict[str, str] = {
     "sparse_quantized": _SQL_SPARSE_QUANTIZED,
     "sparse_maxscore_serve": _SQL_SPARSE_VECTOR,
     "sparse_packed_serve": _SQL_SPARSE_VECTOR,
+    "search_application": _SQL_SEARCH_APPLICATION,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,
