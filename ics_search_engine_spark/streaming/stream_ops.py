@@ -584,3 +584,60 @@ def sequence_matches_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def incremental_sparse_segments(
+    transcripts_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    stem: bool = False,
+    key_cols: tuple = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+) -> DataStreamWriter:
+    """Streaming ingest for the SPARSE tier: every non-empty
+    micro-batch becomes a term-sorted impact-postings segment
+    (sparsevec.write_sparse_artifact over just the batch), registered
+    atomically via ``_SEGMENT_READY`` written after the parquet commit
+    — the incremental_segments protocol applied to the learned-sparse
+    artifact.
+
+    Because sparse scoring is a pure per-(term, doc) sum with NO
+    corpus-global statistics (contrast BM25's N/avgdl/df), the union
+    of segment postings IS the batch-rebuild artifact's content —
+    ``sparse_topk`` over ``spark.read.parquet(ready segment dirs)``
+    and every Local*SparseServer over the same list are bit-identical
+    to a full rebuild (tested).  Term-pruned reads still hold: each
+    segment file is term-sorted, so row-group pruning applies per
+    segment.
+
+    Same idempotence and conversation-per-batch invariants as
+    incremental_segments; compaction (rewriting many small segments
+    into one term-sorted artifact) is ``write_sparse_artifact`` over
+    the union — no special machinery, because there is no global
+    state to recombine."""
+    import os
+
+    from ics_search_engine_spark.operators.sparsevec import (
+        sparse_postings,
+        write_sparse_artifact,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seg_dir = f"{out_dir}/segment={batch_id}"
+        if os.path.exists(f"{seg_dir}/_SEGMENT_READY"):
+            return
+        posts = sparse_postings(
+            batch_df, stem=stem, key_cols=list(key_cols),
+            text_col=text_col,
+        )
+        write_sparse_artifact(posts, seg_dir)
+        with open(f"{seg_dir}/_SEGMENT_READY", "w") as f:
+            f.write(str(batch_id))
+
+    return (
+        transcripts_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -673,3 +673,95 @@ class TestDedupStream:
         out = dedup_stream(df)
         assert out.count() == 2  # batch path ignores the horizon
         assert "_text_md5" not in out.columns
+
+
+class TestIncrementalSparseSegments:
+    def test_streamed_sparse_equals_batch(
+        self, spark, stream_dirs, small_df
+    ):
+        """Streaming sparse segments: union-of-segments scoring AND a
+        compacted single artifact are both bit-identical to one batch
+        build over everything ingested."""
+        from ics_search_engine_spark.operators.sparsevec import (
+            sparse_postings,
+            sparse_topk,
+            write_sparse_artifact,
+        )
+        from ics_search_engine_spark.serving import LocalSparsePackedServer
+        from ics_search_engine_spark.streaming.stream_ops import (
+            incremental_sparse_segments,
+            list_ready_segments,
+        )
+
+        src = f"{stream_dirs}/sp_src"
+        os.makedirs(src, exist_ok=True)
+        for i in range(3):
+            part = small_df.filter(F.pmod(F.hash("conv_id"), F.lit(3)) == i)
+            part.coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/arrival_{i}"
+            )
+        stream = (
+            spark.readStream.schema(small_df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/arrival_*")
+        )
+        out = f"{stream_dirs}/sp_out"
+        q = (
+            incremental_sparse_segments(
+                stream, out, f"{stream_dirs}/sp_ckpt"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        segs = list_ready_segments(out)
+        assert len(segs) == 3
+
+        qw = {"machine": 1.5, "learning": 0.8, "the": 0.1}
+        union = spark.read.parquet(*segs)
+        got = sparse_topk(spark, union, qw, k=12).collect()
+        batch_posts = sparse_postings(small_df, stem=False)
+        want = sparse_topk(spark, batch_posts, qw, k=12).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+        # compaction: one write_sparse_artifact over the union, then
+        # the packed server answers identically
+        compact = f"{stream_dirs}/sp_compact"
+        write_sparse_artifact(union, compact)
+        srv = LocalSparsePackedServer(compact)
+        assert [(c, int(t), s) for c, t, s in srv.search(qw, k=12)] == [
+            tuple(r) for r in want
+        ]
+
+    def test_redelivered_batch_never_rewrites(self, spark, stream_dirs):
+        from ics_search_engine_spark.streaming.stream_ops import (
+            incremental_sparse_segments,
+        )
+
+        out = f"{stream_dirs}/sp_idem"
+        seg = f"{out}/segment=0"
+        os.makedirs(seg, exist_ok=True)
+        with open(f"{seg}/_SEGMENT_READY", "w") as f:
+            f.write("0")
+        with open(f"{seg}/sentinel", "w") as f:
+            f.write("untouched")
+        src = f"{stream_dirs}/sp_idem_src"
+        os.makedirs(src, exist_ok=True)
+        df = spark.createDataFrame(
+            [("c0", 0, "hello world")],
+            "conv_id string, turn_idx int, text string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/a0")
+        stream = (
+            spark.readStream.schema(df.schema).parquet(f"{src}/a*")
+        )
+        q = (
+            incremental_sparse_segments(
+                stream, out, f"{stream_dirs}/sp_idem_ckpt"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        with open(f"{seg}/sentinel") as f:
+            assert f.read() == "untouched"  # marked segment untouched
