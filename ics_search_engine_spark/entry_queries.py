@@ -11842,6 +11842,41 @@ SELECT doc_id, score_r6, pinned FROM org
 """
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN (operators/graphann) under the DuckDB gate via the
+    full-candidate convention (the PQ/IVF sibling rule): NN-Descent
+    builds the k-NN graph, then LocalGraphSearcher runs with
+    n_seeds = n — every node is scored up front, so the beam must
+    return EXACTLY the brute-force answer regardless of graph
+    connectivity.  Gates init, descent iterations, the
+    vector-attach joins, and the searcher end-to-end; the real
+    approximate path's recall-vs-ef curve is pytest-covered
+    (tests/test_graphann.py)."""
+    from ics_search_engine_spark.operators.graphann import (
+        LocalGraphSearcher,
+        nn_descent,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    docs = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    g = nn_descent(docs, k=8, iters=1)
+    searcher = LocalGraphSearcher(docs, g)
+    n = docs.count()
+    rows = searcher.search(
+        [float(x) for x in qvec], k=20, ef=n, n_seeds=n
+    )
+    return spark.createDataFrame(
+        [(int(i), round(float(s), 6)) for i, s in rows],
+        "vec_id long, cosine_r6 double",
+    ).orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -12041,6 +12076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparse_maxscore_serve": q_sparse_maxscore_serve,
     "sparse_packed_serve": q_sparse_packed_serve,
     "search_application": q_search_application,
+    "knn_graph": q_knn_graph,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -12267,6 +12303,7 @@ ORACLE_SQL: dict[str, str] = {
     "sparse_maxscore_serve": _SQL_SPARSE_VECTOR,
     "sparse_packed_serve": _SQL_SPARSE_VECTOR,
     "search_application": _SQL_SEARCH_APPLICATION,
+    "knn_graph": _SQL_KNN_COSINE,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

@@ -1,0 +1,261 @@
+"""Graph-based ANN — distributed NN-Descent k-NN graph construction
+plus greedy beam-search serving: the HNSW-family member the vector
+tier was missing (ES/Lucene's default ANN is a graph; IVF/PQ/LSH —
+operators/similarity — are the quantization families).
+
+**Build = NN-Descent** (Dong, Moses & Li, WWW 2011): start from a
+deterministic pseudo-random k-NN guess, then repeat "a neighbor of my
+neighbor is probably my neighbor": candidate pairs are all pairs that
+share a node's (forward ∪ reverse) neighborhood, scored by cosine,
+merged with the current edges, keep-best-k per node.  Every step is a
+DataFrame join/agg — NO sequential insertion (HNSW's build is
+inherently serial; NN-Descent is the published parallel/MapReduce-
+friendly construction, which is why it is the Spark-shaped choice) —
+and the result converges to the true k-NN graph (recall pytest-pinned
+against brute force).
+
+Scale: each iteration is (a) one self-join of adjacency on the shared
+node — O(Σ_w |N(w)|²) = n·(2k)² candidate rows, k is small; (b) two
+vector-attach joins (hash joins on id against the embeddings table);
+(c) a keep-best-k partial agg.  Skewed hubs are bounded by
+construction: neighborhoods are capped at k forward edges, and the
+reverse-degree cap ``max_reverse`` (the paper's sampling ρ) truncates
+celebrity nodes' reverse lists before the pair explosion.
+
+**Serving = greedy beam search** over the built graph
+(similarity.LocalVectorServer posture: adjacency + vectors load once,
+queries answer in-process): start from deterministic seed nodes, keep
+an ``ef``-sized frontier, expand the closest unexpanded node's
+neighbors until the frontier stops improving — the standard
+best-first NSW descent.  Recall grows with ef (pytest-pinned);
+``ef >= n`` degenerates to exhaustive only if the graph is connected,
+so exactness claims are never made for the beam — the gate instead
+pins the build+serve PLUMBING via the full-candidate rerank
+convention (gate docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _cos_cols(va, vb):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return dot / (n(va) * n(vb))
+
+
+def init_random_graph(
+    emb: DataFrame, k: int, seed: int = 42,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic pseudo-random k-regular directed start graph:
+    node u's j-th neighbor = the node whose md5-rank is
+    (rank(u) + h(u, j)) mod n — uniform-ish, self-loop-free, and a
+    pure function of the ids (restart-stable, no RNG state)."""
+    from pyspark.sql.window import Window
+
+    n = emb.count()
+    ranked = emb.select(id_col).withColumn(
+        "_r",
+        F.row_number().over(Window.orderBy(F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#rk{seed}"))
+        ))) - 1,
+    )
+    pairs = ranked.select(
+        F.col(id_col).alias("src"), F.col("_r").alias("_sr")
+    ).crossJoin(spark_range_df(emb.sparkSession, k))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("src").cast("string"), F.lit("#"),
+                           F.col("j").cast("string"), F.lit(str(seed)))),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+    # offset in [1, n-1] guarantees dst != src
+    tgt = (F.col("_sr") + h % (n - 1) + 1) % n
+    return (
+        pairs.withColumn("_tr", tgt)
+        .join(
+            ranked.select(F.col(id_col).alias("dst"),
+                          F.col("_r").alias("_tr")),
+            "_tr",
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def spark_range_df(spark: SparkSession, k: int) -> DataFrame:
+    return spark.range(k).select(F.col("id").cast("int").alias("j"))
+
+
+def _score_edges(
+    edges: DataFrame, emb: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(src, dst) → (src, dst, cosine) via two id-hash joins."""
+    a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
+    return (
+        edges.join(a, "src").join(b, "dst")
+        .select(
+            "src", "dst",
+            _cos_cols(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+    )
+
+
+def _keep_best_k(scored: DataFrame, k: int) -> DataFrame:
+    """Per-src top-k by (cosine desc, dst asc) — window-free: a
+    collect_list + slice agg (neighbor lists are ≤ a few·k rows)."""
+    return (
+        scored.groupBy("src")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cosine")).alias("nc"),
+                            F.col("dst").alias("dst"),
+                            F.col("cosine").alias("cosine"),
+                        )
+                    )
+                ),
+                1, k,
+            ).alias("nn")
+        )
+        .select(
+            "src",
+            F.explode("nn").alias("e"),
+        )
+        .select("src", F.col("e.dst").alias("dst"),
+                F.col("e.cosine").alias("cosine"))
+    )
+
+
+def nn_descent(
+    emb: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    seed: int = 42,
+    max_reverse: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the k-NN graph: (src, dst, cosine), ≤ k rows per src,
+    sorted semantics per the keep-best rule.  ``max_reverse`` caps
+    reverse-neighborhood size (defaults to k)."""
+    if k < 1 or iters < 0:
+        raise ValueError("need k >= 1 and iters >= 0")
+    max_reverse = max_reverse or k
+    graph = _keep_best_k(
+        _score_edges(
+            init_random_graph(emb, k, seed=seed, id_col=id_col),
+            emb, id_col, vec_col,
+        ),
+        k,
+    ).persist()
+    graph.count()
+    for _ in range(iters):
+        fwd = graph.select("src", "dst")
+        rev = graph.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        # cap reverse degree: keep max_reverse reverse-neighbors by
+        # (dst asc) — deterministic, bounds the hub explosion
+        rev = (
+            rev.groupBy("src")
+            .agg(F.slice(F.sort_array(F.collect_list("dst")), 1,
+                         max_reverse).alias("ds"))
+            .select("src", F.explode("ds").alias("dst"))
+        )
+        adj = fwd.unionByName(rev).distinct()
+        left = adj.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+        right = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+        cands = (
+            left.join(right, "w")
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+        )
+        new_edges = cands.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionByName(
+            cands.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        scored_new = _score_edges(new_edges, emb, id_col, vec_col)
+        merged = _keep_best_k(
+            graph.unionByName(scored_new).dropDuplicates(["src", "dst"]),
+            k,
+        ).persist()
+        merged.count()
+        graph.unpersist()
+        graph = merged
+    return graph
+
+
+class LocalGraphSearcher:
+    """In-process beam search over a built k-NN graph — adjacency +
+    vectors load once (the LocalVectorServer posture); a query is
+    pure numpy."""
+
+    def __init__(
+        self,
+        emb: DataFrame,
+        graph: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        rows = emb.select(id_col, vec_col).collect()
+        self.ids = np.array([r[0] for r in rows], dtype=np.int64)
+        order = np.argsort(self.ids)
+        self.ids = self.ids[order]
+        self.vecs = np.array(
+            [rows[i][1] for i in order], dtype=np.float64
+        )
+        self.norms = np.sqrt((self.vecs * self.vecs).sum(axis=1))
+        pos = {int(v): i for i, v in enumerate(self.ids)}
+        self.adj: dict[int, list[int]] = {}
+        for r in graph.select("src", "dst").collect():
+            self.adj.setdefault(pos[int(r[0])], []).append(pos[int(r[1])])
+
+    def _cos(self, q: np.ndarray, idxs: np.ndarray) -> np.ndarray:
+        qn = float(np.sqrt(np.dot(q, q)))
+        return (self.vecs[idxs] @ q) / (self.norms[idxs] * qn)
+
+    def search(
+        self, qvec, k: int = 10, ef: int = 50, n_seeds: int = 8
+    ) -> list[tuple[int, float]]:
+        """Greedy best-first beam: deterministic seeds (the n_seeds
+        smallest ids), frontier capped at max(ef, k), expand the best
+        unexpanded node until no frontier member is unexpanded.
+        Returns [(id, cosine)] sorted (cosine desc, id asc)."""
+        q = np.asarray(qvec, dtype=np.float64)
+        ef = max(ef, k)
+        seeds = np.arange(min(n_seeds, len(self.ids)))
+        scores = {int(i): float(s) for i, s in
+                  zip(seeds, self._cos(q, seeds))}
+        expanded: set[int] = set()
+        while True:
+            frontier = sorted(
+                scores.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:ef]
+            nxt = next((i for i, _ in frontier if i not in expanded), None)
+            if nxt is None:
+                break
+            expanded.add(nxt)
+            neigh = [j for j in self.adj.get(nxt, []) if j not in scores]
+            if neigh:
+                idxs = np.array(neigh, dtype=np.int64)
+                for i, s in zip(neigh, self._cos(q, idxs)):
+                    scores[int(i)] = float(s)
+        best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(int(self.ids[i]), s) for i, s in best]

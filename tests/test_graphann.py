@@ -1,0 +1,105 @@
+"""Graph ANN (operators/graphann): NN-Descent convergence, graph
+invariants, and beam-search recall vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ics_search_engine_spark.operators.graphann import (
+    LocalGraphSearcher,
+    init_random_graph,
+    nn_descent,
+)
+
+N, DIM, K = 300, 16, 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    # clustered data so the k-NN graph has real structure
+    cents = rng.randn(6, DIM) * 3
+    vecs = cents[np.arange(N) % 6] + rng.randn(N, DIM) * 0.7
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    df.cache().count()
+    return df
+
+
+def brute_knn(emb, k):
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    V = np.array([r.embedding for r in rows])
+    n = np.sqrt((V * V).sum(axis=1))
+    sims = (V @ V.T) / np.outer(n, n)
+    np.fill_diagonal(sims, -np.inf)
+    out = {}
+    for i in range(len(rows)):
+        idx = np.argsort(-sims[i], kind="stable")[:k]
+        out[i] = set(int(j) for j in idx)
+    return out
+
+
+class TestBuild:
+    def test_init_graph_shape(self, spark, emb):
+        g = init_random_graph(emb, K, seed=1)
+        assert g.filter("src = dst").count() == 0
+        deg = g.groupBy("src").count().agg(F.min("count"),
+                                           F.max("count")).first()
+        assert deg[0] >= 1 and deg[1] <= K
+
+    def test_nn_descent_converges_toward_true_knn(self, spark, emb):
+        truth = brute_knn(emb, K)
+        g0 = nn_descent(emb, k=K, iters=0)
+        g3 = nn_descent(emb, k=K, iters=3)
+
+        def recall(g):
+            got = {}
+            for r in g.collect():
+                got.setdefault(int(r.src), set()).add(int(r.dst))
+            hits = sum(
+                len(got.get(i, set()) & truth[i]) for i in range(N)
+            )
+            return hits / (N * K)
+
+        r0, r3 = recall(g0), recall(g3)
+        assert r3 > r0 + 0.3  # descent genuinely improves the graph
+        assert r3 > 0.85, (r0, r3)
+
+    def test_graph_invariants(self, spark, emb):
+        g = nn_descent(emb, k=K, iters=2)
+        assert g.filter("src = dst").count() == 0
+        assert g.groupBy("src", "dst").count().filter("count > 1").count() == 0
+        assert g.groupBy("src").count().agg(F.max("count")).first()[0] <= K
+
+    def test_validation(self, spark, emb):
+        with pytest.raises(ValueError):
+            nn_descent(emb, k=0)
+
+
+class TestBeamSearch:
+    def test_recall_vs_bruteforce_and_ef_monotone(self, spark, emb):
+        g = nn_descent(emb, k=K, iters=3)
+        searcher = LocalGraphSearcher(emb, g)
+        rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+        V = np.array([r.embedding for r in rows])
+        n = np.sqrt((V * V).sum(axis=1))
+        rec = {}
+        for ef in (10, 60):
+            hits = 0
+            for qi in range(0, N, 23):
+                q = V[qi]
+                sims = (V @ q) / (n * np.sqrt(q @ q))
+                true10 = set(np.argsort(-sims, kind="stable")[:10])
+                got = {i for i, _ in searcher.search(q, k=10, ef=ef)}
+                hits += len(got & true10)
+            rec[ef] = hits / (10 * len(range(0, N, 23)))
+        assert rec[60] >= rec[10]
+        assert rec[60] > 0.8, rec
+
+    def test_deterministic(self, spark, emb):
+        g = nn_descent(emb, k=K, iters=2)
+        s = LocalGraphSearcher(emb, g)
+        q = [0.5] * DIM
+        assert s.search(q, k=5, ef=30) == s.search(q, k=5, ef=30)
