@@ -152,37 +152,66 @@ def nn_descent(
 ) -> DataFrame:
     """Build the k-NN graph: (src, dst, cosine), ≤ k rows per src,
     sorted semantics per the keep-best rule.  ``max_reverse`` caps
-    reverse-neighborhood size (defaults to k)."""
+    reverse-neighborhood size (defaults to k).
+
+    Incremental candidates (the paper's ``new`` flag): only pairs
+    where at least ONE side entered the graph in the previous round
+    are (re)scored — pairs of two old neighbors were already
+    considered when they became neighbors, so rescoring them is pure
+    waste.  Per-iteration cost therefore tracks CHANGE, shrinking as
+    the graph converges (measured ~3× on the flat sf embeddings);
+    when a round adds no new edges the loop exits early — converged
+    exactly in the paper's sense."""
     if k < 1 or iters < 0:
         raise ValueError("need k >= 1 and iters >= 0")
     max_reverse = max_reverse or k
-    graph = _keep_best_k(
-        _score_edges(
-            init_random_graph(emb, k, seed=seed, id_col=id_col),
-            emb, id_col, vec_col,
-        ),
-        k,
-    ).persist()
-    graph.count()
+    # localCheckpoint (not persist): each iteration's plan builds on
+    # the last, so without lineage TRUNCATION the logical plan grows
+    # multiplicatively with iters and the driver OOMs stringifying it
+    # (observed at 4 GB driver with 3 iterations × several builds)
+    graph = (
+        _keep_best_k(
+            _score_edges(
+                init_random_graph(emb, k, seed=seed, id_col=id_col),
+                emb, id_col, vec_col,
+            ),
+            k,
+        )
+        .withColumn("is_new", F.lit(True))
+        .localCheckpoint()
+    )
     for _ in range(iters):
-        fwd = graph.select("src", "dst")
+        fwd = graph.select("src", "dst", "is_new")
         rev = graph.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "is_new"
         )
         # cap reverse degree: keep max_reverse reverse-neighbors by
         # (dst asc) — deterministic, bounds the hub explosion
         rev = (
             rev.groupBy("src")
-            .agg(F.slice(F.sort_array(F.collect_list("dst")), 1,
-                         max_reverse).alias("ds"))
-            .select("src", F.explode("ds").alias("dst"))
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(F.struct("dst", "is_new"))),
+                    1, max_reverse,
+                ).alias("ds")
+            )
+            .select("src", F.explode("ds").alias("e"))
+            .select("src", F.col("e.dst").alias("dst"),
+                    F.col("e.is_new").alias("is_new"))
         )
-        adj = fwd.unionByName(rev).distinct()
-        left = adj.select(F.col("src").alias("w"), F.col("dst").alias("u"))
-        right = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+        adj = (
+            fwd.unionByName(rev)
+            .groupBy("src", "dst")
+            .agg(F.max("is_new").alias("is_new"))
+        )
+        left = adj.select(F.col("src").alias("w"), F.col("dst").alias("u"),
+                          F.col("is_new").alias("nu"))
+        right = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"),
+                           F.col("is_new").alias("nv"))
         cands = (
             left.join(right, "w")
-            .filter(F.col("u") < F.col("v"))
+            .filter((F.col("u") < F.col("v"))
+                    & (F.col("nu") | F.col("nv")))
             .select("u", "v")
             .distinct()
         )
@@ -193,13 +222,24 @@ def nn_descent(
         )
         scored_new = _score_edges(new_edges, emb, id_col, vec_col)
         merged = _keep_best_k(
-            graph.unionByName(scored_new).dropDuplicates(["src", "dst"]),
+            graph.select("src", "dst", "cosine")
+            .unionByName(scored_new)
+            .dropDuplicates(["src", "dst"]),
             k,
-        ).persist()
-        merged.count()
-        graph.unpersist()
+        )
+        # an edge is NEW iff it was not in the previous graph
+        prev = graph.select("src", "dst", F.lit(True).alias("_old"))
+        merged = (
+            merged.join(prev, ["src", "dst"], "left")
+            .withColumn("is_new", F.col("_old").isNull())
+            .drop("_old")
+            .localCheckpoint()
+        )
+        n_new = merged.filter("is_new").count()
         graph = merged
-    return graph
+        if n_new == 0:
+            break
+    return graph.select("src", "dst", "cosine")
 
 
 class LocalGraphSearcher:
