@@ -299,3 +299,62 @@ class LocalGraphSearcher:
                     scores[int(i)] = float(s)
         best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(int(self.ids[i]), s) for i, s in best]
+
+
+def alpha_prune(
+    graph: DataFrame,
+    emb: DataFrame,
+    degree: int,
+    alpha: float = 1.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DiskANN/Vamana-style robust edge pruning (Jayaram Subramanya
+    et al., NeurIPS 2019): per node, walk candidates best-first and
+    DROP any candidate c occluded by an already-kept neighbor u —
+    ``(1 − cos(u, c)) · α < (1 − cos(src, c))`` — keeping at most
+    ``degree`` edges.  The kept set trades raw closeness for angular
+    DIVERSITY, which is what lets a greedy beam escape a dense
+    cluster and is why graph-ANN degrees can be small; α > 1 relaxes
+    occlusion (keeps more long edges).
+
+    Shape: candidates + both endpoint vectors assemble via two hash
+    joins; the greedy test is inherently per-node sequential over ≤ k
+    candidates, so it runs as ``applyInPandas`` per src — groups are
+    k rows, the smallest possible stateful unit, and the stage is one
+    shuffle on src.  Output: (src, dst, cosine), ≤ degree per src."""
+    if degree < 1 or alpha < 1.0:
+        raise ValueError("need degree >= 1 and alpha >= 1.0")
+    import pandas as pd
+
+    a = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("_vb"))
+    rows = graph.join(a, "src").join(b, "dst")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cosine", "dst"], ascending=[False, True], kind="mergesort"
+        )
+        vecs = np.array(pdf["_vb"].tolist(), dtype=np.float64)
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if len(kept) >= degree:
+                break
+            d_src = 1.0 - float(pdf["cosine"].iloc[i])
+            occluded = False
+            for j in kept:
+                cos_uc = float(
+                    vecs[j] @ vecs[i] / (norms[j] * norms[i])
+                )
+                if (1.0 - cos_uc) * alpha < d_src:
+                    occluded = True
+                    break
+            if not occluded:
+                kept.append(i)
+        out = pdf.iloc[kept]
+        return out[["src", "dst", "cosine"]]
+
+    return rows.groupBy("src").applyInPandas(
+        prune, "src long, dst long, cosine double"
+    )

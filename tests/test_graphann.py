@@ -103,3 +103,73 @@ class TestBeamSearch:
         s = LocalGraphSearcher(emb, g)
         q = [0.5] * DIM
         assert s.search(q, k=5, ef=30) == s.search(q, k=5, ef=30)
+
+
+class TestAlphaPrune:
+    def test_degree_bound_and_best_kept(self, spark, emb):
+        from ics_search_engine_spark.operators.graphann import (
+            alpha_prune,
+            nn_descent,
+        )
+
+        g = nn_descent(emb, k=K, iters=2)
+        pruned = alpha_prune(g, emb, degree=4, alpha=1.2)
+        deg = pruned.groupBy("src").count().agg(F.max("count")).first()[0]
+        assert deg <= 4
+        # the single best neighbor is never occluded (kept first)
+        best = {
+            int(r.src): int(r.dst)
+            for r in g.orderBy(F.desc("cosine"), "dst")
+            .dropDuplicates(["src"]).collect()
+        }
+        kept = {}
+        for r in pruned.collect():
+            kept.setdefault(int(r.src), set()).add(int(r.dst))
+        assert all(best[s] in kept[s] for s in kept)
+
+    def test_diversity_beats_truncation_for_beam(self, spark, emb):
+        """At equal degree, α-pruned edges must serve the beam at
+        least as well as naive take-closest truncation (the DiskANN
+        claim — diversity escapes local clusters)."""
+        import numpy as np
+
+        from ics_search_engine_spark.operators.graphann import (
+            LocalGraphSearcher,
+            alpha_prune,
+            nn_descent,
+        )
+
+        g = nn_descent(emb, k=12, iters=3)
+        pruned = alpha_prune(g, emb, degree=5, alpha=1.2)
+        from ics_search_engine_spark.operators.graphann import _keep_best_k
+
+        trunc = _keep_best_k(g, 5)
+        rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+        V = np.array([r.embedding for r in rows])
+        n = np.sqrt((V * V).sum(axis=1))
+
+        def recall(graph_df):
+            s = LocalGraphSearcher(emb, graph_df)
+            hits = 0
+            qs = list(range(0, N, 17))
+            for qi in qs:
+                q = V[qi]
+                sims = (V @ q) / (n * np.sqrt(q @ q))
+                true10 = set(np.argsort(-sims, kind="stable")[:10])
+                got = {i for i, _ in s.search(q, k=10, ef=40)}
+                hits += len(got & true10)
+            return hits / (10 * len(qs))
+
+        assert recall(pruned) >= recall(trunc) - 0.02  # ties allowed
+
+    def test_validation(self, spark, emb):
+        from ics_search_engine_spark.operators.graphann import (
+            alpha_prune,
+            nn_descent,
+        )
+
+        g = nn_descent(emb, k=4, iters=0)
+        with pytest.raises(ValueError):
+            alpha_prune(g, emb, degree=0)
+        with pytest.raises(ValueError):
+            alpha_prune(g, emb, degree=4, alpha=0.5)
