@@ -1894,7 +1894,12 @@ def q_snippets_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns its first match position, every matched position, and the
     ±3-token surface window — the display payload the reference never
     derives from the positions it stores.  The oracle recomputes
-    positions and the window relationally (1-based shift cancelled)."""
+    positions and the window relationally (1-based shift cancelled).
+
+    Positions are emitted as a comma-joined STRING, not array<int>:
+    the driver's canonicalizer sorts the result with pandas and a
+    list-typed column raises ``unhashable type: 'list'`` (the r3
+    failure) — gate outputs must be atomic columns only."""
     import shutil
     import tempfile
 
@@ -1929,7 +1934,8 @@ def q_snippets_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_rows = sorted(
         (
             (int(r["conv_id"][3:]), round(r["score"], 6),
-             int(r["first_pos"]), [int(p) for p in r["match_positions"]],
+             int(r["first_pos"]),
+             ",".join(str(int(p)) for p in r["match_positions"]),
              r["snippet"])
             for r in ranked
         ),
@@ -1938,7 +1944,7 @@ def q_snippets_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows,
         "doc_id long, bm25_r6 double, first_pos int, "
-        "match_positions array<int>, snippet string",
+        "match_positions_csv string, snippet string",
     )
 
 
@@ -1961,7 +1967,9 @@ pos AS (
 )
 SELECT w.doc_id, w.bm25_r6,
        (p.p1s[1] - 1)::INT AS first_pos,
-       list_transform(p.p1s, x -> (x - 1)::INT) AS match_positions,
+       coalesce(array_to_string(
+         list_transform(p.p1s, x -> (x - 1)::INT), ','), '')
+         AS match_positions_csv,
        array_to_string(
          list_slice(t2.toks, greatest(1, p.p1s[1] - 3), p.p1s[1] + 3), ' '
        ) AS snippet
@@ -10434,13 +10442,21 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 quantization of the embedding tier
     (operators/similarity.quantize_int8): per-vector symmetric scale =
     max|x|/127, codes = round(x/scale) — pure Catalyst array math, the
-    Lucene/faiss SQ8 scheme.  Exact transform, exact oracle."""
+    Lucene/faiss SQ8 scheme.  Exact transform, exact oracle.  Codes
+    emit as a comma-joined string — gate outputs must be atomic (the
+    driver's pandas canonicalizer can't sort list columns)."""
     from ics_search_engine_spark.operators.similarity import quantize_int8
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return (
         quantize_int8(emb)
-        .select("vec_id", "q_scale", "q_codes")
+        .select(
+            "vec_id",
+            "q_scale",
+            F.concat_ws(
+                ",", F.transform("q_codes", lambda x: x.cast("string"))
+            ).alias("q_codes_csv"),
+        )
         .orderBy("vec_id")
     )
 
@@ -10453,9 +10469,9 @@ WITH e AS (
 )
 SELECT vec_id,
   CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS q_scale,
-  list_transform(
+  coalesce(array_to_string(list_transform(
     v, x -> CASE WHEN mx > 0 THEN round(x / (mx / 127.0))::TINYINT
-                 ELSE 0::TINYINT END) AS q_codes
+                 ELSE 0::TINYINT END), ','), '') AS q_codes_csv
 FROM e ORDER BY vec_id
 """
 
@@ -10531,18 +10547,27 @@ def q_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary (1-bit) quantization (operators/similarity.
     quantize_binary): sign bits packed into 32-bit words — the 32×
     compression rung (ES BBQ / faiss binary design).  Exact packing
-    transform, exact oracle (the SQL mirrors the shift-sum per word)."""
+    transform, exact oracle (the SQL mirrors the shift-sum per word).
+    Codes emit as a comma-joined string — gate outputs must be atomic
+    (the driver's pandas canonicalizer can't sort list columns)."""
     from ics_search_engine_spark.operators.similarity import quantize_binary
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return (
-        quantize_binary(emb).select("vec_id", "b_codes").orderBy("vec_id")
+        quantize_binary(emb)
+        .select(
+            "vec_id",
+            F.concat_ws(
+                ",", F.transform("b_codes", lambda x: x.cast("string"))
+            ).alias("b_codes_csv"),
+        )
+        .orderBy("vec_id")
     )
 
 
 # testdata embeddings are 64-dim → exactly two 32-bit words
 _SQL_QUANTIZE_BINARY = (
-    "SELECT vec_id, ["
+    "SELECT vec_id, coalesce(array_to_string(["
     + ", ".join(
         "("
         + " + ".join(
@@ -10553,7 +10578,7 @@ _SQL_QUANTIZE_BINARY = (
         + ")::BIGINT"
         for w in range(2)
     )
-    + "] AS b_codes FROM embeddings ORDER BY vec_id"
+    + "], ','), '') AS b_codes_csv FROM embeddings ORDER BY vec_id"
 )
 
 
@@ -10950,13 +10975,19 @@ FROM ok ORDER BY doc_id
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE encode (operators/bpe.bpe_encode) with a FIXED
     five-merge table — th, th+e, i+n, a+n, e+</w> — so the oracle can
-    replay it: sequential in-learned-order merge application over
+    replay it: PER-MERGE-FIXPOINT in-learned-order application over
     space-joined symbol strings is equivalent to the greedy
     lowest-rank-first encode (merging two symbols never creates an
     occurrence of an earlier-learned pair — new pairs all involve the
-    new symbol).  Output: top-30 (token, cnt).  The data-dependent
-    FIT is pytest-pinned against an independent reference
-    implementation (tests/test_bpe.py)."""
+    new symbol).  Each merge must iterate to a FIXPOINT, not a single
+    replace() pass: non-overlapping left-to-right replace consumes the
+    shared delimiter space between adjacent occurrences (' b a n a n a '
+    -> ' b an a n a ' in one pass, the r3 advisor's finding), so the
+    oracle runs one recursive CTE per merge until unchanged
+    (_bpe_fixpoint_ctes; equivalence pytest-pinned on banana/thth/…
+    in tests/test_bpe.py).  Output: top-30 (token, cnt).  The
+    data-dependent FIT is pytest-pinned against an independent
+    reference implementation (tests/test_bpe.py)."""
     from ics_search_engine_spark.operators.bpe import (
         bpe_encode,
         bpe_token_stats,
@@ -10968,8 +10999,44 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(enc, k=30)
 
 
-_SQL_BPE_ENCODE = """
-WITH w AS (
+_BPE_GATE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+                    ("e", "</w>")]
+
+
+def _bpe_fixpoint_ctes(
+    merges: list[tuple[str, str]], carry: str = ""
+) -> tuple[str, str]:
+    """One recursive CTE per merge, iterating ``replace`` to a
+    FIXPOINT before the next merge applies (in-learned-order,
+    per-merge-fixpoint ≡ greedy lowest-rank-first encode_word — see
+    q_bpe_encode docstring; a single replace() pass misses adjacent
+    occurrences that share a delimiter space).  ``carry`` is a
+    'col, '-style prefix of columns to thread through.  Returns
+    (cte_sql, final_cte_name); callers start from a CTE named
+    ``sym`` with the spaced symbol string in column ``s``."""
+    parts, prev = [], "sym"
+    for i, (a, b) in enumerate(merges):
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        f, g = f"bf{i}", f"bg{i}"
+        parts.append(
+            f"{f} AS (\n  SELECT {carry}s FROM {prev}\n  UNION ALL\n"
+            f"  SELECT {carry}replace(s, '{pat}', '{rep}') AS s"
+            f" FROM {f}\n"
+            f"  WHERE replace(s, '{pat}', '{rep}') <> s\n),\n"
+            f"{g} AS (SELECT {carry}s FROM {f}\n"
+            f"  WHERE replace(s, '{pat}', '{rep}') = s)"
+        )
+        prev = g
+    return ",\n".join(parts), prev
+
+
+_BPE_CTES, _BPE_LAST = _bpe_fixpoint_ctes(_BPE_GATE_MERGES)
+_BPE_CTES_LANG, _BPE_LAST_LANG = _bpe_fixpoint_ctes(
+    _BPE_GATE_MERGES, carry="lang, "
+)
+
+_SQL_BPE_ENCODE = f"""
+WITH RECURSIVE w AS (
   SELECT unnest(list_filter(
            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
            x -> length(x) > 0)) AS word
@@ -10979,19 +11046,11 @@ sym AS (
   SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
   FROM w
 ),
-merged AS (
-  SELECT replace(replace(replace(replace(replace(s,
-           ' t h ', ' th '),
-           ' th e ', ' the '),
-           ' i n ', ' in '),
-           ' a n ', ' an '),
-           ' e </w> ', ' e</w> ') AS s
-  FROM sym
-),
+{_BPE_CTES},
 toks AS (
   SELECT unnest(list_filter(string_split(s, ' '),
                             x -> length(x) > 0)) AS token
-  FROM merged
+  FROM {_BPE_LAST}
 )
 SELECT token, count(*) AS cnt FROM toks
 GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 30
@@ -11218,8 +11277,8 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BPE_FERTILITY = """
-WITH w AS (
+_SQL_BPE_FERTILITY = f"""
+WITH RECURSIVE w AS (
   SELECT lang, unnest(list_filter(
            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
            x -> length(x) > 0)) AS word
@@ -11230,20 +11289,12 @@ sym AS (
          ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
   FROM w
 ),
-merged AS (
-  SELECT lang, replace(replace(replace(replace(replace(s,
-           ' t h ', ' th '),
-           ' th e ', ' the '),
-           ' i n ', ' in '),
-           ' a n ', ' an '),
-           ' e </w> ', ' e</w> ') AS s
-  FROM sym
-),
+{_BPE_CTES_LANG},
 cnt AS (
   SELECT lang,
          len(list_filter(string_split(s, ' '),
                          x -> length(x) > 0)) AS ntok
-  FROM merged
+  FROM {_BPE_LAST_LANG}
 )
 SELECT lang, count(*) AS n_words, sum(ntok) AS n_tokens,
        round(sum(ntok)::DOUBLE / count(*), 6) AS fertility_r6

@@ -87,9 +87,17 @@ def _with_global_offset(
     else:
         ranged = df.repartitionByRange(*order_cols)
     # The subtotal pass and the cumsum pass must see the SAME range
-    # partitioning; persisting removes any re-plan risk (AQE) between
-    # the two jobs (same discipline as docmap.assign_doc_ordinals).
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    # partitioning; an EAGER localCheckpoint pins the exact rows
+    # between the two jobs (same discipline as
+    # docmap.assign_doc_ordinals).  localCheckpoint, not persist():
+    # persist() registers in the CacheManager, which holds the entry
+    # for the whole session — every pack_sequences call would leak a
+    # cached frame.  Checkpoint blocks are released by the
+    # ContextCleaner once the returned frame is garbage-collected.
+    with_pid = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
 
     subtotals = {
         r["_pid"]: r["s"]
@@ -534,9 +542,14 @@ def prepare_corpus(
     n_in = cur.count() if report else -1
 
     def account(name: str, nxt: DataFrame) -> DataFrame:
+        # localCheckpoint, not persist(): each accounted stage is
+        # materialized once (the count job) and the downstream stage
+        # reads the pinned blocks; persist() would leave one
+        # CacheManager entry per stage per call for the session's
+        # lifetime (the r3 advisor's leak finding).
         nonlocal n_in
         if report:
-            nxt = nxt.persist()
+            nxt = nxt.localCheckpoint(eager=True)
             n_out = nxt.count()
             stages.append((name, n_in, n_out))
             n_in = n_out

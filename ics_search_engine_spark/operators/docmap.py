@@ -52,11 +52,13 @@ def assign_doc_ordinals(docs: DataFrame, num_partitions: int | None = None
     ranged = ranged.sortWithinPartitions(*DOC_KEY)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     # The count pass and the ordinal pass must see the SAME partitioning.
-    # RangePartitioner's sampling is seed-deterministic, but persisting
+    # RangePartitioner's sampling is seed-deterministic, but pinning
     # removes any re-plan risk (AQE) between the two jobs.  At petabyte
     # scale the resumable build materializes this stage to a staging
-    # table instead (operators/build.py).
-    with_pid = with_pid.persist()
+    # table instead (operators/build.py).  Eager localCheckpoint, not
+    # persist(): persist() registers in the CacheManager for the whole
+    # session (a per-call leak); checkpoint blocks free with the frame.
+    with_pid = with_pid.localCheckpoint(eager=True)
 
     counts = {
         r["_pid"]: r["cnt"]

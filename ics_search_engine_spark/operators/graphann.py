@@ -60,15 +60,34 @@ def init_random_graph(
     """Deterministic pseudo-random k-regular directed start graph:
     node u's j-th neighbor = the node whose md5-rank is
     (rank(u) + h(u, j)) mod n — uniform-ish, self-loop-free, and a
-    pure function of the ids (restart-stable, no RNG state)."""
-    from pyspark.sql.window import Window
+    pure function of the ids (restart-stable, no RNG state).
+
+    The md5-rank is computed with the repo's two-phase global-offset
+    shape (range shuffle on the md5 key + per-range subtotal collect +
+    per-range window cumsum) — NOT ``row_number() OVER (ORDER BY …)``,
+    which has no partition key and funnels every row through one
+    single-partition WindowExec task (the r3 verdict's scale finding;
+    the house rule ``tests/test_plans.py`` pins elsewhere).  Ties on
+    the md5 key break by id, so the rank is a deterministic pure
+    function of the data at any partition count."""
+    from ics_search_engine_spark.operators.datapipe import (
+        _with_global_offset,
+    )
 
     n = emb.count()
-    ranked = emb.select(id_col).withColumn(
-        "_r",
-        F.row_number().over(Window.orderBy(F.md5(
-            F.concat(F.col(id_col).cast("string"), F.lit(f"#rk{seed}"))
-        ))) - 1,
+    if n < 2:
+        raise ValueError(
+            "init_random_graph needs >= 2 vectors "
+            f"(got {n}): a 1-node graph has no self-loop-free edge"
+        )
+    keyed = emb.select(id_col).withColumn(
+        "_mk",
+        F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f"#rk{seed}"))),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = (
+        _with_global_offset(keyed, ["_mk", id_col], "_one", out_col="_r")
+        .select(id_col, "_r")
     )
     pairs = ranked.select(
         F.col(id_col).alias("src"), F.col("_r").alias("_sr")

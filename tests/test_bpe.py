@@ -124,3 +124,35 @@ def test_no_merges_passthrough(spark):
     df = spark.createDataFrame([(0, "hi")], "doc_id long, text string")
     rows = bpe_encode(df, []).collect()
     assert rows[0].tokens == ["h", "i", END]
+
+
+def test_oracle_fixpoint_cte_matches_greedy_encode():
+    """The gate oracle's per-merge-fixpoint recursive CTEs must equal
+    greedy encode_word on words with OVERLAPPING occurrences of one
+    merge (banana/thth/…): a single replace() pass consumes the
+    shared delimiter space and under-merges (the r3 advisor finding).
+    DuckDB-only — no Spark session needed."""
+    import duckdb
+
+    from ics_search_engine_spark.entry_queries import (
+        _BPE_GATE_MERGES,
+        _bpe_fixpoint_ctes,
+    )
+
+    ranks = {p: i for i, p in enumerate(_BPE_GATE_MERGES)}
+    words = [
+        "banana", "thth", "dining", "anana", "nanana", "ththe",
+        "ananan", "einein", "the", "then", "thee", "ee", "e", "a", "x",
+    ]
+    body, last = _bpe_fixpoint_ctes(_BPE_GATE_MERGES)
+    sql = f"""
+    WITH RECURSIVE w AS (SELECT unnest(?::VARCHAR[]) AS word),
+    sym AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                   || '</w> ' AS s FROM w),
+    {body}
+    SELECT s FROM {last}
+    """
+    rows = duckdb.sql(sql, params=[words]).fetchall()
+    got = sorted(tuple(x for x in r[0].split(" ") if x) for r in rows)
+    want = sorted(tuple(encode_word(w, ranks)) for w in words)
+    assert got == want

@@ -63,6 +63,20 @@ class TestPackSequences:
     def test_no_single_partition_exchange(self, docs):
         plan = pack_sequences(docs, 256)._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
+        # the range shuffle now happens inside _with_global_offset's
+        # EAGER localCheckpoint (executed before this plan is built),
+        # so the downstream plan sees the pinned blocks as an RDD scan
+        # and the cumsum window partitioned by the range id — never a
+        # global single-partition window.
+        assert "Scan ExistingRDD" in plan
+        assert "Window" in plan
+
+    def test_offset_range_shuffle_not_global_sort(self, docs):
+        # pin the upstream shape _with_global_offset checkpoints: a
+        # range repartition on the order key (what makes the prefix
+        # sum shuffle-scalable), not a global ORDER BY.
+        ranged = docs.repartitionByRange("doc_id")
+        plan = ranged._jdf.queryExecution().executedPlan().toString()
         assert "rangepartitioning" in plan.lower()
 
     def test_bad_capacity(self, docs):

@@ -560,8 +560,12 @@ class TestDatapipePlans:
         )
 
         plan = _plan(pack_sequences(docs, 256))
-        assert "rangepartitioning" in plan.lower(), plan
-        # the window partitions by the range id — never SinglePartition
+        # the range shuffle runs inside _with_global_offset's eager
+        # localCheckpoint (before this plan exists); downstream the
+        # pinned blocks appear as an RDD scan and the cumsum window
+        # partitions by the range id — never SinglePartition
+        assert "Scan ExistingRDD" in plan, plan
+        assert "SinglePartition" not in plan, plan
         for ln in plan.splitlines():
             if "Window" in ln or "window" in ln.split("(")[0]:
                 assert "SinglePartition" not in ln, plan
