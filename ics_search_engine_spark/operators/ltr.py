@@ -50,27 +50,24 @@ from ics_search_engine_spark.textproc.tokenizer import tokenize
 FEATURES = ("bm25", "matched", "dl_ratio", "max_tf")
 
 
-def ltr_features(
+def _features_frame(
     spark: SparkSession,
     pidx,
     query: str,
-    window: int = 50,
-) -> DataFrame:
-    """(doc_ord, bm25, matched, dl_ratio, max_tf) for the exact BM25
-    top-``window``.  One decode, one aggregation: every feature falls
-    out of the same groupBy that computes the first-pass score."""
+) -> DataFrame | None:
+    """UNBOUNDED per-matching-doc feature frame (doc_ord, bm25,
+    matched, dl_ratio, max_tf) for the query's plain term bag — the
+    shared body behind the window cut (ltr_features) and the
+    candidate-set intersection (ltr_rescore_candidates).  None when
+    the query has no searchable terms."""
     do_stem = pidx.stats.get("stem", True)
     terms = sorted(set(tokenize(query, for_query=True, do_stem=do_stem)))
-    empty = spark.createDataFrame(
-        [], "doc_ord long, bm25 double, matched int, "
-            "dl_ratio double, max_tf int"
-    )
     if not terms:
-        return empty
+        return None
     term_df = pidx.df_for_terms(terms)
     weights = query_weights(query, term_df, pidx.n_docs, do_stem=do_stem)
     if not weights:
-        return empty
+        return None
     w_df = spark.createDataFrame(
         sorted(weights.items()), "term string, w double"
     )
@@ -100,6 +97,25 @@ def ltr_features(
             F.col("max_tf").cast("int").alias("max_tf"),
         )
     )
+    return feats
+
+
+_EMPTY_FEATS = ("doc_ord long, bm25 double, matched int, "
+                "dl_ratio double, max_tf int")
+
+
+def ltr_features(
+    spark: SparkSession,
+    pidx,
+    query: str,
+    window: int = 50,
+) -> DataFrame:
+    """(doc_ord, bm25, matched, dl_ratio, max_tf) for the exact BM25
+    top-``window``.  One decode, one aggregation: every feature falls
+    out of the same groupBy that computes the first-pass score."""
+    feats = _features_frame(spark, pidx, query)
+    if feats is None:
+        return spark.createDataFrame([], _EMPTY_FEATS)
     return feats.orderBy(F.desc("bm25"), F.asc("doc_ord")).limit(window)
 
 
@@ -120,16 +136,61 @@ def ltr_rescore(
     'bias' to weights; unknown names raise."""
     if k > window:
         raise ValueError(f"k={k} must be <= window={window}")
+    feats = ltr_features(spark, pidx, query, window=window)
+    topk = (
+        feats.withColumn("score", _model_score_col(model))
+        .select("doc_ord", "score")
+        .orderBy(F.desc("score"), F.asc("doc_ord"))
+        .limit(k)
+    )
+    return resolve_topk_keys(pidx, topk)
+
+
+def _model_score_col(model: dict[str, float]) -> F.Column:
     unknown = set(model) - set(FEATURES) - {"bias"}
     if unknown:
         raise ValueError(f"unknown LTR features: {sorted(unknown)}")
-    feats = ltr_features(spark, pidx, query, window=window)
     score = F.lit(float(model.get("bias", 0.0)))
     for f in FEATURES:
         if f in model:
             score = score + F.lit(float(model[f])) * F.col(f).cast("double")
+    return score
+
+
+def ltr_rescore_candidates(
+    spark: SparkSession,
+    pidx,
+    query: str,
+    model: dict[str, float],
+    candidates: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """LTR rescore of an EXPLICIT candidate set — ``candidates`` is any
+    (doc_ord) frame (typically qlang.bm25_topk_qlang_ords's window, so
+    +required / -excluded / phrase / wildcard constraints survive the
+    rescore — the r3 advisor's searchapp finding).  Every candidate is
+    scored: one missing from the plain-term feature frame (e.g. it
+    matched only through a wildcard expansion) takes zero features —
+    bias-only score — rather than being dropped.  Returns top-k
+    (conv_id, turn_idx, score)."""
+    feats = _features_frame(spark, pidx, query)
+    cand = candidates.select("doc_ord").distinct()
+    if feats is None:
+        scored = cand.withColumn("bm25", F.lit(0.0)).withColumn(
+            "matched", F.lit(0)
+        ).withColumn("dl_ratio", F.lit(0.0)).withColumn(
+            "max_tf", F.lit(0)
+        )
+    else:
+        scored = cand.join(feats, "doc_ord", "left").select(
+            "doc_ord",
+            F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+            F.coalesce("matched", F.lit(0)).alias("matched"),
+            F.coalesce("dl_ratio", F.lit(0.0)).alias("dl_ratio"),
+            F.coalesce("max_tf", F.lit(0)).alias("max_tf"),
+        )
     topk = (
-        feats.withColumn("score", score)
+        scored.withColumn("score", _model_score_col(model))
         .select("doc_ord", "score")
         .orderBy(F.desc("score"), F.asc("doc_ord"))
         .limit(k)

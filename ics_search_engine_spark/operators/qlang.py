@@ -215,14 +215,29 @@ def bm25_topk_qlang(
 ) -> DataFrame:
     """Evaluate a query-language string → top-k (conv_id, turn_idx,
     score)."""
+    return resolve_topk_keys(
+        pidx, bm25_topk_qlang_ords(spark, pidx, q, k, max_expansions)
+    )
+
+
+def bm25_topk_qlang_ords(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    q: str,
+    k: int = 10,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """The qlang top-k BEFORE key resolution — (doc_ord, score).  This
+    is the candidate-window form rescorers compose with (operators/ltr
+    intersects its feature frame with this set so qlang operators —
+    +required, -excluded, phrases, wildcards — survive an LTR rescore;
+    the r3 advisor's searchapp finding)."""
     from ics_search_engine_spark.operators.phrase import (
         _pivot_positions,
         phrase_offsets,
     )
 
-    empty = spark.createDataFrame(
-        [], "conv_id string, turn_idx int, score double"
-    )
+    empty = spark.createDataFrame([], "doc_ord long, score double")
     do_stem = pidx.stats.get("stem", True)
     spec = parse_query(q)
     qtf, required, excluded = resolve_terms(spec, do_stem)
@@ -307,5 +322,5 @@ def bm25_topk_qlang(
         if ph_docs is not None:
             candidates = candidates.join(ph_docs, "doc_ord", "left_anti")
 
-    topk = score_topk(spark, candidates, weights, pidx.avgdl, ["doc_ord"], k)
-    return resolve_topk_keys(pidx, topk)
+    return score_topk(spark, candidates, weights, pidx.avgdl,
+                      ["doc_ord"], k)

@@ -47,6 +47,10 @@ class Criterion:
             raise ValueError(f"unknown criterion type {self.type!r}")
         if self.type != "always" and self.metadata is None:
             raise ValueError(f"criterion {self.type!r} needs metadata key")
+        if self.type in ("gt", "gte", "lt", "lte") and not self.values:
+            raise ValueError(
+                f"numeric criterion {self.type!r} needs a bound value"
+            )
 
     def matches(self, meta: dict) -> bool:
         if self.type == "always":
@@ -63,8 +67,14 @@ class Criterion:
             return any(s.startswith(str(x)) for x in self.values)
         if self.type == "suffix":
             return any(s.endswith(str(x)) for x in self.values)
-        num = float(v)
-        bound = float(self.values[0])
+        # ES query-rule criteria simply don't fire on type mismatch —
+        # a string segment matched against a numeric rule must not
+        # fail the whole search request (r3 advisor finding).
+        try:
+            num = float(v)
+            bound = float(self.values[0])
+        except (TypeError, ValueError):
+            return False
         return {
             "gt": num > bound, "gte": num >= bound,
             "lt": num < bound, "lte": num <= bound,

@@ -19,7 +19,13 @@ is the ORDER and the contracts between them:
        bag
     4. optional LTR rescore of the organic leg (operators/ltr) BEFORE
        pinning — pins outrank everything by definition, so the model
-       only re-orders earned results (ES rescore-then-pin order)
+       only re-orders earned results (ES rescore-then-pin order).
+       The rescore CANDIDATE WINDOW is the qlang result itself
+       (qlang.bm25_topk_qlang_ords → ltr.ltr_rescore_candidates), so
+       +required / -excluded / phrase / wildcard operators keep their
+       meaning under an LTR model; a candidate outside the plain-term
+       feature frame (e.g. wildcard-only match) scores bias-only
+       rather than being dropped
 
 Scale: steps 1-2 are driver-side config work; 3-4 are the unchanged
 engine plans with the bounded over-fetch rules_topk documents.
@@ -32,8 +38,11 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ics_search_engine_spark.operators.ltr import ltr_rescore
-from ics_search_engine_spark.operators.qlang import bm25_topk_qlang
+from ics_search_engine_spark.operators.ltr import ltr_rescore_candidates
+from ics_search_engine_spark.operators.qlang import (
+    bm25_topk_qlang,
+    bm25_topk_qlang_ords,
+)
 from ics_search_engine_spark.operators.queryrules import Rule, apply_rules
 from ics_search_engine_spark.operators.templates import render_body
 
@@ -71,9 +80,15 @@ class SearchApplication:
             drop = set(pins) | excluded
             fetch = kk + len(drop)
             if self.ltr_model is not None:
-                organic = ltr_rescore(
-                    spark, pidx, query, self.ltr_model, k=fetch,
-                    window=max(self.ltr_window, fetch),
+                # candidate window = the FULL qlang result, so query
+                # operators survive the model rescore (module § 4)
+                cand = bm25_topk_qlang_ords(
+                    spark, pidx, query,
+                    k=max(self.ltr_window, fetch),
+                )
+                organic = ltr_rescore_candidates(
+                    spark, pidx, query, self.ltr_model,
+                    cand.select("doc_ord"), k=fetch,
                 ).collect()
             else:
                 organic = bm25_topk_qlang(

@@ -118,3 +118,18 @@ def test_metadata_drives_firing(spark, pidx):
     ).collect()
     assert not any(r.pinned for r in plain)
     assert (vip[0].conv_id, vip[0].turn_idx, vip[0].pinned) == ("c3", 0, True)
+
+
+def test_numeric_criterion_type_mismatch_no_match():
+    """ES rule criteria don't fire on type mismatch — a non-numeric
+    metadata value against a gt rule is a non-match, not a request
+    failure (r3 advisor finding)."""
+    c = Criterion(type="gt", metadata="spend", values=(10,))
+    assert c.matches({"spend": "premium-tier"}) is False
+    assert c.matches({"spend": 11}) is True
+    assert c.matches({"spend": None}) is False
+
+
+def test_numeric_criterion_requires_bound():
+    with pytest.raises(ValueError):
+        Criterion(type="lte", metadata="spend", values=())

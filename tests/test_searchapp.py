@@ -80,20 +80,51 @@ def test_exclusion_and_fill(spark, pidx):
 
 
 def test_ltr_rescore_leg(spark, pidx):
+    from ics_search_engine_spark.operators.ltr import (
+        ltr_rescore_candidates,
+    )
+    from ics_search_engine_spark.operators.qlang import (
+        bm25_topk_qlang_ords,
+    )
+
     model = {"bm25": 1.0, "matched": 0.4, "dl_ratio": -0.3, "bias": 0.1}
     app = SearchApplication("s", TEMPLATE, ltr_model=model, ltr_window=50)
     got = app.search(
         spark, pidx, {"main": "machine", "extra": "learning"}, k=3
     ).collect()
-    want = ltr_rescore(
-        spark, pidx, "+machine learning", model, k=3, window=50
+    # the app's LTR leg = model rescore over the FULL qlang candidate
+    # window (operators preserved), not a re-tokenized term bag
+    cand = bm25_topk_qlang_ords(spark, pidx, "+machine learning", k=50)
+    want = ltr_rescore_candidates(
+        spark, pidx, "+machine learning", model,
+        cand.select("doc_ord"), k=3,
     ).collect()
-    # NOTE: ltr_rescore ignores qlang operators (it re-tokenizes), so
-    # the app's LTR leg ranks by the model over the term bag — assert
-    # equality against that same call
     assert [(r.conv_id, r.turn_idx, r.score) for r in got] == [
         (r.conv_id, r.turn_idx, r.score) for r in want
     ]
+
+
+def test_ltr_leg_honors_qlang_operators(spark, pidx):
+    """A '+required' / '-excluded' operator must constrain the LTR
+    leg's result set (the r3 advisor finding: the old path
+    re-tokenized the query and silently dropped operators)."""
+    from ics_search_engine_spark.operators.qlang import bm25_topk_qlang
+
+    model = {"bm25": 1.0, "bias": 0.1}
+    app = SearchApplication(
+        "s", TEMPLATE, ltr_model=model, ltr_window=50
+    )
+    got = app.search(
+        spark, pidx, {"main": "machine", "extra": "-learning"}, k=5
+    ).collect()
+    allowed = {
+        (r.conv_id, r.turn_idx)
+        for r in bm25_topk_qlang(
+            spark, pidx, "+machine -learning", k=1000
+        ).collect()
+    }
+    assert got, "query should match something"
+    assert all((r.conv_id, r.turn_idx) in allowed for r in got)
 
 
 def test_registry(spark, pidx):
