@@ -2109,6 +2109,50 @@ def q_bm25_fuzzy_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_fuzzy_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SymSpell deletion-index fuzzy path (operators/fuzzy,
+    expander='symspell'): same query and same oracle as
+    bm25_fuzzy_engine — the deletion dictionary's candidates, after
+    exact Levenshtein verification, must reproduce the scan
+    expansion BIT-IDENTICALLY, so the gate result is identical too.
+    This is the 10^8-vocabulary scale path: per-query cost is a
+    pushed-down ``dkey IN (...)`` over the sorted deletes table, not
+    a vocabulary scan."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.fuzzy import bm25_topk_fuzzy
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_symspell_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        top = bm25_topk_fuzzy(
+            spark, pidx, "sprak jion", k=60, max_dist=2,
+            expander="symspell",
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    resolved = [(int(c[3:]), round(s, 6)) for c, _, s in top]
+    resolved.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        resolved[:20], "doc_id long, bm25_r6 double"
+    )
+
+
 # at sf scale each probe matches exactly one dictionary term within
 # distance 2 (verified), so the multiplier table is 1 per matched term
 _SQL_FUZZY = f"""
@@ -11928,6 +11972,45 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
 
 
+def q_graph_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted graph-ANN artifact end-to-end (operators/graphann.
+    build_graph_index → LocalGraphSearcher.from_index): NN-Descent
+    graph + vectors written as sorted parquet, reloaded with pyarrow
+    (no Spark at query time), searched under the full-candidate
+    convention (n_seeds = ef = n) — must reproduce the brute-force
+    oracle exactly, same rule as knn_graph/vector_index_serve."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.graphann import (
+        LocalGraphSearcher,
+        build_graph_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    docs = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="gate_graphidx_")
+    try:
+        build_graph_index(spark, docs, out, k=8, iters=1)
+        searcher = LocalGraphSearcher.from_index(out)
+        n = docs.count()
+        rows = searcher.search(
+            [float(x) for x in qvec], k=20, ef=n, n_seeds=n
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(i), round(float(s), 6)) for i, s in rows],
+        "vec_id long, cosine_r6 double",
+    ).orderBy(F.desc("cosine_r6"), F.asc("vec_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "postings_tf": q_postings_tf,
@@ -11973,6 +12056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snippets_engine": q_snippets_engine,
     "qlang_engine": q_qlang_engine,
     "bm25_fuzzy_engine": q_bm25_fuzzy_engine,
+    "bm25_fuzzy_symspell": q_bm25_fuzzy_symspell,
     "term_pmi_pairs": q_term_pmi_pairs,
     "bm25_boosted_roles": q_bm25_boosted_roles,
     "blend_rank": q_blend_rank,
@@ -12128,6 +12212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparse_packed_serve": q_sparse_packed_serve,
     "search_application": q_search_application,
     "knn_graph": q_knn_graph,
+    "graph_index_serve": q_graph_index_serve,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_lookup": q_esql_lookup,
     "esql_sample": q_esql_sample,
@@ -12194,6 +12279,7 @@ ORACLE_SQL: dict[str, str] = {
     "snippets_engine": _SQL_SNIPPETS,
     "qlang_engine": _SQL_QLANG,
     "bm25_fuzzy_engine": _SQL_FUZZY,
+    "bm25_fuzzy_symspell": _SQL_FUZZY,
     "term_pmi_pairs": _SQL_PMI,
     "bm25_boosted_roles": _SQL_BM25_BOOSTED,
     "blend_rank": _SQL_BLEND,
@@ -12355,6 +12441,7 @@ ORACLE_SQL: dict[str, str] = {
     "sparse_packed_serve": _SQL_SPARSE_VECTOR,
     "search_application": _SQL_SEARCH_APPLICATION,
     "knn_graph": _SQL_KNN_COSINE,
+    "graph_index_serve": _SQL_KNN_COSINE,
     "esql_inlinestats": _SQL_ESQL_INLINESTATS,
     "esql_lookup": _SQL_ESQL_LOOKUP,
     "esql_sample": _SQL_ESQL_SAMPLE,

@@ -19,13 +19,33 @@ Semantics (mirrored by the DuckDB gate and the serving tier):
   wildcard) — an exact hit (distance 0) is naturally its own best
   expansion.
 
-Scale: expansion is a vocabulary-sized predicate over term_stats —
-edit distance admits no parquet pushdown (this is why Lucene compiles
-a Levenshtein automaton over its FST term dictionary; a deletion-
-variant index à la SymSpell is the equivalent scale path here and
-would bolt onto term_stats as a derived table).  The scan is metadata-
-only (never touches payloads), runs once per query, and is fine up to
-~10^8 distinct terms; scoring is the unchanged packed path.
+Scale — TWO expansion strategies, identical results:
+
+* ``expander="scan"`` (default, no extra state): one vocabulary-sized
+  predicate over term_stats.  Edit distance admits no parquet pushdown
+  (this is why Lucene compiles a Levenshtein automaton over its FST
+  term dictionary), so the scan touches every term's metadata row —
+  metadata-only and payload-free, fine up to ~10^7-10^8 distinct
+  terms, but linear in the vocabulary per query.
+* ``expander="symspell"``: the SymSpell deletion-variant index (Garbe;
+  the public symmetric-delete algorithm) as a DERIVED TABLE per
+  segment, built lazily like wildcard's term_stats_rev: every
+  dictionary term is expanded to its delete variants of up to
+  ``max_dist`` characters and written as (dkey, term, df) SORTED by
+  dkey (``ensure_deletes_dict``).  A query generates the probe's own
+  delete variants driver-side (≤ ~1 + L + L(L-1)/2 keys for
+  max_dist=2) and reads the table with a pushed-down ``dkey IN
+  (...)`` — parquet min/max skips every file outside the probed key
+  range, so per-query cost tracks the CANDIDATE count, not the
+  vocabulary.  The SymSpell completeness property (lev(a, b) ≤ d ⟹
+  deletes≤d(a) ∩ deletes≤d(b) ≠ ∅) makes the candidate set a
+  superset of the true expansion; exact Levenshtein verification
+  driver-side then yields BIT-IDENTICAL expansions to the scan path
+  (pinned in tests/test_fuzzy.py).  Index size: Σ_terms O(L²) rows of
+  (short string, term, df) — flat parquet, one build shuffle, and the
+  10^8-vocabulary path the r3 verdict asked for.
+
+Scoring is the unchanged packed path either way.
 """
 
 from __future__ import annotations
@@ -114,6 +134,126 @@ def fuzzy_expand(
     return qtf, dfs
 
 
+DELETES_DICT_NAME = "term_deletes"
+
+
+def _delete_variants_col(col):
+    """array<string> of all distinct single-character deletions of
+    ``col`` — pure Catalyst (transform over a position sequence).
+    Empty input yields an empty array (sequence(1, 0) would count
+    DOWN in Spark, so the guard is load-bearing)."""
+    one = F.lit(1)
+    return F.when(F.length(col) > 0, F.array_distinct(
+        F.transform(
+            F.sequence(one, F.length(col)),
+            lambda i: F.concat(
+                col.substr(one, i - one),
+                col.substr(i + one, F.length(col)),
+            ),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def probe_delete_keys(word: str, max_dist: int) -> set[str]:
+    """The probe's own delete variants (depth ≤ max_dist), word
+    included — driver-side, O(L^max_dist) strings for one query
+    token."""
+    keys = {word}
+    frontier = {word}
+    for _ in range(max_dist):
+        nxt: set[str] = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1:])
+        frontier = nxt - keys
+        keys |= nxt
+    return keys
+
+
+def ensure_deletes_dict(
+    spark: SparkSession, pidx: PackedIndex, max_dist: int = 2
+) -> DataFrame:
+    """The SymSpell deletion-variant dictionary (module docstring):
+    (dkey, term, df) — every dictionary term keyed by each of its
+    delete variants of up to ``max_dist`` characters, written SORTED
+    by dkey so a ``dkey IN (...)`` probe is file-skip cheap.  A
+    vocabulary × O(L²) one-off job per segment, materialized on first
+    symspell query (idempotent; segments are immutable once built)."""
+    import os
+
+    from ics_search_engine_spark.sources import catalog
+
+    path = f"{pidx.path}/{DELETES_DICT_NAME}_d{max_dist}"
+    if not os.path.exists(path):
+        lvl = pidx.term_stats.select(
+            "term", "df", F.col("term").alias("dkey")
+        )
+        frames = [lvl]
+        for _ in range(max_dist):
+            lvl = (
+                lvl.select(
+                    "term", "df",
+                    F.explode(
+                        _delete_variants_col(F.col("dkey"))
+                    ).alias("dkey"),
+                )
+                .dropDuplicates(["term", "dkey"])
+            )
+            frames.append(lvl)
+        allv = frames[0]
+        for fr in frames[1:]:
+            allv = allv.unionByName(fr)
+        allv = allv.dropDuplicates(["term", "dkey"]).select(
+            "dkey", "term", "df"
+        )
+        n_parts = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4,
+            4,
+        )
+        catalog.write_table(
+            allv, path,
+            sort_cols=["dkey"], hash_col="dkey", n_partitions=n_parts,
+        )
+    return catalog.read_table(spark, path)
+
+
+def fuzzy_expand_symspell(
+    spark: SparkSession,
+    pidx: PackedIndex,
+    probes: dict[str, int],
+    max_dist: int = 2,
+    max_matches: int = 8,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """SymSpell expansion — same (term -> qtf, term -> df) contract
+    and BIT-IDENTICAL output to ``fuzzy_expand``: pushed-down
+    ``dkey IN`` candidate fetch, exact Levenshtein verification
+    driver-side, same ``select_matches`` rule."""
+    if not probes:
+        return {}, {}
+    deletes = ensure_deletes_dict(spark, pidx, max_dist)
+    all_keys: set[str] = set()
+    for p in probes:
+        all_keys |= probe_delete_keys(p, max_dist)
+    cand_rows = (
+        deletes.filter(F.col("dkey").isin(sorted(all_keys)))
+        .select("term", "df")
+        .distinct()
+        .collect()
+    )
+    qtf: dict[str, int] = {}
+    dfs: dict[str, int] = {}
+    for p in sorted(probes):
+        cands = []
+        for r in cand_rows:
+            d = edit_distance(p, r["term"])
+            if d <= max_dist:
+                cands.append((r["term"], int(r["df"]), d))
+        for t, d in select_matches(cands, max_matches):
+            qtf[t] = qtf.get(t, 0) + probes[p]
+            dfs[t] = d
+    return qtf, dfs
+
+
 def bm25_topk_fuzzy(
     spark: SparkSession,
     pidx: PackedIndex,
@@ -121,8 +261,14 @@ def bm25_topk_fuzzy(
     k: int = 10,
     max_dist: int = 2,
     max_matches: int = 8,
+    expander: str = "scan",
 ) -> DataFrame:
-    """Fuzzy top-k BM25 → (conv_id, turn_idx, score)."""
+    """Fuzzy top-k BM25 → (conv_id, turn_idx, score).  ``expander`` ∈
+    {'scan', 'symspell'} — identical results; symspell builds/reuses
+    the per-segment deletion dictionary and scales to vocabularies a
+    per-query scan cannot (module docstring)."""
+    if expander not in ("scan", "symspell"):
+        raise ValueError(f"unknown expander {expander!r}")
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
     )
@@ -130,7 +276,12 @@ def bm25_topk_fuzzy(
     probes: dict[str, int] = {}
     for t in tokenize(query, for_query=True, do_stem=do_stem):
         probes[t] = probes.get(t, 0) + 1
-    qtf, term_df = fuzzy_expand(pidx, probes, max_dist, max_matches)
+    if expander == "symspell":
+        qtf, term_df = fuzzy_expand_symspell(
+            spark, pidx, probes, max_dist, max_matches
+        )
+    else:
+        qtf, term_df = fuzzy_expand(pidx, probes, max_dist, max_matches)
     weights = idf_weights(qtf, term_df, pidx.n_docs)
     if not weights:
         return empty

@@ -117,3 +117,102 @@ class TestFuzzySearch:
             [("heavy", 1000, 2), ("close", 3, 1), ("tie", 3, 1)], 2
         )
         assert sel == [("close", 3), ("tie", 3)]
+
+
+class TestSymSpell:
+    """The deletion-index expander must be BIT-IDENTICAL to the scan
+    expander (SymSpell candidates are a superset; exact verification
+    trims) and its probe must push down on the sorted dkey table."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, spark, small_df, small_rows, corpus_dir):
+        out = f"{corpus_dir}/symspell_idx"
+        build_packed_index(spark, small_df, out, range_bits=9)
+        return PackedIndex(spark, out), small_rows
+
+    def test_probe_delete_keys(self):
+        from ics_search_engine_spark.operators.fuzzy import (
+            probe_delete_keys,
+        )
+
+        assert probe_delete_keys("ab", 1) == {"ab", "a", "b"}
+        assert probe_delete_keys("ab", 2) == {"ab", "a", "b", ""}
+        assert probe_delete_keys("abc", 2) == {
+            "abc", "ab", "ac", "bc", "a", "b", "c"
+        }
+        # depth 0: the word itself
+        assert probe_delete_keys("x", 0) == {"x"}
+
+    def test_expansion_bit_identical_to_scan(self, spark, setup):
+        from ics_search_engine_spark.operators.fuzzy import (
+            fuzzy_expand,
+            fuzzy_expand_symspell,
+        )
+
+        pidx, _ = setup
+        for q in QUERIES + ["a", "ab", "machinz learnz zzz"]:
+            probes: dict[str, int] = {}
+            for t in tokenize(q, for_query=True):
+                probes[t] = probes.get(t, 0) + 1
+            want = fuzzy_expand(pidx, probes, 2, 8)
+            got = fuzzy_expand_symspell(spark, pidx, probes, 2, 8)
+            assert got == want, q
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_topk_identical_to_scan(self, spark, setup, q):
+        pidx, _ = setup
+        want = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_fuzzy(spark, pidx, q, k=10).collect()
+        ]
+        got = [
+            (r["conv_id"], r["turn_idx"], r["score"])
+            for r in bm25_topk_fuzzy(
+                spark, pidx, q, k=10, expander="symspell"
+            ).collect()
+        ]
+        assert got == want, q
+
+    def test_dkey_probe_pushes_down(self, spark, setup):
+        from ics_search_engine_spark.operators.fuzzy import (
+            ensure_deletes_dict,
+            probe_delete_keys,
+        )
+        import pyspark.sql.functions as F
+
+        pidx, _ = setup
+        deletes = ensure_deletes_dict(spark, pidx, 2)
+        keys = sorted(probe_delete_keys("machne", 2))
+        plan = (
+            deletes.filter(F.col("dkey").isin(keys))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PushedFilters" in plan and "dkey" in plan, plan
+
+    def test_deletes_dict_is_idempotent(self, spark, setup):
+        import os
+
+        from ics_search_engine_spark.operators.fuzzy import (
+            DELETES_DICT_NAME,
+            ensure_deletes_dict,
+        )
+
+        pidx, _ = setup
+        d1 = ensure_deletes_dict(spark, pidx, 2)
+        path = f"{pidx.path}/{DELETES_DICT_NAME}_d2"
+        mtime = max(
+            os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        )
+        d2 = ensure_deletes_dict(spark, pidx, 2)
+        mtime2 = max(
+            os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+        )
+        assert mtime == mtime2
+        assert d1.count() == d2.count()
+
+    def test_bad_expander_raises(self, spark, setup):
+        pidx, _ = setup
+        with pytest.raises(ValueError):
+            bm25_topk_fuzzy(spark, pidx, "x", expander="wat")

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ics_search_engine_spark.operators.graphann import (
     LocalGraphSearcher,
+    build_graph_index,
     init_random_graph,
     nn_descent,
 )
@@ -173,3 +174,60 @@ class TestAlphaPrune:
             alpha_prune(g, emb, degree=0)
         with pytest.raises(ValueError):
             alpha_prune(g, emb, degree=4, alpha=0.5)
+
+
+class TestGraphIndexArtifact:
+    """build_graph_index → LocalGraphSearcher.from_index must serve
+    IDENTICAL results to the collect-based searcher over the same
+    frames (the r3 verdict's missing serving artifact)."""
+
+    @pytest.fixture(scope="class")
+    def built(self, spark, emb, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("gidx"))
+        meta = build_graph_index(spark, emb, out, k=5, iters=2, seed=7)
+        return out, meta
+
+    def test_meta(self, built, emb):
+        out, meta = built
+        assert meta["n_vectors"] == emb.count()
+        assert meta["dim"] == DIM
+        assert meta["n_edges"] > 0
+        assert meta["degree"] is None
+
+    def test_from_index_matches_collect_searcher(self, spark, emb, built):
+        out, _ = built
+        g = nn_descent(emb, k=5, iters=2, seed=7)
+        ref = LocalGraphSearcher(emb, g)
+        srv = LocalGraphSearcher.from_index(out)
+        assert np.array_equal(srv.ids, ref.ids)
+        assert srv.adj == ref.adj
+        for qv in ([1.0] * DIM, [0.5, -1.0] * (DIM // 2)):
+            q = list(np.asarray(qv, dtype=np.float64))
+            assert srv.search(q, k=4, ef=20) == ref.search(q, k=4, ef=20)
+
+    def test_pruned_artifact(self, spark, emb, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("gidx_pruned"))
+        meta = build_graph_index(
+            spark, emb, out, k=5, iters=1, seed=7, degree=3, alpha=1.2
+        )
+        srv = LocalGraphSearcher.from_index(out)
+        assert meta["degree"] == 3
+        assert all(len(v) <= 3 for v in srv.adj.values())
+        assert srv.search([1.0] * DIM, k=3, ef=30)
+
+    def test_empty_raises(self, spark, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("gidx_empty"))
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            build_graph_index(spark, empty, out, k=3)
+
+
+class TestInitGuards:
+    def test_single_vector_raises(self, spark):
+        one = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError):
+            init_random_graph(one, k=2)
