@@ -1455,6 +1455,56 @@ def q_spell_suggest_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spell_suggest_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell suggestion through the SymSpell deletion-index expander
+    (operators/spell.suggest_terms(expander='symspell'), sharing
+    operators/fuzzy.ensure_deletes_dict): candidates come from a
+    pushed-down ``dkey IN`` over the deletion dictionary + exact
+    Levenshtein verification — selection identical to the scan, so the
+    gate reuses spell_suggest_engine's oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.spell import suggest_terms
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_spellsym_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        probes = ["join", "sparkk", "strem", "zzzzzzqq"]
+        rows = suggest_terms(
+            spark, pidx, probes, expander="symspell"
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    fixed = [
+        (
+            r["token"],
+            r["suggestion"],
+            int(r["dist"]) if r["dist"] is not None else -1,
+            int(r["df"]) if r["df"] is not None else -1,
+        )
+        for r in rows
+    ]
+    fixed.sort()
+    return spark.createDataFrame(
+        fixed, "token string, suggestion string, dist int, df long"
+    )
+
+
 _SQL_SPELL_SUGGEST = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 vocab AS (
@@ -12047,6 +12097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_wildcard_engine": q_bm25_wildcard_engine,
     "bm25_suffix_engine": q_bm25_suffix_engine,
     "spell_suggest_engine": q_spell_suggest_engine,
+    "spell_suggest_symspell": q_spell_suggest_symspell,
     "lmd_engine_packed": q_lmd_engine_packed,
     "bm25_synonyms_engine": q_bm25_synonyms_engine,
     "bm25_prf_engine": q_bm25_prf_engine,
@@ -12270,6 +12321,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_wildcard_engine": _SQL_BM25_WILDCARD,
     "bm25_suffix_engine": _SQL_BM25_SUFFIX,
     "spell_suggest_engine": _SQL_SPELL_SUGGEST,
+    "spell_suggest_symspell": _SQL_SPELL_SUGGEST,
     "lmd_engine_packed": _SQL_LMD_ENGINE,
     "bm25_synonyms_engine": _SQL_BM25_SYNONYMS,
     "bm25_prf_engine": _SQL_BM25_PRF,

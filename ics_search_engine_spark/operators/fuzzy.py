@@ -154,6 +154,24 @@ def _delete_variants_col(col):
     )).otherwise(F.array().cast("array<string>"))
 
 
+def _deletes_upto_col(col, max_dist: int):
+    """array<string> of ALL delete variants of ``col`` up to depth
+    ``max_dist``, the string itself included — one nested Catalyst
+    expression, NO shuffle: each depth maps over the previous depth's
+    array and the per-term array_distinct guarantees (term, dkey)
+    uniqueness without any dedup exchange (a per-level
+    explode+dropDuplicates costs one vocabulary×L shuffle per depth —
+    measured and removed)."""
+    levels = [F.array(col)]
+    cur = F.array(col)
+    for _ in range(max_dist):
+        cur = F.array_distinct(
+            F.flatten(F.transform(cur, _delete_variants_col))
+        )
+        levels.append(cur)
+    return F.array_distinct(F.concat(*levels))
+
+
 def probe_delete_keys(word: str, max_dist: int) -> set[str]:
     """The probe's own delete variants (depth ≤ max_dist), word
     included — driver-side, O(L^max_dist) strings for one query
@@ -185,26 +203,14 @@ def ensure_deletes_dict(
 
     path = f"{pidx.path}/{DELETES_DICT_NAME}_d{max_dist}"
     if not os.path.exists(path):
-        lvl = pidx.term_stats.select(
-            "term", "df", F.col("term").alias("dkey")
-        )
-        frames = [lvl]
-        for _ in range(max_dist):
-            lvl = (
-                lvl.select(
-                    "term", "df",
-                    F.explode(
-                        _delete_variants_col(F.col("dkey"))
-                    ).alias("dkey"),
-                )
-                .dropDuplicates(["term", "dkey"])
+        allv = (
+            pidx.term_stats.select(
+                "term", "df",
+                F.explode(
+                    _deletes_upto_col(F.col("term"), max_dist)
+                ).alias("dkey"),
             )
-            frames.append(lvl)
-        allv = frames[0]
-        for fr in frames[1:]:
-            allv = allv.unionByName(fr)
-        allv = allv.dropDuplicates(["term", "dkey"]).select(
-            "dkey", "term", "df"
+            .select("dkey", "term", "df")
         )
         n_parts = max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4,
@@ -234,12 +240,25 @@ def fuzzy_expand_symspell(
     all_keys: set[str] = set()
     for p in probes:
         all_keys |= probe_delete_keys(p, max_dist)
-    cand_rows = (
-        deletes.filter(F.col("dkey").isin(sorted(all_keys)))
-        .select("term", "df")
-        .distinct()
-        .collect()
-    )
+    # a max_dist=2 probe set easily exceeds the default parquet
+    # In-pushdown threshold (10), which would degrade the pushed
+    # filter to the set's min/max RANGE — raise it for this job so
+    # every key prunes row groups individually (scoped + restored)
+    conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(max(len(all_keys), 10)))
+    try:
+        cand_rows = (
+            deletes.filter(F.col("dkey").isin(sorted(all_keys)))
+            .select("term", "df")
+            .distinct()
+            .collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
     qtf: dict[str, int] = {}
     dfs: dict[str, int] = {}
     for p in sorted(probes):

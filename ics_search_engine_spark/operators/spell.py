@@ -45,6 +45,7 @@ def suggest_terms(
     probes: list[str],
     max_dist: int = 2,
     mode: str = "always",
+    expander: str = "scan",
 ) -> DataFrame:
     """Best dictionary match per probe → DataFrame(token, suggestion,
     dist, df) ordered by token; unmatched probes keep themselves with
@@ -65,14 +66,67 @@ def suggest_terms(
       ES's "suggest only terms that occur more frequently".
 
     The mode probes' own dfs come from one metadata point lookup
-    (df_for_terms), not a second vocabulary scan."""
+    (df_for_terms), not a second vocabulary scan.
+
+    ``expander`` ∈ {'scan', 'symspell'} — identical results.
+    'symspell' replaces the per-probe vocabulary branches with ONE
+    pushed-down ``dkey IN`` fetch over the deletion-variant dictionary
+    (operators/fuzzy.ensure_deletes_dict) + exact Levenshtein
+    verification driver-side; the 10^8-vocabulary path, shared with
+    fuzzy search."""
     out_schema = "token string, suggestion string, dist int, df long"
+    if expander not in ("scan", "symspell"):
+        raise ValueError(f"unknown expander {expander!r}")
     uniq = sorted(set(probes))
     if not uniq:
         return spark.createDataFrame([], out_schema)
     own_df: dict[str, int] = {}
     if mode in ("missing", "popular"):
         own_df = pidx.df_for_terms(uniq)
+    if expander == "symspell":
+        from ics_search_engine_spark.operators.fuzzy import (
+            edit_distance,
+            ensure_deletes_dict,
+            probe_delete_keys,
+        )
+
+        scanning = [
+            p for p in uniq
+            if not (mode == "missing" and own_df.get(p, 0) > 0)
+        ]
+        cand_rows = []
+        if scanning:
+            deletes = ensure_deletes_dict(spark, pidx, max_dist)
+            all_keys: set[str] = set()
+            for p in scanning:
+                all_keys |= probe_delete_keys(p, max_dist)
+            cand_rows = (
+                deletes.filter(F.col("dkey").isin(sorted(all_keys)))
+                .select("term", "df")
+                .distinct()
+                .collect()
+            )
+        rows = []
+        for p in uniq:
+            if mode == "missing" and own_df.get(p, 0) > 0:
+                rows.append((p, p, 0, int(own_df[p])))
+                continue
+            cands = []
+            for r in cand_rows:
+                d = edit_distance(p, r["term"])
+                if d > max_dist:
+                    continue
+                if mode == "popular" and (
+                    d < 1 or int(r["df"]) <= int(own_df.get(p, 0))
+                ):
+                    continue
+                cands.append((d, -int(r["df"]), r["term"]))
+            if cands:
+                d, negdf, t = min(cands)
+                rows.append((p, t, int(d), int(-negdf)))
+            else:
+                rows.append((p, p, None, None))
+        return spark.createDataFrame(rows, out_schema)
     self_rows: list[tuple] = []
     branches = None
     for p in uniq:

@@ -265,3 +265,37 @@ class TestPhraseSuggest:
         # both tokens OOV: one floor-scored passthrough phrase
         assert len(rows) == 1
         assert rows[0]["suggestion"] == "qqqzzzxxxy wwwvvvuuut"
+
+
+class TestSymSpellExpander:
+    """suggest_terms(expander='symspell') must equal the scan expander
+    row-for-row in every suggest_mode — the shared deletion-index path
+    (operators/fuzzy.ensure_deletes_dict)."""
+
+    PROBES = ["machin", "machne", "learnin", "reserch", "zzzzzzqq"]
+
+    @pytest.mark.parametrize("mode", ["always", "missing", "popular"])
+    def test_identical_to_scan(self, spark, setup, mode):
+        pidx, _ = setup
+        want = sorted(
+            tuple(r) for r in suggest_terms(
+                spark, pidx, self.PROBES, mode=mode
+            ).collect()
+        )
+        got = sorted(
+            tuple(r) for r in suggest_terms(
+                spark, pidx, self.PROBES, mode=mode, expander="symspell"
+            ).collect()
+        )
+        assert got == want, mode
+
+    def test_empty_probes(self, spark, setup):
+        pidx, _ = setup
+        assert suggest_terms(
+            spark, pidx, [], expander="symspell"
+        ).count() == 0
+
+    def test_bad_expander(self, spark, setup):
+        pidx, _ = setup
+        with pytest.raises(ValueError):
+            suggest_terms(spark, pidx, ["x"], expander="wat")

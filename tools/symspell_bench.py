@@ -1,18 +1,20 @@
-"""Fuzzy-expansion scale bench: per-query cost of the vocabulary SCAN
-vs the SymSpell DELETION-INDEX probe at a large synthetic vocabulary.
+"""Fuzzy-expansion scale bench: vocabulary SCAN vs SymSpell
+DELETION-INDEX probe across growing vocabularies.
 
-The deletion index is the 10^8-vocabulary path (operators/fuzzy module
-docstring): the scan is linear in the vocabulary per query; the
-deletes probe is a pushed-down ``dkey IN`` whose cost tracks the
-candidate count.  Both must produce bit-identical expansions (pinned
-here on every probe, plus tests/test_fuzzy.py).
+What it demonstrates: per-query scan cost is LINEAR in the vocabulary
+(every term's Levenshtein is computed); the deletes probe is a
+pushed-down ``dkey IN`` whose touched-row count tracks the CANDIDATE
+set, so its per-query cost stays ~flat as the vocabulary grows.  On
+this host both paths sit on the ~0.4 s local-mode job-scheduling floor
+at small vocabularies — the signal is the TREND, not a single pair.
+Expansions are asserted bit-identical on every probe (plus
+tests/test_fuzzy.py).
 
-Usage: python tools/symspell_bench.py [n_terms] [cpus]
+Usage: python tools/symspell_bench.py [cpus] [vocabs_csv]
 Prints one JSON line.
 """
 
 import json
-import os
 import shutil
 import sys
 import tempfile
@@ -36,8 +38,11 @@ class _TermStatsShim:
 
 
 def main() -> None:
-    n_terms = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    vocabs = (
+        [int(x) for x in sys.argv[2].split(",")]
+        if len(sys.argv) > 2 else [500_000, 2_000_000, 8_000_000]
+    )
 
     from ics_search_engine_spark.operators.fuzzy import (
         ensure_deletes_dict,
@@ -51,73 +56,70 @@ def main() -> None:
         "symspell-bench", master=f"local[{cpus}]",
         shuffle_partitions=8 * cpus,
     )
-    root = tempfile.mkdtemp(prefix="symspell_bench_")
-    try:
-        # deterministic pseudo-word vocabulary: 5-14 lowercase chars
-        # derived from md5 of the id -> realistic length mix, unique
-        terms = (
-            spark.range(n_terms)
-            .select(
-                F.concat(
-                    F.lit("t"),
-                    F.substring(
-                        F.regexp_replace(
-                            F.md5(F.col("id").cast("string")), "[0-9]", ""
-                        ), 1, 4 + (F.col("id") % 10).cast("int"),
-                    ),
-                    F.col("id").cast("string"),
-                ).alias("term"),
-                (F.col("id") % 997 + 1).cast("long").alias("df"),
+    results = []
+    for n_terms in vocabs:
+        root = tempfile.mkdtemp(prefix=f"symspell_bench_{n_terms}_")
+        try:
+            terms = (
+                spark.range(n_terms)
+                .select(
+                    F.concat(
+                        F.lit("t"),
+                        F.substring(
+                            F.regexp_replace(
+                                F.md5(F.col("id").cast("string")),
+                                "[0-9]", "",
+                            ), 1, 4 + (F.col("id") % 10).cast("int"),
+                        ),
+                        F.col("id").cast("string"),
+                    ).alias("term"),
+                    (F.col("id") % 997 + 1).cast("long").alias("df"),
+                )
             )
-        )
-        catalog.write_table(
-            terms, f"{root}/term_stats", sort_cols=["term"],
-            hash_col="term", n_partitions=max(cpus // 2, 4),
-        )
-        pidx = _TermStatsShim(spark, root)
+            catalog.write_table(
+                terms, f"{root}/term_stats", sort_cols=["term"],
+                hash_col="term", n_partitions=max(cpus // 2, 4),
+            )
+            pidx = _TermStatsShim(spark, root)
 
-        t0 = time.time()
-        deletes = ensure_deletes_dict(spark, pidx, max_dist=2)
-        n_delete_rows = deletes.count()
-        build_s = time.time() - t0
-
-        probe_rows = pidx.term_stats.limit(40).collect()
-        # misspell every probe: drop one char, swap two others' case
-        # region (stay lowercase: drop + duplicate)
-        probes = []
-        for r in probe_rows[:8]:
-            t = r["term"]
-            probes.append(t[: len(t) // 2] + t[len(t) // 2 + 1:])
-
-        def timed(fn, *a):
             t0 = time.time()
-            out = fn(*a)
-            return out, time.time() - t0
+            deletes = ensure_deletes_dict(spark, pidx, max_dist=2)
+            n_delete_rows = deletes.count()
+            build_s = time.time() - t0
 
-        scan_s, sym_s, identical = [], [], True
-        for p in probes:
-            want, ts = timed(fuzzy_expand, pidx, {p: 1}, 2, 8)
-            got, ty = timed(
-                fuzzy_expand_symspell, spark, pidx, {p: 1}, 2, 8
-            )
-            scan_s.append(ts)
-            sym_s.append(ty)
-            identical = identical and (got == want)
+            probe_rows = pidx.term_stats.limit(8).collect()
+            probes = []
+            for r in probe_rows:
+                t = r["term"]
+                probes.append(t[: len(t) // 2] + t[len(t) // 2 + 1:])
 
-        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
-        print(json.dumps({
-            "metric": "fuzzy expansion p50 per-query seconds",
-            "n_terms": n_terms,
-            "cpus": cpus,
-            "deletes_rows": n_delete_rows,
-            "deletes_build_sec": round(build_s, 2),
-            "scan_p50_sec": round(med(scan_s), 3),
-            "symspell_p50_sec": round(med(sym_s), 3),
-            "speedup": round(med(scan_s) / max(med(sym_s), 1e-9), 1),
-            "expansions_identical": identical,
-        }))
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+            scan_s, sym_s, identical = [], [], True
+            for p in probes:
+                t0 = time.time()
+                want = fuzzy_expand(pidx, {p: 1}, 2, 8)
+                scan_s.append(time.time() - t0)
+                t0 = time.time()
+                got = fuzzy_expand_symspell(spark, pidx, {p: 1}, 2, 8)
+                sym_s.append(time.time() - t0)
+                identical = identical and (got == want)
+
+            med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+            results.append({
+                "n_terms": n_terms,
+                "deletes_rows": n_delete_rows,
+                "deletes_build_sec": round(build_s, 1),
+                "scan_p50_sec": round(med(scan_s), 3),
+                "symspell_p50_sec": round(med(sym_s), 3),
+                "expansions_identical": identical,
+            })
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "fuzzy expansion p50 per-query seconds by vocabulary",
+        "cpus": cpus,
+        "series": results,
+    }))
 
 
 if __name__ == "__main__":
