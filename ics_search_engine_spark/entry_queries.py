@@ -9786,6 +9786,45 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity filter (operators/textstats.
+    bigram_logprob): per-doc mean NLL under the corpus's own
+    Laplace-smoothed bigram model — P(w2|w1) = (c12+1)/(c1+V), doc's
+    first token under the unigram model.  The order-2 sibling of
+    unigram_nll: rare TRANSITIONS score high even when the vocabulary
+    is common (shuffled/boilerplate text)."""
+    from ics_search_engine_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_SQL_BIGRAM_NLL = f"""
+WITH d0 AS (SELECT doc_id, {_SQL_TOKS0} AS toks FROM documents),
+d AS (SELECT * FROM d0 WHERE len(toks) > 0),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+m AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+consts AS (SELECT sum(tf)::DOUBLE AS n, count(*)::DOUBLE AS v FROM m),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM d
+  )
+),
+bm AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+bi AS (
+  SELECT p.doc_id, -ln((bm.c12 + 1.0) / (m.tf + 1.0 * c.v)) AS nll
+  FROM pairs p JOIN bm USING (w1, w2) JOIN m ON m.term = p.w1
+  CROSS JOIN consts c
+),
+fst AS (
+  SELECT d.doc_id, -ln(m.tf / c.n) AS nll
+  FROM d JOIN m ON m.term = toks[1] CROSS JOIN consts c
+),
+u AS (SELECT * FROM bi UNION ALL SELECT * FROM fst)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS mean_nll_r6
+FROM u GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_mix_sources_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted mixing with upsampling (operators/datapipe.
     mix_sources_budget): 2:1 de:zh at a 300-row budget — both sides
@@ -12270,6 +12309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_change_point": q_esql_change_point,
     "repetition_signals": q_repetition_signals,
     "unigram_nll": q_unigram_nll,
+    "bigram_nll": q_bigram_nll,
     "mix_sources_epochs": q_mix_sources_epochs,
     "pack_bins_ffd": q_pack_bins_ffd,
     "dedup_lines": q_dedup_lines,
@@ -12501,6 +12541,7 @@ ORACLE_SQL: dict[str, str] = {
     "esql_change_point": _SQL_CHANGE_POINT,
     "repetition_signals": _SQL_REPETITION_SIGNALS,
     "unigram_nll": _SQL_UNIGRAM_NLL,
+    "bigram_nll": _SQL_BIGRAM_NLL,
     "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
     # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
     # design; invariants are pytest-pinned (tests/test_datapipe.py)

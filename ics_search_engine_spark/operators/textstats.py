@@ -273,6 +273,92 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean BIGRAM negative log-likelihood under the
+    corpus's own additively-smoothed bigram model — the LM-perplexity
+    quality filter at the order CCNet actually uses context for
+    (unigram_logprob is the order-1 sibling; with no external LM
+    in-sandbox the corpus self-model is the deterministic stand-in):
+
+        P(w2 | w1) = (c(w1 w2) + α) / (c(w1) + α·V)
+        P(w1)      = tf(w1) / N          (first token of the doc)
+        nll(d)     = (1/|d|) [ -ln P(t1) + Σ_{i≥2} -ln P(t_i|t_{i-1}) ]
+
+    where V = |distinct unigrams| and N = total tokens.  Low = common
+    word SEQUENCES (fluent text), high = rare transitions (shuffled /
+    boilerplate / noisy text that a unigram model cannot tell apart
+    from fluent text with the same vocabulary).
+
+    Plan: bigram pairs come from the token ARRAY map-side
+    (arrays_zip of two slices — no window, no self-join); the bigram
+    and unigram models are one (w1, w2) and one (term) aggregation;
+    scoring is two term-keyed joins + one doc-keyed aggregation —
+    every exchange key is a term or the doc id, the postings-build
+    shape.  V and N ride in as a broadcast one-row frame.  Empty docs
+    are dropped; single-token docs score on the unigram term alone.
+    """
+    toks = _toks(text_col)
+    base = docs.select(id_col, toks.alias("_t")).filter(F.size("_t") > 0)
+
+    uni = base.select(id_col, F.explode("_t").alias("term"))
+    uni_model = uni.groupBy("term").agg(F.count("*").alias("tf"))
+    consts = uni_model.agg(
+        F.sum("tf").cast("double").alias("_n"),
+        F.count("*").cast("double").alias("_v"),
+    )
+
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("w1"),
+                F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi_model = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    w1_counts = uni_model.select(
+        F.col("term").alias("w1"), F.col("tf").alias("c1")
+    )
+
+    bi_nll = (
+        pairs.join(bi_model, ["w1", "w2"])
+        .join(w1_counts, "w1")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            id_col,
+            (-F.log(
+                (F.col("c12") + F.lit(float(alpha)))
+                / (F.col("c1") + F.lit(float(alpha)) * F.col("_v"))
+            )).alias("nll"),
+        )
+    )
+    first_nll = (
+        base.select(id_col, F.element_at("_t", 1).alias("term"))
+        .join(uni_model, "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            id_col,
+            (-F.log(F.col("tf").cast("double") / F.col("_n"))).alias(
+                "nll"
+            ),
+        )
+    )
+    return (
+        bi_nll.unionByName(first_nll)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("mean_nll_r6"),
+        )
+    )
+
+
 def rolling_fingerprint(transcripts: DataFrame, n: int = 3) -> DataFrame:
     """Min 32-bit hash over n-token shingles per turn (rolling-hash
     document fingerprint; shared family with entry_queries

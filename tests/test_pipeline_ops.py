@@ -1083,6 +1083,51 @@ class TestUnigramLogprob:
         assert out[99] > out[0]
 
 
+class TestBigramLogprob:
+    def test_matches_manual_model(self, spark):
+        import math
+
+        from ics_search_engine_spark.operators.textstats import (
+            bigram_logprob,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in bigram_logprob(docs).collect()}
+        # unigrams: a x3, b x2 -> N=5, V=2
+        # bigrams in corpus: (a,b) x2, (b,a) x1
+        n, v = 5.0, 2.0
+        p_ab = (2 + 1) / (3 + v)     # c(a,b)=2, c(a)=3
+        p_ba = (1 + 1) / (2 + v)     # c(b,a)=1, c(b)=2
+        d1 = (-math.log(3 / n)              # first token 'a'
+              - math.log(p_ab) - math.log(p_ba) - math.log(p_ab)) / 4
+        d2 = -math.log(3 / n) / 1           # single-token doc
+        assert out[1]["mean_nll_r6"] == round(d1, 6)
+        assert out[1]["n_tokens"] == 4
+        assert out[2]["mean_nll_r6"] == round(d2, 6)
+        assert 3 not in out  # empty doc dropped
+
+    def test_shuffled_transitions_score_above_fluent(self, spark):
+        """The order-2 property unigram NLL cannot see: same
+        vocabulary, scrambled word ORDER -> rarer transitions ->
+        higher bigram NLL."""
+        from ics_search_engine_spark.operators.textstats import (
+            bigram_logprob,
+            unigram_logprob,
+        )
+
+        fluent = "the cat sat on the mat"
+        rows = [(i, fluent) for i in range(20)]
+        rows.append((99, "mat the on sat cat the"))  # same bag, shuffled
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bi = {r["doc_id"]: r["mean_nll_r6"] for r in bigram_logprob(docs).collect()}
+        uni = {r["doc_id"]: r["mean_nll_r6"] for r in unigram_logprob(docs).collect()}
+        assert bi[99] > bi[0]
+        assert uni[99] == uni[0]  # unigram is blind to order
+
+
 class TestScrubPii:
     def test_counts_and_replacements(self, spark):
         from ics_search_engine_spark.operators.textstats import scrub_pii
