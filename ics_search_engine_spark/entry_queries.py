@@ -9825,6 +9825,64 @@ FROM u GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/datapipe.dsir_log_weights,
+    Xie et al. 2023 hashed-n-gram importance resampling): every raw
+    doc scored by Σ [ln p_target(bucket) − ln p_raw(bucket)] over its
+    hashed unigram+bigram features — target = the corpus's English
+    slice, so en-looking docs weigh high.  512 buckets force real
+    hash collisions through both engines' identical md5_32 % B."""
+    from ics_search_engine_spark.operators.datapipe import (
+        dsir_log_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=512
+    ).orderBy("doc_id")
+
+
+_SQL_DSIR = f"""
+WITH raw0 AS (SELECT doc_id, lang, {_SQL_TOKS0} AS toks FROM documents),
+raw AS (SELECT * FROM raw0 WHERE len(toks) > 0),
+tgt AS (SELECT * FROM raw WHERE lang = 'en'),
+rfe AS (
+  SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 512 AS bucket
+  FROM (
+    SELECT doc_id, unnest(toks) AS f FROM raw
+    UNION ALL
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f FROM (
+      SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM raw)
+  )
+),
+tfe AS (
+  SELECT ('0x' || substr(md5(f), 1, 8))::BIGINT % 512 AS bucket
+  FROM (
+    SELECT unnest(toks) AS f FROM tgt
+    UNION ALL
+    SELECT toks[i] || ' ' || toks[i + 1] AS f FROM (
+      SELECT toks, unnest(range(1, len(toks))) AS i FROM tgt)
+  )
+),
+rm AS (SELECT bucket, count(*) AS c FROM rfe GROUP BY bucket),
+rn AS (SELECT sum(c)::DOUBLE AS n FROM rm),
+tm AS (SELECT bucket, count(*) AS c FROM tfe GROUP BY bucket),
+tn AS (SELECT count(*)::DOUBLE AS n FROM tfe),
+scored AS (
+  SELECT r.doc_id,
+         coalesce(ln((tm.c + 1.0) / (tn.n + 512.0)),
+                  ln(1.0 / (tn.n + 512.0)))
+         - ln((rm.c + 1.0) / (rn.n + 512.0)) AS llr
+  FROM rfe r
+  JOIN rm USING (bucket)
+  LEFT JOIN tm USING (bucket)
+  CROSS JOIN rn CROSS JOIN tn
+)
+SELECT doc_id, count(*) AS n_feats, round(sum(llr), 6) AS log_weight_r6
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_mix_sources_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted mixing with upsampling (operators/datapipe.
     mix_sources_budget): 2:1 de:zh at a 300-row budget — both sides
@@ -12310,6 +12368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "unigram_nll": q_unigram_nll,
     "bigram_nll": q_bigram_nll,
+    "dsir_weights": q_dsir_weights,
     "mix_sources_epochs": q_mix_sources_epochs,
     "pack_bins_ffd": q_pack_bins_ffd,
     "dedup_lines": q_dedup_lines,
@@ -12542,6 +12601,7 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_signals": _SQL_REPETITION_SIGNALS,
     "unigram_nll": _SQL_UNIGRAM_NLL,
     "bigram_nll": _SQL_BIGRAM_NLL,
+    "dsir_weights": _SQL_DSIR,
     "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
     # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
     # design; invariants are pytest-pinned (tests/test_datapipe.py)

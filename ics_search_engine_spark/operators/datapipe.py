@@ -1095,3 +1095,111 @@ def chunk_manifest(
             ).alias("segments"),
         )
     )
+
+
+# ------------------------------------------------- importance resampling
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — the published
+    hashed-n-gram method): score every RAW document by how much more
+    likely its features are under the TARGET distribution than under
+    the raw distribution,
+
+        log w(d) = Σ_{feature f ∈ d} [ ln p_target(b(f)) − ln p_raw(b(f)) ]
+
+    with features = unigrams ∪ adjacent bigrams hashed into
+    ``n_buckets`` buckets (md5_32 % n_buckets — the repo's shared hash
+    convention) and each bucket distribution Laplace-smoothed with
+    ``alpha``.  High log-weight raw docs "look like" the target
+    domain; downstream selection is Gumbel-top-k over these weights
+    (compose with ``shuffled_head``-style ordering or a threshold
+    filter — the weights are the gate-able core).
+
+    Plan: feature extraction is map-side (explode over the token
+    array + zip of two slices for bigrams); each distribution is ONE
+    (bucket) aggregation — the bucket table is ``n_buckets`` rows, so
+    both models BROADCAST back onto the raw feature stream; the final
+    aggregation is doc-keyed.  No window, no vocabulary-sized join
+    state: the same shape at 10^12 rows.
+
+    Output: (id_col, n_feats, log_weight_r6) — empty/featureless docs
+    are dropped (no features → no evidence)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be positive")
+
+    def feats(df: DataFrame, *keep: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: F.length(x) > 0,
+        )
+        base = df.select(*keep, toks.alias("_t")).filter(F.size("_t") > 0)
+        uni = base.select(*keep, F.explode("_t").alias("f"))
+        bi = base.select(
+            *keep,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("a"),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("b"),
+                )
+            ).alias("p"),
+        ).select(
+            *keep,
+            F.concat_ws(" ", F.col("p.a"), F.col("p.b")).alias("f"),
+        )
+        return uni.unionByName(bi).select(
+            *keep, (md5_32(F.col("f")) % n_buckets).alias("bucket")
+        )
+
+    def model(df: DataFrame, prefix: str):
+        counts = feats(df).groupBy("bucket").agg(
+            F.count("*").alias("c")
+        )
+        total = counts.agg(F.sum("c").cast("double").alias(f"_n_{prefix}"))
+        lp = counts.crossJoin(F.broadcast(total)).select(
+            "bucket",
+            F.log(
+                (F.col("c") + F.lit(float(alpha)))
+                / (F.col(f"_n_{prefix}")
+                   + F.lit(float(alpha) * n_buckets))
+            ).alias(f"lp_{prefix}"),
+        )
+        return lp, total
+
+    t_model, t_total = model(target, "t")
+    r_model, _ = model(raw, "r")
+    doc_feats = feats(raw, id_col)
+    # a raw doc's own features are always in the raw model (lp_r never
+    # null); features unseen in the TARGET take the smoothing floor
+    # ln(alpha / (N_target + alpha·n_buckets))
+    scored = (
+        doc_feats.join(F.broadcast(t_model), "bucket", "left")
+        .join(F.broadcast(r_model), "bucket")
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            id_col,
+            (
+                F.coalesce(
+                    F.col("lp_t"),
+                    F.log(
+                        F.lit(float(alpha))
+                        / (F.col("_n_t")
+                           + F.lit(float(alpha) * n_buckets))
+                    ),
+                )
+                - F.col("lp_r")
+            ).alias("llr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_feats"),
+        F.round(F.sum("llr"), 6).alias("log_weight_r6"),
+    )

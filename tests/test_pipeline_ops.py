@@ -1128,6 +1128,87 @@ class TestBigramLogprob:
         assert uni[99] == uni[0]  # unigram is blind to order
 
 
+class TestDsirWeights:
+    def test_matches_manual_model(self, spark):
+        import math
+
+        from ics_search_engine_spark.operators.datapipe import (
+            dsir_log_weights,
+            md5_32,
+        )
+
+        raw = spark.createDataFrame(
+            [(1, "a b"), (2, "c d"), (3, "")],
+            "doc_id long, text string",
+        )
+        target = spark.createDataFrame(
+            [(10, "a b")], "doc_id long, text string"
+        )
+        B, al = 8, 1.0
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in dsir_log_weights(raw, target, n_buckets=B).collect()
+        }
+        # manual: features of "a b" = {a, b, "a b"}; bucket via md5_32%B
+        import hashlib
+
+        def bucket(f):
+            return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+        r_counts: dict[int, int] = {}
+        for feats in (["a", "b", "a b"], ["c", "d", "c d"]):
+            for f in feats:
+                r_counts[bucket(f)] = r_counts.get(bucket(f), 0) + 1
+        t_counts: dict[int, int] = {}
+        for f in ["a", "b", "a b"]:
+            t_counts[bucket(f)] = t_counts.get(bucket(f), 0) + 1
+        rn = float(sum(r_counts.values()))
+        tn = float(sum(t_counts.values()))
+
+        def llr(f):
+            b = bucket(f)
+            lp_t = math.log(
+                (t_counts.get(b, 0) + al) / (tn + al * B)
+            )
+            lp_r = math.log((r_counts[b] + al) / (rn + al * B))
+            return lp_t - lp_r
+
+        want1 = round(sum(llr(f) for f in ["a", "b", "a b"]), 6)
+        want2 = round(sum(llr(f) for f in ["c", "d", "c d"]), 6)
+        assert out[1]["log_weight_r6"] == want1
+        assert out[2]["log_weight_r6"] == want2
+        assert out[1]["n_feats"] == 3
+        assert 3 not in out  # empty doc dropped
+        # doc 1 IS the target -> must outweigh doc 2
+        assert out[1]["log_weight_r6"] > out[2]["log_weight_r6"]
+
+    def test_target_lookalikes_rank_first(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            dsir_log_weights,
+        )
+
+        raw_rows = [(i, "science research results data") for i in range(5)]
+        raw_rows += [(100 + i, "buy cheap pills now offer") for i in range(5)]
+        raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+        target = spark.createDataFrame(
+            [(0, "science research data analysis")],
+            "doc_id long, text string",
+        )
+        out = dsir_log_weights(raw, target, n_buckets=1024).collect()
+        ranked = sorted(out, key=lambda r: -r["log_weight_r6"])
+        top5 = {r["doc_id"] for r in ranked[:5]}
+        assert top5 == {0, 1, 2, 3, 4}
+
+    def test_bad_buckets(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            dsir_log_weights,
+        )
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dsir_log_weights(docs, docs, n_buckets=0)
+
+
 class TestScrubPii:
     def test_counts_and_replacements(self, spark):
         from ics_search_engine_spark.operators.textstats import scrub_pii
