@@ -9883,6 +9883,37 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step (operators/datapipe.dsir_select): Gumbel
+    top-k over the importance weights — sample-without-replacement
+    with probability proportional to exp(log_weight), the Gumbel noise a
+    deterministic md5 uniform so both engines draw the same sample.
+    Cut on the ROUNDED key (rounded-order convention); plan is a
+    TakeOrderedAndProject."""
+    from ics_search_engine_spark.operators.datapipe import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=512
+    )
+    return dsir_select(w, k=25).orderBy(
+        F.desc("gumbel_key_r6"), F.asc("doc_id")
+    )
+
+
+_SQL_DSIR_SELECT = f"""
+WITH w AS ({_SQL_DSIR})
+SELECT doc_id, n_feats, log_weight_r6,
+       round(log_weight_r6 - ln(-ln(
+         (('0x' || substr(md5(doc_id::VARCHAR || '#dsir0'), 1, 8))::BIGINT
+          + 0.5) / 4294967296.0)), 6) AS gumbel_key_r6
+FROM w ORDER BY gumbel_key_r6 DESC, doc_id ASC LIMIT 25
+"""
+
+
 def q_mix_sources_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted mixing with upsampling (operators/datapipe.
     mix_sources_budget): 2:1 de:zh at a 300-row budget — both sides
@@ -12369,6 +12400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_nll": q_unigram_nll,
     "bigram_nll": q_bigram_nll,
     "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "mix_sources_epochs": q_mix_sources_epochs,
     "pack_bins_ffd": q_pack_bins_ffd,
     "dedup_lines": q_dedup_lines,
@@ -12602,6 +12634,7 @@ ORACLE_SQL: dict[str, str] = {
     "unigram_nll": _SQL_UNIGRAM_NLL,
     "bigram_nll": _SQL_BIGRAM_NLL,
     "dsir_weights": _SQL_DSIR,
+    "dsir_select": _SQL_DSIR_SELECT,
     "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
     # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
     # design; invariants are pytest-pinned (tests/test_datapipe.py)

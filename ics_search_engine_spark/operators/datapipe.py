@@ -1203,3 +1203,38 @@ def dsir_log_weights(
         F.count("*").alias("n_feats"),
         F.round(F.sum("llr"), 6).alias("log_weight_r6"),
     )
+
+
+def dsir_select(
+    weights: DataFrame,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight_r6",
+) -> DataFrame:
+    """Importance RESAMPLING over ``dsir_log_weights`` output — the
+    DSIR paper's selection step: sample ``k`` docs without replacement
+    with probability ∝ exp(log_weight) via the Gumbel-top-k trick,
+
+        key(d) = log_w(d) − ln(−ln u_d),   u_d = (md5_32(d#seed)+0.5)/2³²
+
+    (Gumbel noise from a deterministic md5 uniform — same discipline
+    as shuffle_deterministic: a pure function of the data + seed, so
+    the sample is identical at any cluster size and resumable).  The
+    cut is a TakeOrderedAndProject — no global sort materializes.
+
+    Output: the input columns + ``gumbel_key_r6``, the k winners in
+    (key desc, id asc) order."""
+    if k < 1:
+        raise ValueError("k must be positive")
+    u = (
+        (md5_32(F.concat(F.col(id_col).cast("string"),
+                         F.lit(f"#dsir{seed}"))) + F.lit(0.5))
+        / F.lit(float(HASH_SPACE))
+    )
+    key = F.col(weight_col) - F.log(-F.log(u))
+    return (
+        weights.withColumn("gumbel_key_r6", F.round(key, 6))
+        .orderBy(F.desc("gumbel_key_r6"), F.asc(id_col))
+        .limit(k)
+    )

@@ -188,18 +188,32 @@ def probe_delete_keys(word: str, max_dist: int) -> set[str]:
     return keys
 
 
+def _key_partition(k: str) -> tuple[int, str]:
+    """(length, first-char) partition coordinates of a delete key.
+    Empty first char maps to '_' — an empty-string Hive partition
+    value round-trips as NULL, so it needs a placeholder."""
+    return len(k), (k[0] if k else "_")
+
+
 def ensure_deletes_dict(
     spark: SparkSession, pidx: PackedIndex, max_dist: int = 2
 ) -> DataFrame:
     """The SymSpell deletion-variant dictionary (module docstring):
     (dkey, term, df) — every dictionary term keyed by each of its
-    delete variants of up to ``max_dist`` characters, written SORTED
-    by dkey so a ``dkey IN (...)`` probe is file-skip cheap.  A
-    vocabulary × O(L²) one-off job per segment, materialized on first
-    symspell query (idempotent; segments are immutable once built)."""
-    import os
+    delete variants of up to ``max_dist`` characters.
 
-    from ics_search_engine_spark.sources import catalog
+    Layout: PARTITIONED by (klen, k1) = (length(dkey), first char) and
+    dkey-sorted within files.  Both partition coordinates are pure
+    functions of the probe's own keys, so a query prunes to a handful
+    of directories at PLANNING time — a probe touches ≤ (max_dist+1)
+    lengths × a few first-chars no matter how large the vocabulary —
+    and parquet min/max on the sorted dkey prunes row groups inside
+    them.  Without the directory pruning, per-query cost grows with
+    the table's split count (measured: the flat-layout probe tracked
+    vocabulary size).  A vocabulary × O(L²) one-off job per segment,
+    materialized on first symspell query (idempotent; segments are
+    immutable once built)."""
+    import os
 
     path = f"{pidx.path}/{DELETES_DICT_NAME}_d{max_dist}"
     if not os.path.exists(path):
@@ -210,17 +224,22 @@ def ensure_deletes_dict(
                     _deletes_upto_col(F.col("term"), max_dist)
                 ).alias("dkey"),
             )
-            .select("dkey", "term", "df")
+            .select(
+                "dkey", "term", "df",
+                F.length("dkey").alias("klen"),
+                F.when(F.length("dkey") > 0,
+                       F.substring("dkey", 1, 1))
+                .otherwise(F.lit("_")).alias("k1"),
+            )
         )
-        n_parts = max(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4,
-            4,
+        (
+            allv.repartition("klen", "k1")
+            .sortWithinPartitions("klen", "k1", "dkey")
+            .write.mode("overwrite")
+            .partitionBy("klen", "k1")
+            .parquet(path)
         )
-        catalog.write_table(
-            allv, path,
-            sort_cols=["dkey"], hash_col="dkey", n_partitions=n_parts,
-        )
-    return catalog.read_table(spark, path)
+    return spark.read.parquet(path)
 
 
 def fuzzy_expand_symspell(
@@ -240,16 +259,26 @@ def fuzzy_expand_symspell(
     all_keys: set[str] = set()
     for p in probes:
         all_keys |= probe_delete_keys(p, max_dist)
-    # a max_dist=2 probe set easily exceeds the default parquet
-    # In-pushdown threshold (10), which would degrade the pushed
-    # filter to the set's min/max RANGE — raise it for this job so
-    # every key prunes row groups individually (scoped + restored)
+    keys = sorted(all_keys)
+    parts = {_key_partition(k) for k in keys}
+    lens = sorted({ln for ln, _ in parts})
+    chars = sorted({c for _, c in parts})
+    # (klen, k1) are partition DIRECTORY columns — the isin filters
+    # prune to a handful of directories at planning time; dkey IN then
+    # prunes row groups inside them.  A max_dist=2 probe set easily
+    # exceeds the default parquet In-pushdown threshold (10), which
+    # would degrade the pushed dkey filter to the set's min/max RANGE
+    # — raise it for this job (scoped + restored).
     conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
     old = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, str(max(len(all_keys), 10)))
+    spark.conf.set(conf_key, str(max(len(keys), 10)))
     try:
         cand_rows = (
-            deletes.filter(F.col("dkey").isin(sorted(all_keys)))
+            deletes.filter(
+                F.col("klen").isin(lens)
+                & F.col("k1").isin(chars)
+                & F.col("dkey").isin(keys)
+            )
             .select("term", "df")
             .distinct()
             .collect()

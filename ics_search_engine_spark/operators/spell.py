@@ -96,12 +96,22 @@ def suggest_terms(
         ]
         cand_rows = []
         if scanning:
+            from ics_search_engine_spark.operators.fuzzy import (
+                _key_partition,
+            )
+
             deletes = ensure_deletes_dict(spark, pidx, max_dist)
             all_keys: set[str] = set()
             for p in scanning:
                 all_keys |= probe_delete_keys(p, max_dist)
+            keys = sorted(all_keys)
+            parts = {_key_partition(k) for k in keys}
             cand_rows = (
-                deletes.filter(F.col("dkey").isin(sorted(all_keys)))
+                deletes.filter(
+                    F.col("klen").isin(sorted({x for x, _ in parts}))
+                    & F.col("k1").isin(sorted({c for _, c in parts}))
+                    & F.col("dkey").isin(keys)
+                )
                 .select("term", "df")
                 .distinct()
                 .collect()

@@ -1209,6 +1209,41 @@ class TestDsirWeights:
             dsir_log_weights(docs, docs, n_buckets=0)
 
 
+class TestDsirSelect:
+    def test_gumbel_topk_deterministic_and_weight_monotone(self, spark):
+        from ics_search_engine_spark.operators.datapipe import (
+            dsir_log_weights,
+            dsir_select,
+        )
+
+        raw_rows = [(i, "science research results data") for i in range(30)]
+        raw_rows += [(100 + i, "buy cheap pills now offer") for i in range(30)]
+        raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+        target = spark.createDataFrame(
+            [(0, "science research data analysis")],
+            "doc_id long, text string",
+        )
+        w = dsir_log_weights(raw, target, n_buckets=1024)
+        a = [tuple(r) for r in dsir_select(w, k=10).collect()]
+        b = [tuple(r) for r in dsir_select(w, k=10).collect()]
+        assert a == b  # deterministic
+        # high-weight (target-lookalike) docs dominate the sample
+        ids = {r[0] for r in a}
+        assert sum(1 for i in ids if i < 100) >= 8
+        # different seed -> (almost surely) different sample order
+        c = [tuple(r) for r in dsir_select(w, k=10, seed=1).collect()]
+        assert a != c
+
+    def test_bad_k(self, spark):
+        from ics_search_engine_spark.operators.datapipe import dsir_select
+
+        w = spark.createDataFrame(
+            [(1, 3, 0.5)], "doc_id long, n_feats long, log_weight_r6 double"
+        )
+        with pytest.raises(ValueError):
+            dsir_select(w, k=0)
+
+
 class TestScrubPii:
     def test_counts_and_replacements(self, spark):
         from ics_search_engine_spark.operators.textstats import scrub_pii
