@@ -9786,6 +9786,141 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------
+# chat/SFT extraction gates: transcripts synthesized deterministically
+# from documents (5 turns per conversation, alternating roles, every
+# 7th doc a tool call, one-minute turn cadence) — the same synthesis
+# transcribed in each oracle.
+
+
+def _synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.format_string("conv%06d", (F.col("doc_id") / 5).cast("long")
+                        ).alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.when((F.col("doc_id") % 5) % 2 == 0, "user")
+        .otherwise("assistant").alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, "search")
+        .otherwise(F.lit(None).cast("string")).alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1767225600) + F.col("doc_id") * 60
+        ).alias("ts"),
+    )
+
+
+_SQL_SYNTH_TRANSCRIPTS = """
+  SELECT printf('conv%06d', doc_id // 5) AS conv_id,
+         (doc_id % 5)::INT AS turn_idx,
+         CASE WHEN (doc_id % 5) % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         text,
+         CASE WHEN doc_id % 7 = 0 THEN 'search' END AS tool,
+         TIMESTAMP '2026-01-01 00:00:00'
+           + to_minutes(doc_id) AS ts
+  FROM documents
+"""
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example extraction (operators/chatdata.sft_pairs): one
+    (prompt, response) per assistant turn, prompt = the previous two
+    turns as 'role: text' lines — the per-conversation window is
+    bounded (5 turns), never global."""
+    from ics_search_engine_spark.operators.chatdata import sft_pairs
+
+    return sft_pairs(
+        _synth_transcripts(spark, sf_dir), context_turns=2
+    ).orderBy("conv_id", "turn_idx")
+
+
+_SQL_SFT_PAIRS = f"""
+WITH t AS ({_SQL_SYNTH_TRANSCRIPTS}),
+w AS (
+  SELECT conv_id, turn_idx, role, coalesce(text, '') AS text,
+         list(role || ': ' || coalesce(text, '')) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING
+         ) AS ctx
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       array_to_string(ctx, chr(10)) AS prompt,
+       text AS response
+FROM w
+WHERE role = 'assistant' AND len(ctx) >= 1
+ORDER BY conv_id, turn_idx
+"""
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation curation profile (operators/chatdata.
+    conversation_stats): per-conv role/tool/size counts + wall-clock
+    span — one conv-keyed aggregation."""
+    from ics_search_engine_spark.operators.chatdata import (
+        conversation_stats,
+    )
+
+    return conversation_stats(
+        _synth_transcripts(spark, sf_dir)
+    ).orderBy("conv_id")
+
+
+_SQL_CONVERSATION_STATS = f"""
+WITH t AS ({_SQL_SYNTH_TRANSCRIPTS})
+SELECT conv_id,
+       count(*)::INT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_calls,
+       sum(length(coalesce(text, ''))) AS n_chars,
+       date_diff('second', min(ts), max(ts)) AS span_seconds
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_conv_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup (operators/chatdata.
+    conv_exact_dups): the first ten conversations are re-injected
+    under dup ids, so each dup resolves to its original as keeper —
+    fingerprint = md5 over the turn-ordered text fold, hash-groupBy
+    shape."""
+    from ics_search_engine_spark.operators.chatdata import (
+        conv_exact_dups,
+    )
+
+    t = _synth_transcripts(spark, sf_dir)
+    dups = (
+        t.filter(F.substring("conv_id", 5, 6).cast("long") < 10)
+        .withColumn(
+            "conv_id", F.concat(F.lit("dup"), F.substring("conv_id", 5, 6))
+        )
+    )
+    return conv_exact_dups(t.unionByName(dups)).orderBy("conv_id")
+
+
+_SQL_CONV_EXACT_DUPS = f"""
+WITH t0 AS ({_SQL_SYNTH_TRANSCRIPTS}),
+t AS (
+  SELECT * FROM t0
+  UNION ALL
+  SELECT 'dup' || substr(conv_id, 5, 6) AS conv_id, turn_idx, role,
+         text, tool, ts
+  FROM t0 WHERE substr(conv_id, 5, 6)::BIGINT < 10
+),
+fps AS (
+  SELECT conv_id,
+         md5(string_agg(coalesce(text, ''), chr(30)
+                        ORDER BY turn_idx)) AS fp
+  FROM t GROUP BY conv_id
+),
+keep AS (SELECT fp, min(conv_id) AS keeper FROM fps GROUP BY fp)
+SELECT conv_id, keeper FROM fps JOIN keep USING (fp)
+WHERE conv_id <> keeper ORDER BY conv_id
+"""
+
+
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM perplexity filter (operators/textstats.
     bigram_logprob): per-doc mean NLL under the corpus's own
@@ -12401,6 +12536,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_nll": q_bigram_nll,
     "dsir_weights": q_dsir_weights,
     "dsir_select": q_dsir_select,
+    "sft_pairs": q_sft_pairs,
+    "conversation_stats": q_conversation_stats,
+    "conv_exact_dups": q_conv_exact_dups,
     "mix_sources_epochs": q_mix_sources_epochs,
     "pack_bins_ffd": q_pack_bins_ffd,
     "dedup_lines": q_dedup_lines,
@@ -12635,6 +12773,9 @@ ORACLE_SQL: dict[str, str] = {
     "bigram_nll": _SQL_BIGRAM_NLL,
     "dsir_weights": _SQL_DSIR,
     "dsir_select": _SQL_DSIR_SELECT,
+    "sft_pairs": _SQL_SFT_PAIRS,
+    "conversation_stats": _SQL_CONVERSATION_STATS,
+    "conv_exact_dups": _SQL_CONV_EXACT_DUPS,
     "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
     # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
     # design; invariants are pytest-pinned (tests/test_datapipe.py)

@@ -1,0 +1,98 @@
+"""Chat/SFT extraction (operators/chatdata.py) — hand-built
+conversations with known pairings, stats, and duplicates."""
+
+import pytest
+
+from ics_search_engine_spark.operators.chatdata import (
+    conv_exact_dups,
+    conversation_stats,
+    sft_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    rows = [
+        # conv a: u/a/u/a with a tool call on turn 3
+        ("a", 0, "user", "hello there", None),
+        ("a", 1, "assistant", "hi, how can i help", None),
+        ("a", 2, "user", "search the docs", None),
+        ("a", 3, "assistant", "found three results", "search"),
+        # conv b: assistant-first (no preceding turn -> no example),
+        # then a normal pair; one null text
+        ("b", 0, "assistant", "unprompted greeting", None),
+        ("b", 1, "user", None, None),
+        ("b", 2, "assistant", "reply to nothing", None),
+        # conv c: duplicate of conv a's texts
+        ("c", 0, "user", "hello there", None),
+        ("c", 1, "assistant", "hi, how can i help", None),
+        ("c", 2, "user", "search the docs", None),
+        ("c", 3, "assistant", "found three results", None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string",
+    )
+
+
+class TestSftPairs:
+    def test_pairs_and_context(self, spark, convs):
+        out = {
+            (r["conv_id"], r["turn_idx"]): r.asDict()
+            for r in sft_pairs(convs, context_turns=2).collect()
+        }
+        assert out[("a", 1)]["prompt"] == "user: hello there"
+        assert out[("a", 1)]["response"] == "hi, how can i help"
+        # two turns of context, rendered in order
+        assert out[("a", 3)]["prompt"] == (
+            "assistant: hi, how can i help\nuser: search the docs"
+        )
+        # assistant-first turn has no context -> no example
+        assert ("b", 0) not in out
+        # null text renders as empty; both prior turns in context
+        assert out[("b", 2)]["prompt"] == (
+            "assistant: unprompted greeting\nuser: "
+        )
+
+    def test_context_one_is_plain_pairing(self, spark, convs):
+        out = {
+            (r["conv_id"], r["turn_idx"]): r["prompt"]
+            for r in sft_pairs(convs, context_turns=1).collect()
+        }
+        assert out[("a", 3)] == "user: search the docs"
+
+    def test_bad_context(self, spark, convs):
+        with pytest.raises(ValueError):
+            sft_pairs(convs, context_turns=0)
+
+
+class TestConversationStats:
+    def test_counts(self, spark, convs):
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in conversation_stats(convs).collect()
+        }
+        a = out["a"]
+        assert (a["n_turns"], a["n_user"], a["n_assistant"]) == (4, 2, 2)
+        assert a["n_tool_calls"] == 1
+        assert a["n_chars"] == sum(
+            len(t) for t in [
+                "hello there", "hi, how can i help",
+                "search the docs", "found three results",
+            ]
+        )
+        assert out["b"]["n_tool_calls"] == 0
+        # no ts column -> no span column
+        assert "span_seconds" not in a
+
+
+class TestConvExactDups:
+    def test_dup_resolution(self, spark, convs):
+        dups = {
+            r["conv_id"]: r["keeper"]
+            for r in conv_exact_dups(convs).collect()
+        }
+        # conv c repeats conv a's text sequence exactly (tool/role
+        # differences don't matter — the fingerprint is text-only)
+        assert dups == {"c": "a"}
