@@ -232,8 +232,14 @@ def ensure_deletes_dict(
                 .otherwise(F.lit("_")).alias("k1"),
             )
         )
+        # repartitionByRange, not hash-repartition on the dir key: a
+        # skewed first-char distribution (real vocabularies cluster;
+        # a synthetic all-same-prefix one degenerates) would funnel a
+        # whole (klen, k1) directory through one task — the range
+        # split shares big directories across tasks by dkey subrange,
+        # and each directory's files stay range-DISJOINT in dkey.
         (
-            allv.repartition("klen", "k1")
+            allv.repartitionByRange("klen", "k1", "dkey")
             .sortWithinPartitions("klen", "k1", "dkey")
             .write.mode("overwrite")
             .partitionBy("klen", "k1")
