@@ -9921,6 +9921,107 @@ WHERE conv_id <> keeper ORDER BY conv_id
 """
 
 
+def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level MinHash+LSH near-dup pairs (operators/
+    chatdata.conv_near_dup_pairs = conv_rolled_text ∘ the gated
+    doc-grain minhash_lsh_pairs): the first five conversations are
+    re-injected verbatim under dup ids, so each must pair with its
+    original at est_jaccard 1.0; any organic near-pairs match too —
+    the oracle replicates roll + 16-hash/4-band LSH relationally."""
+    from ics_search_engine_spark.operators.chatdata import (
+        conv_near_dup_pairs,
+    )
+
+    t = _synth_transcripts(spark, sf_dir)
+    dups = (
+        t.filter(F.substring("conv_id", 5, 6).cast("long") < 5)
+        .withColumn(
+            "conv_id", F.concat(F.lit("dup"), F.substring("conv_id", 5, 6))
+        )
+    )
+    return (
+        conv_near_dup_pairs(
+            t.unionByName(dups), n_hashes=16, n_bands=4,
+            jaccard_threshold=0.7,
+        )
+        .select(
+            "a_conv_id", "b_conv_id",
+            F.round("est_jaccard", 6).alias("est_jaccard_r6"),
+        )
+        .orderBy("a_conv_id", "b_conv_id")
+    )
+
+
+def _sql_conv_near_dups() -> str:
+    n_hashes, n_bands, rpb = 16, 4, 4
+    mh = ",\n         ".join(
+        f"min(('0x' || substr(md5('{i}:' || term), 1, 8))::BIGINT)"
+        f" AS mh{i}"
+        for i in range(n_hashes)
+    )
+    bands = ",\n         ".join(
+        "md5(" + " || '_' || ".join(
+            f"mh{b * rpb + r}::VARCHAR" for r in range(rpb)
+        ) + f") AS band{b}"
+        for b in range(n_bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT conv_id, sig, {b} AS band_id, band{b} AS band_val"
+        " FROM bands"
+        for b in range(n_bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    sig_arr = ", ".join(f"mh{i}" for i in range(n_hashes))
+    return f"""
+WITH t0 AS ({_SQL_SYNTH_TRANSCRIPTS}),
+t AS (
+  SELECT * FROM t0
+  UNION ALL
+  SELECT 'dup' || substr(conv_id, 5, 6) AS conv_id, turn_idx, role,
+         text, tool, ts
+  FROM t0 WHERE substr(conv_id, 5, 6)::BIGINT < 5
+),
+rolled AS (
+  SELECT conv_id,
+         string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx) AS text
+  FROM t GROUP BY conv_id
+),
+toks AS (
+  SELECT conv_id, unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> length(x) > 1))) AS term
+  FROM rolled
+),
+sigs AS (
+  SELECT conv_id,
+         {mh}
+  FROM toks GROUP BY conv_id
+),
+bands AS (
+  SELECT conv_id, [{sig_arr}] AS sig,
+         {bands}
+  FROM sigs
+),
+stacked AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.conv_id AS a_conv_id, b.conv_id AS b_conv_id,
+         ({matches})::DOUBLE / {n_hashes} AS ej
+  FROM stacked a JOIN stacked b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.conv_id < b.conv_id
+)
+SELECT a_conv_id, b_conv_id, round(ej, 6) AS est_jaccard_r6
+FROM cand WHERE ej >= 0.7
+ORDER BY a_conv_id, b_conv_id
+"""
+
+
+_SQL_CONV_NEAR_DUPS = _sql_conv_near_dups()
+
+
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM perplexity filter (operators/textstats.
     bigram_logprob): per-doc mean NLL under the corpus's own
@@ -12539,6 +12640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sft_pairs": q_sft_pairs,
     "conversation_stats": q_conversation_stats,
     "conv_exact_dups": q_conv_exact_dups,
+    "conv_near_dups": q_conv_near_dups,
     "mix_sources_epochs": q_mix_sources_epochs,
     "pack_bins_ffd": q_pack_bins_ffd,
     "dedup_lines": q_dedup_lines,
@@ -12776,6 +12878,7 @@ ORACLE_SQL: dict[str, str] = {
     "sft_pairs": _SQL_SFT_PAIRS,
     "conversation_stats": _SQL_CONVERSATION_STATS,
     "conv_exact_dups": _SQL_CONV_EXACT_DUPS,
+    "conv_near_dups": _SQL_CONV_NEAR_DUPS,
     "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
     # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
     # design; invariants are pytest-pinned (tests/test_datapipe.py)

@@ -118,3 +118,50 @@ def conv_exact_dups(transcripts: DataFrame) -> DataFrame:
         .filter(F.col("conv_id") != F.col("keeper"))
         .select("conv_id", "keeper")
     )
+
+
+def conv_rolled_text(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, text) — the conversation's turn texts joined in turn
+    order (single space; null text as '').  The conversation-grain
+    document view the doc-grain dedup/quality family composes over;
+    same sorted-fold determinism as conv_fingerprints."""
+    return transcripts.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "turn_idx",
+                            F.coalesce("text", F.lit("")).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("text")
+    )
+
+
+def conv_near_dup_pairs(
+    transcripts: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Conversation-level MinHash+LSH near-dup candidates —
+    (a_conv_id, b_conv_id, est_jaccard): roll each conversation to one
+    turn-ordered text (conv_rolled_text) and reuse the gated doc-grain
+    banded pipeline (operators/dedup.minhash_lsh_pairs) verbatim, so
+    the banding/verification semantics stay single-sourced.  Bucketed
+    candidate join, never all-pairs — the same 100 TB shape as the
+    document family."""
+    from ics_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    rolled = conv_rolled_text(transcripts).withColumn(
+        "turn_idx", F.lit(0).cast("int")
+    )
+    return minhash_lsh_pairs(
+        rolled, n_hashes=n_hashes, n_bands=n_bands,
+        jaccard_threshold=jaccard_threshold,
+    ).select("a_conv_id", "b_conv_id", "est_jaccard")

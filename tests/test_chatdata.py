@@ -96,3 +96,28 @@ class TestConvExactDups:
         # conv c repeats conv a's text sequence exactly (tool/role
         # differences don't matter — the fingerprint is text-only)
         assert dups == {"c": "a"}
+
+
+class TestConvNearDups:
+    def test_rolled_text_and_near_pairs(self, spark, convs):
+        from ics_search_engine_spark.operators.chatdata import (
+            conv_near_dup_pairs,
+            conv_rolled_text,
+        )
+
+        rolled = {
+            r["conv_id"]: r["text"]
+            for r in conv_rolled_text(convs).collect()
+        }
+        assert rolled["a"] == (
+            "hello there hi, how can i help search the docs "
+            "found three results"
+        )
+        # null turn renders empty (double space collapses via join)
+        assert rolled["b"] == "unprompted greeting  reply to nothing"
+        pairs = conv_near_dup_pairs(convs, jaccard_threshold=0.7).collect()
+        got = {(r["a_conv_id"], r["b_conv_id"]): r["est_jaccard"]
+               for r in pairs}
+        # conv c is a text-identical copy of conv a -> jaccard 1.0
+        assert got.get(("a", "c")) == 1.0
+        assert all(k == ("a", "c") for k in got)
