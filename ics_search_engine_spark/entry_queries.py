@@ -10022,6 +10022,71 @@ ORDER BY a_conv_id, b_conv_id
 _SQL_CONV_NEAR_DUPS = _sql_conv_near_dups()
 
 
+def q_chat_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chat-curation composition's attrition accounting
+    (operators/chatdata.prepare_chat_corpus): structural gates →
+    conversation exact-dedup, with ten exact-dup conversations
+    injected — the report must count input, structural survivors,
+    and dedup survivors; the oracle recomputes each stage
+    relationally."""
+    from ics_search_engine_spark.operators.chatdata import (
+        prepare_chat_corpus,
+    )
+
+    t = _synth_transcripts(spark, sf_dir)
+    dups = (
+        t.filter(F.substring("conv_id", 5, 6).cast("long") < 10)
+        .withColumn(
+            "conv_id", F.concat(F.lit("dup"), F.substring("conv_id", 5, 6))
+        )
+    )
+    _, rep = prepare_chat_corpus(
+        t.unionByName(dups), min_turns=2, require_assistant=True
+    )
+    return rep.orderBy("stage_idx")
+
+
+_SQL_CHAT_CORPUS_REPORT = f"""
+WITH t0 AS ({_SQL_SYNTH_TRANSCRIPTS}),
+t AS (
+  SELECT * FROM t0
+  UNION ALL
+  SELECT 'dup' || substr(conv_id, 5, 6) AS conv_id, turn_idx, role,
+         text, tool, ts
+  FROM t0 WHERE substr(conv_id, 5, 6)::BIGINT < 10
+),
+counts AS (
+  SELECT conv_id, count(*) AS n_turns,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+           AS n_assistant
+  FROM t GROUP BY conv_id
+),
+keep AS (
+  SELECT conv_id FROM counts
+  WHERE n_turns >= 2 AND n_assistant >= 1
+),
+cur AS (SELECT t.* FROM t SEMI JOIN keep USING (conv_id)),
+fps AS (
+  SELECT conv_id,
+         md5(string_agg(coalesce(text, ''), chr(30)
+                        ORDER BY turn_idx)) AS fp
+  FROM cur GROUP BY conv_id
+),
+keepers AS (SELECT fp, min(conv_id) AS keeper FROM fps GROUP BY fp),
+dedup AS (
+  SELECT f.conv_id FROM fps f JOIN keepers k USING (fp)
+  WHERE f.conv_id = k.keeper
+)
+SELECT 0 AS stage_idx, 'input' AS stage,
+       (SELECT count(DISTINCT conv_id) FROM t) AS n_convs
+UNION ALL
+SELECT 1, 'structural', (SELECT count(*) FROM keep)
+UNION ALL
+SELECT 2, 'exact_dedup', (SELECT count(*) FROM dedup)
+ORDER BY stage_idx
+"""
+
+
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM perplexity filter (operators/textstats.
     bigram_logprob): per-doc mean NLL under the corpus's own
@@ -12641,6 +12706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversation_stats": q_conversation_stats,
     "conv_exact_dups": q_conv_exact_dups,
     "conv_near_dups": q_conv_near_dups,
+    "chat_corpus_report": q_chat_corpus_report,
     "mix_sources_epochs": q_mix_sources_epochs,
     "pack_bins_ffd": q_pack_bins_ffd,
     "dedup_lines": q_dedup_lines,
@@ -12879,6 +12945,7 @@ ORACLE_SQL: dict[str, str] = {
     "conversation_stats": _SQL_CONVERSATION_STATS,
     "conv_exact_dups": _SQL_CONV_EXACT_DUPS,
     "conv_near_dups": _SQL_CONV_NEAR_DUPS,
+    "chat_corpus_report": _SQL_CHAT_CORPUS_REPORT,
     "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
     # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
     # design; invariants are pytest-pinned (tests/test_datapipe.py)

@@ -165,3 +165,74 @@ def conv_near_dup_pairs(
         rolled, n_hashes=n_hashes, n_bands=n_bands,
         jaccard_threshold=jaccard_threshold,
     ).select("a_conv_id", "b_conv_id", "est_jaccard")
+
+
+def prepare_chat_corpus(
+    transcripts: DataFrame,
+    min_turns: int = 2,
+    max_turns: int | None = None,
+    require_assistant: bool = True,
+    near_dedup: bool = False,
+    jaccard_threshold: float = 0.7,
+    context_turns: int = 1,
+    report: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The chat-data composition — conversation curation end-to-end,
+    the conversation-grain sibling of datapipe.prepare_corpus:
+
+      1. structural gates  (min/max turn counts; ≥1 assistant turn)
+      2. exact dedup       (conv_exact_dups — keep the keeper)
+      3. near dedup        (conv_near_dup_pairs, optional — drop the
+                            lexicographically larger side, the
+                            doc-grain keeper convention)
+      4. extraction        (sft_pairs over the survivors)
+
+    Returns (pairs, report): ``pairs`` is the SFT example frame;
+    ``report`` is (stage, n_convs) attrition accounting (None when
+    ``report=False`` — each row costs one count job).  Every stage is
+    the individually-gated operator; this function owns only order
+    and accounting, the prepare_corpus discipline."""
+    spark = transcripts.sparkSession
+    stages: list[tuple[str, int]] = []
+
+    stats = conversation_stats(transcripts)
+    keep = stats.filter(F.col("n_turns") >= min_turns)
+    if max_turns is not None:
+        keep = keep.filter(F.col("n_turns") <= max_turns)
+    if require_assistant:
+        keep = keep.filter(F.col("n_assistant") >= 1)
+    cur = transcripts.join(
+        keep.select("conv_id"), "conv_id", "left_semi"
+    )
+    if report:
+        stages.append(("input", transcripts.select("conv_id")
+                       .distinct().count()))
+        stages.append(("structural", keep.count()))
+
+    dups = conv_exact_dups(cur).select("conv_id")
+    cur = cur.join(dups, "conv_id", "left_anti")
+    if report:
+        stages.append(("exact_dedup",
+                       cur.select("conv_id").distinct().count()))
+
+    if near_dedup:
+        drop = (
+            conv_near_dup_pairs(
+                cur, jaccard_threshold=jaccard_threshold
+            )
+            .select(F.col("b_conv_id").alias("conv_id"))
+            .distinct()
+        )
+        cur = cur.join(drop, "conv_id", "left_anti")
+        if report:
+            stages.append(("near_dedup",
+                           cur.select("conv_id").distinct().count()))
+
+    pairs = sft_pairs(cur, context_turns=context_turns)
+    rep = None
+    if report:
+        rep = spark.createDataFrame(
+            [(i, name, n) for i, (name, n) in enumerate(stages)],
+            "stage_idx int, stage string, n_convs long",
+        )
+    return pairs, rep

@@ -121,3 +121,51 @@ class TestConvNearDups:
         # conv c is a text-identical copy of conv a -> jaccard 1.0
         assert got.get(("a", "c")) == 1.0
         assert all(k == ("a", "c") for k in got)
+
+
+class TestPrepareChatCorpus:
+    def test_composition_and_report(self, spark, convs):
+        from ics_search_engine_spark.operators.chatdata import (
+            prepare_chat_corpus,
+            sft_pairs,
+        )
+
+        pairs, rep = prepare_chat_corpus(
+            convs, min_turns=2, require_assistant=True
+        )
+        report = {r["stage"]: r["n_convs"] for r in rep.collect()}
+        # a, b, c all pass structural gates; c is an exact dup of a
+        assert report == {"input": 3, "structural": 3, "exact_dedup": 2}
+        got = sorted(
+            (r["conv_id"], r["turn_idx"]) for r in pairs.collect()
+        )
+        survivors = convs.filter("conv_id != 'c'")
+        want = sorted(
+            (r["conv_id"], r["turn_idx"])
+            for r in sft_pairs(survivors, context_turns=1).collect()
+        )
+        assert got == want
+
+    def test_near_dedup_stage_and_no_report(self, spark, convs):
+        from ics_search_engine_spark.operators.chatdata import (
+            prepare_chat_corpus,
+        )
+
+        # make c a NEAR (not exact) dup: tweak one turn's text
+        import pyspark.sql.functions as F
+
+        tweaked = convs.withColumn(
+            "text",
+            F.when(
+                (F.col("conv_id") == "c") & (F.col("turn_idx") == 3),
+                "found three results indeed",
+            ).otherwise(F.col("text")),
+        )
+        pairs, rep = prepare_chat_corpus(
+            tweaked, near_dedup=True, jaccard_threshold=0.5,
+            report=False,
+        )
+        assert rep is None
+        assert not [
+            r for r in pairs.collect() if r["conv_id"] == "c"
+        ]  # near-dup side dropped
