@@ -10087,6 +10087,48 @@ ORDER BY stage_idx
 """
 
 
+def q_conv_token_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window trimming (operators/chatdata.
+    trim_to_token_budget, keep='last'): each conversation keeps its
+    most recent whole turns whose whitespace-token counts fit a
+    120-token budget — the chat-serving truncation posture; the
+    oracle replays the reverse running sum relationally."""
+    from ics_search_engine_spark.operators.chatdata import (
+        trim_to_token_budget,
+    )
+
+    return (
+        trim_to_token_budget(_synth_transcripts(spark, sf_dir), 120)
+        .select("conv_id", "turn_idx", "n_turn_tokens",
+                "conv_tokens_kept")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+_SQL_CONV_TOKEN_TRIM = f"""
+WITH t AS ({_SQL_SYNTH_TRANSCRIPTS}),
+c AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(regexp_split_to_array(
+               coalesce(text, ''), '\\s+'),
+             x -> length(x) > 0)) AS n_turn_tokens
+  FROM t
+),
+runs AS (
+  SELECT conv_id, turn_idx, n_turn_tokens,
+         sum(n_turn_tokens) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS run
+  FROM c
+),
+kept AS (SELECT * FROM runs WHERE run <= 120)
+SELECT conv_id, turn_idx, n_turn_tokens,
+       max(run) OVER (PARTITION BY conv_id) AS conv_tokens_kept
+FROM kept ORDER BY conv_id, turn_idx
+"""
+
+
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM perplexity filter (operators/textstats.
     bigram_logprob): per-doc mean NLL under the corpus's own
@@ -12707,6 +12749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_exact_dups": q_conv_exact_dups,
     "conv_near_dups": q_conv_near_dups,
     "chat_corpus_report": q_chat_corpus_report,
+    "conv_token_trim": q_conv_token_trim,
     "mix_sources_epochs": q_mix_sources_epochs,
     "pack_bins_ffd": q_pack_bins_ffd,
     "dedup_lines": q_dedup_lines,
@@ -12946,6 +12989,7 @@ ORACLE_SQL: dict[str, str] = {
     "conv_exact_dups": _SQL_CONV_EXACT_DUPS,
     "conv_near_dups": _SQL_CONV_NEAR_DUPS,
     "chat_corpus_report": _SQL_CHAT_CORPUS_REPORT,
+    "conv_token_trim": _SQL_CONV_TOKEN_TRIM,
     "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
     # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
     # design; invariants are pytest-pinned (tests/test_datapipe.py)

@@ -236,3 +236,52 @@ def prepare_chat_corpus(
             "stage_idx int, stage string, n_convs long",
         )
     return pairs, rep
+
+
+def trim_to_token_budget(
+    transcripts: DataFrame,
+    budget: int,
+    keep: str = "last",
+) -> DataFrame:
+    """Context-window trimming: keep each conversation's turns whose
+    WHITESPACE-token counts fit in ``budget``, taking turns from the
+    END (``keep='last'`` — the chat-serving posture: most recent
+    context survives) or the START (``keep='first'`` — the
+    pretraining-truncation posture).  A turn is kept only if the WHOLE
+    turn fits (no mid-turn splits — chat examples must stay
+    turn-aligned; a single over-budget turn is dropped, not clipped).
+
+    Output: the input columns + ``n_turn_tokens`` and
+    ``conv_tokens_kept``.  One per-conversation window (bounded) for
+    the directional running sum."""
+    if budget < 1:
+        raise ValueError("budget must be positive")
+    if keep not in ("last", "first"):
+        raise ValueError(f"keep must be 'last' or 'first', got {keep!r}")
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce("text", F.lit("")), "\\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    order = (
+        F.col("turn_idx").desc() if keep == "last"
+        else F.col("turn_idx").asc()
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        transcripts.withColumn("n_turn_tokens", toks)
+        .withColumn("_run", F.sum("n_turn_tokens").over(w))
+        .filter(F.col("_run") <= budget)
+    )
+    wc = Window.partitionBy("conv_id")
+    return (
+        out.withColumn(
+            "conv_tokens_kept", F.max("_run").over(wc)
+        )
+        .drop("_run")
+    )

@@ -169,3 +169,49 @@ class TestPrepareChatCorpus:
         assert not [
             r for r in pairs.collect() if r["conv_id"] == "c"
         ]  # near-dup side dropped
+
+
+class TestTrimToTokenBudget:
+    def test_keep_last_whole_turns(self, spark):
+        from ics_search_engine_spark.operators.chatdata import (
+            trim_to_token_budget,
+        )
+
+        rows = [
+            ("x", 0, "user", "one two three four five", None),   # 5
+            ("x", 1, "assistant", "six seven eight", None),      # 3
+            ("x", 2, "user", "nine ten", None),                  # 2
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string",
+        )
+        kept = {
+            r["turn_idx"]: r.asDict()
+            for r in trim_to_token_budget(df, 5).collect()
+        }
+        # from the end: turn2 (2) + turn1 (3) = 5 fits; turn0 doesn't
+        assert sorted(kept) == [1, 2]
+        assert kept[1]["conv_tokens_kept"] == 5
+        first = {
+            r["turn_idx"]
+            for r in trim_to_token_budget(df, 5, keep="first").collect()
+        }
+        assert first == {0}  # 5 fits, +3 would exceed
+
+    def test_oversize_turn_dropped_not_clipped(self, spark):
+        from ics_search_engine_spark.operators.chatdata import (
+            trim_to_token_budget,
+        )
+
+        df = spark.createDataFrame(
+            [("y", 0, "user", "a b c d e f", None)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string",
+        )
+        assert trim_to_token_budget(df, 3).count() == 0
+        with pytest.raises(ValueError):
+            trim_to_token_budget(df, 0)
+        with pytest.raises(ValueError):
+            trim_to_token_budget(df, 5, keep="middle")
