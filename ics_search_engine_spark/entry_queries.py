@@ -10129,6 +10129,56 @@ FROM kept ORDER BY conv_id, turn_idx
 """
 
 
+def q_conv_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript structural validation (operators/chatdata.
+    validate_turn_order): contiguity / role alternation / user-first /
+    assistant-last per conversation.  The synthesis alternates roles
+    and numbers turns 0..n-1, so contiguous+alternating+user-first
+    always hold and validity reduces to whether the LAST turn is an
+    assistant turn (even-length conversations) — the oracle replays
+    each predicate relationally, not the shortcut."""
+    from ics_search_engine_spark.operators.chatdata import (
+        validate_turn_order,
+    )
+
+    return validate_turn_order(
+        _synth_transcripts(spark, sf_dir)
+    ).orderBy("conv_id")
+
+
+_SQL_CONV_VALIDITY = f"""
+WITH t AS ({_SQL_SYNTH_TRANSCRIPTS}),
+r AS (
+  SELECT conv_id,
+         list_sort(list(ROW(turn_idx, role))) AS ts
+  FROM t GROUP BY conv_id
+),
+x AS (
+  SELECT conv_id,
+         len(ts) AS n,
+         list_transform(ts, s -> s[1]) AS idxs,
+         list_transform(ts, s -> s[2]) AS roles
+  FROM r
+),
+y AS (
+  SELECT conv_id, n,
+         idxs = range(0, n) AS contiguous,
+         CASE WHEN n <= 1 THEN TRUE ELSE NOT list_has_any(
+           list_transform(range(1, n),
+                          i -> roles[i] = roles[i + 1]),
+           [TRUE]) END AS alternating,
+         roles[1] = 'user' AS starts_with_user,
+         roles[n] = 'assistant' AS ends_with_assistant
+  FROM x
+)
+SELECT conv_id, n::INT AS n_turns, contiguous, alternating,
+       starts_with_user, ends_with_assistant,
+       (contiguous AND alternating AND starts_with_user
+        AND ends_with_assistant) AS valid
+FROM y ORDER BY conv_id
+"""
+
+
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM perplexity filter (operators/textstats.
     bigram_logprob): per-doc mean NLL under the corpus's own
@@ -12750,6 +12800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_near_dups": q_conv_near_dups,
     "chat_corpus_report": q_chat_corpus_report,
     "conv_token_trim": q_conv_token_trim,
+    "conv_validity": q_conv_validity,
     "mix_sources_epochs": q_mix_sources_epochs,
     "pack_bins_ffd": q_pack_bins_ffd,
     "dedup_lines": q_dedup_lines,
@@ -12990,6 +13041,7 @@ ORACLE_SQL: dict[str, str] = {
     "conv_near_dups": _SQL_CONV_NEAR_DUPS,
     "chat_corpus_report": _SQL_CHAT_CORPUS_REPORT,
     "conv_token_trim": _SQL_CONV_TOKEN_TRIM,
+    "conv_validity": _SQL_CONV_VALIDITY,
     "mix_sources_epochs": _SQL_MIX_SOURCES_EPOCHS,
     # pack_bins_ffd: FFD is non-SQL-expressible — rows-only check by
     # design; invariants are pytest-pinned (tests/test_datapipe.py)

@@ -285,3 +285,47 @@ def trim_to_token_budget(
         )
         .drop("_run")
     )
+
+
+def validate_turn_order(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation structural-validity signals — the malformed-
+    transcript screen a chat-data pipeline runs before extraction:
+
+      * ``contiguous``       — turn_idx values are exactly 0..n-1
+      * ``alternating``      — no two consecutive turns share a role
+      * ``starts_with_user`` — first turn's role is 'user'
+      * ``ends_with_assistant`` — last turn's role is 'assistant'
+      * ``valid``            — all of the above
+
+    One conv-keyed aggregation over the turn-ordered fold (no window):
+    the per-conv turn list is bounded, same discipline as
+    conv_fingerprints."""
+    rolled = transcripts.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", F.col("role").alias("r")))
+        ).alias("ts")
+    )
+    idxs = F.transform("ts", lambda s: s["turn_idx"])
+    roles = F.transform("ts", lambda s: s["r"])
+    n = F.size("ts")
+    contiguous = idxs == F.sequence(F.lit(0), n - 1)
+    neighbor_same = F.exists(
+        F.zip_with(
+            F.slice(roles, 1, n - 1),
+            F.slice(roles, 2, n - 1),
+            lambda a, b: a == b,
+        ),
+        lambda x: x,
+    )
+    alternating = F.when(n <= 1, F.lit(True)).otherwise(~neighbor_same)
+    starts = F.element_at(roles, 1) == "user"
+    ends = F.element_at(roles, -1) == "assistant"
+    return rolled.select(
+        "conv_id",
+        n.cast("int").alias("n_turns"),
+        contiguous.alias("contiguous"),
+        alternating.alias("alternating"),
+        starts.alias("starts_with_user"),
+        ends.alias("ends_with_assistant"),
+        (contiguous & alternating & starts & ends).alias("valid"),
+    )

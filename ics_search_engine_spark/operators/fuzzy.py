@@ -318,11 +318,24 @@ def bm25_topk_fuzzy(
     expander: str = "scan",
 ) -> DataFrame:
     """Fuzzy top-k BM25 → (conv_id, turn_idx, score).  ``expander`` ∈
-    {'scan', 'symspell'} — identical results; symspell builds/reuses
-    the per-segment deletion dictionary and scales to vocabularies a
-    per-query scan cannot (module docstring)."""
-    if expander not in ("scan", "symspell"):
+    {'scan', 'symspell', 'auto'} — identical results; symspell
+    builds/reuses the per-segment deletion dictionary and scales to
+    vocabularies a per-query scan cannot (module docstring); 'auto'
+    takes the deletes probe iff the dictionary for this ``max_dist``
+    is already materialized (never triggers the build implicitly —
+    the build is a vocabulary-sized job a query shouldn't pay)."""
+    if expander not in ("scan", "symspell", "auto"):
         raise ValueError(f"unknown expander {expander!r}")
+    if expander == "auto":
+        import os
+
+        expander = (
+            "symspell"
+            if os.path.exists(
+                f"{pidx.path}/{DELETES_DICT_NAME}_d{max_dist}"
+            )
+            else "scan"
+        )
     empty = spark.createDataFrame(
         [], "conv_id string, turn_idx int, score double"
     )

@@ -215,3 +215,84 @@ class TestTrimToTokenBudget:
             trim_to_token_budget(df, 0)
         with pytest.raises(ValueError):
             trim_to_token_budget(df, 5, keep="middle")
+
+
+class TestValidateTurnOrder:
+    def test_all_predicates(self, spark):
+        from ics_search_engine_spark.operators.chatdata import (
+            validate_turn_order,
+        )
+
+        rows = [
+            # valid: contiguous, alternating, user-first, asst-last
+            ("v", 0, "user", "q", None),
+            ("v", 1, "assistant", "a", None),
+            # gap in turn_idx
+            ("g", 0, "user", "q", None),
+            ("g", 2, "assistant", "a", None),
+            # consecutive same role
+            ("s", 0, "user", "q", None),
+            ("s", 1, "user", "q2", None),
+            ("s", 2, "assistant", "a", None),
+            # assistant-first / user-last
+            ("o", 0, "assistant", "a", None),
+            ("o", 1, "user", "q", None),
+            # single user turn: alternating trivially, no assistant end
+            ("u", 0, "user", "q", None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string",
+        )
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in validate_turn_order(df).collect()
+        }
+        assert out["v"]["valid"]
+        assert not out["g"]["contiguous"] and not out["g"]["valid"]
+        assert not out["s"]["alternating"] and out["s"]["contiguous"]
+        assert not out["o"]["starts_with_user"]
+        assert not out["o"]["ends_with_assistant"]
+        assert out["u"]["alternating"] and not out["u"]["valid"]
+
+
+class TestFuzzyAutoExpander:
+    def test_auto_prefers_existing_dict(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ics_search_engine_spark.operators.fuzzy import (
+            bm25_topk_fuzzy,
+            ensure_deletes_dict,
+        )
+        from ics_search_engine_spark.operators.packed_index import (
+            PackedIndex,
+            build_packed_index,
+        )
+        from ics_search_engine_spark.sources.transcripts import (
+            generate_turns,
+        )
+
+        d = tmp_path / "corpus"
+        d.mkdir()
+        pq.write_table(generate_turns(150, 5), str(d / "t.parquet"))
+        out = str(tmp_path / "auto_idx")
+        build_packed_index(
+            spark, spark.read.parquet(str(d / "t.parquet")), out,
+            range_bits=9,
+        )
+        pidx = PackedIndex(spark, out)
+        scan = [tuple(r) for r in
+                bm25_topk_fuzzy(spark, pidx, "machne", k=5).collect()]
+        # no dict yet -> auto == scan (and must not build one)
+        import os
+
+        auto1 = [tuple(r) for r in bm25_topk_fuzzy(
+            spark, pidx, "machne", k=5, expander="auto").collect()]
+        assert auto1 == scan
+        assert not os.path.exists(f"{out}/term_deletes_d2")
+        # materialize, then auto takes the probe — identical results
+        ensure_deletes_dict(spark, pidx, 2)
+        auto2 = [tuple(r) for r in bm25_topk_fuzzy(
+            spark, pidx, "machne", k=5, expander="auto").collect()]
+        assert auto2 == scan
