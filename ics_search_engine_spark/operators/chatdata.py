@@ -167,6 +167,27 @@ def conv_near_dup_pairs(
     ).select("a_conv_id", "b_conv_id", "est_jaccard")
 
 
+def conv_near_dup_drops(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Near-dup pair frame (a_conv_id, b_conv_id, ...) → one-column
+    (conv_id) frame of conversations to DROP under the transitive
+    keeper rule: build the pair graph, take connected components
+    (components.connected_components — large/small-star, O(log² n)
+    rounds), keep each component's MINIMUM conv_id, drop the rest.
+    This matches the doc-grain prepare_corpus(near_dedup=True)
+    semantics exactly: for a chain A~C, B~C (A<B<C) the survivors are
+    {A}, not the pairwise-drop {A, B}."""
+    from ics_search_engine_spark.operators.components import (
+        connected_components,
+    )
+
+    cc = connected_components(
+        pairs, src="a_conv_id", dst="b_conv_id", max_iter=max_iter
+    )
+    return cc.filter(F.col("node") != F.col("root")).select(
+        F.col("node").alias("conv_id")
+    )
+
+
 def prepare_chat_corpus(
     transcripts: DataFrame,
     min_turns: int = 2,
@@ -182,9 +203,11 @@ def prepare_chat_corpus(
 
       1. structural gates  (min/max turn counts; ≥1 assistant turn)
       2. exact dedup       (conv_exact_dups — keep the keeper)
-      3. near dedup        (conv_near_dup_pairs, optional — drop the
-                            lexicographically larger side, the
-                            doc-grain keeper convention)
+      3. near dedup        (conv_near_dup_pairs → connected
+                            components → keep each TRANSITIVE group's
+                            minimum conv_id (conv_near_dup_drops) —
+                            the same semantics as the doc-grain
+                            prepare_corpus(near_dedup=True))
       4. extraction        (sft_pairs over the survivors)
 
     Returns (pairs, report): ``pairs`` is the SFT example frame;
@@ -216,12 +239,8 @@ def prepare_chat_corpus(
                        cur.select("conv_id").distinct().count()))
 
     if near_dedup:
-        drop = (
-            conv_near_dup_pairs(
-                cur, jaccard_threshold=jaccard_threshold
-            )
-            .select(F.col("b_conv_id").alias("conv_id"))
-            .distinct()
+        drop = conv_near_dup_drops(
+            conv_near_dup_pairs(cur, jaccard_threshold=jaccard_threshold)
         )
         cur = cur.join(drop, "conv_id", "left_anti")
         if report:
@@ -247,9 +266,13 @@ def trim_to_token_budget(
     WHITESPACE-token counts fit in ``budget``, taking turns from the
     END (``keep='last'`` — the chat-serving posture: most recent
     context survives) or the START (``keep='first'`` — the
-    pretraining-truncation posture).  A turn is kept only if the WHOLE
-    turn fits (no mid-turn splits — chat examples must stay
-    turn-aligned; a single over-budget turn is dropped, not clipped).
+    pretraining-truncation posture).  Turns are taken whole in the
+    chosen direction until the running token sum exceeds the budget;
+    the first over-budget turn AND every turn beyond it are dropped
+    (never clipped mid-turn — chat examples must stay turn-aligned),
+    so the output is always a contiguous suffix (``keep='last'``) or
+    prefix (``keep='first'``) of the conversation — the context-window
+    shape, not a skip-and-continue subset.
 
     Output: the input columns + ``n_turn_tokens`` and
     ``conv_tokens_kept``.  One per-conversation window (bounded) for

@@ -94,6 +94,12 @@ def _with_global_offset(
     # for the whole session — every pack_sequences call would leak a
     # cached frame.  Checkpoint blocks are released by the
     # ContextCleaner once the returned frame is garbage-collected.
+    # CLUSTER CAVEAT: localCheckpoint truncates lineage, so on a real
+    # cluster an executor loss (or dynamic-allocation decommission)
+    # fails the job instead of recomputing — an accepted fail-fast
+    # tradeoff here (the two dependent jobs run back-to-back, seconds
+    # apart); a petabyte build would use a reliable checkpoint dir or
+    # a staging table instead, as operators/build.py does.
     with_pid = (
         ranged.withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
@@ -546,7 +552,11 @@ def prepare_corpus(
         # materialized once (the count job) and the downstream stage
         # reads the pinned blocks; persist() would leave one
         # CacheManager entry per stage per call for the session's
-        # lifetime (the r3 advisor's leak finding).
+        # lifetime (the r3 advisor's leak finding).  Cluster caveat:
+        # lineage is truncated, so an executor loss between stages
+        # fails the job rather than recomputing (fail-fast by choice
+        # in local mode; clusters should stage to a table instead —
+        # see _with_global_offset / operators/build.py).
         nonlocal n_in
         if report:
             nxt = nxt.localCheckpoint(eager=True)

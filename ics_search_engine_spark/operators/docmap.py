@@ -58,6 +58,10 @@ def assign_doc_ordinals(docs: DataFrame, num_partitions: int | None = None
     # table instead (operators/build.py).  Eager localCheckpoint, not
     # persist(): persist() registers in the CacheManager for the whole
     # session (a per-call leak); checkpoint blocks free with the frame.
+    # Cluster caveat: localCheckpoint truncates lineage — an executor
+    # loss between the two jobs fails fast instead of recomputing;
+    # acceptable locally, and exactly why the petabyte path stages to
+    # a table.
     with_pid = with_pid.localCheckpoint(eager=True)
 
     counts = {

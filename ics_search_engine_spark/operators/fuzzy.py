@@ -137,6 +137,21 @@ def fuzzy_expand(
 DELETES_DICT_NAME = "term_deletes"
 
 
+def deletes_dict_ready(path: str) -> bool:
+    """True iff the deletion dictionary at ``path`` is COMPLETE — the
+    committed-write marker (parquet ``_SUCCESS``) exists, not merely
+    the directory.  Spark creates the output directory before the job
+    commits, so a build interrupted mid-write leaves a partial parquet
+    tree that a bare ``os.path.exists`` would happily serve — yielding
+    silently incomplete candidate sets.  Local-filesystem check by
+    design: segments (and their derived dictionaries) live on the
+    serving host; a cluster deployment would route this through the
+    table catalog instead."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def _delete_variants_col(col):
     """array<string> of all distinct single-character deletions of
     ``col`` — pure Catalyst (transform over a position sequence).
@@ -212,11 +227,24 @@ def ensure_deletes_dict(
     the table's split count (measured: the flat-layout probe tracked
     vocabulary size).  A vocabulary × O(L²) one-off job per segment,
     materialized on first symspell query (idempotent; segments are
-    immutable once built)."""
+    immutable once built).
+
+    The build is ATOMIC: Spark writes to a ``.building`` staging path
+    and an ``os.rename`` publishes it — readers either see the
+    complete committed dictionary or none at all, and readiness is
+    gated on the parquet ``_SUCCESS`` marker (``deletes_dict_ready``),
+    never on bare directory existence (a killed build's partial
+    directory must not be served)."""
     import os
+    import shutil
 
     path = f"{pidx.path}/{DELETES_DICT_NAME}_d{max_dist}"
-    if not os.path.exists(path):
+    if not deletes_dict_ready(path):
+        if os.path.exists(path):  # partial tree from a killed build
+            shutil.rmtree(path)
+        tmp = f"{path}.building"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
         allv = (
             pidx.term_stats.select(
                 "term", "df",
@@ -243,9 +271,67 @@ def ensure_deletes_dict(
             .sortWithinPartitions("klen", "k1", "dkey")
             .write.mode("overwrite")
             .partitionBy("klen", "k1")
-            .parquet(path)
+            .parquet(tmp)
         )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # A concurrent builder published first; its committed
+            # dictionary is identical (segments are immutable).
+            if not deletes_dict_ready(path):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
+
+
+# The candidate fetch raises the SESSION-global parquet In-pushdown
+# threshold for the duration of one read; interleaved set/restore from
+# concurrent threads on a shared SparkSession would clobber each other
+# (and a query planned inside the window would observe the altered
+# value), so fetches serialize on this module lock.  Spark exposes no
+# per-read knob for this conf — the lock is the correctness boundary.
+import threading
+
+_FETCH_LOCK = threading.Lock()
+
+
+def fetch_delete_candidates(
+    spark: SparkSession, deletes: DataFrame, keys: list[str]
+) -> list:
+    """(term, df) candidate rows for a set of probe delete keys — the
+    shared pushed-down fetch used by fuzzy search AND spell suggest.
+
+    (klen, k1) are partition DIRECTORY columns — the isin filters
+    prune to a handful of directories at planning time; ``dkey IN``
+    then prunes row groups inside them.  A max_dist=2 probe set easily
+    exceeds the default parquet In-pushdown threshold (10), which
+    would degrade the pushed dkey filter to the set's min/max RANGE —
+    raise it for this read (scoped under the module lock + restored)."""
+    if not keys:
+        return []
+    parts = {_key_partition(k) for k in keys}
+    lens = sorted({ln for ln, _ in parts})
+    chars = sorted({c for _, c in parts})
+    conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    with _FETCH_LOCK:
+        old = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, str(max(len(keys), 10)))
+        try:
+            return (
+                deletes.filter(
+                    F.col("klen").isin(lens)
+                    & F.col("k1").isin(chars)
+                    & F.col("dkey").isin(keys)
+                )
+                .select("term", "df")
+                .distinct()
+                .collect()
+            )
+        finally:
+            if old is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, old)
 
 
 def fuzzy_expand_symspell(
@@ -265,35 +351,7 @@ def fuzzy_expand_symspell(
     all_keys: set[str] = set()
     for p in probes:
         all_keys |= probe_delete_keys(p, max_dist)
-    keys = sorted(all_keys)
-    parts = {_key_partition(k) for k in keys}
-    lens = sorted({ln for ln, _ in parts})
-    chars = sorted({c for _, c in parts})
-    # (klen, k1) are partition DIRECTORY columns — the isin filters
-    # prune to a handful of directories at planning time; dkey IN then
-    # prunes row groups inside them.  A max_dist=2 probe set easily
-    # exceeds the default parquet In-pushdown threshold (10), which
-    # would degrade the pushed dkey filter to the set's min/max RANGE
-    # — raise it for this job (scoped + restored).
-    conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
-    old = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, str(max(len(keys), 10)))
-    try:
-        cand_rows = (
-            deletes.filter(
-                F.col("klen").isin(lens)
-                & F.col("k1").isin(chars)
-                & F.col("dkey").isin(keys)
-            )
-            .select("term", "df")
-            .distinct()
-            .collect()
-        )
-    finally:
-        if old is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, old)
+    cand_rows = fetch_delete_candidates(spark, deletes, sorted(all_keys))
     qtf: dict[str, int] = {}
     dfs: dict[str, int] = {}
     for p in sorted(probes):
@@ -322,16 +380,15 @@ def bm25_topk_fuzzy(
     builds/reuses the per-segment deletion dictionary and scales to
     vocabularies a per-query scan cannot (module docstring); 'auto'
     takes the deletes probe iff the dictionary for this ``max_dist``
-    is already materialized (never triggers the build implicitly —
-    the build is a vocabulary-sized job a query shouldn't pay)."""
+    is already materialized AND committed (``deletes_dict_ready`` —
+    never a partial tree, never triggers the build implicitly: the
+    build is a vocabulary-sized job a query shouldn't pay)."""
     if expander not in ("scan", "symspell", "auto"):
         raise ValueError(f"unknown expander {expander!r}")
     if expander == "auto":
-        import os
-
         expander = (
             "symspell"
-            if os.path.exists(
+            if deletes_dict_ready(
                 f"{pidx.path}/{DELETES_DICT_NAME}_d{max_dist}"
             )
             else "scan"

@@ -87,6 +87,7 @@ def suggest_terms(
         from ics_search_engine_spark.operators.fuzzy import (
             edit_distance,
             ensure_deletes_dict,
+            fetch_delete_candidates,
             probe_delete_keys,
         )
 
@@ -96,25 +97,15 @@ def suggest_terms(
         ]
         cand_rows = []
         if scanning:
-            from ics_search_engine_spark.operators.fuzzy import (
-                _key_partition,
-            )
-
             deletes = ensure_deletes_dict(spark, pidx, max_dist)
             all_keys: set[str] = set()
             for p in scanning:
                 all_keys |= probe_delete_keys(p, max_dist)
-            keys = sorted(all_keys)
-            parts = {_key_partition(k) for k in keys}
-            cand_rows = (
-                deletes.filter(
-                    F.col("klen").isin(sorted({x for x, _ in parts}))
-                    & F.col("k1").isin(sorted({c for _, c in parts}))
-                    & F.col("dkey").isin(keys)
-                )
-                .select("term", "df")
-                .distinct()
-                .collect()
+            # Shared pushed-down fetch (raises the parquet In-pushdown
+            # threshold under the module lock) — without it, >10 probe
+            # keys degrade the pushed dkey filter to a min/max range.
+            cand_rows = fetch_delete_candidates(
+                spark, deletes, sorted(all_keys)
             )
         rows = []
         for p in uniq:

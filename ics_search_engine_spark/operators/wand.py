@@ -39,6 +39,97 @@ from ics_search_engine_spark.operators.packed_index import (
 from ics_search_engine_spark.operators.query import query_weights
 from ics_search_engine_spark.textproc.tokenizer import tokenize
 
+# Above this many per-query metadata rows (n_query_terms × n_ranges),
+# phase selection stays IN SPARK: the driver never collects or sorts
+# the unpruned range table, the θ₀ seed is an O(k)
+# TakeOrderedAndProject, and only the ranges that survive θ₀ (the
+# genuinely-plausible band) are collected.  Below it, the driver-side
+# path is cheaper (zero extra jobs).  At 10^12 docs / range_bits 22
+# a 5-term query is ~1.2M metadata rows → spark path; every corpus
+# that fits a driver collect comfortably stays on the driver path.
+SPARK_META_ROWS_MAX = 250_000
+
+
+def use_spark_meta(
+    pidx: PackedIndex, n_terms: int, meta_mode: str | None
+) -> bool:
+    """The range-count threshold rule (unit-tested): explicit
+    ``meta_mode`` wins; auto estimates per-query metadata rows as
+    n_terms × n_ranges from the index stats alone (no job)."""
+    if meta_mode == "spark":
+        return True
+    if meta_mode == "driver":
+        return False
+    if meta_mode is not None:
+        raise ValueError(f"unknown meta_mode {meta_mode!r}")
+    n_ranges = ((max(pidx.n_docs, 1) - 1) >> pidx.stats["range_bits"]) + 1
+    return n_terms * n_ranges > SPARK_META_ROWS_MAX
+
+
+def _spark_meta_ranges(
+    pidx: PackedIndex,
+    weights: dict[str, float],
+    k: int,
+    require_all: int | None,
+    min_match: int | None,
+    allowed_ords: DataFrame | None,
+    want_stats: bool,
+) -> tuple[list, int, int]:
+    """Spark-side phase selection → (survivor ranges sorted by ub
+    desc, n_ranges_total, seed_pruned).  The per-shard bound table
+    (ub = Σ w·max_tfn, lb = max w·max_tfn, nterms) is a metadata-only
+    aggregation that never reaches the driver whole; the θ₀ seed
+    collects exactly k rows (TakeOrderedAndProject on lb); the final
+    collect is survivor-sized.  n_ranges_total is -1 unless
+    ``want_stats`` (counting the pre-seed table costs one extra
+    metadata job the hot path shouldn't pay)."""
+    wmap = F.create_map(
+        *[x for t, w in sorted(weights.items())
+          for x in (F.lit(t), F.lit(float(w)))]
+    )
+    contrib = wmap[F.col("term")] * F.col("max_tfn")
+    per_shard = (
+        pidx.index.filter(F.col("term").isin(sorted(weights)))
+        .select("shard_id", contrib.alias("c"))
+        .groupBy("shard_id")
+        .agg(
+            F.sum("c").alias("ub"),
+            F.max("c").alias("lb"),
+            F.count("*").alias("nterms"),
+        )
+    )
+    if require_all is not None:
+        per_shard = per_shard.filter(F.col("nterms") == require_all)
+    if min_match is not None:
+        per_shard = per_shard.filter(F.col("nterms") >= min_match)
+    if allowed_ords is not None:
+        per_shard = per_shard.join(
+            allowed_ords.select("shard_id").distinct(), "shard_id",
+            "left_semi",
+        )
+    n_ranges_total = per_shard.count() if want_stats else -1
+
+    seed_pruned = 0
+    survivors = per_shard
+    if require_all is None and min_match is None and allowed_ords is None:
+        # O(k) θ seed: the k-th largest metadata lower bound is a
+        # valid global score lower bound (module docstring) — one
+        # TakeOrderedAndProject job, k rows to the driver.
+        seed = survivors.orderBy(
+            F.desc("lb"), F.asc("shard_id")
+        ).limit(k).collect()
+        if len(seed) >= k:
+            theta0 = seed[k - 1]["lb"]
+            survivors = survivors.filter(F.col("ub") >= theta0)
+    rows = survivors.select("shard_id", "ub").collect()
+    ranges = sorted(
+        ({"shard_id": r["shard_id"], "ub": r["ub"]} for r in rows),
+        key=lambda r: (-r["ub"], r["shard_id"]),
+    )
+    if want_stats and n_ranges_total >= 0:
+        seed_pruned = n_ranges_total - len(ranges)
+    return ranges, (n_ranges_total if want_stats else len(ranges)), seed_pruned
+
 
 def bm25_topk_wand(
     spark: SparkSession,
@@ -52,6 +143,7 @@ def bm25_topk_wand(
     allowed_docs: DataFrame | None = None,
     weights: dict[str, float] | None = None,
     min_match: int | None = None,
+    meta_mode: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 with block-max range pruning — result identical to the
     exhaustive packed path (invariant-tested).  ``collect_stats`` (if a
@@ -87,7 +179,16 @@ def bm25_topk_wand(
     holds < m of the query terms drop before scoring, the OR ub stays
     a valid bound for the (subset) msm scores, and the metadata θ-seed
     is disabled (the doc achieving a range's max_tfn may match < m
-    terms).  Mutually exclusive with ``conjunctive``."""
+    terms).  Mutually exclusive with ``conjunctive``.
+
+    ``meta_mode`` ∈ {None (auto), 'driver', 'spark'}: where phase
+    selection runs.  'driver' is the historical path (collect the
+    query's metadata rows, sort ranges driver-side — fine to ~10^5
+    rows); 'spark' keeps the range table distributed, seeds θ₀ with
+    an O(k) TakeOrderedAndProject and collects only θ₀ survivors —
+    the 10^12-doc path where n_terms × n_ranges would swamp a driver
+    collect.  Auto picks by the ``use_spark_meta`` threshold rule.
+    Results are bit-identical either way (invariant-tested)."""
     do_stem = pidx.stats.get("stem", True)
     # ``weights``: pre-computed (term -> weight) override — lets the
     # query-expansion surfaces (Rocchio PRF, any externally weighted
@@ -108,6 +209,10 @@ def bm25_topk_wand(
     if not q_terms:
         return empty
 
+    spark_meta = False
+    ubs: dict[int, float] = {}
+    lbs: dict[int, float] = {}
+    shard_terms: dict[int, int] = {}
     if pidx._shard_meta is not None:
         # serving mode, small vocabulary: metadata is driver-resident —
         # term stats and phase selection cost zero Spark jobs
@@ -118,9 +223,6 @@ def bm25_topk_wand(
             weights = query_weights(query, term_df, pidx.n_docs, do_stem)
         if not weights:
             return empty
-        ubs: dict[int, float] = {}
-        lbs: dict[int, float] = {}
-        shard_terms: dict[int, int] = {}
         for t, w in weights.items():
             for shard_id, max_tfn in pidx._shard_meta.get(t, ()):
                 ubs[shard_id] = ubs.get(shard_id, 0.0) + w * max_tfn
@@ -128,6 +230,24 @@ def bm25_topk_wand(
                 if c > lbs.get(shard_id, 0.0):
                     lbs[shard_id] = c
                 shard_terms[shard_id] = shard_terms.get(shard_id, 0) + 1
+    elif use_spark_meta(pidx, len(q_terms), meta_mode):
+        # 10^12-doc regime: phase selection stays in Spark — only the
+        # per-term df (|terms| rows) reaches the driver here; the
+        # range table is handled by _spark_meta_ranges below.
+        spark_meta = True
+        if w_over is not None:
+            weights = dict(w_over)
+        else:
+            term_df = {
+                r["term"]: r["df"]
+                for r in pidx.index.filter(F.col("term").isin(q_terms))
+                .groupBy("term")
+                .agg(F.sum("n_postings").alias("df"))
+                .collect()
+            }
+            weights = query_weights(query, term_df, pidx.n_docs, do_stem)
+        if not weights:
+            return empty
     else:
         # ONE pushed-down metadata job fetches df AND block maxes for
         # just the query terms (seek-map analog; term IN (...) prunes
@@ -144,9 +264,6 @@ def bm25_topk_wand(
             weights = query_weights(query, term_df, pidx.n_docs, do_stem)
         if not weights:
             return empty
-        ubs = {}
-        lbs = {}
-        shard_terms = {}
         seen_term_shard = set()
         for r in meta_rows:
             w = weights.get(r["term"])
@@ -172,15 +289,16 @@ def bm25_topk_wand(
         if len(weights) < len(q_terms):
             return empty
         require_all = len(weights)
-        ubs = {s: u for s, u in ubs.items()
-               if shard_terms.get(s, 0) == require_all}
+        if not spark_meta:
+            ubs = {s: u for s, u in ubs.items()
+                   if shard_terms.get(s, 0) == require_all}
     if min_match is not None:
         if min_match <= 1:
             min_match = None  # m <= 1 is plain OR semantics
         elif len(weights) < min_match:
             # fewer than m query terms exist in the index at all
             return empty
-        else:
+        elif not spark_meta:
             # metadata-level msm pruning: a range holding fewer than m
             # of the query terms can never produce a match
             ubs = {s: u for s, u in ubs.items()
@@ -193,40 +311,52 @@ def bm25_topk_wand(
         )
 
         allowed_ords = allowed_shard_ords(pidx, allowed_docs)
-        # metadata-level filter pruning: a range with no allowed doc
-        # cannot produce a result.  The distinct-shard collect is
-        # range-grain (≤ n_ranges longs), the same size class as the
-        # ub table itself.
-        allowed_shards = {
-            r["shard_id"]
-            for r in allowed_ords.select("shard_id").distinct().collect()
-        }
-        ubs = {s: u for s, u in ubs.items() if s in allowed_shards}
-    ub_rows = [{"shard_id": s, "ub": u} for s, u in ubs.items()]
-    ranges = sorted(ub_rows, key=lambda r: (-r["ub"], r["shard_id"]))
-    if not ranges:
-        return empty
-    n_ranges_total = len(ranges)
+        if not spark_meta:
+            # metadata-level filter pruning: a range with no allowed
+            # doc cannot produce a result.  The distinct-shard collect
+            # is range-grain (≤ n_ranges longs), the same size class
+            # as the ub table itself.  (The spark path semi-joins this
+            # frame instead — no collect.)
+            allowed_shards = {
+                r["shard_id"]
+                for r in allowed_ords.select("shard_id").distinct().collect()
+            }
+            ubs = {s: u for s, u in ubs.items() if s in allowed_shards}
 
-    # θ seed from metadata alone, BEFORE any scoring: for each range r,
-    # lb(r) = max_t w_t·max_tfn(t,r) is the score lower bound of a real
-    # document in r (BM25 contributions are non-negative — idf is the
-    # Lucene log1p form, always > 0).  Ranges are disjoint, so the k-th
-    # largest lb over ranges lower-bounds the FINAL k-th best score,
-    # and every range with ub < θ₀ is prunable without decoding a byte.
-    # Cuts the iterative loop's early low-θ rounds (rare-term queries:
-    # the rare term's high-lb ranges clear the common-term-only tail
-    # up front).  Invalid under conjunctive semantics: the doc
-    # achieving max_tfn may not match every required term.
-    seed_pruned = 0
-    if (
-        require_all is None and min_match is None
-        and allowed_ords is None and len(lbs) >= k
-    ):
-        theta0 = sorted(lbs.values(), reverse=True)[k - 1]
-        kept0 = [r for r in ranges if r["ub"] >= theta0]
-        seed_pruned = len(ranges) - len(kept0)
-        ranges = kept0
+    if spark_meta:
+        ranges, n_ranges_total, seed_pruned = _spark_meta_ranges(
+            pidx, weights, k, require_all, min_match, allowed_ords,
+            want_stats=collect_stats is not None,
+        )
+        if not ranges:
+            return empty
+    else:
+        ub_rows = [{"shard_id": s, "ub": u} for s, u in ubs.items()]
+        ranges = sorted(ub_rows, key=lambda r: (-r["ub"], r["shard_id"]))
+        if not ranges:
+            return empty
+        n_ranges_total = len(ranges)
+
+        # θ seed from metadata alone, BEFORE any scoring: for each
+        # range r, lb(r) = max_t w_t·max_tfn(t,r) is the score lower
+        # bound of a real document in r (BM25 contributions are
+        # non-negative — idf is the Lucene log1p form, always > 0).
+        # Ranges are disjoint, so the k-th largest lb over ranges
+        # lower-bounds the FINAL k-th best score, and every range with
+        # ub < θ₀ is prunable without decoding a byte.  Cuts the
+        # iterative loop's early low-θ rounds (rare-term queries: the
+        # rare term's high-lb ranges clear the common-term-only tail
+        # up front).  Invalid under conjunctive semantics: the doc
+        # achieving max_tfn may not match every required term.
+        seed_pruned = 0
+        if (
+            require_all is None and min_match is None
+            and allowed_ords is None and len(lbs) >= k
+        ):
+            theta0 = sorted(lbs.values(), reverse=True)[k - 1]
+            kept0 = [r for r in ranges if r["ub"] >= theta0]
+            seed_pruned = len(ranges) - len(kept0)
+            ranges = kept0
 
     matched = pidx.index.filter(F.col("term").isin(q_terms))
     range_bits = pidx.stats["range_bits"]

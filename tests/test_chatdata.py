@@ -170,6 +170,91 @@ class TestPrepareChatCorpus:
             r for r in pairs.collect() if r["conv_id"] == "c"
         ]  # near-dup side dropped
 
+    def test_near_dedup_is_transitive_chain_of_three(self, spark):
+        """Chain A~C, B~C where A and B never pair directly (A<B<C):
+        the transitive keeper rule keeps only the component minimum
+        {A} — the doc-grain prepare_corpus semantics.  The pairwise
+        larger-side drop this replaced would have kept {A, B}."""
+        from ics_search_engine_spark.operators.chatdata import (
+            conv_near_dup_drops,
+        )
+
+        pairs = spark.createDataFrame(
+            [("a", "c", 0.8), ("b", "c", 0.8)],
+            "a_conv_id string, b_conv_id string, est_jaccard double",
+        )
+        drops = sorted(
+            r["conv_id"] for r in conv_near_dup_drops(pairs).collect()
+        )
+        assert drops == ["b", "c"]
+
+    def test_near_dedup_end_to_end_transitive(self, spark):
+        """prepare_chat_corpus(near_dedup=True) over a synthetic
+        chain: three conversations where x~z and y~z share enough
+        shingles to pair under LSH but x and y need not — survivors
+        must be exactly one conversation per transitive component."""
+        from ics_search_engine_spark.operators.chatdata import (
+            conv_near_dup_drops,
+            conv_near_dup_pairs,
+            prepare_chat_corpus,
+        )
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                "india juliet kilo lima mike november oscar papa")
+        words = base.split()
+        # x: base; z: base minus last word; y: base minus first word —
+        # each differs from z by ~1 shingle but x/y differ by 2.
+        texts = {
+            "x": " ".join(words),
+            "y": " ".join(words[1:]),
+            "z": " ".join(words[:-1]),
+        }
+        rows = []
+        for cid, txt in texts.items():
+            half = len(txt) // 2
+            rows += [
+                (cid, 0, "user", txt[:half], None, None),
+                (cid, 1, "assistant", txt[half:], None, None),
+            ]
+        convs = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        got_pairs = {
+            (r["a_conv_id"], r["b_conv_id"])
+            for r in conv_near_dup_pairs(
+                convs, jaccard_threshold=0.5
+            ).collect()
+        }
+        if got_pairs >= {("x", "z"), ("y", "z")}:
+            # a genuine chain formed: transitive closure must collapse
+            # it to the single component minimum
+            drops = sorted(
+                r["conv_id"]
+                for r in conv_near_dup_drops(
+                    conv_near_dup_pairs(
+                        convs, jaccard_threshold=0.5
+                    )
+                ).collect()
+            )
+            assert drops == ["y", "z"]
+        pairs, _ = prepare_chat_corpus(
+            convs, near_dedup=True, jaccard_threshold=0.5,
+            report=False,
+        )
+        survivors = {r["conv_id"] for r in pairs.collect()}
+        comp = {"x", "y", "z"}
+        dropped = {
+            r["conv_id"]
+            for r in conv_near_dup_drops(
+                conv_near_dup_pairs(convs, jaccard_threshold=0.5)
+            ).collect()
+        }
+        assert survivors == comp - dropped
+        # component minima always survive
+        assert "x" in survivors
+
 
 class TestTrimToTokenBudget:
     def test_keep_last_whole_turns(self, spark):

@@ -216,3 +216,61 @@ class TestSymSpell:
         pidx, _ = setup
         with pytest.raises(ValueError):
             bm25_topk_fuzzy(spark, pidx, "x", expander="wat")
+
+    def test_partial_dict_is_rebuilt_not_served(self, spark, setup):
+        """A build killed mid-write leaves a parquet directory WITHOUT
+        the _SUCCESS marker (Spark creates the path before commit).
+        ensure_deletes_dict must treat that as 'not built' and
+        rebuild; expander='auto' must NOT select it."""
+        import os
+        import shutil
+
+        from ics_search_engine_spark.operators.fuzzy import (
+            DELETES_DICT_NAME,
+            deletes_dict_ready,
+            ensure_deletes_dict,
+            fuzzy_expand,
+            fuzzy_expand_symspell,
+        )
+
+        pidx, _ = setup
+        # Use a distinct max_dist so the class-scoped d2 dict is
+        # untouched: simulate the partial tree for d1.
+        path = f"{pidx.path}/{DELETES_DICT_NAME}_d1"
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(os.path.join(path, "klen=3"))
+        with open(os.path.join(path, "klen=3", "part-0.parquet"),
+                  "wb") as f:
+            f.write(b"PAR1 truncated garbage")
+        assert not deletes_dict_ready(path)
+        # auto with only the partial d1 tree on disk → scan path
+        # (would throw or return garbage if it read the partial tree).
+        top_auto = bm25_topk_fuzzy(
+            spark, pidx, "machne", k=5, max_dist=1, expander="auto"
+        ).collect()
+        top_scan = bm25_topk_fuzzy(
+            spark, pidx, "machne", k=5, max_dist=1, expander="scan"
+        ).collect()
+        assert [tuple(r) for r in top_auto] == [
+            tuple(r) for r in top_scan
+        ]
+        # ensure_deletes_dict rebuilds over the partial tree and the
+        # result is committed + bit-identical to the scan expander.
+        ensure_deletes_dict(spark, pidx, 1)
+        assert deletes_dict_ready(path)
+        probes = {"machne": 1}
+        assert fuzzy_expand_symspell(
+            spark, pidx, probes, 1, 8
+        ) == fuzzy_expand(pidx, probes, 1, 8)
+
+    def test_ready_requires_success_marker(self, setup):
+        from ics_search_engine_spark.operators.fuzzy import (
+            DELETES_DICT_NAME,
+            deletes_dict_ready,
+        )
+
+        pidx, _ = setup
+        path = f"{pidx.path}/{DELETES_DICT_NAME}_d2"
+        assert deletes_dict_ready(path)  # committed by the fixture
+        assert not deletes_dict_ready(path + "_nonexistent")

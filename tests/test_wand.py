@@ -423,3 +423,87 @@ def test_serving_conjunctive_wand_prunes_and_matches(spark, pidx):
     srv.search("xyzzyqux machine", k=5, use_wand=True, conjunctive=True,
                stats=st_and)
     assert st_and["n_ranges"] < st_or["n_ranges"]
+
+
+class TestSparkMetaPath:
+    """meta_mode='spark' (the 10^12-doc phase-selection fallback:
+    range table stays distributed, θ₀ seed is an O(k)
+    TakeOrderedAndProject) must be bit-identical to the driver path
+    in every semantics mode, and the auto threshold rule must pick
+    by estimated metadata rows."""
+
+    @pytest.mark.parametrize("qid", sorted(REFERENCE_QUERIES))
+    def test_spark_meta_equals_driver(self, qid, spark, pidx):
+        query = REFERENCE_QUERIES[qid]
+        a = [tuple(r) for r in bm25_topk_wand(
+            spark, pidx, query, k=10, meta_mode="driver").collect()]
+        b = [tuple(r) for r in bm25_topk_wand(
+            spark, pidx, query, k=10, meta_mode="spark").collect()]
+        assert a == b, qid
+
+    def test_spark_meta_conjunctive_and_msm(self, spark, pidx):
+        for kw in ({"conjunctive": True}, {"min_match": 2}):
+            a = [tuple(r) for r in bm25_topk_wand(
+                spark, pidx, "machine learning", k=10,
+                meta_mode="driver", **kw).collect()]
+            b = [tuple(r) for r in bm25_topk_wand(
+                spark, pidx, "machine learning", k=10,
+                meta_mode="spark", **kw).collect()]
+            assert a == b, kw
+
+    def test_spark_meta_filtered(self, spark, pidx, small_df):
+        import pyspark.sql.functions as F
+
+        allowed = small_df.filter(
+            F.col("turn_idx") % 2 == 0
+        ).select("conv_id", "turn_idx")
+        a = [tuple(r) for r in bm25_topk_wand(
+            spark, pidx, "machine learning", k=10,
+            meta_mode="driver", allowed_docs=allowed).collect()]
+        b = [tuple(r) for r in bm25_topk_wand(
+            spark, pidx, "machine learning", k=10,
+            meta_mode="spark", allowed_docs=allowed).collect()]
+        assert a == b
+
+    def test_spark_meta_seed_prunes_and_stats(self, spark, pidx):
+        stats: dict = {}
+        res = [tuple(r) for r in bm25_topk_wand(
+            spark, pidx, "machine learning", k=3, phase1_ranges=3,
+            meta_mode="spark", collect_stats=stats).collect()]
+        want = [tuple(r) for r in bm25_topk_wand(
+            spark, pidx, "machine learning", k=3, phase1_ranges=3,
+            meta_mode="driver").collect()]
+        assert res == want
+        assert stats["n_ranges"] >= 1
+        assert stats["scored"] + stats["pruned"] == stats["n_ranges"]
+
+    def test_threshold_rule(self, pidx, monkeypatch):
+        from ics_search_engine_spark.operators import wand as wand_mod
+
+        n_ranges = ((max(pidx.n_docs, 1) - 1)
+                    >> pidx.stats["range_bits"]) + 1
+        # explicit modes always win
+        assert wand_mod.use_spark_meta(pidx, 1, "spark") is True
+        assert wand_mod.use_spark_meta(pidx, 10**9, "driver") is False
+        with pytest.raises(ValueError):
+            wand_mod.use_spark_meta(pidx, 1, "wat")
+        # auto: compares n_terms * n_ranges against the threshold
+        monkeypatch.setattr(
+            wand_mod, "SPARK_META_ROWS_MAX", 2 * n_ranges)
+        assert wand_mod.use_spark_meta(pidx, 2, None) is False
+        assert wand_mod.use_spark_meta(pidx, 3, None) is True
+
+    def test_auto_picks_spark_above_threshold(
+        self, spark, pidx, monkeypatch
+    ):
+        """With the threshold forced to 0, auto must route through the
+        spark path and still match the driver path."""
+        from ics_search_engine_spark.operators import wand as wand_mod
+
+        monkeypatch.setattr(wand_mod, "SPARK_META_ROWS_MAX", 0)
+        auto = [tuple(r) for r in bm25_topk_wand(
+            spark, pidx, "machine learning", k=5).collect()]
+        drv = [tuple(r) for r in bm25_topk_wand(
+            spark, pidx, "machine learning", k=5,
+            meta_mode="driver").collect()]
+        assert auto == drv

@@ -23,6 +23,17 @@ ATOMIC = (
 )
 
 
+def non_atomic_columns(schema) -> list:
+    """(name, type) for every output column the driver's pandas
+    canonicalizer cannot sort/hash — the single check this audit (and
+    tests/test_gate_contracts.py) applies to every gate."""
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if not isinstance(f.dataType, ATOMIC)
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("audit-gate-schemas")
@@ -31,11 +42,7 @@ def main() -> None:
     for i, (name, fn) in enumerate(sorted(qs.items())):
         try:
             df = fn(spark, sf_dir)
-            nonatomic = [
-                (f.name, f.dataType.simpleString())
-                for f in df.schema.fields
-                if not isinstance(f.dataType, ATOMIC)
-            ]
+            nonatomic = non_atomic_columns(df.schema)
             if nonatomic:
                 bad.append((name, nonatomic))
                 print(f"[{i+1}/{len(qs)}] BAD {name}: {nonatomic}",
