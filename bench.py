@@ -243,6 +243,63 @@ def main() -> None:
         finally:
             shutil.rmtree(conv_dir, ignore_errors=True)
 
+        # skewed-corpus WAND section (round-4 verdict item 3): the sf
+        # documents table is too small and uniform for block-max
+        # pruning to engage (12 wide ranges, flat tfn — pruned=0 every
+        # round), so the pruning path was only evidenced in the 690k
+        # sections of BENCH/BASELINE.md where the driver doesn't look.
+        # Build the deterministic Zipf scaling-corpus recipe at a
+        # comparable row count with narrow ranges (range_bits 8) and
+        # run the same six queries + serving WAND, reporting prune
+        # counters where the scoreboard reads them.
+        from ics_search_engine_spark.sources.transcripts import (
+            write_parquet,
+        )
+
+        skew_src = tempfile.mkdtemp(prefix="bench_skew_src_")
+        skew_dir = tempfile.mkdtemp(prefix="bench_skew_idx_")
+        try:
+            skew_n = write_parquet(f"{skew_src}/t.parquet", 5000, seed=42)
+            skew_df = spark.read.parquet(f"{skew_src}/t.parquet")
+            t0 = time.time()
+            build_packed_index(
+                spark, skew_df, skew_dir, range_bits=8,
+                with_positions=False,
+            )
+            timings["skew_build"] = round(time.time() - t0, 3)
+            spidx = PackedIndex(spark, skew_dir).cache()
+            bm25_topk_wand(spark, spidx, "warm up query", k=10).collect()
+            sk_scored = sk_pruned = 0
+            skew_queries = dict(
+                BENCH_QUERIES, skew_rare="xyzzyqux spark stream"
+            )
+            for name, q in skew_queries.items():
+                best = None
+                for _ in range(2):
+                    st: dict = {}
+                    t0 = time.time()
+                    bm25_topk_wand(
+                        spark, spidx, q, k=10, collect_stats=st
+                    ).collect()
+                    dt = time.time() - t0
+                    best = dt if best is None or dt < best else best
+                timings[f"skew_{name}"] = round(best, 3)
+                sk_scored += st.get("scored", 0)
+                sk_pruned += st.get("pruned", 0)
+            ssrv = LocalIndexServer(skew_dir)
+            ssrv.search("warm up query", k=10, use_wand=True)
+            sk_srv_scored = sk_srv_pruned = 0
+            for name, q in skew_queries.items():
+                st = {}
+                t0 = time.time()
+                ssrv.search(q, k=10, use_wand=True, stats=st)
+                timings[f"skew_wand_{name}"] = round(time.time() - t0, 4)
+                sk_srv_scored += st.get("scored", 0)
+                sk_srv_pruned += st.get("pruned", 0)
+        finally:
+            shutil.rmtree(skew_src, ignore_errors=True)
+            shutil.rmtree(skew_dir, ignore_errors=True)
+
         total = build_s + sum(qtimes)
         print(
             json.dumps(
@@ -260,6 +317,11 @@ def main() -> None:
                         "serve_wand_p50_sec": round(wand_p50, 4),
                         "wand_pruned_ranges": pruned,
                         "wand_scored_ranges": scored,
+                        "skew_n_turns": skew_n,
+                        "skew_wand_pruned_ranges": sk_pruned,
+                        "skew_wand_scored_ranges": sk_scored,
+                        "skew_serve_pruned_ranges": sk_srv_pruned,
+                        "skew_serve_scored_ranges": sk_srv_scored,
                         "cpus": int(cpus),
                         "timing": "min-of-2 (build + distributed "
                         "queries); shared-VM noise defense",

@@ -129,7 +129,7 @@ def pack_postings_batched(
     doc_ords: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    positions: list | None,
+    positions: "list | tuple[np.ndarray, np.ndarray] | None",
     starts: np.ndarray,
     ends: np.ndarray,
 ) -> list[bytes]:
@@ -164,18 +164,28 @@ def pack_postings_batched(
 
     wp = positions is not None
     if wp:
-        plens = np.fromiter(
-            (len(p) for p in positions), dtype=np.uint64, count=len(positions)
-        )
+        if isinstance(positions, tuple):
+            # fast path: (flat_positions, per_posting_lengths) numpy
+            # pair — no per-posting Python objects at all (the fused
+            # positional build hands the raw sorted pos column plus
+            # tf as lengths; see packed_index._pack_sorted_rows)
+            flat, plens = positions
+            flat = np.ascontiguousarray(flat, dtype=np.uint64)
+            plens = np.ascontiguousarray(plens, dtype=np.uint64)
+        else:
+            plens = np.fromiter(
+                (len(p) for p in positions), dtype=np.uint64,
+                count=len(positions),
+            )
+            flat = (
+                np.concatenate(
+                    [np.asarray(p, dtype=np.uint64) for p in positions]
+                )
+                if len(positions) and plens.sum()
+                else np.empty(0, dtype=np.uint64)
+            )
         pl_buf, pl_ends = varint_encode_with_ends(plens)
         off_pl = np.concatenate([[0], pl_ends])
-        flat = (
-            np.concatenate(
-                [np.asarray(p, dtype=np.uint64) for p in positions]
-            )
-            if len(positions) and plens.sum()
-            else np.empty(0, dtype=np.uint64)
-        )
         # delta within each posting's position list: reset (absolute
         # value) at every posting's first position
         post_off = np.concatenate([[0], np.cumsum(plens)]).astype(np.int64)

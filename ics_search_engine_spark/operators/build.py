@@ -102,6 +102,14 @@ def resumable_build(
     # cluster; at petabyte scale this persist is a short-lived staging
     # table).  Row-count metrics ride the write actions as Observation
     # metrics — no separate count jobs re-scan anything.
+    # Positional cost note: ib.postings builds position ARRAYS via
+    # collect_list — the aggregation form build_packed_index's
+    # one-shot path replaced with the fused sorted-rows pack after
+    # profiling (packed_index._pack_sorted_rows).  It is kept here ON
+    # PURPOSE: the staged postings table is the resume checkpoint, and
+    # a checkpointable table needs the materialized array column; the
+    # collect_list price is the price of resumability, paid per bucket
+    # (bounded), not per corpus.
     for b in range(n_buckets):
         key = f"bucket_{b}"
         if stages.get(key, {}).get("done") is True:

@@ -184,6 +184,112 @@ def _pack_sorted(
     return posts.mapInPandas(stream_pack, schema=_PACKED_SCHEMA)
 
 
+def _pack_sorted_rows(rows: DataFrame, avgdl: float) -> DataFrame:
+    """FUSED positional pack: input is posting-GRAIN exploded rows
+    (term, shard_id, doc_ord, dl, pos), hash-partitioned by
+    (term, shard_id) and locally sorted by (term, shard_id, doc_ord,
+    pos).  tf and the per-posting position runs are derived with numpy
+    run-length detection INSIDE the packer — the plan contains NO
+    collect_list.
+
+    Why: ``collect_list(pos)`` plans as ObjectHashAggregate, which
+    either sort-falls-back at 128 keys (default) or drowns in
+    per-group ArrayBuffer objects when the threshold is raised —
+    profiled at the 690k-turn corpus as ~85% of the entire positional
+    build (tools/posbuild_profile.py; raising the fallback threshold
+    measured 3.8x WORSE).  Here the same per-partition sort the old
+    plan already paid (sortWithinPartitions) is the ONLY ordering
+    work, and tf/positions fall out of one boolean-diff pass.
+    Payloads are byte-identical to the collect_list path
+    (property-tested in tests/test_packed_index.py)."""
+
+    def stream_pack(batches) -> "Iterator[pd.DataFrame]":
+        carry: dict | None = None
+
+        def encode(terms, shards, ords, dls, poss):
+            # posting boundaries: (term, shard, doc) change points
+            n = len(terms)
+            pchg = np.empty(n, dtype=bool)
+            pchg[0] = True
+            pchg[1:] = (
+                (terms[1:] != terms[:-1])
+                | (shards[1:] != shards[:-1])
+                | (ords[1:] != ords[:-1])
+            )
+            pstarts = np.flatnonzero(pchg)
+            pends = np.append(pstarts[1:], n)
+            tfs = (pends - pstarts).astype(np.uint64)
+            pterm = terms[pstarts]
+            pshard = shards[pstarts]
+            pords = ords[pstarts]
+            pdls = dls[pstarts]
+            # (term, shard) group boundaries at the POSTING level
+            m = len(pstarts)
+            gchg = np.empty(m, dtype=bool)
+            gchg[0] = True
+            gchg[1:] = (
+                (pterm[1:] != pterm[:-1]) | (pshard[1:] != pshard[:-1])
+            )
+            gstarts = np.flatnonzero(gchg)
+            gends = np.append(gstarts[1:], m)
+            payloads = pack_postings_batched(
+                pords, tfs, pdls, (poss, tfs), gstarts, gends
+            )
+            tfn = _tfn(tfs, pdls, avgdl)
+            gmax = np.maximum.reduceat(tfn, gstarts)
+            return pd.DataFrame(
+                {
+                    "term": pterm[gstarts],
+                    "shard_id": pshard[gstarts].astype(np.int64),
+                    "n_postings": (gends - gstarts).astype(np.int64),
+                    "max_tfn": gmax.astype(np.float64),
+                    "payload": payloads,
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            shards = pdf["shard_id"].to_numpy()
+            ords = pdf["doc_ord"].to_numpy().astype(np.uint64)
+            dls = pdf["dl"].to_numpy().astype(np.uint64)
+            poss = pdf["pos"].to_numpy().astype(np.uint64)
+            if carry is not None:
+                terms = np.concatenate([carry["terms"], terms])
+                shards = np.concatenate([carry["shards"], shards])
+                ords = np.concatenate([carry["ords"], ords])
+                dls = np.concatenate([carry["dls"], dls])
+                poss = np.concatenate([carry["poss"], poss])
+                carry = None
+            # hold back the last (term, shard) group's ROWS — it may
+            # continue in the next Arrow batch (bounded by one group's
+            # rows: <= 2^range_bits postings x positions per doc)
+            n = len(terms)
+            schg = np.empty(n, dtype=bool)
+            schg[0] = True
+            schg[1:] = (
+                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+            )
+            ls = int(np.flatnonzero(schg)[-1])
+            carry = {
+                "terms": terms[ls:], "shards": shards[ls:],
+                "ords": ords[ls:], "dls": dls[ls:], "poss": poss[ls:],
+            }
+            if ls > 0:
+                yield encode(
+                    terms[:ls], shards[:ls], ords[:ls], dls[:ls],
+                    poss[:ls],
+                )
+        if carry is not None and len(carry["terms"]):
+            yield encode(
+                carry["terms"], carry["shards"], carry["ords"],
+                carry["dls"], carry["poss"],
+            )
+
+    return rows.mapInPandas(stream_pack, schema=_PACKED_SCHEMA)
+
+
 def build_packed_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -255,25 +361,30 @@ def build_packed_index(
         n_idx_parts = index_partitions or max(
             int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4
         )
-        aggs = [
-            F.count("*").cast("int").alias("tf"),
-            F.first("dl").alias("dl"),
-        ]
         if with_positions:
-            aggs.append(
-                F.sort_array(F.collect_list("pos")).alias("positions")
+            # FUSED positional pack: no collect_list aggregation at
+            # all — the per-partition sort (which the old plan paid
+            # anyway) is the only ordering work, and the packer
+            # derives tf + position runs with numpy
+            # (_pack_sorted_rows; profiled 690k-turn numbers in
+            # BENCH/BASELINE.md "positional build profile").
+            rows_sorted = (
+                exploded.repartition(n_idx_parts, "term", "shard_id")
+                .sortWithinPartitions("term", "shard_id", "doc_ord", "pos")
             )
-        cols = ["term", "shard_id", "doc_ord", "tf", "dl"]
-        if with_positions:
-            cols.append("positions")
-        posts_sorted = (
-            exploded.repartition(n_idx_parts, "term", "shard_id")
-            .groupBy("term", "shard_id", "doc_ord")
-            .agg(*aggs)
-            .select(*cols)
-            .sortWithinPartitions("term", "shard_id", "doc_ord")
-        )
-        packed = _pack_sorted(posts_sorted, avgdl, with_positions)
+            packed = _pack_sorted_rows(rows_sorted, avgdl)
+        else:
+            posts_sorted = (
+                exploded.repartition(n_idx_parts, "term", "shard_id")
+                .groupBy("term", "shard_id", "doc_ord")
+                .agg(
+                    F.count("*").cast("int").alias("tf"),
+                    F.first("dl").alias("dl"),
+                )
+                .select("term", "shard_id", "doc_ord", "tf", "dl")
+                .sortWithinPartitions("term", "shard_id", "doc_ord")
+            )
+            packed = _pack_sorted(posts_sorted, avgdl, False)
         # already partitioned by (term, shard) and sorted — write
         # directly; term-hash distribution + within-file term ordering
         # give format-level min/max point lookup on term (on Iceberg

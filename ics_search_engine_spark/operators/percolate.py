@@ -144,6 +144,69 @@ def _tokenize_query_nostem(texts):
     )
 
 
+# Measured crossover between the dense (per-doc array-intersect
+# against every registered query) and sparse (term-keyed broadcast
+# join) percolation forms — tools/percolate_bench.py, 34k-turn doc
+# batch, local[32], quiet window: THERE ISN'T ONE in batch.  Sparse
+# won at every measured registry size (100 queries: 1.4 s vs 2.8 s;
+# 10^4: 6.4 s vs 129 s — dense is docs × queries and the gap only
+# widens).  The dense form's real niche is append-mode Structured
+# Streaming, where the sparse form's (doc, query) aggregation is
+# prohibited — so batch auto-dispatch always picks sparse, and the
+# constant is 0 by measurement, kept as the dispatch knob so a
+# deployment with different doc/query shapes can re-measure and
+# raise it.  See BENCH/BASELINE.md "percolator crossover".
+PERCOLATE_DENSE_MAX_QUERIES = 0
+
+
+def percolate_auto(
+    spark: SparkSession,
+    query_index: DataFrame,
+    docs: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    min_match: int | str = "all",
+    do_stem: bool = True,
+    n_queries: int | None = None,
+    mode: str | None = None,
+) -> DataFrame:
+    """Percolate with automatic form dispatch — same output columns
+    (id_cols..., query_id, matched, n_terms) either way:
+
+    * ``dense`` (:func:`percolate_stream` applied to the batch frame):
+      every doc intersects every registered query — zero aggregation,
+      cheapest while the query set is tiny;
+    * ``sparse`` (:func:`percolate`): term-keyed broadcast join — only
+      queries sharing a term with the doc are touched; the scale form.
+
+    ``mode`` forces a form; otherwise the registered-query count
+    (``n_queries``, or one distinct-count job when not supplied —
+    callers that know their registry size should pass it) picks dense
+    iff count <= PERCOLATE_DENSE_MAX_QUERIES.  That threshold is 0 by
+    measurement (sparse won at every size benched — see the constant's
+    comment), so in practice batch auto IS sparse; the dense form
+    remains for append-mode streaming and for re-measured
+    deployments."""
+    if mode not in (None, "sparse", "dense"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode is None:
+        if n_queries is None:
+            n_queries = (
+                query_index.select("query_id").distinct().count()
+            )
+        mode = (
+            "dense" if n_queries <= PERCOLATE_DENSE_MAX_QUERIES
+            else "sparse"
+        )
+    if mode == "dense":
+        return percolate_stream(
+            query_index, docs, id_cols, text_col, min_match, do_stem
+        )
+    return percolate(
+        spark, query_index, docs, id_cols, text_col, min_match, do_stem
+    )
+
+
 def percolate_stream(
     query_index: DataFrame,
     docs: DataFrame,

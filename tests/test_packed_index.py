@@ -263,3 +263,94 @@ class TestConjunctive:
             ).collect()
         )
         assert push_rows == join_rows
+
+
+class TestFusedPositionalPack:
+    """The fused positional pack (_pack_sorted_rows: tf + position
+    runs derived in numpy over sorted exploded rows, no collect_list)
+    must produce payloads BYTE-IDENTICAL to the collect_list +
+    _pack_sorted path it replaced."""
+
+    def test_payloads_byte_identical_to_collect_list_path(
+        self, spark, small_df, pidx, index_dir
+    ):
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.index_build import DOC_KEY
+        from ics_search_engine_spark.operators.packed_index import (
+            _pack_sorted,
+        )
+        from ics_search_engine_spark.sources import catalog
+
+        # legacy path: groupBy + sort_array(collect_list(pos)) over
+        # the same tokenized rows and docmap the fused build used
+        toks = ib.tokenized(small_df)
+        docmap = catalog.read_table(spark, f"{index_dir}/docmap")
+        exploded = (
+            toks.join(
+                F.broadcast(docmap.select(*DOC_KEY, "doc_ord")), DOC_KEY
+            )
+            .select("doc_ord", "dl",
+                    F.posexplode("tokens").alias("pos", "term"))
+            .withColumn("shard_id", F.shiftright("doc_ord", 9))
+        )
+        posts_sorted = (
+            exploded.repartition(8, "term", "shard_id")
+            .groupBy("term", "shard_id", "doc_ord")
+            .agg(
+                F.count("*").cast("int").alias("tf"),
+                F.first("dl").alias("dl"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+            .select("term", "shard_id", "doc_ord", "tf", "dl",
+                    "positions")
+            .sortWithinPartitions("term", "shard_id", "doc_ord")
+        )
+        legacy = {
+            (r["term"], r["shard_id"]): (
+                r["n_postings"], r["max_tfn"], bytes(r["payload"])
+            )
+            for r in _pack_sorted(
+                posts_sorted, pidx.avgdl, True
+            ).collect()
+        }
+        fused = {
+            (r["term"], r["shard_id"]): (
+                r["n_postings"], r["max_tfn"], bytes(r["payload"])
+            )
+            for r in pidx.index.select(
+                "term", "shard_id", "n_postings", "max_tfn", "payload"
+            ).collect()
+        }
+        assert set(fused) == set(legacy)
+        diff = [k for k in fused if fused[k] != legacy[k]]
+        assert not diff, f"{len(diff)} groups differ, e.g. {diff[:3]}"
+
+    def test_no_collect_list_in_positional_build_plan(self, spark, small_df):
+        """The fused build's pack input plan must not contain an
+        ObjectHashAggregate (the profiled 690k bottleneck)."""
+        import pyspark.sql.functions as F
+
+        from ics_search_engine_spark.operators.docmap import (
+            assign_doc_ordinals,
+        )
+        from ics_search_engine_spark.operators.index_build import DOC_KEY
+
+        toks = ib.tokenized(small_df)
+        docmap = assign_doc_ordinals(toks.select(*DOC_KEY, "dl"))
+        exploded = (
+            toks.join(
+                F.broadcast(docmap.select(*DOC_KEY, "doc_ord")), DOC_KEY
+            )
+            .select("doc_ord", "dl",
+                    F.posexplode("tokens").alias("pos", "term"))
+            .withColumn("shard_id", F.shiftright("doc_ord", 9))
+        )
+        rows_sorted = exploded.repartition(
+            8, "term", "shard_id"
+        ).sortWithinPartitions("term", "shard_id", "doc_ord", "pos")
+        plan = (
+            rows_sorted._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ObjectHashAggregate" not in plan
+        assert "collect_list" not in plan

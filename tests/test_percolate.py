@@ -253,3 +253,56 @@ class TestLocalPercolator:
         assert all(
             qid != 3 for qid, _, _ in p.percolate("the and of machine")
         )
+
+
+class TestPercolateAuto:
+    """Auto dispatch between the sparse (term-keyed) and dense
+    (intersect) percolation forms on registered-query count — both
+    forms must return identical pairs, and the threshold rule must be
+    deterministic."""
+
+    def test_forms_identical_and_auto_matches(self, spark, qidx, small_df):
+        from ics_search_engine_spark.operators.percolate import (
+            percolate_auto,
+        )
+
+        keys = ["conv_id", "turn_idx"]
+        got = {}
+        for mode in ("sparse", "dense", None):
+            rows = percolate_auto(
+                spark, qidx, small_df, keys, mode=mode
+            ).collect()
+            got[mode] = sorted(
+                (r["query_id"], r["conv_id"], r["turn_idx"],
+                 r["matched"], r["n_terms"])
+                for r in rows
+            )
+        assert got["sparse"] == got["dense"] == got[None]
+        assert got["sparse"]  # sanity: matches exist
+
+    def test_dispatch_threshold(self, spark, qidx, small_df, monkeypatch):
+        from ics_search_engine_spark.operators import percolate as pm
+
+        calls = []
+        real_sparse, real_dense = pm.percolate, pm.percolate_stream
+        monkeypatch.setattr(
+            pm, "percolate",
+            lambda *a, **k: calls.append("sparse") or real_sparse(*a, **k),
+        )
+        monkeypatch.setattr(
+            pm, "percolate_stream",
+            lambda *a, **k: calls.append("dense") or real_dense(*a, **k),
+        )
+        keys = ["conv_id", "turn_idx"]
+        # n_queries passed explicitly: no count job, pure rule
+        pm.percolate_auto(
+            spark, qidx, small_df, keys,
+            n_queries=pm.PERCOLATE_DENSE_MAX_QUERIES,
+        )
+        pm.percolate_auto(
+            spark, qidx, small_df, keys,
+            n_queries=pm.PERCOLATE_DENSE_MAX_QUERIES + 1,
+        )
+        assert calls == ["dense", "sparse"]
+        with pytest.raises(ValueError):
+            pm.percolate_auto(spark, qidx, small_df, keys, mode="wat")
