@@ -10179,6 +10179,71 @@ FROM y ORDER BY conv_id
 """
 
 
+def q_conv_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-grain TRANSITIVE near-dedup drops
+    (operators/chatdata.conv_near_dup_drops: pair graph → connected
+    components → drop every conversation that is not its component's
+    minimum — round-5 fix: prepare_chat_corpus previously dropped the
+    larger side of each pair directly, which keeps {A, B} on a chain
+    A~C, B~C where the doc-grain semantics keep {A}).  The gate feeds
+    a deterministic chain-heavy pair set over the synthetic convs
+    (ordinal runs + every-11th bridges) so the oracle's recursive-CTE
+    reachability has real multi-hop components."""
+    from ics_search_engine_spark.operators.chatdata import (
+        conv_near_dup_drops,
+    )
+
+    ids = (
+        _synth_transcripts(spark, sf_dir)
+        .select("conv_id").distinct()
+        .select(
+            "conv_id",
+            F.substring("conv_id", 5, 6).cast("long").alias("c"),
+        )
+    )
+    a, b = ids.alias("a"), ids.alias("b")
+    runs = a.join(
+        b,
+        (F.col("b.c") == F.col("a.c") + 1) & (F.col("a.c") % 4 < 2),
+    ).select(
+        F.col("a.conv_id").alias("a_conv_id"),
+        F.col("b.conv_id").alias("b_conv_id"),
+    )
+    bridges = a.join(
+        b,
+        (F.col("b.c") == F.col("a.c") + 9) & (F.col("a.c") % 11 == 0),
+    ).select(
+        F.col("a.conv_id").alias("a_conv_id"),
+        F.col("b.conv_id").alias("b_conv_id"),
+    )
+    return conv_near_dup_drops(
+        runs.unionByName(bridges)
+    ).orderBy("conv_id")
+
+
+_SQL_CONV_DEDUP_TRANSITIVE = """
+WITH RECURSIVE
+t AS (SELECT DISTINCT doc_id // 5 AS c FROM documents),
+e0 AS (
+  SELECT a.c AS u, b.c AS v
+  FROM t a JOIN t b ON b.c = a.c + 1 WHERE a.c % 4 < 2
+  UNION ALL
+  SELECT a.c AS u, b.c AS v
+  FROM t a JOIN t b ON b.c = a.c + 9 WHERE a.c % 11 = 0
+),
+nodes AS (SELECT u AS c FROM e0 UNION SELECT v AS c FROM e0),
+e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+cc AS (
+  SELECT c AS node, c AS root FROM nodes
+  UNION
+  SELECT e.v AS node, cc.root FROM cc JOIN e ON e.u = cc.node
+),
+m AS (SELECT node, min(root) AS root FROM cc GROUP BY node)
+SELECT printf('conv%06d', node) AS conv_id
+FROM m WHERE root <> node ORDER BY conv_id
+"""
+
+
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM perplexity filter (operators/textstats.
     bigram_logprob): per-doc mean NLL under the corpus's own
@@ -12813,6 +12878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "script_ratios": q_script_ratios,
     "eql_text": q_eql_text,
+    "conv_dedup_transitive": q_conv_dedup_transitive,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13056,4 +13122,5 @@ ORACLE_SQL: dict[str, str] = {
     "script_ratios": _SQL_SCRIPT_RATIOS,
     # the text frontend compiles to the same engine call as eql_sequence
     "eql_text": _SQL_EQL_SEQUENCE,
+    "conv_dedup_transitive": _SQL_CONV_DEDUP_TRANSITIVE,
 }
