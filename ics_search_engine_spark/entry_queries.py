@@ -10244,6 +10244,139 @@ FROM m WHERE root <> node ORDER BY conv_id
 """
 
 
+def q_rank_eval_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking evaluation (operators/rankeval.rank_eval — the ES
+    _rank_eval surface): two rated query suites over the stem-free
+    packed engine; precision@10 / recall@10 / MRR / NDCG@10 per
+    query.  Ratings are deterministic doc_id residue classes, so the
+    oracle recomputes the exact BM25 ranking relationally (the
+    bm25_engine CTE pattern) and the metrics from first principles."""
+    import shutil
+    import tempfile
+
+    from ics_search_engine_spark.operators.packed_index import (
+        PackedIndex,
+        build_packed_index,
+    )
+    from ics_search_engine_spark.operators.rankeval import rank_eval
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+    key = F.format_string("doc%08d", F.col("doc_id")).alias("conv_id")
+    rat1 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.lit("r1").alias("query_id"), key,
+        F.lit(0).cast("int").alias("turn_idx"),
+        (1 + F.col("doc_id") % 3).cast("int").alias("rating"),
+    )
+    rat2 = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.lit("r2").alias("query_id"), key,
+        F.lit(0).cast("int").alias("turn_idx"),
+        (1 + F.col("doc_id") % 2).cast("int").alias("rating"),
+    )
+    out = tempfile.mkdtemp(prefix="gate_rankeval_idx_")
+    try:
+        build_packed_index(
+            spark, transcripts, out, range_bits=8, with_positions=False,
+            stem=False,
+        )
+        pidx = PackedIndex(spark, out)
+        res = rank_eval(
+            spark, pidx,
+            {"r1": "spark stream", "r2": "window join"},
+            rat1.unionByName(rat2), k=10,
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            res,
+            "query_id string, precision_at_k double, recall_at_k double,"
+            " mrr double, ndcg_at_k double",
+        )
+        .select(
+            "query_id",
+            F.round("precision_at_k", 6).alias("precision_r6"),
+            F.round("recall_at_k", 6).alias("recall_r6"),
+            F.round("mrr", 6).alias("mrr_r6"),
+            F.round("ndcg_at_k", 6).alias("ndcg_r6"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_rank_eval_leg(qid: str, terms: str, rat_where: str,
+                       rat_expr: str) -> str:
+    """One query's ranking + metrics legs of the rank_eval oracle."""
+    return f"""
+posts_{qid} AS (
+  SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM u
+  WHERE term IN ({terms}) GROUP BY term, doc_id
+),
+dfs_{qid} AS (SELECT term, count(*) AS df FROM posts_{qid} GROUP BY term),
+scored_{qid} AS (
+  SELECT p.doc_id,
+         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+         AS contrib
+  FROM posts_{qid} p JOIN dfs_{qid} d USING (term) CROSS JOIN stats s
+),
+rank_{qid} AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sum(contrib) DESC, doc_id ASC)
+           AS rnk
+  FROM scored_{qid} GROUP BY doc_id QUALIFY rnk <= 10
+),
+rat_{qid} AS (
+  SELECT doc_id, ({rat_expr})::DOUBLE AS rating FROM documents
+  WHERE {rat_where}
+),
+ideal_{qid} AS (
+  SELECT rating,
+         row_number() OVER (ORDER BY rating DESC, doc_id ASC) AS irank
+  FROM rat_{qid}
+),
+m_{qid} AS (
+  SELECT
+    (SELECT count(*) FROM rank_{qid} JOIN rat_{qid} USING (doc_id))
+      AS n_rel_topk,
+    (SELECT min(rnk) FROM rank_{qid} JOIN rat_{qid} USING (doc_id))
+      AS first_rel,
+    (SELECT coalesce(sum((pow(2.0, rating) - 1.0) / log2(rnk + 1)), 0)
+     FROM rank_{qid} JOIN rat_{qid} USING (doc_id)) AS dcg,
+    (SELECT count(*) FROM rat_{qid}) AS n_rel,
+    (SELECT sum((pow(2.0, rating) - 1.0) / log2(irank + 1))
+     FROM ideal_{qid} WHERE irank <= 10) AS idcg
+)"""
+
+
+_SQL_RANK_EVAL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
+u AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+{_sql_rank_eval_leg("r1", "'spark','stream'", "doc_id % 5 = 0",
+                    "1 + doc_id % 3")},
+{_sql_rank_eval_leg("r2", "'window','join'", "doc_id % 4 = 0",
+                    "1 + doc_id % 2")}
+SELECT 'r1' AS query_id,
+       round(n_rel_topk / 10.0, 6) AS precision_r6,
+       round(n_rel_topk::DOUBLE / n_rel, 6) AS recall_r6,
+       round(coalesce(1.0 / first_rel, 0), 6) AS mrr_r6,
+       round(dcg / nullif(idcg, 0), 6) AS ndcg_r6
+FROM m_r1
+UNION ALL
+SELECT 'r2', round(n_rel_topk / 10.0, 6),
+       round(n_rel_topk::DOUBLE / n_rel, 6),
+       round(coalesce(1.0 / first_rel, 0), 6),
+       round(dcg / nullif(idcg, 0), 6)
+FROM m_r2
+ORDER BY query_id
+"""
+
+
 def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM perplexity filter (operators/textstats.
     bigram_logprob): per-doc mean NLL under the corpus's own
@@ -12879,6 +13012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_ratios": q_script_ratios,
     "eql_text": q_eql_text,
     "conv_dedup_transitive": q_conv_dedup_transitive,
+    "rank_eval_engine": q_rank_eval_engine,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -13123,4 +13257,5 @@ ORACLE_SQL: dict[str, str] = {
     # the text frontend compiles to the same engine call as eql_sequence
     "eql_text": _SQL_EQL_SEQUENCE,
     "conv_dedup_transitive": _SQL_CONV_DEDUP_TRANSITIVE,
+    "rank_eval_engine": _SQL_RANK_EVAL,
 }
