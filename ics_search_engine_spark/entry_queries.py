@@ -10246,11 +10246,13 @@ FROM m WHERE root <> node ORDER BY conv_id
 
 def q_rank_eval_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking evaluation (operators/rankeval.rank_eval — the ES
-    _rank_eval surface): two rated query suites over the stem-free
-    packed engine; precision@10 / recall@10 / MRR / NDCG@10 per
-    query.  Ratings are deterministic doc_id residue classes, so the
-    oracle recomputes the exact BM25 ranking relationally (the
-    bm25_engine CTE pattern) and the metrics from first principles."""
+    _rank_eval surface): two rated requests over the stem-free packed
+    engine in ONE bm25_topk_multi job; precision / recall / MRR / DCG
+    / NDCG / ERR @10 + the unlabeled-doc tally per request.  Ratings
+    are deterministic doc_id residue classes, so the oracle recomputes
+    the exact BM25 rankings relationally (the bm25_engine CTE pattern)
+    and every metric from first principles — ERR via an ordered
+    prefix-product window, matching the engine's sequential fold."""
     import shutil
     import tempfile
 
@@ -10287,22 +10289,26 @@ def q_rank_eval_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = rank_eval(
             spark, pidx,
             {"r1": "spark stream", "r2": "window join"},
-            rat1.unionByName(rat2), k=10,
+            rat1.unionByName(rat2), k=10, max_relevance=3,
         ).collect()
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return (
         spark.createDataFrame(
             res,
-            "query_id string, precision_at_k double, recall_at_k double,"
-            " mrr double, ndcg_at_k double",
+            "query_id string, precision double, recall double,"
+            " mrr double, dcg double, ndcg double, err double,"
+            " n_unrated int",
         )
         .select(
             "query_id",
-            F.round("precision_at_k", 6).alias("precision_r6"),
-            F.round("recall_at_k", 6).alias("recall_r6"),
+            F.round("precision", 6).alias("precision_r6"),
+            F.round("recall", 6).alias("recall_r6"),
             F.round("mrr", 6).alias("mrr_r6"),
-            F.round("ndcg_at_k", 6).alias("ndcg_r6"),
+            F.round("dcg", 6).alias("dcg_r6"),
+            F.round("ndcg", 6).alias("ndcg_r6"),
+            F.round("err", 6).alias("err_r6"),
+            "n_unrated",
         )
         .orderBy("query_id")
     )
@@ -10310,7 +10316,9 @@ def q_rank_eval_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_rank_eval_leg(qid: str, terms: str, rat_where: str,
                        rat_expr: str) -> str:
-    """One query's ranking + metrics legs of the rank_eval oracle."""
+    """One request's ranking + metric legs of the rank_eval oracle.
+    ERR uses a product() prefix window over ranks 1..r-1 — the same
+    ascending sequential order as the engine's fold."""
     return f"""
 posts_{qid} AS (
   SELECT term, doc_id, count(*) AS tf, any_value(dl) AS dl FROM u
@@ -10334,6 +10342,19 @@ rat_{qid} AS (
   SELECT doc_id, ({rat_expr})::DOUBLE AS rating FROM documents
   WHERE {rat_where}
 ),
+j_{qid} AS (
+  SELECT r.rnk, coalesce(t.rating, 0) AS rating,
+         t.rating IS NULL AS unrated
+  FROM rank_{qid} r LEFT JOIN rat_{qid} t USING (doc_id)
+),
+errt_{qid} AS (
+  SELECT rnk, (pow(2.0, rating) - 1.0) / 8.0 AS rr,
+         coalesce(product(1.0 - (pow(2.0, rating) - 1.0) / 8.0)
+                  OVER (ORDER BY rnk
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 1.0) AS pprod
+  FROM j_{qid}
+),
 ideal_{qid} AS (
   SELECT rating,
          row_number() OVER (ORDER BY rating DESC, doc_id ASC) AS irank
@@ -10341,16 +10362,34 @@ ideal_{qid} AS (
 ),
 m_{qid} AS (
   SELECT
-    (SELECT count(*) FROM rank_{qid} JOIN rat_{qid} USING (doc_id))
-      AS n_rel_topk,
-    (SELECT min(rnk) FROM rank_{qid} JOIN rat_{qid} USING (doc_id))
-      AS first_rel,
+    (SELECT count(*) FROM j_{qid}) AS retrieved,
+    (SELECT count(*) FROM j_{qid} WHERE rating >= 1) AS rel_ret,
+    (SELECT min(rnk) FROM j_{qid} WHERE rating >= 1) AS first_rel,
     (SELECT coalesce(sum((pow(2.0, rating) - 1.0) / log2(rnk + 1)), 0)
-     FROM rank_{qid} JOIN rat_{qid} USING (doc_id)) AS dcg,
-    (SELECT count(*) FROM rat_{qid}) AS n_rel,
-    (SELECT sum((pow(2.0, rating) - 1.0) / log2(irank + 1))
+     FROM j_{qid}) AS dcg,
+    (SELECT count(*) FROM j_{qid} WHERE unrated) AS n_unrated,
+    (SELECT coalesce(sum(rr / rnk * pprod), 0) FROM errt_{qid}) AS err,
+    (SELECT count(*) FROM rat_{qid} WHERE rating >= 1) AS n_rel,
+    (SELECT coalesce(sum((pow(2.0, rating) - 1.0) / log2(irank + 1)), 0)
      FROM ideal_{qid} WHERE irank <= 10) AS idcg
 )"""
+
+
+def _sql_rank_eval_row(qid: str) -> str:
+    return f"""
+SELECT '{qid}' AS query_id,
+       round(CASE WHEN retrieved > 0
+             THEN rel_ret::DOUBLE / retrieved ELSE 0 END, 6)
+         AS precision_r6,
+       round(CASE WHEN n_rel > 0
+             THEN rel_ret::DOUBLE / n_rel ELSE 0 END, 6) AS recall_r6,
+       round(coalesce(1.0 / first_rel, 0), 6) AS mrr_r6,
+       round(dcg, 6) AS dcg_r6,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6)
+         AS ndcg_r6,
+       round(err, 6) AS err_r6,
+       n_unrated::INT AS n_unrated
+FROM m_{qid}"""
 
 
 _SQL_RANK_EVAL = f"""
@@ -10361,18 +10400,9 @@ u AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
                     "1 + doc_id % 3")},
 {_sql_rank_eval_leg("r2", "'window','join'", "doc_id % 4 = 0",
                     "1 + doc_id % 2")}
-SELECT 'r1' AS query_id,
-       round(n_rel_topk / 10.0, 6) AS precision_r6,
-       round(n_rel_topk::DOUBLE / n_rel, 6) AS recall_r6,
-       round(coalesce(1.0 / first_rel, 0), 6) AS mrr_r6,
-       round(dcg / nullif(idcg, 0), 6) AS ndcg_r6
-FROM m_r1
+{_sql_rank_eval_row("r1")}
 UNION ALL
-SELECT 'r2', round(n_rel_topk / 10.0, 6),
-       round(n_rel_topk::DOUBLE / n_rel, 6),
-       round(coalesce(1.0 / first_rel, 0), 6),
-       round(dcg / nullif(idcg, 0), 6)
-FROM m_r2
+{_sql_rank_eval_row("r2")}
 ORDER BY query_id
 """
 

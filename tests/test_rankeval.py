@@ -1,135 +1,191 @@
-"""rank_eval (ES _rank_eval analog) vs a hand-rolled pure-Python
-metric computation over the oracle's own ranking."""
+"""Ranking evaluation (operators/rankeval.py): metric formulas vs a
+pure-python recompute, unlabeled-doc handling, degenerate requests,
+the ERR fold, and the end-to-end packed-engine path."""
 
 import math
 
 import pytest
 
-from oracle import bm25 as oracle
 from ics_search_engine_spark.operators.packed_index import (
     PackedIndex,
     build_packed_index,
 )
-from ics_search_engine_spark.operators.rankeval import rank_eval
+from ics_search_engine_spark.operators.query import bm25_topk_packed
+from ics_search_engine_spark.operators.rankeval import (
+    rank_eval,
+    rank_eval_hits,
+    rank_eval_summary,
+)
 
-QUERIES = {"q_ml": "machine learning", "q_err": "error handling"}
 K = 10
+MAX_REL = 3
 
 
-@pytest.fixture(scope="module")
-def setup(spark, small_df, small_rows, corpus_dir):
-    out = f"{corpus_dir}/rankeval_idx"
-    build_packed_index(spark, small_df, out, range_bits=9)
-    return PackedIndex(spark, out), oracle.build_index(small_rows)
+def _hits(spark, rows):
+    """rows: (query_id, doc, rank) — doc becomes (conv_id, turn_idx)."""
+    return spark.createDataFrame(
+        [(q, f"c{d}", 0, 0.0, r) for q, d, r in rows],
+        "query_id string, conv_id string, turn_idx int, score double, "
+        "rank int",
+    )
 
 
-def _ratings(small_rows):
-    """Deterministic ratings: every 7th turn of the corpus is rated
-    1 + (i % 3) for q_ml; every 11th is rated 1 for q_err."""
-    rows = []
-    for i, (conv, turn, _) in enumerate(small_rows):
-        if i % 7 == 0:
-            rows.append(("q_ml", conv, turn, 1 + (i % 3)))
-        if i % 11 == 0:
-            rows.append(("q_err", conv, turn, 1))
-    return rows
+def _ratings(spark, rows):
+    """rows: (query_id, doc, rating)."""
+    return spark.createDataFrame(
+        [(q, f"c{d}", 0, g) for q, d, g in rows],
+        "query_id string, conv_id string, turn_idx int, rating int",
+    )
 
 
-def _expected(oracle_idx, small_rows):
-    rat = {}
-    for qid, conv, turn, r in _ratings(small_rows):
-        rat.setdefault(qid, {})[(conv, turn)] = r
+def _py_metrics(hits, ratings, k=K, thr=1, max_rel=MAX_REL):
+    """Reference recompute: hits = [(q, d, rank)], ratings = {(q,d): g}."""
     out = {}
-    for qid, q in QUERIES.items():
-        top = oracle.search(oracle_idx, q, k=K)
-        ranked = [(c, t) for c, t, _ in top]
-        qr = rat.get(qid, {})
-        rel_in = [i + 1 for i, key in enumerate(ranked) if key in qr]
-        n_rel_topk = len(rel_in)
-        dcg = sum(
-            (2.0 ** qr[key] - 1) / math.log2(i + 2)
-            for i, key in enumerate(ranked)
-            if key in qr
+    qids = {q for q, _, _ in hits} | {q for q, _ in ratings}
+    for q in qids:
+        hs = sorted(
+            [(r, ratings.get((qq, d), None)) for qq, d, r in hits if qq == q]
         )
-        ideal = sorted(qr.values(), reverse=True)[:K]
+        graded = [(r, 0 if g is None else g) for r, g in hs]
+        retrieved = len(graded)
+        rel_ret = sum(1 for _, g in graded if g >= thr)
+        first = min((r for r, g in graded if g >= thr), default=None)
+        dcg = sum((2 ** g - 1) / math.log2(r + 1) for r, g in graded)
+        all_rel = sorted(
+            (g for (qq, _), g in ratings.items() if qq == q), reverse=True
+        )
+        n_rel = sum(1 for g in all_rel if g >= thr)
         idcg = sum(
-            (2.0 ** r - 1) / math.log2(i + 2)
-            for i, r in enumerate(ideal)
+            (2 ** g - 1) / math.log2(i + 2) for i, g in enumerate(all_rel[:k])
         )
-        out[qid] = {
-            "precision_at_k": n_rel_topk / K,
-            "recall_at_k": n_rel_topk / len(qr) if qr else None,
-            "mrr": 1.0 / rel_in[0] if rel_in else 0.0,
-            "ndcg_at_k": dcg / idcg if idcg else None,
-        }
+        err, p = 0.0, 1.0
+        for r, g in graded:
+            rr = (2 ** g - 1) / 2 ** max_rel
+            err += p * rr / r
+            p *= 1 - rr
+        out[q] = dict(
+            precision=rel_ret / retrieved if retrieved else 0.0,
+            recall=rel_ret / n_rel if n_rel else 0.0,
+            mrr=1.0 / first if first else 0.0,
+            dcg=dcg,
+            ndcg=dcg / idcg if idcg else 0.0,
+            err=err,
+            n_unrated=sum(1 for _, g in hs if g is None),
+        )
     return out
 
 
-class TestRankEval:
-    def test_metrics_match_hand_oracle(self, spark, setup, small_rows):
-        pidx, oracle_idx = setup
+HITS = [
+    ("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3), ("q1", 4, 4),
+    ("q2", 9, 1), ("q2", 2, 2), ("q2", 7, 3),
+]
+RATES = [
+    ("q1", 1, 3), ("q1", 3, 1), ("q1", 5, 2),   # doc 5 never retrieved
+    ("q2", 2, 1), ("q2", 8, 2),                  # doc 9 retrieved unrated
+]
+
+
+class TestMetricFormulas:
+    def test_python_oracle_parity(self, spark):
+        got = {
+            r["query_id"]: r.asDict()
+            for r in rank_eval_hits(
+                spark, _hits(spark, HITS), ["q1", "q2"],
+                _ratings(spark, RATES), k=K, max_relevance=MAX_REL,
+            ).collect()
+        }
+        want = _py_metrics(HITS, {(q, d): g for q, d, g in RATES})
+        assert set(got) == set(want)
+        for q in want:
+            for m, v in want[q].items():
+                assert got[q][m] == pytest.approx(v, abs=1e-12), (q, m)
+
+    def test_unrated_counts(self, spark):
+        got = {
+            r["query_id"]: r["n_unrated"]
+            for r in rank_eval_hits(
+                spark, _hits(spark, HITS), ["q1", "q2"],
+                _ratings(spark, RATES),
+            ).collect()
+        }
+        assert got == {"q1": 2, "q2": 2}  # q1: docs 2,4; q2: docs 9,7
+
+    def test_request_with_no_hits_and_no_ratings_is_all_zero(self, spark):
+        rows = rank_eval_hits(
+            spark, _hits(spark, HITS), ["q1", "q2", "qdead"],
+            _ratings(spark, RATES),
+        ).collect()
+        dead = next(r for r in rows if r["query_id"] == "qdead")
+        assert all(
+            dead[m] == 0 for m in
+            ("precision", "recall", "mrr", "dcg", "ndcg", "err", "n_unrated")
+        )
+
+    def test_perfect_ranking_has_ndcg_one_and_mrr_one(self, spark):
+        hits = [("q", d, r) for r, d in enumerate([5, 4, 3], start=1)]
+        rates = [("q", 5, 3), ("q", 4, 2), ("q", 3, 1)]
+        row = rank_eval_hits(
+            spark, _hits(spark, hits), ["q"], _ratings(spark, rates)
+        ).collect()[0]
+        assert row["ndcg"] == pytest.approx(1.0, abs=1e-12)
+        assert row["mrr"] == 1.0
+        assert row["precision"] == 1.0 and row["recall"] == 1.0
+
+    def test_err_certain_stop_at_max_relevance(self, spark):
+        # rating == max_relevance => R = 1 - (1/2^g) residual... no:
+        # R = (2^g - 1) / 2^g_max with g = g_max gives R < 1; use the
+        # fold directly: a second hit after a high-rated first must
+        # contribute with the residual probability (1 - R1)
+        hits = [("q", 1, 1), ("q", 2, 2)]
+        rates = [("q", 1, 3), ("q", 2, 3)]
+        row = rank_eval_hits(
+            spark, _hits(spark, hits), ["q"], _ratings(spark, rates),
+            max_relevance=3,
+        ).collect()[0]
+        r1 = (2 ** 3 - 1) / 2 ** 3
+        want = r1 / 1 + (1 - r1) * r1 / 2
+        assert row["err"] == pytest.approx(want, abs=1e-15)
+
+    def test_summary_is_unweighted_mean(self, spark):
+        per = rank_eval_hits(
+            spark, _hits(spark, HITS), ["q1", "q2"], _ratings(spark, RATES)
+        )
+        s = rank_eval_summary(per).collect()[0]
+        rows = per.collect()
+        for m in ("precision", "recall", "mrr", "dcg", "ndcg", "err"):
+            assert s[m] == pytest.approx(
+                sum(r[m] for r in rows) / len(rows), abs=1e-12
+            )
+        assert s["n_unrated"] == sum(r["n_unrated"] for r in rows)
+
+
+class TestEndToEnd:
+    def test_engine_ranking_feeds_metrics(self, spark, small_df, corpus_dir):
+        out = f"{corpus_dir}/rankeval_idx"
+        build_packed_index(spark, small_df, out, range_bits=9)
+        pidx = PackedIndex(spark, out)
+        requests = {"a": "machine learning", "b": "data pipeline"}
+        # judgments: the packed engine's own top-5 per query, graded by
+        # inverse rank => the ideal ordering IS the ranking: ndcg == 1
+        rates = []
+        for qid, q in requests.items():
+            top = bm25_topk_packed(spark, pidx, q, k=5).collect()
+            for i, r in enumerate(top):
+                rates.append((qid, r["conv_id"], r["turn_idx"], 5 - i))
         ratings = spark.createDataFrame(
-            _ratings(small_rows),
+            rates,
             "query_id string, conv_id string, turn_idx int, rating int",
         )
         got = {
             r["query_id"]: r.asDict()
             for r in rank_eval(
-                spark, pidx, QUERIES, ratings, k=K
+                spark, pidx, requests, ratings, k=10, max_relevance=5
             ).collect()
         }
-        want = _expected(oracle_idx, small_rows)
-        assert set(got) == set(want)
-        for qid in want:
-            for m, v in want[qid].items():
-                gv = got[qid][m]
-                if v is None:
-                    assert gv is None, (qid, m, gv)
-                else:
-                    assert gv == pytest.approx(v, abs=1e-9), (qid, m)
-
-    def test_unrated_query_degenerates_cleanly(self, spark, setup):
-        """A query with NO ratings: precision 0, recall/ndcg NULL,
-        mrr 0 — never a divide error."""
-        pidx, _ = setup
-        ratings = spark.createDataFrame(
-            [("other", "x", 0, 1)],
-            "query_id string, conv_id string, turn_idx int, rating int",
-        )
-        row = rank_eval(
-            spark, pidx, {"lonely": "machine"}, ratings, k=5
-        ).collect()[0]
-        assert row["precision_at_k"] == 0.0
-        assert row["recall_at_k"] is None
-        assert row["mrr"] == 0.0
-        assert row["ndcg_at_k"] is None
-
-    def test_empty_queries_raise(self, spark, setup):
-        pidx, _ = setup
-        with pytest.raises(ValueError):
-            rank_eval(spark, pidx, {}, None)
-
-    def test_custom_ranker_hook(self, spark, setup, small_rows):
-        """topk_fn override: evaluating the WAND ranking must equal
-        evaluating the exhaustive ranking (they are rank-identical)."""
-        from ics_search_engine_spark.operators.wand import bm25_topk_wand
-
-        pidx, _ = setup
-        ratings = spark.createDataFrame(
-            _ratings(small_rows),
-            "query_id string, conv_id string, turn_idx int, rating int",
-        )
-        base = sorted(
-            tuple(r) for r in rank_eval(
-                spark, pidx, QUERIES, ratings, k=K
-            ).collect()
-        )
-        wand = sorted(
-            tuple(r) for r in rank_eval(
-                spark, pidx, QUERIES, ratings, k=K,
-                topk_fn=lambda s, p, q, kk: bm25_topk_wand(
-                    s, p, q, k=kk
-                ),
-            ).collect()
-        )
-        assert base == wand
+        for qid in requests:
+            assert got[qid]["ndcg"] == pytest.approx(1.0, abs=1e-12)
+            assert got[qid]["mrr"] == 1.0
+            assert got[qid]["recall"] == 1.0
+            # 5 rated docs inside a top-10 window: precision = 5/10
+            # unless the query matched fewer than 10 docs
+            assert got[qid]["precision"] >= 0.5
