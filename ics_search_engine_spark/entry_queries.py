@@ -10392,7 +10392,7 @@ SELECT '{qid}' AS query_id,
 FROM m_{qid}"""
 
 
-_SQL_RANK_EVAL = f"""
+_SQL_RANK_EVAL_ENGINE = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks)) AS avgdl FROM t),
 u AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
@@ -13287,5 +13287,5 @@ ORACLE_SQL: dict[str, str] = {
     # the text frontend compiles to the same engine call as eql_sequence
     "eql_text": _SQL_EQL_SEQUENCE,
     "conv_dedup_transitive": _SQL_CONV_DEDUP_TRANSITIVE,
-    "rank_eval_engine": _SQL_RANK_EVAL,
+    "rank_eval_engine": _SQL_RANK_EVAL_ENGINE,
 }

@@ -374,9 +374,12 @@ def bm25_topk_fuzzy(
     max_dist: int = 2,
     max_matches: int = 8,
     expander: str = "scan",
+    use_wand: bool = False,
 ) -> DataFrame:
-    """Fuzzy top-k BM25 → (conv_id, turn_idx, score).  ``expander`` ∈
-    {'scan', 'symspell', 'auto'} — identical results; symspell
+    """Fuzzy top-k BM25 → (conv_id, turn_idx, score).  ``use_wand``
+    routes scoring through block-max θ pruning via the WAND weight
+    override — identical results (invariant-tested), pruned decode.
+    ``expander`` ∈ {'scan', 'symspell', 'auto'} — identical results; symspell
     builds/reuses the per-segment deletion dictionary and scales to
     vocabularies a per-query scan cannot (module docstring); 'auto'
     takes the deletes probe iff the dictionary for this ``max_dist``
@@ -409,6 +412,14 @@ def bm25_topk_fuzzy(
     weights = idf_weights(qtf, term_df, pidx.n_docs)
     if not weights:
         return empty
+    if use_wand:
+        # fuzzy expansions ride block-max θ pruning through the
+        # weights override (valid for ANY positive per-term weights —
+        # operators/wand.py): same results, pruned decode.  The PRF
+        # and synonym surfaces compose the same way.
+        from ics_search_engine_spark.operators.wand import bm25_topk_wand
+
+        return bm25_topk_wand(spark, pidx, "", k=k, weights=weights)
     matched = pidx.index.filter(F.col("term").isin(sorted(weights)))
     posts = decode_matched(matched)
     topk = score_topk(spark, posts, weights, pidx.avgdl, ["doc_ord"], k)

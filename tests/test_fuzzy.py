@@ -274,3 +274,40 @@ class TestSymSpell:
         path = f"{pidx.path}/{DELETES_DICT_NAME}_d2"
         assert deletes_dict_ready(path)  # committed by the fixture
         assert not deletes_dict_ready(path + "_nonexistent")
+
+
+class TestFuzzyWand:
+    """use_wand=True must be rank- and score-identical to the
+    exhaustive fuzzy path for every expander."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, spark, small_df, small_rows, corpus_dir):
+        out = f"{corpus_dir}/fuzzy_wand_idx"
+        build_packed_index(spark, small_df, out, range_bits=9)
+        return PackedIndex(spark, out), small_rows
+
+    @pytest.mark.parametrize("q", QUERIES + ["machinz learnz"])
+    def test_wand_identical_to_exhaustive(self, spark, setup, q):
+        pidx, _ = setup
+        plain = [
+            tuple(r)
+            for r in bm25_topk_fuzzy(spark, pidx, q, k=10).collect()
+        ]
+        wand = [
+            tuple(r)
+            for r in bm25_topk_fuzzy(
+                spark, pidx, q, k=10, use_wand=True
+            ).collect()
+        ]
+        assert wand == plain, q
+
+    def test_wand_symspell_identical(self, spark, setup):
+        pidx, _ = setup
+        a = [tuple(r) for r in bm25_topk_fuzzy(
+            spark, pidx, "machne", k=10, expander="symspell"
+        ).collect()]
+        b = [tuple(r) for r in bm25_topk_fuzzy(
+            spark, pidx, "machne", k=10, expander="symspell",
+            use_wand=True,
+        ).collect()]
+        assert a == b
