@@ -1085,11 +1085,14 @@ class LocalIndexServer:
 
     def search_fuzzy(
         self, query: str, k: int = 10, max_dist: int = 2,
-        max_matches: int = 8,
+        max_matches: int = 8, use_wand: bool = False,
+        stats: dict | None = None,
     ) -> list[tuple[str, int, float]]:
         """Fuzzy serving — identical semantics to
         operators/fuzzy.bm25_topk_fuzzy (same stem-first probe, same
-        (dist asc, df desc, term asc) cap, flat qtf×idf weights)."""
+        (dist asc, df desc, term asc) cap, flat qtf×idf weights).
+        ``use_wand`` rides block-max pruning through score_with's
+        weight override — identical results, like the Spark path."""
         from ics_search_engine_spark.operators.fuzzy import select_matches
         from ics_search_engine_spark.operators.query import idf_weights
 
@@ -1104,7 +1107,10 @@ class LocalIndexServer:
             for t, d in select_matches(td.fuzzy(p, max_dist), max_matches):
                 qtf[t] = qtf.get(t, 0) + inst
                 term_df[t] = d
-        return self.score_with(idf_weights(qtf, term_df, self.n_docs), k)
+        return self.score_with(
+            idf_weights(qtf, term_df, self.n_docs), k,
+            use_wand=use_wand, stats=stats,
+        )
 
     def did_you_mean(self, query: str, max_dist: int = 2) -> str | None:
         """Serving-tier spell suggestion — identical selection to

@@ -311,3 +311,14 @@ class TestFuzzyWand:
             use_wand=True,
         ).collect()]
         assert a == b
+
+    def test_serving_wand_identical(self, spark, setup):
+        from ics_search_engine_spark.serving import LocalIndexServer
+
+        pidx, _ = setup
+        srv = LocalIndexServer(pidx.path)
+        for q in QUERIES:
+            plain = srv.search_fuzzy(q, k=10)
+            st: dict = {}
+            wand = srv.search_fuzzy(q, k=10, use_wand=True, stats=st)
+            assert wand == plain, q
