@@ -1622,11 +1622,12 @@ class LocalSegmentedServer:
 
     def search_fuzzy(
         self, query: str, k: int = 10, max_dist: int = 2,
-        max_matches: int = 8,
+        max_matches: int = 8, use_wand: bool = False,
     ) -> list[tuple[str, int, float]]:
         """Fuzzy matching over the LSM — expansion against the UNION
         dictionary (summed df), identical to serving a compacted
-        index."""
+        index.  ``use_wand`` prunes per segment through the same
+        score_with weight override as the single-index tier."""
         from ics_search_engine_spark.operators.fuzzy import select_matches
         from ics_search_engine_spark.operators.query import idf_weights
 
@@ -1645,7 +1646,8 @@ class LocalSegmentedServer:
             return []
         f = k + len(self.shadows)
         return self._merge_scored(
-            [s.score_with(weights, f, avgdl=self.avgdl)
+            [s.score_with(weights, f, avgdl=self.avgdl,
+                          use_wand=use_wand)
              for s in self.servers],
             k,
         )

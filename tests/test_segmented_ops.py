@@ -84,6 +84,16 @@ class TestSegmentedFuzzy:
         full, seg = setup
         assert seg.search_fuzzy(q, k=10) == full.search_fuzzy(q, k=10), q
 
+    def test_fuzzy_wand_identical(self, setup):
+        """use_wand must not change segmented fuzzy results (per-
+        segment block-max pruning through the weight override)."""
+        full, seg = setup
+        for q in ("machne learnng", "machine learning"):
+            assert seg.search_fuzzy(q, k=10, use_wand=True) == \
+                seg.search_fuzzy(q, k=10), q
+            assert seg.search_fuzzy(q, k=10, use_wand=True) == \
+                full.search_fuzzy(q, k=10, use_wand=True), q
+
 
 class TestSegmentedNearOrdered:
     @pytest.mark.parametrize("query,window", [
